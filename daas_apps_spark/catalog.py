@@ -1,0 +1,63 @@
+"""Fixture catalog: table name → Parquet path → DataFrame / temp view.
+
+Generalizes the reference's driver-side catalog step — `getFilesInFolder`
+(MiscUtils.java:15-38) plus the SAM-header sequence-dictionary read
+(SparkCaller.java:180-187) — into a declarative registry over the driver's
+Parquet fixtures (TESTDATA.md / FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from daas_apps_spark.session import pin_session
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (A1 Parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    pin_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it scans as
+        # epoch-nanos. Truncate (not round) to µs — DuckDB does the same.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """Load every fixture table; attribute access: ``t.lineitem`` etc.
+
+    Scans are lazy — unused tables cost nothing (Catalyst prunes them), so
+    loading all ten up front is free.
+    """
+    pin_session(spark)
+    return SimpleNamespace(**{n: table(spark, sf_dir, n) for n in TABLES})
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view for ``spark.sql`` queries (A8)."""
+    pin_session(spark)
+    for n in TABLES:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,30 @@
+"""Operator modules. Importing this package registers every declared query.
+
+Module map (SURVEY.md §2 categories):
+
+- ``relational``  — A scans/provenance, B projection/filter, C joins
+- ``aggregates``  — D aggregation, F sort/limit/top-k, G set ops
+- ``windows``     — E window functions, R5-style dedup-by-rank
+- ``scalars``     — H scalar function library (string/date/math/array/map/json)
+- ``asof``        — C10 as-of join helper
+- ``udfs``        — J pandas UDF / grouped-map / UDTF surface (R7/R10 analogs)
+- ``dedup``       — K1-K3 exact + minhash/LSH near-dedup
+- ``similarity``  — K4 embedding top-k similarity search
+- ``text``        — K5/K6/K8 text analysis, quality, TF/DF
+- ``multimodal``  — K7 binary-payload column handling
+- ``streaming_batch`` — I1-I7 event-time logic in batch-equivalence mode
+"""
+
+from daas_apps_spark.operators import (  # noqa: F401
+    relational,
+    aggregates,
+    windows,
+    scalars,
+    asof,
+    udfs,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    streaming_batch,
+)

@@ -1,0 +1,498 @@
+"""Aggregation (D), sort/limit/top-k (F), set operations (G).
+
+The flagship ``q1_pricing_summary`` generalizes the reference's
+aggregate-to-side-output stages (R6 IndelTargetCreator.java:19-44, R8
+BQSRTargetGenerator.java:19-44): scan → filter → keyed aggregate with
+map-side partial aggregation, which Spark's HashAggregate does automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table, tables
+from daas_apps_spark.functions.discipline import davg, dsum, sql_davg, sql_dsum
+from daas_apps_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# D. Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "B4", "B7", "D1", "F1"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (scan→filter→agg→sort).
+
+    The shipdate predicate reaches the Parquet scan (predicate pushdown);
+    partial aggregation runs map-side so the shuffle carries only
+    (flag,status) groups — 6 groups regardless of input scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = net * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(net).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "d2_global_aggregate",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum('l_quantity')} AS total_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+    tags=("D2", "D3"),
+)
+def d2_global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-key (global) aggregate over the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "d3_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_partkey || '#' || l_suppkey) AS BIGINT) AS n_part_supp_pairs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("D3",),
+)
+def d3_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count(distinct) aggregates, incl. a multi-column distinct."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.concat_ws("#", F.col("l_partkey"), F.col("l_suppkey"))
+        ).alias("n_part_supp_pairs"),
+    )
+
+
+@register(
+    "d4_approx_count_distinct",
+    oracle=None,  # approximate by construction; ε-checked in tests/test_aggregates.py
+    tags=("D4",),
+)
+def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct next to the exact count (ε-verified)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "d5_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("D5",),
+)
+def d5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id over (returnflag, linestatus)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@register(
+    "d5_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("D5",),
+)
+def d5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@register(
+    "d6_ordered_collect",
+    oracle="""
+    SELECT n_nationkey, list_sort(list(c_mktsegment)) AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_nationkey < 5
+    GROUP BY n_nationkey
+    """,
+    tags=("D6", "C5"),
+)
+def d6_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect_list per group (R14/R15 ordered-merge analog).
+
+    The merge stages group files by parent dir then n-way merge in order
+    (SparkCaller.java:170-173, BAMMerger.java:19-40); here: group rows by key
+    and produce a deterministically ordered list.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_nationkey") < 5)
+        .groupBy("n_nationkey")
+        .agg(F.sort_array(F.collect_list("c_mktsegment")).alias("segments"))
+    )
+
+
+@register(
+    "d7_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS qty_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("D7",),
+)
+def d7_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded per the canonicalization discipline."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+    )
+
+
+@register(
+    "d8_argmax_argmin",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_first
+    FROM orders)
+    SELECT m.o_custkey AS custkey,
+           m.o_orderkey AS biggest_order,
+           CAST(m.o_totalprice AS DOUBLE) AS biggest_price,
+           f.o_orderkey AS first_order
+    FROM (SELECT * FROM ranked WHERE rn_max = 1) m
+    JOIN (SELECT * FROM ranked WHERE rn_first = 1) f ON m.o_custkey = f.o_custkey
+    """,
+    tags=("D8",),
+)
+def d8_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max/first-by via max/min over structs.
+
+    ``max_by`` has unspecified tie-breaking; ``max(struct(ordering..., payload))``
+    pins ties explicitly and stays a plain hash aggregate (no window shuffle).
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.struct("o_totalprice", "o_orderkey")).alias("_mx"),
+            F.min(F.struct("o_orderdate", "o_orderkey")).alias("_fst"),
+        )
+        .select(
+            "custkey",
+            F.col("_mx.o_orderkey").alias("biggest_order"),
+            F.col("_mx.o_totalprice").alias("biggest_price"),
+            F.col("_fst.o_orderkey").alias("first_order"),
+        )
+    )
+
+
+@register(
+    "d9_filtered_aggregate",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")}
+               AS returned_value,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("D9",),
+)
+def d9_filtered_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates (FILTER clause ≡ sum-of-CASE)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        dsum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("returned_value"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "d10_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS bucket_revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=("D10",),
+)
+def d10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (histogram) aggregation with fixed-width buckets."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("price_bucket", F.floor(F.col("o_totalprice") / 50000))
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F. Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_sorted_limit_nulls",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null, o_totalprice
+    FROM orders
+    ORDER BY status_or_null ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("F1", "F3"),
+)
+def f1_sorted_limit_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total multi-key sort with explicit NULLS FIRST + LIMIT.
+
+    The LIMIT makes ordering semantics observable under the driver's
+    order-insensitive hash: a wrong sort yields a different top-100 set.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "f4_top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """,
+    tags=("F4",),
+)
+def f4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject (no full sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "f5_top_k_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("F5", "E1"),
+)
+def f5_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window + filter."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G. Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g1_union_all",
+    oracle="""
+    SELECT custkey, src FROM (
+        SELECT o_custkey AS custkey, 'big' AS src FROM orders WHERE o_totalprice > 350000
+        UNION ALL
+        SELECT o_custkey AS custkey, 'urgent' AS src FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+    )
+    """,
+    tags=("G1",),
+)
+def g1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL keeps duplicates (multiset semantics verified by hash)."""
+    o = table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_custkey").alias("custkey"), F.lit("big").alias("src")
+    )
+    urgent = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    ).select(F.col("o_custkey").alias("custkey"), F.lit("urgent").alias("src"))
+    return big.unionByName(urgent)
+
+
+@register(
+    "g2_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("G2",),
+)
+def g2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two keyed subsets."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 350000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "g3_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 7000
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("G3",),
+)
+def g3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of nation keys from two tables."""
+    t = tables(spark, sf_dir)
+    a = t.customer.filter(F.col("c_acctbal") > 7000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+@register(
+    "g4_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("G4",),
+)
+def g4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference) on customer keys."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "g3_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+    """,
+    tags=("G3",),
+)
+def g3_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection) on supplier keys."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_linestatus") == "O").select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)

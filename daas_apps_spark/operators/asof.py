@@ -1,0 +1,128 @@
+"""C10: as-of join (nearest earlier match) — SURVEY.md §4.3#2.
+
+Spark has no native ASOF JOIN; the engine implements it as a union + ordered
+window scan, which is a single shuffle on (keys, time) — no range-join blowup,
+no per-key driver loop. This is the classic "piecewise-constant fill" trick:
+
+    1. tag right rows, union them with left rows on the shared key/time axis;
+    2. sort within each key partition by (time, right-before-left on ties);
+    3. ``last(right_payload, ignorenulls=True)`` over an unbounded-preceding
+       frame propagates the most recent right row to every left row.
+
+Scale: one hash-partition shuffle by key + in-partition sort; at 100 TB this
+beats a range self-join (quadratic per key) and never materializes per-key
+state. Matches DuckDB ``ASOF JOIN`` (greatest right.ts <= left.ts) including
+the equal-timestamp case.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_payload: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to the latest right row with right.ts <= left.ts.
+
+    ``right`` must be unique per (on..., right_time); pre-dedupe if not.
+    Returns all left columns plus ``right_payload`` columns and
+    ``asof_<right_time>`` (the matched right timestamp). ``how``: 'inner'
+    drops unmatched left rows, 'left' keeps them with nulls.
+    """
+    on = list(on)
+    payload_struct = F.struct(
+        F.col(right_time).alias("__t"), *[F.col(c) for c in right_payload]
+    )
+    r = right.select(
+        *on,
+        F.col(right_time).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        payload_struct.alias("__payload"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_time).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # Right rows sort before left rows at equal timestamps so ties match.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__is_right") == 0)
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    cols = [c for c in left.columns] + [
+        F.col(f"__match.{c}").alias(c) for c in right_payload
+    ] + [F.col("__match.__t").alias(f"asof_{right_time}")]
+    return out.select(*cols)
+
+
+@register(
+    "c10_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(p.value AS DOUBLE) AS purchase_value,
+           c.click_event_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_after_click
+    FROM purchases p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("C10",),
+    bench=True,
+)
+def c10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's nearest earlier click."""
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_payload=["click_event_id"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        "click_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).cast("long").alias(
+            "secs_after_click"
+        ),
+    )

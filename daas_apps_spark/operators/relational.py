@@ -1,0 +1,528 @@
+"""Relational core: scans & provenance (A), projection/filter/expressions (B),
+joins (C). SURVEY.md §2.2 categories A-C.
+
+Reference parity notes are cited per-query; the general mapping
+(SURVEY.md §1.3): file-as-record scans → Parquet DataFrame scans with
+``input_file_name()`` provenance; closure-captured side maps → broadcast hash
+joins; the ``-L <contig>`` interval filter → partition-/predicate-pushdown
+filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import TABLES, table, tables, register_views
+from daas_apps_spark.functions.discipline import dsum, sql_dsum
+from daas_apps_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# A. Scans, sources, sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_scan_counts",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    tags=("A1",),
+)
+def a1_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan of every fixture table (R1 directory-scan analog)."""
+    dfs = [
+        table(spark, sf_dir, n).agg(
+            F.lit(n).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for n in TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@register(
+    "a4_provenance_scan",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+    FROM documents GROUP BY source
+    """,
+    tags=("A4",),
+)
+def a4_provenance_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-columned scan: dataset-directory → ``source`` column.
+
+    R1 keeps (inputDir, file) pairs (MiscUtils.java:15-38); the engine keeps
+    provenance as a first-class column. ``input_file_name()`` provenance over
+    multi-file layouts is covered by tests/test_sources.py.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+    )
+
+
+@register(
+    "a8_sql_view_parity",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("A8",),
+)
+def a8_sql_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temp-view registration + ``spark.sql`` entry point (§3.4 path 3)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Projection, filter, scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b2_computed_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
+           CAST(l_quantity + l_tax * 100 AS DECIMAL(18,4)) AS qty_taxish,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
+           'flag:' || l_returnflag AS tagged_flag
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    tags=("B1", "B2", "B3", "B7"),
+)
+def b2_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection: arithmetic, pmod, floor-bucketing, lit concat (R4 analog)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("net_price"),
+        (F.col("l_quantity") + F.col("l_tax") * 100)
+        .cast("decimal(18,4)")
+        .alias("qty_taxish"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.concat(F.lit("flag:"), F.col("l_returnflag")).alias("tagged_flag"),
+    )
+
+
+@register(
+    "b4_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate IS NOT NULL
+      AND NOT (o_orderstatus = 'P' AND o_totalprice < 150000)
+    """,
+    tags=("B4", "B5"),
+)
+def b4_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter: BETWEEN / IN / IS NOT NULL / AND-OR-NOT combinators (R19 analog)."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(100000, 200000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderdate").isNotNull()
+        & ~((F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 150000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "b6_conditional_expressions",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'regular'
+                ELSE 'premium' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_ex,
+           CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal_dec,
+           CAST(CAST(c_nationkey AS BIGINT) AS DOUBLE) AS nationkey_d
+    FROM customer
+    """,
+    tags=("B6", "B7"),
+)
+def b6_conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / casts across types."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "regular")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_ex"
+        ),
+        F.col("c_acctbal").cast("decimal(18,4)").alias("acctbal_dec"),
+        F.col("c_nationkey").cast("long").cast("double").alias("nationkey_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1_join_orders_customer",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS segment_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("C1", "D1"),
+    bench=True,
+)
+def c1_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer → segment revenue.
+
+    At 100 TB both sides are large: Catalyst picks sort-merge join with both
+    sides hash-partitioned on the key; AQE coalesces post-shuffle partitions.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("segment_revenue"),
+        )
+    )
+
+
+@register(
+    "c2_left_outer_join",
+    oracle=f"""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           COALESCE({sql_dsum('o.o_totalprice')}, 0.0) AS customer_revenue
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("C2", "D1"),
+)
+def c2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers with zero counts."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("customer_revenue"),
+        )
+    )
+
+
+@register(
+    "c2_full_outer_join",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+        FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    ),
+    urgent AS (
+        SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT COALESCE(big.custkey, urgent.custkey) AS custkey,
+           COALESCE(n_big, 0) AS n_big, COALESCE(n_urgent, 0) AS n_urgent
+    FROM big FULL OUTER JOIN urgent ON big.custkey = urgent.custkey
+    """,
+    tags=("C2",),
+)
+def c2_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with disjoint-ish key sets."""
+    o = table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    joined = big.join(urgent, "custkey", "outer")
+    return joined.select(
+        "custkey",
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+    )
+
+
+@register(
+    "c3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("C3",),
+)
+def c3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one very large order."""
+    t = tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "c4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("C4",),
+)
+def c4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders.
+
+    Mirrors R8's known-sites exclusion (BQSRTargetGenerator.java:19-44):
+    subtract a keyed side table before aggregating.
+    """
+    t = tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_nationkey")
+
+
+@register(
+    "c5_broadcast_join",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("C5", "C1"),
+    bench=True,
+)
+def c5_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hash join of small dims (R7/R9 target-map analog).
+
+    nation/region are the engine's "side tables": broadcast to every task,
+    exactly like the reference ships its target HashMap in task closures
+    (SparkCaller.java:276-283). No shuffle of the big side.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == t.region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "c6_multikey_join",
+    oracle=f"""
+    WITH partsupp AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+    )
+    SELECT p.p_brand, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN partsupp ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_name
+    """,
+    tags=("C6", "C1", "C5"),
+    bench=True,
+)
+def c6_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key + multi-table equi-join: lineitem⋈partsupp(2 keys)⋈part⋈supplier."""
+    t = tables(spark, sf_dir)
+    partsupp = (
+        t.lineitem.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    li = t.lineitem
+    return (
+        li.join(
+            partsupp,
+            (li.l_partkey == partsupp.ps_partkey) & (li.l_suppkey == partsupp.ps_suppkey),
+        )
+        .join(F.broadcast(t.part), li.l_partkey == t.part.p_partkey)
+        .join(F.broadcast(t.supplier), li.l_suppkey == t.supplier.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "c7_range_join_bands",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('budget', 0.0, 500.0),
+               ('mid', 500.0, 1200.0),
+               ('premium', 1200.0, 100000.0)
+    )
+    SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p.p_partkey) AS BIGINT) AS min_partkey
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("C7",),
+)
+def c7_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against an inline band dimension (BNLJ + broadcast)."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 100000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").cast("long").alias("min_partkey"),
+        )
+    )
+
+
+@register(
+    "c8_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("C8",),
+)
+def c8_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of tiny dims (region × nation = 125 rows)."""
+    t = tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@register(
+    "c9_interval_point_join",
+    oracle="""
+    WITH windows(win_id, win_start, win_end) AS (
+        VALUES (1, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+               (2, TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+               (3, TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-28 06:30:00')
+    )
+    SELECT w.win_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN windows w ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_id, e.event_type
+    """,
+    tags=("C9",),
+)
+def c9_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (R19 ``-L <contig>`` interval-filter analog).
+
+    Intervals modeled as struct rows per SURVEY §1.3; broadcast the tiny
+    interval table so the fact side never shuffles.
+    """
+    e = table(spark, sf_dir, "events")
+    wins = spark.createDataFrame(
+        [
+            (1, "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+            (2, "2024-01-10 12:00:00", "2024-01-12 00:00:00"),
+            (3, "2024-01-20 00:00:00", "2024-01-28 06:30:00"),
+        ],
+        "win_id int, win_start string, win_end string",
+    ).select(
+        "win_id",
+        F.col("win_start").cast("timestamp").alias("win_start"),
+        F.col("win_end").cast("timestamp").alias("win_end"),
+    )
+    return (
+        e.join(F.broadcast(wins), (e.ts >= wins.win_start) & (e.ts < wins.win_end))
+        .groupBy("win_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "c11_self_join_sequences",
+    oracle="""
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_click_purchase_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+    tags=("C11", "C9"),
+)
+def c11_self_join_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: purchase within one hour after a click, per user."""
+    e = table(spark, sf_dir, "events")
+    c = e.alias("c")
+    p = e.alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.event_type") == "click")
+            & (F.col("p.event_type") == "purchase")
+            & (F.col("p.ts") > F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("c.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
+    )

@@ -1,0 +1,215 @@
+"""Window functions (E) and the R5-style dedup-keep-best pattern.
+
+Reference parity: DuplicateMarker (preprocessing/DuplicateMarker.java:21-53)
+flags duplicate reads keeping the best-quality copy — the engine expresses
+that as ``row_number() OVER (PARTITION BY dup_key ORDER BY quality DESC)``
+and filters/flags on the rank (E1 / k1 in dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+
+@register(
+    "e1_dedup_keep_best",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("E1",),
+)
+def e1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-best (R5 MarkDuplicates analog): best order per (cust, priority)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "e2_ranking_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("E2",),
+)
+def e2_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a priority-partitioned price ordering."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@register(
+    "e3_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           COALESCE(CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT), -1)
+               AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("E3",),
+)
+def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead event deltas per user (event-sequence analysis)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "e4_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS orders_so_far
+    FROM orders
+    """,
+    tags=("E4",),
+)
+def e4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals with an unbounded-preceding row frame."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(w).cast("long").alias("orders_so_far"),
+    )
+
+
+@register(
+    "e5_sliding_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last3_spend
+    FROM orders
+    """,
+    tags=("E5",),
+)
+def e5_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame (moving sum of the customer's last three orders)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("last3_spend"),
+    )
+
+
+@register(
+    "e6_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tags=("E6",),
+)
+def e6_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over an explicit full-partition frame."""
+    o = table(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w_ord).alias("first_order_key"),
+        F.last("o_orderkey").over(w_full).alias("last_order_key"),
+    )
+
+
+@register(
+    "e7_percentiles",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("E7",),
+)
+def e7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a global price ordering.
+
+    Scale note: an unpartitioned window forces a single-partition sort; at
+    100 TB this query would be re-keyed (e.g. per-segment percentiles) or
+    approximated with approxQuantile. Declared here for semantic coverage.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
