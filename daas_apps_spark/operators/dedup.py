@@ -1,1 +1,267 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""K1-K3: document deduplication — exact, minhash/LSH, simhash.
+
+Generalizes R5 (DuplicateMarker.java:21-53, dedup-keep-best by rank) from
+"same genomic position" to content-defined duplicate keys, and adds the
+near-duplicate family a 100 TB LLM-data pipeline needs.
+
+Determinism discipline (SURVEY.md §7): every hash is a pure function of
+content — md5 hex prefixes, never partition-dependent and never `rand()`.
+A fixed-width hex string compares lexicographically exactly like its numeric
+value, so ``min(hex)`` is a valid minhash without any hex→int conversion —
+this keeps the Spark and DuckDB implementations bit-identical.
+
+Scale notes:
+- Exact dedup: hash-partition shuffle on the 16-byte digest; at 100 TB use
+  sha256 (collision-safe) and write survivors partitioned by digest prefix.
+- MinHash/LSH: signatures are a narrow projection (doc_id + k×16 bytes);
+  the band self-join shuffles only band keys, and candidate verification
+  touches only colliding pairs — never the O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+N_PERM = 12  # minhash permutations (seeds 0..11)
+BAND_SIZE = 2  # signatures per LSH band → 6 bands
+N_BANDS = N_PERM // BAND_SIZE
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased whitespace tokens (shared by dedup + text analysis)."""
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingles_col(toks):
+    """Distinct 3-token shingles of a token array (R5's dup-key analog)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+
+
+_DUCK_SHINGLES = """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tokens) - 2),
+                             i -> array_to_string(tokens[i+1:i+3], ' '))) AS shingles
+        FROM toks WHERE len(tokens) >= 3
+    )
+"""
+
+
+def _minhash_sig_spark(i: int):
+    return F.array_min(
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16),
+        )
+    ).alias(f"sig_{i}")
+
+
+def _minhash_sig_duck(i: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, "
+        f"s -> substring(md5('{i}:' || s), 1, 16))) AS sig_{i}"
+    )
+
+
+@register(
+    "k1_exact_dedup",
+    oracle="""
+    SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies
+    FROM (
+        SELECT doc_id, sha256(text) AS content_hash,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("K1", "E1"),
+    bench=True,
+)
+def k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 content hash, keep lowest doc_id per hash (R5)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("content_hash", F.sha2("text", 256))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", F.col("n_copies").cast("long"))
+    )
+
+
+@register(
+    "k2_minhash_signatures",
+    oracle=_DUCK_SHINGLES
+    + "SELECT doc_id, "
+    + ", ".join(_minhash_sig_duck(i) for i in range(N_PERM))
+    + " FROM sh",
+    tags=("K2",),
+    bench=True,
+)
+def k2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded minhash signatures over 3-token shingles (pure content fn)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return (
+        d.withColumn("tokens", toks)
+        .filter(F.size("tokens") >= 3)
+        .withColumn("shingles", shingles_col(F.col("tokens")))
+        .select("doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)])
+    )
+
+
+def _band_key_spark(b: int):
+    parts = [F.col(f"sig_{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+    return F.concat_ws("|", *parts).alias("band_key")
+
+
+_DUCK_BANDS = ", ".join(
+    "(" + " || '|' || ".join(f"sig_{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)) + ")"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "k3_lsh_near_dedup",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , sigs AS (
+        SELECT doc_id,
+               {', '.join(_minhash_sig_duck(i) for i in range(N_PERM))}
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jaccard
+    FROM cands c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("K3", "K2"),
+    bench=True,
+)
+def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup: minhash → LSH banding → candidate join → Jaccard verify.
+
+    The self-join is on band keys only (6 narrow shuffles of doc_id+key);
+    exact Jaccard runs solely on colliding candidates, so the O(n²)
+    comparison never materializes — the property that makes this the scale
+    path at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("tokens", tokens_col())
+        .filter(F.size("tokens") >= 3)
+        .withColumn("shingles", shingles_col(F.col("tokens")))
+        .select("doc_id", "shingles")
+    )
+    sigs = sh.select(
+        "doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias(
+            "band_key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _simhash_exprs(dialect: str) -> list[str]:
+    """Per-bit vote expressions, generated once for both dialects.
+
+    bit j lives in hex nibble k=j//4 (md5 chars 1-4), sub-bit m=j%4.
+    Vote = Σ over tokens of ±1; simhash bit = vote > 0 (tie → 0).
+    """
+    intdiv = "//" if dialect == "duck" else "div"
+    votes = []
+    for j in range(SIMHASH_BITS):
+        k, m = divmod(j, 4)
+        nib = f"(instr('0123456789abcdef', substring(md5(t), {k + 1}, 1)) - 1)"
+        bit = f"(({nib} {intdiv} {2 ** m}) % 2)"
+        pm = f"(2 * {bit} - 1)"
+        if dialect == "duck":
+            votes.append(f"list_sum(list_transform(tokens, t -> {pm}))")
+        else:
+            # init must be BIGINT: Spark's `div` yields BIGINT and aggregate()
+            # requires the accumulator type to match the merge result exactly.
+            votes.append(f"aggregate(tokens, CAST(0 AS BIGINT), (acc, t) -> acc + {pm})")
+    return votes
+
+
+@register(
+    "k2_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tokens
+        FROM documents
+    )
+    SELECT doc_id, """
+    + " || ".join(
+        f"(CASE WHEN ({v}) > 0 THEN '1' ELSE '0' END)"
+        for v in reversed(_simhash_exprs("duck"))
+    )
+    + " AS simhash FROM toks",
+    tags=("K2",),
+)
+def k2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens, emitted as a bit-string.
+
+    Bit votes are computed with Catalyst higher-order functions (aggregate
+    over the token array) — no Python UDF, so the whole signature stays in
+    whole-stage codegen.
+    """
+    d = table(spark, sf_dir, "documents")
+    bit_cases = " , ".join(
+        f"CASE WHEN ({v}) > 0 THEN '1' ELSE '0' END"
+        for v in reversed(_simhash_exprs("spark"))
+    )
+    return (
+        d.withColumn("tokens", F.array_distinct(tokens_col()))
+        .select("doc_id", F.expr(f"concat({bit_cases})").alias("simhash"))
+    )

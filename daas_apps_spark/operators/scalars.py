@@ -1,1 +1,333 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""H: scalar function library — string / date / math / array / map / JSON /
+hash-null queries, each with a DuckDB-twin oracle (SURVEY.md §2.2 H).
+
+Dialect notes (verified against DuckDB 1.0):
+- DuckDB lacks ``initcap``/``width_bucket`` — oracles emulate with string/
+  arithmetic primitives.
+- DuckDB ``regexp_replace`` is first-match unless the ``'g'`` flag is given.
+- DuckDB ``sign``→TINYINT, ``ceil/floor``→DOUBLE, ``year/length/instr``→BIGINT;
+  both sides cast to common types explicitly.
+- DuckDB ``dayofweek`` is 0=Sunday; Spark is 1=Sunday.
+- Transcendentals (pow/exp/ln/…) are not guaranteed correctly rounded across
+  libm implementations → ROUND(…, 6) on both sides per FIXTURES.md rule 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+
+@register(
+    "h_string_functions",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           lower(source) AS source_low,
+           substring(text, 1, 20) AS prefix20,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           trim(' ' || lang || ' ') AS lang_trim,
+           lpad(lang, 5, '_') AS lang_lpad,
+           rpad(lang, 5, '.') AS lang_rpad,
+           replace(lang, 'e', 'E') AS lang_repl,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           regexp_extract(text, '^(\\w+)', 1) AS first_word,
+           regexp_replace(lang, '[aeiou]', '*', 'g') AS lang_mask,
+           (text LIKE '%data%') AS has_data,
+           starts_with(source, 'src1') AS is_src1x,
+           ends_with(source, '0') AS ends_zero,
+           CAST(instr(text, 'spark') AS BIGINT) AS spark_pos,
+           reverse(lang) AS lang_rev,
+           translate(source, 'src', 'SRC') AS source_translated,
+           upper(substring(lang, 1, 1)) || lower(substring(lang, 2)) AS lang_initcap,
+           CAST(levenshtein(lang, 'en') AS BIGINT) AS lev_to_en,
+           concat_ws('-', lang, source) AS lang_source
+    FROM documents
+    """,
+    tags=("H",),
+)
+def h_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over documents."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.lower("source").alias("source_low"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.lpad("lang", 5, "_").alias("lang_lpad"),
+        F.rpad("lang", 5, ".").alias("lang_rpad"),
+        F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("lang_repl"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("lang", "[aeiou]", "*").alias("lang_mask"),
+        F.col("text").like("%data%").alias("has_data"),
+        F.col("source").startswith("src1").alias("is_src1x"),
+        F.col("source").endswith("0").alias("ends_zero"),
+        F.instr("text", "spark").cast("long").alias("spark_pos"),
+        F.reverse("lang").alias("lang_rev"),
+        F.translate("source", "src", "SRC").alias("source_translated"),
+        F.initcap("lang").alias("lang_initcap"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lev_to_en"),
+        F.concat_ws("-", "lang", "source").alias("lang_source"),
+    )
+
+
+@register(
+    "h_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 10 AS VARCHAR) AS plus10,
+           CAST(CAST(o_orderdate AS DATE) - 10 AS VARCHAR) AS minus10,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_epoch95,
+           CAST(date_diff('month', DATE '1995-01-01',
+                          CAST(date_trunc('month', o_orderdate) AS DATE)) AS DOUBLE)
+               AS months_since_95,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_roundtrip,
+           epoch_us(o_orderdate) // 1000000 AS unix_secs,
+           strftime(to_timestamp(epoch_us(o_orderdate) // 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS from_unix_str,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR)
+               AS plus2months
+    FROM orders
+    """,
+    tags=("H",),
+)
+def h_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over orders."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.dayofweek(d).alias("order_dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d, 10).cast("string").alias("plus10"),
+        F.date_sub(d, 10).cast("string").alias("minus10"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
+        F.months_between(
+            F.date_trunc("month", d), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("months_since_95"),
+        # DATE outputs rendered as strings: the pandas/arrow bridge upcasts
+        # DuckDB DATE to midnight datetime64 while Spark keeps datetime.date —
+        # strings sidestep the representation mismatch on the hash path.
+        F.date_format(F.to_date(F.date_format(d, "yyyy-MM-dd")), "yyyy-MM-dd").alias(
+            "date_roundtrip"
+        ),
+        F.unix_timestamp(d).alias("unix_secs"),
+        F.from_unixtime(F.unix_timestamp(d)).alias("from_unix_str"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 2).cast("string").alias("plus2months"),
+    )
+
+
+@register(
+    "h_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_ceil_k,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor_k,
+           round(l_extendedprice / 7, 2) AS price_seventh,
+           round(pow(1 + l_discount, 2), 6) AS disc_sq,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           round(log2(l_extendedprice), 6) AS price_log2,
+           CAST(sign(l_quantity - 25.0) AS INTEGER) AS qty_sign,
+           greatest(l_quantity, l_discount * 100) AS g_val,
+           least(l_quantity, l_tax * 100) AS l_val
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    tags=("H",),
+)
+def h_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (transcendentals rounded to 6 places)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil(price / 1000).alias("price_ceil_k"),
+        F.floor(price / 1000).alias("price_floor_k"),
+        F.round(price / 7, 2).alias("price_seventh"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.round(F.log2(price), 6).alias("price_log2"),
+        F.signum(F.col("l_quantity") - 25.0).cast("int").alias("qty_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g_val"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("l_val"),
+    )
+
+
+@register(
+    "h_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+           list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))) AS head5_sorted,
+           list_sort(list_distinct(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 4) AS BIGINT)))) AS quarter_buckets,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           (len(list_filter(embedding, x -> x > 2)) > 0) AS any_gt2,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS elem_sum,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])), 4) AS self_dot
+    FROM embeddings
+    """,
+    tags=("H", "K4"),
+)
+def h_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function battery over embeddings.
+
+    ``transform/filter/exists/aggregate/zip_with`` stay inside Catalyst
+    (no Python UDF): at 100 TB these run in whole-stage codegen.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.slice(emb_d, 1, 3).alias("head3"),
+        F.sort_array(F.slice(emb_d, 1, 5)).alias("head5_sorted"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform("embedding", lambda x: F.floor(x.cast("double") * 4))
+            )
+        ).alias("quarter_buckets"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.exists("embedding", lambda x: x > 2).alias("any_gt2"),
+        F.round(
+            F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("elem_sum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb_d, emb_d, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("self_dot"),
+    )
+
+
+@register(
+    "h_map_functions",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           CAST(floor(value / 100) AS BIGINT) AS bucket_from_map,
+           2 AS map_size,
+           ['bucket', 'type'] AS sorted_keys,
+           event_type AS type_from_entries,
+           CAST(floor(value / 100) AS BIGINT) AS bucket_after_concat
+    FROM events
+    """,
+    tags=("H",),
+)
+def h_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/extraction round-trip over events.
+
+    The oracle reconstructs the same scalars from base columns — verifying
+    that map construction → element_at / map_concat / map_from_entries
+    round-trips values exactly.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("bucket"), bucket.cast("string")
+    )
+    m2 = F.map_from_entries(
+        F.array(F.struct(F.lit("type").alias("k"), F.col("event_type").alias("v")))
+    )
+    mc = F.map_concat(
+        F.create_map(F.lit("bucket"), bucket.cast("string")),
+        F.create_map(F.lit("extra"), F.lit("x")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "bucket").cast("long").alias("bucket_from_map"),
+        F.size(m).alias("map_size"),
+        F.sort_array(F.map_keys(m)).alias("sorted_keys"),
+        F.element_at(m2, "type").alias("type_from_entries"),
+        F.element_at(mc, "bucket").cast("long").alias("bucket_after_concat"),
+    )
+
+
+@register(
+    "h_json_functions",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           to_json({'k': CAST(json_extract_string(props, '$.k') AS INTEGER)}) AS rejson,
+           json_extract_string(props, '$.missing') AS missing_key,
+           CAST(hour(ts) AS INTEGER) AS event_hour,
+           CAST(minute(ts) AS INTEGER) AS event_minute
+    FROM events
+    """,
+    tags=("H",),
+)
+def h_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extract / parse / re-serialize over events.props."""
+    e = table(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(F.struct(k_int.alias("k"))).alias("rejson"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+        F.hour("ts").alias("event_hour"),
+        F.minute("ts").alias("event_minute"),
+    )
+
+
+@register(
+    "h_hash_null_functions",
+    oracle="""
+    SELECT c_custkey,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NULL) AS is_building,
+           c_acctbal AS nan_guarded,
+           md5(c_mktsegment) AS seg_md5,
+           sha256(c_name) AS name_sha256,
+           isnan(CAST('NaN' AS DOUBLE)) AS nan_detect
+    FROM customer
+    """,
+    tags=("H",),
+)
+def h_hash_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isnull / isnan / nanvl + md5 / sha2 digests (oracle-checked)."""
+    c = table(spark, sf_dir, "customer")
+    nan = F.lit(float("nan"))
+    return c.select(
+        "c_custkey",
+        F.isnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("is_building"),
+        F.nanvl(nan, F.col("c_acctbal")).alias("nan_guarded"),
+        F.md5("c_mktsegment").alias("seg_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.isnan(nan).alias("nan_detect"),
+    )

@@ -1,1 +1,228 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""K4: similarity search over embeddings — brute-force top-k (baseline) and
+multi-probe random-hyperplane LSH (the 100 TB scale path).
+
+Dot products run as Catalyst higher-order functions (`zip_with` +
+`aggregate`) so the hot loop stays in whole-stage codegen — no Python UDF.
+The fold is strictly left-to-right in both Spark and DuckDB, making the
+float64 result bit-identical across engines; ranking still rounds to 6
+decimals before ordering (FIXTURES.md rule 2) with vec_id tie-breaks.
+
+Scale design:
+- Brute force: queries are broadcast (tiny side), candidates stream through
+  map-side; the only shuffle is the per-query top-k aggregation. Good to
+  ~10⁴ queries × any corpus size; cost is linear scans.
+- LSH/IVF path: bucket the corpus once by hyperplane-sign signature (a
+  narrow column), join queries on bucket keys (multi-probe: the query also
+  probes all 1-bit-flip buckets), rank only within probed buckets. Corpus
+  re-partitioning by bucket makes the probe join shuffle-free on re-use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+N_QUERY = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 6  # LSH hyperplanes → 64 buckets
+DIMS = 64
+COSINE_NEARDUP_THRESHOLD = 0.4
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+_DUCK_COS = (
+    "ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "k4_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DUCK_COS} AS cosine
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < {N_QUERY} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("K4", "F5"),
+    bench=True,
+)
+def k4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × streamed candidates."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), as_double("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+@register(
+    "k4_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+               AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    tags=("K4", "K3", "C11"),
+)
+def k4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Label-blocking stands in for the cluster/bucket blocking a 100 TB
+    pipeline would use (LSH bucket or IVF centroid): the O(n²) pair space
+    is only ever materialized within a block.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va"))
+    b = e.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
+        as_double("embedding").alias("vb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES, dims: int = DIMS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 nibbles (seeded,
+    partition-independent — SURVEY.md §7 determinism discipline)."""
+    planes = []
+    for j in range(n_planes):
+        comps = []
+        for d in range(dims):
+            h = hashlib.md5(f"plane{j}:dim{d}".encode()).hexdigest()
+            comps.append((int(h[0], 16) - 7.5) / 7.5)
+        planes.append(comps)
+    return planes
+
+
+def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Hyperplane-sign bit-string bucket key for a double-array column."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(c) for c in p])) > 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+@register(
+    "k4_ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall vs brute force asserted in tests/test_similarity.py
+    tags=("K4", "K3"),
+)
+def k4_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via multi-probe random-hyperplane LSH.
+
+    Corpus vectors hash to one bucket each; every query probes its own
+    bucket plus all 1-bit-flip neighbors (multi-probe), then ranks exact
+    cosine only within probed buckets. At 100 TB: bucket once, partition the
+    corpus by bucket key, and the probe join becomes a co-located lookup.
+    """
+    planes = hyperplanes()
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "bucket", bucket_col(F.col("v"), planes)
+    )
+    cands = base.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "bucket"
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY)
+    # Multi-probe: own bucket + each single-bit flip.
+    probe_cols = [F.col("bucket")]
+    for i in range(N_PLANES):
+        flipped = F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("bucket", i + 2, N_PLANES - i - 1),
+        )
+        probe_cols.append(flipped)
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+    scored = (
+        probes.join(cands, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

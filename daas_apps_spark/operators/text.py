@@ -1,1 +1,256 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""K5/K6/K8: text analysis for LLM-data pipelines — tokenization & counts,
+n-gram language ID, quality heuristics, TF/DF stats, document fingerprints.
+
+Everything is built-in-function Spark (split / regexp / higher-order
+functions / explode + groupBy): the hot path stays JVM-side, and every
+operator has an exact DuckDB twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.operators.dedup import tokens_col
+from daas_apps_spark.registry import register
+
+# No backslash classes: Spark SQL string literals consume backslash escapes
+# while DuckDB's do not — an explicit space keeps the pattern byte-identical
+# in both dialects (fixture text is single-space tokenized).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+PROFILE_TOP_N = 15
+DF_MIN = 5
+FINGERPRINT_GRAM = 8
+FINGERPRINT_K = 5
+
+
+@register(
+    "k5_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           (CAST(length(text) AS BIGINT) = n_chars) AS n_chars_agrees,
+           ROUND(list_sum(list_transform(string_split(lower(text), ' '),
+                                         t -> CAST(length(t) AS DOUBLE)))
+                 / len(string_split(lower(text), ' ')), 4) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER)
+               AS n_bpeish_tokens,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER)
+               AS n_distinct_tokens
+    FROM documents
+    """,
+    tags=("K5",),
+)
+def k5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token / char counts (whitespace + BPE-ish regex)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("n_chars_agrees"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)")).alias(
+            "n_bpeish_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "k5_language_id",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    profile AS (
+        SELECT lang, token FROM (
+            SELECT lang, token, COUNT(*) AS freq,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY COUNT(*) DESC, token ASC) AS rn
+            FROM tok GROUP BY lang, token
+        ) WHERE rn <= {PROFILE_TOP_N}
+    ),
+    scores AS (
+        SELECT t.doc_id, p.lang AS cand_lang, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM tok t JOIN profile p ON t.token = p.token
+        GROUP BY t.doc_id, p.lang
+    )
+    SELECT s.doc_id, s.cand_lang AS predicted_lang, s.hits,
+           (s.cand_lang = d.lang) AS is_correct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY hits DESC, cand_lang ASC) AS rn
+        FROM scores
+    ) s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.rn = 1
+    """,
+    tags=("K5", "K8"),
+)
+def k5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by token-profile voting (n-gram heuristic, corpus-derived).
+
+    Two-stage relational plan (profile build → score join), the same shape a
+    real fastText-style LID would take with a broadcast model table.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens_col()).alias("token"))
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    )
+    profile = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= PROFILE_TOP_N)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    scores = (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang").asc()
+    )
+    best = scores.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
+    return (
+        best.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("predicted_lang"),
+            "hits",
+            (F.col("cand_lang") == F.col("lang")).alias("is_correct"),
+        )
+    )
+
+
+@register(
+    "k6_quality_heuristics",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n_ch,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           (n_ch BETWEEN 50 AND 5000) AS len_ok,
+           ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                 / n_ch, 4) AS symbol_ratio,
+           ROUND(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4)
+               AS dup_token_ratio,
+           ROUND(len(list_filter(toks, x -> list_contains({list(STOPWORDS)}, x)))::DOUBLE
+                 / len(toks), 4) AS stopword_ratio,
+           ((n_ch BETWEEN 50 AND 5000)
+            AND 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) < 0.7) AS passes
+    FROM t
+    """,
+    tags=("K6",),
+    bench=True,
+)
+def k6_quality_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length bounds, symbol ratio, repetition, stopwords."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_ch = F.length("text")
+    symbols = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        n_ch.between(50, 5000).alias("len_ok"),
+        F.round(symbols.cast("double") / n_ch, 4).alias("symbol_ratio"),
+        F.round(dup_ratio, 4).alias("dup_token_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+        (n_ch.between(50, 5000) & (dup_ratio < 0.7)).alias("passes"),
+    )
+
+
+@register(
+    "k8_tf_df",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           ROUND(ln(n.n_docs / COUNT(DISTINCT doc_id)), 6) AS idf
+    FROM tok, n
+    GROUP BY term, n.n_docs
+    HAVING COUNT(DISTINCT doc_id) >= {DF_MIN}
+    """,
+    tags=("K8", "D1", "D3"),
+)
+def k8_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency / document-frequency / idf over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= DF_MIN)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "tf", "df",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+    )
+
+
+@register(
+    "k_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_sort(list_distinct(
+               list_transform(range(length(text) - {FINGERPRINT_GRAM - 1}),
+                   i -> substring(md5(substring(text, i + 1, {FINGERPRINT_GRAM})), 1, 16))
+           ))[1:{FINGERPRINT_K}] AS fingerprint
+    FROM documents
+    WHERE length(text) >= {FINGERPRINT_GRAM}
+    """,
+    tags=("K2", "K7"),
+)
+def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch of rolling 8-char-gram hashes (document fingerprint).
+
+    Bottom-k over a content-defined gram hash ≈ winnowing: stable under
+    small edits, pure function of content, and O(len) per doc.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {FINGERPRINT_GRAM - 1}), "
+        f"i -> substring(md5(substring(text, i, {FINGERPRINT_GRAM})), 1, 16))"
+    )
+    return (
+        d.filter(F.length("text") >= FINGERPRINT_GRAM)
+        .select(
+            "doc_id",
+            F.slice(F.sort_array(F.array_distinct(grams)), 1, FINGERPRINT_K).alias(
+                "fingerprint"
+            ),
+        )
+    )

@@ -1,0 +1,28 @@
+"""Property tests for the K4 similarity operators (SURVEY.md §5.2#3)."""
+
+from __future__ import annotations
+
+from daas_apps_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_ORACLE
+
+_load_all()
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Multi-probe LSH must recover a meaningful share of true top-k."""
+    brute = REGISTRY["k4_cosine_topk"].fn(spark, SF_ORACLE).toPandas()
+    ann = REGISTRY["k4_ann_lsh_topk"].fn(spark, SF_ORACLE).toPandas()
+    truth = {(r.query_id, r.cand_id) for r in brute.itertuples()}
+    got = {(r.query_id, r.cand_id) for r in ann.itertuples()}
+    recall = len(truth & got) / len(truth)
+    # Deterministic construction → stable recall; floor set below measured.
+    assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_ann_is_deterministic(spark):
+    a = REGISTRY["k4_ann_lsh_topk"].fn(spark, SF_ORACLE).toPandas()
+    b = REGISTRY["k4_ann_lsh_topk"].fn(spark, SF_ORACLE).toPandas()
+    key = ["query_id", "rnk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
