@@ -27,4 +27,7 @@ from daas_apps_spark.operators import (  # noqa: F401
     text,
     multimodal,
     streaming_batch,
+    partitioning,
+    pipelines,
 )
+from daas_apps_spark.sources import io  # noqa: F401  (A2-A7 round-trips)

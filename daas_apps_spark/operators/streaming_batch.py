@@ -1,1 +1,279 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""I: event-time streaming semantics, verified in batch-equivalence mode.
+
+Each query runs the SAME event-time logic Structured Streaming would apply
+(tumbling/sliding/session windows, watermark lateness, dedup, stateful
+folds, stream-static joins) as a batch plan over the ``events`` fixture, so
+it is DuckDB-oracle-hashable (SURVEY §2.2 I). The live ``readStream``/
+``writeStream``/``applyInPandasWithState`` path runs in
+:mod:`daas_apps_spark.streaming.live`, smoke-tested (not hashed) per the
+declared contract — batch/stream equivalence itself is asserted in
+tests/test_streaming_live.py.
+
+Windows align to the epoch, exactly like ``F.window``'s default; the oracle
+reproduces bucket edges with integer epoch arithmetic (truncation, UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.functions.discipline import dsum, sql_dsum
+from daas_apps_spark.registry import register
+
+_DUCK_BUCKET_10M = "CAST(to_timestamp((epoch_us(ts) // 600000000) * 600) AS TIMESTAMP)"
+
+
+@register(
+    "i1_tumbling_window",
+    oracle=f"""
+    SELECT {_DUCK_BUCKET_10M} AS window_start,
+           CAST({_DUCK_BUCKET_10M} + INTERVAL 10 MINUTE AS TIMESTAMP) AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("I1",),
+    bench=True,
+)
+def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time window aggregate."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "i2_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT unnest([
+                   CAST(to_timestamp((epoch_us(ts) // 300000000) * 300) AS TIMESTAMP),
+                   CAST(to_timestamp((epoch_us(ts) // 300000000) * 300 - 300) AS TIMESTAMP)
+               ]) AS window_start,
+               user_id, value
+        FROM events
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM expanded GROUP BY window_start
+    """,
+    tags=("I2",),
+)
+def i2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute length, 5-minute slide (2 windows/event)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "i3_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("I3",),
+    bench=True,
+)
+def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — F.session_window.
+
+    The oracle is the classic gaps-and-islands rewrite; Spark's session
+    window end = last event + gap, matching MAX(ts)+30min exactly. Events
+    with identical (user_id, ts) merge into one session row on both sides.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "i4_watermark_lateness",
+    oracle="""
+    WITH marked AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (ORDER BY event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arrival_max
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE ts < arrival_max - INTERVAL 1 HOUR) AS BIGINT)
+               AS n_late,
+           CAST(COUNT(*) FILTER (WHERE ts >= arrival_max - INTERVAL 1 HOUR) AS BIGINT)
+               AS n_on_time
+    FROM marked GROUP BY event_type
+    """,
+    tags=("I4",),
+)
+def i4_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: a record is late iff its event time
+    trails the running max event time (arrival order = event_id) by more
+    than the 1-hour watermark delay — exactly what
+    ``withWatermark(ts, '1 hour')`` drops in a stream."""
+    e = table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("event_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = e.withColumn("arrival_max", F.max("ts").over(w))
+    late = F.col("ts") < F.col("arrival_max") - F.expr("INTERVAL 1 HOUR")
+    return marked.groupBy("event_type").agg(
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.count(F.when(~late, 1)).alias("n_on_time"),
+    )
+
+
+@register(
+    "i5_streaming_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           CAST(ts AS TIMESTAMP) AS first_ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("I5", "E1"),
+)
+def i5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates((user,type)) ≡ batch keep-earliest-by-time."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "i6_stateful_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS events_so_far,
+           CAST(MAX(value) OVER w AS DOUBLE) AS max_value_so_far,
+           (value >= MAX(value) OVER w) AS is_new_peak
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("I6",),
+)
+def i6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running state (count + peak) in event order — the batch
+    equivalent of ``applyInPandasWithState`` keyed state (live version in
+    streaming/live.py, equivalence asserted in tests)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        )
+        .cast("long")
+        .alias("events_so_far"),
+        F.max("value").over(w).alias("max_value_so_far"),
+        (F.col("value") >= F.max("value").over(w)).alias("is_new_peak"),
+    )
+
+
+@register(
+    "i7_stream_static_join",
+    oracle=f"""
+    WITH weights(event_type, weight) AS (
+        VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+               ('signup', 5.0), ('error', 0.0)
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value * w.weight')} AS weighted_value
+    FROM events e JOIN weights w ON e.event_type = w.event_type
+    GROUP BY e.user_id
+    """,
+    tags=("I7", "C5"),
+)
+def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join shape: events ⋈ broadcast dimension → keyed agg.
+
+    In a live stream the dim side is a static broadcast rebuilt per trigger;
+    the batch plan is identical (C5), which is why this is hashable.
+    """
+    e = table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    return (
+        e.join(F.broadcast(weights), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+    )

@@ -1,1 +1,349 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""J: the Python UDF surface — scalar pandas UDFs, grouped-map transforms,
+grouped aggregates, cogrouped merges, UDTFs, SQL-registered UDFs.
+
+This is the reference's soul generalized: SparkCaller exists to "run tool T
+per contig, parameterized by a broadcast side table" (RealignIndels.java:
+19-49, BQSR.java:21-54, HaplotypeCaller.java:10-32). The engine's analog is
+:func:`grouped_transform`: ``groupBy(key).applyInPandas(fn)`` with an
+optional broadcast side dict — Arrow-batched, schema-explicit, and
+partitioned by the group key exactly like the reference's per-contig tasks.
+
+Scale rules (SURVEY.md §7 hard-parts): ``applyInPandas`` materializes one
+whole group per pandas frame — bound group cardinality (the same reason the
+reference bin-packs contigs by length, SparkCaller.java:190-243) or fall
+back to ``mapInPandas`` iterators; skewed group keys get the salting helper
+in :mod:`daas_apps_spark.operators.partitioning`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.functions.discipline import sql_dsum
+from daas_apps_spark.registry import register
+
+
+def grouped_transform(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame, dict[str, Any]], pd.DataFrame],
+    schema: str,
+    side: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Run ``fn(group_pdf, side)`` per key group (R7/R9/R10 generalized).
+
+    ``side`` is broadcast once per executor (the reference ships its target
+    HashMap in every task closure, SparkCaller.java:276-283; Spark's
+    broadcast is the same idea without re-serializing per task).
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(side or {})
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf, bc.value)
+
+    return df.groupBy(*keys).applyInPandas(_apply, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# J1: scalar pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_scalar_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_udf,
+           ROUND(LEAST(length(text), 500) / 500.0, 4) AS len_score
+    FROM documents
+    """,
+    tags=("J1",),
+)
+def j1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (token count + length score)."""
+
+    @pandas_udf("long")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int64")
+
+    @pandas_udf("double")
+    def len_score(s: pd.Series) -> pd.Series:
+        return (s.str.len().clip(upper=500) / 500.0).round(4)
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens_udf"),
+        len_score("text").alias("len_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: grouped-map applyInPandas (per-contig tool run analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_grouped_map_normalize",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           ROUND(CASE WHEN mx = mn THEN 0.5
+                      ELSE (l_extendedprice - mn) / (mx - mn) END, 6) AS price_scaled
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+               MIN(l_extendedprice) OVER (PARTITION BY l_suppkey) AS mn,
+               MAX(l_extendedprice) OVER (PARTITION BY l_suppkey) AS mx
+        FROM lineitem
+    )
+    """,
+    tags=("J2",),
+)
+def j2_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max scaling via applyInPandas (R7/R9 shape).
+
+    Min-max (not z-score) keeps float math exactly reproducible across
+    engines: min/max are exact, and one subtraction+division per row is
+    deterministic regardless of group iteration order.
+    """
+    li = table(spark, sf_dir, "lineitem")
+
+    def scale(pdf: pd.DataFrame, side: dict) -> pd.DataFrame:
+        x = pdf["l_extendedprice"]
+        mn, mx = x.min(), x.max()
+        scaled = pd.Series(0.5, index=x.index) if mx == mn else (x - mn) / (mx - mn)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_suppkey": pdf["l_suppkey"],
+                "price_scaled": scaled.round(6),
+            }
+        )
+
+    return grouped_transform(
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
+        ["l_suppkey"],
+        scale,
+        "l_orderkey long, l_linenumber int, l_suppkey long, price_scaled double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: grouped-aggregate pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j3_grouped_agg_median",
+    oracle="""
+    SELECT p_brand,
+           ROUND(median(p_retailprice), 4) AS median_price,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+    tags=("J3",),
+)
+def j3_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: per-brand median retail price.
+
+    Median (interpolated) is order-independent — np.median and DuckDB's
+    quantile_cont(0.5) agree exactly, so the UDAF is oracle-hashable.
+    """
+    import numpy as np
+
+    @pandas_udf("double")
+    def median_udaf(s: pd.Series) -> float:
+        return float(np.round(np.median(s.to_numpy()), 4))
+
+    # Spark disallows mixing group-agg pandas UDFs with JVM aggregates in one
+    # agg() — the row count is a second pandas UDAF for that reason.
+    @pandas_udf("long")
+    def count_udaf(s: pd.Series) -> int:
+        return int(len(s))
+
+    p = table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        median_udaf("p_retailprice").alias("median_price"),
+        count_udaf("p_retailprice").alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: mapInPandas (whole-partition iterator transform)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_mapinpandas_enrich",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           ROUND(o_totalprice / 1000.0, 5) AS price_k
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("J4",),
+)
+def j4_mapinpandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas row-local enrichment (R2 whole-partition analog).
+
+    Iterator form: each Arrow batch transforms independently, so memory is
+    bounded by batch size (not partition size) — the 100 TB-safe shape.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+    def enrich(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "prio_len": pdf["o_orderpriority"].str.len().astype("int64"),
+                    # round at 5 decimals: a 2-decimal price / 1000 is exactly
+                    # 5-decimal, so no half-way cases exist and pandas
+                    # (half-even) agrees with DuckDB (half-away) bit-for-bit.
+                    "price_k": (pdf["o_totalprice"] / 1000.0).round(5),
+                }
+            )
+
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice").mapInPandas(
+        enrich, schema="o_orderkey long, prio_len long, price_k double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: cogrouped map
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j5_cogrouped_reconcile",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS header_total,
+           ROUND(COALESCE({sql_dsum('l.l_extendedprice')}, 0.0), 2) AS line_total,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    tags=("J5",),
+)
+def j5_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: reconcile order headers vs line sums.
+
+    The two-sided R7 analog: each key sees both groups as pandas frames.
+    Line sums accumulate in sorted linenumber order; sums of 2-decimal
+    values rounded back to 2 decimals are exact on both engines.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+    def reconcile(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "header_total", "line_total", "n_lines"]
+            )
+        l_sorted = l_pdf.sort_values("l_linenumber")
+        total = float(l_sorted["l_extendedprice"].sum()) if len(l_sorted) else 0.0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "header_total": [round(float(o_pdf["o_totalprice"].iloc[0]), 2)],
+                "line_total": [round(total, 2)],
+                "n_lines": [len(l_sorted)],
+            }
+        )
+
+    return o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        reconcile,
+        schema="o_orderkey long, header_total double, line_total double, n_lines long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: Python UDTF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_udtf_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           tokens[i+1] || ' ' || tokens[i+2] AS bigram
+    FROM toks, unnest(range(least(len(tokens) - 1, 4))) AS t(i)
+    WHERE len(tokens) >= 2
+    """,
+    tags=("J6",),
+)
+def j6_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input row → N bigram rows (R10 generative shape).
+
+    HaplotypeCaller turns N read rows into M differently-shaped variant rows
+    (HaplotypeCaller.java:10-32); a UDTF is the row-level version of that
+    schema-changing expansion.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, pos int, bigram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.lower().split(" ")
+            for i in range(min(len(toks) - 1, 4)):
+                yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_src")
+    return spark.sql(
+        """
+        SELECT b.doc_id, b.pos, b.bigram
+        FROM documents_udtf_src d,
+             LATERAL bigrams_udtf(d.doc_id, d.text) b
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: SQL-registered UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j7_sql_registered_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS price_band
+    FROM orders
+    """,
+    tags=("J7",),
+)
+def j7_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas UDF registered into the SQL catalog and used from spark.sql."""
+
+    @pandas_udf("string")
+    def price_band(p: pd.Series) -> pd.Series:
+        return pd.cut(
+            p,
+            bins=[float("-inf"), 100000.0, 300000.0, float("inf")],
+            labels=["small", "medium", "large"],
+            right=False,
+        ).astype(str)
+
+    spark.udf.register("price_band", price_band)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udf_src")
+    return spark.sql(
+        "SELECT o_orderkey, price_band(o_totalprice) AS price_band FROM orders_udf_src"
+    )

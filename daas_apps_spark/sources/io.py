@@ -1,0 +1,165 @@
+"""Sources & sinks: CSV/JSON scans with explicit schemas, write modes,
+partitioned & single-file sinks, provenance columns (SURVEY §2.2 A2-A7).
+
+The reference's I/O model is whole-file scatter-gather over a shared POSIX
+tree (R1 scan MiscUtils.java:15-38, R16 move-commit FileMover.java:9-27);
+the engine's is format-aware DataFrame readers/writers with Spark's
+FileOutputCommitter giving the same write-then-rename no-overwrite
+semantics. Round-trip queries write to a scratch dir under the repo and
+read back through the declared scan path, proving scan+sink together.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.functions.discipline import dsum, sql_dsum
+from daas_apps_spark.registry import register
+
+SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+LINEITEM_CSV_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+
+EVENTS_JSON_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def scratch_dir(name: str) -> str:
+    """Fresh per-query scratch directory (inside the repo tree)."""
+    path = os.path.join(SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    return path
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """A2: schema-given CSV scan (no inference — schema-on-read is pinned)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """A3: schema-given JSONL scan."""
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "a2_csv_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship
+    FROM lineitem WHERE l_linenumber = 1
+    GROUP BY l_returnflag
+    """,
+    tags=("A2", "A5"),
+)
+def a2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → CSV sink → schema-given CSV scan → aggregate.
+
+    Timestamps survive via the default ISO format; the oracle aggregates the
+    original parquet, so any serialization loss would hash-mismatch.
+    """
+    path = scratch_dir("a2_csv_roundtrip")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, LINEITEM_CSV_SCHEMA)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+
+
+@register(
+    "a3_json_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("A3", "A5"),
+)
+def a3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSONL sink → schema-given JSON scan → aggregate.
+
+    ``props`` holds a JSON object *string* — the writer escapes it as a JSON
+    string value and the schema-given reader recovers it verbatim (schema
+    pins it to STRING, so no inference can turn it into a struct).
+    """
+    path = scratch_dir("a3_json_roundtrip")
+    e = table(spark, sf_dir, "events")
+    e.write.mode("overwrite").json(path)
+    back = read_json(spark, path, EVENTS_JSON_SCHEMA)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "a6_partitioned_sink_prune",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+    tags=("A6", "B8", "A4"),
+)
+def a6_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + partition-pruned scan (R11/R19 layout analog).
+
+    Writes orders hive-partitioned by status, reads back with a partition
+    predicate — only the F/O directories are scanned (the R19 ``-L contig``
+    pruning, done by layout instead of tool flag). tests/test_sources.py
+    asserts the pruning in the physical plan.
+    """
+    path = scratch_dir("a6_partitioned_sink")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus").isin("F", "O"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@register(
+    "a7_single_file_merge",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('s_acctbal')} AS total_bal
+    FROM supplier
+    """,
+    tags=("A7",),
+)
+def a7_single_file_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce(1) single-file sink (R14/R15 n-way merge analog) + re-scan.
+
+    The reference merges per-dataset outputs into one BAM/VCF driver-side
+    (BAMMerger.java:10-41); the engine's merge is a coalesce(1) write — only
+    sane for small outputs, which is why the query uses the supplier dim.
+    """
+    path = scratch_dir("a7_single_file")
+    s = table(spark, sf_dir, "supplier")
+    s.coalesce(1).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("s_acctbal").alias("total_bal")
+    )

@@ -1,0 +1,132 @@
+"""Live Structured Streaming pipelines (SURVEY §2.2 I8 + stateful I6).
+
+Batch-equivalence mode (operators/streaming_batch.py) proves the event-time
+*semantics* against the DuckDB oracle; this module runs the same logic
+through the real streaming engine — ``readStream`` file source → event-time
+transforms → ``writeStream`` sinks with checkpointing — and
+tests/test_streaming_live.py asserts stream output == batch output
+(SURVEY §5.2#3 batch-vs-stream equivalence property).
+
+Scale notes: file-source streams list directories each trigger — at 100 TB
+use ``maxFilesPerTrigger`` to bound micro-batch size; watermarks bound the
+window/dedup state store; ``applyInPandasWithState`` state must stay small
+per key (a struct, never a buffer of events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_file_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (schema pinned — no inference mid-stream)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(src_dir)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """I1 live: watermarked tumbling 10-minute window aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """I5 live: first event per (user_id, event_type) within the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def stateful_user_peaks(events: DataFrame) -> DataFrame:
+    """I6 live: per-user running (count, peak value) via keyed state.
+
+    State = one (count, max) struct per user — O(1) per key, the only shape
+    that survives unbounded streams. Emits the refreshed state each batch.
+    """
+    out_schema = "user_id long, events_so_far long, max_value double"
+    state_schema = "count long, mx double"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        count, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            count += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((count, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_so_far": [count], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> Any:
+    """Drain all available input into an in-memory table (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> Any:
+    """I8: append-mode parquet sink with exactly-once checkpointing."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

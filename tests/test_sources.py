@@ -1,0 +1,94 @@
+"""Source/sink & partitioning properties: provenance (A4), partition pruning
+(B8), per-partition sort (F2/R3), salted-aggregate physical rewrite (R12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.operators.partitioning import (
+    physical_plan,
+    salt_column,
+    sort_within_partitions,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_input_file_provenance(spark, tmp_path):
+    """A4/R1: multi-file layout → input_file_name() recovers provenance."""
+    path = str(tmp_path / "multi")
+    table(spark, SF_SMOKE, "orders").repartition(4).write.parquet(path)
+    df = spark.read.parquet(path).withColumn("src_file", F.input_file_name())
+    n_files = df.select("src_file").distinct().count()
+    assert n_files == 4
+    # recursive lookup over nested dirs (R1 recurses into subfolders)
+    nested = str(tmp_path / "nested")
+    table(spark, SF_SMOKE, "region").write.parquet(nested + "/ds1")
+    table(spark, SF_SMOKE, "region").write.parquet(nested + "/ds2")
+    rec = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(nested)
+        .withColumn("src_file", F.input_file_name())
+    )
+    assert rec.count() == 10
+    assert rec.filter(F.col("src_file").contains("ds2")).count() == 5
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    """B8/R19: a filter on the partition column prunes at planning time."""
+    path = str(tmp_path / "parted")
+    table(spark, SF_SMOKE, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan
+    full = spark.read.parquet(path)
+    assert pruned.count() < full.count()
+
+
+def test_sort_within_partitions_monotonic(spark):
+    """F2/R3: rows are nondecreasing inside each partition, no exchange."""
+    li = table(spark, SF_SMOKE, "lineitem").repartition(8, "l_suppkey")
+    sorted_df = sort_within_partitions(li, "l_shipdate")
+    plan = physical_plan(sorted_df)
+    # exactly one Exchange node (the repartition) — the sort adds none
+    assert plan.count("+- Exchange") == 1
+
+    def check(it):
+        prev = None
+        for row in it:
+            if prev is not None and row.l_shipdate < prev:
+                yield {"violation": 1}
+            prev = row.l_shipdate
+
+    violations = sorted_df.rdd.mapPartitions(
+        lambda it: check(it)
+    ).count()
+    assert violations == 0
+
+
+def test_salt_column_deterministic_and_bounded(spark):
+    li = table(spark, SF_SMOKE, "lineitem")
+    salted = li.withColumn("s", salt_column("l_orderkey", 16))
+    stats = salted.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi"), F.countDistinct("s").alias("n")
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 16 and stats.n > 8
+    a = salted.groupBy("s").count().toPandas().sort_values("s").reset_index(drop=True)
+    b = (
+        li.repartition(7)
+        .withColumn("s", salt_column("l_orderkey", 16))
+        .groupBy("s")
+        .count()
+        .toPandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # salt is content-derived, partition-independent
+
+
+def test_broadcast_join_in_plan(spark):
+    """C5: explicit broadcast produces a BroadcastHashJoin, no big-side shuffle."""
+    t_c = table(spark, SF_SMOKE, "customer")
+    t_n = table(spark, SF_SMOKE, "nation")
+    joined = t_c.join(F.broadcast(t_n), t_c.c_nationkey == t_n.n_nationkey)
+    assert "BroadcastHashJoin" in physical_plan(joined)

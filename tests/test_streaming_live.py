@@ -1,0 +1,116 @@
+"""Live Structured Streaming smoke + batch/stream equivalence (I6, I8).
+
+Mirrors the reference's scatter-gather invariant check (per-chunk tool ≡
+whole-file tool, SURVEY §5.1): the streamed micro-batch computation must
+equal the one-shot batch computation over the same events.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.streaming.live import (
+    events_file_stream,
+    run_stream_to_memory,
+    run_stream_to_parquet,
+    stateful_user_peaks,
+    streaming_dedup,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, tmp_path_factory):
+    """sf0.001 events as JSONL files (4 files → multiple input splits)."""
+    path = str(tmp_path_factory.mktemp("events_json"))
+    table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").json(path)
+    return path
+
+
+def test_stream_tumbling_equals_batch(spark, events_json_dir, tmp_path):
+    stream = tumbling_counts(events_file_stream(spark, events_json_dir))
+    run_stream_to_memory(stream, "t_tumbling", str(tmp_path / "ck"), "complete")
+    got = spark.table("t_tumbling").toPandas()
+
+    batch_src = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(events_json_dir)
+    want = (
+        batch_src.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s[got_s.columns])
+
+
+def test_stream_dedup_counts(spark, events_json_dir, tmp_path):
+    stream = streaming_dedup(events_file_stream(spark, events_json_dir))
+    run_stream_to_memory(stream, "t_dedup", str(tmp_path / "ck"), "append")
+    got = spark.table("t_dedup")
+    batch = table(spark, SF_SMOKE, "events").dropDuplicates(["user_id", "event_type"])
+    assert got.count() == batch.count()
+    assert got.select("user_id", "event_type").distinct().count() == got.count()
+
+
+def test_stateful_peaks_equal_batch(spark, events_json_dir, tmp_path):
+    stream = stateful_user_peaks(events_file_stream(spark, events_json_dir))
+    run_stream_to_memory(stream, "t_peaks", str(tmp_path / "ck"), "update")
+    # update mode re-emits per batch; availableNow drains in ONE batch here,
+    # but take the final row per user regardless to stay trigger-agnostic.
+    got = (
+        spark.table("t_peaks")
+        .groupBy("user_id")
+        .agg(
+            F.max("events_so_far").alias("events_so_far"),
+            F.max("max_value").alias("max_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events_so_far"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, events_json_dir, tmp_path):
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    src = events_file_stream(spark, events_json_dir)
+    run_stream_to_parquet(src.filter(F.col("event_type") == "purchase"), out, ck)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # Re-run with the same checkpoint: no new input → no duplicate rows.
+    run_stream_to_parquet(
+        events_file_stream(spark, events_json_dir).filter(
+            F.col("event_type") == "purchase"
+        ),
+        out,
+        ck,
+    )
+    assert spark.read.parquet(out).count() == n1
