@@ -32,17 +32,30 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session id, sf_dir, name) → (session, analyzed DataFrame). A DataFrame is
+# an immutable lazy plan, so handing the same object to every query is safe;
+# rebuilding it per call costs a py4j round-trip plus a parquet footer/schema
+# read (~70 ms), which dominates small-query latency. The session object is
+# kept in the value so its id() can never be recycled onto a different
+# (restarted) session while its plans are cached.
+_DF_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (A1 Parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     pin_session(spark)
+    key = (id(spark), sf_dir, name)
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it scans as
         # epoch-nanos. Truncate (not round) to µs — DuckDB does the same.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _DF_CACHE[key] = (spark, df)
     return df
 
 

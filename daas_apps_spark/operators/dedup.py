@@ -5,10 +5,14 @@ Generalizes R5 (DuplicateMarker.java:21-53, dedup-keep-best by rank) from
 near-duplicate family a 100 TB LLM-data pipeline needs.
 
 Determinism discipline (SURVEY.md §7): every hash is a pure function of
-content — md5 hex prefixes, never partition-dependent and never `rand()`.
-A fixed-width hex string compares lexicographically exactly like its numeric
-value, so ``min(hex)`` is a valid minhash without any hex→int conversion —
-this keeps the Spark and DuckDB implementations bit-identical.
+content — md5-derived integers, never partition-dependent and never
+`rand()`. Minhash uses the standard universal-hashing construction: ONE
+base hash per shingle (first 7 md5 hex chars → 28-bit int, identical in
+Spark `conv(...,16,10)` and DuckDB `('0x'||...)::BIGINT`), then N_PERM
+affine permutations `(a_i*h + b_i) mod P` with fixed constants — 12×
+fewer digest computations than hashing per-permutation, same Jaccard
+estimator. All arithmetic stays below 2^59, so BIGINT never overflows in
+either engine.
 
 Scale notes:
 - Exact dedup: hash-partition shuffle on the 16-byte digest; at 100 TB use
@@ -26,11 +30,18 @@ from pyspark.sql import functions as F
 from daas_apps_spark.catalog import table
 from daas_apps_spark.registry import register
 
-N_PERM = 12  # minhash permutations (seeds 0..11)
+N_PERM = 12  # minhash permutations
 BAND_SIZE = 2  # signatures per LSH band → 6 bands
 N_BANDS = N_PERM // BAND_SIZE
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
+
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+# Fixed affine-permutation constants (a_i, b_i), i = 0..N_PERM-1.
+MINHASH_AB = [
+    ((1000003 * i + 12345) % MINHASH_P, (786433 * i + 290797) % MINHASH_P)
+    for i in range(N_PERM)
+]
 
 
 def tokens_col(text_col: str = "text"):
@@ -61,19 +72,29 @@ _DUCK_SHINGLES = """
 """
 
 
+def base_hash_spark():
+    """28-bit base hash per shingle: one md5 per shingle, computed once."""
+    return F.expr(
+        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"
+    ).alias("hs")
+
+
+_DUCK_BASE_HASH = (
+    "list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 7))::BIGINT) AS hs"
+)
+
+
 def _minhash_sig_spark(i: int):
-    return F.array_min(
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16),
-        )
+    a, b = MINHASH_AB[i]
+    return F.expr(
+        f"array_min(transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
     ).alias(f"sig_{i}")
 
 
 def _minhash_sig_duck(i: int) -> str:
+    a, b = MINHASH_AB[i]
     return (
-        f"list_min(list_transform(shingles, "
-        f"s -> substring(md5('{i}:' || s), 1, 16))) AS sig_{i}"
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P})) AS sig_{i}"
     )
 
 
@@ -107,9 +128,10 @@ def k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "k2_minhash_signatures",
     oracle=_DUCK_SHINGLES
+    + f", hsh AS (SELECT doc_id, {_DUCK_BASE_HASH} FROM sh)\n"
     + "SELECT doc_id, "
     + ", ".join(_minhash_sig_duck(i) for i in range(N_PERM))
-    + " FROM sh",
+    + " FROM hsh",
     tags=("K2",),
     bench=True,
 )
@@ -121,17 +143,22 @@ def k2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("tokens", toks)
         .filter(F.size("tokens") >= 3)
         .withColumn("shingles", shingles_col(F.col("tokens")))
+        .select("doc_id", base_hash_spark())
         .select("doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)])
     )
 
 
 def _band_key_spark(b: int):
-    parts = [F.col(f"sig_{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+    parts = [F.col(f"sig_{i}").cast("string") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
     return F.concat_ws("|", *parts).alias("band_key")
 
 
 _DUCK_BANDS = ", ".join(
-    "(" + " || '|' || ".join(f"sig_{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)) + ")"
+    "("
+    + " || '|' || ".join(
+        f"sig_{i}::VARCHAR" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+    )
+    + ")"
     for b in range(N_BANDS)
 )
 
@@ -140,10 +167,13 @@ _DUCK_BANDS = ", ".join(
     "k3_lsh_near_dedup",
     oracle=_DUCK_SHINGLES
     + f"""
-    , sigs AS (
+    , hsh AS (
+        SELECT doc_id, {_DUCK_BASE_HASH} FROM sh
+    ),
+    sigs AS (
         SELECT doc_id,
                {', '.join(_minhash_sig_duck(i) for i in range(N_PERM))}
-        FROM sh
+        FROM hsh
     ),
     bands AS (
         SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sigs
@@ -179,7 +209,7 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shingles", shingles_col(F.col("tokens")))
         .select("doc_id", "shingles")
     )
-    sigs = sh.select(
+    sigs = sh.select("doc_id", base_hash_spark()).select(
         "doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)]
     )
     bands = sigs.select(

@@ -53,13 +53,23 @@ def get_spark(app_name: str = "daas_apps_spark", master: str | None = None) -> S
     return builder.getOrCreate()
 
 
+# id → session; the value keeps the object alive so an id can't be recycled
+# onto a fresh (unpinned) session.
+_PINNED: dict[int, SparkSession] = {}
+
+
 def pin_session(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on an externally created session.
 
     The verification driver constructs its own SparkSession; every registered
     query calls this first so timezone/ANSI/Arrow semantics match the declared
-    oracle SQL regardless of the ambient session defaults.
+    oracle SQL regardless of the ambient session defaults. Idempotent and
+    cached per session object — each ``conf.set`` is a py4j round-trip, and
+    this runs on every catalog lookup.
     """
+    if id(spark) in _PINNED:
+        return spark
+    _PINNED[id(spark)] = spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
