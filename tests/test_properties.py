@@ -1,0 +1,190 @@
+"""Property tests (SURVEY.md §5.2#3): invariants that must hold for ANY data,
+not just the fixtures — the engine analog of the reference's scatter-gather
+invariant (per-chunk tool ≡ whole-file tool).
+
+Each property generates small random inputs with hypothesis and runs a
+handful of examples (Spark jobs are ~100 ms each; examples are capped so the
+suite stays fast). Data values are drawn adversarially (duplicates, ties,
+nulls, empty partitions) because those are exactly the cases where
+partitioning could leak into results.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.operators.asof import asof_join
+from daas_apps_spark.operators.partitioning import salted_aggregate
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Small domains force collisions: duplicate keys, equal timestamps, ties.
+keys = st.integers(min_value=0, max_value=4)
+vals = st.integers(min_value=-100, max_value=100)
+times = st.integers(min_value=0, max_value=20)
+
+
+def _df(spark, rows, schema, n_parts):
+    return spark.createDataFrame(rows, schema).repartition(n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Sort stability (F1): a total order with a unique tie-break key yields the
+# same row sequence regardless of input partitioning.
+# ---------------------------------------------------------------------------
+@PROP
+@given(rows=st.lists(st.tuples(keys, vals), min_size=0, max_size=40), parts=st.integers(1, 7))
+def test_sort_total_order_partition_invariant(spark, rows, parts):
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]  # i = unique key
+    schema = "k int, v int, uid int"
+    a = _df(spark, data, schema, 1).orderBy("k", "v", "uid").collect()
+    b = _df(spark, data, schema, parts).orderBy("k", "v", "uid").collect()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Dedup idempotence (K1/E1): dedup(dedup(x)) == dedup(x), and the survivor
+# set is partition-independent.
+# ---------------------------------------------------------------------------
+@PROP
+@given(rows=st.lists(st.tuples(keys, vals), min_size=0, max_size=40), parts=st.integers(1, 7))
+def test_dedup_keep_best_idempotent(spark, rows, parts):
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    schema = "k int, v int, uid int"
+
+    def dedup(df):
+        w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("uid").asc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    once = sorted(map(tuple, dedup(_df(spark, data, schema, parts)).collect()))
+    twice_df = dedup(dedup(_df(spark, data, schema, parts)))
+    serial = sorted(map(tuple, dedup(_df(spark, data, schema, 1)).collect()))
+    assert sorted(map(tuple, twice_df.collect())) == once
+    assert once == serial
+    # exactly one survivor per distinct key
+    assert len(once) == len({k for k, _ in rows})
+
+
+# ---------------------------------------------------------------------------
+# Join cardinality bounds (C1/C3/C4): |semi| + |anti| == |L|;
+# |inner| == Σ_k |L_k|·|R_k|; semi ⊆ L.
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    left=st.lists(keys, min_size=0, max_size=30),
+    right=st.lists(keys, min_size=0, max_size=30),
+)
+def test_join_cardinality_bounds(spark, left, right):
+    l = _df(spark, [(k, i) for i, k in enumerate(left)], "k int, lid int", 3)
+    r = _df(spark, [(k, i) for i, k in enumerate(right)], "k int, rid int", 2)
+    inner = l.join(r, "k", "inner").count()
+    semi = l.join(r, "k", "left_semi").count()
+    anti = l.join(r, "k", "left_anti").count()
+    from collections import Counter
+
+    lc, rc = Counter(left), Counter(right)
+    assert inner == sum(lc[k] * rc[k] for k in lc)
+    assert semi == sum(lc[k] for k in lc if rc[k] > 0)
+    assert semi + anti == len(left)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (C10) equals the brute-force per-row reference: for each left
+# row, the right row with the greatest ts <= left.ts (ties on ts allowed).
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=0, max_size=25),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=25),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # right must be unique per (key, ts): keep max payload like the c10 query
+    rdict = {}
+    for i, (k, t) in enumerate(right):
+        rdict[(k, t)] = max(rdict.get((k, t), -1), i)
+    rrows = [Row(k=k, rts=t, payload=p) for (k, t), p in rdict.items()]
+    lrows = [Row(k=k, lts=t, lid=i) for i, (k, t) in enumerate(left)]
+    if not lrows or not rrows:
+        return
+    out = asof_join(
+        spark.createDataFrame(lrows).repartition(3),
+        spark.createDataFrame(rrows).repartition(2),
+        on=["k"],
+        left_time="lts",
+        right_time="rts",
+        right_payload=["payload"],
+        how="left",
+    ).collect()
+    got = {row.lid: (row.payload, row.asof_rts) for row in out}
+    assert set(got) == {r.lid for r in lrows}
+    for r in lrows:
+        cands = [(t, p) for (k, t), p in rdict.items() if k == r.k and t <= r.lts]
+        expect = max(cands)[::-1] if cands else (None, None)
+        assert got[r.lid] == expect, f"lid={r.lid}"
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation (R12) equals the unsalted aggregate for any salt fanout.
+# ---------------------------------------------------------------------------
+@PROP
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=40), fanout=st.integers(1, 8))
+def test_salted_aggregate_equals_plain(spark, rows, fanout):
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = _df(spark, data, "k int, v long, uid int", 4)
+    plain = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = salted_aggregate(
+        df,
+        ["k"],
+        partial_aggs=[F.count(F.lit(1)).alias("__n"), F.sum("v").alias("__s")],
+        final_aggs=[F.sum("__n").alias("n"), F.sum("__s").alias("s")],
+        unique_col="uid",
+        n_salts=fanout,
+    )
+    assert {(r.k): (r.n, r.s) for r in salted.collect()} == plain
+
+
+# ---------------------------------------------------------------------------
+# MinHash (K2): signatures are pure content functions — invariant to row
+# order, partitioning, and duplicate shingles; identical docs get identical
+# signatures; Jaccard=1 docs collide on every band.
+# ---------------------------------------------------------------------------
+@PROP
+@given(words=st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=20), parts=st.integers(1, 5))
+def test_minhash_content_pure(spark, words, parts):
+    from daas_apps_spark.operators.dedup import (
+        N_PERM,
+        base_hash_spark,
+        _minhash_sig_spark,
+        shingles_col,
+        tokens_col,
+    )
+
+    text = " ".join(words)
+    rows = [(1, text), (2, text), (3, text + " extra suffix tokens here")]
+    df = (
+        spark.createDataFrame(rows, "doc_id int, text string")
+        .repartition(parts)
+        .withColumn("tokens", tokens_col())
+        .withColumn("shingles", shingles_col(F.col("tokens")))
+        .select("doc_id", base_hash_spark())
+        .select("doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)])
+    )
+    sigs = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(N_PERM)) for r in df.collect()}
+    assert sigs[1] == sigs[2]  # identical content => identical signature
+    assert sigs[1] != sigs[3]  # differing content => differing signature (whp)
