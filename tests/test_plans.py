@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the plan each operator is *designed* to produce
+(SCALING.md) is pinned here, so a regression that silently de-optimizes —
+dropping a pushed filter, losing map-side partial aggregation, degrading a
+broadcast join to cartesian — fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from daas_apps_spark.operators.partitioning import physical_plan
+from daas_apps_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_SMOKE
+
+_load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    return physical_plan(REGISTRY[name].fn(spark, SF_SMOKE))
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side partial aggregation
+    # exactly two exchanges: hash for the aggregate, range for the final
+    # 6-row presentation sort — nothing else may shuffle
+    assert plan.count("+- Exchange") == 2
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # ReadSchema must not include untouched wide columns
+    assert "l_comment" not in plan
+    assert "l_shipmode" not in plan
+
+
+def test_c5_broadcasts_the_dim_side(spark):
+    plan = plan_of(spark, "c5_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c6_no_cartesian_and_single_fact_pipeline(spark):
+    plan = plan_of(spark, "c6_multikey_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c7_range_join_broadcasts_band_side(spark):
+    # theta join: the tiny banded side must be the broadcast build side
+    plan = plan_of(spark, "c7_range_join_bands")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_f4_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "f4_top_k")
+    assert "TakeOrderedAndProject" in plan
+    # no range-partitioned total sort for a limit-k query
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "c10_asof_join")
+    # union + window approach: no join node at all, no range-join blowup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_k3_lsh_never_crossjoins(spark):
+    plan = plan_of(spark, "k3_lsh_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = plan_of(spark, "c4_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_k1_dedup_is_window_not_selfjoin(spark):
+    plan = plan_of(spark, "k1_exact_dedup")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "c1_join_orders_customer", "k6_quality_heuristics"],
+)
+def test_headline_queries_stay_in_codegen(spark, name):
+    # whole-stage codegen spans present (the `*(n)` markers in simple mode) —
+    # expressions are JVM-side, no row-at-a-time Python in the hot path.
+    # AQE only finalizes (and codegens) the plan at execution, so run first.
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = physical_plan(df, mode="simple")
+    # shuffle-free plans have no AdaptiveSparkPlan wrapper at all
+    assert "isFinalPlan=false" not in plan
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
