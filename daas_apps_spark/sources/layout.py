@@ -79,3 +79,9 @@ def tune_scan_confs(spark) -> None:
     """
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
+    # Fewer initial reduce partitions: at sub-GB scale, per-task scheduling
+    # overhead outweighs parallelism past ~half the cores (measured: 16 beats
+    # 32 by ~20% on the sf0.1 headline set). AQE still coalesces further at
+    # runtime; at cluster scale this would instead be ~2-3x total cores.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cpus // 2)))
