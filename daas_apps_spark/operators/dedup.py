@@ -242,6 +242,96 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 8  # character n-gram width
+ANCHOR_MOD = 8  # keep ~1/8 of grams as inverted-index anchors
+ANCHOR_MAX_DF = 20  # drop anchors appearing in more docs (hot-key cap)
+NGRAM_JACCARD_THRESHOLD = 0.35
+
+
+@register(
+    "k3_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(length(lower(text)) - {NGRAM_N - 1}),
+                   i -> substring(lower(text), i + 1, {NGRAM_N}))) AS gs
+        FROM documents WHERE length(text) >= {NGRAM_N}
+    ),
+    anchors AS (
+        SELECT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+        WHERE ('0x' || substring(md5(g), 1, 7))::BIGINT % {ANCHOR_MOD} = 0
+    ),
+    rare AS (
+        SELECT g FROM anchors GROUP BY g HAVING COUNT(*) <= {ANCHOR_MAX_DF}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM anchors a JOIN rare r ON a.g = r.g
+        JOIN anchors b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                 / len(list_distinct(ga.gs || gb.gs)), 4) AS jaccard
+    FROM cands c
+    JOIN grams ga ON c.doc_a = ga.doc_id
+    JOIN grams gb ON c.doc_b = gb.doc_id
+    WHERE len(list_intersect(ga.gs, gb.gs))::DOUBLE
+          / len(list_distinct(ga.gs || gb.gs)) >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    tags=("K2", "K3"),
+)
+def k3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by character 8-gram Jaccard with an inverted-index probe.
+
+    Candidate generation: each doc contributes a deterministic ~1/8 sample
+    of its grams as anchors (md5-derived int mod 8 == 0 — a pure content
+    function, like minhash); docs sharing an anchor are candidates. Anchors
+    seen in more than ANCHOR_MAX_DF docs are dropped before the self-join —
+    the hot-key cap from SCALING.md §6: boilerplate grams would otherwise
+    create quadratic candidate blowup, and a gram that common cannot signal
+    near-duplication anyway. Exact Jaccard runs only on candidates.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.filter(F.length("text") >= NGRAM_N)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(lower(text)) - {NGRAM_N - 1}),"
+                    f" i -> substring(lower(text), i, {NGRAM_N}))"
+                )
+            ).alias("gs"),
+        )
+    )
+    anchors = grams.select("doc_id", F.explode("gs").alias("g")).filter(
+        F.expr(f"cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint) % {ANCHOR_MOD} = 0")
+    )
+    rare = anchors.groupBy("g").count().filter(F.col("count") <= ANCHOR_MAX_DF).select("g")
+    pruned = anchors.join(rare, "g")
+    a = pruned.select(F.col("g"), F.col("doc_id").alias("doc_a"))
+    b = anchors.select(F.col("g"), F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+    jac = F.size(F.array_intersect("gs_a", "gs_b")).cast("double") / F.size(
+        F.array_union("gs_a", "gs_b")
+    )
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def _simhash_exprs(dialect: str) -> list[str]:
     """Per-bit vote expressions, generated once for both dialects.
 
