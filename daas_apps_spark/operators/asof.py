@@ -34,10 +34,15 @@ def asof_join(
     right_time: str,
     right_payload: Sequence[str],
     how: str = "inner",
+    right_order: Sequence[str] = (),
 ) -> DataFrame:
     """Join each left row to the latest right row with right.ts <= left.ts.
 
-    ``right`` must be unique per (on..., right_time); pre-dedupe if not.
+    ``right`` must be unique per (on..., right_time) — either pre-deduped, or
+    disambiguated by ``right_order``: payload columns used as an ascending
+    tie-break among right rows sharing (key, ts), of which the LAST wins.
+    Folding the tie-break into the window ordering instead of pre-aggregating
+    saves a whole shuffle+aggregate stage over the right side.
     Returns all left columns plus ``right_payload`` columns and
     ``asof_<right_time>`` (the matched right timestamp). ``how``: 'inner'
     drops unmatched left rows, 'left' keeps them with nulls.
@@ -59,10 +64,14 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # Right rows sort before left rows at equal timestamps so ties match.
+    # Right rows sort before left rows at equal timestamps so ties match;
+    # right_order columns (nulls on left rows, irrelevant there) pick the
+    # winning right row among equal (key, ts).
+    order = [F.col("__ts").asc(), F.col("__is_right").desc()]
+    order += [F.col(f"__payload.{c}").asc_nulls_first() for c in right_order]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
@@ -100,10 +109,11 @@ def asof_join(
 def c10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's nearest earlier click."""
     e = table(spark, sf_dir, "events")
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event_id"))
+    # No pre-aggregation: equal-(user, ts) clicks are disambiguated by the
+    # right_order tie-break inside the window (max event_id wins), saving a
+    # shuffle+aggregate over the click side.
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
@@ -116,6 +126,7 @@ def c10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="ts",
         right_payload=["click_event_id"],
         how="inner",
+        right_order=["click_event_id"],
     )
     return joined.select(
         "event_id",
