@@ -42,7 +42,12 @@ def main() -> None:
     specs = sorted(
         (s for s in REGISTRY.values() if s.bench), key=lambda s: s.name
     )
-    run_dir = compact_dir(sf_dir)
+    try:
+        run_dir = compact_dir(sf_dir)
+        layout = "compacted multi-row-group parquet (see sources/layout.py)"
+    except Exception:  # read-only/full tmp etc. — never fail the bench
+        run_dir = sf_dir
+        layout = "raw fixtures (compaction unavailable)"
     spark = get_spark("daas_apps_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     tune_scan_confs(spark)
@@ -68,7 +73,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": RUNS,
-                "layout": "compacted multi-row-group parquet (see sources/layout.py)",
+                "layout": layout,
             }
         )
     )
