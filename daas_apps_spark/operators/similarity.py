@@ -226,3 +226,115 @@ def k4_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+CENT_MOD = 50  # vec_id % 50 == 0 → centroids (40 at sf0.01's 2000 vectors)
+N_PROBE = 4  # inverted lists probed per query
+
+
+_DUCK_COS_VC = (
+    "list_dot_product(x.v, ct.cv)"
+    " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))"
+)
+
+
+@register(
+    "k4_ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+    ),
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    asn AS (
+        SELECT vec_id, cent_id, v FROM (
+            SELECT x.vec_id, ct.cent_id, x.v,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_DUCK_COS_VC} DESC, ct.cent_id ASC) AS rn
+            FROM corpus x CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id, v AS qv FROM (
+            SELECT x.vec_id, ct.cent_id, x.v,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_DUCK_COS_VC} DESC, ct.cent_id ASC) AS rn
+            FROM corpus x CROSS JOIN cent ct
+            WHERE x.vec_id < {N_QUERY}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               ROUND(list_dot_product(p.qv, a.v)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+        FROM probes p JOIN asn a ON p.cent_id = a.cent_id AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("K4", "F5", "C5"),
+)
+def k4_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-Flat: centroid assignment → inverted lists → probe.
+
+    Centroids here are a deterministic coreset (every CENT_MOD-th vector) so
+    the result is exactly reproducible and oracle-checkable; production
+    swaps in k-means centroids — the Spark plumbing (broadcast centroids,
+    map-side nearest-centroid assignment, partition-by-centroid inverted
+    lists, N_PROBE-bounded probe join) is identical. Unlike brute force the
+    probe cost is |probed lists|, not |corpus|: at 100 TB the corpus is
+    written partitioned by cent_id and each query touches N_PROBE
+    partitions (partition pruning on the probe join key).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    )
+    corpus = e.select("vec_id", as_double("embedding").alias("v"))
+    cos_vc = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_vc").desc(), F.col("cent_id").asc()
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cos_vc", cos_vc)
+        .withColumn("rn", F.row_number().over(w_asn))
+    )
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id", "v")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERY) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
+    )
+    scored = (
+        probes.join(asn, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

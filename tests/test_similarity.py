@@ -26,3 +26,15 @@ def test_ann_is_deterministic(spark):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF-Flat probe (N_PROBE of ~40 lists) must recover most of true top-k."""
+    brute = REGISTRY["k4_cosine_topk"].fn(spark, SF_ORACLE).toPandas()
+    ivf = REGISTRY["k4_ann_ivf_topk"].fn(spark, SF_ORACLE).toPandas()
+    truth = {(r.query_id, r.cand_id) for r in brute.itertuples()}
+    got = {(r.query_id, r.cand_id) for r in ivf.itertuples()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    # every query must still return a full top-k page
+    assert (ivf.groupby("query_id").size() == 5).all()
