@@ -128,3 +128,90 @@ def k7_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(extract, schema=out_schema)
+
+
+RESIZE_BYTES = 256  # target payload budget for the resize stand-in
+FRAME_BYTES = 64  # fixed frame width for the frame-sample stand-in
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "k7_resize_payload",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(octet_length(encode(substring(text, 1, {RESIZE_BYTES}))) AS BIGINT)
+               AS resized_bytes,
+           md5(substring(text, 1, {RESIZE_BYTES})) AS resized_md5
+    FROM documents
+    """,
+    tags=("K7",),
+)
+def k7_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stand-in: truncate each binary payload to a byte budget.
+
+    A real resize decodes pixels and re-encodes (stubbed out — no codecs in
+    this container); the engine-relevant part is byte-level binary column
+    surgery staying JVM-side: ``substring``/``md5`` run directly on
+    BinaryType, no Python. The oracle mirrors via VARCHAR slicing, valid
+    because the fixture text is pure ASCII (byte offset == char offset).
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    resized = F.expr(f"substring(encode(text, 'utf-8'), 1, {RESIZE_BYTES})")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("orig_bytes"),
+        F.length(resized).cast("long").alias("resized_bytes"),
+        F.md5(resized).alias("resized_md5"),
+    )
+
+
+@register(
+    "k7_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)
+                                    AS BIGINT), {FRAME_STRIDE})) AS frame_idx
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(substring(text, frame_idx * {FRAME_BYTES} + 1,
+                                              {FRAME_BYTES}))) AS BIGINT) AS frame_bytes,
+           md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+               AS frame_md5
+    FROM frames
+    """,
+    tags=("K7", "J4"),
+)
+def k7_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample stand-in: strided fixed-width frames from a binary payload.
+
+    Models video frame sampling over an opaque payload: the payload splits
+    into FRAME_BYTES-wide frames, every FRAME_STRIDE-th frame is kept, and
+    each sampled frame is emitted as its own row with a digest — the
+    explode-per-frame shape a real ffmpeg-backed sampler would produce, all
+    in JVM expressions (sequence + explode + binary substring).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_frames = F.ceil(F.length(F.encode("text", "utf-8")) / F.lit(FRAME_BYTES))
+    return (
+        d.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n_frames - 1).cast("long"), F.lit(FRAME_STRIDE).cast("long"))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.length(
+                F.expr(f"substring(encode(text, 'utf-8'), cast(frame_idx * {FRAME_BYTES} + 1 as int), {FRAME_BYTES})")
+            ).cast("long").alias("frame_bytes"),
+            F.md5(
+                F.expr(f"substring(encode(text, 'utf-8'), cast(frame_idx * {FRAME_BYTES} + 1 as int), {FRAME_BYTES})")
+            ).alias("frame_md5"),
+        )
+    )
