@@ -114,3 +114,54 @@ def test_parquet_sink_checkpoint_exactly_once(spark, events_json_dir, tmp_path):
         ck,
     )
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_sliding_equals_batch(spark, events_json_dir, tmp_path):
+    from daas_apps_spark.streaming.live import sliding_counts
+
+    stream = sliding_counts(events_file_stream(spark, events_json_dir))
+    run_stream_to_memory(stream, "t_sliding", str(tmp_path / "ck"), "complete")
+    got = spark.table("t_sliding").toPandas()
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        batch.sort_values(key).reset_index(drop=True)[got.columns]
+    )
+
+
+def test_stream_session_equals_batch(spark, events_json_dir, tmp_path):
+    from daas_apps_spark.streaming.live import session_values
+
+    stream = session_values(events_file_stream(spark, events_json_dir))
+    run_stream_to_memory(stream, "t_session", str(tmp_path / "ck"), "complete")
+    got = spark.table("t_session").toPandas()
+    # batch side reads the SAME json files: the json sink stores ms-precision
+    # timestamps, so session bounds (raw event times, not bucket-aligned)
+    # would differ from the µs parquet source in the sub-ms digits.
+    batch_src = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(events_json_dir)
+    batch = (
+        batch_src
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "session_value",
+        )
+        .toPandas()
+    )
+    key = ["session_start", "user_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        batch.sort_values(key).reset_index(drop=True)[got.columns]
+    )
