@@ -331,3 +331,57 @@ def h_hash_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("c_name", 256).alias("name_sha256"),
         F.isnan(nan).alias("nan_detect"),
     )
+
+
+@register(
+    "h_array_nested_functions",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding[1:2], x -> CAST(x AS DOUBLE)) AS h2,
+               list_transform(embedding[3:4], x -> CAST(x AS DOUBLE)) AS n2,
+               list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS h4
+        FROM embeddings
+    )
+    SELECT vec_id, pos, CAST(h4[pos + 1] AS DOUBLE) AS elem,
+           flatten([h2, n2]) AS flat4,
+           CAST(len(list_zip(h2, n2)) AS INTEGER) AS zip_len,
+           list_transform(list_zip(h2, n2), s -> s[1] + s[2]) AS pairwise_sum,
+           CAST(list_position(h4, h4[1]) AS INTEGER) AS first_pos,
+           list_contains(h4, h4[2]) AS contains_second
+    FROM base, unnest(range(4)) AS t(pos)
+    """,
+    tags=("H",),
+)
+def h_array_nested_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array battery: flatten / arrays_zip / posexplode / position.
+
+    posexplode emits (pos, elem) rows — the UDTF-ish built-in (J6's shape);
+    arrays_zip parity is checked through a scalar projection of the zipped
+    structs because Spark and DuckDB name zip fields differently.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    h2 = F.transform(F.slice("embedding", 1, 2), lambda x: x.cast("double"))
+    n2 = F.transform(F.slice("embedding", 3, 2), lambda x: x.cast("double"))
+    h4 = F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double"))
+    base = e.select(
+        "vec_id", h2.alias("h2"), n2.alias("n2"), h4.alias("h4")
+    )
+    return (
+        base.select(
+            "vec_id", "h2", "n2", "h4",
+            F.posexplode("h4").alias("pos", "elem"),
+        )
+        .select(
+            "vec_id",
+            "pos",
+            "elem",
+            F.flatten(F.array("h2", "n2")).alias("flat4"),
+            F.size(F.arrays_zip("h2", "n2")).alias("zip_len"),
+            F.transform(
+                F.arrays_zip("h2", "n2"), lambda s: s["h2"] + s["n2"]
+            ).alias("pairwise_sum"),
+            F.array_position("h4", F.element_at("h4", 1)).cast("int").alias("first_pos"),
+            F.array_contains("h4", F.element_at("h4", 2)).alias("contains_second"),
+        )
+    )
