@@ -385,3 +385,105 @@ def k2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("tokens", F.array_distinct(tokens_col()))
         .select("doc_id", F.expr(f"concat({bit_cases})").alias("simhash"))
     )
+
+
+MAX_CC_ITERS = 15
+
+
+@register(
+    "k3_dedup_clusters",
+    # WITH RECURSIVE must head the whole CTE chain for the reach() closure
+    oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f"""
+    , hsh AS (
+        SELECT doc_id, {_DUCK_BASE_HASH} FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(_minhash_sig_duck(i) for i in range(N_PERM))}
+        FROM hsh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sigs
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b FROM pairs c
+        JOIN sh sa ON c.doc_a = sa.doc_id
+        JOIN sh sb ON c.doc_b = sb.doc_id
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL SELECT doc_b, doc_a FROM verified
+    ),
+    members AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM members
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM clusters
+    """,
+    tags=("K3", "K2", "K1"),
+)
+def k3_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over verified near-dup pairs (connected components).
+
+    Pairs alone don't dedupe a corpus — survivors come from *clusters*
+    (keep min doc_id per component, drop the rest). Components are computed
+    by min-label propagation: every member starts labeled with its own id;
+    each round takes the min of its neighbors' labels; converged when no
+    label changes. Label propagation is order- and partition-independent,
+    so the result is deterministic and matches DuckDB's recursive
+    transitive closure. ``localCheckpoint`` truncates lineage each round —
+    the standard Spark pattern for iterative algorithms (at 100 TB use a
+    checkpoint dir or GraphFrames; rounds needed = component diameter,
+    small for near-dup clusters by construction).
+    """
+    pairs = k3_lsh_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    )

@@ -1,0 +1,61 @@
+"""Bucketed co-located joins (SCALING.md §2): pre-bucketing both sides of a
+recurring join key eliminates the per-query shuffle entirely — the Spark
+analog of the reference pre-splitting BAMs per contig so each tool run reads
+an already-partitioned input (SAMSplitter.java:10-43).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.operators.partitioning import physical_plan
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in teardown.
+    for name, key, n in [("orders", "o_custkey", 8), ("customer", "c_custkey", 8)]:
+        (
+            table(spark, SF_SMOKE, name)
+            .write.bucketBy(n, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"b_{name}")
+        )
+    yield
+    for name in ["b_orders", "b_customer"]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    # model the large⋈large regime (where bucketing matters): disable the
+    # broadcast fallback the tiny fixture would otherwise trigger
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table("b_orders"), spark.table("b_customer")
+        joined = o.join(c, o.o_custkey == c.c_custkey, "inner")
+        plan = physical_plan(joined, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucket layout IS the partitioning
+        # and results equal the shuffled join on the raw tables
+        raw = table(spark, SF_SMOKE, "orders").join(
+            table(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_aggregate_has_no_shuffle(spark, bucketed_tables):
+    o = spark.table("b_orders")
+    agg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = physical_plan(agg, mode="simple")
+    assert "Exchange" not in plan
+    assert agg.count() == table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
