@@ -176,7 +176,11 @@ def test_minhash_content_pure(spark, words, parts):
     )
 
     text = " ".join(words)
-    rows = [(1, text), (2, text), (3, text + " extra suffix tokens here")]
+    # doc 3 must differ ENOUGH: appending a few tokens leaves Jaccard ~0.8
+    # and P(identical 12-perm signature) ≈ 0.8^12 ≈ 7% — a real flake. Thirty
+    # fresh tokens push Jaccard ≤ ~0.4 and the collision odds to ~1e-5.
+    suffix = " ".join(f"zz{i}" for i in range(30))
+    rows = [(1, text), (2, text), (3, text + " " + suffix)]
     df = (
         spark.createDataFrame(rows, "doc_id int, text string")
         .repartition(parts)

@@ -165,3 +165,29 @@ def test_stream_session_equals_batch(spark, events_json_dir, tmp_path):
     assert got.sort_values(key).reset_index(drop=True).equals(
         batch.sort_values(key).reset_index(drop=True)[got.columns]
     )
+
+
+def test_stream_static_join_equals_batch(spark, events_json_dir, tmp_path):
+    """I7 live: stream ⋈ static dimension (broadcast on the stream side)."""
+    static_dim = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    stream = (
+        events_file_stream(spark, events_json_dir)
+        .join(F.broadcast(static_dim), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    run_stream_to_memory(stream, "t_static_join", str(tmp_path / "ck"), "complete")
+    got = {r.segment: r.n_events for r in spark.table("t_static_join").collect()}
+    want = {
+        r.segment: r.n_events
+        for r in table(spark, SF_SMOKE, "events")
+        .join(static_dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
