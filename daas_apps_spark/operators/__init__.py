@@ -15,11 +15,13 @@ Module map (SURVEY.md §2 categories):
 - ``streaming_batch`` — I1-I7 event-time logic in batch-equivalence mode
 """
 
+# Registration order is deliberate: the driver's correctness budget verified
+# only the first ~50 registered queries in round 1, so the modules with zero
+# driver coverage (io, asof, udfs, dedup, similarity, text, multimodal,
+# streaming_batch, partitioning, pipelines) register FIRST — if the budget
+# truncates again, it verifies the previously-untouched surface first.
+from daas_apps_spark.sources import io  # noqa: F401  (A2-A7 round-trips)
 from daas_apps_spark.operators import (  # noqa: F401
-    relational,
-    aggregates,
-    windows,
-    scalars,
     asof,
     udfs,
     dedup,
@@ -29,5 +31,8 @@ from daas_apps_spark.operators import (  # noqa: F401
     streaming_batch,
     partitioning,
     pipelines,
+    relational,
+    aggregates,
+    windows,
+    scalars,
 )
-from daas_apps_spark.sources import io  # noqa: F401  (A2-A7 round-trips)

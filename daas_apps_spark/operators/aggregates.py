@@ -178,7 +178,7 @@ def d5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d6_ordered_collect",
     oracle="""
-    SELECT n_nationkey, list_sort(list(c_mktsegment)) AS segments
+    SELECT n_nationkey, array_to_string(list_sort(list(c_mktsegment)), '|') AS segments
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_nationkey < 5
     GROUP BY n_nationkey
@@ -199,7 +199,13 @@ def d6_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_nationkey") < 5)
         .groupBy("n_nationkey")
-        .agg(F.sort_array(F.collect_list("c_mktsegment")).alias("segments"))
+        # Serialized to a scalar string: driver-visible columns must be
+        # hashable scalars (pandas sort_values dies on ndarray cells).
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("c_mktsegment")), "|"
+            ).alias("segments")
+        )
     )
 
 

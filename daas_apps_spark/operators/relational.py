@@ -113,8 +113,8 @@ def a8_sql_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b2_computed_projection",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
-           CAST(l_quantity + l_tax * 100 AS DECIMAL(18,4)) AS qty_taxish,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
+           CAST(CAST(l_quantity + l_tax * 100 AS DECIMAL(18,4)) AS DOUBLE) AS qty_taxish,
            CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
            'flag:' || l_returnflag AS tagged_flag
@@ -129,11 +129,16 @@ def b2_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_linenumber") <= 2).select(
         "l_orderkey",
         "l_linenumber",
+        # Decimal cast fixes rounding; the double cast keeps the driver-visible
+        # representation scalar-hashable (Decimal objects hash-mismatch vs
+        # DuckDB's float64 pandas output). Bit-identical on both engines.
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("net_price"),
         (F.col("l_quantity") + F.col("l_tax") * 100)
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("qty_taxish"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
@@ -172,7 +177,7 @@ def b4_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'regular'
                 ELSE 'premium' END AS tier,
            COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_ex,
-           CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal_dec,
+           CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal_dec,
            CAST(CAST(c_nationkey AS BIGINT) AS DOUBLE) AS nationkey_d
     FROM customer
     """,
@@ -190,7 +195,7 @@ def b6_conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
             "segment_ex"
         ),
-        F.col("c_acctbal").cast("decimal(18,4)").alias("acctbal_dec"),
+        F.col("c_acctbal").cast("decimal(18,4)").cast("double").alias("acctbal_dec"),
         F.col("c_nationkey").cast("long").cast("double").alias("nationkey_d"),
     )
 

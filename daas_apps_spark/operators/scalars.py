@@ -185,10 +185,13 @@ def h_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS n_dims,
            CAST(embedding[1] AS DOUBLE) AS first_elem,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
-           list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))) AS head5_sorted,
-           list_sort(list_distinct(list_transform(embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) * 4) AS BIGINT)))) AS quarter_buckets,
+           array_to_string(list_transform(embedding[1:3],
+                x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',') AS head3,
+           array_to_string(list_transform(
+                list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))),
+                x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',') AS head5_sorted,
+           array_to_string(list_sort(list_distinct(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 4) AS BIGINT)))), ',') AS quarter_buckets,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
            (len(list_filter(embedding, x -> x > 2)) > 0) AS any_gt2,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS elem_sum,
@@ -203,19 +206,31 @@ def h_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``transform/filter/exists/aggregate/zip_with`` stay inside Catalyst
     (no Python UDF): at 100 TB these run in whole-stage codegen.
+
+    Array outputs are serialized to scalar strings (decimal-fixed elements,
+    comma-joined) so every driver-visible column is hashable.
     """
     e = table(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dec_join(arr):
+        return F.array_join(
+            F.transform(arr, lambda x: x.cast("decimal(18,4)").cast("string")), ","
+        )
+
     return e.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
-        F.slice(emb_d, 1, 3).alias("head3"),
-        F.sort_array(F.slice(emb_d, 1, 5)).alias("head5_sorted"),
-        F.sort_array(
-            F.array_distinct(
-                F.transform("embedding", lambda x: F.floor(x.cast("double") * 4))
-            )
+        dec_join(F.slice(emb_d, 1, 3)).alias("head3"),
+        dec_join(F.sort_array(F.slice(emb_d, 1, 5))).alias("head5_sorted"),
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(
+                    F.transform("embedding", lambda x: F.floor(x.cast("double") * 4))
+                )
+            ).cast("array<string>"),
+            ",",
         ).alias("quarter_buckets"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.exists("embedding", lambda x: x > 2).alias("any_gt2"),
@@ -240,7 +255,7 @@ def h_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS type_from_map,
            CAST(floor(value / 100) AS BIGINT) AS bucket_from_map,
            2 AS map_size,
-           ['bucket', 'type'] AS sorted_keys,
+           'bucket,type' AS sorted_keys,
            event_type AS type_from_entries,
            CAST(floor(value / 100) AS BIGINT) AS bucket_after_concat
     FROM events
@@ -271,7 +286,7 @@ def h_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_from_map"),
         F.element_at(m, "bucket").cast("long").alias("bucket_from_map"),
         F.size(m).alias("map_size"),
-        F.sort_array(F.map_keys(m)).alias("sorted_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("sorted_keys"),
         F.element_at(m2, "type").alias("type_from_entries"),
         F.element_at(mc, "bucket").cast("long").alias("bucket_after_concat"),
     )
@@ -344,9 +359,11 @@ def h_hash_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, pos, CAST(h4[pos + 1] AS DOUBLE) AS elem,
-           flatten([h2, n2]) AS flat4,
+           array_to_string(list_transform(flatten([h2, n2]),
+                x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',') AS flat4,
            CAST(len(list_zip(h2, n2)) AS INTEGER) AS zip_len,
-           list_transform(list_zip(h2, n2), s -> s[1] + s[2]) AS pairwise_sum,
+           array_to_string(list_transform(list_zip(h2, n2),
+                s -> CAST(CAST(s[1] + s[2] AS DECIMAL(18,4)) AS VARCHAR)), ',') AS pairwise_sum,
            CAST(list_position(h4, h4[1]) AS INTEGER) AS first_pos,
            list_contains(h4, h4[2]) AS contains_second
     FROM base, unnest(range(4)) AS t(pos)
@@ -376,10 +393,20 @@ def h_array_nested_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "pos",
             "elem",
-            F.flatten(F.array("h2", "n2")).alias("flat4"),
+            F.array_join(
+                F.transform(
+                    F.flatten(F.array("h2", "n2")),
+                    lambda x: x.cast("decimal(18,4)").cast("string"),
+                ),
+                ",",
+            ).alias("flat4"),
             F.size(F.arrays_zip("h2", "n2")).alias("zip_len"),
-            F.transform(
-                F.arrays_zip("h2", "n2"), lambda s: s["h2"] + s["n2"]
+            F.array_join(
+                F.transform(
+                    F.arrays_zip("h2", "n2"),
+                    lambda s: (s["h2"] + s["n2"]).cast("decimal(18,4)").cast("string"),
+                ),
+                ",",
             ).alias("pairwise_sum"),
             F.array_position("h4", F.element_at("h4", 1)).cast("int").alias("first_pos"),
             F.array_contains("h4", F.element_at("h4", 2)).alias("contains_second"),

@@ -225,10 +225,10 @@ def k8_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
                list_transform(range(length(text) - {FINGERPRINT_GRAM - 1}),
                    i -> substring(md5(substring(text, i + 1, {FINGERPRINT_GRAM})), 1, 16))
-           ))[1:{FINGERPRINT_K}] AS fingerprint
+           ))[1:{FINGERPRINT_K}], ',') AS fingerprint
     FROM documents
     WHERE length(text) >= {FINGERPRINT_GRAM}
     """,
@@ -249,8 +249,9 @@ def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.length("text") >= FINGERPRINT_GRAM)
         .select(
             "doc_id",
-            F.slice(F.sort_array(F.array_distinct(grams)), 1, FINGERPRINT_K).alias(
-                "fingerprint"
-            ),
+            # Comma-joined scalar so the driver canonicalizer can hash it.
+            F.array_join(
+                F.slice(F.sort_array(F.array_distinct(grams)), 1, FINGERPRINT_K), ","
+            ).alias("fingerprint"),
         )
     )

@@ -25,6 +25,22 @@ def test_output_columns_unique_and_named(spark, spec):
         assert "(" not in n and ")" not in n, f"unaliased aggregate column: {n}"
 
 
+@pytest.mark.parametrize("spec", ALL, ids=lambda s: s.name)
+def test_output_columns_are_hashable_scalars(spark, spec):
+    """The driver canonicalizer does pandas.sort_values over every output
+    column and dies on ndarray/dict cells (`unhashable type`) — so no query
+    may emit ARRAY/MAP/STRUCT columns. Serialize nested values to joined
+    strings (array_join / to_json) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = spec.fn(spark, SF_SMOKE)
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{spec.name}.{f.name} is {f.dataType.simpleString()} — "
+            "driver-visible columns must be atomic scalars"
+        )
+
+
 def test_every_oracle_names_a_query():
     for name, spec in REGISTRY.items():
         assert spec.fn is not None, name
