@@ -8,9 +8,15 @@ Methodology (mirrors the reference's published protocol — each data point is
 the mean of repeated runs with identical settings, genomics/README.md:108):
 per query, one untimed warmup run (JVM / codegen / parquet-footer warm-up),
 then the MEAN OF 3 timed runs. Each timed run rebuilds the DataFrame from
-scratch (fresh scan → plan → execute → collect) so no shuffle-stage reuse
-leaks between runs; result sets are small by construction (every headline
-query aggregates or limits).
+scratch (fresh scan → plan → execute → materialize) so no shuffle-stage
+reuse leaks between runs; result sets are small by construction (every
+headline query aggregates or limits).
+
+Materialization protocol — symmetric columnar on both engines: Spark results
+come back via Arrow ``toPandas()`` and DuckDB results via ``.df()``, so both
+sides pay engine + columnar-transfer cost. Row-at-a-time ``collect()`` would
+charge Spark a py4j per-row deserialization tax DuckDB doesn't pay (measured
++0.55s on i3's 95k-row result — more than the query itself).
 
 Storage layout: the fixtures are rewritten once into multi-row-group parquet
 (`daas_apps_spark.sources.layout.compact_dir`) before timing — identical
@@ -54,16 +60,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for spec in specs:
-        rows = spec.fn(spark, run_dir).collect()  # warmup, untimed
+        rows = spec.fn(spark, run_dir).toPandas()  # warmup, untimed
         assert rows is not None
         elapsed = 0.0
         for _ in range(RUNS):
+            # No cross-run reuse: any persist() a query declares is cleared so
+            # every timed run re-executes the full scan→shuffle→agg pipeline.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
-            spec.fn(spark, run_dir).collect()
+            spec.fn(spark, run_dir).toPandas()
             elapsed += time.perf_counter() - t0
         timings[spec.name] = round(elapsed / RUNS, 4)
 
+    duck_timings = _duckdb_timings(run_dir, specs)
+
     total = round(sum(timings.values()), 4)
+    duck_total = round(sum(duck_timings.values()), 4) if duck_timings else None
     print(
         json.dumps(
             {
@@ -71,6 +83,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_queries": duck_timings,
+                "duckdb_total": duck_total,
+                "ratio_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
                 "sf": sf,
                 "runs_per_query": RUNS,
                 "layout": layout,
@@ -78,6 +93,40 @@ def main() -> None:
         )
     )
     sys.stdout.flush()
+
+
+def _duckdb_timings(run_dir: str, specs) -> dict[str, float]:
+    """Time each headline query's DuckDB oracle on the same parquet files.
+
+    Committed alongside the Spark numbers so the recorded bench is
+    self-contained: one JSON line carries both sides of the comparison and a
+    stale external baseline can't contradict it. Same protocol: one untimed
+    warmup, then the mean of RUNS timed executions.
+    """
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover
+        return {}
+    from daas_apps_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        path = os.path.join(run_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    out: dict[str, float] = {}
+    for spec in specs:
+        if not spec.oracle:
+            continue
+        con.sql(spec.oracle).df()  # warmup
+        elapsed = 0.0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).df()
+            elapsed += time.perf_counter() - t0
+        out[spec.name] = round(elapsed / RUNS, 4)
+    return out
     spark.stop()
 
 

@@ -389,27 +389,41 @@ def c5_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def c6_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key + multi-table equi-join: lineitem⋈partsupp(2 keys)⋈part⋈supplier."""
+    """Multi-key + multi-table equi-join: lineitem⋈partsupp(2 keys)⋈part⋈supplier.
+
+    Partial-aggregation pushdown through the join: lineitem is pre-aggregated
+    by the join key pair (one shuffle of scaled-long partials, exact and
+    associative per functions/discipline.py), so the multi-key join and the
+    dimension joins run on the ~|partsupp| reduced relation instead of the
+    raw fact table. No broadcast hint on the derived partsupp side — it is
+    scale-proportional, so at 100 TB AQE keeps a shuffle join; at bench SF
+    AQE converts it to a runtime broadcast (post-shuffle size < threshold).
+    """
     t = tables(spark, sf_dir)
-    partsupp = (
-        t.lineitem.select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .distinct()
-    )
     li = t.lineitem
+    scaled_rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        * 10_000
+    ).cast("long")
+    pre = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("pre_n"),
+        F.sum(scaled_rev).alias("pre_rev"),
+    )
+    partsupp = pre.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    )
     return (
-        li.join(
+        pre.join(
             partsupp,
-            (li.l_partkey == partsupp.ps_partkey) & (li.l_suppkey == partsupp.ps_suppkey),
+            (pre.l_partkey == partsupp.ps_partkey)
+            & (pre.l_suppkey == partsupp.ps_suppkey),
         )
-        .join(F.broadcast(t.part), li.l_partkey == t.part.p_partkey)
-        .join(F.broadcast(t.supplier), li.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(t.part), pre.l_partkey == t.part.p_partkey)
+        .join(F.broadcast(t.supplier), pre.l_suppkey == t.supplier.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("pre_n").alias("n_lines"),
+            (F.sum("pre_rev") / F.lit(10_000.0)).alias("revenue"),
         )
     )
 

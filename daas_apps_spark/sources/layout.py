@@ -85,3 +85,12 @@ def tune_scan_confs(spark) -> None:
     # runtime; at cluster scale this would instead be ~2-3x total cores.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cpus // 2)))
+    # AQE coalesce targets, sized for sub-GB local shuffles: the 64 MB default
+    # advisory size would coalesce every bench shuffle to ONE partition and
+    # single-thread the final aggregates (measured: c6 0.95s with these vs
+    # 1.25s at defaults). At cluster scale leave the defaults — 64 MB
+    # post-shuffle partitions are right when the shuffle is TBs.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 * 1024 * 1024))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", str(256 * 1024)
+    )
