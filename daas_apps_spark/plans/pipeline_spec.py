@@ -20,12 +20,21 @@ refuse-to-overwrite move-commit (FileMover.java:17-26).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from daas_apps_spark.catalog import table
+from daas_apps_spark.catalog import TABLES, table
+
+
+class PipelineSpecError(ValueError):
+    """A spec defect caught by :func:`validate_pipeline` — raised with every
+    problem listed, BEFORE any Spark job runs (the analyzer-style early check;
+    the reference's analog is the up-front BQSR/-S dependency test,
+    SparkCaller.java:401-404)."""
 
 
 def _stage_filter(df: DataFrame, p: dict) -> DataFrame:
@@ -117,10 +126,113 @@ _STAGES = {
 _CONTEXT_STAGES = {"join": _stage_join, "union": _stage_union}
 
 
+# Per-op required parameters (validated before execution).
+_REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
+    "filter": ("condition",),
+    "select": ("columns",),
+    "with_columns": ("columns",),
+    "join": ("table", "on"),
+    "aggregate": ("aggs",),
+    "dedup": ("keys", "order_by"),
+    "sort": ("by",),
+    "limit": ("n",),
+    "union": ("pipeline",),
+}
+_SINK_MODES = ("errorifexists", "error", "overwrite", "append", "ignore")
+_SINK_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def validate_pipeline(
+    spec: dict[str, Any], sf_dir: str | None = None, _where: str = "pipeline"
+) -> None:
+    """Analyzer-style spec validation: reject structural defects up front.
+
+    Pure Python — touches no SparkSession and runs no job, so a typo'd join
+    table or sink mode fails in milliseconds with a spec-level message
+    instead of surfacing as a Spark error mid-run. Checks: source presence,
+    source/join table names (against the catalog and, when ``sf_dir`` is
+    given, the files on disk), per-op required parameters, unknown ops, sink
+    mode/format enums, and contradictory sink options. All problems are
+    reported in one raise.
+    """
+    errors: list[str] = []
+
+    def check_table(name: object, where: str) -> None:
+        if not isinstance(name, str) or name not in TABLES:
+            errors.append(f"{where}: unknown table {name!r}; known: {TABLES}")
+        elif sf_dir is not None and not os.path.exists(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ):
+            errors.append(f"{where}: table {name!r} has no parquet file in {sf_dir}")
+
+    src = spec.get("source")
+    if not isinstance(src, dict) or ("table" not in src and "path" not in src):
+        errors.append(f"{_where}.source: needs 'table' or 'path'")
+    elif "table" in src:
+        check_table(src["table"], f"{_where}.source")
+
+    stages = spec.get("stages", [])
+    if not isinstance(stages, list):
+        errors.append(f"{_where}.stages: must be a list, got {type(stages).__name__}")
+        stages = []
+    for i, stage in enumerate(stages):
+        where = f"{_where}.stages[{i}]"
+        if stage is None:
+            continue  # R17 elision
+        if not isinstance(stage, dict):
+            errors.append(f"{where}: must be a dict or None")
+            continue
+        op = stage.get("op")
+        if op not in _REQUIRED_PARAMS:
+            errors.append(
+                f"{where}: unknown op {op!r}; known: {sorted(_REQUIRED_PARAMS)}"
+            )
+            continue
+        for param in _REQUIRED_PARAMS[op]:
+            if param not in stage:
+                errors.append(f"{where}: op {op!r} requires {param!r}")
+        if op == "join" and "table" in stage:
+            check_table(stage["table"], where)
+        if op == "limit" and not isinstance(stage.get("n"), int):
+            errors.append(f"{where}: limit 'n' must be an int")
+        if op == "union" and isinstance(stage.get("pipeline"), dict):
+            try:
+                validate_pipeline(stage["pipeline"], sf_dir, f"{where}.pipeline")
+            except PipelineSpecError as e:
+                errors.extend(str(e).split("\n")[1:])
+
+    sink = spec.get("sink")
+    if sink is not None:
+        if not isinstance(sink, dict) or "path" not in sink:
+            errors.append(f"{_where}.sink: needs 'path'")
+        else:
+            mode = sink.get("mode", "errorifexists")
+            if mode not in _SINK_MODES:
+                errors.append(
+                    f"{_where}.sink: unknown mode {mode!r}; known: {_SINK_MODES}"
+                )
+            fmt = sink.get("format", "parquet")
+            if fmt not in _SINK_FORMATS:
+                errors.append(
+                    f"{_where}.sink: unknown format {fmt!r}; known: {_SINK_FORMATS}"
+                )
+            if sink.get("partition_by") and sink.get("single_file", False):
+                errors.append(
+                    f"{_where}.sink: partition_by and single_file are contradictory"
+                    " — a partitioned layout is multiple files by definition"
+                )
+
+    if errors:
+        raise PipelineSpecError(
+            f"{len(errors)} spec error(s), nothing executed:\n" + "\n".join(errors)
+        )
+
+
 def build_pipeline(
     spark: SparkSession, spec: dict[str, Any], sf_dir: str
 ) -> DataFrame:
     """Interpret a pipeline spec into one lazy DataFrame DAG."""
+    validate_pipeline(spec, sf_dir)
     src = spec["source"]
     if "table" in src:
         df = table(spark, sf_dir, src["table"])
@@ -154,10 +266,147 @@ def run_pipeline(
     sink = spec.get("sink")
     if not sink:
         return df
-    writer = df.write.mode(sink.get("mode", "errorifexists"))
+    # partition_by + single_file is rejected by validate_pipeline (the pair is
+    # contradictory), so exactly one shaping applies here.
+    out = df.coalesce(1) if sink.get("single_file", False) else df
+    writer = out.write.mode(sink.get("mode", "errorifexists"))
     if sink.get("partition_by"):
         writer = writer.partitionBy(*sink["partition_by"])
-    if sink.get("single_file", False):
-        writer = df.coalesce(1).write.mode(sink.get("mode", "errorifexists"))
     writer.format(sink.get("format", "parquet")).save(sink["path"])
     return None
+
+
+# ---------------------------------------------------------------------------
+# File front-end: the "config IS the plan" lifecycle (SURVEY §3.1 step 2).
+# The reference boots from a Properties file + CLI (MiscUtils.java:44-64,
+# SparkCaller.java:388-426, Runner.java:73-117); the engine accepts the same
+# shape — a flat key=value .properties file — plus JSON for nested specs.
+# ---------------------------------------------------------------------------
+
+_LIST_KEYS = {
+    "columns", "group_by", "keys", "order_by", "by", "on", "select",
+    "partition_by",
+}
+_BOOL_KEYS = {"broadcast", "single_file", "enabled"}
+_INT_KEYS = {"n"}
+
+
+def _coerce(key: str, value: str) -> Any:
+    if key in _LIST_KEYS:
+        return [v.strip() for v in value.split(",") if v.strip()]
+    if key in _BOOL_KEYS:
+        return value.strip().lower() in ("true", "yes", "1")
+    if key in _INT_KEYS:
+        return int(value.strip())
+    return value.strip()
+
+
+def parse_properties_spec(text: str) -> dict[str, Any]:
+    """Parse a flat ``key=value`` pipeline spec (Properties-style).
+
+    Grammar (one logical line per key; ``#``/``!`` comments, blank lines ok):
+
+    - ``source.table=lineitem`` or ``source.path=/data/x.parquet``
+      (+ ``source.format=``, ``source.schema=``)
+    - ``stage.<N>.op=<op>`` plus the op's params, e.g.
+      ``stage.1.condition=...``; list params comma-split; per-column maps as
+      ``stage.<N>.agg.<name>=<expr>`` (aggregate) and
+      ``stage.<N>.col.<name>=<expr>`` (with_columns). Stages run in numeric
+      ``<N>`` order; like the reference's Properties plan, a missing number
+      is simply absent — presence of the key enables the stage (R17).
+    - ``sink.path=`` / ``sink.mode=`` / ``sink.format=`` /
+      ``sink.partition_by=`` / ``sink.single_file=``
+
+    Nested pipelines (the ``union`` op) need the JSON front-end; properties
+    is deliberately the flat fixed-topology subset the reference supports.
+    """
+    source: dict[str, Any] = {}
+    sink: dict[str, Any] = {}
+    stages: dict[int, dict[str, Any]] = {}
+    for lineno, raw in enumerate(text.splitlines(), 1):
+        line = raw.strip()
+        if not line or line.startswith(("#", "!")):
+            continue
+        if "=" not in line:
+            raise PipelineSpecError(f"line {lineno}: not a key=value pair: {line!r}")
+        key, value = line.split("=", 1)
+        parts = key.strip().split(".")
+        if parts[0] == "source" and len(parts) == 2:
+            source[parts[1]] = _coerce(parts[1], value) if parts[1] != "path" else value.strip()
+        elif parts[0] == "sink" and len(parts) == 2:
+            sink[parts[1]] = _coerce(parts[1], value) if parts[1] != "path" else value.strip()
+        elif parts[0] == "stage" and len(parts) >= 3 and parts[1].isdigit():
+            st = stages.setdefault(int(parts[1]), {})
+            if len(parts) == 3:
+                st[parts[2]] = _coerce(parts[2], value)
+            elif len(parts) == 4 and parts[2] in ("agg", "col"):
+                field = {"agg": "aggs", "col": "columns"}[parts[2]]
+                st.setdefault(field, {})[parts[3]] = value.strip()
+            else:
+                raise PipelineSpecError(f"line {lineno}: unrecognized key {key!r}")
+        else:
+            raise PipelineSpecError(f"line {lineno}: unrecognized key {key!r}")
+    spec: dict[str, Any] = {"source": source}
+    if stages:
+        spec["stages"] = [stages[i] for i in sorted(stages)]
+    if sink:
+        spec["sink"] = sink
+    return spec
+
+
+def load_spec(path: str) -> dict[str, Any]:
+    """Load a pipeline spec file: ``.json`` → JSON, anything else →
+    Properties-style ``key=value``."""
+    with open(path) as fh:
+        text = fh.read()
+    if path.endswith(".json"):
+        spec = json.loads(text)
+        if not isinstance(spec, dict):
+            raise PipelineSpecError(f"{path}: top-level JSON must be an object")
+        return spec
+    return parse_properties_spec(text)
+
+
+def run_pipeline_file(
+    spark: SparkSession, path: str, sf_dir: str
+) -> DataFrame | None:
+    """Load, validate, and run a spec file — byte-equal to the dict path."""
+    return run_pipeline(spark, load_spec(path), sf_dir)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``python -m daas_apps_spark.plans.pipeline_spec <spec> [sf_dir]``.
+
+    The SparkCaller.main analog: config in, pipeline out. With a sink the
+    pipeline writes and prints nothing; without one the result preview is
+    printed (20 rows, truncated).
+    """
+    import argparse
+
+    from daas_apps_spark.catalog import DEFAULT_SF_DIR
+    from daas_apps_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(
+        prog="daas_apps_spark.plans.pipeline_spec",
+        description="Run a declarative pipeline spec (JSON or key=value properties).",
+    )
+    ap.add_argument("spec", help="path to the spec file (.json or .properties)")
+    ap.add_argument("sf_dir", nargs="?", default=DEFAULT_SF_DIR,
+                    help=f"fixture directory (default {DEFAULT_SF_DIR})")
+    ap.add_argument("--validate-only", action="store_true",
+                    help="check the spec and exit without running")
+    args = ap.parse_args(argv)
+
+    spec = load_spec(args.spec)
+    validate_pipeline(spec, args.sf_dir)
+    if args.validate_only:
+        print(f"{args.spec}: ok")
+        return 0
+    df = run_pipeline_file(get_spark("pipeline-spec-cli"), args.spec, args.sf_dir)
+    if df is not None:
+        df.show(20, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -47,3 +47,157 @@ def test_spec_pipeline_matches_handwritten(spark):
     df = build_pipeline(spark, SEGMENT_REVENUE_SPEC, SF_SMOKE)
     assert df.count() > 0
     assert {"c_mktsegment", "order_year", "n_best_orders", "revenue"} <= set(df.columns)
+
+
+# ---------------------------------------------------------------------------
+# File front-end (SparkCaller.main / MiscUtils.loadConfigFile analog)
+# ---------------------------------------------------------------------------
+
+
+def test_json_spec_file_equals_dict_path(spark, tmp_path):
+    """The quick-start pipeline run from a JSON spec file is byte-equal to
+    the in-memory dict path."""
+    import json
+
+    from daas_apps_spark.plans.pipeline_spec import run_pipeline_file
+
+    path = tmp_path / "segment_revenue.json"
+    path.write_text(json.dumps(SEGMENT_REVENUE_SPEC))
+    from_file = run_pipeline_file(spark, str(path), SF_SMOKE)
+    from_dict = run_pipeline(spark, SEGMENT_REVENUE_SPEC, SF_SMOKE)
+    assert from_file.schema == from_dict.schema
+    assert sorted(map(tuple, from_file.collect())) == sorted(
+        map(tuple, from_dict.collect())
+    )
+
+
+def test_properties_spec_file_equals_dict_path(spark, tmp_path):
+    """Reference-style flat key=value spec: same pipeline, same results."""
+    from daas_apps_spark.plans.pipeline_spec import load_spec, run_pipeline_file
+
+    props = """
+    # best-order revenue per segment (flat subset)
+    source.table=orders
+    stage.1.op=filter
+    stage.1.condition=o_totalprice > 50000
+    stage.2.op=with_columns
+    stage.2.col.order_year=year(o_orderdate)
+    stage.3.op=join
+    stage.3.table=customer
+    stage.3.on=o_custkey
+    stage.3.broadcast=true
+    stage.3.select=c_custkey AS o_custkey, c_mktsegment
+    stage.4.op=aggregate
+    stage.4.group_by=c_mktsegment,order_year
+    stage.4.agg.n_orders=COUNT(*)
+    stage.5.op=sort
+    stage.5.by=c_mktsegment ASC, order_year ASC
+    stage.6.op=limit
+    stage.6.n=1000
+    """
+    path = tmp_path / "segment.properties"
+    path.write_text("\n".join(line.strip() for line in props.splitlines()))
+    spec = load_spec(str(path))
+    assert spec["stages"][0] == {"op": "filter", "condition": "o_totalprice > 50000"}
+    assert spec["stages"][2]["on"] == ["o_custkey"]
+    assert spec["stages"][2]["broadcast"] is True
+    assert spec["stages"][3]["aggs"] == {"n_orders": "COUNT(*)"}
+    assert spec["stages"][5] == {"op": "limit", "n": 1000}
+    df = run_pipeline_file(spark, str(path), SF_SMOKE)
+    dict_df = run_pipeline(spark, spec, SF_SMOKE)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, dict_df.collect()))
+
+
+def test_properties_sink_roundtrip(spark, tmp_path):
+    from daas_apps_spark.plans.pipeline_spec import run_pipeline_file
+
+    out = tmp_path / "out"
+    path = tmp_path / "sink.properties"
+    path.write_text(
+        "source.table=region\n"
+        "stage.1.op=select\n"
+        "stage.1.columns=r_regionkey,r_name\n"
+        f"sink.path={out}\n"
+        "sink.mode=overwrite\n"
+    )
+    assert run_pipeline_file(spark, str(path), SF_SMOKE) is None
+    assert spark.read.parquet(str(out)).count() == 5
+
+
+def test_cli_validate_only(tmp_path, capsys):
+    """--validate-only checks the spec without touching Spark."""
+    from daas_apps_spark.plans.pipeline_spec import main
+
+    path = tmp_path / "ok.properties"
+    path.write_text("source.table=nation\nstage.1.op=filter\nstage.1.condition=1=1\n")
+    assert main([str(path), SF_SMOKE, "--validate-only"]) == 0
+    assert "ok" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# Analyzer-style validation: spec errors BEFORE any job runs
+# ---------------------------------------------------------------------------
+
+
+def test_validation_catches_everything_at_once():
+    """Unknown source table, join typo, missing param, bad sink mode, and
+    the contradictory sink pair — one raise, all listed, no SparkSession."""
+    from daas_apps_spark.plans.pipeline_spec import (
+        PipelineSpecError,
+        validate_pipeline,
+    )
+
+    spec = {
+        "source": {"table": "lineitme"},  # typo
+        "stages": [
+            {"op": "join", "table": "ordres"},  # typo + missing 'on'
+            {"op": "filter"},  # missing 'condition'
+            {"op": "limit", "n": "ten"},  # non-int
+        ],
+        "sink": {
+            "path": "/tmp/x",
+            "mode": "overwite",  # typo
+            "partition_by": ["a"],
+            "single_file": True,
+        },
+    }
+    with pytest.raises(PipelineSpecError) as ei:
+        validate_pipeline(spec)
+    msg = str(ei.value)
+    for frag in (
+        "lineitme",
+        "ordres",
+        "requires 'on'",
+        "requires 'condition'",
+        "must be an int",
+        "overwite",
+        "contradictory",
+    ):
+        assert frag in msg, f"missing {frag!r} in:\n{msg}"
+
+
+def test_validation_checks_fixture_files_exist():
+    from daas_apps_spark.plans.pipeline_spec import (
+        PipelineSpecError,
+        validate_pipeline,
+    )
+
+    spec = {"source": {"table": "nation"}}
+    validate_pipeline(spec, SF_SMOKE)  # file exists → fine
+    with pytest.raises(PipelineSpecError, match="no parquet file"):
+        validate_pipeline(spec, "/nonexistent/dir")
+
+
+def test_validation_runs_before_execution(spark, tmp_path):
+    """A bad spec with a sink must fail BEFORE writing anything."""
+    from daas_apps_spark.plans.pipeline_spec import PipelineSpecError, run_pipeline
+
+    out = tmp_path / "never_written"
+    spec = {
+        "source": {"table": "region"},
+        "stages": [{"op": "join", "table": "nopetable", "on": ["x"]}],
+        "sink": {"path": str(out)},
+    }
+    with pytest.raises(PipelineSpecError, match="nopetable"):
+        run_pipeline(spark, spec, SF_SMOKE)
+    assert not out.exists()
