@@ -48,6 +48,15 @@ def asof_join(
     drops unmatched left rows, 'left' keeps them with nulls.
     """
     on = list(on)
+    # The implementation owns these working names; a caller frame already
+    # using one would produce ambiguous/corrupt columns, so fail loudly.
+    reserved = {"__ts", "__is_right", "__payload", "__match"}
+    for side, df in (("left", left), ("right", right)):
+        clash = reserved & set(df.columns)
+        if clash:
+            raise ValueError(f"asof_join: {side} frame uses reserved column(s) {sorted(clash)}")
+    if "__t" in right_payload:
+        raise ValueError("asof_join: right_payload may not contain reserved name '__t'")
     payload_struct = F.struct(
         F.col(right_time).alias("__t"), *[F.col(c) for c in right_payload]
     )

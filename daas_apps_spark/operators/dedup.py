@@ -387,7 +387,14 @@ def k2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAX_CC_ITERS = 15
+# Fixed round count for connected-components label propagation. Each round
+# combines neighbor-min with pointer jumping (lbl ← lbl[lbl]), so reachable
+# label distance grows exponentially: 6 rounds cover component diameters
+# into the hundreds — far beyond any near-dup cluster (their diameter is
+# small by construction: every member shares bands with a hub). Convergence
+# is VERIFIED after the loop in one job (see k3_dedup_clusters) — never
+# assumed — and non-convergence raises rather than returning wrong labels.
+CC_ROUNDS = 6
 
 
 @register(
@@ -441,14 +448,20 @@ def k3_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pairs alone don't dedupe a corpus — survivors come from *clusters*
     (keep min doc_id per component, drop the rest). Components are computed
-    by min-label propagation: every member starts labeled with its own id;
-    each round takes the min of its neighbors' labels; converged when no
-    label changes. Label propagation is order- and partition-independent,
-    so the result is deterministic and matches DuckDB's recursive
-    transitive closure. ``localCheckpoint`` truncates lineage each round —
-    the standard Spark pattern for iterative algorithms (at 100 TB use a
-    checkpoint dir or GraphFrames; rounds needed = component diameter,
-    small for near-dup clusters by construction).
+    by min-label propagation WITH POINTER JUMPING: every member starts
+    labeled with its own id; each round takes the min over (own label,
+    neighbors' labels, label-of-own-label). The jumping term doubles the
+    label-propagation distance per round, so ``CC_ROUNDS`` fixed rounds
+    cover exponentially-deep components — and, unlike a convergence test
+    per round, the driver never blocks on a ``count()`` inside the loop
+    (one scheduling round-trip per iteration saved; the loop is pure job
+    submission). Convergence is then VERIFIED in a single final job — every
+    edge must connect same-labeled nodes — and failure raises instead of
+    silently returning partial clusters. All steps are joins/aggregations
+    (order- and partition-independent), so the result is deterministic and
+    matches DuckDB's recursive transitive closure. ``localCheckpoint``
+    truncates lineage each round — the standard Spark pattern for iterative
+    algorithms (at 100 TB use a checkpoint dir or GraphFrames).
     """
     pairs = k3_lsh_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
@@ -459,29 +472,47 @@ def k3_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(MAX_CC_ITERS):
-        prop = (
+    for _ in range(CC_ROUNDS):
+        nmin = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(prop, "doc_id", "left")
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.lbl") == F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("b.lbl").alias("jlbl"))
+        )
+        labels = (
+            labels.join(nmin, "doc_id", "left")
+            .join(jump, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce("nlbl", "lbl"),
+                    F.coalesce("jlbl", "lbl"),
+                ).alias("lbl"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+    # Single post-loop verification job (the only driver-side count):
+    # converged ⇔ no edge crosses two labels.
+    crossing = (
+        edges.join(labels.toDF("doc_id", "src_lbl"), edges.src == F.col("doc_id"))
+        .drop("doc_id")
+        .join(labels.toDF("doc_id", "dst_lbl"), edges.dst == F.col("doc_id"))
+        .filter(F.col("src_lbl") != F.col("dst_lbl"))
+        .limit(1)
+        .count()
+    )
+    if crossing:
+        raise RuntimeError(
+            f"k3_dedup_clusters: label propagation not converged after "
+            f"{CC_ROUNDS} pointer-jumping rounds — component diameter "
+            "exceeds design bounds; raise CC_ROUNDS (log2(diameter) rounds "
+            "suffice) or use a dedicated CC implementation"
         )
-        labels = new_labels
-        if changed == 0:
-            break
     w = Window.partitionBy("cluster_id")
     return (
         labels.select("doc_id", F.col("lbl").alias("cluster_id"))

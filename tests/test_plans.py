@@ -30,9 +30,12 @@ def test_q1_filter_pushdown_and_partial_agg(spark):
 
 def test_q1_column_pruning(spark):
     plan = plan_of(spark, "q1_pricing_summary")
-    # ReadSchema must not include untouched wide columns
-    assert "l_comment" not in plan
-    assert "l_shipmode" not in plan
+    # The fixture has 11 lineitem columns; q1 touches 7. The 4 untouched key
+    # columns must be pruned out of the scan's ReadSchema.
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in plan, f"{unused} not pruned from scan"
+    for used in ("l_returnflag", "l_linestatus"):
+        assert used in plan
 
 
 def test_c5_broadcasts_the_dim_side(spark):

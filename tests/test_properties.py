@@ -134,6 +134,23 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[r.lid] == expect, f"lid={r.lid}"
 
 
+def test_asof_join_rejects_reserved_column_names(spark):
+    """Frames already carrying the implementation's working names would be
+    silently corrupted — must raise instead."""
+    import pytest
+
+    l = spark.createDataFrame([(1, 10, 0)], "k int, lts long, __ts long")
+    r = spark.createDataFrame([(1, 5, 7)], "k int, rts long, payload long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l, r, on=["k"], left_time="lts", right_time="rts",
+                  right_payload=["payload"])
+    l2 = spark.createDataFrame([(1, 10)], "k int, lts long")
+    r2 = spark.createDataFrame([(1, 5, 7)], "k int, rts long, __t long")
+    with pytest.raises(ValueError, match="__t"):
+        asof_join(l2, r2, on=["k"], left_time="lts", right_time="rts",
+                  right_payload=["__t"])
+
+
 # ---------------------------------------------------------------------------
 # Salted aggregation (R12) equals the unsalted aggregate for any salt fanout.
 # ---------------------------------------------------------------------------
