@@ -48,6 +48,24 @@ def test_c6_no_cartesian_and_single_fact_pipeline(spark):
     plan = plan_of(spark, "c6_multikey_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # Partial-aggregation pushdown: lineitem reduces to (partkey, suppkey)
+    # partials BEFORE any join — the joins run on the reduced relation
+    # (broadcast at smoke SF; AQE may pick SMJ at cluster scale).
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_i1_partial_agg_before_single_shuffle(spark):
+    """The tumbling-window aggregate must combine map-side: partial
+    count/sum feed ONE hash exchange — the shape that scales to 100 TB
+    (shuffle volume = distinct (window, type) partials, not raw events)."""
+    plan = plan_of(spark, "i1_tumbling_window")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("+- Exchange") == 1
+    exchange_pos = plan.index("+- Exchange")
+    # the partial HashAggregate sits BELOW (after, in tree text) the exchange
+    assert "HashAggregate" in plan[exchange_pos:], "no map-side combine"
 
 
 def test_c7_range_join_broadcasts_band_side(spark):
