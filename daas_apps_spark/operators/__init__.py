@@ -13,6 +13,8 @@ Module map (SURVEY.md §2 categories):
 - ``text``        — K5/K6/K8 text analysis, quality, TF/DF
 - ``multimodal``  — K7 binary-payload column handling
 - ``streaming_batch`` — I1-I7 event-time logic in batch-equivalence mode
+- ``corpus``      — K9-K11 corpus construction: hash sampling, splits,
+  token counting, chunking, PII redaction, quality census, mini pipeline
 """
 
 # Registration order is deliberate: the driver's correctness budget verified
@@ -22,6 +24,7 @@ Module map (SURVEY.md §2 categories):
 # truncates again, it verifies the previously-untouched surface first.
 from daas_apps_spark.sources import io  # noqa: F401  (A2-A7 round-trips)
 from daas_apps_spark.operators import (  # noqa: F401
+    corpus,
     asof,
     udfs,
     dedup,

@@ -1,0 +1,368 @@
+"""K9-K11: training-corpus construction operators — deterministic sampling,
+train/test splitting, token counting, chunking, PII redaction, quality
+reporting, and an end-to-end corpus pipeline.
+
+These are the operations a 100 TB LLM-data pipeline runs between "raw
+documents" and "training shards". Design rules shared by every operator:
+
+- **Sampling is a pure content function, never RNG.** Sample membership is
+  decided by an md5-derived integer of the stable key (same trick as the
+  minhash base hash, operators/dedup.py) — partition-independent,
+  re-runnable, and exactly reproducible in the DuckDB oracle. Spark's
+  ``df.sample()`` is seed+partition dependent and cannot be oracle-checked.
+- **Everything stays in whole-stage codegen.** Per-row expressions only
+  (regexp/substring/conv), plus at most one aggregation shuffle; no Python
+  in any hot path.
+- **Counts over payloads.** Operators that *measure* text (token counts,
+  redaction spans) return scalar counts/lengths so the driver canonicalizer
+  hashes them; chunk/redact operators that return text return plain string
+  columns.
+
+Reference analog: the reference's pipeline selects/splits inputs by naming
+convention before the heavy stages (MiscUtils.getFilesInFolder,
+MiscUtils.java:15-38); here selection is content-hash-driven so it survives
+re-partitioning and re-runs at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+# 28-bit md5-prefix int of the doc_id — identical on both engines.
+_H_SPARK = "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)"
+_H_DUCK = "('0x' || substring(md5(cast(doc_id as varchar)), 1, 7))::BIGINT"
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation —
+# the shape (not the vocab) of a GPT-2-style pre-tokenization pass.
+_BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "k9_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_H_DUCK} % 1000 < 80
+    """,
+    tags=("K9", "K1"),
+)
+def k9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~8% Bernoulli sample by content-hash threshold.
+
+    ``hash(doc_id) % 1000 < 80`` — membership is a property of the row, not
+    of the partitioning or a seed, so the sample is identical across
+    cluster sizes, retries, and engines. This is the only sampling
+    construction that can be oracle-verified exactly.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.expr(f"{_H_SPARK} % 1000 < 80")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "k9_train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_H_DUCK} % 100 < 80 THEN 'train'
+                WHEN {_H_DUCK} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("K9",),
+)
+def k9_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment by stable hash.
+
+    Hash-based splitting keeps a document in the same split forever — the
+    property that prevents train/test leakage when the corpus is rebuilt
+    incrementally. Emits the split × language census (a skewed language
+    balance in 'test' is the classic silent eval bug).
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(f"{_H_SPARK} % 100")
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    ).alias("split")
+    return d.groupBy(split, "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "k9_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_H_DUCK} % 1000 <
+          CASE WHEN lang IN ('en', 'es') THEN 50 ELSE 200 END
+    """,
+    tags=("K9",),
+)
+def k9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-language rates (downsample high-resource,
+    upsample low-resource) via group-dependent hash thresholds.
+
+    The rate lives in the threshold, so stratification needs NO shuffle and
+    no per-group state — at 100 TB this is a pure scan-side filter, unlike
+    ``sampleBy`` which is seeded per partition and not reproducible.
+    """
+    d = table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang").isin("en", "es"), 50).otherwise(200)
+    return d.filter(F.expr(f"{_H_SPARK} % 1000") < threshold).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "k10_token_count",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars_exact,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+               AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INTEGER)
+               AS n_bpe_tokens
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    tags=("K10", "K5"),
+)
+def k10_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish pre-tokenizer regex.
+
+    The BPE-ish pattern (letter runs | single digits | single punctuation)
+    is the standard pre-tokenization shape; its count is the budget estimate
+    training pipelines bill by. Both counts are single-pass regexp
+    expressions — no UDF, fully codegen'd.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_exact"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+_CHUNK_SIZE = 80
+_CHUNK_STRIDE = 40
+
+
+@register(
+    "k10_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                     {_CHUNK_SIZE}) AS chunk,
+           CAST(length(substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                                 {_CHUNK_SIZE})) AS INTEGER) AS chunk_len
+    FROM documents,
+         unnest(range(((length(text) - 1) // {_CHUNK_STRIDE}) + 1)) AS t(i)
+    WHERE doc_id % 20 = 0 AND length(text) > 0
+    """,
+    tags=("K10",),
+)
+def k10_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 80-char windows, 40-char stride.
+
+    ``explode(sequence(...))`` fans each document into its chunk index space
+    JVM-side; the chunk text is a ``substring`` per row. The fan-out factor
+    is len/stride ≈ 2× rows — bounded and shuffle-free (chunking is a map
+    stage; the downstream shard-writer does the one repartition). The demo
+    subsets doc_id % 20 to keep the oracle result compact.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_chunks = (F.floor((F.length("text") - 1) / _CHUNK_STRIDE) + 1).cast("int")
+    chunk = F.substring(
+        F.col("text"), F.col("i") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return (
+        d.filter((F.col("doc_id") % 20 == 0) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "k10_pii_redact",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com id:' || CAST(doc_id * 7919 AS VARCHAR)
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '<EMAIL>', 'g'),
+               '[0-9]{3,}')) AS INTEGER) AS n_num_spans,
+           CAST(length(regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '<EMAIL>', 'g'),
+               '[0-9]{3,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+    FROM enriched
+    """,
+    tags=("K10", "K6"),
+)
+def k10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: e-mail and long-digit-run redaction with span counts.
+
+    The fixture text is synthetic words, so a deterministic contact line is
+    appended first (same construction in the oracle) to give the patterns
+    real matches; the operator itself — regexp_replace chains + span counts
+    — is exactly the production shape. Spark's ``regexp_replace`` replaces
+    all occurrences; the DuckDB twin needs the explicit ``'g'`` flag.
+    Order matters and is pinned: e-mails are redacted BEFORE digit runs so
+    a numeric local-part isn't double-counted.
+    """
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    num_pat = "[0-9]{3,}"
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id:"),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    no_email = F.regexp_replace(raw, email_pat, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(email_pat), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(no_email, F.lit(num_pat), F.lit(0))).alias(
+            "n_num_spans"
+        ),
+        F.length(F.regexp_replace(no_email, num_pat, "<NUM>"))
+        .cast("long")
+        .alias("redacted_len"),
+    )
+
+
+@register(
+    "k11_quality_report",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_blank
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("K11", "D1"),
+)
+def k11_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-quality census per language: volume, source diversity,
+    length distribution, short/blank pathology counts.
+
+    The pre-training gate every corpus build runs before spending GPU time.
+    One aggregation shuffle; the integer sums are exact, and avg is the
+    same double division on both engines (bit-identical).
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+        F.sum(F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_blank"),
+    )
+
+
+@register(
+    "k11_corpus_pipeline",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, text, sha256(text) AS digest
+        FROM documents
+    ),
+    deduped AS (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id ASC) AS rn
+        FROM hashed
+    ),
+    sampled AS (
+        SELECT doc_id, lang, text FROM deduped
+        WHERE rn = 1 AND {_H_DUCK} % 100 < 50
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_ws_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / COUNT(*) AS avg_ws_tokens
+    FROM sampled
+    GROUP BY lang
+    """,
+    tags=("K11", "K1", "K9", "K5"),
+    bench=True,
+)
+def k11_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mini corpus build: exact-dedup → hash-sample 50% → token
+    census per language.
+
+    The composition is the point: dedup's window, the sampling filter, and
+    the final aggregation all land in ONE DataFrame plan — Catalyst pushes
+    the sampling filter below the dedup window's shuffle partner where legal
+    and prunes text columns it never needs. Three stages total at any scale:
+    scan → digest-window shuffle → aggregate shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select("doc_id", "lang", "text", F.sha2("text", 256).alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.expr(f"{_H_SPARK} % 100 < 50")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws_tokens).cast("long").alias("total_ws_tokens"),
+            (F.sum(ws_tokens).cast("double") / F.count(F.lit(1))).alias(
+                "avg_ws_tokens"
+            ),
+        )
+    )
