@@ -110,6 +110,20 @@ def _stage_limit(df: DataFrame, p: dict) -> DataFrame:
     return df.limit(p["n"])
 
 
+def _stage_sample(df: DataFrame, p: dict) -> DataFrame:
+    """Deterministic hash sample (K9 semantics): keep rows whose md5-derived
+    integer of ``key`` falls under ``permille``/1000. A pure content
+    function — reproducible across partitionings, engines, and re-runs,
+    unlike seeded ``df.sample``."""
+    key, permille = p["key"], p["permille"]
+    return df.filter(
+        F.expr(
+            f"cast(conv(substring(md5(cast({key} as string)), 1, 7), 16, 10)"
+            f" as bigint) % 1000 < {int(permille)}"
+        )
+    )
+
+
 def _stage_union(df: DataFrame, p: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.unionByName(build_pipeline(spark, p["pipeline"], sf_dir))
 
@@ -122,6 +136,7 @@ _STAGES = {
     "dedup": _stage_dedup,
     "sort": _stage_sort,
     "limit": _stage_limit,
+    "sample": _stage_sample,
 }
 _CONTEXT_STAGES = {"join": _stage_join, "union": _stage_union}
 
@@ -136,6 +151,7 @@ _REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "dedup": ("keys", "order_by"),
     "sort": ("by",),
     "limit": ("n",),
+    "sample": ("key", "permille"),
     "union": ("pipeline",),
 }
 _SINK_MODES = ("errorifexists", "error", "overwrite", "append", "ignore")
@@ -195,6 +211,10 @@ def validate_pipeline(
             check_table(stage["table"], where)
         if op == "limit" and not isinstance(stage.get("n"), int):
             errors.append(f"{where}: limit 'n' must be an int")
+        if op == "sample" and "permille" in stage:
+            pm = stage["permille"]
+            if not isinstance(pm, int) or not (0 <= pm <= 1000):
+                errors.append(f"{where}: sample 'permille' must be an int in [0, 1000]")
         if op == "union" and isinstance(stage.get("pipeline"), dict):
             try:
                 validate_pipeline(stage["pipeline"], sf_dir, f"{where}.pipeline")
@@ -288,7 +308,7 @@ _LIST_KEYS = {
     "partition_by",
 }
 _BOOL_KEYS = {"broadcast", "single_file", "enabled"}
-_INT_KEYS = {"n"}
+_INT_KEYS = {"n", "permille"}
 
 
 def _coerce(key: str, value: str) -> Any:

@@ -124,6 +124,38 @@ def test_properties_sink_roundtrip(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 5
 
 
+def test_sample_stage_deterministic_and_validated(spark, tmp_path):
+    """The 'sample' op keeps the K9 hash-threshold subset — identical to the
+    registered k9_hash_sample query — and rejects bad permille up front."""
+    from daas_apps_spark.plans.pipeline_spec import (
+        PipelineSpecError,
+        run_pipeline_file,
+        validate_pipeline,
+    )
+    from daas_apps_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    path = tmp_path / "sample.properties"
+    path.write_text(
+        "source.table=documents\n"
+        "stage.1.op=sample\n"
+        "stage.1.key=doc_id\n"
+        "stage.1.permille=80\n"
+        "stage.2.op=select\n"
+        "stage.2.columns=doc_id\n"
+    )
+    got = {r.doc_id for r in run_pipeline_file(spark, str(path), SF_SMOKE).collect()}
+    want = {
+        r.doc_id for r in REGISTRY["k9_hash_sample"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+    with pytest.raises(PipelineSpecError, match="permille"):
+        validate_pipeline(
+            {"source": {"table": "documents"},
+             "stages": [{"op": "sample", "key": "doc_id", "permille": 2000}]}
+        )
+
+
 def test_cli_validate_only(tmp_path, capsys):
     """--validate-only checks the spec without touching Spark."""
     from daas_apps_spark.plans.pipeline_spec import main
