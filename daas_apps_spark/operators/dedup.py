@@ -201,6 +201,15 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard runs solely on colliding candidates, so the O(n²)
     comparison never materializes — the property that makes this the scale
     path at 100 TB.
+
+    ``localCheckpoint`` materializes the two multiply-consumed
+    intermediates: Spark has no cross-branch common-subexpression reuse, so
+    without it the tokenize→shingle stage (the CPU-heaviest step — HOFs run
+    interpreted per element) executes FOUR times (both self-join sides +
+    both candidate-verify joins). Checkpointed, it runs once per query
+    execution — repaid every run, no cross-run caching. At 100 TB use a
+    checkpoint dir (survives executor loss); the stored shingle relation is
+    ~2× corpus size, the standard space-for-CPU trade of every LSH build.
     """
     d = table(spark, sf_dir, "documents")
     sh = (
@@ -208,6 +217,7 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") >= 3)
         .withColumn("shingles", shingles_col(F.col("tokens")))
         .select("doc_id", "shingles")
+        .localCheckpoint()
     )
     sigs = sh.select("doc_id", base_hash_spark()).select(
         "doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)]
@@ -217,7 +227,7 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias(
             "band_key"
         ),
-    )
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
