@@ -338,3 +338,78 @@ def k4_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+@register(
+    "k4_label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+        FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label, pos, SUM(val) / COUNT(*) AS c FROM ex GROUP BY label, pos
+    ),
+    cn AS (
+        SELECT label, sqrt(SUM(c * c)) AS cnorm FROM cent GROUP BY label
+    ),
+    pv AS (
+        SELECT ex.vec_id, ex.label,
+               SUM(ex.val * cent.c) AS dotc,
+               sqrt(SUM(ex.val * ex.val)) AS vnorm
+        FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+        GROUP BY ex.vec_id, ex.label
+    )
+    SELECT pv.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(MAX(cn.cnorm), 4) AS centroid_norm,
+           ROUND(AVG(pv.vnorm), 4) AS avg_vec_norm,
+           ROUND(AVG(pv.dotc / (pv.vnorm * cn.cnorm)), 4) AS avg_cos_to_centroid
+    FROM pv JOIN cn ON pv.label = cn.label
+    GROUP BY pv.label
+    """,
+    tags=("K4", "K11", "D1"),
+)
+def k4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids + intra-class coherence report.
+
+    The corpus-quality signal for labeled embedding collections: a class
+    whose members barely point at their own centroid (low
+    ``avg_cos_to_centroid``) is mislabeled or incoherent — the standard
+    pre-training triage before class-balanced sampling.
+
+    Shape: posexplode → (label, pos) mean → join back → per-vec dot — two
+    aggregation shuffles and one join, all on narrow (id, pos, val) rows;
+    no array ever crosses a shuffle, so at 100 TB the shuffle volume is
+    dims × rows scalars, and skew is impossible (pos is uniform). Sums are
+    rounded to 4 decimals at the report edge only (double addition order
+    differs between engines at ~1e-16 relative — same discipline as the
+    D7 statistical aggregates).
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "val")
+    )
+    cent = e.groupBy("label", "pos").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("c")
+    )
+    cn = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"))
+    pv = (
+        e.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dotc"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm"),
+        )
+    )
+    return (
+        pv.join(cn, "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("cnorm"), 4).alias("centroid_norm"),
+            F.round(F.avg("vnorm"), 4).alias("avg_vec_norm"),
+            F.round(F.avg(F.col("dotc") / (F.col("vnorm") * F.col("cnorm"))), 4).alias(
+                "avg_cos_to_centroid"
+            ),
+        )
+    )

@@ -163,3 +163,33 @@ def a7_single_file_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("s_acctbal").alias("total_bal")
     )
+
+
+@register(
+    "a9_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A9", "A5"),
+)
+def a9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC sink → ORC scan → aggregate (third columnar format).
+
+    ORC is Spark-native (vectorized reader, predicate pushdown) but DuckDB
+    cannot read it — so like A2/A3 the oracle aggregates the ORIGINAL
+    parquet: any type loss through the ORC writer/reader round-trip
+    (timestamps are the usual casualty) hash-mismatches.
+    """
+    path = scratch_dir("a9_orc_roundtrip")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.max("o_orderdate").alias("last_order"),
+    )
