@@ -398,6 +398,18 @@ def c6_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw fact table. No broadcast hint on the derived partsupp side — it is
     scale-proportional, so at 100 TB AQE keeps a shuffle join; at bench SF
     AQE converts it to a runtime broadcast (post-shuffle size < threshold).
+
+    Both join sides derive from ``pre``. The derived partsupp keeps its
+    measures and the join matches on the COMPLETE row (2 keys + 2 measures):
+    the measure equalities are vacuously true — both sides are the same
+    derivation, so per key-pair the rows are identical and the join is
+    exactly the oracle's 2-key join — but keeping the measures referenced
+    stops column pruning from rewriting the right branch into a keys-only
+    aggregate. The two subtrees stay ``sameResult``, Catalyst's
+    ReuseExchange fires, and lineitem is scanned + shuffled ONCE (measured
+    2.9s → 1.2s at sf0.1; a keys-only right branch forces a second full
+    scan+shuffle, and a persist() instead costs the InMemoryRelation build,
+    1.7s). Same at 100 TB: one fact-table pass, reused exchange.
     """
     t = tables(spark, sf_dir)
     li = t.lineitem
@@ -410,13 +422,18 @@ def c6_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(scaled_rev).alias("pre_rev"),
     )
     partsupp = pre.select(
-        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        F.col("pre_n").alias("ps_n"),
+        F.col("pre_rev").alias("ps_rev"),
     )
     return (
         pre.join(
             partsupp,
             (pre.l_partkey == partsupp.ps_partkey)
-            & (pre.l_suppkey == partsupp.ps_suppkey),
+            & (pre.l_suppkey == partsupp.ps_suppkey)
+            & (pre.pre_n == partsupp.ps_n)
+            & (pre.pre_rev == partsupp.ps_rev),
         )
         .join(F.broadcast(t.part), pre.l_partkey == t.part.p_partkey)
         .join(F.broadcast(t.supplier), pre.l_suppkey == t.supplier.s_suppkey)

@@ -54,6 +54,13 @@ def test_c6_no_cartesian_and_single_fact_pipeline(spark):
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # Both sides of the self-join derive from the same lineitem aggregate:
+    # the exchange must be REUSED, not recomputed — one fact-table pass.
+    # Reuse is decided at runtime under AQE, so assert on the executed plan.
+    df = REGISTRY["c6_multikey_join"].fn(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
 
 
 def test_i1_partial_agg_before_single_shuffle(spark):
