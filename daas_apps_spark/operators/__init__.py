@@ -15,6 +15,8 @@ Module map (SURVEY.md §2 categories):
 - ``streaming_batch`` — I1-I7 event-time logic in batch-equivalence mode
 - ``corpus``      — K9-K11 corpus construction: hash sampling, splits,
   token counting, chunking, PII redaction, quality census, mini pipeline
+- ``decontam``    — K12 benchmark decontamination + repetition analysis
+- ``clustering``  — K13 deterministic k-means over embeddings
 """
 
 # Registration order is deliberate: the driver's correctness budget verified
@@ -24,6 +26,8 @@ Module map (SURVEY.md §2 categories):
 # truncates again, it verifies the previously-untouched surface first.
 from daas_apps_spark.sources import io  # noqa: F401  (A2-A7 round-trips)
 from daas_apps_spark.operators import (  # noqa: F401
+    decontam,
+    clustering,
     corpus,
     asof,
     udfs,

@@ -193,3 +193,46 @@ def a9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("revenue"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+@register(
+    "a10_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           md5(text || chr(10)) AS digest,
+           CAST(length(text) + 1 AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("A10", "K7"),
+)
+def a10_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion: distributed text sink → `binaryFile` scan →
+    per-file digest (the multimodal raw-asset ingest path).
+
+    A corpus of image/audio/raw assets lands as *files*, not rows;
+    Spark's `binaryFile` source turns each file into (path, content) with
+    no decode — exactly how the K7 multimodal pipeline ingests payloads at
+    scale (one task per file group, no driver involvement). Here each
+    sampled document is written as its own file via a hive-partitioned
+    text sink (executor-side, no driver loop), read back as binary, and
+    digest-verified: the text writer appends one '\\n' per line, so the
+    oracle hashes `text || chr(10)` over the original table.
+    """
+    path = scratch_dir("a10_binaryfile")
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    d.select("doc_id", "text").write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(path)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("content").alias("digest"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )

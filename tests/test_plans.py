@@ -130,3 +130,25 @@ def test_headline_queries_stay_in_codegen(spark, name):
     assert "*(" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_k12_decontam_broadcasts_bench_grams(spark):
+    """The eval-set gram pool is the small side at any corpus scale: the
+    contamination probe must be a broadcast hash join (the corpus side
+    never shuffles for it), and nothing may cartesian."""
+    plan = plan_of(spark, "k12_decontam_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k13_kmeans_broadcasts_model_state_only(spark):
+    """k-means' only broadcast is the k x dims centroid relation (model
+    state, bytes); the N x k scoring fan-out must be a broadcast nested
+    loop over that tiny side, never a CartesianProduct of data with
+    data, and the hot arithmetic stays JVM-side (no Python eval)."""
+    plan = plan_of(spark, "k13_kmeans_embed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
