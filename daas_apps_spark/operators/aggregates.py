@@ -320,6 +320,79 @@ def d10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d11_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_p,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")}
+               AS rev_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("D11", "D1"),
+)
+def d11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority × status, statuses as
+    columns, plus one pivoted measure.
+
+    ``groupBy().pivot(col, values)`` with EXPLICIT pivot values — the
+    two-pass value-discovery scan is skipped and the plan is a single
+    hash aggregate whose rows carry the CASE-style pivoted partials
+    (identical shape to the oracle's manual CASE sums; at 100 TB the
+    explicit value list is what keeps pivot one pass).
+    """
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("rev"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).cast("long").alias("n_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+    )
+
+
+@register(
+    "d11_unpivot",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, CAST(s_acctbal AS DOUBLE) AS value
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value
+    FROM supplier
+    """,
+    tags=("D11", "G1"),
+)
+def d11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): supplier measures to (key, metric, value).
+
+    ``df.unpivot`` is a zero-shuffle map-side expand (each input row emits
+    one row per value column) — the relational dual of D11 pivot, and the
+    standard prep step before a generic per-metric aggregation.
+    """
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            "s_suppkey",
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # F. Sort / limit / top-k
 # ---------------------------------------------------------------------------

@@ -366,3 +366,90 @@ def k11_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Domain assignment: sources map deterministically onto three "domains"
+# (web/books/code) by source number — a stand-in for the real domain
+# taxonomy a corpus build carries in metadata.
+_DOM_SPARK = (
+    "CASE CAST(substring(source, 4, 10) AS INT) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END"
+)
+_DOM_DUCK = (
+    "CASE CAST(substring(source, 4) AS INT) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END"
+)
+# Target mixture weights (sum to 1) and overall sampling budget: the mixed
+# corpus targets 50% of the raw corpus size. The rate expression is ONE
+# shared SQL text evaluated by both engines in float64 (the CAST keeps the
+# decimal literals out of DECIMAL arithmetic, which would round differently
+# than Spark's double path and flip the hash on target_rate).
+_MIX_RATE = (
+    "LEAST(CAST(1.0 AS DOUBLE), "
+    "CAST(CASE domain WHEN 'web' THEN 0.6 WHEN 'books' THEN 0.3 "
+    "ELSE 0.1 END AS DOUBLE) * 0.5 * n_total / n_dom)"
+)
+
+
+@register(
+    "k14_domain_mix",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, {_DOM_DUCK} AS domain FROM documents
+    ),
+    counts AS (
+        SELECT domain, COUNT(*) AS n_dom,
+               (SELECT COUNT(*) FROM tagged) AS n_total
+        FROM tagged GROUP BY domain
+    ),
+    rates AS (
+        SELECT domain, n_dom, {_MIX_RATE} AS rate
+        FROM counts
+    ),
+    sampled AS (
+        SELECT t.doc_id, t.domain, r.n_dom, r.rate
+        FROM tagged t JOIN rates r ON t.domain = r.domain
+        WHERE {_H_DUCK} % 1000000 <
+              CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+    )
+    SELECT domain,
+           CAST(MAX(n_dom) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) AS DOUBLE) / MAX(n_dom) AS realized_rate,
+           CAST(MAX(rate) AS DOUBLE) AS target_rate
+    FROM sampled GROUP BY domain
+    """,
+    tags=("K14", "K9", "C5"),
+)
+def k14_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture sampling: hit target mixture weights (web 60% /
+    books 30% / code 10%) within an overall 50%-of-corpus budget by
+    computing per-domain acceptance rates from the domain census, then
+    hash-thresholding each document against its domain's rate.
+
+    The published recipe (The Pile, ROOTS, Dolma — domain-weighted corpus
+    mixing) done Spark-shaped: the census is a tiny aggregate, the rates
+    relation is BROADCAST back onto the corpus, and membership is the K9
+    content-hash threshold — so the mix is one metadata aggregation plus
+    one scan-side filtered pass at any corpus size, and every engine
+    re-derives the identical sample.
+    """
+    d = table(spark, sf_dir, "documents")
+    tagged = d.select("doc_id", F.expr(_DOM_SPARK).alias("domain"))
+    total = tagged.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row census
+    counts = tagged.groupBy("domain").agg(F.count(F.lit(1)).alias("n_dom"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_dom",
+        F.expr(_MIX_RATE).alias("rate"),
+    )
+    sampled = tagged.join(F.broadcast(rates), "domain").filter(
+        F.expr(f"{_H_SPARK} % 1000000")
+        < F.floor(F.col("rate") * 1000000).cast("long")
+    )
+    return sampled.groupBy("domain").agg(
+        F.max("n_dom").cast("long").alias("n_candidates"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.count(F.lit(1)).cast("double") / F.max("n_dom")).alias("realized_rate"),
+        F.max("rate").cast("double").alias("target_rate"),
+    )
