@@ -152,3 +152,21 @@ def test_k13_kmeans_broadcasts_model_state_only(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_k15_chunk_dedup_is_window_not_selfjoin(spark):
+    """Corpus-wide chunk dedup must be the K1 shape — rank-1 window on
+    chunk content — never a chunk-level self-join (which would square)."""
+    plan = plan_of(spark, "k15_chunk_dedup")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_k16_semantic_dedup_joins_on_cluster_key(spark):
+    """SemDeDup's pair search must be keyed on the cluster id (blocked
+    pair space), never a cartesian of the corpus with itself."""
+    plan = plan_of(spark, "k16_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the k-centroid broadcast of the assign step;
+    # the pairwise stage must be a hash join on cid
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
