@@ -277,3 +277,56 @@ def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
         )
     )
+
+
+@register(
+    "i8_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("I8", "C9"),
+)
+def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase attribution within
+    30 minutes), batch-equivalence form.
+
+    The live twin (streaming/live.py::click_purchase_join, equivalence
+    asserted in tests/test_streaming_live.py) watermarks BOTH sides and
+    joins on key + time interval — the condition that lets the engine
+    expire join state; state per key is bounded by the interval width.
+    The batch plan is the same key-partitioned join with the interval as a
+    post-join predicate: one shuffle per side on user_id, never a range
+    cross product.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("secs_to_purchase"),
+        )
+    )

@@ -164,3 +164,38 @@ def session_values(events: DataFrame, gap: str = "30 minutes",
             "session_value",
         )
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """I8 live: stream-stream interval join (click → purchase within 30 min).
+
+    Both sides are watermarked — the interval condition plus the watermarks
+    is what lets the engine expire buffered join state (state per user is
+    bounded by interval width + watermark delay, independent of stream
+    length). Inner join ⇒ append-mode output.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+    )

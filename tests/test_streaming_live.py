@@ -191,3 +191,26 @@ def test_stream_static_join_equals_batch(spark, events_json_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, events_json_dir, tmp_path):
+    """I8 live: the watermarked stream-stream interval join must produce
+    exactly the batch i8 result over the same inputs (availableNow drains
+    everything, and the 1h watermark on a finite replay drops nothing
+    that the 30-min interval admits)."""
+    from daas_apps_spark.streaming.live import click_purchase_join
+
+    src = events_file_stream(spark, events_json_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    stream = click_purchase_join(clicks, purchases)
+    run_stream_to_memory(stream, "t_ss_join", str(tmp_path / "ck"), "append")
+    got = spark.table("t_ss_join").toPandas()
+
+    from daas_apps_spark.registry import get_queries
+
+    want = get_queries()["i8_stream_stream_join"](spark, SF_SMOKE).toPandas()
+    key = ["user_id", "click_id", "purchase_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert got_s[sorted(got.columns)].equals(want_s[sorted(got.columns)])
