@@ -87,3 +87,59 @@ def test_corpus_pipeline_counts_bounded_by_census(spark):
     }
     for r in REGISTRY["k11_corpus_pipeline"].fn(spark, SF_SMOKE).collect():
         assert r.n_docs <= census[r.lang]
+
+
+def test_k15_unique_docs_reassemble_exactly(spark):
+    """A document none of whose chunks duplicate another doc's must come
+    back byte-identical from the dedup-reassembly pipeline."""
+    out = REGISTRY["k15_chunk_dedup"].fn(spark, SF_SMOKE)
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    joined = out.join(docs, "doc_id").collect()
+    full = [r for r in joined if r.n_kept == r.n_chunks]
+    assert full, "fixture should contain fully-unique documents"
+    for r in full:
+        assert r.cleaned_text == r.text, f"doc {r.doc_id} not reassembled"
+    # and dedup must actually fire somewhere
+    assert any(r.n_kept < r.n_chunks for r in joined)
+
+
+def test_k12_decontam_excludes_bench_docs(spark):
+    """Benchmark-slice documents must never appear as scored corpus docs,
+    and contamination is a fraction of each doc's own gram count."""
+    out = REGISTRY["k12_decontam_overlap"].fn(spark, SF_SMOKE).collect()
+    bench_ids = {
+        r.doc_id
+        for r in table(spark, SF_SMOKE, "documents")
+        .filter(
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)"
+                " as bigint) % 1000 < 30"
+            )
+        )
+        .collect()
+    }
+    assert bench_ids, "bench slice empty — threshold drifted"
+    assert not ({r.doc_id for r in out} & bench_ids)
+    for r in out:
+        assert 0 <= r.n_hit_grams <= r.n_grams
+        assert 0.0 <= r.contamination <= 1.0
+
+
+def test_k13_assignments_partition_the_vectors(spark):
+    """Cluster census sizes must sum to the vector count (every vector
+    assigned exactly once) across exactly k clusters at most."""
+    emb_n = table(spark, SF_SMOKE, "embeddings").count()
+    rows = REGISTRY["k13_kmeans_embed"].fn(spark, SF_SMOKE).collect()
+    assert sum(r.n_points for r in rows) == emb_n
+    assert len(rows) <= 10
+
+
+def test_k14_mix_is_subset_with_budgeted_total(spark):
+    """The mixed sample never exceeds its per-domain candidate pool, and
+    realized rates are <= target rates (hash thresholding can only
+    undershoot the nominal rate, never overshoot past quantization)."""
+    rows = REGISTRY["k14_domain_mix"].fn(spark, SF_SMOKE).collect()
+    assert {r.domain for r in rows} == {"web", "books", "code"}
+    for r in rows:
+        assert 0 < r.n_sampled <= r.n_candidates
+        assert r.realized_rate <= r.target_rate + 0.1
