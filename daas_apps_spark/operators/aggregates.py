@@ -119,7 +119,7 @@ def d3_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d4_approx_count_distinct",
-    oracle=None,  # approximate by construction; ε-checked in tests/test_aggregates.py
+    oracle=None,  # approximate by construction; ε-checked in tests/test_sketches.py
     tags=("D4",),
 )
 def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +128,45 @@ def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "d12_approx_percentile",
+    oracle=None,  # sketch by construction; ε-vs-exact checked in tests/test_sketches.py
+    tags=("D12", "D4"),
+)
+def d12_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna `approx_percentile`) next to the
+    exact interpolated percentiles, per order status.
+
+    The D4 pattern for quantiles: at 100 TB exact percentiles need a full
+    sort or `percentile`'s per-group value buffer, while the GK sketch is
+    fixed-size, mergeable map-side state — the only sane default for
+    monitoring-grade quantiles on a fact table. Both are emitted so the
+    ε-test (and any consumer) can see the sketch error directly.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)"
+            ).alias("ap"),
+            F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("ep"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        # flatten to scalar columns (driver-visible outputs stay hashable)
+        .select(
+            "o_orderstatus",
+            F.col("ap")[0].alias("approx_p25"),
+            F.col("ap")[1].alias("approx_p50"),
+            F.col("ap")[2].alias("approx_p75"),
+            F.col("ep")[0].alias("exact_p25"),
+            F.col("ep")[1].alias("exact_p50"),
+            F.col("ep")[2].alias("exact_p75"),
+            "n_orders",
+        )
     )
 
 

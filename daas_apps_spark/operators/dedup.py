@@ -528,3 +528,57 @@ def k3_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select("doc_id", F.col("lbl").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
     )
+
+
+@register(
+    "k17_incremental_dedup",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT sha256(text) AS digest
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, lang, sha256(text) AS digest,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id ASC) AS rn
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id, b.lang, b.digest
+    FROM batch b
+    WHERE b.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.digest = b.digest)
+    """,
+    tags=("K17", "K1", "C4"),
+)
+def k17_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new document batch is deduped within
+    itself (keep-first window, the K1 shape) and then anti-joined against
+    the EXISTING corpus's digest index — only genuinely new content
+    survives.
+
+    This is how a continuously-growing corpus stays deduplicated without
+    ever re-hashing history: the existing side is a narrow (digest) column
+    — at 100 TB a pre-built, bucketed-by-digest index table, so the
+    anti-join co-partitions without shuffling the index; the batch side
+    (orders of magnitude smaller than the corpus) shuffles once on digest
+    for both the window and the join, and Catalyst shares that exchange.
+    The demo splits the fixture by doc_id % 10 into 90% "existing" / 10%
+    "arriving batch".
+    """
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.sha2("text", 256).alias("digest"))
+        .distinct()
+    )
+    w = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang", F.sha2("text", 256).alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch.join(existing, "digest", "left_anti").select(
+        "doc_id", "lang", "digest"
+    )
