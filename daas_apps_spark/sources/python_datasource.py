@@ -1,0 +1,97 @@
+"""A11: custom source via the Python Data Source API (Spark 4).
+
+The reference's only extension point is "shell out to a tool over files"
+(BaseGATKProgram.java:12-21); Spark's is a first-class pluggable source —
+`spark.dataSource.register` + a `DataSource`/`DataSourceReader` pair whose
+`partitions()` declares the parallel split set and whose `read(partition)`
+yields rows for one split on an executor. This module implements a
+deterministic synthetic telemetry source (pure function of row id — no RNG,
+no state) so the scan is oracle-checkable: DuckDB re-derives the identical
+rows from `range()`.
+
+Scale notes: `partitions()` is the parallelism contract — one `read()` call
+per split on executors, driver never sees rows. Generation cost is O(rows /
+splits) per task with zero shuffle; a real implementation (API-backed
+source, message-bus snapshot) keeps the same shape and adds per-partition
+offsets. Python-source rows cross into the JVM via Arrow batches — the J8
+path — so throughput is batch-bounded, not row-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daas_apps_spark.registry import register
+
+N_PARTS = 8
+ROWS_PER_PART = 1000
+N_BUCKETS = 7
+
+try:  # Python Data Source API requires pyspark >= 4
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SyntheticTelemetrySource(DataSource):
+        """Deterministic synthetic rows: row_id ∈ [0, parts × rows)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_telemetry"
+
+        def schema(self) -> str:
+            return "row_id bigint, bucket int, score int"
+
+        def reader(self, schema) -> "SyntheticTelemetryReader":
+            return SyntheticTelemetryReader(self.options)
+
+    class SyntheticTelemetryReader(DataSourceReader):
+        def __init__(self, options) -> None:
+            self.n_parts = int(options.get("parts", N_PARTS))
+            self.rows_per_part = int(options.get("rowsPerPartition", ROWS_PER_PART))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows_per_part
+            for i in range(self.rows_per_part):
+                row_id = base + i
+                yield (row_id, row_id % N_BUCKETS, (row_id * 31) % 1000)
+
+    _HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover — pyspark < 4
+    _HAVE_DATASOURCE_API = False
+
+
+@register(
+    "a11_python_datasource",
+    oracle=f"""
+    SELECT CAST(id % {N_BUCKETS} AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((id * 31) % 1000) AS BIGINT) AS total_score,
+           CAST(MIN(id) AS BIGINT) AS min_row_id,
+           CAST(MAX(id) AS BIGINT) AS max_row_id
+    FROM range(0, {N_PARTS * ROWS_PER_PART}) t(id)
+    GROUP BY 1
+    """,
+    tags=("A11", "J8"),
+)
+def a11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a registered Python Data Source (8 parallel partitions) and
+    aggregate per bucket; DuckDB re-derives the same rows from range().
+
+    The aggregate proves the full surface: registration, schema, the
+    partition set (min/max row ids per bucket cover every split), and
+    executor-side row generation.
+    """
+    if not _HAVE_DATASOURCE_API:  # pragma: no cover
+        raise NotImplementedError("Python Data Source API requires pyspark >= 4")
+    # idempotent per session; re-registering the same class is harmless
+    spark.dataSource.register(SyntheticTelemetrySource)
+    src = spark.read.format("synthetic_telemetry").load()
+    return src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("score").cast("long").alias("total_score"),
+        F.min("row_id").alias("min_row_id"),
+        F.max("row_id").alias("max_row_id"),
+    )
