@@ -412,3 +412,35 @@ def h_array_nested_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains("h4", F.element_at("h4", 2)).alias("contains_second"),
         )
     )
+
+
+@register(
+    "h_variant_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_variant,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+               AS k_missing,
+           json_extract_string(props, '$.nope') AS nope_try
+    FROM events
+    """,
+    tags=("H", "H-variant"),
+)
+def h_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4): ``parse_json`` →
+    binary-encoded variant → typed ``variant_get`` extraction.
+
+    Variant is the scale path for ragged JSON: parsed ONCE into a
+    traversable binary encoding instead of re-parsing the string per
+    extraction (`h_json_functions` is the string-path twin). Outputs are
+    extracted as typed scalars so the driver canonicalizer hashes them;
+    `try_variant_get` on a missing path yields NULL, not an error.
+    """
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_variant"),
+        F.variant_get(v, "$.k", "int").isNull().alias("k_missing"),
+        F.try_variant_get(v, "$.nope", "string").alias("nope_try"),
+    )
