@@ -255,3 +255,63 @@ def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+
+
+WINNOW_GRAM = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window: guarantee = one fingerprint per
+# WINNOW_W + WINNOW_GRAM - 1 = 11 consecutive chars of any match
+
+
+@register(
+    "k18_winnowing",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT doc_id,
+               list_transform(
+                   range(length(lower(text)) - {WINNOW_GRAM - 1}),
+                   i -> ('0x' || substring(
+                            md5(substring(lower(text), CAST(i + 1 AS INTEGER),
+                                          {WINNOW_GRAM})), 1, 7))::BIGINT
+               ) AS hs
+        FROM documents WHERE length(text) >= {WINNOW_GRAM + WINNOW_W - 1}
+    )
+    SELECT DISTINCT doc_id,
+           list_min(hs[CAST(j + 1 AS INTEGER):CAST(j + {WINNOW_W} AS INTEGER)])
+               AS fingerprint
+    FROM hashes, unnest(range(len(hs) - {WINNOW_W - 1})) AS t(j)
+    """,
+    tags=("K18", "K2", "K8"),
+)
+def k18_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    published): hash every 8-char gram, slide a 4-hash window, keep each
+    window's minimum; the distinct minima are the fingerprint set.
+
+    Unlike the bottom-k sketch (`k_fingerprint`, global minima), winnowing
+    guarantees a fingerprint inside EVERY 11-char stretch — the property
+    plagiarism/overlap detectors rely on to localize matches. Pure
+    per-row higher-order expressions (no UDF, no shuffle before the
+    distinct), and the hash is the engine-shared md5-prefix int so the
+    fingerprint SET is engine-reproducible.
+    """
+    d = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    hashes = F.expr(
+        f"transform(sequence(0, length(lower(text)) - {WINNOW_GRAM}),"
+        f" i -> cast(conv(substring(md5(substring(lower(text), i + 1,"
+        f" {WINNOW_GRAM})), 1, 7), 16, 10) as bigint))"
+    )
+    return (
+        d.filter(F.length(lower) >= WINNOW_GRAM + WINNOW_W - 1)
+        .select("doc_id", hashes.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(hs) - {WINNOW_W}),"
+                    f" j -> array_min(slice(hs, j + 1, {WINNOW_W})))"
+                )
+            ).alias("fingerprint"),
+        )
+        .distinct()
+    )
