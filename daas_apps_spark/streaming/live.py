@@ -11,6 +11,13 @@ Scale notes: file-source streams list directories each trigger — at 100 TB
 use ``maxFilesPerTrigger`` to bound micro-batch size; watermarks bound the
 window/dedup state store; ``applyInPandasWithState`` state must stay small
 per key (a struct, never a buffer of events).
+
+API boundary: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor,
+RocksDB-backed composite state) is the successor API for arbitrary state;
+its Python runner requires protobuf, which this container lacks, so the
+stateful surface here is the fully-supported ``applyInPandasWithState``
+(verified live in tests/test_streaming_live.py) — same keyed-state model,
+swap-in upgrade where protobuf is available.
 """
 
 from __future__ import annotations
