@@ -231,6 +231,7 @@ def j4_mapinpandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(COALESCE({sql_dsum('l.l_extendedprice')}, 0.0), 2) AS line_total,
            CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
     FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 100 = 0
     GROUP BY o.o_orderkey, o.o_totalprice
     """,
     tags=("J5",),
@@ -241,10 +242,30 @@ def j5_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two-sided R7 analog: each key sees both groups as pandas frames.
     Line sums accumulate in sorted linenumber order; sums of 2-decimal
     values rounded back to 2 decimals are exact on both engines.
+
+    The demo reconciles a 1/100 key slice: cogrouped-pandas pays a fixed
+    Python cost PER KEY, so its scale rule is bounded key cardinality
+    (measured: 150k single-order groups at sf0.1 took 79s — the overhead,
+    not the data). Production cogroups reconcile at coarser keys (per
+    partition-of-orders, per day) or move the all-keys case to the
+    equivalent join+aggregate, which is what the oracle expresses.
+
+    Second scale trap, observed here: AQE coalesces post-shuffle partitions
+    BY BYTES, but pandas-UDF stages cost per GROUP CALL — a few-MB shuffle
+    coalesces to one task and serializes every group through one Python
+    worker. On a real cluster, disable
+    ``spark.sql.adaptive.coalescePartitions`` (or set
+    ``minPartitionNum ≈ cores``) for applyInPandas/cogroup stages.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
 
     def reconcile(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
