@@ -178,17 +178,18 @@ def k16_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.row_number().over(w_init) - 1).alias("cid"), F.col("v").alias("c"))
     )
     assigned = _assign(e, centroids)
+    # per-vector norm precompute: the pair loop runs ONE interpreted HOF
+    # fold (a·b) instead of three — sqrt(dot(v,v)) is the same float64
+    # value wherever computed, so the oracle is unchanged
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
-    )
+    ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"))))
     b = assigned.select(
         F.col("cid").alias("cid_b"),
         F.col("vec_id").alias("dup_id"),
         F.col("v").alias("vb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    ).withColumn("nb", F.sqrt(dot(F.col("vb"), F.col("vb"))))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(
             b,

@@ -75,21 +75,23 @@ _DUCK_COS = (
 def k4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast queries × streamed candidates."""
     e = table(spark, sf_dir, "embeddings")
+    # Norms are precomputed per VECTOR, not per pair: higher-order-function
+    # folds evaluate interpreted (outside codegen), so the pair loop should
+    # run exactly ONE fold (q·c), not three. sqrt(dot(v,v)) is the same
+    # float64 value wherever it is computed, so the oracle is unchanged.
     q = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
-    )
-    c = e.select(F.col("vec_id").alias("cand_id"), as_double("embedding").alias("cv"))
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), as_double("embedding").alias("cv")
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cosine",
             F.round(
-                dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
-                ),
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 6,
             ),
         )
@@ -129,14 +131,16 @@ def k4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is only ever materialized within a block.
     """
     e = table(spark, sf_dir, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va"))
+    # per-vector norm precompute — one interpreted HOF fold per PAIR, not
+    # three (same float64 values, oracle unchanged; see k4_cosine_topk)
+    a = e.select(
+        "label", F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va")
+    ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"))))
     b = e.select(
         F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
         as_double("embedding").alias("vb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    ).withColumn("nb", F.sqrt(dot(F.col("vb"), F.col("vb"))))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos_raw", cos)
