@@ -301,6 +301,13 @@ def k3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-key cap from SCALING.md §6: boilerplate grams would otherwise
     create quadratic candidate blowup, and a gram that common cannot signal
     near-duplication anyway. Exact Jaccard runs only on candidates.
+
+    ``localCheckpoint`` materializes the two multiply-consumed
+    intermediates, same rationale as k3_lsh_near_dedup: grams feeds both
+    verify sides and the anchor derivation, anchors feeds both self-join
+    sides and the df-cap — uncheckpointed, the interpreted gram transform
+    + per-gram md5 re-ran once per consumer (measured: candidate
+    generation 24s → 1.5s at sf0.1).
     """
     d = table(spark, sf_dir, "documents")
     grams = (
@@ -314,10 +321,11 @@ def k3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gs"),
         )
+        .localCheckpoint()
     )
     anchors = grams.select("doc_id", F.explode("gs").alias("g")).filter(
         F.expr(f"cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint) % {ANCHOR_MOD} = 0")
-    )
+    ).localCheckpoint()
     rare = anchors.groupBy("g").count().filter(F.col("count") <= ANCHOR_MAX_DF).select("g")
     pruned = anchors.join(rare, "g")
     a = pruned.select(F.col("g"), F.col("doc_id").alias("doc_a"))
