@@ -444,3 +444,35 @@ def h_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").isNull().alias("k_missing"),
         F.try_variant_get(v, "$.nope", "string").alias("nope_try"),
     )
+
+
+@register(
+    "h_try_functions",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(c_name AS INTEGER) AS name_as_int,
+           TRY_CAST(substring(c_name, 10, 9) AS INTEGER) AS name_num,
+           CASE WHEN (c_custkey % 10) = 0 THEN NULL
+                ELSE CAST(c_acctbal AS DOUBLE) / (c_custkey % 10) END
+               AS safe_div
+    FROM customer
+    """,
+    tags=("H", "H-try"),
+)
+def h_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling scalars: ``try_cast`` / ``try_divide``.
+
+    The session pins ANSI mode (session.py), where a bad cast or a /0 is a
+    runtime ERROR — the correct default at 100 TB (silent NULLs hide data
+    corruption). The try_* family is the explicit, per-expression opt-out
+    for genuinely dirty fields; both engines agree NULL-for-NULL.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").try_cast("int").alias("name_as_int"),
+        F.substring("c_name", 10, 9).try_cast("int").alias("name_num"),
+        F.try_divide(F.col("c_acctbal").cast("double"), F.col("c_custkey") % 10).alias(
+            "safe_div"
+        ),
+    )

@@ -236,3 +236,47 @@ def a10_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("digest"),
         F.col("length").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "a12_schema_evolution",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM unioned
+    """,
+    tags=("A12", "A5", "G1"),
+)
+def a12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file batches: an old batch written WITHOUT a
+    column, a new batch WITH it, read together via ``mergeSchema`` — rows
+    from the old batch surface the added column as NULL.
+
+    The ingest reality of any long-lived dataset: producers add columns
+    over time. ``mergeSchema`` reconciles footers at planning time (pay it
+    on demand, not per scan — at 100 TB set it per-read, not globally).
+    """
+    path = scratch_dir("a12_schema_evolution")
+    o = table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(path + "/batch=v1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(path + "/batch=v2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        dsum("o_totalprice").alias("revenue"),
+    )
