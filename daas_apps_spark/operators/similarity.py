@@ -289,10 +289,12 @@ def k4_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF-Flat: centroid assignment → inverted lists → probe.
 
     Centroids here are a deterministic coreset (every CENT_MOD-th vector) so
-    the result is exactly reproducible and oracle-checkable; production
-    swaps in k-means centroids — the Spark plumbing (broadcast centroids,
-    map-side nearest-centroid assignment, partition-by-centroid inverted
-    lists, N_PROBE-bounded probe join) is identical. Unlike brute force the
+    the result is exactly reproducible and oracle-checkable; swapping in
+    trained centroids is exactly the Lloyd iteration implemented (and
+    oracle-verified) in operators/clustering.py (k13) — k16's SemDeDup
+    blocking already composes it. The Spark plumbing here (broadcast
+    centroids, map-side nearest-centroid assignment, partition-by-centroid
+    inverted lists, N_PROBE-bounded probe join) is identical either way. Unlike brute force the
     probe cost is |probed lists|, not |corpus|: at 100 TB the corpus is
     written partitioned by cent_id and each query touches N_PROBE
     partitions (partition pruning on the probe join key).
