@@ -97,3 +97,78 @@ def r12_salted_aggregate(spark, sf_dir: str) -> DataFrame:
     return salted_aggregate(
         li, ["l_returnflag"], partial, final, unique_col="l_orderkey", n_salts=16
     )
+
+
+# ---------------------------------------------------------------------------
+# A13: Z-order (Morton) clustering for multi-column data layout
+# ---------------------------------------------------------------------------
+
+Z_BITS = 8  # bits per dimension → 16-bit Morton code
+Z_BUCKETS = 16  # layout "files": morton // 4096
+
+
+def _morton_sql(x: str, y: str, int_div: str) -> str:
+    """Bit-interleave via arithmetic only (portable across engines):
+    bit i of x lands at position 2i, bit i of y at 2i+1. ``int_div`` is
+    the engine's integer-division operator ('div' Spark, '//' DuckDB)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({x} {int_div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {int_div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZX = "(o_custkey % 256)"
+_ZY_SPARK = "(cast(floor(o_totalprice / 2000) as bigint) % 256)"
+_ZY_DUCK = "(CAST(FLOOR(o_totalprice / 2000) AS BIGINT) % 256)"
+
+
+@register(
+    "a13_zorder_layout",
+    oracle=f"""
+    WITH coded AS (
+        SELECT o_orderkey,
+               {_ZX} AS zx,
+               {_ZY_DUCK} AS zy,
+               ({_morton_sql(_ZX, _ZY_DUCK, '//')}) AS morton
+        FROM orders
+    )
+    SELECT CAST(morton // 4096 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(zx) - MIN(zx) AS BIGINT) AS x_span,
+           CAST(MAX(zy) - MIN(zy) AS BIGINT) AS y_span
+    FROM coded GROUP BY 1
+    """,
+    tags=("A13", "F2"),
+)
+def a13_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two columns + per-bucket
+    bounding-box report — the lakehouse OPTIMIZE ZORDER layout pass.
+
+    A sort by the interleaved-bit Morton code clusters rows so that EVERY
+    prefix range of the code bounds BOTH dimensions: each resulting
+    bucket/file covers ≤ 2^(8 - ceil(k/2)) of each dimension's range
+    (visible in the emitted x_span/y_span, vs a one-column sort where the
+    second dimension's span stays full-range). At 100 TB this is the sort
+    key for `sortWithinPartitions` before the sink, so Parquet row-group
+    min/max stats prune scans on BOTH filter columns. The Morton code is
+    pure per-row arithmetic (bit tests as division/modulus — identical on
+    both engines); computing it shuffles nothing.
+    """
+    o = table(spark, sf_dir, "orders")
+    morton = F.expr(_morton_sql(_ZX, _ZY_SPARK, "div"))
+    coded = o.select(
+        "o_orderkey",
+        F.expr(_ZX).alias("zx"),
+        F.expr(_ZY_SPARK).alias("zy"),
+        morton.alias("morton"),
+    )
+    return (
+        coded.withColumn("zbucket", F.expr("morton div 4096"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("zx") - F.min("zx")).cast("long").alias("x_span"),
+            (F.max("zy") - F.min("zy")).cast("long").alias("y_span"),
+        )
+    )

@@ -562,3 +562,63 @@ def c11_self_join_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
     )
+
+
+@register(
+    "g5_upsert_merge",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    updates AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                    WHEN u.o_orderkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM merged GROUP BY action
+    """,
+    tags=("G5", "C2", "A5"),
+)
+def g5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert / MERGE INTO semantics as pure DataFrame algebra: base ⟗
+    updates on the key, update side wins, with per-action census.
+
+    The lakehouse MERGE (insert new keys, overwrite matched keys, keep the
+    rest) without a table format: one full-outer shuffle join on the key +
+    COALESCE projection. At 100 TB both sides hash-partition on the key
+    once — same cost class as any fact-fact join — and the output is
+    written partitioned to become the next base (the reference's R16
+    write-then-swap commit generalized to keyed rows).
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("u_key"),
+        (F.col("o_totalprice") * 1.1).alias("u_price"),
+    )
+    merged = base.join(
+        updates, base.b_key == updates.u_key, "full_outer"
+    ).select(
+        F.coalesce("u_key", "b_key").alias("o_orderkey"),
+        F.coalesce("u_price", "b_price").alias("o_totalprice"),
+        F.when(F.col("b_key").isNull(), "insert")
+        .when(F.col("u_key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -59,3 +59,19 @@ def test_bucketed_aggregate_has_no_shuffle(spark, bucketed_tables):
     plan = physical_plan(agg, mode="simple")
     assert "Exchange" not in plan
     assert agg.count() == table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+
+
+def test_a13_zorder_buckets_bound_both_dimensions(spark):
+    """The defining Z-order property: each of the 16 top-level Morton
+    buckets fixes the top 2 bits of BOTH dimensions, so every bucket's
+    bounding box spans <= 1/4 of each dimension's 0-255 range — the
+    reason row-group min/max stats prune on both filter columns. A
+    one-column sort would leave the other dimension's span at full range."""
+    from daas_apps_spark.registry import get_queries
+    from tests.conftest import SF_ORACLE
+
+    rows = get_queries()["a13_zorder_layout"](spark, SF_ORACLE).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.x_span <= 63, (r.zbucket, r.x_span)
+        assert r.y_span <= 63, (r.zbucket, r.y_span)
