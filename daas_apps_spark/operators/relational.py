@@ -622,3 +622,140 @@ def g5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+@register(
+    "c12_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("C12", "C1", "D1", "F4"),
+)
+def c12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped composition: 3-table join chain with selective
+    filters on every side, keyed aggregation, top-10 by revenue.
+
+    The segment filter reduces customer BEFORE the join (broadcast after
+    AQE sees the filtered size); the date filters push to both fact scans.
+    The final top-10 is TakeOrderedAndProject — no global sort.
+    """
+    t = tables(spark, sf_dir)
+    c = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = t.orders.filter(F.col("o_orderdate") < "1997-01-01")
+    li = t.lineitem.filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "c13_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           {sql_dsum('o.o_totalprice')} AS total_price,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, o.o_orderkey
+    """,
+    tags=("C13", "C3", "D1"),
+)
+def c13_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped composition: HAVING-filtered aggregate drives a
+    semi-join back onto the join chain (the "large volume customer").
+
+    The `big` relation is a pre-aggregation of the fact table (shuffle of
+    partials, then HAVING) whose surviving keys semi-join the fact chain —
+    the aggregate-then-filter-then-rejoin shape; the second lineitem pass
+    re-aggregates only the surviving orders.
+    """
+    t = tables(spark, sf_dir)
+    li = t.lineitem
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.withColumnRenamed("l_orderkey", "li_orderkey"),
+              F.col("o_orderkey") == F.col("li_orderkey"))
+        .join(big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            dsum("o_totalprice").alias("total_price"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "b9_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_suppkey = s.s_suppkey
+          AND l2.l_discount > 0.09 AND l2.l_quantity > 45
+    )
+    """,
+    tags=("B9", "C3", "C4", "A8"),
+)
+def b9_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL front-end.
+
+    The parser/analyzer path for correlated subqueries: Catalyst rewrites
+    both predicates into left-semi and left-anti joins (the same plans the
+    C3/C4 DataFrame forms produce) — asserted here by running the SAME
+    text on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+        )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_suppkey = s.s_suppkey
+              AND l2.l_discount > 0.09 AND l2.l_quantity > 45
+        )
+        """
+    )
