@@ -206,3 +206,75 @@ def click_purchase_join(
         .cast("long")
         .alias("secs_to_purchase"),
     )
+
+
+def run_stream_upsert_counts(
+    spark: SparkSession, src_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """I8 ``foreachBatch`` upsert sink: each micro-batch's per-user counts
+    MERGE into a parquet state table (insert new keys, add to matched) —
+    the streaming CDC-apply pattern.
+
+    Each batch: aggregate the delta → full-outer merge with current state
+    → write to a scratch dir → atomic swap (the reference's R16
+    write-then-move commit, FileMover.java:9-27 — required here because
+    parquet cannot be overwritten while it is also the read source).
+    ``foreachBatch`` + checkpoint gives effectively-once application: a
+    replayed batch re-runs its merge against the pre-swap state.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.utils import AnalysisException
+
+    stream = events_file_stream(spark, src_dir, max_files_per_trigger=2)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        try:
+            state = spark.read.parquet(state_dir).select(
+                F.col("user_id").alias("s_user"),
+                F.col("n_events").alias("s_n"),
+                F.col("total_value").cast("decimal(18,4)").alias("s_total"),
+            )
+        except AnalysisException:
+            state = None
+        if state is None:
+            merged = inc.select(
+                "user_id", "n_events", F.col("total_value").cast("double")
+                .alias("total_value")
+            )
+        else:
+            merged = (
+                inc.join(state, inc.user_id == state.s_user, "full_outer")
+                .select(
+                    F.coalesce("user_id", "s_user").alias("user_id"),
+                    (
+                        F.coalesce("n_events", F.lit(0))
+                        + F.coalesce("s_n", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("total_value"), F.lit(0).cast("decimal(18,4)"))
+                        + F.coalesce("s_total", F.lit(0).cast("decimal(18,4)"))
+                    ).cast("double").alias("total_value"),
+                )
+            )
+        tmp = state_dir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

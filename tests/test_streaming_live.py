@@ -214,3 +214,31 @@ def test_stream_stream_join_equals_batch(spark, events_json_dir, tmp_path):
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want.sort_values(key).reset_index(drop=True)
     assert got_s[sorted(got.columns)].equals(want_s[sorted(got.columns)])
+
+
+def test_foreachbatch_upsert_equals_batch(spark, events_json_dir, tmp_path):
+    """I8 foreachBatch upsert: replaying the corpus as MULTIPLE micro-batches
+    (maxFilesPerTrigger=2 over 4 files) through the merge-into-state sink
+    must converge to exactly the one-shot batch aggregate."""
+    from daas_apps_spark.streaming.live import run_stream_upsert_counts
+
+    state = str(tmp_path / "state")
+    run_stream_upsert_counts(spark, events_json_dir, state, str(tmp_path / "ck"))
+    got = spark.read.parquet(state).toPandas()
+
+    src = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(events_json_dir)
+    want = (
+        src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .toPandas()
+    )
+    got_s = got.sort_values("user_id").reset_index(drop=True)
+    want_s = want.sort_values("user_id").reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s.n_events.values == want_s.n_events.values).all()
+    assert (abs(got_s.total_value.values - want_s.total_value.values) < 1e-9).all()
