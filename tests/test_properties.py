@@ -209,3 +209,64 @@ def test_minhash_content_pure(spark, words, parts):
     sigs = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(N_PERM)) for r in df.collect()}
     assert sigs[1] == sigs[2]  # identical content => identical signature
     assert sigs[1] != sigs[3]  # differing content => differing signature (whp)
+
+
+# ---------------------------------------------------------------------------
+# A13 Morton code: bijective on the 8-bit × 8-bit domain — distinct (x, y)
+# pairs always get distinct codes, and the code stays within 16 bits.
+# Pure-SQL property checked for arbitrary point sets.
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+def test_morton_code_is_bijective(spark, pts):
+    from daas_apps_spark.operators.partitioning import _morton_sql
+
+    df = spark.createDataFrame(
+        [(x, y) for x, y in pts], "x long, y long"
+    ).withColumn("m", F.expr(_morton_sql("x", "y", "div")))
+    rows = df.collect()
+    codes = {r.m for r in rows}
+    assert len(codes) == len(pts), "collision — interleave is not injective"
+    assert all(0 <= r.m < 2**16 for r in rows)
+    # round trip: de-interleave even/odd bits recovers (x, y)
+    for r in rows:
+        x = sum(((r.m >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.m >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x, r.y)
+
+
+# ---------------------------------------------------------------------------
+# K15 chunk dedup: applying the dedup to an ALREADY-deduped corpus is the
+# identity (idempotence) — no chunk can collide twice.
+# ---------------------------------------------------------------------------
+def test_k15_chunk_dedup_idempotent(spark):
+    from daas_apps_spark.registry import get_queries
+    from tests.conftest import SF_SMOKE
+    import tempfile
+
+    first = get_queries()["k15_chunk_dedup"](spark, SF_SMOKE)
+    # materialize round 1 as a documents table and run the operator again
+    out_dir = tempfile.mkdtemp(prefix="k15_idem_")
+    (
+        first.select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+            F.lit("x").alias("lang"),
+            F.lit("src").alias("source"),
+            F.length("cleaned_text").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir + "/documents.parquet")
+    )
+    second = get_queries()["k15_chunk_dedup"](spark, out_dir)
+    again = {r.doc_id: (r.n_chunks, r.n_kept) for r in second.collect()}
+    # every chunk of the cleaned corpus must survive: kept == total per doc
+    assert again, "second pass produced no rows"
+    assert all(k == n for (n, k) in again.values()), (
+        "dedup removed chunks from an already-deduped corpus"
+    )
