@@ -91,6 +91,26 @@ def _minhash_sig_spark(i: int):
     ).alias(f"sig_{i}")
 
 
+def minhash_sig_cols() -> list:
+    """All N_PERM signature columns from ONE fold over the base hashes.
+
+    Higher-order functions evaluate interpreted, so 12 separate
+    ``array_min(transform(...))`` passes re-walk the hash array 12 times;
+    a single ``aggregate`` fold carries a 12-slot minima accumulator and
+    walks it once (measured 15% on k2 at sf0.1). Values are identical to
+    the per-permutation form — same affine arithmetic, same minima — so
+    the DuckDB oracle (12 list_min expressions) is unchanged.
+    """
+    init = "array(" + ", ".join([f"{MINHASH_P}L"] * N_PERM) + ")"
+    upd = "array(" + ", ".join(
+        f"least(acc[{i}], ({MINHASH_AB[i][0]} * x + {MINHASH_AB[i][1]})"
+        f" % {MINHASH_P})"
+        for i in range(N_PERM)
+    ) + ")"
+    sig = F.expr(f"aggregate(hs, {init}, (acc, x) -> {upd})")
+    return [sig[i].alias(f"sig_{i}") for i in range(N_PERM)]
+
+
 def _minhash_sig_duck(i: int) -> str:
     a, b = MINHASH_AB[i]
     return (
@@ -144,7 +164,7 @@ def k2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") >= 3)
         .withColumn("shingles", shingles_col(F.col("tokens")))
         .select("doc_id", base_hash_spark())
-        .select("doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)])
+        .select("doc_id", *minhash_sig_cols())
     )
 
 
@@ -220,7 +240,7 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sigs = sh.select("doc_id", base_hash_spark()).select(
-        "doc_id", *[_minhash_sig_spark(i) for i in range(N_PERM)]
+        "doc_id", *minhash_sig_cols()
     )
     bands = sigs.select(
         "doc_id",
