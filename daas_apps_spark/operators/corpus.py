@@ -453,3 +453,53 @@ def k14_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).cast("double") / F.max("n_dom")).alias("realized_rate"),
         F.max("rate").cast("double").alias("target_rate"),
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "k19_shard_manifest",
+    oracle=f"""
+    SELECT CAST({_H_DUCK} % {N_SHARDS} AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({_H_DUCK}) AS BIGINT) AS id_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("K19", "A6", "K9"),
+)
+def k19_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer + manifest: the corpus lands hive-partitioned
+    into content-hash shards, and the returned manifest (per-shard counts,
+    char volume, order-independent id checksum, id range) is what a
+    training loader validates before consuming.
+
+    Shard assignment is the K9 content hash — independent of partitioning
+    and re-runs, so rebuilding the corpus reproduces byte-identical shard
+    membership (the property that makes resumable multi-epoch training
+    sane). The checksum is a SUM of per-doc hashes: order-independent, so
+    any engine — and any shard reader — re-derives it without a sort. The
+    sink is a real partitioned parquet write; the manifest is computed
+    from the written files, so a lost or duplicated row surfaces as a
+    checksum mismatch against the oracle.
+    """
+    from daas_apps_spark.sources.io import scratch_dir
+
+    path = scratch_dir("k19_shards")
+    d = table(spark, sf_dir, "documents")
+    sharded = d.withColumn(
+        "shard", F.expr(f"cast({_H_SPARK} % {N_SHARDS} as int)")
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.expr(_H_SPARK)).cast("long").alias("id_checksum"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
