@@ -127,7 +127,6 @@ def _duckdb_timings(run_dir: str, specs) -> dict[str, float]:
             elapsed += time.perf_counter() - t0
         out[spec.name] = round(elapsed / RUNS, 4)
     return out
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -40,6 +40,7 @@ from daas_apps_spark.operators import (  # noqa: F401
     streaming_batch,
     partitioning,
     pipelines,
+    composed,
     relational,
     aggregates,
     windows,

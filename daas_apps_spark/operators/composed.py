@@ -1,0 +1,245 @@
+"""Composed relational queries, round 2: null-safe joins, the full
+TPC-H-Q5-shaped star chain, lateral joins, correlated scalar subqueries,
+and snapshot diffing (SURVEY.md §2.2 C14/C15, B10/B11, G6).
+
+These extend the A-G surface with the decorrelation/lateral paths of the
+SQL front-end and the multi-dimension join-ordering shape that the
+round-1 chain queries (c12/c13) didn't exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table, tables, register_views
+from daas_apps_spark.functions.discipline import dsum, sql_dsum
+from daas_apps_spark.registry import register
+
+
+@register(
+    "c14_nullsafe_join",
+    oracle="""
+    WITH l AS (
+        SELECT c_custkey, NULLIF(c_nationkey % 5, 2) AS k FROM customer
+    ),
+    r AS (
+        SELECT n_nationkey, NULLIF(n_nationkey % 5, 2) AS k FROM nation
+    )
+    SELECT l.k AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT l.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT r.n_nationkey) AS BIGINT) AS n_nations
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+    tags=("C14", "C1"),
+)
+def c14_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM).
+
+    Ordinary equi-joins drop NULL keys on both sides; the null-safe
+    variant treats NULL as a joinable value — the semantics MERGE/CDC
+    pipelines need when the business key is nullable. Spark keeps
+    ``EqualNullSafe`` as a hash-join key (no fallback to BNLJ), so the
+    plan is the same single-shuffle hash join as C1 — asserted in
+    tests/test_plans.py.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    left = c.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(2)).alias("k")
+    )
+    right = n.select(
+        "n_nationkey", F.nullif(F.col("n_nationkey") % 5, F.lit(2)).alias("rk")
+    )
+    return (
+        left.join(right, left.k.eqNullSafe(right.rk))
+        .groupBy(F.col("k").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "c15_regional_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("C15", "C5", "C6", "D1"),
+    bench=True,
+)
+def c15_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped composition: the full six-table star chain with a
+    local-supplier constraint (``s_nationkey = c_nationkey``) that turns
+    the last hop into a two-key join.
+
+    Join-order matters here: region/nation/supplier are tiny and
+    broadcast; the only shuffles are lineitem⋈orders⋈customer on their
+    FK spine. The region filter prunes nations BEFORE customer fans out
+    — at 100 TB that ordering is the difference between shuffling 1/5th
+    of customers and all of them.
+    """
+    t = tables(spark, sf_dir)
+    n_asia = (
+        F.broadcast(t.region.filter(F.col("r_name") == "ASIA"))
+        .join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        t.customer.join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t.supplier),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+    LIMIT 2
+) AS t
+"""
+
+
+@register(
+    "b10_lateral_topk",
+    oracle=_LATERAL_SQL,
+    tags=("B10", "F5"),
+)
+def b10_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per nation.
+
+    The SAME SQL text runs on both engines. Catalyst plans the lateral
+    correlation as a rank-then-filter over a single shuffle (the
+    DomainJoin rewrite) — semantically identical to the F5 window form,
+    but arriving through the parser's lateral-join path, which round 1
+    never exercised.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT o.o_orderkey, o.o_totalprice,
+       (SELECT MAX(l.l_quantity) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS max_qty,
+       CAST((SELECT COUNT(*) FROM lineitem l2
+             WHERE l2.l_orderkey = o.o_orderkey) AS BIGINT) AS n_lines
+FROM orders o
+WHERE o.o_orderkey % 10 = 0
+"""
+
+
+@register(
+    "b11_scalar_subquery",
+    oracle=_SCALAR_SUBQ_SQL,
+    tags=("B11", "B9"),
+)
+def b11_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the projection (MAX and COUNT).
+
+    Catalyst decorrelates each into an aggregate + left outer join; the
+    COUNT case exercises the null-to-zero patch-up (an order with no
+    lineitems must read 0, not NULL — the classic COUNT-bug rewrite).
+    MAX/COUNT are exact, so no float discipline is needed.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@register(
+    "g6_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 != 7
+    ),
+    v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END)
+                   AS digest
+        FROM documents WHERE doc_id % 10 != 3
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.digest != v2.digest THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(COALESCE(v1.doc_id, v2.doc_id)) AS min_doc,
+           MAX(COALESCE(v1.doc_id, v2.doc_id)) AS max_doc
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1
+    """,
+    tags=("G6", "C2", "K17"),
+)
+def g6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: added / removed / changed / unchanged census
+    between two dataset versions, by full outer join on key + content
+    digest compare.
+
+    This is the data-versioning primitive behind incremental training-set
+    refreshes (what changed since the last cut?) — one co-partitioned
+    full outer join on doc_id, digests computed scan-side, no second
+    pass over text. The two "versions" are deterministic slices of the
+    documents fixture (v2 drops some docs, adds others back, and edits
+    every 7th) so the diff is reproducible.
+    """
+    d = table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("digest1")
+    )
+    v2 = d.filter(F.col("doc_id") % 10 != 3).select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("digest2"),
+    )
+    joined = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    status = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("digest1") != F.col("digest2"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.coalesce("id1", "id2")).alias("min_doc"),
+        F.max(F.coalesce("id1", "id2")).alias("max_doc"),
+    )

@@ -26,7 +26,7 @@ re-partitioning and re-runs at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table
@@ -502,4 +502,75 @@ def k19_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_H_SPARK)).cast("long").alias("id_checksum"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "k20_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents WHERE length(text) > 0
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT source,
+           CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, 2
+    """,
+    tags=("K20", "K10", "E4"),
+)
+def k20_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill fixed token-budget packs per source shard.
+
+    Training loaders don't consume ragged documents — they consume packed
+    context windows. This is next-fit packing in one window pass: docs are
+    laid out in deterministic (source, doc_id) order, the running token
+    total is a cumulative-sum window, and a doc belongs to the pack where
+    its first token lands (``(cum - n_tokens) // budget``). No self-join,
+    no iteration — one shuffle by source, then map-side arithmetic; at
+    100 TB the partition key becomes (source, day-bucket) so no single
+    source serializes the window. Integer token counts make every column
+    exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        packed.withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_BUDGET),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )

@@ -476,3 +476,43 @@ def h_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "safe_div"
         ),
     )
+
+
+@register(
+    "h_bitwise_functions",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           (event_id & 255) | 16 AS or_flag,
+           xor(event_id & 255, 77) AS xor_masked,
+           (event_id & 15) << 3 AS shifted_left,
+           event_id >> 4 AS shifted_right,
+           CAST(bit_count(event_id) AS INTEGER) AS n_bits,
+           ~(event_id & 255) AS complement
+    FROM events
+    """,
+    tags=("H",),
+)
+def h_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator battery: AND/OR/XOR, shifts, popcount, complement.
+
+    Bit arithmetic is exact on both engines (two's-complement BIGINT), so
+    every column hash-matches without rounding discipline. These are the
+    primitives under the engine's own hash-bucket operators (K2 minhash
+    band keys, A13 Morton interleave) — declared here as a user-facing
+    surface.
+    """
+    e = table(spark, sf_dir, "events")
+    low = F.col("event_id").bitwiseAND(F.lit(255))
+    return e.select(
+        "event_id",
+        low.alias("low_byte"),
+        low.bitwiseOR(F.lit(16)).alias("or_flag"),
+        low.bitwiseXOR(F.lit(77)).alias("xor_masked"),
+        F.shiftleft(F.col("event_id").bitwiseAND(F.lit(15)), 3).alias(
+            "shifted_left"
+        ),
+        F.shiftright("event_id", 4).alias("shifted_right"),
+        F.bit_count("event_id").alias("n_bits"),
+        F.bitwise_not(low).alias("complement"),
+    )

@@ -213,3 +213,46 @@ def e7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     )
+
+
+@register(
+    "e8_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS rolling_1h_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_1h_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("E8", "E5", "I1"),
+)
+def e8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-user rolling 1-hour sum/count.
+
+    ``rangeBetween`` on microsecond epoch — the frame is defined by a TIME
+    span, not a row count, so bursts widen the frame and quiet periods
+    shrink it (what E5's ROWS frame can't express). Rows with equal
+    timestamps are frame peers on both engines, and the summed value is
+    decimal-cast, so the result is order-independent. This is the batch
+    twin of a sliding stream aggregation keyed to each event's own
+    timestamp rather than to fixed buckets (I2).
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )

@@ -170,3 +170,29 @@ def test_k16_semantic_dedup_joins_on_cluster_key(spark):
     # the only BNLJ allowed is the k-centroid broadcast of the assign step;
     # the pairwise stage must be a hash join on cid
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_c14_nullsafe_is_hash_join_not_bnlj(spark):
+    """EqualNullSafe must stay a hash/sort-merge join key, never degrade to
+    BroadcastNestedLoopJoin (which would be O(n*m) at scale)."""
+    plan = plan_of(spark, "c14_nullsafe_join")
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_c15_broadcasts_dims_no_cartesian(spark):
+    """The Q5-shaped chain broadcasts every dimension (region/nation/supplier)
+    and never cross-joins; only the FK spine shuffles."""
+    plan = plan_of(spark, "c15_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
+    # region filter reaches the scan
+    assert "IsNotNull(r_name)" in plan or "r_name" in plan
+
+
+def test_k20_single_shuffle_window(spark):
+    """Sequence packing is one window pass: a single hash exchange on source,
+    no self-join (a join-based packing would double-scan the corpus)."""
+    plan = plan_of(spark, "k20_sequence_pack")
+    assert "Join" not in plan
