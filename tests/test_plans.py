@@ -196,3 +196,58 @@ def test_k20_single_shuffle_window(spark):
     no self-join (a join-based packing would double-scan the corpus)."""
     plan = plan_of(spark, "k20_sequence_pack")
     assert "Join" not in plan
+
+
+def test_a14_parquet_aggregate_pushdown(spark):
+    """COUNT/MIN/MAX with no filter compute from parquet footer stats when the
+    DSv2 reader is on — a metadata-only scan (no row decode). At 100 TB this
+    turns full-table census queries into a footer sweep."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"), F.min("l_quantity").alias("mn")
+        )
+        plan = physical_plan(df)
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity)]" in plan
+        row = df.collect()[0]
+        assert row["n"] == 6000 and row["mn"] >= 0
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """A selective dim-side filter injects a runtime bloom filter on the fact
+    side of a shuffle join (might_contain pre-filters the shuffle input).
+    This is the semi-join-reduction path AQE uses at 100 TB when the dim side
+    is too big to broadcast but still selective."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").filter(
+            F.col("p_brand") == "Brand#13"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy(
+            "p_brand"
+        ).count()
+        plan = physical_plan(j)
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            str(10 * 1024 * 1024 * 1024),
+        )

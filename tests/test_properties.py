@@ -270,3 +270,54 @@ def test_k15_chunk_dedup_idempotent(spark):
     assert all(k == n for (n, k) in again.values()), (
         "dedup removed chunks from an already-deduped corpus"
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(min_value=0, max_value=7200), vals),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=4),
+)
+@PROP
+def test_time_range_frame_matches_bruteforce(spark, rows, parts):
+    """E8: the RANGE-frame rolling sum equals a per-row brute-force filter
+    over the same key (frame = all rows of the key within the trailing
+    window), regardless of partitioning and of duplicate timestamps."""
+    data = [Row(k=k, t=t, v=v) for k, (k, t, v) in zip([r[0] for r in rows], rows)]
+    df = spark.createDataFrame(data).repartition(parts)
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-3600, Window.currentRow)
+    got = {
+        (r["k"], r["t"], r["v"]): r["s"]
+        for r in df.withColumn("s", F.sum("v").over(w)).collect()
+    }
+    rows_py = [(r.k, r.t, r.v) for r in data]
+    for k, t, v in set(rows_py):
+        expect = sum(v2 for k2, t2, v2 in rows_py if k2 == k and t - 3600 <= t2 <= t)
+        assert got[(k, t, v)] == expect
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=50),
+    budget=st.integers(min_value=8, max_value=64),
+)
+@PROP
+def test_sequence_pack_invariants(spark, toks, budget):
+    """K20 next-fit packing invariants for any doc stream: pack ids are
+    dense from 0, token totals are conserved, and every pack except possibly
+    the last STARTS under budget (a doc's first token lands in its pack)."""
+    data = [Row(doc_id=i, n=t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(data)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = (
+        df.withColumn("cum", F.sum("n").over(w))
+        .withColumn("pack_id", F.floor((F.col("cum") - F.col("n")) / budget))
+        .collect()
+    )
+    assert sum(r["n"] for r in packed) == sum(toks)
+    ids = sorted({r["pack_id"] for r in packed})
+    assert ids[0] == 0
+    # a doc is assigned to the pack where its first token lands
+    for r in packed:
+        assert r["pack_id"] == (r["cum"] - r["n"]) // budget
