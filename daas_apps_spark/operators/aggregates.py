@@ -614,3 +614,97 @@ def g3_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
     b = li.filter(F.col("l_linestatus") == "O").select(F.col("l_suppkey").alias("suppkey"))
     return a.intersectAll(b)
+
+
+@register(
+    "d13_data_profile",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_num,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_num,
+           ROUND(AVG(l_quantity), 4) AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice),
+           MAX(l_extendedprice), ROUND(AVG(l_extendedprice), 4), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount),
+           ROUND(AVG(l_discount), 4), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag), NULL, NULL, NULL,
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate), NULL, NULL, NULL,
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    """,
+    tags=("D13", "D2", "D3"),
+)
+def d13_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling: per-column null / distinct / min / max /
+    mean census of lineitem, emitted in long form (one row per column).
+
+    The Spark side is a SINGLE wide aggregate over one scan — the five
+    COUNT(DISTINCT)s share the pass via Catalyst's Expand rewrite — then a
+    `stack` unpivots the 1-row result into the profile report. (The oracle
+    reads the table five times; that's DuckDB's problem, not the plan's.)
+
+    Scale: exact distinct counts via Expand multiply scan rows by the
+    number of distinct aggregates; at 100 TB swap n_distinct to
+    approx_count_distinct (single pass, no Expand, HLL mergeable) — the
+    d4 query pins that path. Numeric min/max/avg stay as DOUBLE and
+    date bounds are formatted to strings so every driver-visible column
+    is a hashable scalar.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+            F.round(F.avg(c), 4).alias(f"av_{c}"),
+        ]
+    aggs += [
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("nn_rf"),
+        F.countDistinct("l_returnflag").alias("nd_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("nn_sd"),
+        F.countDistinct("l_shipdate").alias("nd_sd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("mn_sd"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("mx_sd"),
+    ]
+    wide = li.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"'{c}', n_rows, nn_{c}, nd_{c}, mn_{c}, mx_{c}, av_{c},"
+            " cast(null as string), cast(null as string)"
+        )
+    rows.append(
+        "'l_returnflag', n_rows, nn_rf, nd_rf, cast(null as double),"
+        " cast(null as double), cast(null as double), mn_rf, mx_rf"
+    )
+    rows.append(
+        "'l_shipdate', n_rows, nn_sd, nd_sd, cast(null as double),"
+        " cast(null as double), cast(null as double), mn_sd, mx_sd"
+    )
+    stack = (
+        f"stack(5, {', '.join(rows)}) AS (column_name, n_rows, n_nulls,"
+        " n_distinct, min_num, max_num, avg_num, min_str, max_str)"
+    )
+    return wide.selectExpr(stack)

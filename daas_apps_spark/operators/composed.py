@@ -9,7 +9,7 @@ round-1 chain queries (c12/c13) didn't exercise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table, tables, register_views
@@ -242,4 +242,76 @@ def g6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min(F.coalesce("id1", "id2")).alias("min_doc"),
         F.max(F.coalesce("id1", "id2")).alias("max_doc"),
+    )
+
+
+@register(
+    "g7_scd2_history",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,
+               CASE WHEN o_orderpriority = LAG(o_orderpriority) OVER w
+                    THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS version
+        FROM seq
+    ),
+    hist AS (
+        SELECT o_custkey, priority, CAST(version AS INTEGER) AS version,
+               MIN(o_orderdate) AS valid_from
+        FROM runs GROUP BY o_custkey, priority, version
+    )
+    SELECT o_custkey, priority, version, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+    FROM hist
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+    """,
+    tags=("G7", "E3", "C11", "G6"),
+)
+def g7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: collapse each customer's order
+    timeline into versioned (valid_from, valid_to, is_current] intervals
+    of their observed order priority.
+
+    The warehouse-standard gaps-and-islands build: change flag via LAG,
+    running SUM of flags numbers the runs, MIN(date) per run opens the
+    interval, LEAD closes it (NULL valid_to = current row). Deterministic
+    because o_orderkey breaks same-day ties.
+
+    Scale: every window and the run aggregation partition on o_custkey, so
+    the whole history builds inside ONE hash exchange (Spark reuses the
+    partitioning across the lag, sum, groupBy, and lead stages); no
+    self-join, no driver iteration. Skewed dimension keys would salt the
+    run-numbering stage only.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    ).withColumn(
+        "chg",
+        F.when(
+            F.col("priority") == F.lag("priority").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    runs = seq.withColumn("version", F.sum("chg").over(w).cast("int"))
+    hist = runs.groupBy("o_custkey", "priority", "version").agg(
+        F.min("o_orderdate").alias("valid_from")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("version")
+    return hist.select(
+        "o_custkey",
+        "priority",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )

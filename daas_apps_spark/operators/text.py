@@ -315,3 +315,66 @@ def k18_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "k21_token_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS DOUBLE) AS freq FROM tok GROUP BY token
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               -log2(v.freq / (SELECT SUM(freq) FROM vocab)) AS surprisal
+        FROM tok t JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+           ROUND(AVG(surprisal), 4) AS avg_surprisal_bits,
+           ROUND(MAX(surprisal), 4) AS max_surprisal_bits
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("K21", "K6", "K8"),
+)
+def k21_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency surprisal scoring: per-document mean/max
+    -log2 P(token) under the corpus's own unigram distribution.
+
+    The standard cheap "perplexity-ish" quality filter for LLM corpus
+    curation (boilerplate scores low, gibberish scores high) without any
+    external model: the unigram table IS the model. Two aggregations over
+    one tokenized scan: build the vocab (token -> corpus frequency), turn
+    it into a surprisal lookup with a single partition-all window over the
+    (small) vocab, broadcast it back onto the token stream, and aggregate
+    per document.
+
+    Scale: the vocab of whitespace tokens grows ~O(sqrt(corpus)) (Heaps'
+    law) and broadcasts comfortably at 100 TB corpus scale; if a tokenizer
+    with an unbounded key space were used instead, drop the broadcast hint
+    and let AQE pick a shuffle join on token.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    w_all = Window.partitionBy()
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .withColumn(
+            "surprisal", -F.log2(F.col("freq") / F.sum("freq").over(w_all))
+        )
+        .select("token", "surprisal")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal_bits"),
+            F.round(F.max("surprisal"), 4).alias("max_surprisal_bits"),
+        )
+    )
