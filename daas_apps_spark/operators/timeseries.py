@@ -1,0 +1,247 @@
+"""T: time-series operators — gap-fill with LOCF, OHLC downsampling,
+rolling-window anomaly scoring.
+
+The reference's closest analog is its per-window coverage/summary passes
+(genomics pipelines emit per-region depth summaries over a sorted genome
+axis); re-expressed Spark-first these are the standard warehouse time-series
+primitives over the ``events`` stream table: a generated time spine with
+last-observation-carried-forward, bar/candle downsampling, and rolling
+z-scores. Everything is built-in expressions — window functions over
+(series-key, time) partitions, one hash exchange per query — no UDFs, no
+driver loops.
+
+Scale: every operator partitions by the series key (event_type / user_id)
+and sorts within partition by time; the spine cross-join is
+|keys| x |buckets| (tiny vs the fact table) and broadcasts. Skewed series
+would salt the window partitions; the LOCF scan is one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.functions.discipline import davg, dsum, r4, sql_davg, sql_dsum
+from daas_apps_spark.registry import register
+
+ZSCORE_FRAME = 19  # rolling frame: current row + 19 preceding = 20 rows
+
+
+@register(
+    "t1_gapfill_locf",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               {sql_davg('value')} AS avg_value,
+               COUNT(*) AS n_obs
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT MIN(date_trunc('hour', ts)) AS lo,
+               MAX(date_trunc('hour', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket FROM bounds) g
+    ),
+    j AS (
+        SELECT s.event_type, s.bucket, o.avg_value,
+               COALESCE(o.n_obs, 0) AS n_obs
+        FROM spine s LEFT JOIN obs o USING (event_type, bucket)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           (n_obs = 0) AS is_gap,
+           ROUND(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS locf_value
+    FROM j
+    """,
+    tags=("T1", "E6", "C8"),
+)
+def t1_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill a per-(event_type, hour) series onto a dense generated time
+    spine, carrying the last observation forward across empty buckets.
+
+    Shape: aggregate observations per (key, hour); build the spine as
+    distinct-keys x ``sequence(min, max, 1 hour)`` (both sides tiny — the
+    exploded spine broadcasts onto the observation agg); left-join; then
+    one ordered window per key propagates the last non-null average
+    (``last(..., ignorenulls=True)``, frame = unbounded preceding).
+
+    Scale: the observation agg is the only fact-table shuffle; the spine is
+    |keys| x |hours| rows (5 x 720 here; even 1e6 keys x 10 years of hours
+    is ~1e11 — at that point range-partition the spine by key and generate
+    it with the same expression, no driver materialization). LOCF is one
+    sort per key partition, no self-join, no driver iteration.
+    avg_value goes through the decimal-sum discipline (davg) so the filled
+    values are bit-identical on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        davg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_obs")
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                    ).alias("bucket")
+                )
+            )
+        )
+    )
+    joined = spine.join(F.broadcast(obs), ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        (F.coalesce("n_obs", F.lit(0)) == 0).alias("is_gap"),
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 4).alias(
+            "locf_value"
+        ),
+    )
+
+
+@register(
+    "t2_ohlc_downsample",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, date_trunc('day', ts) AS d, value,
+               FIRST_VALUE(value) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS open,
+               FIRST_VALUE(value) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS close
+        FROM events
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(MIN(open) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MIN(close) AS DOUBLE) AS close,
+           {sql_dsum('value')} AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM t GROUP BY event_type, d
+    """,
+    tags=("T2", "D8", "D1"),
+)
+def t2_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into daily OHLC (open/high/low/close)
+    bars per event_type — the classic resample-to-candles operator.
+
+    Open/close are exact picks via ``min_by``/``max_by`` on the composite
+    (ts, event_id) order (struct ordering; event_id breaks same-timestamp
+    ties), so the whole bar is ONE hash aggregate over one scan — no
+    window, no self-join. The oracle can't arg_min on a struct, so it
+    derives open/close with first_value windows instead; results are
+    identical because the tie-break order is the same.
+
+    Scale: single partial+final aggregate on (event_type, day) — the
+    min_by/max_by accumulators are constant-size, map-side combine applies,
+    and AQE handles skewed days. Volume uses the decimal-sum discipline.
+    """
+    e = table(spark, sf_dir, "events")
+    ord_ = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .agg(
+            F.min_by("value", ord_).cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", ord_).cast("double").alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "t3_rolling_zscore",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               AVG(value) OVER frame AS roll_mean,
+               STDDEV_SAMP(value) OVER frame AS roll_std,
+               COUNT(*) OVER frame AS n_frame
+        FROM events
+        WINDOW frame AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN {ZSCORE_FRAME} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+           ROUND((value - roll_mean) / roll_std, 4) AS zscore
+    FROM w
+    WHERE n_frame > {ZSCORE_FRAME} AND roll_std > 1e-9
+      AND ABS((value - roll_mean) / roll_std) > 2.5
+    """,
+    tags=("T3", "E5", "D7"),
+)
+def t3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: flag events whose value deviates
+    more than 2.5 sample standard deviations from the trailing-20 mean of
+    their event_type series.
+
+    One ordered window per series key computes the trailing mean/stddev
+    (ROWS 19 PRECEDING..CURRENT); rows with an incomplete frame are
+    excluded so every score is over exactly 20 observations. The (ts,
+    event_id) ordering is total, so frame contents — and therefore the
+    float accumulation order inside each frame — are identical on both
+    engines; ROUND(.,4) absorbs the remaining Welford-vs-naive ulps.
+
+    Scale: one hash exchange on event_type + in-partition sort; the frame
+    is O(1) state per row (sliding sum-of-squares), no self-join. A series
+    key with billions of rows still streams through one sorted partition —
+    range-partition by (key, coarse time) and re-seed frames at range
+    boundaries if a single key exceeds a partition.
+    """
+    e = table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_FRAME, Window.currentRow)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        F.avg("value").over(frame).alias("roll_mean"),
+        F.stddev_samp("value").over(frame).alias("roll_std"),
+        F.count(F.lit(1)).over(frame).alias("n_frame"),
+        "value",
+    )
+    z = (F.col("value") - F.col("roll_mean")) / F.col("roll_std")
+    return scored.filter(
+        (F.col("n_frame") > ZSCORE_FRAME)
+        & (F.col("roll_std") > 1e-9)
+        & (F.abs(z) > 2.5)
+    ).select("event_id", "user_id", F.round(z, 4).alias("zscore"))

@@ -134,6 +134,84 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[r.lid] == expect, f"lid={r.lid}"
 
 
+@PROP
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=20),
+    right=st.lists(st.tuples(keys, times), min_size=1, max_size=20),
+    tol=st.sampled_from([None, 0, 3, 10]),
+)
+def test_asof_forward_nearest_match_bruteforce(spark, left, right, tol):
+    """direction='forward'/'nearest' (+tolerance) equal the per-row reference:
+    forward = smallest right ts >= left ts; nearest = closer arm, ties ->
+    backward, forward arm strict."""
+    rdict = {}
+    for i, (k, t) in enumerate(right):
+        rdict[(k, t)] = max(rdict.get((k, t), -1), i)
+    rrows = [Row(k=k, rts=t, payload=p) for (k, t), p in rdict.items()]
+    lrows = [Row(k=k, lts=t, lid=i) for i, (k, t) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows).repartition(3)
+    rdf = spark.createDataFrame(rrows).repartition(2)
+
+    def brute(mode):
+        exp = {}
+        for r in lrows:
+            back = [(t, p) for (k, t), p in rdict.items()
+                    if k == r.k and t <= r.lts
+                    and (tol is None or r.lts - t <= tol)]
+            fwd_ge = [(t, p) for (k, t), p in rdict.items()
+                      if k == r.k and t >= r.lts
+                      and (tol is None or t - r.lts <= tol)]
+            if mode == "forward":
+                exp[r.lid] = min(fwd_ge)[::-1] if fwd_ge else (None, None)
+            else:  # nearest: forward arm strict, ties -> backward
+                b = max(back) if back else None
+                f = min(t_p for t_p in fwd_ge if t_p[0] > r.lts) \
+                    if any(t > r.lts for t, _ in fwd_ge) else None
+                if b is None and f is None:
+                    exp[r.lid] = (None, None)
+                elif f is None or (b is not None
+                                   and f[0] - r.lts >= r.lts - b[0]):
+                    exp[r.lid] = b[::-1]
+                else:
+                    exp[r.lid] = f[::-1]
+        return exp
+
+    for mode in ("forward", "nearest"):
+        out = asof_join(
+            ldf, rdf, on=["k"], left_time="lts", right_time="rts",
+            right_payload=["payload"], how="left", direction=mode,
+            tolerance_secs=tol,
+        ).collect()
+        got = {row.lid: (row.payload, row.asof_rts) for row in out}
+        assert got == brute(mode), f"direction={mode} tol={tol}"
+
+
+def test_asof_forward_tiebreak_prefers_largest_right_order(spark):
+    """Equal-(key, ts) right rows: forward picks the LARGEST right_order
+    value, same rule as backward."""
+    l = spark.createDataFrame([Row(k=1, lts=5)])
+    r = spark.createDataFrame(
+        [Row(k=1, rts=7, payload=1), Row(k=1, rts=7, payload=9)]
+    )
+    out = asof_join(
+        l, r, on=["k"], left_time="lts", right_time="rts",
+        right_payload=["payload"], right_order=["payload"],
+        direction="forward",
+    ).collect()
+    assert [(row.payload, row.asof_rts) for row in out] == [(9, 7)]
+
+
+def test_asof_nearest_rejects_right_order(spark):
+    import pytest
+
+    l = spark.createDataFrame([Row(k=1, lts=5)])
+    r = spark.createDataFrame([Row(k=1, rts=7, payload=1)])
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(l, r, on=["k"], left_time="lts", right_time="rts",
+                  right_payload=["payload"], right_order=["payload"],
+                  direction="nearest")
+
+
 def test_asof_join_rejects_reserved_column_names(spark):
     """Frames already carrying the implementation's working names would be
     silently corrupted — must raise instead."""
