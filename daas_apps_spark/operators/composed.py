@@ -315,3 +315,84 @@ def g7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("DQ1", "C2", "G1"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-row census for every foreign-key
+    edge of the star schema, one output row per relation. The standard
+    pre-ingest data-quality gate (all zeros on healthy TPC-H data — the
+    point is the operator, which reports WHICH edge broke and by how much).
+
+    Each edge is a left join onto the parent's key followed by a 1-row
+    aggregate; the five audits union into one report. Parent keys are
+    unique, so the left join never fans out and the child count is exact.
+
+    Scale: nation/supplier/customer parents broadcast; the orders and part
+    edges shuffle on the key — at 100 TB swap those to a bloom-filter
+    semi-check (build a bloom over parent keys, count probe misses) for an
+    approximate audit with zero shuffle of the child table, or bucket both
+    sides on the key to make the exact join co-located.
+    """
+    t = tables(spark, sf_dir)
+    li, orders, part = t.lineitem, t.orders, t.part
+    supplier, customer, nation = t.supplier, t.customer, t.nation
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              label: str, bcast: bool) -> DataFrame:
+        p = parent.select(pkey)
+        if bcast:
+            p = F.broadcast(p)
+        return (
+            child.select(ckey)
+            .join(p, child[ckey] == p[pkey], "left")
+            .agg(
+                F.lit(label).alias("relation"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col(pkey).isNull().cast("long")).alias("n_orphans"),
+            )
+        )
+
+    reports = [
+        audit(li, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey->orders", False),
+        audit(li, "l_partkey", part, "p_partkey",
+              "lineitem.l_partkey->part", False),
+        audit(li, "l_suppkey", supplier, "s_suppkey",
+              "lineitem.l_suppkey->supplier", True),
+        audit(orders, "o_custkey", customer, "c_custkey",
+              "orders.o_custkey->customer", True),
+        audit(customer, "c_nationkey", nation, "n_nationkey",
+              "customer.c_nationkey->nation", True),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out

@@ -378,3 +378,111 @@ def k21_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("surprisal"), 4).alias("max_surprisal_bits"),
         )
     )
+
+
+@register(
+    "k22_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS DOUBLE) AS freq FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+        FROM freq
+        QUALIFY rnk <= 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+           ROUND(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(freq), ln(rnk)), 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(freq), ln(rnk)), 4) AS r_squared
+    FROM ranked
+    """,
+    tags=("K22", "K8", "D7"),
+)
+def k22_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS slope of log-frequency vs
+    log-rank for the top-100 tokens. Natural language sits near slope -1;
+    a flat slope flags boilerplate/template corpora, a cliff flags
+    gibberish — a one-number corpus-health check used alongside K6.
+
+    Tokenize -> count (one shuffle on token) -> global top-100 via
+    row_number (vocab is small after the aggregate; the global sort is
+    over |vocab| rows, not the corpus) -> single-row regression aggregate
+    via built-in regr_slope/intercept/r2. Ranking ties break on the token
+    string so both engines rank identically; ROUND(.,4) absorbs
+    sum-order float ulps in the regression sums.
+
+    Scale: the only corpus-sized stage is the token count; at 100 TB the
+    top-100 cut runs on the aggregated vocab (~sqrt-corpus by Heaps' law)
+    and everything after is a few hundred rows on one task.
+    """
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    w = Window.partitionBy().orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(F.log(F.col("freq")).alias("lf"), F.log(F.col("rnk")).alias("lr"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope("lf", "lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("lf", "lr"), 4).alias("r_squared"),
+    )
+
+
+@register(
+    "k23_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+    FROM tf
+    GROUP BY doc_id
+    """,
+    tags=("K23", "K6", "K8"),
+)
+def k23_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in bits —
+    the repetition-aware quality signal (low entropy = template/boilerplate
+    text, complements K12's repetition stats).
+
+    Uses the identity H = log2(n) - (1/n)*SUM(c*log2 c) so the whole thing
+    is ONE aggregation over the (doc, token) counts — no join back to a
+    totals table, no window. Two shuffles total (doc+token count, then
+    doc rollup), both keyed on doc_id prefixes so they colocate.
+
+    Scale: state per group is three floats; skew only if one document has
+    a pathological token count, which K6's length bounds already filter.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("entropy_bits"),
+    )
