@@ -64,6 +64,19 @@ def asof_join(
     drops unmatched left rows, 'left' keeps them with nulls.
     """
     on = list(on)
+
+    def _tolerance(secs: float) -> Column:
+        """Tolerance literal matching the time axis: a DayTimeInterval for
+        timestamp columns (TZ and NTZ — a double cast is illegal on NTZ, and
+        interval comparison is exact at microsecond resolution), the plain
+        number for numeric axes (units = the column's own units)."""
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        ts_type = right.schema[right_time].dataType
+        if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+            return F.make_dt_interval(secs=F.lit(float(secs)))
+        return F.lit(secs)
+
     # The implementation owns these working names; a caller frame already
     # using one would produce ambiguous/corrupt columns, so fail loudly.
     reserved = {"__ts", "__is_right", "__payload", "__match"}
@@ -138,11 +151,11 @@ def asof_join(
         mb = F.last("__payload", ignorenulls=True).over(wb)
         mf = F.first("__payload", ignorenulls=True).over(wf)
         if tolerance_secs is not None:
-            ts_d = F.col("__ts").cast("double")
-            mb = F.when(ts_d - mb["__t"].cast("double") <= float(tolerance_secs), mb)
-            mf = F.when(mf["__t"].cast("double") - ts_d <= float(tolerance_secs), mf)
-        d_back = F.col("__ts").cast("double") - mb["__t"].cast("double")
-        d_fwd = mf["__t"].cast("double") - F.col("__ts").cast("double")
+            tol = _tolerance(tolerance_secs)
+            mb = F.when(F.col("__ts") - mb["__t"] <= tol, mb)
+            mf = F.when(mf["__t"] - F.col("__ts") <= tol, mf)
+        d_back = F.col("__ts") - mb["__t"]
+        d_fwd = mf["__t"] - F.col("__ts")
         match = (
             F.when(mb.isNull(), mf)
             .when(mf.isNull(), mb)
@@ -155,8 +168,14 @@ def asof_join(
             f" got {direction!r}"
         )
     if tolerance_secs is not None and direction != "nearest":
-        diff = F.abs(F.col("__ts").cast("double") - match["__t"].cast("double"))
-        match = F.when(diff <= float(tolerance_secs), match)
+        # The matched timestamp is on the known side of __ts per direction,
+        # so the signed difference is always non-negative.
+        tol = _tolerance(tolerance_secs)
+        if direction == "backward":
+            diff = F.col("__ts") - match["__t"]
+        else:
+            diff = match["__t"] - F.col("__ts")
+        match = F.when(diff <= tol, match)
     filled = unioned.withColumn("__match", match)
     out = filled.filter(F.col("__is_right") == 0)
     if how == "inner":
