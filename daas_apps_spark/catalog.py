@@ -55,6 +55,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it scans as
         # epoch-nanos. Truncate (not round) to µs — DuckDB does the same.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ on
+        # Spark 4 (inferTimestampNTZ defaults on). Normalize to LTZ: the
+        # session timezone is pinned UTC, so the instant is the wall-clock
+        # value unchanged — exactly how DuckDB treats the same naive column —
+        # and TZ-only functions (unix_micros, to_utc_timestamp, interval
+        # arithmetic ergonomics) work uniformly across every query.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     _DF_CACHE[key] = (spark, df)
     return df
 

@@ -708,3 +708,42 @@ def d13_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_distinct, min_num, max_num, avg_num, min_str, max_str)"
     )
     return wide.selectExpr(stack)
+
+
+@register(
+    "d14_more_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           bool_and(l_discount < 0.1) AS all_small_disc,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_band,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_bor,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("D14", "D7"),
+)
+def d14_more_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate battery beyond D1-D13: exact median (interpolated on both
+    engines), boolean every/some, conditional count, and bitwise fold
+    aggregates — the bit folds are the aggregate-side complement of the
+    H-bitwise scalar battery (band keys, bitmap-style summaries).
+
+    All are single-pass hash aggregates with map-side partials; median is
+    the one exception (needs the group's values — Spark runs it as a sort-
+    based aggregate) and is bounded per group, not per table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.bool_and(F.col("l_discount") < 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bit_and(ln).alias("line_band"),
+        F.bit_or(ln).alias("line_bor"),
+        F.bit_xor(ln).alias("line_bxor"),
+    )

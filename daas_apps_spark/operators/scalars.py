@@ -516,3 +516,41 @@ def h_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("event_id").alias("n_bits"),
         F.bitwise_not(low).alias("complement"),
     )
+
+
+@register(
+    "h_regexp_functions",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data,
+           NULLIF(regexp_extract(text, 'sp[a-z]+'), '') AS first_sp_word,
+           COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+               AS all_numbers,
+           split_part(text, ' ', 2) AS second_token,
+           regexp_matches(text, '^[a-z]+ [a-z]+') AS two_lower_words,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked
+    FROM documents
+    """,
+    tags=("H",),
+)
+def h_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery: match counting, first/all extraction, field split,
+    boolean match, global masking.
+
+    Dialect notes: Spark ``regexp_substr`` returns NULL on no-match while
+    DuckDB ``regexp_extract`` returns '' (NULLIF twin); Spark ``array_join``
+    of an empty array is '' while DuckDB ``array_to_string`` is NULL
+    (COALESCE twin). Both sides' ``split_part`` agree on '' out-of-range.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("data")).cast("long").alias("n_data"),
+        F.regexp_substr("text", F.lit("sp[a-z]+")).alias("first_sp_word"),
+        F.array_join(F.regexp_extract_all("text", F.lit("([0-9]+)")), ",").alias(
+            "all_numbers"
+        ),
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("second_token"),
+        F.col("text").rlike("^[a-z]+ [a-z]+").alias("two_lower_words"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+    )
