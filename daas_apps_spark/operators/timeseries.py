@@ -245,3 +245,104 @@ def t3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("roll_std") > 1e-9)
         & (F.abs(z) > 2.5)
     ).select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+
+
+@register(
+    "t4_funnel_analysis",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(v.v_ts) AS BIGINT) AS n_viewed,
+           CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicked,
+           CAST(COUNT(p.p_ts) AS BIGINT) AS n_purchased,
+           ROUND(AVG(CAST(date_diff('second', v.v_ts, c.c_ts) AS DOUBLE)), 4)
+               AS avg_view_to_click_secs,
+           ROUND(AVG(CAST(date_diff('second', c.c_ts, p.p_ts) AS DOUBLE)), 4)
+               AS avg_click_to_purchase_secs
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    tags=("T4", "E4", "D9"),
+)
+def t4_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion census: view → click → purchase, each stage
+    strictly at-or-after the user's first attainment of the previous stage.
+
+    The oracle needs three aggregate+join rounds (first view per user, first
+    click after that view, first purchase after that click). The Spark plan
+    does it in ONE shuffle: chained RANGE-frame running windows over the
+    same (user_id, ts) sort —
+
+        first_view(t)  = min view ts seen up to t   (range frame ⇒ a stage
+                         reached at the SAME instant as its predecessor
+                         counts, matching the oracle's inclusive >=)
+        qual_click(t)  = t if this row is a click and first_view(t) exists
+        first_qclick   = running min of qual_click
+        qual_purchase  = t if purchase and first_qclick(t) exists
+
+    — then a per-user aggregate (which reuses the window's hash
+    partitioning: no second exchange) and a single global census row.
+
+    Scale: one hash exchange on user_id + one in-partition sort, O(1)
+    window state per row, 1-row output. No join, no per-user collect —
+    a billion-user funnel is the same plan at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        e.select("user_id", "ts", "event_type")
+        .withColumn("first_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "first_qclick",
+            F.min(
+                F.when(is_type("click") & F.col("first_view").isNotNull(), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "qual_purchase",
+            F.when(
+                is_type("purchase") & F.col("first_qclick").isNotNull(), F.col("ts")
+            ),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(is_type("view"), F.col("ts"))).alias("v_ts"),
+        F.min("first_qclick").alias("c_ts"),
+        F.min("qual_purchase").alias("p_ts"),
+    )
+    secs = lambda a, b: F.unix_timestamp(b) - F.unix_timestamp(a)  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked"),
+        F.count("p_ts").alias("n_purchased"),
+        F.round(
+            F.avg(secs(F.col("v_ts"), F.col("c_ts")).cast("double")), 4
+        ).alias("avg_view_to_click_secs"),
+        F.round(
+            F.avg(secs(F.col("c_ts"), F.col("p_ts")).cast("double")), 4
+        ).alias("avg_click_to_purchase_secs"),
+    )

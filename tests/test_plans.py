@@ -6,6 +6,8 @@ broadcast join to cartesian — fails CI even though results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from daas_apps_spark.operators.partitioning import physical_plan
@@ -251,3 +253,13 @@ def test_runtime_bloom_filter_join_pruning(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             str(10 * 1024 * 1024 * 1024),
         )
+
+
+def test_t4_funnel_single_user_shuffle_no_join(spark):
+    # The funnel is chained running windows + per-user agg over ONE
+    # (user_id) hash exchange and ONE sort — never the oracle's
+    # three-round aggregate-join cascade.
+    plan = plan_of(spark, "t4_funnel_analysis")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
