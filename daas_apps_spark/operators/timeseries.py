@@ -247,6 +247,46 @@ def t3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", F.round(z, 4).alias("zscore"))
 
 
+def funnel_stage_times(
+    df: DataFrame,
+    stages: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user first-attainment timestamp of each ordered funnel stage.
+
+    Stage k counts only at-or-after the user's first attainment of stage
+    k-1 (inclusive: a stage reached at the SAME instant as its predecessor
+    qualifies). Implemented as chained RANGE-frame running-min windows over
+    ONE (user, ts) sort — each stage adds an O(1)-state pass over the same
+    sorted partition, never a join — then a per-user aggregate that reuses
+    the window's hash partitioning. Returns one row per user with columns
+    ``stage_0_ts .. stage_{n-1}_ts``.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(user_col, ts_col, type_col)
+    prev = None
+    qual_cols = []
+    for k, stage in enumerate(stages):
+        qual = F.col(type_col) == stage
+        if prev is not None:
+            qual = qual & F.col(prev).isNotNull()
+        name = f"__q{k}"
+        staged = staged.withColumn(
+            name, F.min(F.when(qual, F.col(ts_col))).over(w)
+        )
+        qual_cols.append(name)
+        prev = name
+    return staged.groupBy(user_col).agg(
+        *[F.min(q).alias(f"stage_{k}_ts") for k, q in enumerate(qual_cols)]
+    )
+
+
 @register(
     "t4_funnel_analysis",
     oracle="""
@@ -306,32 +346,11 @@ def t4_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     a billion-user funnel is the same plan at any scale.
     """
     e = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_type = lambda t: F.col("event_type") == t  # noqa: E731
-    staged = (
-        e.select("user_id", "ts", "event_type")
-        .withColumn("first_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
-        .withColumn(
-            "first_qclick",
-            F.min(
-                F.when(is_type("click") & F.col("first_view").isNotNull(), F.col("ts"))
-            ).over(w),
-        )
-        .withColumn(
-            "qual_purchase",
-            F.when(
-                is_type("purchase") & F.col("first_qclick").isNotNull(), F.col("ts")
-            ),
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.min(F.when(is_type("view"), F.col("ts"))).alias("v_ts"),
-        F.min("first_qclick").alias("c_ts"),
-        F.min("qual_purchase").alias("p_ts"),
+    per_user = funnel_stage_times(e, ["view", "click", "purchase"]).select(
+        "user_id",
+        F.col("stage_0_ts").alias("v_ts"),
+        F.col("stage_1_ts").alias("c_ts"),
+        F.col("stage_2_ts").alias("p_ts"),
     )
     secs = lambda a, b: F.unix_timestamp(b) - F.unix_timestamp(a)  # noqa: E731
     return per_user.agg(
@@ -345,4 +364,60 @@ def t4_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(secs(F.col("c_ts"), F.col("p_ts")).cast("double")), 4
         ).alias("avg_click_to_purchase_secs"),
+    )
+
+
+@register(
+    "t5_cohort_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', c.cohort_wk, uw.wk) AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM uw JOIN cohort c ON uw.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("T5", "D1", "D6"),
+)
+def t5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week, counted
+    in every week they return — the standard growth-analytics report.
+
+    The oracle takes the textbook route (distinct user-weeks → min-per-user
+    cohort → join back → count distinct). The Spark plan needs no join and
+    no distinct pass: ONE per-user aggregate carrying `min(wk)` AND
+    `collect_set(wk)` (both partially aggregated map-side, so duplicate
+    user-weeks collapse before the shuffle), then an explode of the
+    bounded set and a second small aggregate over (cohort, weeks_since).
+    After the explode every (user, week) is unique, so `count(*)` IS the
+    distinct-user count.
+
+    Scale: shuffle #1 carries one row per user with O(active weeks) set
+    state (bounded by the calendar: ≤52/year — NOT by event volume);
+    shuffle #2 carries cohort×week cells. A billion users × a year of
+    events never materializes a user-week fact join.
+    """
+    e = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    per_user = (
+        e.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks"))
+    )
+    return (
+        per_user.select(
+            "cohort_wk", F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )

@@ -399,3 +399,46 @@ def test_sequence_pack_invariants(spark, toks, budget):
     # a doc is assigned to the pack where its first token lands
     for r in packed:
         assert r["pack_id"] == (r["cum"] - r["n"]) // budget
+
+
+# ---------------------------------------------------------------------------
+# Funnel stage attainment (T4): the chained running-window plan equals the
+# per-user sequential brute force — stage k's time is the earliest event of
+# stage k at-or-after the user's stage k-1 time (ties inclusive).
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(keys, times, st.sampled_from(["a", "b", "c", "x"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_stage_times_match_bruteforce(spark, events):
+    from daas_apps_spark.operators.timeseries import funnel_stage_times
+
+    stages = ["a", "b", "c"]
+    rows = [Row(user_id=u, ts=t, event_type=ty) for u, t, ty in events]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {
+        r.user_id: (r.stage_0_ts, r.stage_1_ts, r.stage_2_ts)
+        for r in funnel_stage_times(df, stages).collect()
+    }
+
+    expect = {}
+    for u in {e[0] for e in events}:
+        mine = sorted((t, ty) for uu, t, ty in events if uu == u)
+        prev, attained = None, []
+        for stage in stages:
+            cands = [
+                t for t, ty in mine
+                if ty == stage and (prev is None or t >= prev)
+            ]
+            cur = min(cands) if cands else None
+            attained.append(cur)
+            if cur is None:
+                attained += [None] * (len(stages) - len(attained))
+                break
+            prev = cur
+        expect[u] = tuple(attained)
+    assert out == expect
