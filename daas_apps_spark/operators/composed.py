@@ -396,3 +396,92 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+_DQ2_KEYS = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _dq2_oracle() -> str:
+    parts = []
+    for tbl, keys in _DQ2_KEYS:
+        expr = (
+            keys[0]
+            if len(keys) == 1
+            else " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+        )
+        null_pred = " OR ".join(f"{k} IS NULL" for k in keys)
+        parts.append(f"""
+    SELECT '{tbl}({", ".join(keys)})' AS table_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN {null_pred} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys,
+           (COUNT(*) = COUNT(DISTINCT {expr})
+            AND SUM(CASE WHEN {null_pred} THEN 1 ELSE 0 END) = 0) AS is_unique
+    FROM {tbl}""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@register(
+    "dq2_key_uniqueness",
+    oracle=_dq2_oracle(),
+    tags=("DQ2", "D3", "G1"),
+)
+def dq2_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit: for every table's declared key, row count vs
+    distinct-key count plus null-key census and a pass/fail verdict — the
+    uniqueness half of the ingest gate (DQ1 covers the FK edges).
+
+    Each table is ONE aggregate over a key-column-only scan (column pruning
+    keeps the scan narrow; no joins anywhere); composite keys canonicalize
+    to a NULL-propagating string concat so COUNT(DISTINCT) skips null keys
+    identically on both engines. Ten 1-row audits union into the report.
+
+    Scale: exact COUNT(DISTINCT) costs an Expand pass per table — at 100 TB
+    swap to approx_count_distinct for a tolerance-based audit (uniqueness
+    violations beyond HLL error still surface), or run per-partition
+    uniqueness on bucketed layouts where the key is the bucket column.
+    """
+    t = tables(spark, sf_dir)
+    reports = []
+    for tbl, keys in _DQ2_KEYS:
+        df = getattr(t, tbl)
+        if len(keys) == 1:
+            expr = F.col(keys[0])
+        else:
+            # concat (NOT concat_ws) propagates NULL like DuckDB's ||
+            pieces: list = []
+            for i, k in enumerate(keys):
+                if i:
+                    pieces.append(F.lit("|"))
+                pieces.append(F.col(k).cast("string"))
+            expr = F.concat(*pieces)
+        null_pred = F.lit(False)
+        for k in keys:
+            null_pred = null_pred | F.col(k).isNull()
+        dupes_free = F.count(F.lit(1)) == F.countDistinct(expr)
+        no_nulls = F.sum(null_pred.cast("long")) == 0
+        reports.append(
+            df.select(*keys).agg(
+                F.lit(f"{tbl}({', '.join(keys)})").alias("table_key"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(expr).alias("n_distinct_keys"),
+                F.sum(null_pred.cast("long")).alias("n_null_keys"),
+                (dupes_free & no_nulls).alias("is_unique"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
