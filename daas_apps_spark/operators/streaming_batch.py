@@ -330,3 +330,65 @@ def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("secs_to_purchase"),
         )
     )
+
+
+@register(
+    "i11_stream_left_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase,
+           (p.event_id IS NOT NULL) AS converted
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("I11", "I8", "C2"),
+)
+def i11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch-equivalence form:
+    every click appears — matched to each purchase within 30 minutes, or
+    once with nulls if none came. The outer side is what turns the i8
+    attribution join into a funnel-with-dropouts report.
+
+    The live twin (streaming/live.py::click_purchase_left_join) is the
+    genuinely-streaming capability: Spark emits the null row for a click
+    only when the watermark passes click.ts + interval (proof no match can
+    still arrive), so state AND result-completeness are bounded by
+    watermark delay + interval width. The live test asserts exactly that
+    boundary: matched rows always equal the batch inner join; null rows
+    appear precisely for clicks old enough that the final watermark closed
+    their window.
+
+    Scale: identical to i8 — one shuffle per side on user_id, interval as
+    a post-join predicate, state (live) bounded per key.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("secs_to_purchase"),
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )

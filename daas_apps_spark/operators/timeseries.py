@@ -421,3 +421,61 @@ def t5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "t6_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+               AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("T6", "E3", "D1"),
+)
+def t6_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: for each consecutive event pair in a
+    user's totally-ordered history, count (prev → next) transitions and the
+    empirical next-event probability — the first-order Markov summary under
+    next-event-prediction / session-path analytics.
+
+    One lag window over (user_id, ts, event_id) — the event_id tie-break
+    makes the ordering total, so equal-timestamp neighbors produce the
+    same transitions on both engines — then a tiny (prev, next) aggregate;
+    the probability normalizes over a 25-cell result with a second window
+    that never touches the fact table. No self-join (contrast: the oracle
+    could also be written as the C11 self-join — this form shuffles the
+    events table once instead of twice).
+
+    Scale: shuffle #1 on user_id (the window), shuffle #2 carries
+    |event_types|² rows. Transition matrices over billions of events are
+    exactly this plan; higher-order chains add lag(k) columns to the same
+    window pass, not new shuffles.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wnorm), 6
+        ).alias("p_next"),
+    )

@@ -208,6 +208,54 @@ def click_purchase_join(
     )
 
 
+def click_purchase_left_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """I11 live: LEFT OUTER stream-stream interval join.
+
+    Same key + interval condition as the inner join, but unmatched clicks
+    are emitted WITH NULLS once the watermark passes click.ts + interval —
+    the engine's proof that no qualifying purchase can still arrive. Two
+    consequences the live test pins:
+
+    - matched rows stream out exactly like the inner join;
+    - a finite replay can only emit the null row for clicks whose
+      30-minute window the FINAL watermark closed; younger unmatched
+      clicks stay buffered in state. The final watermark is the MIN of
+      the two sides' own (max event time - delay) marks
+      (multipleWatermarkPolicy=min), so a quiet click stream holds back
+      null emission even when purchases run far ahead.
+
+    State per key is bounded by interval width + watermark delay, same as
+    the inner form.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+        F.col("c_ts").alias("click_ts"),
+    )
+
+
 def run_stream_upsert_counts(
     spark: SparkSession, src_dir: str, state_dir: str, checkpoint_dir: str
 ) -> None:

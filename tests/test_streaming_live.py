@@ -242,3 +242,54 @@ def test_foreachbatch_upsert_equals_batch(spark, events_json_dir, tmp_path):
     assert len(got_s) == len(want_s)
     assert (got_s.n_events.values == want_s.n_events.values).all()
     assert (abs(got_s.total_value.values - want_s.total_value.values) < 1e-9).all()
+
+
+def test_stream_left_join_matched_and_watermark_closed_nulls(
+    spark, events_json_dir, tmp_path
+):
+    """I11 live: the LEFT OUTER interval join must (a) emit exactly the
+    batch inner-join rows for matches, and (b) emit null rows precisely
+    for unmatched clicks whose 30-min window the final watermark closed —
+    younger unmatched clicks stay in state on a finite replay."""
+    from daas_apps_spark.streaming.live import click_purchase_left_join
+
+    src = events_file_stream(spark, events_json_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    stream = click_purchase_left_join(clicks, purchases)
+    run_stream_to_memory(stream, "t_ss_left", str(tmp_path / "ck"), "append")
+    got = spark.table("t_ss_left").toPandas()
+
+    matched = got[got.purchase_id.notna()]
+    from daas_apps_spark.registry import get_queries
+
+    want_inner = get_queries()["i8_stream_stream_join"](spark, SF_SMOKE).toPandas()
+    key = ["user_id", "click_id", "purchase_id"]
+    assert (
+        matched[key].astype("int64").sort_values(key).values.tolist()
+        == want_inner[key].astype("int64").sort_values(key).values.tolist()
+    )
+
+    # Null rows: exactly the unmatched clicks whose window closed before the
+    # final watermark = max(event ts) - 1h delay.
+    ev = table(spark, SF_SMOKE, "events").toPandas()
+    import pandas as pd
+
+    # Each withWatermark node tracks its OWN max event time and the global
+    # watermark is the MIN across them (multipleWatermarkPolicy=min): the
+    # click side's and the purchase side's — not the unified stream's max.
+    # Spark also tracks watermarks in epoch MILLIseconds, so floor the µs
+    # event times to ms.
+    clicks_pd = ev[ev.event_type == "click"]
+    purch_pd = ev[ev.event_type == "purchase"]
+    max_ts = min(clicks_pd.ts.max(), purch_pd.ts.max()).floor("ms")
+    final_wm = max_ts - pd.Timedelta(hours=1)
+    inner_click_ids = set(want_inner.click_id)
+    expect_null_ids = set()
+    for r in clicks_pd.itertuples():
+        if r.event_id in inner_click_ids:
+            continue
+        if r.ts + pd.Timedelta(minutes=30) < final_wm:
+            expect_null_ids.add(r.event_id)
+    got_null_ids = set(got[got.purchase_id.isna()].click_id.astype("int64"))
+    assert got_null_ids == expect_null_ids
