@@ -419,3 +419,138 @@ def k4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DUCK_Q_PREP = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q8 AS (
+        SELECT vec_id, e,
+               list_min(e) AS mn,
+               (list_max(e) - list_min(e)) / 255.0 AS scale
+        FROM v
+    ),
+    dq AS (
+        SELECT vec_id, e,
+               CASE WHEN scale = 0 THEN list_transform(e, x -> mn)
+                    ELSE list_transform(e, x -> mn + round((x - mn) / scale) * scale)
+               END AS d
+        FROM q8
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+                       c.vec_id ASC) AS rnk
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {N_QUERY} AND q.vec_id <> c.vec_id
+        QUALIFY rnk <= {TOP_K}
+    ),
+    quant AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.d, c.d)
+                       / (sqrt(list_dot_product(q.d, q.d))
+                        * sqrt(list_dot_product(c.d, c.d))), 6) DESC,
+                       c.vec_id ASC) AS rnk
+        FROM dq q CROSS JOIN dq c
+        WHERE q.vec_id < {N_QUERY} AND q.vec_id <> c.vec_id
+        QUALIFY rnk <= {TOP_K}
+    )
+"""
+
+
+@register(
+    "k25_quantized_recall",
+    oracle=_DUCK_Q_PREP
+    + f"""
+    SELECT e.query_id,
+           CAST(COUNT(qt.cand_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(qt.cand_id) / {TOP_K}.0, 4) AS recall_at_{TOP_K}
+    FROM exact e
+    LEFT JOIN quant qt ON e.query_id = qt.query_id AND e.cand_id = qt.cand_id
+    GROUP BY e.query_id
+    """,
+    tags=("K25", "K4"),
+)
+def k25_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with top-k recall audit: per-vector
+    min/max affine quantization to 256 levels (4× memory cut at 100 TB —
+    the difference between an in-memory and a spilled ANN corpus), then
+    recall@k of quantized-cosine top-k against the exact float top-k.
+
+    The audit IS the operator's acceptance test: ship the quantized
+    representation only where measured recall holds. Both rankings run the
+    same broadcast-queries × streamed-candidates plan as k4_cosine_topk;
+    dequantized values (mn + q·scale) are reconstructed with the same
+    arithmetic on both engines, so the report hash-matches bit-for-bit.
+
+    Scale: quantization is a map-side per-row transform (no shuffle); the
+    recall join touches only 2·|queries|·k rows. At corpus scale the
+    quantized table is what K4's ANN paths (LSH/IVF) would index —
+    re-ranking the shortlist with full-precision vectors restores exact
+    ordering at the end, the standard two-stage retrieval design.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id").isNotNull()).select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    mn = F.array_min("e")
+    scale = (F.array_max("e") - F.array_min("e")) / F.lit(255.0)
+    dq = base.select(
+        "vec_id",
+        "e",
+        F.when(
+            scale == 0, F.transform("e", lambda x: mn)
+        )
+        .otherwise(
+            F.transform("e", lambda x: mn + F.round((x - mn) / scale, 0) * scale)
+        )
+        .alias("d"),
+    )
+
+    def topk(df: DataFrame, col: str) -> DataFrame:
+        q = df.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
+        ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        c = df.select(
+            F.col("vec_id").alias("cand_id"), F.col(col).alias("cv")
+        ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .withColumn(
+                "cosine",
+                F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    exact = topk(dq, "e")
+    quant = topk(dq, "d").withColumnRenamed("cand_id", "q_cand")
+    return (
+        exact.join(
+            quant,
+            (exact.query_id == quant.query_id) & (exact.cand_id == quant.q_cand),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count("q_cand").alias("n_overlap"),
+            F.round(F.count("q_cand") / F.lit(float(TOP_K)), 4).alias(
+                f"recall_at_{TOP_K}"
+            ),
+        )
+    )

@@ -486,3 +486,81 @@ def k23_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
         ).alias("entropy_bits"),
     )
+
+
+@register(
+    "k24_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bgc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY w1, w2
+    ),
+    model AS (
+        SELECT w1, w2,
+               -log2(c / SUM(c) OVER (PARTITION BY w1)) AS surprisal
+        FROM bgc
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(m.surprisal), 4) AS avg_surprisal_bits,
+           ROUND(MAX(m.surprisal), 4) AS max_surprisal_bits
+    FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    GROUP BY b.doc_id
+    """,
+    tags=("K24", "K21", "K8"),
+)
+def k24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring: per-document mean/max -log2 P(w2|w1)
+    under the corpus's own bigram model — one order up from K21's unigram
+    filter, and the difference matters for curation: templated boilerplate
+    has LOW bigram surprisal (predictable transitions) even when its
+    unigram surprisal looks healthy, while shuffled/garbled text scores
+    HIGH on bigrams but normal on unigrams.
+
+    The conditional model needs no probability join: bigram counts get
+    their context totals from one window over the (small) bigram vocab —
+    P(w2|w1) = c(w1,w2) / Σ_w c(w1,w), computed in place. The bigram
+    stream is derived map-side (an index-range transform over the token
+    array — no window, no self-join), aggregated once for the model, and
+    the broadcast model joins back for per-doc scoring.
+
+    Scale: bigram vocab grows faster than unigram (still far below corpus
+    size); if it outgrows the broadcast threshold drop the hint and AQE
+    shuffles the score join on (w1, w2) — the per-doc aggregate is
+    unchanged. Exactly K21's scale story, one n-gram order up.
+    """
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+                " i -> struct(split(lower(text), ' ')[i - 1] AS w1,"
+                "             split(lower(text), ' ')[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    w_ctx = Window.partitionBy("w1")
+    model = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn(
+            "surprisal", -F.log2(F.col("c") / F.sum("c").over(w_ctx))
+        )
+        .select("w1", "w2", "surprisal")
+    )
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal_bits"),
+            F.round(F.max("surprisal"), 4).alias("max_surprisal_bits"),
+        )
+    )
