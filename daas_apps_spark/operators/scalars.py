@@ -554,3 +554,45 @@ def h_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("^[a-z]+ [a-z]+").alias("two_lower_words"),
         F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
     )
+
+
+@register(
+    "h_interval_functions",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+           ts - INTERVAL 1 DAY AS ts_minus_1d,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS next_hour,
+           CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT)
+               AS mins_into_day,
+           (ts + INTERVAL 30 MINUTE > date_trunc('hour', ts) + INTERVAL 1 HOUR)
+               AS crosses_hour
+    FROM events
+    """,
+    tags=("H",),
+)
+def h_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic battery: timestamp ± day-time intervals,
+    bucket-boundary derivation, sub-day offset extraction, and an
+    interval-comparison predicate — the primitives under every windowing
+    and as-of operator (C10's tolerance, I1's buckets, T1's spine).
+
+    Spark's `timestampdiff(MINUTE, …)` and DuckDB's `date_diff('minute',
+    …)` both count whole boundary crossings, and the day-truncated anchor
+    is minute-aligned, so the offsets agree exactly; interval-shifted
+    timestamps hash as µs instants on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus_1d"),
+        (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias("next_hour"),
+        F.expr("timestampdiff(MINUTE, date_trunc('day', ts), ts)")
+        .cast("long")
+        .alias("mins_into_day"),
+        (
+            F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+            > F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")
+        ).alias("crosses_hour"),
+    )
