@@ -263,3 +263,28 @@ def test_t4_funnel_single_user_shuffle_no_join(spark):
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+
+
+def test_t5_cohort_no_join_no_distinct_two_exchanges(spark):
+    # Cohort retention must stay the collect_set form: per-user agg +
+    # explode + cell agg — never the distinct→min→join-back cascade.
+    plan = plan_of(spark, "t5_cohort_retention")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+
+
+def test_t6_transitions_no_self_join(spark):
+    # The transition matrix is a lag window, not the C11 self-join: the
+    # events table must appear (and shuffle) exactly once.
+    plan = plan_of(spark, "t6_event_transitions")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_k24_bigram_score_join_is_broadcast(spark):
+    # The bigram model joins back by broadcast — corpus rows never shuffle
+    # for scoring — and the bigram expansion is map-side (no extra sort).
+    plan = plan_of(spark, "k24_bigram_surprisal")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
