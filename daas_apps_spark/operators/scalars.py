@@ -596,3 +596,51 @@ def h_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")
         ).alias("crosses_hour"),
     )
+
+
+@register(
+    "h_url_functions",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc-'
+                   || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           array_to_string(
+               string_split(regexp_extract(url, '^https?://([^/]+)', 1), '.')[-2:],
+               '.') AS registrable_domain
+    FROM u
+    """,
+    tags=("H", "K14"),
+)
+def h_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery: host / path / query-parameter extraction and
+    registrable-domain derivation — the primitives under web-corpus domain
+    censuses and K14 domain mixing (CommonCrawl-style pipelines group and
+    sample by registrable domain, not full host).
+
+    URLs are synthesized deterministically from document columns so the
+    check exercises parsing, not fixture contents. Spark uses the native
+    `parse_url` (HOST/PATH/QUERY-key) and `substring_index`; DuckDB has
+    neither, so the oracle re-derives each part with anchored regexps and
+    a tail slice of the dot-split host — dialect twins documented here.
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.substring_index(host, ".", -2).alias("registrable_domain"),
+    )
