@@ -15,8 +15,8 @@ _load_all()
 
 def test_d4_hll_within_declared_rsd(spark):
     row = REGISTRY["d4_approx_count_distinct"].fn(spark, SF_ORACLE).collect()[0]
-    # rsd=0.01 declared; allow 5 sigma
-    assert abs(row.approx_orders - row.exact_orders) <= 0.05 * row.exact_orders
+    # rsd=0.02 declared; allow 5 sigma
+    assert abs(row.approx_orders - row.exact_orders) <= 0.10 * row.exact_orders
 
 
 def test_d12_gk_percentiles_within_accuracy(spark):
