@@ -442,3 +442,70 @@ def test_funnel_stage_times_match_bruteforce(spark, events):
             prev = cur
         expect[u] = tuple(attained)
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization (K25): dequantized values stay within half a step of the
+# original — |x - dq| <= scale/2 + eps — for ANY vector, and constant vectors
+# reconstruct exactly.
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantization_error_bounded(spark, vec):
+    df = spark.createDataFrame([Row(vec_id=0, e=[float(x) for x in vec])])
+    mn = F.array_min("e")
+    scale = (F.array_max("e") - F.array_min("e")) / F.lit(255.0)
+    out = df.select(
+        F.when(scale == 0, F.transform("e", lambda x: mn))
+        .otherwise(
+            F.transform("e", lambda x: mn + F.round((x - mn) / scale, 0) * scale)
+        )
+        .alias("d"),
+        "e",
+    ).collect()[0]
+    lo, hi = min(vec), max(vec)
+    step = (hi - lo) / 255.0
+    for x, dq in zip(out.e, out.d):
+        assert abs(x - dq) <= step / 2 + 1e-9, (x, dq, step)
+    if hi == lo:
+        assert all(dq == lo for dq in out.d)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (T5): the collect_set plan equals the per-user brute
+# force for ANY (user, week-bucket) activity pattern.
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    acts=st.lists(st.tuples(keys, st.integers(min_value=0, max_value=8)),
+                  min_size=1, max_size=30)
+)
+def test_cohort_collectset_matches_bruteforce(spark, acts):
+    # model weeks as integer buckets; the engine's date arithmetic is
+    # covered by the oracle query — this pins the plan's set semantics.
+    rows = [Row(user_id=u, wk=w) for u, w in acts]
+    df = spark.createDataFrame(rows).repartition(3)
+    per_user = df.groupBy("user_id").agg(
+        F.min("wk").alias("cohort"), F.collect_set("wk").alias("wks")
+    )
+    got = {
+        (r.cohort, r.since): r.n
+        for r in per_user.select("cohort", F.explode("wks").alias("wk"))
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("since"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expect = {}
+    first = {}
+    for u, w in acts:
+        first[u] = min(first.get(u, w), w)
+    for u, w in set(acts):
+        key = (first[u], w - first[u])
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
