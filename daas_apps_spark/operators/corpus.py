@@ -574,3 +574,101 @@ def k20_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "k26_curation_pipeline",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang, text, sha256(text) AS digest,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        WHERE length(text) >= 100
+          AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM gated
+    ),
+    sampled AS (
+        SELECT doc_id, lang, n_tokens FROM deduped
+        WHERE rn = 1 AND {{h}} % 100 < 80
+    ),
+    packed AS (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sampled
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT (cum_tokens - n_tokens) // {_PACK_BUDGET})
+                AS BIGINT) AS n_packs,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (COUNT(DISTINCT (cum_tokens - n_tokens) // {_PACK_BUDGET})
+                    * {_PACK_BUDGET}), 4) AS avg_pack_fill
+    FROM packed
+    GROUP BY lang
+    """.replace("{h}", _H_DUCK),
+    tags=("K26", "K11", "K6", "K1", "K9", "K20"),
+)
+def k26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation arc in ONE DataFrame DAG: quality gate → exact
+    dedup keep-first → deterministic 80% hash sample → per-language
+    next-fit sequence packing → per-language shard report (doc/token
+    counts, pack count, pack-fill utilization).
+
+    k11 demonstrated dedup→sample→census; this adds the quality gate at
+    the head and the K20 packing pass at the tail — the whole pipeline a
+    training-data build actually runs, expressed as one lazy plan that
+    Catalyst schedules end to end (scan predicates pushed, text dropped
+    right after hashing/counting, three hash exchanges total: digest
+    window, lang packing window — whose partitioning the final per-lang
+    aggregate then reuses — and the 1-row-per-lang report).
+
+    Scale: every stage is a window or aggregate on a key with bounded
+    state; nothing iterates, nothing joins, nothing collects. The
+    lang-packing window serializes per language — at 100 TB partition by
+    (lang, day-bucket) exactly as k20 documents for source shards.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    gated = (
+        d.filter(F.length("text") >= 100)
+        .select(
+            "doc_id", "lang",
+            F.sha2("text", 256).alias("digest"),
+            ws_tokens.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 20)
+    )
+    w_dup = Window.partitionBy("digest").orderBy("doc_id")
+    sampled = (
+        gated.withColumn("rn", F.row_number().over(w_dup))
+        .filter((F.col("rn") == 1) & (F.expr(_H_SPARK) % 100 < 80))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sampled.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / _PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("pack_id") * F.lit(float(_PACK_BUDGET))),
+            4,
+        ).alias("avg_pack_fill"),
+    )
