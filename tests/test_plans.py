@@ -288,3 +288,11 @@ def test_k24_bigram_score_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_k26_curation_pipeline_shape(spark):
+    # One DAG: no joins, no cartesian, and at most three hash exchanges
+    # (digest window, lang packing window, final report agg).
+    plan = plan_of(spark, "k26_curation_pipeline")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3
