@@ -759,3 +759,37 @@ def d14_more_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(ln).alias("line_bor"),
         F.bit_xor(ln).alias("line_bxor"),
     )
+
+
+@register(
+    "d5_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("D5",),
+)
+def d5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    per-flag totals, per-shipmode totals, and the grand total in ONE
+    aggregate (an Expand pass replicates each row once per set, then a
+    single partial+final hash aggregate — not three scans).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )

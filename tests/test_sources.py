@@ -92,3 +92,45 @@ def test_broadcast_join_in_plan(spark):
     t_n = table(spark, SF_SMOKE, "nation")
     joined = t_c.join(F.broadcast(t_n), t_c.c_nationkey == t_n.n_nationkey)
     assert "BroadcastHashJoin" in physical_plan(joined)
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """A15: the three CSV malformed-row policies — PERMISSIVE nulls the bad
+    fields and captures the raw line, DROPMALFORMED silently drops the
+    row, FAILFAST raises — the ingestion-robustness contract a 100 TB
+    landing zone depends on (one bad line must not kill a billion-row
+    load unless the pipeline asked for exactly that)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dirty.csv")
+    rows = ["1,alpha,10.5", "2,beta,not_a_number", "3,gamma,7.25"]
+    with open(path, "w") as fh:
+        fh.write("\n".join(rows))
+    schema = "id INT, name STRING, score DOUBLE, _corrupt STRING"
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).collect()
+    assert len(permissive) == 3
+    bad = [r for r in permissive if r._corrupt is not None]
+    assert len(bad) == 1 and bad[0].id == 2 and bad[0].score is None
+    assert bad[0]._corrupt == "2,beta,not_a_number"
+
+    dropped = (
+        spark.read.schema("id INT, name STRING, score DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    ).collect()
+    assert sorted(r.id for r in dropped) == [1, 3]
+
+    with pytest.raises(Exception) as exc:
+        (
+            spark.read.schema("id INT, name STRING, score DOUBLE")
+            .option("mode", "FAILFAST")
+            .csv(path)
+        ).collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
