@@ -293,3 +293,27 @@ def test_stream_left_join_matched_and_watermark_closed_nulls(
             expect_null_ids.add(r.event_id)
     got_null_ids = set(got[got.purchase_id.isna()].click_id.astype("int64"))
     assert got_null_ids == expect_null_ids
+
+
+def test_streaming_progress_metrics_surface(spark, events_json_dir, tmp_path):
+    """I12 observability: a drained stateful stream must report its work in
+    the progress API — input rows across batches equal the source rows,
+    and the aggregation's state operator reports keyed state — the
+    metrics a production monitor alerts on (zero rows, runaway state)."""
+    stream = tumbling_counts(events_file_stream(spark, events_json_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_progress")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progs = [p for p in q.recentProgress if p is not None]
+    assert progs, "no progress events recorded"
+    total_in = sum(p["numInputRows"] for p in progs)
+    n_src = table(spark, SF_SMOKE, "events").count()
+    assert total_in == n_src
+    state_ops = [op for p in progs for op in p.get("stateOperators", [])]
+    assert state_ops and any(op["numRowsTotal"] > 0 for op in state_ops)
