@@ -793,3 +793,47 @@ def d5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+@register(
+    "d16_ordered_set_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4)
+               AS p25_cont,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+               AS p50_cont,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 4)
+               AS p75_cont,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                AS DOUBLE) AS p50_disc
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("D16", "D12", "D7"),
+)
+def d16_ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: exact interpolated (`percentile_cont`) and
+    discrete (`percentile_disc` — smallest value whose cumulative
+    distribution reaches p, always an actual data point) percentiles per
+    group, via the ANSI WITHIN GROUP syntax both engines share.
+
+    Complements D12: the GK sketch is the 100 TB default, these are the
+    exact semantics it approximates — per-group sort-based aggregation,
+    bounded by group size, identical interpolation rule on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(
+            F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)"), 4
+        ).alias("p25_cont"),
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 4
+        ).alias("p50_cont"),
+        F.round(
+            F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)"), 4
+        ).alias("p75_cont"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .cast("double")
+        .alias("p50_disc"),
+    )
