@@ -479,3 +479,63 @@ def t6_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wnorm), 6
         ).alias("p_next"),
     )
+
+
+@register(
+    "t7_seasonal_profile",
+    oracle=f"""
+    WITH prof AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+               {sql_davg('value')} AS hour_mean,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type, EXTRACT(hour FROM ts)
+    )
+    SELECT event_type, hour_of_day, hour_mean, n_events,
+           ROUND(hour_mean - AVG(hour_mean) OVER (PARTITION BY event_type), 4)
+               AS dev_from_type_mean,
+           (ABS(hour_mean - AVG(hour_mean) OVER (PARTITION BY event_type))
+            > 1.5 * STDDEV_SAMP(hour_mean) OVER (PARTITION BY event_type))
+               AS is_unusual_hour
+    FROM prof
+    """,
+    tags=("T7", "T3", "D1"),
+)
+def t7_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) activity profile with deviation flags: per
+    event type, each hour's mean value and event count, the deviation from
+    the type's across-hours mean, and an unusual-hour flag at 1.5σ — the
+    baseline-and-residual decomposition behind seasonality-aware anomaly
+    detection (T3 scores points against a rolling window; this scores
+    HOURS against the diurnal profile).
+
+    One fact-table aggregate builds the 24-row-per-type profile; the
+    normalizing window runs over that tiny profile, never the events.
+    Means use the decimal-sum discipline; the σ comparison rounds only at
+    the report edge.
+
+    Scale: the only corpus-sized stage is the (type, hour) aggregate with
+    map-side partials — 120 output rows at any input size; the profile
+    window is driver-trivial. Extending to (day-of-week × hour) or
+    per-tenant profiles multiplies the tiny side only.
+    """
+    e = table(spark, sf_dir, "events")
+    prof = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        davg("value").alias("hour_mean"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type")
+    dev = F.col("hour_mean") - F.avg("hour_mean").over(w)
+    return prof.select(
+        "event_type",
+        "hour_of_day",
+        "hour_mean",
+        "n_events",
+        F.round(dev, 4).alias("dev_from_type_mean"),
+        (F.abs(dev) > 1.5 * F.stddev_samp("hour_mean").over(w)).alias(
+            "is_unusual_hour"
+        ),
+    )
