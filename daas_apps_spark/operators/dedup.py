@@ -617,3 +617,70 @@ def k17_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(existing, "digest", "left_anti").select(
         "doc_id", "lang", "digest"
     )
+
+
+FUZZY_LEV_MAX = 3  # max edit distance for a candidate name match
+
+
+@register(
+    "c17_fuzzy_name_match",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_LEV_MAX}
+    """,
+    tags=("C17", "K3", "C7"),
+)
+def c17_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): part names within Levenshtein
+    distance {FUZZY_LEV_MAX}, blocked by the name's noun token.
+
+    The scale-critical move happens BEFORE any pairing: the fact table is
+    collapsed to its distinct name vocabulary (name -> part count) first, so
+    the quadratic fuzzy comparison runs on |vocab|² within a block — never
+    on row pairs. That is the canonical entity-resolution shape at 100 TB:
+    dedupe to a vocabulary, block it (here: shared noun; in production a
+    phonetic key / q-gram prefix), compare within blocks only, and broadcast
+    the small match table back onto the facts if row-level links are needed.
+    The blocked join is an equi-join on the block key (hash-joinable), with
+    the edit-distance predicate applied as a post-join filter; `a < b`
+    halves the pair space and keeps the output canonical.
+
+    Reference analogy: the block key plays the role of the reference's
+    per-contig keying (SparkCaller.java:245-248) — equality on a cheap
+    partition key bounds the expensive within-group work.
+    """
+    p = table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("noun", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("noun").alias("noun_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= FUZZY_LEV_MAX)
+        .select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
+    )
