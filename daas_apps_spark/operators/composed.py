@@ -485,3 +485,74 @@ def dq2_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "c18_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("C18", "C6", "C5", "D1", "H"),
+)
+def c18_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped composition (volume shipping): bilateral trade
+    revenue between two nations by shipment year, the supplier side and
+    the customer side each resolved through its own nation dimension.
+
+    Scale shape: both nation filters are applied to the DIMENSION sides
+    before any fact-table contact — supplier and customer each collapse to
+    the 2-of-25-nations subset and carry only (key, nation_name) into the
+    join, so the fact spine shuffles lineitem⋈orders once on the FK chain
+    and the cross-pair OR predicate runs on two tiny attached columns.
+    The supplier side is explicitly broadcast (bounded by the nation
+    filter); the customer side is left to AQE — at 100 TB a 2/25 customer
+    slice may exceed the broadcast threshold, and the planner's shuffle
+    join on o_custkey is the right fallback.
+    """
+    t = tables(spark, sf_dir)
+    npair = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (
+        t.supplier.join(
+            F.broadcast(npair), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t.customer.join(
+            F.broadcast(npair), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -539,3 +539,102 @@ def t7_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_unusual_hour"
         ),
     )
+
+
+CUSUM_SCALE = 10_000  # 4-decimal fixed-point for the exact running sum
+CUSUM_H = 10.0  # absolute drift threshold (units·days); see docstring
+
+
+@register(
+    "t8_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * {CUSUM_SCALE}) AS BIGINT)
+                   AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+        SELECT *, (sv / {CUSUM_SCALE}.0) / n AS day_mean,
+               (SUM(sv) OVER (PARTITION BY event_type) / {CUSUM_SCALE}.0)
+               / SUM(n) OVER (PARTITION BY event_type) AS type_mean
+        FROM daily
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n AS n_events,
+           ROUND(day_mean, 4) AS day_mean,
+           ROUND(type_mean, 4) AS type_mean,
+           SUM(CAST(CAST(day_mean - type_mean AS DECIMAL(18,4))
+                    * {CUSUM_SCALE} AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / {CUSUM_SCALE}.0 AS cusum,
+           (ABS(SUM(CAST(CAST(day_mean - type_mean AS DECIMAL(18,4))
+                         * {CUSUM_SCALE} AS BIGINT))
+                OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / {CUSUM_SCALE}.0) > {CUSUM_H}) AS is_shift
+    FROM m
+    """,
+    tags=("T8", "T3", "E4"),
+)
+def t8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954): per event type, the
+    cumulative sum of each day's deviation from the type's overall mean,
+    flagging days where the accumulated drift |CUSUM| exceeds a threshold
+    — the classic sequential detector for small persistent mean shifts
+    that T3's pointwise z-score cannot see.
+
+    Determinism is the interesting part: a naive running SUM of double
+    deviations is association-order-dependent (Spark's window accumulates
+    sequentially, DuckDB's uses a segment tree), so the deviations are
+    fixed-pointed to 4 decimals (the dsum discipline) and the running sum
+    runs on exact BIGINTs — the CUSUM series is bit-identical on both
+    engines at any partition count. Day and type means come from scaled-
+    long sums, so they too are exact; the only rounding is at the report
+    edge. The threshold is a fixed literal; production would set
+    h = k·σ_series per key (the σ estimate is where engines may diverge
+    in ulps, which is why the declared query pins a constant).
+
+    Scale: one fact aggregate (map-side partials) down to |types|×|days|
+    rows; both windows run over that tiny series, partitioned by type —
+    same shape as T7. A billion-day series per key would motivate the
+    streaming CUSUM (I6 stateful fold) instead of a batch window.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,4)") * CUSUM_SCALE).cast("long"))
+        .alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_t = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = daily.select(
+        "event_type",
+        "d",
+        "n",
+        ((F.col("sv") / float(CUSUM_SCALE)) / F.col("n")).alias("day_mean"),
+        (
+            (F.sum("sv").over(w_t) / float(CUSUM_SCALE)) / F.sum("n").over(w_t)
+        ).alias("type_mean"),
+    )
+    dev_fp = (
+        (F.col("day_mean") - F.col("type_mean")).cast("decimal(18,4)")
+        * CUSUM_SCALE
+    ).cast("long")
+    cusum = F.sum(dev_fp).over(w_run) / float(CUSUM_SCALE)
+    return m.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_events"),
+        F.round("day_mean", 4).alias("day_mean"),
+        F.round("type_mean", 4).alias("type_mean"),
+        cusum.alias("cusum"),
+        (F.abs(cusum) > CUSUM_H).alias("is_shift"),
+    )
