@@ -29,6 +29,7 @@ from daas_apps_spark.sources import python_datasource  # noqa: F401  (A11)
 from daas_apps_spark.operators import (  # noqa: F401
     timeseries,
     ranking,
+    graph,
     decontam,
     clustering,
     chunk_dedup,

@@ -556,3 +556,135 @@ def c18_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+PSI_BUCKETS = 10
+PSI_WIDTH = 50_000  # fixed bucket width over the [0, 500k) price domain
+PSI_EPS = "0.0001"  # zero-proportion clamp (standard PSI practice)
+
+
+@register(
+    "dq3_distribution_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT LEAST(CAST(o_totalprice AS BIGINT) // {PSI_WIDTH},
+                     {PSI_BUCKETS - 1}) AS bucket
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    nxt AS (
+        SELECT LEAST(CAST(o_totalprice AS BIGINT) // {PSI_WIDTH},
+                     {PSI_BUCKETS - 1}) AS bucket
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    spine AS (SELECT unnest(range({PSI_BUCKETS})) AS bucket),
+    cnt AS (
+        SELECT s.bucket,
+               COALESCE(b.n, 0) AS n_base, COALESCE(x.n, 0) AS n_new
+        FROM spine s
+        LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM base GROUP BY bucket) b ON b.bucket = s.bucket
+        LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM nxt GROUP BY bucket) x ON x.bucket = s.bucket
+    ),
+    prop AS (
+        SELECT bucket, n_base, n_new,
+               GREATEST(n_base / (SELECT CAST(SUM(n_base) AS DOUBLE) FROM cnt),
+                        {PSI_EPS}) AS p,
+               GREATEST(n_new / (SELECT CAST(SUM(n_new) AS DOUBLE) FROM cnt),
+                        {PSI_EPS}) AS q
+        FROM cnt
+    ),
+    terms AS (
+        SELECT bucket, n_base, n_new,
+               ROUND(p, 6) AS p_base, ROUND(q, 6) AS p_new,
+               (q - p) * ln(q / p) AS term
+        FROM prop
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_base, n_new, p_base, p_new,
+           ROUND(term, 6) AS psi_term,
+           SUM(CAST(CAST(term AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               OVER () / 1000000.0 AS psi_total
+    FROM terms
+    """,
+    tags=("DQ3", "G6", "D10"),
+)
+def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two dataset versions: the
+    Population Stability Index of o_totalprice, 1996 cohort vs 1997
+    cohort, over 10 fixed-width buckets —
+    PSI = Σ_buckets (q_i - p_i)·ln(q_i/p_i). The standard pre-retrain /
+    pre-ingest drift gate (PSI < 0.1 stable, > 0.25 shifted), next to
+    DQ1's referential and DQ2's uniqueness audits.
+
+    Bucket proportions are exact integer-count ratios; empty buckets are
+    kept by a generated bucket spine and clamped to {PSI_EPS} before the
+    log (PSI's standard zero guard). The total is summed from the
+    6-decimal fixed-pointed per-bucket terms (exact BIGINT window sum),
+    so the only engine divergence surface is ln()'s last ulp under the
+    final ROUND — same discipline as every ratio report in the repo.
+
+    Scale: two partition-pruned scans aggregate to {PSI_BUCKETS} rows
+    each; everything after runs on the bucket spine. Drift over any
+    column/version pair is the same plan with a different bucket
+    expression — at 100 TB this is a metadata-cheap daily audit.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.expr(f"cast(o_totalprice as bigint) div {PSI_WIDTH}"),
+        F.lit(PSI_BUCKETS - 1).cast("long"),
+    ).alias("bucket")
+
+    def cohort(lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    cnt = (
+        spine.join(cohort("1996-01-01", "1997-01-01", "nb"), "bucket", "left")
+        .join(cohort("1997-01-01", "1998-01-01", "nn"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("nb", F.lit(0)).alias("n_base"),
+            F.coalesce("nn", F.lit(0)).alias("n_new"),
+        )
+    )
+    w_all = Window.partitionBy()
+    eps = F.lit(float(PSI_EPS))
+    prop = cnt.select(
+        "bucket",
+        "n_base",
+        "n_new",
+        F.greatest(
+            F.col("n_base") / F.sum("n_base").over(w_all).cast("double"), eps
+        ).alias("p"),
+        F.greatest(
+            F.col("n_new") / F.sum("n_new").over(w_all).cast("double"), eps
+        ).alias("q"),
+    )
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    terms = prop.select(
+        "bucket",
+        "n_base",
+        "n_new",
+        F.round("p", 6).alias("p_base"),
+        F.round("q", 6).alias("p_new"),
+        term.alias("term"),
+    )
+    term_fp = (F.col("term").cast("decimal(18,6)") * 1_000_000).cast("long")
+    return terms.select(
+        "bucket",
+        "n_base",
+        "n_new",
+        "p_base",
+        "p_new",
+        F.round("term", 6).alias("psi_term"),
+        (F.sum(term_fp).over(w_all) / 1_000_000.0).alias("psi_total"),
+    )

@@ -1,0 +1,167 @@
+"""GR: graph analytics over relational data — fixed-point PageRank.
+
+Complements the connected-components operator (dedup.py k3_dedup_clusters,
+min-label propagation with pointer jumping) with the other canonical
+iterative graph kernel. The graph is derived relationally: the bipartite
+part↔supplier co-occurrence graph of lineitem (an edge per distinct
+(partkey, suppkey) pair — who supplies what), undirected, so there are no
+dangling nodes and every node has out-degree ≥ 1.
+
+Determinism is the design center: PageRank is usually float-iterated and
+therefore association-order-dependent. Here every quantity is fixed-point
+BIGINT — rank mass is an integer number of 1e-9 units, per-edge
+contributions use integer division (``div`` in Spark, ``//`` in DuckDB,
+identical on non-negatives), and the damping multiply runs as
+``(85 * mass) div 100``. Integer addition is associative, so the result is
+bit-identical across engines, partitionings, and iteration fusion — the
+oracle hash-matches the raw fixed-point column with NO rounding discipline
+at all. Truncation loses < 1e-9·|E| mass per round (documented, and
+irrelevant to ranking).
+
+Reference analogy: the per-iteration shuffle-on-key + aggregate is the
+reference's keyed scatter-gather round (SparkCaller.java:245-248), with
+the iteration count fixed up front the way its pipeline stages are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daas_apps_spark.catalog import table
+from daas_apps_spark.registry import register
+
+PR_SCALE = 1_000_000_000  # 1e-9 fixed-point units of rank mass
+PR_ITERS = 3
+PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
+PR_DAMP_DEN = 100
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled PR_ITERS-iteration fixed-point PageRank in DuckDB SQL."""
+    prev = "pr0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    pr{i} AS (
+        SELECT d.node,
+               (SELECT tele FROM consts)
+               + ({PR_DAMP_NUM} * COALESCE(inb.m, 0)) // {PR_DAMP_DEN} AS pr_fp
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.pr_fp // dd.degree) AS m
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN deg dd ON dd.node = e.src
+            GROUP BY e.dst
+        ) inb ON inb.node = d.node
+    )""")
+        prev = f"pr{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'p' || l_partkey AS pnode, 's' || l_suppkey AS snode
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT pnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode, pnode FROM pairs
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src
+    ),
+    consts AS (
+        SELECT ({PR_DAMP_DEN - PR_DAMP_NUM} * CAST({PR_SCALE} AS BIGINT))
+               // ({PR_DAMP_DEN} * COUNT(*)) AS tele,
+               CAST({PR_SCALE} AS BIGINT) // COUNT(*) AS init
+        FROM deg
+    ),
+    pr0 AS (
+        SELECT node, (SELECT init FROM consts) AS pr_fp FROM deg
+    ),{",".join(iters)}
+    SELECT p.node, d.degree, p.pr_fp,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pr_fp DESC, node) AS rnk
+        FROM {prev}
+    ) p JOIN deg d ON d.node = p.node
+    WHERE rnk <= 25
+    """
+
+
+@register(
+    "gr1_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("GR1", "K3", "C1", "D1"),
+)
+def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the part↔supplier co-occurrence graph:
+    3 iterations, damping 0.85, top-25 nodes by final rank mass.
+
+    Each iteration is one shuffle: contributions flow along edges
+    (join on src), aggregate by dst, and rebind to the degree table via a
+    left join (nodes with no inbound mass keep the teleport term). The
+    edge list and degree table are built once; ``localCheckpoint`` after
+    the (tiny) derivation is unnecessary since the loop is unrolled into
+    a single lazy DAG of fixed depth — iteration count is a compile-time
+    constant exactly like the reference's fixed stage list.
+
+    Scale: |edges| = |distinct (part, supplier)| — the shuffles are keyed
+    on node id and AQE handles hub skew (a part supplied by everyone) via
+    skew-join splitting; for web-scale graphs the unrolled-DAG form would
+    switch to an iterated-materialization loop with checkpoints every few
+    rounds (the k3_dedup_clusters pattern) to cap lineage depth.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("pnode").alias("src"), F.col("snode").alias("dst")
+    ).union(pairs.select(F.col("snode").alias("src"), F.col("pnode").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    consts = deg.agg(
+        F.expr(
+            f"({PR_DAMP_DEN - PR_DAMP_NUM} * cast({PR_SCALE} as bigint))"
+            f" div ({PR_DAMP_DEN} * count(*))"
+        ).alias("tele"),
+        F.expr(f"cast({PR_SCALE} as bigint) div count(*)").alias("init"),
+    )
+    pr = deg.crossJoin(F.broadcast(consts)).select(
+        "node", F.col("init").alias("pr_fp")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr_fp div degree").alias("c"),
+            )
+        )
+        inbound = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        pr = (
+            deg.select("node")
+            .join(inbound, "node", "left")
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "node",
+                (
+                    F.col("tele")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(m, cast(0 as bigint)))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).alias("pr_fp"),
+            )
+        )
+    w = Window.partitionBy().orderBy(F.col("pr_fp").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .join(deg, "node")
+        .select("node", "degree", "pr_fp", "rnk")
+    )
