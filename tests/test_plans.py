@@ -296,3 +296,62 @@ def test_k26_curation_pipeline_shape(spark):
     plan = plan_of(spark, "k26_curation_pipeline")
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3
+
+
+def test_c17_fuzzy_block_join_is_equi(spark):
+    # The fuzzy join must hash/merge on the block key (noun) — the edit
+    # distance is a post-join filter, never a nested-loop condition — and
+    # pairing runs on the distinct-name vocabulary, so the part scan feeds
+    # an aggregate before any join.
+    plan = plan_of(spark, "c17_fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_c18_fact_filter_pushed_dims_broadcast(spark):
+    # Both nation filters collapse the dimension sides pre-join; the
+    # lineitem date filter reaches the parquet scan.
+    plan = plan_of(spark, "c18_nation_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_t8_cusum_single_fact_pass(spark):
+    # CUSUM = one fact aggregate (map-side partials) + two windows over
+    # the tiny daily series — no join, one scan.
+    plan = plan_of(spark, "t8_cusum_changepoint")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_k27_bm25_model_sides_broadcast(spark):
+    # Corpus stats (1 row) and per-term DF (|terms| rows) broadcast back
+    # onto the token stream — the corpus never shuffles for scoring.
+    plan = plan_of(spark, "k27_bm25_rank")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_k28_rrf_fuses_rank_relations_only(spark):
+    # The fusion join runs on compact (doc_id, rank) relations; the only
+    # nested-loop is the broadcast 1-row query vector.
+    plan = plan_of(spark, "k28_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+
+
+def test_gr1_pagerank_keyed_joins_no_cartesian(spark):
+    # Every iteration joins on node keys; the only nested-loop is the
+    # broadcast 1-row constants relation.
+    plan = plan_of(spark, "gr1_pagerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_dq3_cohort_filters_pushed(spark):
+    # Both cohort scans push the date predicate into parquet; everything
+    # after runs on the 10-row bucket spine.
+    plan = plan_of(spark, "dq3_distribution_drift")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
