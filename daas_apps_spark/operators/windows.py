@@ -256,3 +256,61 @@ def e8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_1h_sum"),
         F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
     )
+
+
+@register(
+    "e9_windowed_distinct",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           COUNT(DISTINCT event_type) OVER (PARTITION BY user_id)
+               AS n_types_user,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_types_so_far
+    FROM events
+    """,
+    tags=("E9", "E2", "E4", "D3"),
+)
+def e9_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count window aggregates — the per-row "how many distinct X
+    has this key produced (ever / so far)" enrichment. Spark's window
+    functions don't accept DISTINCT, so the engine derives both forms with
+    rank arithmetic while the oracle runs DuckDB's NATIVE
+    COUNT(DISTINCT) OVER — an asymmetric check that pins the rewrite's
+    semantics, not just its self-consistency:
+
+    - total per key: dense_rank over (key ORDER BY value), then MAX over
+      the key partition — the max dense rank IS the distinct count;
+    - running per key: flag each value's first occurrence (row_number = 1
+      over (key, value) in time order), then a running SUM of flags over
+      the time-ordered key partition.
+
+    Scale: both forms sort (user_id, ...) once each — two window sorts
+    over the same key partitioning, one hash exchange (Spark reuses the
+    partitioning across the windows; integer arithmetic only, no distinct
+    state object per row like a naive collect_set approach would build —
+    that is the trap at 100 TB, O(distinct) state PER ROW).
+    """
+    e = table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    w_user = Window.partitionBy("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("dr", F.dense_rank().over(w_rank))
+        .withColumn("n_types_user", F.max("dr").over(w_user).cast("long"))
+        .withColumn(
+            "first_seen",
+            (F.row_number().over(w_first) == 1).cast("long"),
+        )
+        .withColumn("n_types_so_far", F.sum("first_seen").over(w_run))
+        .select(
+            "event_id", "user_id", "event_type", "n_types_user", "n_types_so_far"
+        )
+    )
