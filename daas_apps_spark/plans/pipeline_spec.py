@@ -102,6 +102,28 @@ def _stage_dedup(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _stage_window(df: DataFrame, p: dict) -> DataFrame:
+    """Windowed analytics columns over one shared (partition_by, order_by)
+    spec — the E-surface as a pipeline stage. ``cols`` maps new column
+    names to window-function expressions (``row_number()``, ``sum(x)``,
+    ``lag(y, 1)``, ...); optional ``frame_rows: [lo, hi]`` sets a ROWS
+    frame, ``null`` meaning unbounded on that side."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*p["partition_by"]).orderBy(
+        *[_sort_expr(e) for e in p["order_by"]]
+    )
+    if "frame_rows" in p:
+        lo, hi = p["frame_rows"]
+        w = w.rowsBetween(
+            Window.unboundedPreceding if lo is None else lo,
+            Window.unboundedFollowing if hi is None else hi,
+        )
+    for name, expr in p["cols"].items():
+        df = df.withColumn(name, F.expr(expr).over(w))
+    return df
+
+
 def _stage_sort(df: DataFrame, p: dict) -> DataFrame:
     return df.orderBy(*[_sort_expr(e) for e in p["by"]])
 
@@ -134,6 +156,7 @@ _STAGES = {
     "with_columns": _stage_with_columns,
     "aggregate": _stage_aggregate,
     "dedup": _stage_dedup,
+    "window": _stage_window,
     "sort": _stage_sort,
     "limit": _stage_limit,
     "sample": _stage_sample,
@@ -149,6 +172,7 @@ _REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "join": ("table", "on"),
     "aggregate": ("aggs",),
     "dedup": ("keys", "order_by"),
+    "window": ("partition_by", "order_by", "cols"),
     "sort": ("by",),
     "limit": ("n",),
     "sample": ("key", "permille"),
@@ -215,6 +239,20 @@ def validate_pipeline(
             pm = stage["permille"]
             if not isinstance(pm, int) or not (0 <= pm <= 1000):
                 errors.append(f"{where}: sample 'permille' must be an int in [0, 1000]")
+        if op == "window":
+            if "cols" in stage and (
+                not isinstance(stage["cols"], dict) or not stage["cols"]
+            ):
+                errors.append(f"{where}: window 'cols' must be a non-empty dict")
+            fr = stage.get("frame_rows")
+            if fr is not None and (
+                not isinstance(fr, (list, tuple))
+                or len(fr) != 2
+                or not all(v is None or isinstance(v, int) for v in fr)
+            ):
+                errors.append(
+                    f"{where}: window 'frame_rows' must be [lo, hi] ints or null"
+                )
         if op == "union" and isinstance(stage.get("pipeline"), dict):
             try:
                 validate_pipeline(stage["pipeline"], sf_dir, f"{where}.pipeline")
@@ -330,8 +368,9 @@ def parse_properties_spec(text: str) -> dict[str, Any]:
       (+ ``source.format=``, ``source.schema=``)
     - ``stage.<N>.op=<op>`` plus the op's params, e.g.
       ``stage.1.condition=...``; list params comma-split; per-column maps as
-      ``stage.<N>.agg.<name>=<expr>`` (aggregate) and
-      ``stage.<N>.col.<name>=<expr>`` (with_columns). Stages run in numeric
+      ``stage.<N>.agg.<name>=<expr>`` (aggregate),
+      ``stage.<N>.col.<name>=<expr>`` (with_columns), and
+      ``stage.<N>.win.<name>=<expr>`` (window). Stages run in numeric
       ``<N>`` order; like the reference's Properties plan, a missing number
       is simply absent — presence of the key enables the stage (R17).
     - ``sink.path=`` / ``sink.mode=`` / ``sink.format=`` /
@@ -359,8 +398,8 @@ def parse_properties_spec(text: str) -> dict[str, Any]:
             st = stages.setdefault(int(parts[1]), {})
             if len(parts) == 3:
                 st[parts[2]] = _coerce(parts[2], value)
-            elif len(parts) == 4 and parts[2] in ("agg", "col"):
-                field = {"agg": "aggs", "col": "columns"}[parts[2]]
+            elif len(parts) == 4 and parts[2] in ("agg", "col", "win"):
+                field = {"agg": "aggs", "col": "columns", "win": "cols"}[parts[2]]
                 st.setdefault(field, {})[parts[3]] = value.strip()
             else:
                 raise PipelineSpecError(f"line {lineno}: unrecognized key {key!r}")

@@ -233,3 +233,88 @@ def test_validation_runs_before_execution(spark, tmp_path):
     with pytest.raises(PipelineSpecError, match="nopetable"):
         run_pipeline(spark, spec, SF_SMOKE)
     assert not out.exists()
+
+
+def test_window_stage_matches_handwritten(spark):
+    """The `window` stage reproduces a handwritten rank + running-sum
+    query, including the ROWS frame."""
+    from pyspark.sql import Window
+
+    spec = {
+        "source": {"table": "orders"},
+        "stages": [
+            {
+                "op": "window",
+                "partition_by": ["o_custkey"],
+                "order_by": ["o_orderdate ASC", "o_orderkey ASC"],
+                "cols": {"rn": "row_number()"},
+            },
+            {
+                "op": "window",
+                "partition_by": ["o_custkey"],
+                "order_by": ["o_orderdate ASC", "o_orderkey ASC"],
+                "frame_rows": [None, 0],
+                "cols": {"run_n": "count(1)"},
+            },
+            {"op": "filter", "condition": "rn <= 3"},
+            {"op": "select", "columns": ["o_orderkey", "rn", "run_n"]},
+        ],
+    }
+    from daas_apps_spark.catalog import table
+
+    got = run_pipeline(spark, spec, SF_SMOKE)
+    o = table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    want = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "run_n",
+            F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("o_orderkey", "rn", "run_n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_window_stage_properties_and_validation(spark, tmp_path):
+    """Properties grammar carries window stages (stage.N.win.<name>), and
+    the validator rejects malformed frames/cols before any job runs."""
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.plans.pipeline_spec import (
+        PipelineSpecError,
+        run_pipeline_file,
+        validate_pipeline,
+    )
+
+    props = tmp_path / "win.properties"
+    props.write_text(
+        "source.table=orders\n"
+        "stage.0.op=window\n"
+        "stage.0.partition_by=o_custkey\n"
+        "stage.0.order_by=o_orderdate ASC,o_orderkey ASC\n"
+        "stage.0.win.rn=row_number()\n"
+        "stage.1.op=filter\n"
+        "stage.1.condition=rn = 1\n"
+    )
+    df = run_pipeline_file(spark, str(props), SF_SMOKE)
+    n_customers = table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    assert df.count() == n_customers
+
+    bad = {
+        "source": {"table": "orders"},
+        "stages": [
+            {
+                "op": "window",
+                "partition_by": ["o_custkey"],
+                "order_by": ["o_orderkey"],
+                "cols": {},
+                "frame_rows": [1, 2, 3],
+            }
+        ],
+    }
+    with pytest.raises(PipelineSpecError) as err:
+        validate_pipeline(bad)
+    assert "cols" in str(err.value) and "frame_rows" in str(err.value)
