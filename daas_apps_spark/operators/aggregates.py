@@ -837,3 +837,57 @@ def d16_ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p50_disc"),
     )
+
+
+@register(
+    "d15_mode",
+    oracle="""
+    WITH counted AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode,
+           n_group
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority ASC) AS rn,
+               SUM(n) OVER (PARTITION BY o_orderstatus) AS n_group
+        FROM counted
+    ) WHERE rn = 1
+    """,
+    tags=("D15", "D1", "E1"),
+)
+def d15_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value): the priority
+    distribution's mode per order status, ties broken toward the smallest
+    value.
+
+    Spark ships a native ``mode()`` aggregate, but its tie behavior is
+    unspecified — useless under a hash-compare contract — so the engine
+    uses the canonical two-level form: count per (group, value), then
+    rank-1 per group by (count DESC, value ASC). Both shuffles carry only
+    group/value keys; the second runs on the collapsed distribution
+    (|groups| × |distinct values| rows), which is why this form is also
+    the 100 TB shape — the raw table is touched once.
+    """
+    o = table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    w_grp = Window.partitionBy("o_orderstatus")
+    return (
+        counted.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_group", F.sum("n").over(w_grp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+            "n_group",
+        )
+    )

@@ -644,3 +644,57 @@ def h_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
         F.substring_index(host, ".", -2).alias("registrable_domain"),
     )
+
+
+@register(
+    "h_struct_functions",
+    oracle="""
+    SELECT o_orderkey,
+           ((o_custkey, o_orderkey) > (750, 100000)) AS pair_gt,
+           ((o_orderstatus, o_orderpriority) = ('O', '1-URGENT')) AS status_eq,
+           ({'cust': o_custkey, 'price': o_totalprice}).price AS price_rt,
+           ([{'k': o_custkey}, {'k': o_orderkey}][1]).k AS first_elem_k,
+           (CASE WHEN (o_custkey, o_orderkey) < (o_orderkey, o_custkey)
+                 THEN 'cust_first' ELSE 'order_first' END) AS order_decision
+    FROM orders
+    """,
+    tags=("H", "B7"),
+)
+def h_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct battery: construction (struct / named_struct), field
+    extraction, lexicographic struct comparison (=, >, <), and structs
+    inside arrays — Spark `struct(...)` ordering against DuckDB's
+    row-value `(a, b)` tuples, field access against DuckDB struct
+    literals. Struct comparison is the engine-internal primitive under
+    every min_by/max_by-on-(key, tiebreak) pattern (T2 OHLC, D8 argmax);
+    this query pins that both engines agree on the ordering itself.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (
+            F.struct(F.col("o_custkey"), F.col("o_orderkey"))
+            > F.struct(F.lit(750).cast("long"), F.lit(100000).cast("long"))
+        ).alias("pair_gt"),
+        (
+            F.struct(F.col("o_orderstatus"), F.col("o_orderpriority"))
+            == F.struct(F.lit("O"), F.lit("1-URGENT"))
+        ).alias("status_eq"),
+        F.named_struct(
+            F.lit("cust"), F.col("o_custkey"), F.lit("price"), F.col("o_totalprice")
+        )["price"].alias("price_rt"),
+        F.element_at(
+            F.array(
+                F.struct(F.col("o_custkey").alias("k")),
+                F.struct(F.col("o_orderkey").alias("k")),
+            ),
+            1,
+        )["k"].alias("first_elem_k"),
+        F.when(
+            F.struct(F.col("o_custkey"), F.col("o_orderkey"))
+            < F.struct(F.col("o_orderkey"), F.col("o_custkey")),
+            F.lit("cust_first"),
+        )
+        .otherwise(F.lit("order_first"))
+        .alias("order_decision"),
+    )
