@@ -684,3 +684,125 @@ def c17_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("distance") <= FUZZY_LEV_MAX)
         .select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
     )
+
+
+@register(
+    "k31_minhash_estimator_audit",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , hsh AS (
+        SELECT doc_id, {_DUCK_BASE_HASH} FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(_minhash_sig_duck(i) for i in range(N_PERM))}
+        FROM hsh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sigs
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               ({' + '.join(
+                   f'(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)'
+                   for i in range(N_PERM)
+               )}) / {N_PERM}.0 AS est
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           ROUND(e.est, 4) AS est_jaccard,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(sa.shingles || sb.shingles)), 4)
+               AS exact_jaccard,
+           ROUND(ABS(e.est
+                     - len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                       / len(list_distinct(sa.shingles || sb.shingles))), 4)
+               AS abs_error
+    FROM est e
+    JOIN sh sa ON sa.doc_id = e.doc_a
+    JOIN sh sb ON sb.doc_id = e.doc_b
+    """,
+    tags=("K31", "K2", "K3"),
+)
+def k31_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the minhash family: on every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching slots / {N_PERM}) next to the exact shingle Jaccard and the
+    absolute error — "measure, don't guess" applied to the engine's own
+    sketch. The audit is how a production pipeline tunes N_PERM/band
+    shape before trusting the sketch at 100 TB: run it on a sampled
+    slice, check the error distribution, then dedup the corpus.
+
+    Same scale shape as K3: candidates come only from band collisions
+    (never O(n²)), signatures and shingles join back by doc_id, and both
+    the estimate (an exact rational k/{N_PERM}) and the exact Jaccard
+    (int/int) are deterministic — ROUND only serializes them.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("tokens", tokens_col())
+        .filter(F.size("tokens") >= 3)
+        .withColumn("shingles", shingles_col(F.col("tokens")))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    sigs = (
+        sh.select("doc_id", base_hash_spark())
+        .select("doc_id", *minhash_sig_cols())
+        .localCheckpoint()
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias(
+            "band_key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(N_PERM)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"sb_{i}") for i in range(N_PERM)],
+    )
+    matches = None
+    for i in range(N_PERM):
+        ind = F.when(F.col(f"sa_{i}") == F.col(f"sb_{i}"), 1).otherwise(0)
+        matches = ind if matches is None else matches + ind
+    est = matches / float(N_PERM)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est", est)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est", 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est") - exact), 4).alias("abs_error"),
+        )
+    )
