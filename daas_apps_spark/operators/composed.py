@@ -688,3 +688,60 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("term", 6).alias("psi_term"),
         (F.sum(term_fp).over(w_all) / 1_000_000.0).alias("psi_total"),
     )
+
+
+_EXCESS_STOCK_SQL = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ps_availqty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT ps.ps_suppkey FROM partsupp ps
+    WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+          )
+      AND ps.ps_availqty >= 100
+      AND 0.4 * ps.ps_availqty < (
+            SELECT CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey
+              AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          )
+)
+"""
+
+
+@register(
+    "c19_excess_stock",
+    oracle=_EXCESS_STOCK_SQL,
+    tags=("C19", "B9", "B11", "C3"),
+)
+def c19_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nesting: suppliers holding excess stock of 'red'
+    parts — two nested IN subqueries with a CORRELATED scalar aggregate
+    subquery inside the inner one (a (part, supplier) pair qualifies when
+    its 1996 shipments exceed 40% of its lifetime volume of at least 100
+    units — recent-demand concentration with a volume floor, so singleton
+    pairs can't qualify vacuously). The SAME SQL text runs on
+    both engines; partsupp is derived from lineitem exactly as in C6.
+
+    This is the deepest decorrelation exercise in the registry: Catalyst
+    must rewrite IN→left-semi twice AND pull the correlated SUM up into
+    an aggregate-join — three rewrites stacked, arriving through the
+    parser. The scalar subquery returning NULL (no 1996 shipments for
+    the pair) filters the row on both engines — the NULL-comparison
+    semantics the COUNT-bug family (b11) pins from the other direction.
+
+    Scale: after decorrelation the plan is partsupp ⋈ semi(part-filter)
+    ⋈ (1996 pre-aggregate) ⋈ semi(supplier) — every join keyed, the part
+    filter broadcastable, lineitem scanned twice (full + 1996 slice;
+    the 1996 side prunes at the scan via the pushed date filter).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_EXCESS_STOCK_SQL)
