@@ -326,3 +326,53 @@ def run_stream_upsert_counts(
         .start()
     )
     q.awaitTermination()
+
+
+CUSUM_STATE_SCALE = 10_000  # 4-decimal fixed point — matches batch T8
+
+
+def stateful_cusum(events: DataFrame, ref_means: dict[str, float]) -> DataFrame:
+    """Streaming CUSUM (the live twin of batch T8): per event type, the
+    running fixed-point sum of deviations from a pinned reference mean.
+
+    A stream cannot two-pass for the series mean, so the reference mean is
+    a PARAMETER (in production: yesterday's batch profile, exactly the
+    baseline-vs-residual split of T7). State per key is two integers
+    (event count, scaled value sum) — O(1), unbounded-stream-safe — and
+    the CUSUM is derived at emit time as
+    ``(sv - ref_fp * n) / SCALE`` ≡ Σ(v - ref), so the fold is exact
+    integer arithmetic: replaying the same events in ANY micro-batch
+    split yields bit-identical output (asserted live in
+    tests/test_streaming_live.py).
+    """
+    out_schema = "event_type string, n_events long, cusum double"
+    state_schema = "n long, sv long"
+    scale = CUSUM_STATE_SCALE
+    ref_fp = {k: round(v * scale) for k, v in ref_means.items()}
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sv = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # int-rounding per value mirrors the batch decimal cast; the
+            # sum of exact ints is association-free
+            sv += int((pdf["value"] * scale).round().astype("int64").sum())
+        state.update((n, sv))
+        rf = ref_fp.get(key[0], 0)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "cusum": [(sv - rf * n) / scale],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -317,3 +317,63 @@ def test_streaming_progress_metrics_surface(spark, events_json_dir, tmp_path):
     assert total_in == n_src
     state_ops = [op for p in progs for op in p.get("stateOperators", [])]
     assert state_ops and any(op["numRowsTotal"] > 0 for op in state_ops)
+
+
+def test_stateful_cusum_equals_batch_fold(spark, events_json_dir, tmp_path):
+    """I6/T8 live: the streaming CUSUM state fold converges to the exact
+    batch fixed-point fold of the same events against the same pinned
+    reference means — integer state makes the equality exact, not
+    approximate."""
+    from daas_apps_spark.streaming.live import (
+        CUSUM_STATE_SCALE,
+        stateful_cusum,
+    )
+
+    e = table(spark, SF_SMOKE, "events")
+    ref_rows = (
+        e.groupBy("event_type")
+        .agg((F.sum((F.col("value") * CUSUM_STATE_SCALE).cast("decimal(18,0)"))
+              / F.count(F.lit(1)) / CUSUM_STATE_SCALE).alias("m"))
+        .collect()
+    )
+    ref_means = {r.event_type: float(r.m) for r in ref_rows}
+
+    stream = stateful_cusum(
+        events_file_stream(spark, events_json_dir, max_files_per_trigger=2),
+        ref_means,
+    )
+    run_stream_to_memory(stream, "t_cusum", str(tmp_path / "ck"), "update")
+    got = (
+        spark.table("t_cusum")
+        .groupBy("event_type")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    final = (
+        spark.table("t_cusum").toPandas()
+        .sort_values(["event_type", "n_events"])
+        .groupby("event_type", as_index=False)
+        .last()[["event_type", "n_events", "cusum"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+    import pandas as pd
+
+    batch = e.toPandas()
+    want_rows = []
+    for et, grp in batch.groupby("event_type"):
+        sv = int((grp["value"] * CUSUM_STATE_SCALE).round().astype("int64").sum())
+        n = len(grp)
+        rf = round(ref_means[et] * CUSUM_STATE_SCALE)
+        want_rows.append(
+            {"event_type": et, "n_events": n,
+             "cusum": (sv - rf * n) / CUSUM_STATE_SCALE}
+        )
+    want = (
+        pd.DataFrame(want_rows).sort_values("event_type").reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert final["cusum"].tolist() == want["cusum"].tolist()
