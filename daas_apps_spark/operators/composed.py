@@ -745,3 +745,84 @@ def c19_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_EXCESS_STOCK_SQL)
+
+
+@register(
+    "dq4_constraint_audit",
+    oracle="""
+    SELECT 'lineitem.discount_in_unit_range' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (NOT (l_discount BETWEEN 0 AND 0.1)) AS BIGINT)
+               AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.positive_quantity',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (l_quantity > 0)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.positive_totalprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'customer.acctbal_above_floor',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (c_acctbal >= -1000)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'events.value_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (value > 0)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'order_lineitem.ship_after_order',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (l.l_shipdate >= o.o_orderdate)) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("DQ4", "DQ1", "D9"),
+)
+def dq4_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style constraint audit: declared row-level rules (range
+    bounds, positivity, a cross-table temporal ordering) evaluated as
+    violation counts — the pre-ingest contract check a curation pipeline
+    gates on, next to DQ1 (referential), DQ2 (uniqueness), DQ3 (drift).
+    Violations are REPORTED, never enforced: the ship-after-order rule
+    genuinely fails on ~half the fixture rows (a generator artifact), and
+    an audit that silently dropped them would be the bug.
+
+    Each single-table rule is one filtered-count aggregate over a pruned
+    scan (two int counts of state per rule); the cross-table rule joins on
+    the FK spine once. The report is a UNION ALL of 1-row aggregates —
+    at 100 TB every rule on the same table shares one scan (Catalyst does
+    not fuse across UNION branches, so a production audit would combine
+    same-table rules into one multi-column aggregate; the two lineitem
+    rules here stay separate to mirror the per-rule report contract).
+    """
+    t = tables(spark, sf_dir)
+
+    def rule(name: str, df: DataFrame, ok) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(~ok, 1)).alias("n_violations"),
+        )
+
+    li, o, c, e = t.lineitem, t.orders, t.customer, tables(spark, sf_dir).events
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    report = (
+        rule("lineitem.discount_in_unit_range", li, F.col("l_discount").between(0, 0.1))
+        .unionAll(rule("lineitem.positive_quantity", li, F.col("l_quantity") > 0))
+        .unionAll(rule("orders.positive_totalprice", o, F.col("o_totalprice") > 0))
+        .unionAll(rule("customer.acctbal_above_floor", c, F.col("c_acctbal") >= -1000))
+        .unionAll(rule("events.value_positive", e, F.col("value") > 0))
+        .unionAll(
+            rule(
+                "order_lineitem.ship_after_order",
+                joined,
+                F.col("l_shipdate") >= F.col("o_orderdate"),
+            )
+        )
+    )
+    return report

@@ -419,3 +419,61 @@ def j8_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return li.mapInArrow(gross, schema="l_orderkey long, line_no long, gross double")
+
+
+@register(
+    "j9_grouped_applyinarrow",
+    oracle="""
+    WITH st AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang) AS s,
+               SUM(n_chars * n_chars) OVER (PARTITION BY lang) AS ssq,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           ROUND((n_chars - CAST(s AS DOUBLE) / n)
+                 / sqrt((ssq - CAST(s AS DOUBLE) * s / n) / n), 4) AS chars_z
+    FROM st
+    """,
+    tags=("J9", "J2", "J8"),
+)
+def j9_grouped_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map through the ARROW-native path (`applyInArrow`): per-lang
+    z-score of document length computed directly on pyarrow Tables — the
+    R7 "run logic per group" shape without ever materializing pandas
+    (no index, no block manager; the cheapest grouped Python hook).
+
+    Determinism without decimal casts: the group moments are EXACT —
+    Σx and Σx² are int64 sums (order-free), so mean/variance are derived
+    from exact integers with a pinned expression tree; the oracle's
+    window form writes the identical tree. Only ROUND serializes.
+
+    Scale: same bounded-group rule as J2 — one group must fit one task
+    (langs are few and huge here, which is exactly when you'd pre-shard
+    groups with a salt and merge moments; SCALING.md §5).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def normalize(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("n_chars")
+        n = tbl.num_rows
+        s = pc.sum(x).as_py()
+        ssq = pc.sum(pc.multiply(x, x)).as_py()
+        mean = s / n
+        std = ((ssq - s * s / n) / n) ** 0.5
+        z = pc.round(
+            pc.divide(pc.subtract(pc.cast(x, pa.float64()), mean), std),
+            ndigits=4,
+        )
+        return pa.Table.from_arrays(
+            [tbl.column("doc_id"), tbl.column("lang"), x, z],
+            ["doc_id", "lang", "n_chars", "chars_z"],
+        )
+
+    return d.groupBy("lang").applyInArrow(
+        normalize, schema="doc_id long, lang string, n_chars long, chars_z double"
+    )

@@ -280,3 +280,40 @@ def a12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+@register(
+    "a17_gzip_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("A17", "A3", "A5"),
+)
+def a17_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec ingestion: parquet → gzip JSONL sink → scan of the
+    ``.json.gz`` files → aggregate, checked against the uncompressed
+    original. Landing zones deliver gzipped JSON/CSV as a matter of
+    course; the codec path matters at 100 TB because gzip is NOT
+    splittable — each .gz file is one task, so the writer must control
+    file count/size (here: Spark's per-partition files), and a
+    production layout would re-shard to a splittable format (parquet,
+    zstd-framed) at ingest — exactly what this round-trip does in
+    reverse.
+    """
+    path = scratch_dir("a17_gzip_roundtrip")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    o.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    )
