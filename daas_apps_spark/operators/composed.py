@@ -826,3 +826,113 @@ def dq4_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+@register(
+    "c20_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           {sql_dsum("CASE WHEN n2.n_name = 'NATION_3' "
+                     "THEN l.l_extendedprice * (1 - l.l_discount) "
+                     "ELSE 0 END")} AS nation3_revenue,
+           ROUND(
+               {sql_dsum("CASE WHEN n2.n_name = 'NATION_3' "
+                         "THEN l.l_extendedprice * (1 - l.l_discount) "
+                         "ELSE 0 END")}
+               / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6)
+               AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(o.o_orderdate)
+    """,
+    tags=("C20", "C15", "D9", "D1"),
+)
+def c20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped composition (national market share): the revenue
+    fraction supplied by NATION_3 suppliers within ASIA-region customers'
+    orders, by order year — the conditional-share-of-total pattern (a
+    filtered aggregate divided by its unfiltered twin in one pass, D9
+    composed over the C15 star chain).
+
+    Both numerator and denominator come from the SAME single aggregate
+    (decimal-sum discipline, exact and order-free), so the share is a
+    deterministic ratio — no second pass, no join of two aggregates.
+    Dimension sides (region→nation→customer is the only fact-sized hop)
+    collapse before the fact spine exactly as in C15.
+    """
+    t = tables(spark, sf_dir)
+    n_asia = (
+        F.broadcast(t.region.filter(F.col("r_name") == "ASIA"))
+        .join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    s_nat = t.supplier.join(
+        F.broadcast(
+            t.nation.select(
+                F.col("n_nationkey").alias("supp_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("supp_nk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    agg = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(rev).alias("total_revenue"),
+            dsum(cond_rev).alias("nation3_revenue"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "total_revenue",
+        "nation3_revenue",
+        F.round(F.col("nation3_revenue") / F.col("total_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+_PARAM_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > :price_floor AND o_orderpriority = :prio
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "b12_parameterized_sql",
+    # The oracle inlines the same bindings the Spark side passes as named
+    # parameters — the check pins that parameter substitution is
+    # value-identical to literal inlining.
+    oracle=_PARAM_SQL.replace(":price_floor", "250000").replace(
+        ":prio", "'2-HIGH'"
+    ),
+    tags=("B12", "B4", "D1"),
+)
+def b12_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL through the front-end: named parameter markers
+    (`:name`) bound via `spark.sql(query, args=...)` — the
+    injection-safe template path an application layer uses instead of
+    string formatting. Parameters flow through the parser as typed
+    literals, so Catalyst still constant-folds and pushes the predicate
+    into the scan exactly as with inline literals (the oracle runs the
+    inlined twin to pin value-identity).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_PARAM_SQL, args={"price_floor": 250000, "prio": "2-HIGH"})

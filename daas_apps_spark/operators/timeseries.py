@@ -638,3 +638,91 @@ def t8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (F.abs(cusum) > CUSUM_H).alias("is_shift"),
     )
+
+
+RESIDUAL_THRESHOLD = 100  # fixed absolute residual flag bound (integer units)
+
+
+@register(
+    "t9_seasonal_residuals",
+    oracle=f"""
+    WITH prof AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT) AS s_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events
+        GROUP BY event_type, EXTRACT(hour FROM ts)
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hour_of_day,
+           e.value,
+           CAST(CAST(CAST(e.value AS DECIMAL(18,4)) * 10000 AS BIGINT) * p.n_obs
+                - p.s_fp AS DOUBLE)
+           / CAST(10000 * p.n_obs AS DOUBLE) AS residual,
+           (ABS(CAST(CAST(e.value AS DECIMAL(18,4)) * 10000 AS BIGINT) * p.n_obs
+                - p.s_fp)
+            > {RESIDUAL_THRESHOLD} * 10000 * p.n_obs) AS is_anomalous
+    FROM events e
+    JOIN prof p ON p.event_type = e.event_type
+               AND p.hour_of_day = CAST(EXTRACT(hour FROM e.ts) AS BIGINT)
+    """,
+    tags=("T9", "T7", "C5"),
+)
+def t9_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level seasonal residual scoring — the operational complement of
+    T7: the diurnal (type, hour) profile is built once, broadcast back
+    onto the event stream, and every event is scored by its deviation
+    from the seasonal baseline. T7 answers "which HOURS are unusual";
+    this answers "which EVENTS are unusual given their hour" — the
+    deseasonalized anomaly feed an alerting pipeline consumes.
+
+    Determinism WITHOUT any ROUND: v − S/(10⁴·n) is algebraically
+    (v_fp·n − S) / (10⁴·n) with an exact BIGINT numerator (v_fp = the
+    4-decimal fixed-pointed value, S/n = the profile's scaled sum/count),
+    so the residual is ONE IEEE division of exact integers — bit-identical
+    across engines — and the anomaly flag is a pure integer comparison.
+    ROUND is avoided deliberately: residuals land on exact .xxxx5
+    midpoints often enough that Spark's half-even vs DuckDB's
+    half-away-from-zero rounding of doubles WILL diverge (observed on
+    this very query; the fixed-point form is the fix, not a bigger
+    epsilon).
+
+    Scale: the profile is |types|×24 rows — broadcast at any corpus
+    size; the fact table is touched twice (profile build + scoring),
+    which beats any windowed alternative that would shuffle all events
+    by (type, hour). In streaming, yesterday's profile joins today's
+    stream (I7 stream-static shape) — same plan, incremental input.
+    Overflow bound: |v_fp·n| ≈ 5·10⁶·n stays under 2⁶³ for n up to
+    ~10¹² observations per (type, hour) cell.
+    """
+    e = table(spark, sf_dir, "events")
+    v_fp = (F.col("value").cast("decimal(18,4)") * 10000).cast("long")
+    prof = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.sum(v_fp).alias("s_fp"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        "value",
+        v_fp.alias("v_fp"),
+    ).join(F.broadcast(prof), ["event_type", "hour_of_day"])
+    numer = F.col("v_fp") * F.col("n_obs") - F.col("s_fp")
+    return scored.select(
+        "event_id",
+        "event_type",
+        "hour_of_day",
+        "value",
+        (
+            numer.cast("double")
+            / (F.lit(10000).cast("long") * F.col("n_obs")).cast("double")
+        ).alias("residual"),
+        (
+            F.abs(numer)
+            > F.lit(RESIDUAL_THRESHOLD) * F.lit(10000) * F.col("n_obs")
+        ).alias("is_anomalous"),
+    )
