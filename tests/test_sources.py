@@ -175,3 +175,49 @@ def test_a16_parquet_bloom_filter_written_and_effective(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_a18_analyze_table_statistics_feed_cbo(spark, tmp_path):
+    """A18: catalog statistics (ANALYZE TABLE ... COMPUTE STATISTICS) — the
+    reference reads per-key sizes driver-side to plan partitions
+    (SparkCaller.java:180-243, contig lengths from SAM headers); the
+    engine's analog is table/column stats in the catalog feeding Spark's
+    cost-based optimizer. The test pins that stats are recorded (row
+    count + size visible in DESCRIBE EXTENDED) and surfaced to the
+    planner (optimizedPlan stats carry the exact row count instead of a
+    size-only estimate)."""
+    spark.sql("DROP TABLE IF EXISTS a18_stats_demo")
+    # saveAsTable lands in the session warehouse dir (spark-warehouse/,
+    # gitignored); the table is dropped in the finally below.
+    table(spark, SF_SMOKE, "customer").write.mode("overwrite").saveAsTable(
+        "a18_stats_demo"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE a18_stats_demo COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        desc = spark.sql("DESCRIBE TABLE EXTENDED a18_stats_demo").collect()
+        stats_row = [r for r in desc if r.col_name == "Statistics"]
+        assert stats_row and "rows" in stats_row[0].data_type
+        n = spark.table("a18_stats_demo").count()
+        assert f"{n} rows" in stats_row[0].data_type
+        # Planner-visible: with the cost-based optimizer on, plan stats
+        # carry the exact analyzed row count, not just a byte-size guess.
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            # drop the pre-ANALYZE cached relation so the plan picks up
+            # the new catalog stats
+            spark.sql("REFRESH TABLE a18_stats_demo")
+            jstats = (
+                spark.table("a18_stats_demo")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert jstats.rowCount().isDefined()
+            # py4j renders scala.math.BigInt to a plain int/str
+            assert int(str(jstats.rowCount().get())) == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS a18_stats_demo")
