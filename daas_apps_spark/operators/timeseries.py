@@ -726,3 +726,88 @@ def t9_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(RESIDUAL_THRESHOLD) * F.lit(10000) * F.col("n_obs")
         ).alias("is_anomalous"),
     )
+
+
+TWAP_SCALE = 10_000
+
+
+@register(
+    "t10_time_weighted_avg",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(CAST(value AS DECIMAL(18,4)) * {TWAP_SCALE} AS BIGINT) AS v_fp,
+               COALESCE(
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY ts, event_id),
+                   epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)
+               ) - epoch_us(ts) AS wt_us
+        FROM events
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(wt_us) AS BIGINT) AS covered_us,
+           CAST(SUM(v_fp * wt_us) AS DOUBLE)
+           / (CAST({TWAP_SCALE} AS DOUBLE) * SUM(wt_us)) AS twap
+    FROM w
+    GROUP BY event_type, d
+    """,
+    tags=("T10", "T2", "E3"),
+)
+def t10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): per (type, day), each observation's
+    value weighted by how long it remained the latest observation (LOCF
+    integral from the observation to its successor, the day's last one
+    carrying to midnight) — the correct daily mean for irregularly
+    sampled series, where the arithmetic mean (T2's close/volume view)
+    over-weights bursts.
+
+    Exact by construction: weights are integer microseconds, values are
+    4-decimal fixed-point BIGINTs, and Σ(v_fp·w) is bounded by
+    max(v_fp)·86400·10⁶ ≈ 4·10¹⁷ per day-group REGARDLESS of event count
+    (the weights partition the day), so the int64 sums never overflow and
+    the TWAP is one IEEE division — no ROUND, engine-bit-identical (the
+    T9 midpoint rule applied to a weighted mean).
+
+    Scale: one window (lead) and one aggregate, both keyed on
+    (type, day) — embarrassingly parallel across days; day boundaries
+    are exact cut points, so the operator is partition-stable under any
+    date-range sharding.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w_seq = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    base = e.select(
+        "event_type",
+        day.alias("d"),
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * TWAP_SCALE)
+        .cast("long")
+        .alias("v_fp"),
+    )
+    day_end_us = F.unix_micros(F.col("d") + F.expr("INTERVAL 1 DAY"))
+    wt = (
+        F.coalesce(F.lead(F.unix_micros(F.col("ts"))).over(w_seq), day_end_us)
+        - F.unix_micros(F.col("ts"))
+    ).alias("wt_us")
+    return (
+        base.select("event_type", "d", "v_fp", wt)
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("wt_us").alias("covered_us"),
+            (
+                F.sum(F.col("v_fp") * F.col("wt_us")).cast("double")
+                / (F.lit(float(TWAP_SCALE)) * F.sum("wt_us"))
+            ).alias("twap"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "covered_us",
+            "twap",
+        )
+    )
