@@ -611,3 +611,77 @@ def test_t8_cusum_telescopes_to_deviation_total(spark):
             # day contributes ≤ 1e-4 of reconstruction slack vs the
             # operator's unrounded fixed-point deviations
             assert abs(r.cusum - acc / 10_000.0) <= (i + 1) * 1e-4 + 1e-9, r
+
+
+def test_t9_residuals_sum_to_zero_per_cell(spark):
+    """Σ residuals within each (type, hour) cell is 0 by construction:
+    Σ(v_fp·n − S) = n·S − n·S = 0 exactly — integer identity, no
+    tolerance."""
+    from daas_apps_spark.operators.timeseries import t9_seasonal_residuals
+    from tests.conftest import SF_SMOKE
+
+    df = t9_seasonal_residuals(spark, SF_SMOKE)
+    sums = (
+        df.groupBy("event_type", "hour_of_day")
+        .agg(F.sum("residual").alias("s"))
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        assert abs(r.s) < 1e-9, r  # float sum of exactly-cancelling terms
+
+
+def test_t10_weights_partition_each_day(spark):
+    """The LOCF weights tile each (type, day) exactly: covered_us equals
+    midnight-to-midnight minus the lead-in before the first event."""
+    from daas_apps_spark.operators.timeseries import t10_time_weighted_avg
+    from daas_apps_spark.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.event_type, r.day): r.covered_us
+        for r in t10_time_weighted_avg(spark, SF_SMOKE).collect()
+    }
+    first = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            (
+                F.unix_micros(F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 1 DAY"))
+                - F.unix_micros(F.min("ts"))
+            ).alias("span_us")
+        )
+        .collect()
+    )
+    assert first
+    for r in first:
+        assert got[(r.event_type, r.day)] == r.span_us, r
+
+
+def test_c20_share_in_unit_interval_and_consistent(spark):
+    from daas_apps_spark.operators.composed import c20_market_share
+    from tests.conftest import SF_SMOKE
+
+    rows = c20_market_share(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation3_revenue <= r.total_revenue + 1e-9
+        assert abs(r.mkt_share - round(r.nation3_revenue / r.total_revenue, 6)) < 1e-9
+
+
+def test_dq4_reports_do_not_filter(spark):
+    """The audit reports violations without dropping rows: n_checked must
+    equal the source cardinalities, and the known-bad temporal rule must
+    show violations > 0 (an audit that can't see them is broken)."""
+    from daas_apps_spark.operators.composed import dq4_constraint_audit
+    from daas_apps_spark.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    rep = {r.rule: r for r in dq4_constraint_audit(spark, SF_SMOKE).collect()}
+    n_li = table(spark, SF_SMOKE, "lineitem").count()
+    assert rep["lineitem.discount_in_unit_range"].n_checked == n_li
+    assert rep["lineitem.discount_in_unit_range"].n_violations == 0
+    assert rep["order_lineitem.ship_after_order"].n_violations > 0
