@@ -117,11 +117,20 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
     ).distinct()
-    edges = pairs.select(
-        F.col("pnode").alias("src"), F.col("snode").alias("dst")
-    ).union(pairs.select(F.col("snode").alias("src"), F.col("pnode").alias("dst")))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # edges/deg/esd are consumed every iteration; materialization stops the
+    # fact-table distinct re-executing per consumer (sf0.1: 5.5s → ~3.5s
+    # warm; the residual loop cost is per-stage scheduling latency, which
+    # amortizes at cluster scale). Same localCheckpoint rule as the LSH
+    # intermediates (SCALING.md §6); checkpoint-dir at cluster scale.
+    edges = (
+        pairs.select(F.col("pnode").alias("src"), F.col("snode").alias("dst"))
+        .union(pairs.select(F.col("snode").alias("src"), F.col("pnode").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
     )
     consts = deg.agg(
         F.expr(
@@ -130,31 +139,29 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tele"),
         F.expr(f"cast({PR_SCALE} as bigint) div count(*)").alias("init"),
     )
+    # Degree is attached to the edge list ONCE (it never changes), so each
+    # iteration is exactly one join + one aggregate; and because the graph
+    # is undirected, every node receives inbound mass, so no left-join
+    # back to the node set is needed to preserve teleport-only nodes —
+    # two fewer stages per round than the naive loop.
+    esd = edges.join(
+        deg.select(F.col("node").alias("src"), "degree"), "src"
+    ).localCheckpoint()
     pr = deg.crossJoin(F.broadcast(consts)).select(
         "node", F.col("init").alias("pr_fp")
     )
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr_fp div degree").alias("c"),
-            )
-        )
-        inbound = contrib.groupBy("node").agg(F.sum("c").alias("m"))
         pr = (
-            deg.select("node")
-            .join(inbound, "node", "left")
+            esd.join(pr.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("pr_fp div degree").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
             .crossJoin(F.broadcast(consts))
             .select(
                 "node",
                 (
                     F.col("tele")
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(m, cast(0 as bigint)))"
-                        f" div {PR_DAMP_DEN}"
-                    )
+                    + F.expr(f"({PR_DAMP_NUM} * m) div {PR_DAMP_DEN}")
                 ).alias("pr_fp"),
             )
         )
