@@ -43,10 +43,15 @@ RRF_TOP = 50
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 # Shared CTE chain: per-doc BM25 over QUERY_TERMS (DuckDB side). The Spark
-# side mirrors this expression tree token for token in _bm25_scores().
-_BM25_CTES = f"""
+# side mirrors this expression tree token for token in _bm25_over().
+# ``docs_cte`` supplies the scored unit relation (doc_id, t token-array) —
+# whole documents for K27/K28, fixed-width chunks for K39.
+
+
+def _bm25_ctes(docs_cte: str) -> str:
+    return f"""
     docs AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        {docs_cte}
     ),
     stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(t)) AS avgdl
@@ -90,8 +95,14 @@ _BM25_CTES = f"""
 """
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc BM25 over QUERY_TERMS: (doc_id, n_terms_hit, bm25, rnk).
+_BM25_CTES = _bm25_ctes(
+    "SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents"
+)
+
+
+def _bm25_over(docs: DataFrame) -> DataFrame:
+    """Per-unit BM25 over QUERY_TERMS: (doc_id, n_terms_hit, bm25, rnk).
+    ``docs`` carries (doc_id, t) — any unit relation (documents, chunks).
 
     Shape: one tokenized scan feeds the hit stream; the corpus stats row
     (N, avgdl) and the per-term DF table are tiny 1-row/|terms|-row
@@ -100,8 +111,6 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered SUM over terms) so the float addition order matches the
     oracle bit for bit.
     """
-    d = table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", tokens_col().alias("t"))
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size("t")).alias("avgdl"),
@@ -165,7 +174,8 @@ def k27_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject) exactly like F4; kept total here so the oracle
     checks every scored document, not just the head.
     """
-    return _bm25_scores(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    return _bm25_over(d.select("doc_id", tokens_col().alias("t")))
 
 
 @register(
@@ -219,7 +229,8 @@ def k28_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k-cut (rank lists are served truncated anyway); the fusion plan is
     unchanged.
     """
-    bm = _bm25_scores(spark, sf_dir).select(
+    d = table(spark, sf_dir, "documents")
+    bm = _bm25_over(d.select("doc_id", tokens_col().alias("t"))).select(
         "doc_id", F.col("rnk").alias("rn_bm25")
     )
     e = table(spark, sf_dir, "embeddings")
@@ -259,4 +270,73 @@ def k28_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
             "fused_rank",
         )
+    )
+
+
+CHUNK_TOKENS = 32  # disjoint passage width, in tokens
+PASSAGE_TOP = 20
+# Composite passage key: doc_id * CHUNK_KEY_BASE + chunk_index. Documents
+# are far below CHUNK_KEY_BASE chunks, pinned in tests.
+CHUNK_KEY_BASE = 1000
+
+
+@register(
+    "k39_passage_retrieval",
+    oracle=f"""
+    WITH {_bm25_ctes(f'''
+        SELECT d.doc_id * {CHUNK_KEY_BASE} + i AS doc_id,
+               t[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}] AS t
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents) d,
+             unnest(range(CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)))
+                 AS u(i)
+    ''')}
+    SELECT doc_id AS chunk_key,
+           doc_id // {CHUNK_KEY_BASE} AS parent_doc,
+           doc_id % {CHUNK_KEY_BASE} AS chunk_index,
+           n_terms_hit, bm25, rnk
+    FROM bm25r WHERE rnk <= {PASSAGE_TOP}
+    """,
+    tags=("K39", "K27", "K10", "F4"),
+)
+def k39_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval (the RAG serving shape): documents split into
+    disjoint {CHUNK_TOKENS}-token passages map-side (K10's chunker), the
+    SAME BM25 core ranks passages instead of documents, and the top
+    passages return with their parent doc — retrieval granularity is a
+    parameter of the unit relation, not a different algorithm.
+
+    Chunk statistics differ from document statistics by design (shorter
+    dl, per-chunk df): the scorer is reused verbatim over the chunk
+    relation, which is exactly why `_bm25_over` takes a unit relation
+    rather than a table name.
+
+    Scale: chunk expansion is a map-side explode (no shuffle added); the
+    rest inherits K27's shape — (unit, term) aggregate + broadcast model.
+    The composite BIGINT key avoids carrying a struct key through the
+    rank window.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {CHUNK_TOKENS}.0)"
+                f" as int) - 1), i -> struct(i,"
+                f" slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}) AS ct))"
+            )
+        ).alias("c"),
+    ).select(
+        (F.col("doc_id") * CHUNK_KEY_BASE + F.col("c.i")).alias("doc_id"),
+        F.col("c.ct").alias("t"),
+    )
+    ranked = _bm25_over(chunks).filter(F.col("rnk") <= PASSAGE_TOP)
+    return ranked.select(
+        F.col("doc_id").alias("chunk_key"),
+        (F.col("doc_id") / CHUNK_KEY_BASE).cast("long").alias("parent_doc"),
+        (F.col("doc_id") % CHUNK_KEY_BASE).alias("chunk_index"),
+        "n_terms_hit",
+        "bm25",
+        "rnk",
     )

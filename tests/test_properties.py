@@ -685,3 +685,28 @@ def test_dq4_reports_do_not_filter(spark):
     assert rep["lineitem.discount_in_unit_range"].n_checked == n_li
     assert rep["lineitem.discount_in_unit_range"].n_violations == 0
     assert rep["order_lineitem.ship_after_order"].n_violations > 0
+
+
+def test_k39_chunk_key_space_holds(spark):
+    """The composite passage key assumes < CHUNK_KEY_BASE chunks per
+    document; verify the fixture's worst case leaves wide headroom, and
+    that every returned passage re-derives its parent correctly."""
+    from daas_apps_spark.operators.ranking import (
+        CHUNK_KEY_BASE,
+        CHUNK_TOKENS,
+        k39_passage_retrieval,
+    )
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.dedup import tokens_col
+    from tests.conftest import SF_SMOKE
+
+    max_chunks = (
+        table(spark, SF_SMOKE, "documents")
+        .select(F.ceil(F.size(tokens_col()) / CHUNK_TOKENS).alias("c"))
+        .agg(F.max("c"))
+        .first()[0]
+    )
+    assert max_chunks < CHUNK_KEY_BASE / 10
+    for r in k39_passage_retrieval(spark, SF_SMOKE).collect():
+        assert r.chunk_key == r.parent_doc * CHUNK_KEY_BASE + r.chunk_index
+        assert 0 <= r.chunk_index < max_chunks
