@@ -392,3 +392,74 @@ def i11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_id").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "i14_dynamic_session_window",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN INTERVAL 10 MINUTE ELSE INTERVAL 45 MINUTE END AS gap
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts, event_id, value, ts + gap AS this_end,
+               MAX(ts + gap) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_end
+        FROM g
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+                       THEN 1 ELSE 0 END AS new_session
+        FROM m
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(this_end) AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("I14", "I3"),
+)
+def i14_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap: engaged interactions
+    (click/view) time out after 10 minutes, passive event types hold the
+    session for 45 — the gap duration is an expression over the row, not
+    a constant. Spark's native `session_window` accepts the conditional
+    gap column directly; the batch-equivalence oracle generalizes the I3
+    gaps-and-islands SQL from "lag + constant" to a RUNNING MAX of
+    per-event window ends (a session continues while the next event
+    starts before the furthest end any member has reached).
+
+    Scale: same as I3 — state per key is the open session interval; in
+    live streaming the dynamic gap changes only the state's end
+    timestamp arithmetic, not the state size.
+    """
+    e = table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("10 minutes")
+    ).otherwise(F.lit("45 minutes"))
+    return (
+        e.groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

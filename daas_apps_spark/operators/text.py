@@ -574,3 +574,98 @@ def k24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("surprisal"), 4).alias("max_surprisal_bits"),
         )
     )
+
+
+# Fixed logistic-model weights for K41 (deterministic stand-in for a
+# trained fastText/regression quality classifier; same literals on both
+# engines). Feature order: bias, len_norm, symbol_ratio, dup_ratio,
+# stopword_ratio.
+QUALITY_W = ("1.0", "2.0", "-8.0", "-4.0", "2.0")
+LEN_NORM_CAP = "2000.0"
+
+
+@register(
+    "k41_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               LEAST(length(text) / {LEN_NORM_CAP}, 1.0) AS len_norm,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(text) AS symbol_ratio,
+               1.0 - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+                   / len(string_split(lower(text), ' ')) AS dup_ratio,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> list_contains({list(STOPWORDS)}, x)))::DOUBLE
+                   / len(string_split(lower(text), ' ')) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(len_norm, 4) AS len_norm,
+           ROUND(1.0 / (1.0 + exp(-({QUALITY_W[0]}
+                 + {QUALITY_W[1]} * len_norm
+                 + {QUALITY_W[2]} * symbol_ratio
+                 + {QUALITY_W[3]} * dup_ratio
+                 + {QUALITY_W[4]} * stopword_ratio))), 4) AS quality_score,
+           (1.0 / (1.0 + exp(-({QUALITY_W[0]}
+                 + {QUALITY_W[1]} * len_norm
+                 + {QUALITY_W[2]} * symbol_ratio
+                 + {QUALITY_W[3]} * dup_ratio
+                 + {QUALITY_W[4]} * stopword_ratio))) >= 0.5) AS keep
+    FROM feats
+    """,
+    tags=("K41", "K6", "K5"),
+)
+def k41_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: the K6 heuristic features pushed
+    through a fixed-weight logistic model — the plumbing of a trained
+    quality classifier (fastText/regression style) with the training
+    replaced by pinned literals, so the score is a pure deterministic
+    function of content. Every feature is an exact integer ratio; the
+    weights are identical decimal literals on both engines; only exp()
+    can differ in the last ulp (absorbed by ROUND, and the 0.5 keep
+    threshold compares the unrounded score on both engines).
+
+    Scale: pure per-row expressions over one scan — the cheapest
+    possible "model" inference path. A real model swaps the expression
+    for a broadcast weight table (K21's shape) or an Arrow UDF batch
+    (J8/J9) — the pipeline position and output contract stay identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_ch = F.length("text")
+    len_norm = F.least(n_ch / float(LEN_NORM_CAP), F.lit(1.0))
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double") / n_ch
+    )
+    dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / F.size(toks)
+    )
+    w = [F.lit(float(x)) for x in QUALITY_W]
+    logit = (
+        w[0]
+        + w[1] * F.col("len_norm")
+        + w[2] * F.col("symbol_ratio")
+        + w[3] * F.col("dup_ratio")
+        + w[4] * F.col("stopword_ratio")
+    )
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        d.select(
+            "doc_id",
+            len_norm.alias("len_norm"),
+            symbol_ratio.alias("symbol_ratio"),
+            dup_ratio.alias("dup_ratio"),
+            stopword_ratio.alias("stopword_ratio"),
+        )
+        .select(
+            "doc_id",
+            F.round("len_norm", 4).alias("len_norm"),
+            F.round(score, 4).alias("quality_score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )
