@@ -698,3 +698,49 @@ def h_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("order_first"))
         .alias("order_decision"),
     )
+
+
+@register(
+    "h_timezone_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) AS ts_utc,
+           (ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS ny_local,
+           (ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo') AS tokyo_local,
+           CAST(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'America/New_York') AS BIGINT) AS ny_hour,
+           CAST((epoch_us(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+                 - epoch_us(ts)) / 60000000 AS BIGINT) AS ny_offset_min,
+           ((ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+            AT TIME ZONE 'America/New_York' AT TIME ZONE 'UTC' = ts)
+               AS roundtrip_ok
+    FROM events
+    """,
+    tags=("H", "I1"),
+)
+def h_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-conversion battery: UTC→zone wall-clock shifts
+    (`from_utc_timestamp` ↔ DuckDB's AT TIME ZONE pair), zone-local hour
+    extraction, the derived UTC-offset in minutes, and the
+    `to_utc_timestamp` round-trip — the primitives under any
+    local-business-hours variant of the T7/I1 bucketing. The fixture's
+    event range (January) contains no DST transition, so local-time
+    ambiguity — where engines may legitimately disagree — is out of
+    scope by construction; the offset column would surface it instantly
+    (-300 EST vs -240 EDT).
+    """
+    e = table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return e.select(
+        "event_id",
+        F.col("ts").alias("ts_utc"),
+        ny.alias("ny_local"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_local"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+        (
+            (F.unix_micros(ny) - F.unix_micros("ts")) / F.lit(60_000_000)
+        ).cast("long").alias("ny_offset_min"),
+        (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")).alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -355,3 +355,35 @@ def test_dq3_cohort_filters_pushed(spark):
     plan = plan_of(spark, "dq3_distribution_drift")
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_t10_twap_one_window_one_aggregate(spark):
+    # TWAP = lead window + keyed aggregate, no join; events scanned once.
+    plan = plan_of(spark, "t10_time_weighted_avg")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_i14_dynamic_session_no_join(spark):
+    # Native session_window with a dynamic gap stays a single-table
+    # window aggregation — no self-join islands emulation.
+    plan = plan_of(spark, "i14_dynamic_session_window")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_k39_passage_chunking_is_mapside(spark):
+    # Chunk expansion must be a map-side explode feeding the BM25
+    # aggregate — no extra exchange between scan and the (unit, term)
+    # count, and the model joins stay broadcast.
+    plan = plan_of(spark, "k39_passage_retrieval")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_k41_classifier_is_pure_projection(spark):
+    # Model inference = one scan + projection; no shuffle, no join.
+    plan = plan_of(spark, "k41_quality_classifier")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
