@@ -12,7 +12,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table
-from daas_apps_spark.operators.dedup import tokens_col
+from daas_apps_spark.operators.dedup import (
+    _DUCK_BANDS,
+    _DUCK_BASE_HASH,
+    _DUCK_SHINGLES,
+    _minhash_sig_duck,
+    JACCARD_THRESHOLD,
+    N_PERM,
+    tokens_col,
+)
 from daas_apps_spark.registry import register
 
 # No backslash classes: Spark SQL string literals consume backslash escapes
@@ -667,5 +675,134 @@ def k41_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("len_norm", 4).alias("len_norm"),
             F.round(score, 4).alias("quality_score"),
             (score >= 0.5).alias("keep"),
+        )
+    )
+
+
+def _k42_oracle() -> str:
+    """DuckDB twin of k42: K3's verified-pair chain + K18's winnowing
+    fingerprints composed in one CTE pipeline."""
+    return (
+        _DUCK_SHINGLES
+        + f"""
+    , hsh AS (
+        SELECT doc_id, {_DUCK_BASE_HASH} FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(_minhash_sig_duck(i) for i in range(N_PERM))}
+        FROM hsh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / len(list_distinct(sa.shingles || sb.shingles)), 4)
+                   AS jaccard
+        FROM cands c
+        JOIN sh sa ON c.doc_a = sa.doc_id
+        JOIN sh sb ON c.doc_b = sb.doc_id
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles))
+              >= {JACCARD_THRESHOLD}
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(
+                   range(length(lower(text)) - {WINNOW_GRAM - 1}),
+                   i -> ('0x' || substring(
+                            md5(substring(lower(text), CAST(i + 1 AS INTEGER),
+                                          {WINNOW_GRAM})), 1, 7))::BIGINT
+               ) AS hs
+        FROM documents WHERE length(text) >= {WINNOW_GRAM + WINNOW_W - 1}
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               list_min(hs[CAST(j + 1 AS INTEGER):CAST(j + {WINNOW_W} AS INTEGER)])
+                   AS fingerprint
+        FROM hashes, unnest(range(len(hs) - {WINNOW_W - 1})) AS t(j)
+    ),
+    nfp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pairs p
+        JOIN fps a ON a.doc_id = p.doc_a
+        JOIN fps b ON b.doc_id = p.doc_b AND b.fingerprint = a.fingerprint
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+           ROUND(COALESCE(s.n_shared, 0)
+                 / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 4) AS containment
+    FROM pairs p
+    LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+    JOIN nfp na ON na.doc_id = p.doc_a
+    JOIN nfp nb ON nb.doc_id = p.doc_b
+    """
+    )
+
+
+@register(
+    "k42_overlap_localization",
+    oracle=_k42_oracle(),
+    tags=("K42", "K18", "K3"),
+)
+def k42_overlap_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap localization for near-dup pairs: every LSH-verified pair
+    (K3) is re-examined through its winnowing fingerprint sets (K18) --
+    shared fingerprints approximate shared 11-char stretches, so
+    ``containment = |shared| / min(|fp_a|, |fp_b|)`` localizes HOW MUCH
+    of the smaller document the overlap covers, which the shingle
+    Jaccard alone cannot say (a contained quote scores low Jaccard but
+    high containment). This is the winnowing guarantee (Schleimer et
+    al. 2003) doing the job it was designed for, composed from two
+    operators already in the registry.
+
+    Scale: pairs come from band collisions (never N squared); fingerprint
+    sets join pair-side by doc_id then match on the fingerprint value --
+    the fingerprint relation is ~|corpus chars|/WINNOW_W rows, shuffled
+    once on doc_id. Counts and ratios are exact integers.
+    """
+    from daas_apps_spark.operators.dedup import k3_lsh_near_dedup
+
+    pairs = k3_lsh_near_dedup(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    fps = k18_winnowing(spark, sf_dir)
+    n_fp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    fa = fps.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    fb = fps.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    shared = (
+        pairs.join(fa, "doc_a")
+        .join(fb, ["doc_b", "fingerprint"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n_fp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = n_fp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(shared, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.least("n_fp_a", "n_fp_b").cast("double"),
+                4,
+            ).alias("containment"),
         )
     )
