@@ -313,11 +313,14 @@ def j6_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HaplotypeCaller turns N read rows into M differently-shaped variant rows
     (HaplotypeCaller.java:10-32); a UDTF is the row-level version of that
-    schema-changing expansion.
+    schema-changing expansion. ``useArrow=True`` keeps the exchange on the
+    Arrow batch path (``ArrowEvalPythonUDTF`` in the plan) — without it a
+    UDTF is the one API that silently reintroduces row-at-a-time pickling
+    (flagged by tools/plan_lint.py's BatchEvalPython rule).
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id long, pos int, bigram string")
+    @udtf(returnType="doc_id long, pos int, bigram string", useArrow=True)
     class Bigrams:
         def eval(self, doc_id: int, text: str):
             toks = text.lower().split(" ")

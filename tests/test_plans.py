@@ -387,3 +387,14 @@ def test_k41_classifier_is_pure_projection(spark):
     plan = plan_of(spark, "k41_quality_classifier")
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_registry_plan_lint(spark):
+    # Whole-registry sweep (tools/plan_lint.py): no cartesian products
+    # outside the declared cross join, no row-at-a-time Python
+    # evaluation, no hidden persisted-relation dependencies — the
+    # hand-pinned assertions above, generalized to every declared query.
+    from tools.plan_lint import lint
+
+    violations = lint(spark, SF_SMOKE)
+    assert violations == {}, violations
