@@ -554,3 +554,92 @@ def k25_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+NEG_K = 5  # negatives sampled per query vector
+
+
+@register(
+    "k44_negative_sampling",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+        FROM embeddings WHERE vec_id < {N_QUERY}
+    ),
+    cand AS (
+        SELECT q.query_id, q.q_label, c.vec_id AS cand_id,
+               c.label AS cand_label,
+               substring(md5(q.query_id || '_' || c.vec_id), 1, 16) AS h,
+               ROUND(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                              CAST(q.qe AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])))),
+                     6) AS cosine
+        FROM q JOIN embeddings c ON c.label <> q.q_label
+    )
+    SELECT query_id, q_label, cand_id, cand_label, cosine,
+           CAST(rnk AS INTEGER) AS neg_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY h, cand_id) AS rnk
+        FROM cand
+    ) WHERE rnk <= {NEG_K}
+    """,
+    tags=("K44", "K4", "K9"),
+)
+def k44_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each query vector draws {NEG_K} pseudo-random negatives from OTHER
+    label classes, selected by md5(query, candidate) hash order — the K9
+    hash-not-rand sampling rule applied to pair construction, so the
+    sample is reproducible across partitionings, engines, and re-runs
+    (seeded RNG sampling is not, under Spark's split-by-partition RNG).
+    The cosine of each sampled pair is reported as the hardness signal a
+    curriculum would bucket on.
+
+    Scale: queries broadcast (the K4 pattern); candidates stream map-side
+    through the hash projection; the only shuffle is the per-query
+    top-{NEG_K} rank — with millions of queries, swap the window for the
+    F4 TakeOrderedAndProject-per-group form or pre-filter on a hash
+    threshold (keep h < p) to bound the ranked set.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double("embedding").alias("qv"),
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        as_double("embedding").alias("cv"),
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    cand = (
+        c.join(F.broadcast(q), F.col("cand_label") != F.col("q_label"))
+        .withColumn(
+            "h",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("query_id").cast("string"),
+                        F.lit("_"),
+                        F.col("cand_id").cast("string"),
+                    )
+                ),
+                1,
+                16,
+            ),
+        )
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("h").asc(), F.col("cand_id").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("query_id", "q_label", "cand_id", "cand_label", "cosine", "neg_rank")
+    )
