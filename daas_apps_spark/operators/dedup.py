@@ -806,3 +806,88 @@ def k31_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - exact), 4).alias("abs_error"),
         )
     )
+
+
+def _k43_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    clusters_sql = REGISTRY["k3_dedup_clusters"].oracle
+    return f"""
+    WITH members AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               len(list_distinct(string_split(lower(d.text), ' '))) AS richness
+        FROM ({clusters_sql}) c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY doc_id ASC) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn_long,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY richness DESC, doc_id ASC) AS rn_rich
+        FROM members
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(CASE WHEN rn_first = 1 THEN doc_id END) AS keep_first,
+           MIN(CASE WHEN rn_long = 1 THEN doc_id END) AS keep_longest,
+           MIN(CASE WHEN rn_rich = 1 THEN doc_id END) AS keep_richest,
+           (MIN(CASE WHEN rn_first = 1 THEN doc_id END)
+            = MIN(CASE WHEN rn_long = 1 THEN doc_id END)
+            AND MIN(CASE WHEN rn_first = 1 THEN doc_id END)
+            = MIN(CASE WHEN rn_rich = 1 THEN doc_id END)) AS policies_agree
+    FROM ranked
+    GROUP BY cluster_id
+    """
+
+
+@register(
+    "k43_survivor_policies",
+    oracle=_k43_oracle(),
+    tags=("K43", "K3", "K1", "E1"),
+)
+def k43_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor-policy comparison: for every near-dup cluster (K3
+    connected components), the document each of three policies would
+    keep — first-by-id (the reproducible default), longest (keep the
+    superset text), richest vocabulary (keep the least-templated
+    member) — and whether they agree. Disagreement rate is the number a
+    curation review actually wants before committing to a policy: when
+    policies diverge, the cluster contains asymmetric near-dups
+    (containment, boilerplate variants), exactly the cases K42
+    localizes.
+
+    One membership join + three rank windows over the same cluster
+    partitioning (one shuffle), collapsed per cluster. Scale follows K3:
+    cluster count ≪ corpus, members join by doc_id.
+    """
+    clusters = k3_dedup_clusters(spark, sf_dir).select("cluster_id", "doc_id")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokens_col())).alias("richness"),
+    )
+    m = clusters.join(d, "doc_id")
+    w_first = Window.partitionBy("cluster_id").orderBy(F.col("doc_id").asc())
+    w_long = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_rich = Window.partitionBy("cluster_id").orderBy(
+        F.col("richness").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        m.withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_long", F.row_number().over(w_long))
+        .withColumn("rn_rich", F.row_number().over(w_rich))
+    )
+    first = F.min(F.when(F.col("rn_first") == 1, F.col("doc_id")))
+    longest = F.min(F.when(F.col("rn_long") == 1, F.col("doc_id")))
+    richest = F.min(F.when(F.col("rn_rich") == 1, F.col("doc_id")))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        first.alias("keep_first"),
+        longest.alias("keep_longest"),
+        richest.alias("keep_richest"),
+        ((first == longest) & (first == richest)).alias("policies_agree"),
+    )
