@@ -936,3 +936,125 @@ def b12_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_PARAM_SQL, args={"price_floor": 250000, "prio": "2-HIGH"})
+
+
+@register(
+    "dq5_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+        SELECT l_partkey AS lhs_v, p_brand AS rhs_v
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    fd1_g AS (
+        SELECT lhs_v, COUNT(DISTINCT rhs_v) AS nd FROM fd1 GROUP BY lhs_v
+    ),
+    fd2_g AS (
+        SELECT l_partkey AS lhs_v, COUNT(DISTINCT l_suppkey) AS nd
+        FROM lineitem GROUP BY l_partkey
+    ),
+    fd3_g AS (
+        SELECT source AS lhs_v, COUNT(DISTINCT lang) AS nd
+        FROM documents GROUP BY source
+    ),
+    fd4_g AS (
+        SELECT o_custkey AS lhs_v, COUNT(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_custkey
+    ),
+    fd5_g AS (
+        SELECT user_id AS lhs_v, COUNT(DISTINCT event_type) AS nd
+        FROM events GROUP BY user_id
+    ),
+    rep AS (
+        SELECT 'lineitem_enriched' AS relation, 'l_partkey' AS lhs,
+               'p_brand' AS rhs, * FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+                       AS n_violating_groups,
+                   CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs
+            FROM fd1_g) t
+        UNION ALL
+        SELECT 'lineitem', 'l_partkey', 'l_suppkey', * FROM (
+            SELECT CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+                   CAST(MAX(nd) AS BIGINT)
+            FROM fd2_g) t
+        UNION ALL
+        SELECT 'documents', 'source', 'lang', * FROM (
+            SELECT CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+                   CAST(MAX(nd) AS BIGINT)
+            FROM fd3_g) t
+        UNION ALL
+        SELECT 'orders', 'o_custkey', 'o_orderpriority', * FROM (
+            SELECT CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+                   CAST(MAX(nd) AS BIGINT)
+            FROM fd4_g) t
+        UNION ALL
+        SELECT 'events', 'user_id', 'event_type', * FROM (
+            SELECT CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+                   CAST(MAX(nd) AS BIGINT)
+            FROM fd5_g) t
+    )
+    SELECT relation, lhs, rhs, n_groups, n_violating_groups,
+           max_distinct_rhs,
+           (n_violating_groups = 0) AS holds
+    FROM rep
+    """,
+    tags=("DQ5", "DQ2", "D3"),
+)
+def dq5_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: declared X → Y dependencies verified
+    by counting LHS groups with more than one distinct RHS value — the
+    profiling primitive under schema-normalization checkers (Metanome-
+    style FD validation, run over DECLARED candidates rather than mined).
+
+    One FD that genuinely holds (l_partkey → p_brand on the denormalized
+    lineitem⋈part relation — the "is this denormalization consistent"
+    check) and four that are violated with varying severity, so the
+    report exercises both verdicts.
+
+    Shape per FD: groupBy(lhs).agg(countDistinct(rhs)) — a two-phase
+    partial/final aggregate on the LHS key — folded to a 1-row census.
+    Scale: each FD is one shuffle on its LHS; the distinct-count is exact
+    (per-group cardinalities are small); a 100 TB audit would swap
+    approx_count_distinct in first as a cheap screen and verify exactly
+    only the groups the sketch flags. The five 1-row reports union into
+    the audit contract relation.
+    """
+    t = tables(spark, sf_dir)
+    enriched = t.lineitem.join(
+        t.part, t.lineitem.l_partkey == t.part.p_partkey
+    ).select(F.col("l_partkey").alias("lhs_v"), F.col("p_brand").alias("rhs_v"))
+
+    def audit(relation: str, lhs: str, rhs: str, df: DataFrame,
+              lhs_col: str, rhs_col: str) -> DataFrame:
+        g = df.groupBy(F.col(lhs_col).alias("lhs_v")).agg(
+            F.countDistinct(rhs_col).alias("nd")
+        )
+        return g.agg(
+            F.lit(relation).alias("relation"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_violating_groups"),
+            F.max("nd").alias("max_distinct_rhs"),
+        )
+
+    rep = (
+        audit("lineitem_enriched", "l_partkey", "p_brand",
+              enriched, "lhs_v", "rhs_v")
+        .unionAll(audit("lineitem", "l_partkey", "l_suppkey",
+                        t.lineitem, "l_partkey", "l_suppkey"))
+        .unionAll(audit("documents", "source", "lang",
+                        t.documents, "source", "lang"))
+        .unionAll(audit("orders", "o_custkey", "o_orderpriority",
+                        t.orders, "o_custkey", "o_orderpriority"))
+        .unionAll(audit("events", "user_id", "event_type",
+                        t.events, "user_id", "event_type"))
+    )
+    return rep.select(
+        "relation", "lhs", "rhs", "n_groups", "n_violating_groups",
+        "max_distinct_rhs", (F.col("n_violating_groups") == 0).alias("holds"),
+    )

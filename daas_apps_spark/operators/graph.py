@@ -172,3 +172,124 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg, "node")
         .select("node", "degree", "pr_fp", "rnk")
     )
+
+
+@register(
+    "gr2_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.sk AS u, b.sk AS v
+        FROM pairs a JOIN pairs b
+          ON a.pk = b.pk AND a.sk < b.sk
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) t GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) t GROUP BY node
+    )
+    SELECT d.node AS suppkey,
+           d.degree,
+           COALESCE(p.tri_count, 0) AS tri_count,
+           CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS wedge_count,
+           CASE WHEN d.degree >= 2
+                THEN CAST(COALESCE(p.tri_count, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) / 2 AS DOUBLE)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """,
+    tags=("GR2", "C11", "D2"),
+)
+def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the supplier
+    co-supply graph (suppliers adjacent iff they supply a common part —
+    the one-mode projection of gr1's bipartite part↔supplier graph).
+
+    Algorithm: the classic ordered-adjacency join (Schank & Wagner 2005 —
+    "compact-forward"). Edges are canonicalized u < v, so each triangle
+    a < b < c is found exactly once as (a,b) ⋈ (b,c) ⋈ (a,c); per-node
+    counts come from exploding each triangle to its three corners.
+    Everything is exact integer arithmetic; the only double is the final
+    coefficient, an exact-integer division identical under IEEE on both
+    engines.
+
+    Scale: the projection join is keyed on partkey — fan-out is bounded
+    by per-part supplier multiplicity (TPC-H: ≤ 4; a power-law corpus
+    would cap the per-key neighbor list the way k3_ngram_jaccard caps its
+    anchor posting lists). The triangle join is the standard distributed
+    shape (edge list ⋈ edge list on the shared endpoint, then a hash
+    semi-check against the third side); orienting edges low→high bounds
+    the join fan-out by out-degree, the same trick MapReduce triangle
+    counters (Suri & Vassilvitskii 2011) use to tame skew at web scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    wedges = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("suppkey"),
+            "degree",
+            F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+            wedges.alias("wedge_count"),
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce("tri_count", F.lit(0)).cast("double")
+                / wedges.cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+    )

@@ -811,3 +811,162 @@ def t10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap",
         )
     )
+
+
+@register(
+    "t11_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id % 25 AS key,
+               epoch_us(ts) AS s,
+               epoch_us(ts)
+                 + 60000000 * (1 + CAST(FLOOR(value) AS BIGINT)) AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT key, s, e, event_id,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY key ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > MAX(e) OVER (
+                        PARTITION BY key ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT key, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY key ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT key, island, MIN(s) AS m_start, MAX(e) AS m_end
+        FROM islands GROUP BY key, island
+    ),
+    cov AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(m_end - m_start) AS BIGINT) AS covered_us,
+               CAST(MAX(m_end - m_start) AS BIGINT) AS widest_island_us
+        FROM merged GROUP BY key
+    ),
+    pts AS (
+        SELECT key, s AS pos, 1 AS delta FROM iv
+        UNION ALL
+        SELECT key, e AS pos, -1 AS delta FROM iv
+    ),
+    dep AS (
+        SELECT key, CAST(MAX(running) AS BIGINT) AS max_depth
+        FROM (
+            SELECT key, SUM(delta) OVER (
+                       PARTITION BY key ORDER BY pos, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running
+            FROM pts
+        ) t GROUP BY key
+    ),
+    n AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals FROM iv
+        GROUP BY key
+    )
+    SELECT n.key, n.n_intervals, cov.n_islands, cov.covered_us,
+           cov.widest_island_us, dep.max_depth
+    FROM n JOIN cov ON cov.key = n.key JOIN dep ON dep.key = n.key
+    """,
+    tags=("T11", "C9", "E4"),
+)
+def t11_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union + coverage depth — the genomics ``bedtools merge`` /
+    ``genomecov`` pair done relationally (the reference's interval-list
+    world: per-region BED windows drive every pipeline stage, e.g.
+    SparkCaller.java's per-interval scatter; here the intervals come from
+    the event stream: each event opens a [ts, ts + (1+floor(value)) min)
+    window keyed by user_id % 25).
+
+    Two classic sweep-line computations, both as ordered windows — never a
+    self-join:
+
+    - **Merge (union)**: sort intervals per key by start; an interval
+      starts a new island iff its start exceeds the running max of all
+      previous ends (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING); the running
+      sum of that flag is the island id; per-island MIN(start)/MAX(end)
+      gives the merged spans, summed into total covered time.
+    - **Depth (coverage)**: explode each interval into (+1 at start, -1 at
+      end) deltas; the running sum ordered by (pos, delta) — ends before
+      starts at ties, i.e. half-open [s, e) — is the concurrent-interval
+      depth; MAX per key is the peak.
+
+    All arithmetic is integer microseconds (``unix_micros`` /
+    ``epoch_us``), so both engines agree bit-for-bit with no rounding
+    discipline.
+
+    Scale: both sweeps are one hash exchange on the series key followed by
+    an in-partition sort — the plan shape survives any corpus size as long
+    as one key's intervals fit a partition (they're time-series per entity;
+    a hot key would be salted by time-range first, merging islands across
+    salt boundaries in a second tiny pass). The ±1 point exchange is 2
+    rows per interval, narrow (key, pos, delta) columns only.
+    """
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        (F.col("user_id") % 25).alias("key"),
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.lit(60_000_000) * (F.floor("value").cast("long") + 1)
+        ).alias("e"),
+        "event_id",
+    )
+    w_seq = Window.partitionBy("key").orderBy("s", "e", "event_id")
+    prev_max_end = F.max("e").over(
+        w_seq.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "key",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "key",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    merged = islands.groupBy("key", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    cov = merged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("m_end") - F.col("m_start")).alias("covered_us"),
+        F.max(F.col("m_end") - F.col("m_start")).alias("widest_island_us"),
+    )
+    pts = iv.select("key", F.col("s").alias("pos"), F.lit(1).alias("delta")).unionAll(
+        iv.select("key", F.col("e").alias("pos"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.partitionBy("key").orderBy("pos", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dep = (
+        pts.select("key", F.sum("delta").over(w_sweep).alias("running"))
+        .groupBy("key")
+        .agg(F.max("running").alias("max_depth"))
+    )
+    n = iv.groupBy("key").agg(F.count(F.lit(1)).alias("n_intervals"))
+    return n.join(cov, "key").join(dep, "key").select(
+        "key", "n_intervals", "n_islands", "covered_us",
+        "widest_island_us", "max_depth",
+    )

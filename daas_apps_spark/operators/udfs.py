@@ -480,3 +480,88 @@ def j9_grouped_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInArrow(
         normalize, schema="doc_id long, lang string, n_chars long, chars_z double"
     )
+
+
+@register(
+    "j10_sql_udf",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_orderkey,
+               l_extendedprice * (1.0 - l_discount) AS np,
+               l_quantity
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               {sql_dsum('np')} AS order_net,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS order_qty
+        FROM base GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN order_net < 50000 THEN 'low'
+                WHEN order_net < 200000 THEN 'mid'
+                ELSE 'high' END AS net_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(order_qty) AS BIGINT) AS total_qty,
+           ROUND({sql_dsum('order_net')}, 2) AS tier_net
+    FROM per_order
+    GROUP BY 1
+    """,
+    tags=("J7", "J10", "B12"),
+)
+def j10_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    a scalar ``net_price`` UDF and a scalar ``net_tier`` bucketing UDF
+    defined IN SQL, then used inside an aggregation pipeline.
+
+    Unlike the Python UDF surface (J1–J9), SQL UDFs are inlined by the
+    analyzer into the calling plan — the executed plan is pure Catalyst
+    expressions with no Python worker, no serialization boundary, and
+    full codegen/pushdown through the UDF body, which is exactly why a
+    100 TB pipeline prefers them for any logic expressible as SQL: you
+    get UDF-style reuse/naming with built-in-expression performance (the
+    reference's per-record transforms are opaque native calls —
+    SparkCaller.java's per-stage external tools — whereas this surface
+    keeps the logic inside the optimizer).
+
+    The oracle inlines the same expressions by hand, proving the UDF
+    indirection changes nothing about the result. Sum discipline: net
+    prices go through the scaled-long decimal sum (dsum) on both sides.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_tier(v DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN v < 50000 THEN 'low' "
+        "WHEN v < 200000 THEN 'mid' ELSE 'high' END"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("j10_lineitem")
+    scaled = 10**4
+    return spark.sql(
+        f"""
+        WITH base AS (
+            SELECT l_orderkey,
+                   net_price(l_extendedprice, l_discount) AS np,
+                   l_quantity
+            FROM j10_lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   SUM(CAST(CAST(np AS DECIMAL(18,4)) * {scaled} AS BIGINT))
+                       / CAST({scaled} AS DOUBLE) AS order_net,
+                   SUM(CAST(l_quantity AS BIGINT)) AS order_qty
+            FROM base GROUP BY l_orderkey
+        )
+        SELECT net_tier(order_net) AS net_tier,
+               COUNT(*) AS n_orders,
+               SUM(order_qty) AS total_qty,
+               ROUND(SUM(CAST(CAST(order_net AS DECIMAL(18,4)) * {scaled}
+                         AS BIGINT)) / CAST({scaled} AS DOUBLE), 2) AS tier_net
+        FROM per_order
+        GROUP BY net_tier
+        """
+    )
