@@ -672,3 +672,107 @@ def k26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_pack_fill"),
     )
+
+
+@register(
+    "k45_temperature_mix",
+    oracle=f"""
+    WITH census AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    weighted AS (
+        SELECT lang, n_docs,
+               CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS w_fp,
+               SUM(n_docs) OVER () AS n_total,
+               SUM(CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000)
+                        AS BIGINT)) OVER () AS w_total
+        FROM census
+    ),
+    rates AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share_raw,
+               CAST(w_fp AS DOUBLE) / CAST(w_total AS DOUBLE) AS share_temp,
+               (CAST(w_fp AS DOUBLE) / CAST(w_total AS DOUBLE))
+                   * CAST(n_total AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE) AS resample_factor
+        FROM weighted
+    ),
+    sampled AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM documents d JOIN rates r ON r.lang = d.lang
+        WHERE {_H_DUCK} % 1000000 <
+              CAST(FLOOR(LEAST(1.0, r.resample_factor) * 1000000) AS BIGINT)
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.share_raw, r.share_temp, r.resample_factor,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
+    """,
+    tags=("K45", "K14", "K9"),
+)
+def k45_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-pretraining
+    recipe: sample languages ∝ p^α with α < 1 so head languages shrink and
+    tail languages grow — XLM-R / mT5 style, here α = 1/2 so the power is
+    an IEEE-exact ``sqrt``).
+
+    Complements k14_domain_mix (explicit target weights) with the
+    OBSERVED-distribution power transform: per-language weights are derived
+    from the census itself. Determinism: sqrt is correctly rounded in
+    IEEE 754, the weight is floored to integer millionths, and the weight
+    SUM is integer — so shares and resample factors are identical double
+    expressions on both engines with no rounding discipline. Languages with
+    resample_factor < 1 are downsampled by the K9 content-hash threshold;
+    factors > 1 report the upsampling epochs a training loader would apply
+    (you can't hash-sample MORE rows than exist — the factor IS the
+    contract).
+
+    Scale: the census is a tiny aggregate; rates broadcast back onto the
+    corpus; the sampled census is one scan-side filtered aggregate. Two
+    passes over documents total, both narrow projections.
+    """
+    d = table(spark, sf_dir, "documents")
+    census = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    w_fp = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast(
+        "long"
+    )
+    weighted = census.select(
+        "lang",
+        "n_docs",
+        w_fp.alias("w_fp"),
+        F.sum("n_docs").over(w_all).alias("n_total"),
+        F.sum(w_fp).over(w_all).alias("w_total"),
+    )
+    rates = weighted.select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+        .alias("share_raw"),
+        (F.col("w_fp").cast("double") / F.col("w_total").cast("double"))
+        .alias("share_temp"),
+        (
+            (F.col("w_fp").cast("double") / F.col("w_total").cast("double"))
+            * F.col("n_total").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("resample_factor"),
+    )
+    accept = F.expr(f"{_H_SPARK} % 1000000") < F.floor(
+        F.least(F.lit(1.0), F.col("resample_factor")) * 1000000
+    ).cast("long")
+    sampled = (
+        d.join(F.broadcast(rates.select("lang", "resample_factor")), "lang")
+        .filter(accept)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "share_raw",
+        "share_temp",
+        "resample_factor",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )

@@ -806,3 +806,64 @@ def k42_overlap_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "k46_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (
+            SELECT UNNEST(string_split_regex(TRIM(text), ' +')) AS w
+            FROM documents
+        ) t
+        WHERE LENGTH(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT SUBSTRING(w.w, CAST(i AS INTEGER), 2) AS pair,
+               w.w AS word, w.wf
+        FROM words w, UNNEST(GENERATE_SERIES(1, LENGTH(w.w) - 1)) AS g(i)
+    )
+    SELECT pair,
+           CAST(SUM(wf) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+    FROM pairs
+    GROUP BY pair
+    """,
+    tags=("K46", "K10", "K8"),
+)
+def k46_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate induction: the first iteration of byte-pair
+    encoding vocabulary learning (Sennrich et al. 2016) — count every
+    adjacent symbol pair inside each distinct word, weighted by corpus
+    word frequency. The argmax pair of this table is the first BPE merge;
+    a trainer loops this table → merge → recount.
+
+    Spark shape: word-frequency aggregate (one shuffle on the word), then
+    per-word pair explosion via ``transform(sequence(...))`` — a pure
+    per-row higher-order function over the DISTINCT word list, which is
+    the crucial scale move: pair explosion runs over |vocab| rows, not
+    |corpus| tokens (the fixture has ~60 distinct words carrying ~30k
+    token occurrences; a web corpus has ~10^7 distinct words vs ~10^12
+    tokens — five orders of magnitude less explode fan-out), exactly how
+    production BPE trainers (SentencePiece, HuggingFace tokenizers)
+    structure the count. Final aggregate shuffles on the pair key.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    )
+    pairs = words.select(
+        F.col("w").alias("word"), "wf", F.explode(pair_arr).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("wf").alias("pair_count"),
+        F.countDistinct("word").alias("n_distinct_words"),
+    )

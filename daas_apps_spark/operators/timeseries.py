@@ -970,3 +970,59 @@ def t11_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "n_intervals", "n_islands", "covered_us",
         "widest_island_us", "max_depth",
     )
+
+
+EWMA_ALPHA = 0.5  # power-of-two decay: every weight 0.5^(j+1) is IEEE-exact
+EWMA_TAPS = 20  # bounded memory: rows beyond 20 lags carry weight < 1e-6
+
+
+def _ewma_sql(table_name: str) -> str:
+    """EWMA as one window pass — IDENTICAL SQL text for both engines.
+
+    Weights are exact binary fractions (0.5^(j+1)); every product is a
+    single correctly-rounded IEEE multiply and the numerator/denominator
+    additions are written in one fixed left-associative order, so Spark
+    and DuckDB produce bit-identical doubles with no rounding discipline.
+    """
+    num_terms = []
+    den_terms = []
+    for j in range(EWMA_TAPS):
+        c = repr(0.5 ** (j + 1))
+        lag = "value" if j == 0 else f"LAG(value, {j}) OVER w"
+        num_terms.append(f"COALESCE({lag}, 0.0) * {c}")
+        den_terms.append(f"(CASE WHEN {lag} IS NOT NULL THEN {c} ELSE 0.0 END)")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+    SELECT event_type, event_id, value,
+           ({num}) / ({den}) AS ewma
+    FROM {table_name}
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "t12_ewma_smoothing",
+    oracle=_ewma_sql("events"),
+    tags=("T12", "T3", "E5"),
+)
+def t12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event-type series — the
+    streaming-telemetry smoother (pandas ``ewm(adjust=True)`` semantics,
+    truncated to a bounded 20-tap memory so state is O(1) per series).
+
+    α = 1/2 is deliberate: every weight 0.5^(j+1) is an exact binary
+    fraction, so each tap is one correctly-rounded multiply and the fixed
+    left-associative sum is bit-identical across engines AND across
+    partitionings — the usual float-window nondeterminism is gone by
+    construction, and the oracle runs the VERY SAME SQL text.
+
+    Scale: one hash exchange on the series key, one in-partition sort;
+    the 20 LAG taps share a single window frame pass (both engines
+    evaluate all lags over one sorted scan). 20 taps bound the error vs
+    the infinite EWMA at 2^-20 of the value scale — below any telemetry
+    noise floor; a longer memory is a constant change.
+    """
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("t12_events")
+    return spark.sql(_ewma_sql("t12_events"))
