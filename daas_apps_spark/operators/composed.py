@@ -1058,3 +1058,154 @@ def dq5_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relation", "lhs", "rhs", "n_groups", "n_violating_groups",
         "max_distinct_rhs", (F.col("n_violating_groups") == 0).alias("holds"),
     )
+
+
+@register(
+    "b13_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(custkey, anc_key, lvl) AS (
+        SELECT c_custkey, c_custkey // 2, 1
+        FROM customer WHERE c_custkey > 1
+        UNION ALL
+        SELECT a.custkey, a.anc_key // 2, a.lvl + 1
+        FROM anc a WHERE a.anc_key > 1
+    )
+    SELECT lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           CAST(COUNT(DISTINCT anc_key) AS BIGINT) AS n_distinct_anc,
+           CAST(SUM(anc_key) AS BIGINT) AS anc_checksum
+    FROM anc
+    GROUP BY lvl
+    """,
+    tags=("B13", "B9", "GR1"),
+)
+def b13_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): every customer walks its
+    halving-ancestor chain (key → key/2 → … → 1, a complete-binary-tree
+    parent edge) simultaneously, and the result is the per-depth census of
+    all chains — the set-based hierarchical traversal SQL engines use for
+    org charts and BOM explosions.
+
+    This is the declarative sibling of the engine's hand-unrolled iterative
+    kernels (gr1_pagerank's fixed-iteration CTEs, k3_dedup_clusters'
+    min-label loop): the ENGINE manages the fixpoint here — each recursion
+    step is one self-free join of the previous frontier (a pure projection
+    in this edge shape), terminating when the frontier empties.
+
+    Scale: the frontier never grows — every node has exactly one parent,
+    so step i carries |customers| rows shrinking as chains hit the root;
+    total work is Σ depths = O(n log n) rows with NO fan-out. The depth is
+    ⌈log2(max key)⌉ ≈ 17 at sf1 — recursion depth grows logarithmically
+    with data size, the safe shape for engine-managed recursion (contrast:
+    path-enumeration over a dense graph, which must dedup per level or
+    explode). Integer floor-division (`DIV` / `//`) keeps every value
+    exact on both engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("b13_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, anc_key, lvl) AS (
+            SELECT c_custkey, c_custkey DIV 2, 1
+            FROM b13_customer WHERE c_custkey > 1
+            UNION ALL
+            SELECT a.custkey, a.anc_key DIV 2, a.lvl + 1
+            FROM anc a WHERE a.anc_key > 1
+        )
+        SELECT lvl,
+               COUNT(*) AS n_chains,
+               COUNT(DISTINCT anc_key) AS n_distinct_anc,
+               SUM(anc_key) AS anc_checksum
+        FROM anc
+        GROUP BY lvl
+        """
+    )
+
+
+@register(
+    "dq6_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    trailed AS (
+        SELECT d, n_events,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
+               CAST(SUM(n_events) OVER w AS BIGINT) AS s_prior,
+               CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS ssq_prior
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n_events, n_prior,
+           CASE WHEN n_prior = 7
+                THEN CAST(s_prior AS DOUBLE) / 7.0 END AS mean_prior,
+           CASE WHEN n_prior = 7 AND
+                     (CAST(ssq_prior AS DOUBLE)
+                      - CAST(s_prior AS DOUBLE) * CAST(s_prior AS DOUBLE)
+                        / 7.0) / 7.0 > 0.0
+                THEN (CAST(n_events AS DOUBLE)
+                      - CAST(s_prior AS DOUBLE) / 7.0)
+                     / SQRT((CAST(ssq_prior AS DOUBLE)
+                             - CAST(s_prior AS DOUBLE)
+                               * CAST(s_prior AS DOUBLE) / 7.0) / 7.0)
+                END AS vol_z,
+           COALESCE(ABS(CASE WHEN n_prior = 7 AND
+                     (CAST(ssq_prior AS DOUBLE)
+                      - CAST(s_prior AS DOUBLE) * CAST(s_prior AS DOUBLE)
+                        / 7.0) / 7.0 > 0.0
+                THEN (CAST(n_events AS DOUBLE)
+                      - CAST(s_prior AS DOUBLE) / 7.0)
+                     / SQRT((CAST(ssq_prior AS DOUBLE)
+                             - CAST(s_prior AS DOUBLE)
+                               * CAST(s_prior AS DOUBLE) / 7.0) / 7.0)
+                END) > 2.0, FALSE) AS is_anomaly
+    FROM trailed
+    """,
+    tags=("DQ6", "DQ3", "T3"),
+)
+def dq6_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness/volume audit: per-day event counts scored against
+    the trailing 7 COMPLETE prior days (population z-score) — the
+    data-observability monitor that catches a stalled ingest (volume
+    collapse) or a replay storm (volume spike) before it poisons
+    downstream aggregates. Days without a full 7-day history emit NULL
+    scores rather than a noisy partial baseline.
+
+    Determinism: daily counts are integers, so the trailing sums are
+    exact; mean/variance/z are a PINNED expression tree of correctly-
+    rounded IEEE ops (one division per term, sqrt) written identically in
+    both engines — no rounding discipline needed.
+
+    Scale: the daily rollup is one shuffle of the fact table; the trailing
+    window runs over |days| rows — thousands of rows per decade, driver-
+    scale — so the audit costs one aggregation pass regardless of corpus
+    size. Per-source/per-partition variants would add the source key to
+    both the groupBy and the window partition.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    trailed = daily.select(
+        "d",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("n_events").over(w).alias("s_prior"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ssq_prior"),
+    )
+    s_d = F.col("s_prior").cast("double")
+    ssq_d = F.col("ssq_prior").cast("double")
+    var = (ssq_d - s_d * s_d / 7.0) / 7.0
+    z = (F.col("n_events").cast("double") - s_d / 7.0) / F.sqrt(var)
+    z_guarded = F.when((F.col("n_prior") == 7) & (var > 0.0), z)
+    return trailed.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_prior",
+        F.when(F.col("n_prior") == 7, s_d / 7.0).alias("mean_prior"),
+        z_guarded.alias("vol_z"),
+        F.coalesce(F.abs(z_guarded) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -891,3 +891,142 @@ def k43_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         richest.alias("keep_richest"),
         ((first == longest) & (first == richest)).alias("policies_agree"),
     )
+
+
+def _k47_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    clusters_sql = REGISTRY["k3_dedup_clusters"].oracle
+
+    def duck_h(x: str) -> str:
+        return f"('0x' || substring(md5(CAST({x} AS VARCHAR)), 1, 7))::BIGINT"
+
+    return f"""
+    WITH assigned AS (
+        SELECT d.doc_id, c.cluster_id,
+               CASE WHEN {duck_h('d.doc_id')} % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split_naive,
+               CASE WHEN {duck_h('COALESCE(c.cluster_id, d.doc_id)')} % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split_safe
+        FROM documents d
+        LEFT JOIN ({clusters_sql}) c ON c.doc_id = d.doc_id
+    ),
+    straddle AS (
+        SELECT method, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+                   AS n_straddling
+        FROM (
+            SELECT 'doc_hash' AS method, cluster_id,
+                   COUNT(DISTINCT split_naive) AS nd
+            FROM assigned WHERE cluster_id IS NOT NULL GROUP BY cluster_id
+            UNION ALL
+            SELECT 'cluster_hash', cluster_id,
+                   COUNT(DISTINCT split_safe) AS nd
+            FROM assigned WHERE cluster_id IS NOT NULL GROUP BY cluster_id
+        ) t GROUP BY method
+    ),
+    counts AS (
+        SELECT 'doc_hash' AS method,
+               CAST(COUNT(CASE WHEN split_naive = 'train' THEN 1 END)
+                    AS BIGINT) AS n_train,
+               CAST(COUNT(CASE WHEN split_naive = 'test' THEN 1 END)
+                    AS BIGINT) AS n_test
+        FROM assigned
+        UNION ALL
+        SELECT 'cluster_hash',
+               CAST(COUNT(CASE WHEN split_safe = 'train' THEN 1 END)
+                    AS BIGINT),
+               CAST(COUNT(CASE WHEN split_safe = 'test' THEN 1 END)
+                    AS BIGINT)
+        FROM assigned
+    )
+    SELECT c.method, c.n_train, c.n_test, s.n_clusters, s.n_straddling
+    FROM counts c JOIN straddle s ON s.method = c.method
+    """
+
+
+@register(
+    "k47_leakage_safe_split",
+    oracle=_k47_oracle(),
+    tags=("K47", "K9", "K3", "K12"),
+)
+def k47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test splitting: assign splits by NEAR-DUP
+    CLUSTER, not by document, so no near-duplicate pair ever straddles
+    train and test (the dedup-leakage failure mode measured by Dodge et
+    al. 2021 / Lee et al. 2022 — eval contamination via near-dups of
+    training docs).
+
+    The split unit is ``coalesce(cluster_id, doc_id)`` — K3's connected-
+    component label for clustered docs, the document itself for
+    singletons — hashed through the K9 deterministic content-hash
+    threshold. The report compares the naive doc-hash split against the
+    cluster-hash split on two axes: train/test sizes (both ≈ 90/10) and
+    the straddling-cluster census, where doc_hash shows real leakage and
+    cluster_hash is structurally zero (every member inherits the same
+    unit hash).
+
+    Scale: cluster labels come from the K3 pipeline (LSH-bounded, never
+    all-pairs); the label relation is tiny vs the corpus and joins by
+    doc_id; split assignment is a per-row hash; the two census aggregates
+    are one shuffle each over narrow columns. At 100 TB the assigned
+    relation would be persisted once and both reports share the scan.
+    """
+    clusters = k3_dedup_clusters(spark, sf_dir).select("cluster_id", "doc_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def spark_h(x: str) -> str:
+        return (
+            f"cast(conv(substring(md5(cast({x} as string)), 1, 7), 16, 10) "
+            "as bigint)"
+        )
+
+    m = d.join(clusters, "doc_id", "left")
+    assigned = m.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.expr(f"{spark_h('doc_id')} % 100") < 90, "train")
+        .otherwise("test")
+        .alias("split_naive"),
+        F.when(
+            F.expr(f"{spark_h('coalesce(cluster_id, doc_id)')} % 100") < 90,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split_safe"),
+    )
+    clustered = assigned.filter(F.col("cluster_id").isNotNull())
+    per_cluster = (
+        clustered.select(
+            F.lit("doc_hash").alias("method"),
+            "cluster_id",
+            F.col("split_naive").alias("split"),
+        )
+        .unionAll(
+            clustered.select(
+                F.lit("cluster_hash"),
+                "cluster_id",
+                F.col("split_safe"),
+            )
+        )
+        .groupBy("method", "cluster_id")
+        .agg(F.countDistinct("split").alias("nd"))
+    )
+    straddle = per_cluster.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.count(F.when(F.col("nd") > 1, 1)).alias("n_straddling"),
+    )
+    counts = assigned.agg(
+        F.lit("doc_hash").alias("method"),
+        F.count(F.when(F.col("split_naive") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split_naive") == "test", 1)).alias("n_test"),
+    ).unionAll(
+        assigned.agg(
+            F.lit("cluster_hash").alias("method"),
+            F.count(F.when(F.col("split_safe") == "train", 1)).alias("n_train"),
+            F.count(F.when(F.col("split_safe") == "test", 1)).alias("n_test"),
+        )
+    )
+    return counts.join(straddle, "method").select(
+        "method", "n_train", "n_test", "n_clusters", "n_straddling"
+    )
