@@ -846,11 +846,13 @@ def t10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged
     ),
     merged AS (
-        SELECT key, island, MIN(s) AS m_start, MAX(e) AS m_end
+        SELECT key, island, MIN(s) AS m_start, MAX(e) AS m_end,
+               CAST(COUNT(*) AS BIGINT) AS n_members
         FROM islands GROUP BY key, island
     ),
     cov AS (
         SELECT key,
+               CAST(SUM(n_members) AS BIGINT) AS n_intervals,
                CAST(COUNT(*) AS BIGINT) AS n_islands,
                CAST(SUM(m_end - m_start) AS BIGINT) AS covered_us,
                CAST(MAX(m_end - m_start) AS BIGINT) AS widest_island_us
@@ -870,14 +872,10 @@ def t10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS running
             FROM pts
         ) t GROUP BY key
-    ),
-    n AS (
-        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals FROM iv
-        GROUP BY key
     )
-    SELECT n.key, n.n_intervals, cov.n_islands, cov.covered_us,
+    SELECT cov.key, cov.n_intervals, cov.n_islands, cov.covered_us,
            cov.widest_island_us, dep.max_depth
-    FROM n JOIN cov ON cov.key = n.key JOIN dep ON dep.key = n.key
+    FROM cov JOIN dep ON dep.key = cov.key
     """,
     tags=("T11", "C9", "E4"),
 )
@@ -947,9 +945,12 @@ def t11_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("island"),
     )
     merged = islands.groupBy("key", "island").agg(
-        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count(F.lit(1)).alias("n_members"),
     )
     cov = merged.groupBy("key").agg(
+        F.sum("n_members").alias("n_intervals"),
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("m_end") - F.col("m_start")).alias("covered_us"),
         F.max(F.col("m_end") - F.col("m_start")).alias("widest_island_us"),
@@ -965,8 +966,7 @@ def t11_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.max("running").alias("max_depth"))
     )
-    n = iv.groupBy("key").agg(F.count(F.lit(1)).alias("n_intervals"))
-    return n.join(cov, "key").join(dep, "key").select(
+    return cov.join(dep, "key").select(
         "key", "n_intervals", "n_islands", "covered_us",
         "widest_island_us", "max_depth",
     )

@@ -398,3 +398,65 @@ def test_registry_plan_lint(spark):
 
     violations = lint(spark, SF_SMOKE)
     assert violations == {}, violations
+
+
+def test_t12_ewma_single_window_pass(spark):
+    # All 19 LAG taps + the current row must share ONE window over ONE
+    # (event_type) exchange and ONE sort — never a window per tap.
+    plan = plan_of(spark, "t12_ewma_smoothing")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+
+
+def test_t11_interval_sweeps_are_windows_not_selfjoins(spark):
+    # Island merge and depth sweep are ordered windows; the only joins
+    # combine the two tiny per-key censuses (broadcast), never interval
+    # pairs (no sort-merge, no cartesian).
+    plan = plan_of(spark, "t11_interval_coverage")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 2
+
+
+def test_k46_pair_explode_is_over_vocabulary(spark):
+    # The pair Generate must sit ABOVE the word-frequency aggregate:
+    # explode fan-out scales with |vocab|, not corpus tokens — so the
+    # vocab aggregate's exchange must sit between the two Generates
+    # (formatted-plan node ids increase leaf-to-root).
+    plan = plan_of(spark, "k46_bpe_pair_counts")
+    gen_ids = [int(i) for i in re.findall(r"\((\d+)\) Generate\b", plan)]
+    exch_ids = [int(i) for i in re.findall(r"\((\d+)\) Exchange\b", plan)]
+    assert len(gen_ids) == 2 and len(exch_ids) == 2
+    assert gen_ids[0] < exch_ids[0] < gen_ids[1]
+    assert "Join" not in plan
+
+
+def test_gr2_triangle_edges_exchange_reused(spark):
+    # The edge relation feeds deg/e1/e2/e3; the executed plan must reuse
+    # the edge-building exchanges instead of recomputing the projection
+    # join per alias — and triangle formation stays keyed (no cartesian).
+    df = REGISTRY["gr2_triangle_count"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("ReusedExchange") >= 4
+
+
+def test_dq6_audit_is_one_fact_pass(spark):
+    # The daily rollup is the only fact-table shuffle; the trailing
+    # window runs on the driver-scale day series (single-partition
+    # exchange) with no join anywhere.
+    plan = plan_of(spark, "dq6_volume_anomaly")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+
+
+def test_k45_rates_broadcast_onto_corpus(spark):
+    # The per-language rate relation must broadcast back onto documents —
+    # the corpus never shuffles for sampling.
+    plan = plan_of(spark, "k45_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
