@@ -867,3 +867,98 @@ def k46_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wf").alias("pair_count"),
         F.countDistinct("word").alias("n_distinct_words"),
     )
+
+
+@register(
+    "k48_heaps_law",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM occ GROUP BY doc_id
+    ),
+    first_seen AS (
+        SELECT token, MIN(doc_id) AS first_doc FROM occ GROUP BY token
+    ),
+    novel AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM first_seen GROUP BY first_doc
+    ),
+    series AS (
+        SELECT p.doc_id,
+               SUM(p.n_tokens) OVER (
+                   ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens,
+               SUM(COALESCE(v.n_novel, 0)) OVER (
+                   ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_vocab
+        FROM per_doc p LEFT JOIN novel v ON v.doc_id = p.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_beta,
+           ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                ln(CAST(cum_tokens AS DOUBLE))), 4)
+               AS heaps_logk,
+           ROUND(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                         ln(CAST(cum_tokens AS DOUBLE))), 4) AS r_squared
+    FROM series
+    """,
+    tags=("K48", "K22", "E4"),
+)
+def k48_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V = K·N^β estimated by OLS of
+    ln(cumulative vocab) on ln(cumulative tokens) over the doc_id-ordered
+    corpus prefix — k22's companion diagnostic (Zipf measures the
+    frequency head, Heaps the novelty tail). β far below the natural-
+    language ~0.5 flags a templated/closed-vocabulary corpus; β near 1
+    flags id/gibberish floods. Sub-linear vocab growth is also THE
+    capacity-planning number for tokenizer training at 100 TB.
+
+    The novelty trick keeps everything one-pass relational: a token's
+    novelty events are exactly its FIRST document (MIN(doc_id) per
+    token), so cumulative vocabulary is a running sum of per-doc
+    first-occurrence counts — never a cumulative COUNT(DISTINCT).
+
+    Scale: token occurrence agg (shuffle on token) + per-doc agg (shuffle
+    on doc) are the corpus-sized stages; the cumulative window then runs
+    over |docs| rows. The single-partition prefix sum is fine to ~1e8
+    docs; beyond that it becomes the classic two-pass distributed prefix
+    sum (per-range partials + broadcast offsets) with identical output.
+    ROUND(.,4) absorbs regression sum-order ulps, as in k22.
+    """
+    d = table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    per_doc = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = occ.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    novel = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    series = (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_novel", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    ln_v = F.log(F.col("cum_vocab").cast("double"))
+    ln_n = F.log(F.col("cum_tokens").cast("double"))
+    return series.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("vocab_size"),
+        F.round(F.regr_slope(ln_v, ln_n), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(ln_v, ln_n), 4).alias("heaps_logk"),
+        F.round(F.regr_r2(ln_v, ln_n), 4).alias("r_squared"),
+    )

@@ -317,3 +317,46 @@ def a17_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "a19_xml_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY lang
+    """,
+    tags=("A19", "A5", "A3"),
+)
+def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → XML sink → schema-given XML scan → aggregate (Spark 4's
+    built-in XML source — the fourth interchange format after CSV/JSON/ORC,
+    and the one that exercises entity escaping: document text containing
+    ``<``/``&`` must survive writer escaping and parser unescaping
+    byte-exactly, which the length/checksum aggregate would catch).
+
+    Same contract as a2/a3/a9: the oracle aggregates the ORIGINAL table,
+    so any row lost, duplicated, or corrupted in the round-trip
+    hash-mismatches. The scan is schema-given (no inference pass over the
+    files — at 100 TB schema inference is a full extra read).
+    """
+    path = scratch_dir("a19_xml_roundtrip")
+    d = table(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).format("xml").option("rootTag", "docs").option("rowTag", "doc").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

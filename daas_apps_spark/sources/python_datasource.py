@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from daas_apps_spark.catalog import table
 from daas_apps_spark.registry import register
 
 N_PARTS = 8
@@ -94,4 +95,100 @@ def a11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score").cast("long").alias("total_score"),
         F.min("row_id").alias("min_row_id"),
         F.max("row_id").alias("max_row_id"),
+    )
+
+
+try:  # write-side API, pyspark >= 4
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class JsonlSinkDataSource(DataSource):
+        """Custom Python sink: partition-parallel JSONL files + commit."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite: bool) -> "JsonlSinkWriter":
+            return JsonlSinkWriter(self.options)
+
+    class JsonlSinkWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            n = 0
+            with open(os.path.join(self.path, f"part-{pid:05d}.jsonl"), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                    n += 1
+            return WriterCommitMessage()
+
+        def commit(self, messages) -> None:
+            import os
+
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(f"tasks={len(messages)}\n")
+
+        def abort(self, messages) -> None:  # pragma: no cover — no partial
+            pass
+
+    _HAVE_DATASINK_API = True
+except ImportError:  # pragma: no cover — pyspark < 4
+    _HAVE_DATASINK_API = False
+
+
+@register(
+    "a20_python_datasink",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY lang
+    """,
+    tags=("A20", "A11", "A5"),
+)
+def a20_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python Data Source write API — the write-side
+    complement of a11: each task's ``write(iterator)`` lands one JSONL
+    file named by partition id, the driver-side ``commit(messages)``
+    drops a ``_SUCCESS`` marker only after every task reports in (the
+    standard two-phase file-sink commit contract — readers gate on the
+    marker, so a half-written job is invisible).
+
+    The round-trip proves the sink loses nothing: documents → custom sink
+    → schema-given JSON scan → per-language aggregate, hash-matched
+    against the ORIGINAL table (any dropped/duplicated/corrupted row
+    breaks the count/char/id checksums).
+
+    Scale: rows never visit the driver — the writer runs per-task with
+    Arrow-batched handoff into Python; commit messages are the only
+    driver traffic (one tiny message per task, same as Spark's own
+    FileCommitProtocol).
+    """
+    from daas_apps_spark.sources.io import scratch_dir
+
+    if not _HAVE_DATASINK_API:  # pragma: no cover
+        raise NotImplementedError("Python Data Source write API unavailable")
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = scratch_dir("a20_python_datasink")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("jsonl_sink").option("path", path).mode("append").save()
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        path + "/part-*.jsonl"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_checksum"),
     )
