@@ -921,6 +921,12 @@ def t11_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
         "event_id",
     )
+    return interval_coverage(iv)
+
+
+def interval_coverage(iv: DataFrame) -> DataFrame:
+    """Core of t11 over any (key, s, e, event_id) interval frame — split
+    out so property tests can drive it with adversarial intervals."""
     w_seq = Window.partitionBy("key").orderBy("s", "e", "event_id")
     prev_max_end = F.max("e").over(
         w_seq.rowsBetween(Window.unboundedPreceding, -1)

@@ -710,3 +710,107 @@ def test_k39_chunk_key_space_holds(spark):
     for r in k39_passage_retrieval(spark, SF_SMOKE).collect():
         assert r.chunk_key == r.parent_doc * CHUNK_KEY_BASE + r.chunk_index
         assert 0 <= r.chunk_index < max_chunks
+
+
+# ---------------------------------------------------------------------------
+# T11 interval coverage: windows-based sweep ≡ brute-force per-key merge and
+# depth, for ANY interval set (ties, containment, duplicates, partitioning).
+# ---------------------------------------------------------------------------
+def _brute_interval_stats(intervals):
+    """intervals: list of (s, e) half-open. Returns (n_islands, covered,
+    widest, max_depth) by direct sweep."""
+    ivs = sorted(intervals)
+    islands = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    events = sorted(
+        [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs],
+        key=lambda t: (t[0], t[1]),
+    )
+    depth = max_depth = 0
+    for _, d in events:
+        depth += d
+        max_depth = max(max_depth, depth)
+    return (
+        len(islands),
+        sum(e - s for s, e in islands),
+        max(e - s for s, e in islands),
+        max_depth,
+    )
+
+
+@PROP
+@given(
+    ivs=st.lists(
+        st.tuples(keys, times, st.integers(1, 10)), min_size=1, max_size=30
+    ),
+    parts=st.integers(1, 5),
+)
+def test_interval_coverage_matches_bruteforce(spark, ivs, parts):
+    from daas_apps_spark.operators.timeseries import interval_coverage
+
+    data = [(k, s, s + d, i) for i, (k, s, d) in enumerate(ivs)]
+    df = _df(spark, data, "key long, s long, e long, event_id long", parts)
+    got = {
+        r["key"]: (
+            r["n_intervals"], r["n_islands"], r["covered_us"],
+            r["widest_island_us"], r["max_depth"],
+        )
+        for r in interval_coverage(df).collect()
+    }
+    per_key: dict[int, list] = {}
+    for k, s, e, _ in data:
+        per_key.setdefault(k, []).append((s, e))
+    for k, pairs in per_key.items():
+        n_isl, cov, widest, depth = _brute_interval_stats(pairs)
+        assert got[k] == (len(pairs), n_isl, cov, widest, depth), k
+
+
+# ---------------------------------------------------------------------------
+# T12 EWMA: the 20-tap window SQL ≡ a direct per-series numpy fold, and the
+# result is partitioning-invariant (exact binary weights).
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(keys, times, st.integers(-50, 50)), min_size=1, max_size=40
+    ),
+    parts=st.integers(1, 5),
+)
+def test_ewma_matches_direct_fold(spark, rows, parts):
+    import datetime
+
+    from daas_apps_spark.operators.timeseries import EWMA_TAPS, _ewma_sql
+
+    data = [
+        (
+            f"t{k}",
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t),
+            float(v),
+        )
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = _df(
+        spark, data, "event_type string, event_id long, ts timestamp, value double",
+        parts,
+    )
+    df.createOrReplaceTempView("prop_ewma_events")
+    got = {
+        (r["event_type"], r["event_id"]): r["ewma"]
+        for r in spark.sql(_ewma_sql("prop_ewma_events")).collect()
+    }
+    series: dict[str, list] = {}
+    for etype, eid, ts, v in sorted(data, key=lambda r: (r[0], r[2], r[1])):
+        series.setdefault(etype, []).append((eid, v))
+    for etype, seq in series.items():
+        for i, (eid, _) in enumerate(seq):
+            num = den = 0.0
+            for j in range(min(i + 1, EWMA_TAPS)):
+                w = 0.5 ** (j + 1)
+                num += seq[i - j][1] * w
+                den += w
+            assert got[(etype, eid)] == num / den, (etype, eid)
