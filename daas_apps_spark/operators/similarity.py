@@ -643,3 +643,117 @@ def k44_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= NEG_K)
         .select("query_id", "q_label", "cand_id", "cand_label", "cosine", "neg_rank")
     )
+
+
+TRUNC_DIM = 16  # matryoshka prefix: keep the first 16 of 64 dims (4x cut)
+
+
+@register(
+    "k49_truncation_recall",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    tr AS (
+        SELECT vec_id, e, (e)[1:{TRUNC_DIM}] AS t FROM v
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+                       c.vec_id ASC) AS rnk
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {N_QUERY} AND q.vec_id <> c.vec_id
+        QUALIFY rnk <= {TOP_K}
+    ),
+    trunc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.t, c.t)
+                       / (sqrt(list_dot_product(q.t, q.t))
+                        * sqrt(list_dot_product(c.t, c.t))), 6) DESC,
+                       c.vec_id ASC) AS rnk
+        FROM tr q CROSS JOIN tr c
+        WHERE q.vec_id < {N_QUERY} AND q.vec_id <> c.vec_id
+        QUALIFY rnk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(t.cand_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.cand_id) / {TOP_K}.0, 4) AS recall_at_{TOP_K}
+    FROM exact e
+    LEFT JOIN trunc t ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+    GROUP BY e.query_id
+    """,
+    tags=("K49", "K25", "K4"),
+)
+def k49_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit (matryoshka retrieval — Kusupati
+    et al. 2022): rank with only the first TRUNC_DIM=16 of 64 dimensions
+    (4× memory/compute cut) and measure top-k recall against full-
+    precision cosine — k25's audit-the-compression contract applied to
+    the OTHER production shrink axis. MRL-style prefixes are the standard
+    two-stage design: shortlist on the truncated prefix, re-rank the
+    shortlist with full vectors.
+
+    Truncation is ``slice(...)`` — a per-row projection, no shuffle, and
+    the prefix slice of an existing column (unlike quantization, no
+    arithmetic to reconcile: the sliced values are bit-identical on both
+    engines by construction). Both rankings run the broadcast-queries ×
+    streamed-candidates plan of k4_cosine_topk; the recall join touches
+    2·|queries|·k rows.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id").isNotNull()).select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    tr = base.withColumn("t", F.slice("e", 1, TRUNC_DIM))
+
+    def topk(df: DataFrame, col: str) -> DataFrame:
+        q = df.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
+        ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        c = df.select(
+            F.col("vec_id").alias("cand_id"), F.col(col).alias("cv")
+        ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    exact = topk(tr, "e")
+    trunc = topk(tr, "t").withColumnRenamed("cand_id", "t_cand")
+    return (
+        exact.join(
+            trunc,
+            (exact.query_id == trunc.query_id)
+            & (F.col("cand_id") == F.col("t_cand")),
+            "left",
+        )
+        .drop(trunc.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("t_cand").alias("n_overlap"),
+            F.round(F.count("t_cand") / float(TOP_K), 4).alias(
+                f"recall_at_{TOP_K}"
+            ),
+        )
+    )

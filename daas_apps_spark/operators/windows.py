@@ -314,3 +314,48 @@ def e9_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", "n_types_user", "n_types_so_far"
         )
     )
+
+
+@register(
+    "e10_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("E10", "E2", "E7"),
+)
+def e10_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank battery: PERCENT_RANK / CUME_DIST / NTILE(4) of
+    order value within each priority class — the relative-standing
+    functions E2's rank/dense_rank battery doesn't cover (used for
+    percentile bucketing, spend-tier assignment, monotone calibration).
+
+    percent_rank and cume_dist are exact integer ratios ((rank−1)/(n−1),
+    rows≤current/n) evaluated as one IEEE division — identical across
+    engines with no rounding discipline. NTILE requires a TOTAL order to
+    be well-defined, so the window orders by (value, unique key); without
+    the tie-break, tied rows could legally land in different tiles on
+    different engines/partitionings — the same total-order rule the F1
+    sort contract pins.
+
+    Scale: one hash exchange on the partition key + in-partition sort;
+    all three functions share the single window pass. The status filter
+    pushes to the parquet scan.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
