@@ -962,3 +962,72 @@ def k48_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_v, ln_n), 4).alias("heaps_logk"),
         F.round(F.regr_r2(ln_v, ln_n), 4).alias("r_squared"),
     )
+
+
+def _k50_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    o41 = REGISTRY["k41_quality_classifier"].oracle
+    o6 = REGISTRY["k6_quality_heuristics"].oracle
+    return f"""
+    SELECT LEAST(CAST(FLOOR(s.quality_score * 10) AS INTEGER), 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(s.quality_score AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS mean_predicted,
+           CAST(COUNT(CASE WHEN l.passes THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS observed_rate,
+           ABS(CAST(SUM(CAST(s.quality_score AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+               - CAST(COUNT(CASE WHEN l.passes THEN 1 END) AS DOUBLE)
+                 / COUNT(*)) AS calibration_gap
+    FROM ({o41}) s JOIN ({o6}) l ON l.doc_id = s.doc_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "k50_calibration_audit",
+    oracle=_k50_oracle(),
+    tags=("K50", "K41", "K6", "DQ4"),
+)
+def k50_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit (reliability diagram): K41's logistic
+    quality scores bucketed into score deciles, each bucket's mean
+    predicted probability compared with the observed rate of K6's
+    rule-based pass label — the per-bucket terms of Expected Calibration
+    Error (Guo et al. 2017). A quality classifier that gates a 100 TB
+    curation run must be calibrated against the rules it's replacing
+    before its threshold means anything; this is that acceptance report.
+
+    Determinism: bucket ids floor an exp-derived score (midpoints
+    measure-zero); mean predicted goes through the decimal-sum discipline
+    (scores are 4-decimal by construction); observed rate is an exact
+    integer ratio; the gap is one IEEE subtraction of the two.
+
+    Scale: both inputs are per-row projections over the same scan —
+    Catalyst collapses the join of the two derivations into one pass in
+    the common case; the report is a 10-row aggregate. With a real model
+    the score side becomes a broadcast-weights or Arrow-UDF stage and the
+    audit query is unchanged.
+    """
+    scores = k41_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    labels = k6_quality_heuristics(spark, sf_dir).select("doc_id", "passes")
+    j = scores.join(labels, "doc_id")
+    bucket = F.least(
+        F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+    )
+    mean_pred = (
+        F.sum(F.col("quality_score").cast("decimal(18,4)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    obs = (
+        F.count(F.when(F.col("passes"), 1)).cast("double") / F.count(F.lit(1))
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mean_pred.alias("mean_predicted"),
+        obs.alias("observed_rate"),
+        F.abs(mean_pred - obs).alias("calibration_gap"),
+    )
