@@ -73,6 +73,24 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "45 days"
+) -> DataFrame:
+    """I5 live, state-bounded variant: ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) — unlike plain streaming ``dropDuplicates`` (whose key
+    state never expires without an event-time column in the key), the
+    within-watermark form evicts each key's dedup state once the
+    watermark passes it, which is the ONLY sustainable contract for an
+    unbounded high-cardinality key stream (exact global dedup forever vs
+    bounded-window dedup is precisely the K1-vs-K17 batch distinction).
+    With a watermark wider than the fixture's event span the result
+    coincides with global dedup, which is what the live test pins.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def stateful_user_peaks(events: DataFrame) -> DataFrame:
     """I6 live: per-user running (count, peak value) via keyed state.
 

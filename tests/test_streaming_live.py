@@ -377,3 +377,20 @@ def test_stateful_cusum_equals_batch_fold(spark, events_json_dir, tmp_path):
     )
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert final["cusum"].tolist() == want["cusum"].tolist()
+
+
+def test_stream_dedup_within_watermark_counts(spark, events_json_dir, tmp_path):
+    # Watermark wider than the fixture's whole event span → the
+    # state-bounded dedup coincides with global dedup; keys stay unique.
+    from daas_apps_spark.streaming.live import streaming_dedup_within_watermark
+
+    stream = streaming_dedup_within_watermark(
+        events_file_stream(spark, events_json_dir)
+    )
+    run_stream_to_memory(stream, "t_dedup_wm", str(tmp_path / "ck"), "append")
+    got = spark.table("t_dedup_wm")
+    batch = table(spark, SF_SMOKE, "events").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    assert got.count() == batch.count()
+    assert got.select("user_id", "event_type").distinct().count() == got.count()
