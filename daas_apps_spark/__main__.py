@@ -1,0 +1,126 @@
+"""Engine CLI — the operational front-end a reference user drives.
+
+    python -m daas_apps_spark list [--tag TAG]
+    python -m daas_apps_spark show NAME
+    python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
+    python -m daas_apps_spark verify [NAME ...] [--sf DIR]
+
+`list`/`show` are metadata-only (no Spark session). `run` executes one
+registered query and prints rows; `verify` runs queries on BOTH engines
+(PySpark + DuckDB oracle) and reports per-query pass/fail — the same
+canonicalized comparison the t2 test suite and the round driver use.
+
+Reference analogy: SparkCaller.main's flag-driven stage selection
+(SparkCaller.java:388-426) — here the "stages" are the declared queries
+and validation is built into the binary instead of a separate tool run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def _specs():
+    from daas_apps_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    specs = _specs()
+    for name, spec in sorted(specs.items()):
+        if args.tag and args.tag not in spec.tags:
+            continue
+        kind = "oracle" if spec.oracle else "rows-only"
+        tags = ",".join(spec.tags)
+        print(f"{name:32s} [{kind}] {tags}")
+    return 0
+
+
+def cmd_show(args: argparse.Namespace) -> int:
+    specs = _specs()
+    if args.name not in specs:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spec = specs[args.name]
+    print(f"# {spec.name}  tags={','.join(spec.tags)}")
+    print(spec.doc or "(no docstring)")
+    if spec.oracle:
+        print("\n-- DuckDB oracle SQL --")
+        print(spec.oracle)
+    else:
+        print("\n(no oracle: rows-only check)")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    specs = _specs()
+    if args.name not in specs:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    from daas_apps_spark.session import get_spark
+
+    spark = get_spark(f"daas-run-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = specs[args.name].fn(spark, args.sf)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    from daas_apps_spark.session import get_spark
+    from daas_apps_spark.verify import verify_queries
+
+    specs = _specs()
+    names = args.names or None
+    unknown = [n for n in (names or []) if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    spark = get_spark("daas-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = verify_queries(spark, args.sf, names)
+    n_fail = 0
+    for name, err in results.items():
+        if err is None:
+            print(f"PASS {name}")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {err}")
+    print(f"{len(results) - n_fail}/{len(results)} passed")
+    return 1 if n_fail else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m daas_apps_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("--tag", help="filter by SURVEY §2 tag (e.g. K3)")
+    p_list.set_defaults(fn=cmd_list)
+
+    p_show = sub.add_parser("show", help="docstring + oracle SQL")
+    p_show.add_argument("name")
+    p_show.set_defaults(fn=cmd_show)
+
+    p_run = sub.add_parser("run", help="execute one query and print rows")
+    p_run.add_argument("name")
+    p_run.add_argument("--sf", default=DEFAULT_SF)
+    p_run.add_argument("--limit", type=int, default=20)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_ver = sub.add_parser("verify", help="compare queries to their oracles")
+    p_ver.add_argument("names", nargs="*")
+    p_ver.add_argument("--sf", default=DEFAULT_SF)
+    p_ver.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -69,3 +69,29 @@ def test_survey_cited_queries_exist_in_registry():
     }}
     missing = sorted(query_like - helpers - set(REGISTRY))
     assert not missing, f"SURVEY cites unregistered queries: {missing}"
+
+
+def test_cli_metadata_commands(capsys):
+    """`python -m daas_apps_spark` list/show run without a Spark session."""
+    from daas_apps_spark.__main__ import main
+
+    assert main(["list", "--tag", "K3"]) == 0
+    out = capsys.readouterr().out
+    assert "k3_lsh_near_dedup" in out
+
+    assert main(["show", "q1_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "DuckDB oracle SQL" in out
+    assert "l_returnflag" in out
+
+    assert main(["show", "no_such_query"]) == 2
+
+
+def test_cli_verify_single_query(spark, capsys):
+    from daas_apps_spark.__main__ import main
+
+    from tests.conftest import SF_ORACLE
+
+    assert main(["verify", "a1_scan_counts", "--sf", SF_ORACLE]) == 0
+    out = capsys.readouterr().out
+    assert "PASS a1_scan_counts" in out
