@@ -1129,12 +1129,21 @@ def b13_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY CAST(ts AS DATE)
     ),
+    spine AS (
+        SELECT CAST(UNNEST(GENERATE_SERIES(MIN(d), MAX(d), INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM daily
+    ),
+    filled AS (
+        SELECT s.d, COALESCE(y.n_events, 0) AS n_events
+        FROM spine s LEFT JOIN daily y ON y.d = s.d
+    ),
     trailed AS (
         SELECT d, n_events,
                CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
                CAST(SUM(n_events) OVER w AS BIGINT) AS s_prior,
                CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS ssq_prior
-        FROM daily
+        FROM filled
         WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
@@ -1167,11 +1176,15 @@ def b13_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq6_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-freshness/volume audit: per-day event counts scored against
-    the trailing 7 COMPLETE prior days (population z-score) — the
+    the trailing 7 COMPLETE prior CALENDAR days (population z-score) — the
     data-observability monitor that catches a stalled ingest (volume
     collapse) or a replay storm (volume spike) before it poisons
-    downstream aggregates. Days without a full 7-day history emit NULL
-    scores rather than a noisy partial baseline.
+    downstream aggregates. The daily series is densified onto a generated
+    day spine with zero-fill first, so a day with NO events is scored
+    (that is the stalled-ingest signal, and without the spine it would be
+    invisible) and the ROWS window frame spans exactly 7 calendar days.
+    Days without a full 7-day history emit NULL scores rather than a
+    noisy partial baseline.
 
     Determinism: daily counts are integers, so the trailing sums are
     exact; mean/variance/z are a PINNED expression tree of correctly-
@@ -1188,8 +1201,16 @@ def dq6_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+    spine = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    filled = spine.join(F.broadcast(daily), "d", "left").select(
+        "d", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
     w = Window.orderBy("d").rowsBetween(-7, -1)
-    trailed = daily.select(
+    trailed = filled.select(
         "d",
         "n_events",
         F.count(F.lit(1)).over(w).alias("n_prior"),

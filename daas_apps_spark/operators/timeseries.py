@@ -993,7 +993,7 @@ def _ewma_sql(table_name: str) -> str:
     num_terms = []
     den_terms = []
     for j in range(EWMA_TAPS):
-        c = repr(0.5 ** (j + 1))
+        c = repr(EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j)
         lag = "value" if j == 0 else f"LAG(value, {j}) OVER w"
         num_terms.append(f"COALESCE({lag}, 0.0) * {c}")
         den_terms.append(f"(CASE WHEN {lag} IS NOT NULL THEN {c} ELSE 0.0 END)")

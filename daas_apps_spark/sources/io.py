@@ -351,6 +351,9 @@ def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        # Spark's XML reader trims element whitespace by default — the
+        # byte-exact contract requires keeping surrounding spaces.
+        .option("ignoreSurroundingSpaces", "false")
         .schema("doc_id long, text string, lang string, n_chars long")
         .load(path)
     )

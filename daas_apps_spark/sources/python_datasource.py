@@ -111,33 +111,65 @@ try:  # write-side API, pyspark >= 4
         def writer(self, schema, overwrite: bool) -> "JsonlSinkWriter":
             return JsonlSinkWriter(self.options)
 
+    from dataclasses import dataclass
+
+    @dataclass
+    class JsonlCommit(WriterCommitMessage):
+        """Per-task commit message: temp file to promote + row count."""
+
+        tmp_name: str
+        final_name: str
+        n_rows: int
+
     class JsonlSinkWriter(DataSourceWriter):
+        """Two-phase commit: tasks write attempt-unique TEMP files; only
+        the driver-side commit() renames the winning attempt of each
+        partition to its final name and drops _SUCCESS — so concurrent
+        speculative attempts never share a file handle and an aborted job
+        leaves no visible part files."""
+
         def __init__(self, options) -> None:
             self.path = options.get("path")
 
         def write(self, iterator):
             import json
             import os
+            import uuid
 
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
+            final = f"part-{pid:05d}.jsonl"
+            tmp = f"_tmp-{final}-{uuid.uuid4().hex}"
             n = 0
-            with open(os.path.join(self.path, f"part-{pid:05d}.jsonl"), "w") as f:
+            with open(os.path.join(self.path, tmp), "w") as f:
                 for row in iterator:
                     f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
                     n += 1
-            return WriterCommitMessage()
+            return JsonlCommit(tmp_name=tmp, final_name=final, n_rows=n)
 
         def commit(self, messages) -> None:
             import os
 
+            total = 0
+            for m in messages:
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, m.final_name),
+                )
+                total += m.n_rows
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-                f.write(f"tasks={len(messages)}\n")
+                f.write(f"tasks={len(messages)} rows={total}\n")
 
-        def abort(self, messages) -> None:  # pragma: no cover — no partial
-            pass
+        def abort(self, messages) -> None:  # pragma: no cover — error path
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
 
     _HAVE_DATASINK_API = True
 except ImportError:  # pragma: no cover — pyspark < 4
@@ -184,6 +216,10 @@ def a20_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("a20_python_datasink")
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     d.write.format("jsonl_sink").option("path", path).mode("append").save()
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise RuntimeError("jsonl_sink commit marker missing — job not committed")
     back = spark.read.schema("doc_id long, lang string, n_chars long").json(
         path + "/part-*.jsonl"
     )
