@@ -891,3 +891,79 @@ def d15_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_group",
         )
     )
+
+
+@register(
+    "d17_hll_sketch",
+    oracle=None,  # estimates are engine-specific; ε + merge checked in tests
+    tags=("D17", "D4"),
+)
+def d17_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
+    per-priority customer-cardinality sketches plus the UNION of those
+    sketches re-estimated — the property D4's approx_count_distinct
+    cannot offer: sketch STATE is a value you can store, ship, and merge,
+    so per-partition/per-day sketches roll up to any grain without
+    rescanning (the 100 TB cardinality-reporting design; the reference's
+    merge-partial-results stages are the same shape,
+    SparkCaller.java:245-248).
+
+    tests/test_sketches.py checks each estimate within ε of the exact
+    distinct count AND that the union-of-sketches estimate agrees with
+    the sketch of the union to within ε (sparse→dense register promotion
+    during union can shift a register or two) — the merge-consistency
+    invariant that makes the rollup design sound. Declared rows-only: the estimator's exact output
+    is engine-specific by construction.
+    """
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    per_est = per.select(
+        "o_orderpriority",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_distinct"),
+        "exact_distinct",
+        F.length("sk").cast("long").alias("sketch_bytes"),
+    )
+    merged = per.agg(
+        F.lit("ALL (union of sketches)").alias("o_orderpriority"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("est_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.lit(None).cast("long").alias("sketch_bytes"),
+    )
+    return per_est.unionAll(merged)
+
+
+APPROX_TOPK_K = 5  # == |event_type| domain, and << maxItemsTracked default
+
+
+@register(
+    "d18_heavy_hitters",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    """,
+    tags=("D18", "D17", "F4"),
+)
+def d18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (Spark 4's frequent-items
+    sketch), exploded to (item, est_count) rows. The oracle is EXACT
+    counts — valid because the tracked-item budget (default 10⁴) exceeds
+    the key domain, in which regime the sketch guarantees exact counts;
+    that regime bound is the operator's documented contract, and the
+    sketch's value at 100 TB is that the guarantee degrades gracefully
+    (±ε·N) instead of OOMing when the domain explodes past the budget —
+    the D4 sketch-vs-exact trade on the top-k axis.
+    """
+    e = table(spark, sf_dir, "events")
+    top = e.agg(
+        F.expr(f"approx_top_k(event_type, {APPROX_TOPK_K})").alias("tk")
+    )
+    return top.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("item"),
+        F.col("x.count").cast("long").alias("est_count"),
+    )

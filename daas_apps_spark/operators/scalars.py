@@ -744,3 +744,61 @@ def h_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+@register(
+    "h_collation_functions",
+    oracle="""
+    WITH c AS (
+        SELECT p_name, p_type FROM part
+    )
+    SELECT LOWER(SUBSTRING(p_type, 1, 5)) AS type_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+           MIN(LOWER(p_name)) AS first_name_ci
+    FROM c
+    GROUP BY LOWER(SUBSTRING(p_type, 1, 5))
+    """,
+    tags=("H", "B6"),
+)
+def h_collation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 `COLLATE`): group and
+    MIN under UTF8_LCASE — comparison/grouping/ordering that ignores
+    case WITHOUT rewriting every expression through lower().
+
+    The oracle expresses the same semantics with explicit LOWER() twins
+    (exact for this corpus — UTF8_LCASE is lowercase-based comparison,
+    and the fixture strings are ASCII where the two coincide); the Spark
+    side exercises the real collation machinery: a collated column makes
+    every downstream comparison, GROUP BY key, and MIN ordering
+    case-insensitive, while the emitted value must be normalized
+    explicitly (collation changes comparison, not bytes — hence the
+    lower() on output columns only).
+
+    Scale: collation is a per-comparison property compiled into codegen —
+    no extra pass, no UDF; grouping on a collated key hashes its
+    collation key exactly like any other grouping.
+    """
+    p = table(spark, sf_dir, "part")
+    c = p.select(
+        F.expr("p_name COLLATE UTF8_LCASE").alias("name_ci"),
+        F.expr("substring(p_type, 1, 5) COLLATE UTF8_LCASE").alias("type_ci"),
+    )
+    return (
+        c.groupBy("type_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("name_ci").alias("n_names"),
+            F.min("name_ci").alias("first_name_ci"),
+        )
+        .select(
+            # collation affects comparison, not bytes: normalize outputs so
+            # the hash compares the VALUES the ci-semantics produce
+            F.lower(F.col("type_ci").cast("string")).alias("type_ci"),
+            "n_parts",
+            "n_names",
+            F.lower(F.col("first_name_ci").cast("string")).alias(
+                "first_name_ci"
+            ),
+        )
+    )

@@ -7,6 +7,8 @@ in the same query.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from daas_apps_spark.registry import REGISTRY, _load_all
 from tests.conftest import SF_ORACLE
 
@@ -37,3 +39,28 @@ def test_d12_gk_percentiles_within_accuracy(spark):
                 approx,
                 exact,
             )
+
+
+def test_d17_hll_estimates_within_epsilon_and_merge_consistent(spark):
+    rows = REGISTRY["d17_hll_sketch"].fn(spark, SF_ORACLE).collect()
+    per = [r for r in rows if r["exact_distinct"] is not None]
+    merged = [r for r in rows if r["exact_distinct"] is None]
+    assert per and len(merged) == 1
+    # per-group estimates within the default-lgK HLL error envelope
+    for r in per:
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            3, 0.05 * r["exact_distinct"]
+        ), r
+    # union-of-sketches ≈ sketch-of-union (sparse→dense promotion during
+    # union can shift the register set by a hair, so ε not equality)
+    from daas_apps_spark.catalog import table
+
+    o = table(spark, SF_ORACLE, "orders")
+    direct = o.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").cast("long")
+    ).collect()[0][0]
+    exact_all = o.select("o_custkey").distinct().count()
+    assert abs(merged[0]["est_distinct"] - direct) <= max(3, 0.01 * direct)
+    assert abs(merged[0]["est_distinct"] - exact_all) <= max(
+        3, 0.05 * exact_all
+    )
