@@ -203,3 +203,113 @@ def k16_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+CDC_W = 4  # rolling-window width (chars) for the boundary fingerprint
+CDC_DIV = 16  # boundary probability 1/16 → expected chunk length ~16 chars
+
+
+@register(
+    "k51_cdc_chunking",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, text,
+               list_filter(
+                   range(4, LENGTH(text) + 1),
+                   i -> (('0x' || substring(md5(substring(text, CAST(i - 3 AS INTEGER), {CDC_W})), 1, 7))::BIGINT
+                         % {CDC_DIV}) = 0
+               ) AS bnd
+        FROM documents WHERE LENGTH(text) >= {CDC_W}
+    ),
+    se AS (
+        SELECT doc_id, lang, text,
+               [1] || list_transform(bnd, x -> CAST(x + 1 AS BIGINT)) AS starts,
+               list_transform(bnd, x -> CAST(x AS BIGINT))
+                   || [CAST(LENGTH(text) AS BIGINT)] AS ends
+        FROM b
+    ),
+    ch AS (
+        SELECT doc_id, lang,
+               UNNEST(list_transform(
+                   range(1, len(starts) + 1),
+                   j -> substring(text, CAST(starts[j] AS INTEGER),
+                                  CAST(ends[j] - starts[j] + 1 AS INTEGER))
+               )) AS chunk
+        FROM se
+    ),
+    nz AS (
+        SELECT * FROM ch WHERE LENGTH(chunk) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_chunks,
+           CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
+           CAST(COUNT(DISTINCT md5(chunk)) AS DOUBLE) / COUNT(*)
+               AS unique_ratio,
+           CAST(SUM(LENGTH(chunk)) AS DOUBLE) / COUNT(*) AS avg_chunk_len
+    FROM nz
+    GROUP BY lang
+    """,
+    tags=("K51", "K15", "K18"),
+)
+def k51_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash trick —
+    Muthitacharoen et al. 2001): chunk boundaries land wherever the
+    4-char rolling fingerprint hits 0 mod 16, so boundaries are a pure
+    function of LOCAL content. Insert one word into a document and only
+    the chunks touching the edit change — every downstream chunk digest
+    stays stable — which is why CDC, not fixed-width chunking (K15's
+    CHUNK=80 stride), is the dedup-stable choice for storage dedup and
+    near-identical-document corpora at 100 TB.
+
+    The whole computation is higher-order functions over each row (the
+    boundary scan and chunk slicing never leave the document), then one
+    explode + per-language census: total vs distinct chunk digests and
+    the unique ratio — the dedup-savings estimate a storage planner reads.
+
+    Per SCALING.md §6's HOF rule the text column is referenced directly
+    (no derived-array recomputation per index); the md5-per-position scan
+    is O(len) JVM work. The census shuffles (lang, digest)-narrow rows
+    only.
+    """
+    d = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= CDC_W
+    )
+    bnd = (
+        f"filter(sequence({CDC_W}, length(text)), i -> "
+        f"(cast(conv(substring(md5(substring(text, i - 3, {CDC_W})), 1, 7), 16, 10) as bigint)"
+        f" % {CDC_DIV}) = 0)"
+    )
+    se = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(
+            f"concat(array(1L), transform({bnd}, x -> cast(x + 1 as bigint)))"
+        ).alias("starts"),
+        F.expr(
+            f"concat(transform({bnd}, x -> cast(x as bigint)),"
+            " array(cast(length(text) as bigint)))"
+        ).alias("ends"),
+    )
+    ch = se.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(starts, ends, (s, e) ->"
+                " substring(text, cast(s as int), cast(e - s + 1 as int)))"
+            )
+        ).alias("chunk"),
+    ).filter(F.length("chunk") > 0)
+    return ch.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct(F.md5("chunk")).alias("distinct_chunks"),
+        (
+            F.countDistinct(F.md5("chunk")).cast("double") / F.count(F.lit(1))
+        ).alias("unique_ratio"),
+        (
+            F.sum(F.length("chunk")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_chunk_len"),
+    )

@@ -57,3 +57,69 @@ def test_minhash_signature_is_partition_independent(spark):
     repartitioned = base.repartition(17).toPandas().sort_values("doc_id").reset_index(drop=True)
     plain = base.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert plain.equals(repartitioned)
+
+
+def _cdc_chunks_py(text: str) -> list[str]:
+    """Pure-python reference of k51's boundary rule (md5 4-gram % 16)."""
+    import hashlib
+
+    W, DIV = 4, 16
+    bnd = [
+        i
+        for i in range(W, len(text) + 1)
+        if int(hashlib.md5(text[i - W: i].encode()).hexdigest()[:7], 16) % DIV
+        == 0
+    ]
+    starts = [1] + [x + 1 for x in bnd]
+    ends = bnd + [len(text)]
+    return [
+        text[s - 1: e] for s, e in zip(starts, ends) if e - s + 1 > 0
+    ]
+
+
+def test_cdc_chunks_reassemble_and_are_edit_stable():
+    base = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a a the line sort"
+    )
+    chunks = _cdc_chunks_py(base)
+    assert "".join(chunks) == base  # reassembly identity
+
+    # single-char insertion perturbs only boundary-local chunks: every
+    # boundary beyond the edit window shifts by exactly +1, so the chunk
+    # SUFFIX after the first post-edit boundary is identical
+    pos = len(base) // 2
+    edited = base[:pos] + "X" + base[pos:]
+    echunks = _cdc_chunks_py(edited)
+    assert "".join(echunks) == edited
+    tail = [c for c in chunks if len(c) > 0][-2:]
+    etail = [c for c in echunks if len(c) > 0][-2:]
+    assert tail == etail  # far-from-edit chunks unchanged
+
+
+def test_k51_cdc_census_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from daas_apps_spark.registry import REGISTRY
+
+    got = {
+        r["lang"]: (r["n_docs"], r["total_chunks"], r["distinct_chunks"])
+        for r in REGISTRY["k51_cdc_chunking"].fn(spark, SF_ORACLE).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF_ORACLE}/documents.parquet') WHERE LENGTH(text) >= 4"
+    ).fetchall()
+    agg = defaultdict(lambda: [set(), 0, set()])
+    for doc_id, lang, text in docs:
+        a = agg[lang]
+        a[0].add(doc_id)
+        for c in _cdc_chunks_py(text):
+            a[1] += 1
+            a[2].add(c)
+    want = {
+        lang: (len(a[0]), a[1], len(a[2])) for lang, a in agg.items()
+    }
+    assert got == want
