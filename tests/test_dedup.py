@@ -60,15 +60,14 @@ def test_minhash_signature_is_partition_independent(spark):
 
 
 def _cdc_chunks_py(text: str) -> list[str]:
-    """Pure-python reference of k51's boundary rule (md5 4-gram % 16)."""
-    import hashlib
-
+    """Pure-python reference of k51's boundary rule (polynomial 4-gram)."""
     W, DIV = 4, 16
+    cps = [ord(c) for c in text]
     bnd = [
         i
         for i in range(W, len(text) + 1)
-        if int(hashlib.md5(text[i - W: i].encode()).hexdigest()[:7], 16) % DIV
-        == 0
+        if (cps[i - 4] * 29791 + cps[i - 3] * 961 + cps[i - 2] * 31
+            + cps[i - 1]) % DIV == 0
     ]
     starts = [1] + [x + 1 for x in bnd]
     ends = bnd + [len(text)]
