@@ -260,6 +260,7 @@ CDC_DIV = 16  # boundary probability 1/16 → expected chunk length ~16 chars
     GROUP BY lang
     """,
     tags=("K51", "K15", "K18"),
+    bench=True,
 )
 def k51_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the rsync/LBFS rolling-hash trick —

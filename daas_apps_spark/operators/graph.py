@@ -228,6 +228,7 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deg d LEFT JOIN per_node p ON p.node = d.node
     """,
     tags=("GR2", "C11", "D2"),
+    bench=True,
 )
 def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the supplier
