@@ -1230,3 +1230,61 @@ def dq6_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_guarded.alias("vol_z"),
         F.coalesce(F.abs(z_guarded) > 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "b14_sql_scripting",
+    oracle=f"""
+    WITH m AS (
+        SELECT {sql_dsum('o_totalprice')} / COUNT(*) AS avg_price
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           ROUND({sql_dsum('o_totalprice')}, 2) AS rev_above
+    FROM orders, m
+    WHERE o_totalprice > m.avg_price
+    GROUP BY o_orderpriority
+    """,
+    tags=("B14", "B12", "B11"),
+)
+def b14_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN … END``, SQL/PSM-style): a session
+    variable is DECLAREd, populated from one query, and drives a second —
+    the multi-statement procedural surface that replaces driver-side
+    Python glue for parameter-passing between statements (the reference's
+    per-stage property handoff, Runner.java:73-117, done inside the SQL
+    engine).
+
+    The threshold goes through the decimal-sum discipline (scaled-long
+    average) so both engines derive a bit-identical cut; the oracle
+    expresses the same dataflow as a scalar-subquery join, proving the
+    scripting indirection changes nothing.
+
+    Scale: the script body is ordinary Catalyst plans — the variable is a
+    driver-held scalar (one 1-row job), and statement 2 is a plain
+    pushdown-friendly aggregate; no RDD glue, no collect of data rows.
+    """
+    scaled = 10**4
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("b14_orders")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE avg_price DOUBLE;
+          SET avg_price = (
+            SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * {scaled}
+                       AS BIGINT)) / CAST({scaled} AS DOUBLE) / COUNT(*)
+            FROM b14_orders
+          );
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_above,
+                 ROUND(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * {scaled}
+                           AS BIGINT)) / CAST({scaled} AS DOUBLE), 2)
+                     AS rev_above
+          FROM b14_orders
+          WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
