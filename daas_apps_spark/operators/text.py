@@ -1031,3 +1031,94 @@ def k50_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.alias("observed_rate"),
         F.abs(mean_pred - obs).alias("calibration_gap"),
     )
+
+
+def _k52_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    o41 = REGISTRY["k41_quality_classifier"].oracle
+    duck_h = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+    return f"""
+    WITH s AS (
+        SELECT doc_id, quality_score FROM ({o41}) t
+    ),
+    m AS (
+        SELECT MAX(quality_score) AS mx FROM s
+    ),
+    rated AS (
+        SELECT s.doc_id, s.quality_score,
+               (s.quality_score / m.mx) * (s.quality_score / m.mx) AS rate
+        FROM s, m
+    ),
+    tagged AS (
+        SELECT doc_id, quality_score, rate,
+               LEAST(CAST(FLOOR(quality_score * 10) AS INTEGER), 9) AS bucket,
+               ({duck_h} % 1000000
+                < CAST(FLOOR(rate * 1000000) AS BIGINT)) AS kept
+        FROM rated
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_sampled,
+           MIN(rate) AS min_rate,
+           MAX(rate) AS max_rate
+    FROM tagged
+    GROUP BY bucket
+    """
+
+
+@register(
+    "k52_importance_sampling",
+    oracle=_k52_oracle(),
+    tags=("K52", "K45", "K41", "K9"),
+)
+def k52_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level quality-weighted importance sampling (the
+    DataComp-LM / quality-curriculum recipe): each document's acceptance
+    probability is (score / max_score)² of its K41 classifier score —
+    squaring sharpens toward high quality without a hard threshold — and
+    membership is the K9 deterministic content-hash draw. K45 rebalances
+    GROUPS by observed mass; this weights each INDIVIDUAL document by model
+    score, the other production mixing axis.
+
+    Determinism: scores are 4-decimal by construction, the corpus max is
+    exact, the rate is a pinned two-multiply IEEE tree, and the draw
+    compares integer hash residues to the floored rate — both engines
+    keep the identical sample. Per-decile census (population, kept,
+    rate bounds) is the tuning report: it shows the acceptance curve a
+    data-mixing engineer bends.
+
+    Scale: one scan derives scores (pure projections), the 1-row max
+    broadcasts, the draw is per-row; only the 10-row census shuffles.
+    """
+    scores = k41_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    mx = scores.agg(F.max("quality_score").alias("mx"))
+    rated = scores.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "quality_score",
+        (
+            (F.col("quality_score") / F.col("mx"))
+            * (F.col("quality_score") / F.col("mx"))
+        ).alias("rate"),
+    )
+    h = "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)"
+    tagged = rated.select(
+        "doc_id",
+        "quality_score",
+        "rate",
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        (
+            F.expr(f"{h} % 1000000")
+            < F.floor(F.col("rate") * 1000000).cast("long")
+        ).alias("kept"),
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_sampled"),
+        F.min("rate").alias("min_rate"),
+        F.max("rate").alias("max_rate"),
+    )

@@ -1032,3 +1032,117 @@ def t12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     e.createOrReplaceTempView("t12_events")
     return spark.sql(_ewma_sql("t12_events"))
+
+
+ATTR_WINDOW_US = 3_600_000_000  # last-touch lookback: 1 hour in microseconds
+
+
+@register(
+    "t13_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS t,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER w AS last_click_t,
+               MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   OVER w AS last_view_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+        SELECT user_id, event_id,
+               CASE
+                   WHEN last_click_t IS NOT NULL
+                        AND t - last_click_t <= {ATTR_WINDOW_US}
+                       THEN 'click'
+                   WHEN last_view_t IS NOT NULL
+                        AND t - last_view_t <= {ATTR_WINDOW_US}
+                       THEN 'view'
+                   ELSE 'organic'
+               END AS channel,
+               CASE
+                   WHEN last_click_t IS NOT NULL
+                        AND t - last_click_t <= {ATTR_WINDOW_US}
+                       THEN t - last_click_t
+                   WHEN last_view_t IS NOT NULL
+                        AND t - last_view_t <= {ATTR_WINDOW_US}
+                       THEN t - last_view_t
+               END AS lag_us
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(lag_us) AS BIGINT) AS total_lag_us,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+    FROM purchases
+    GROUP BY channel
+    """,
+    tags=("T13", "T4", "C10", "E3"),
+)
+def t13_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    most recent prior click (else view) by the same user within a 1-hour
+    lookback, else counted organic — the marketing-analytics workhorse,
+    and the per-key as-of-join (C10) re-expressed as ONE ordered window
+    pass: a conditional running MAX over prior rows carries the latest
+    touch timestamp per channel, and the purchase row reads it — no join,
+    no per-purchase probe.
+
+    All arithmetic is integer microseconds; the channel precedence
+    (click beats view) is a fixed CASE ladder, so both engines credit
+    identically. The report is the attribution census: purchases, unique
+    converters, and touch-to-purchase lag mass per channel.
+
+    Scale: one hash exchange on user_id + in-partition sort serves every
+    channel's running max simultaneously; the census aggregate runs on
+    purchase rows only. At 100 TB this is the same single-shuffle shape
+    as the as-of family (SCALING.md §2), with the watermark/lookback
+    bounding how far state reaches back.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.unix_micros("ts")
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    ).over(w)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t.alias("t"),
+        last_click.alias("last_click_t"),
+        last_view.alias("last_view_t"),
+    )
+    click_ok = F.col("last_click_t").isNotNull() & (
+        F.col("t") - F.col("last_click_t") <= ATTR_WINDOW_US
+    )
+    view_ok = F.col("last_view_t").isNotNull() & (
+        F.col("t") - F.col("last_view_t") <= ATTR_WINDOW_US
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.when(click_ok, "click")
+        .when(view_ok, "view")
+        .otherwise("organic")
+        .alias("channel"),
+        F.when(click_ok, F.col("t") - F.col("last_click_t"))
+        .when(view_ok, F.col("t") - F.col("last_view_t"))
+        .alias("lag_us"),
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("lag_us").alias("total_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    )
