@@ -95,3 +95,29 @@ def test_cli_verify_single_query(spark, capsys):
     assert main(["verify", "a1_scan_counts", "--sf", SF_ORACLE]) == 0
     out = capsys.readouterr().out
     assert "PASS a1_scan_counts" in out
+
+
+def test_batch_observe_metrics_surface(spark):
+    """Batch observability (I12's batch analog): `df.observe` attaches
+    named metrics to a plan node and reports them AFTER the action with
+    zero extra passes — the audit counters a 100 TB pipeline emits
+    per-stage without re-scanning (vs a separate COUNT query = one more
+    full scan)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from daas_apps_spark.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("scan_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty_rows"),
+    )
+    result = observed.groupBy("l_returnflag").count().collect()
+    assert len(result) > 0
+    metrics = obs.get
+    assert metrics["rows_scanned"] == li.count()
+    assert metrics["bad_qty_rows"] == 0

@@ -462,3 +462,27 @@ def test_k45_rates_broadcast_onto_corpus(spark):
     plan = plan_of(spark, "k45_temperature_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_t13_attribution_no_join_single_user_shuffle(spark):
+    # Attribution is the as-of shape: conditional running maxes in ONE
+    # (user_id) window pass — never a purchase⋈touch join.
+    plan = plan_of(spark, "t13_touch_attribution")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_k52_draw_is_broadcast_not_shuffle(spark):
+    # The corpus max is a 1-row broadcast; the acceptance draw is
+    # per-row — the corpus never shuffles for sampling.
+    plan = plan_of(spark, "k52_importance_sampling")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_k49_truncation_recall_stays_broadcast(spark):
+    # Both rankings run broadcast-queries × streamed-candidates (BNLJ over
+    # the tiny query side); only the |queries|·k recall join may sort-merge.
+    plan = plan_of(spark, "k49_truncation_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
