@@ -215,7 +215,7 @@ CDC_DIV = 16  # boundary probability 1/16 → expected chunk length ~16 chars
     WITH cp AS (
         SELECT doc_id, lang, text,
                list_transform(range(1, LENGTH(text) + 1),
-                   i -> unicode(substring(text, CAST(i AS INTEGER), 1))
+                   i -> CAST(unicode(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)
                ) AS cps
         FROM documents WHERE LENGTH(text) >= {CDC_W}
     ),

@@ -1256,32 +1256,31 @@ def b14_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage property handoff, Runner.java:73-117, done inside the SQL
     engine).
 
-    The threshold goes through the decimal-sum discipline (scaled-long
-    average) so both engines derive a bit-identical cut; the oracle
-    expresses the same dataflow as a scalar-subquery join, proving the
-    scripting indirection changes nothing.
+    The threshold is the sql_dsum decimal-sum text, valid on BOTH
+    engines verbatim, so the cut is bit-identical with no scaled-long
+    overflow horizon; the oracle expresses the same dataflow as a
+    scalar-subquery join, proving the scripting indirection changes
+    nothing.
 
     Scale: the script body is ordinary Catalyst plans — the variable is a
     driver-held scalar (one 1-row job), and statement 2 is a plain
     pushdown-friendly aggregate; no RDD glue, no collect of data rows.
     """
-    scaled = 10**4
     o = table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("b14_orders")
+    # The SAME sql_dsum text runs on both engines (valid Spark SQL too):
+    # decimal accumulator, single double conversion — no scaled-long
+    # overflow horizon, and the threshold is textually identical.
     return spark.sql(
         f"""
         BEGIN
           DECLARE avg_price DOUBLE;
           SET avg_price = (
-            SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * {scaled}
-                       AS BIGINT)) / CAST({scaled} AS DOUBLE) / COUNT(*)
-            FROM b14_orders
+            SELECT {sql_dsum('o_totalprice')} / COUNT(*) FROM b14_orders
           );
           SELECT o_orderpriority,
                  COUNT(*) AS n_above,
-                 ROUND(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * {scaled}
-                           AS BIGINT)) / CAST({scaled} AS DOUBLE), 2)
-                     AS rev_above
+                 ROUND({sql_dsum('o_totalprice')}, 2) AS rev_above
           FROM b14_orders
           WHERE o_totalprice > avg_price
           GROUP BY o_orderpriority;

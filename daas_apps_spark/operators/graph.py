@@ -195,7 +195,7 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
         SELECT u, v FROM co, stats
         WHERE CAST(shared AS DOUBLE)
-              > s / n + 2.0 * SQRT((ssq - s * s / n) / n)
+              > s / n + 2.0 * SQRT(GREATEST((ssq - s * s / n) / n, 0.0))
     ),
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
@@ -281,7 +281,11 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
     )
     thr = F.col("s") / F.col("n") + 2.0 * F.sqrt(
-        (F.col("ssq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+        F.greatest(
+            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
+            / F.col("n"),
+            F.lit(0.0),
+        )
     )
     edges = (
         co.crossJoin(F.broadcast(stats))
@@ -337,18 +341,18 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_count"))
     )
-    wedges = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+    wedge_count_col = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
     return (
         deg.join(per_node, "node", "left")
         .select(
             F.col("node").alias("suppkey"),
             "degree",
             F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
-            wedges.alias("wedge_count"),
+            wedge_count_col.alias("wedge_count"),
             F.when(
                 F.col("degree") >= 2,
                 F.coalesce("tri_count", F.lit(0)).cast("double")
-                / wedges.cast("double"),
+                / wedge_count_col.cast("double"),
             )
             .otherwise(0.0)
             .alias("clustering_coeff"),

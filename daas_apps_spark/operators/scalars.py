@@ -754,7 +754,7 @@ def h_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT LOWER(SUBSTRING(p_type, 1, 5)) AS type_ci,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(DISTINCT LOWER(p_name)) AS BIGINT) AS n_names,
            MIN(LOWER(p_name)) AS first_name_ci
     FROM c
     GROUP BY LOWER(SUBSTRING(p_type, 1, 5))

@@ -1088,8 +1088,12 @@ def k52_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate bounds) is the tuning report: it shows the acceptance curve a
     data-mixing engineer bends.
 
-    Scale: one scan derives scores (pure projections), the 1-row max
-    broadcasts, the draw is per-row; only the 10-row census shuffles.
+    Scale: the score subtree is pure per-row projections with no
+    exchange, so the corpus is scanned+featurized TWICE — once under the
+    max aggregate, once for the draw (no shuffle exists for AQE to
+    reuse); at production scale persist the scored relation once between
+    the passes. The 1-row max broadcasts; only the 10-row census
+    shuffles.
     """
     scores = k41_quality_classifier(spark, sf_dir).select(
         "doc_id", "quality_score"

@@ -121,3 +121,25 @@ def test_batch_observe_metrics_surface(spark):
     metrics = obs.get
     assert metrics["rows_scanned"] == li.count()
     assert metrics["bad_qty_rows"] == 0
+
+
+def test_d18_topk_budget_covers_event_type_domain(spark):
+    """d18's exact-count oracle is valid ONLY while approx_top_k's K covers
+    the full event_type domain — pin that coupling here so a fixture with
+    a new event type fails WITH an explanation, not a bare row-count
+    mismatch."""
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.aggregates import APPROX_TOPK_K
+    from tests.conftest import SF_ORACLE
+
+    domain = (
+        table(spark, SF_ORACLE, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert domain <= APPROX_TOPK_K, (
+        f"event_type domain grew to {domain} > APPROX_TOPK_K="
+        f"{APPROX_TOPK_K}: raise the constant (the oracle's exactness "
+        "contract is domain <= tracked budget)"
+    )
