@@ -1287,3 +1287,152 @@ def b14_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+_C21_SQL = """
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
+@register(
+    "c21_waiting_supplier",
+    oracle=_C21_SQL,
+    tags=("C21", "B9", "C3", "C4", "F4"),
+)
+def c21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped composition (suppliers who kept orders waiting):
+    for finished orders, the suppliers who shipped > 60 days after the
+    order date on a multi-supplier order where every OTHER supplier
+    shipped on time — sole-blame attribution via an EXISTS and a
+    NOT EXISTS correlated to TWO outer relations (l1 and o), the deepest
+    same-table decorrelation shape in TPC-H. Catalyst rewrites the pair
+    into a left-semi and a left-anti join against the same fact; the
+    doubly-correlated NOT EXISTS (it references o.o_orderdate, not just
+    l1's key) is the part most engines get wrong or refuse.
+
+    Top-20 with a numwait DESC, s_suppkey tie-break → a total order, so
+    LIMIT is deterministic; COUNT is exact integer. The SAME text runs on
+    both engines.
+
+    Scale: the fact self-probes are key-local (l_orderkey), so all three
+    lineitem passes hash-shuffle on the same key and colocate — bucketing
+    lineitem by orderkey makes the semi/anti probes shuffle-free; the
+    supplier dim broadcasts.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C21_SQL)
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d), pinned as
+# 17-significant-digit literals in E-notation: scientific notation is
+# lexed as a DOUBLE in both engines (a plain decimal literal would pass
+# through DuckDB's arbitrary-precision DECIMAL and re-round), so
+# dev_from_benford is a pure IEEE subtraction of the same two bit
+# patterns — no transcendental evaluation at query time.
+_BENFORD = {
+    1: "3.010299956639812E-1",
+    2: "1.7609125905568124E-1",
+    3: "1.2493873660829993E-1",
+    4: "9.691001300805642E-2",
+    5: "7.918124604762482E-2",
+    6: "6.694678963061322E-2",
+    7: "5.799194697768673E-2",
+    8: "5.115252244738129E-2",
+    9: "4.575749056067514E-2",
+}
+
+
+def _dq7_oracle() -> str:
+    case = " ".join(f"WHEN {d} THEN {v}" for d, v in _BENFORD.items())
+    return f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot)
+               AS obs_rate,
+           CASE digit {case} END AS benford_rate,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot)
+               - CASE digit {case} END AS dev
+    FROM digits GROUP BY digit
+    """
+
+
+@register(
+    "dq7_benford_audit",
+    oracle=_dq7_oracle(),
+    tags=("DQ7", "D1", "B2"),
+)
+def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice: observed
+    first-significant-digit frequencies vs the log10(1+1/d) expectation,
+    per-digit deviation — the classic fabricated-data / unit-mixing
+    screen a data-quality layer runs over monetary columns. (The
+    synthetic fixture's uniform-ish prices genuinely flunk Benford —
+    which is exactly what the audit should report; the operator's job is
+    the measurement, not the verdict.)
+
+    Determinism: first digit via integer/string extraction (no log10 on
+    data), observed rate is one exact-integer IEEE division, expectations
+    are pinned literal doubles, and the deviation subtracts two
+    bit-identical doubles — no rounding discipline needed anywhere.
+
+    Scale: one map-side projection + a 9-group aggregate; the total-count
+    scalar broadcasts. The scan reads a single column.
+    """
+    o = table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.create_map(
+        *[
+            x
+            for d, v in _BENFORD.items()
+            for x in (F.lit(d), F.lit(float(v)))
+        ]
+    )
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("n").cast("double")).alias(
+                "obs_rate"
+            ),
+            benford[F.col("digit")].alias("benford_rate"),
+            (
+                F.col("n_obs").cast("double") / F.col("n").cast("double")
+                - benford[F.col("digit")]
+            ).alias("dev"),
+        )
+    )

@@ -174,10 +174,47 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "gr2_triangle_count",
-    oracle="""
-    WITH pairs AS (
+def _backbone_edges(li: DataFrame) -> DataFrame:
+    """Significance-backbone co-supply graph shared by GR2/GR3: suppliers
+    adjacent (u < v, undirected-as-ordered-pairs) iff their shared-part
+    count clears mean + 2σ of the co-occurrence distribution. Exact
+    integer sums feed one pinned float threshold expression, so both
+    engines select the identical edge set (see gr2 docstring)."""
+    pairs = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    stats = co.agg(
+        F.sum("shared").cast("double").alias("s"),
+        F.sum(F.col("shared") * F.col("shared")).cast("double").alias("ssq"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    thr = F.col("s") / F.col("n") + 2.0 * F.sqrt(
+        F.greatest(
+            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    return (
+        co.crossJoin(F.broadcast(stats))
+        .filter(F.col("shared").cast("double") > thr)
+        .select("u", "v")
+    )
+
+
+# The CTE chain producing the identical backbone edge set in DuckDB —
+# shared verbatim by the gr2 and gr3 oracles so the two cannot drift.
+_BACKBONE_CTE = """
+    pairs AS (
         SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
     ),
     co AS (
@@ -196,7 +233,13 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, v FROM co, stats
         WHERE CAST(shared AS DOUBLE)
               > s / n + 2.0 * SQRT(GREATEST((ssq - s * s / n) / n, 0.0))
-    ),
+    )"""
+
+
+@register(
+    "gr2_triangle_count",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
             SELECT u AS node FROM edges
@@ -262,36 +305,7 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join fan-out by out-degree, the same trick MapReduce triangle
     counters (Suri & Vassilvitskii 2011) use to tame skew at web scale.
     """
-    li = table(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
-        )
-        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    stats = co.agg(
-        F.sum("shared").cast("double").alias("s"),
-        F.sum(F.col("shared") * F.col("shared")).cast("double").alias("ssq"),
-        F.count(F.lit(1)).cast("double").alias("n"),
-    )
-    thr = F.col("s") / F.col("n") + 2.0 * F.sqrt(
-        F.greatest(
-            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
-            / F.col("n"),
-            F.lit(0.0),
-        )
-    )
-    edges = (
-        co.crossJoin(F.broadcast(stats))
-        .filter(F.col("shared").cast("double") > thr)
-        .select("u", "v")
-    )
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem"))
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -357,4 +371,83 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
             .alias("clustering_coeff"),
         )
+    )
+
+
+GR3_MAX_HOPS = 4
+
+
+@register(
+    "gr3_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_BACKBONE_CTE},
+    adj AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    src0 AS (SELECT MIN(u) AS s FROM edges),
+    walk AS (
+        SELECT s AS node, 0 AS hop FROM src0
+        UNION
+        SELECT a.dst, w.hop + 1
+        FROM walk w JOIN adj a ON a.src = w.node
+        WHERE w.hop < {GR3_MAX_HOPS}
+    ),
+    dist AS (
+        SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+    )
+    SELECT CAST(hop AS INTEGER) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node
+    FROM dist GROUP BY hop
+    """,
+    tags=("GR3", "GR2", "K3"),
+)
+def gr3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS reachability census from the lowest-id supplier in
+    the GR2 significance-backbone co-supply graph: per-hop node counts
+    (with min/max node ids as witnesses) out to GR3_MAX_HOPS. This is the
+    iterative frontier-expansion kernel — the shortest-path/k-hop
+    neighborhood primitive that sits under "blast radius" and influence
+    queries — expressed as unrolled rounds of (frontier ⋈ adjacency)
+    de-duplicated against the visited set, the same fixed-depth unrolled
+    DAG discipline as gr1's PageRank loop. Hop labels are exact minimum
+    distances (a node is excluded from later frontiers via left-anti
+    against visited), so the census hash-matches DuckDB's WITH RECURSIVE
+    UNION-distinct walk with no rounding discipline at all.
+
+    Scale: each round shuffles |frontier| × avg-degree candidate edges
+    keyed on node id — the textbook distributed BFS (Pregel's
+    message-passing round as a join). The visited set joins as left-anti
+    on node id; AQE broadcast-converts it while the frontier is small.
+    At web scale the unrolled form switches to an iterated-checkpoint
+    loop with frontier-size-driven termination (k3_dedup_clusters
+    pattern); diameter-bounded hop counts keep state linear in |V|.
+    """
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    src0 = edges.agg(F.min("u").alias("node"))
+    visited = src0.select("node", F.lit(0).alias("hop"))
+    frontier = visited
+    for i in range(1, GR3_MAX_HOPS + 1):
+        nxt = (
+            adj.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("hop"))
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
     )

@@ -1146,3 +1146,93 @@ def t13_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lag_us").alias("total_lag_us"),
         F.max("lag_us").alias("max_lag_us"),
     )
+
+
+T14_HORIZON = 3  # forecast this many days past the series end
+
+
+@register(
+    "t14_trend_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+               MAX(x) AS x_max
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, x_max,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+               * CAST(x_max + {T14_HORIZON} AS DOUBLE)
+           + (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS forecast
+    FROM sums
+    """,
+    tags=("T14", "D7", "K22"),
+)
+def t14_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend + short-horizon forecast: OLS slope and
+    intercept of the daily event-count series against the epoch-day
+    index, extrapolated T14_HORIZON days past the series end — the
+    capacity-planning regression behind "are errors trending up".
+
+    Determinism without regr_* aggregates: x (epoch day) and y (daily
+    count) are exact BIGINTs, so n, Σx, Σy, Σxy, Σx² are exact integer
+    sums in any association order; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    converts two exact sub-2⁵³ integers to doubles and divides ONCE.
+    Intercept and forecast reuse that slope through an identical
+    expression tree on both engines, so every float op sees the same bit
+    patterns in the same order — bit-exact with no rounding discipline.
+    (regr_slope itself float-accumulates per row, which is
+    association-order-dependent — the reason it's avoided here.)
+
+    Scale: the fact collapses to |types|×|days| rows map-side (partial
+    counts), then five integer sums per type — the same two-level
+    rollup as T8; the regression math is a per-group projection.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("cast(unix_timestamp(date_trunc('day', ts)) as bigint) div 86400").alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("x_max"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "x_max",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (
+            slope * (F.col("x_max") + T14_HORIZON).cast("double") + intercept
+        ).alias("forecast"),
+    )

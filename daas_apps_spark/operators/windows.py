@@ -359,3 +359,59 @@ def e10_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "e11_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 4) AS med5
+    FROM events
+    """,
+    tags=("E11", "E5", "D16"),
+)
+def e11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trailing-5 median per user — the robust moving-location
+    estimator T3's mean/stddev z-score is sensitive to outliers on; the
+    order-statistic window aggregate (median over a ROWS frame) that
+    cheap running-sum tricks can't express, so the engine re-sorts each
+    frame (Spark evaluates the aggregate per frame; DuckDB keeps an
+    ordered structure — same values either way).
+
+    Determinism: frames are pinned by the (ts, event_id) total order;
+    odd frames pick an exact element, even (warm-up) frames average the
+    two middle doubles — (a+b)/2 is exactly DuckDB's even-count median
+    rule, and the 2-decimal inputs make ROUND(,4) a representation no-op
+    (the D16 discipline). Spark refuses order-statistic aggregates over a
+    frame (median/percentile are WITHIN-GROUP-only), so the engine
+    collects the ≤5-element frame, sorts it, and applies the order
+    statistic as an expression — the interpolation rule is pinned in the
+    plan instead of trusted to the engine.
+
+    Scale: one hash shuffle on user_id + per-partition sort — identical
+    exchange shape to E5's sliding sum; the collected frame is bounded at
+    5 elements by construction, so per-row state is O(frame), never
+    O(partition).
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n.cast("int") / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, (n.cast("int") / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(med, 4).alias("med5"),
+    )
