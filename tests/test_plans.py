@@ -486,3 +486,47 @@ def test_k49_truncation_recall_stays_broadcast(spark):
     plan = plan_of(spark, "k49_truncation_recall")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_gr3_bfs_rounds_never_cartesian(spark):
+    # Each BFS round is frontier⋈adjacency on node id + left-anti visited
+    # dedup — hash joins only, never a cartesian blowup. (localCheckpoint
+    # per round truncates lineage, so only the final round's plan shows.)
+    plan = plan_of(spark, "gr3_bfs_hops")
+    assert "CartesianProduct" not in plan
+
+
+def test_c21_exists_pair_decorrelates_to_semi_and_anti(spark):
+    # Catalyst must rewrite the correlated EXISTS / NOT EXISTS pair into
+    # a left-semi and a left-anti join — not a nested-loop re-execution.
+    plan = plan_of(spark, "c21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq7_benford_single_column_scan(spark):
+    # The audit reads exactly one column; every other orders column must
+    # be pruned from the scan, and the digit aggregate keeps partials.
+    plan = plan_of(spark, "dq7_benford_audit")
+    assert "o_totalprice" in plan
+    for unused in ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"):
+        assert unused not in plan, f"{unused} not pruned from scan"
+    assert "partial_count" in plan
+
+
+def test_t14_trend_two_level_rollup(spark):
+    # Daily counts collapse map-side (partial_count before the first
+    # exchange); the five regression sums are exact integer aggregates —
+    # no float accumulation (regr_* would float-accumulate per row).
+    plan = plan_of(spark, "t14_trend_forecast")
+    assert "partial_count" in plan
+    assert "regr_" not in plan
+
+
+def test_e11_rolling_median_single_user_shuffle(spark):
+    # One hash exchange on user_id feeds the frame window; the order
+    # statistic is expression-level — no join, no second shuffle.
+    plan = plan_of(spark, "e11_rolling_median")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
