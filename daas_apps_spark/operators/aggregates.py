@@ -967,3 +967,169 @@ def d18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.item").alias("item"),
         F.col("x.count").cast("long").alias("est_count"),
     )
+
+
+THETA_LG_K = 14  # 16384 nominal entries — exact mode through sf0.1's key domain
+
+
+@register(
+    "d19_theta_sketch_setops",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'A' AS set_op,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS est_distinct
+    UNION ALL SELECT 'B', CAST((SELECT COUNT(*) FROM b) AS BIGINT)
+    UNION ALL SELECT 'A_union_B',
+        CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+             AS BIGINT)
+    UNION ALL SELECT 'A_intersect_B',
+        CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS BIGINT)
+    UNION ALL SELECT 'A_minus_B',
+        CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+             AS BIGINT)
+    """,
+    tags=("D19", "D17", "G3", "G4"),
+)
+def d19_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Apache DataSketches, built into Spark 4):
+    distinct-customer sketches for two predicates (urgent-priority
+    buyers, finished-order buyers) combined with theta_union /
+    theta_intersection / theta_difference and re-estimated — the audience
+    -overlap query ("how many users did A AND B / A but not B") that HLL
+    cannot answer (HLL unions but never intersects). Sketch STATE stays a
+    storable, mergeable value, so per-day per-segment sketches roll up to
+    any cross-segment overlap report without rescanning the fact table.
+
+    The oracle pins EXACT set counts: with lgNomEntries=14 (16384 nominal
+    entries) every set in the sf0.01/sf0.1 key domain stays in the
+    sketch's exact regime (no sampling, theta=1), where DataSketches
+    guarantees estimate == exact — the same regime contract d18 uses for
+    approx_top_k. Past the nominal capacity the estimates degrade to
+    ±ε bounds instead of failing: that graceful-degradation contract is
+    the 100 TB design, and the exact-regime oracle is its conformance
+    floor.
+
+    Scale: two filtered single-column passes build the input sketches
+    (map-side partial sketch merges — shuffle carries sketch bytes, not
+    keys); the set algebra runs on two sketch VALUES in a 1-row plan.
+    """
+    o = table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderpriority = '1-URGENT' "
+            f"THEN o_custkey END, {THETA_LG_K})"
+        ).alias("sk_a"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'F' "
+            f"THEN o_custkey END, {THETA_LG_K})"
+        ).alias("sk_b"),
+    )
+    est = F.expr  # readability below
+    pairs = [
+        ("A", "theta_sketch_estimate(sk_a)"),
+        ("B", "theta_sketch_estimate(sk_b)"),
+        ("A_union_B", "theta_sketch_estimate(theta_union(sk_a, sk_b))"),
+        (
+            "A_intersect_B",
+            "theta_sketch_estimate(theta_intersection(sk_a, sk_b))",
+        ),
+        ("A_minus_B", "theta_sketch_estimate(theta_difference(sk_a, sk_b))"),
+    ]
+    out = None
+    for name, expr in pairs:
+        row = sk.select(
+            F.lit(name).alias("set_op"),
+            F.round(est(expr)).cast("long").alias("est_distinct"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+KLL_K = 200  # DataSketches default: ~1.65% rank error, 99% confidence
+
+
+@register(
+    "d20_kll_quantile_sketch",
+    oracle=None,  # KLL compaction is randomized; ε-vs-exact in test_sketches
+    tags=("D20", "D12", "D16"),
+)
+def d20_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Karnin-Lang-Liberty 2016, Apache
+    DataSketches): per-status o_totalprice sketches queried at p25/p50/p75,
+    plus the MERGE of the per-status sketches re-queried — the property
+    D12's approx_percentile cannot offer: sketch state is a storable
+    value, so per-partition/per-day quantile sketches roll up to any
+    grain without rescanning (the same merge-don't-rescan design as D17's
+    HLL and D19's theta sketches, on the quantile axis).
+
+    Declared rows-only: KLL compaction makes coin-flip offset choices, so
+    the estimate is not bit-reproducible across runs — the test contract
+    is rank-ε instead: tests/test_sketches.py asserts each sketch
+    quantile lands within the documented ~1.65%·n rank error of the exact
+    order statistic, and that the merged sketch agrees with the sketch of
+    the union within the same bound.
+
+    Scale: the sketch aggregate carries O(k·log n) state through map-side
+    partial merges — the shuffle moves kilobyte sketches, not rows; exact
+    per-group percentiles (D16) by contrast sort every group's rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.expr(f"kll_sketch_agg_double(o_totalprice, {KLL_K})").alias("sk"),
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias(
+            "exact_q"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_out = per.select(
+        "o_orderstatus",
+        F.expr(
+            "kll_sketch_get_quantile_double(sk, cast(0.25 as double))"
+        ).alias("p25_est"),
+        F.expr(
+            "kll_sketch_get_quantile_double(sk, cast(0.5 as double))"
+        ).alias("p50_est"),
+        F.expr(
+            "kll_sketch_get_quantile_double(sk, cast(0.75 as double))"
+        ).alias("p75_est"),
+        F.col("exact_q")[0].alias("p25_exact"),
+        F.col("exact_q")[1].alias("p50_exact"),
+        F.col("exact_q")[2].alias("p75_exact"),
+        "n_rows",
+    )
+    # kll_sketch_merge_double is the BINARY merge (sketch ⊕ sketch), so the
+    # group-of-sketches rollup is a left fold over the collected list — the
+    # shape a real rollup job uses when combining per-partition sketch rows.
+    merged = per.agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(
+        F.aggregate(
+            F.slice("sks", 2, 1_000_000),
+            F.col("sks")[0],
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("msk"),
+        "n_rows",
+    ).select(
+        F.lit("ALL (merged sketches)").alias("o_orderstatus"),
+        F.expr(
+            "kll_sketch_get_quantile_double(msk, cast(0.25 as double))"
+        ).alias("p25_est"),
+        F.expr(
+            "kll_sketch_get_quantile_double(msk, cast(0.5 as double))"
+        ).alias("p50_est"),
+        F.expr(
+            "kll_sketch_get_quantile_double(msk, cast(0.75 as double))"
+        ).alias("p75_est"),
+        F.lit(None).cast("double").alias("p25_exact"),
+        F.lit(None).cast("double").alias("p50_exact"),
+        F.lit(None).cast("double").alias("p75_exact"),
+        "n_rows",
+    )
+    return per_out.unionAll(merged)

@@ -202,3 +202,78 @@ def k12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
         ).alias("top_bigram_frac"),
     )
+
+
+SNIP_PERMILLE = 20  # ~2% of docs contribute an eval snippet
+SNIP_START = 11  # 1-based start offset of the probe substring
+SNIP_LEN = 30  # probe length — long enough that chance collisions ≈ 0
+
+
+@register(
+    "k53_exact_substring_decontam",
+    oracle=f"""
+    WITH snips AS (
+        SELECT doc_id AS eval_doc,
+               substring(text, {SNIP_START}, {SNIP_LEN}) AS snip
+        FROM documents
+        WHERE {_H_DUCK} % 1000 < {SNIP_PERMILLE}
+          AND length(text) >= {SNIP_START + SNIP_LEN - 1}
+    ),
+    hits AS (
+        SELECT s.eval_doc, s.snip, d.doc_id AS hit_doc
+        FROM snips s JOIN documents d
+          ON d.doc_id <> s.eval_doc AND strpos(d.text, s.snip) > 0
+    )
+    SELECT s.eval_doc, s.snip,
+           CAST(COUNT(h.hit_doc) AS BIGINT) AS n_hit_docs,
+           MIN(h.hit_doc) AS first_hit_doc
+    FROM snips s LEFT JOIN hits h ON h.eval_doc = s.eval_doc
+    GROUP BY s.eval_doc, s.snip
+    """,
+    tags=("K53", "K12", "C7"),
+)
+def k53_exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the verbatim-leak complement of
+    K12's n-gram collision test): a hash-selected ~2% of documents each
+    contribute one 30-char probe substring, and the corpus is scanned for
+    OTHER documents containing that probe verbatim — the "did the eval
+    answer string leak into training text" check (Lee et al. 2022 run
+    exact-substring dedup for the same reason; 30 chars makes chance
+    collision probability negligible while catching quote-level leaks
+    that token-shingle Jaccard dilutes away).
+
+    Deterministic: the probe set is the K9 hash draw, the probe is a
+    fixed character window, containment is exact `instr`/`strpos` — pure
+    content functions, no floats anywhere.
+
+    Scale: the probe relation is tiny by construction (hash-capped), so
+    it BROADCASTS and the corpus streams through one substring-scan pass
+    — a broadcast nested-loop join whose cost is |corpus| × |probes|
+    character scans, the same shape as k4's broadcast-queries design; at
+    very large probe counts switch to the K12 gram-collision prefilter,
+    then verify only colliding pairs with this exact test.
+    """
+    d = table(spark, sf_dir, "documents")
+    snips = (
+        d.filter(F.expr(f"{_H_SPARK} % 1000 < {SNIP_PERMILLE}"))
+        .filter(F.length("text") >= SNIP_START + SNIP_LEN - 1)
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.substring("text", SNIP_START, SNIP_LEN).alias("snip"),
+        )
+    )
+    hits = d.select(F.col("doc_id").alias("hit_doc"), "text").join(
+        F.broadcast(snips),
+        (F.col("hit_doc") != F.col("eval_doc"))
+        & (F.instr(F.col("text"), F.col("snip")) > 0),
+    )
+    agg = hits.groupBy("eval_doc", "snip").agg(
+        F.count(F.lit(1)).alias("n_hit_docs"),
+        F.min("hit_doc").alias("first_hit_doc"),
+    )
+    return snips.join(agg, ["eval_doc", "snip"], "left").select(
+        "eval_doc",
+        "snip",
+        F.coalesce("n_hit_docs", F.lit(0)).cast("long").alias("n_hit_docs"),
+        "first_hit_doc",
+    )

@@ -64,3 +64,45 @@ def test_d17_hll_estimates_within_epsilon_and_merge_consistent(spark):
     assert abs(merged[0]["est_distinct"] - exact_all) <= max(
         3, 0.05 * exact_all
     )
+
+
+def test_d19_theta_exact_regime_pinned_by_oracle(spark):
+    # The DuckDB oracle pins exact set counts, so here just assert the
+    # internal consistency identities that must hold in the exact regime:
+    # |A∪B| = |A| + |B| − |A∩B| and |A\B| = |A| − |A∩B|.
+    rows = {
+        r["set_op"]: r["est_distinct"]
+        for r in REGISTRY["d19_theta_sketch_setops"].fn(spark, SF_ORACLE).collect()
+    }
+    assert rows["A_union_B"] == rows["A"] + rows["B"] - rows["A_intersect_B"]
+    assert rows["A_minus_B"] == rows["A"] - rows["A_intersect_B"]
+    assert rows["A_intersect_B"] > 0  # the two predicates genuinely overlap
+
+
+def test_d20_kll_quantiles_within_rank_epsilon(spark):
+    # KLL k=200 bounds rank error at ~1.65% (99% confidence). Convert to a
+    # value tolerance by checking the estimate's RANK against the exact
+    # order statistics: the estimated quantile must sit within 4% of the
+    # target rank in each group's sorted data (loose vs the bound).
+    from daas_apps_spark.catalog import table
+
+    rows = REGISTRY["d20_kll_quantile_sketch"].fn(spark, SF_ORACLE).collect()
+    per = [r for r in rows if r["p50_exact"] is not None]
+    merged = [r for r in rows if r["p50_exact"] is None]
+    assert per and len(merged) == 1
+    o = table(spark, SF_ORACLE, "orders").select("o_orderstatus", "o_totalprice")
+    import pandas as pd
+
+    pdf = o.toPandas()
+    def rank_of(series, value):
+        return (series <= value).mean()
+
+    for r in per:
+        grp = pdf[pdf.o_orderstatus == r.o_orderstatus].o_totalprice
+        for q, est in ((0.25, r.p25_est), (0.5, r.p50_est), (0.75, r.p75_est)):
+            assert abs(rank_of(grp, est) - q) <= 0.04, (r.o_orderstatus, q, est)
+    allv = pdf.o_totalprice
+    m = merged[0]
+    for q, est in ((0.25, m.p25_est), (0.5, m.p50_est), (0.75, m.p75_est)):
+        assert abs(rank_of(allv, est) - q) <= 0.04, ("merged", q, est)
+    assert m.n_rows == len(allv)
