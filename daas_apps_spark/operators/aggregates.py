@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from daas_apps_spark.catalog import table, tables
+from daas_apps_spark.catalog import register_views, table, tables
 from daas_apps_spark.functions.discipline import davg, dsum, sql_davg, sql_dsum
 from daas_apps_spark.registry import register
 
@@ -1133,3 +1133,42 @@ def d20_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return per_out.unionAll(merged)
+
+
+@register(
+    "d21_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_mktsegment
+    """,
+    tags=("D21", "D6", "D1"),
+)
+def d21_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (`listagg ... WITHIN GROUP`, Spark 4's
+    ANSI form of DuckDB's `string_agg`): the top-balance customer roster
+    per segment as one delimited string — the report-cell/export shape
+    D6's sorted collect_list feeds, produced directly by the engine.
+    WITHIN GROUP pins element order, so the concatenation is
+    deterministic and hash-matches the `string_agg(... ORDER BY)` twin.
+
+    Scale: per-group result size is the concern, not the aggregation
+    (it's one sort-based agg pass after the filter prunes) — an
+    unfiltered listagg over a hot key builds a gigabyte string on one
+    executor; bound group cardinality first (as the filter here does) or
+    keep D6's array form and explode downstream.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_acctbal > 9000
+        GROUP BY c_mktsegment
+        """
+    )

@@ -1436,3 +1436,49 @@ def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev"),
         )
     )
+
+
+@register(
+    "dq8_offset_completeness",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           CAST(MAX(event_id) - MIN(event_id) + 1 AS BIGINT) AS id_span,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+               AS missing_in_span,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS DOUBLE)
+               / CAST(MAX(event_id) - MIN(event_id) + 1 AS DOUBLE)
+               AS missing_rate
+    FROM events GROUP BY event_type
+    """,
+    tags=("DQ8", "DQ6", "D1"),
+)
+def dq8_offset_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-completeness audit: per event type, the id span
+    (max−min+1) vs the row count — the Kafka-offset / sequence-number
+    integrity check ("did the feed drop records"). Treating each type as
+    a logical feed over a shared global sequence makes the fixture show
+    genuinely non-zero missing_in_span per type (the ids interleave),
+    while the union of feeds is dense — exactly the pattern that
+    distinguishes "sharded feed" from "data loss" in a real pipeline,
+    and why the audit reports the rate instead of enforcing zero.
+
+    Determinism: counts and extrema are exact integers; the rate is one
+    exact-integer IEEE division. Scale: one aggregate over two pruned
+    columns, map-side partials — no window, no sort, no join; per-day
+    sub-spans would add a date_trunc key, nothing else.
+    """
+    e = table(spark, sf_dir, "events")
+    span = F.max("event_id") - F.min("event_id") + 1
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        span.cast("long").alias("id_span"),
+        (span - F.count(F.lit(1))).cast("long").alias("missing_in_span"),
+        (
+            (span - F.count(F.lit(1))).cast("double") / span.cast("double")
+        ).alias("missing_rate"),
+    )

@@ -1030,3 +1030,66 @@ def k47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(straddle, "method").select(
         "method", "n_train", "n_test", "n_clusters", "n_straddling"
     )
+
+
+def _k54_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    pairs_sql = REGISTRY["k3_lsh_near_dedup"].oracle
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    tagged AS (
+        SELECT LEAST(da.source, db.source) AS src_lo,
+               GREATEST(da.source, db.source) AS src_hi,
+               (da.source <> db.source) AS cross_source
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT src_lo, src_hi, cross_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY src_lo, src_hi, cross_source
+    """
+
+
+@register(
+    "k54_cross_source_dup_matrix",
+    oracle=_k54_oracle(),
+    tags=("K54", "K3", "C1", "D1"),
+)
+def k54_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: every verified near-dup pair (K3
+    LSH candidates that clear the Jaccard bar) tagged with the ordered
+    (source, source) pair it straddles — the provenance-overlap census a
+    corpus curator reads before ingesting a new scrape ("how much of
+    dump B is already in dump A"). Within-source pairs quantify internal
+    redundancy; cross-source pairs drive ingest-ordering and survivor
+    policy (keep the copy from the higher-trust source — K43's policy
+    question at the source grain).
+
+    One small join of the (already tiny) verified-pair relation against
+    the doc→source projection on each endpoint, then a census over the
+    |sources|² matrix. Scale follows K3: the pair relation is the
+    LSH-bounded candidate set, never N²; the doc→source side prunes to
+    two columns and shuffles by doc_id.
+    """
+    pairs = k3_lsh_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+            (F.col("sa") != F.col("sb")).alias("cross_source"),
+        )
+    )
+    return tagged.groupBy("src_lo", "src_hi", "cross_source").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -759,3 +759,106 @@ def b9_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "b15_null_handling",
+    oracle="""
+    WITH injected AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS acct,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+    ),
+    filled AS (
+        SELECT COALESCE(acct, 0.0) AS acct,
+               CASE COALESCE(seg, 'UNKNOWN')
+                    WHEN 'HOUSEHOLD' THEN 'HOME'
+                    ELSE COALESCE(seg, 'UNKNOWN') END AS seg
+        FROM injected
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(acct AS DECIMAL(18,4))) AS DOUBLE) AS sum_acct
+    FROM filled GROUP BY seg
+    """,
+    tags=("B15", "B6", "D1"),
+)
+def b15_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrameNaFunctions surface (`df.na.fill` / `df.na.replace`)
+    — declarative null repair as API calls rather than hand-written
+    CASE/COALESCE. The fixture has no nulls by construction, so the query
+    first INJECTS them deterministically (negative balances → NULL,
+    one segment → NULL), then repairs: fill acct with 0.0 and segment
+    with 'UNKNOWN', relabel HOUSEHOLD → HOME via na.replace, and census
+    the result. The oracle spells out the COALESCE/CASE equivalents —
+    pinning that the na.* sugar lowers to exactly those expressions
+    (they appear verbatim in the optimized plan, fully codegen).
+    """
+    c = table(spark, sf_dir, "customer")
+    injected = c.select(
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acct"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    filled = injected.na.fill({"acct": 0.0, "seg": "UNKNOWN"}).na.replace(
+        {"HOUSEHOLD": "HOME"}, subset=["seg"]
+    )
+    return filled.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("acct").alias("sum_acct"),
+    )
+
+
+_B16_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register(
+    "b16_group_by_all",
+    oracle=_B16_SQL,
+    tags=("B16", "D1", "A8"),
+)
+def b16_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL through the SQL front-end: the analyzer infers the
+    grouping keys from the non-aggregate select-list entries — the
+    exploratory-SQL convenience both modern engines converged on. The
+    SAME text runs on both engines, pinning that key inference picks the
+    identical column set (a regression here silently changes grain,
+    which is why it gets its own conformance query).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B16_SQL)
+
+
+_F6_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@register(
+    "f6_pagination",
+    oracle=_F6_SQL,
+    tags=("F6", "F1", "F3"),
+)
+def f6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination under a total order (page 3 of the
+    price-ranked report) — the API-server access pattern. Deterministic
+    because the sort is a TOTAL order (unique tie-break key); the SAME
+    text runs on both engines. Physical note: Spark executes this as a
+    single TakeOrderedAndProject of offset+limit rows (heap of 60), not
+    a full sort — still, deep pagination (OFFSET 10⁶) degrades linearly,
+    so production keyset-paginates (WHERE (price, key) < last_seen ORDER
+    BY ... LIMIT n) — that form is index/pruning-friendly at 100 TB.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_F6_SQL)
