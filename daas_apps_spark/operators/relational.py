@@ -862,3 +862,42 @@ def f6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_F6_SQL)
+
+
+_B17_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+WHERE o_totalprice > 200000
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "b17_pipe_syntax",
+    oracle=_B17_ORACLE,
+    tags=("B17", "B9", "C1", "D1"),
+)
+def b17_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operators, the GoogleSQL
+    pipe-query form): scan |> filter |> join |> aggregate reads in
+    dataflow order instead of inside-out SQL — the front-end surface a
+    migration from dataframe-first shops actually uses. The oracle is
+    the standard-SQL twin of the same plan, pinning that the pipe parser
+    lowers to identical semantics (filter pushdown and the join both
+    survive the rewrite — same optimized plan as the classic text).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 200000
+        |> JOIN customer ON c_custkey = o_custkey
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_big,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                         AS revenue
+           GROUP BY c_mktsegment
+        |> SELECT c_mktsegment, n_big, revenue
+        """
+    )

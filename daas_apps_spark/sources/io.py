@@ -363,3 +363,63 @@ def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_text_len"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@register(
+    "a21_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END) AS INTEGER)
+               AS batch_id
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A21", "A6", "A5"),
+)
+def a21_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-refresh sink: a
+    second batch containing ONLY partition F's (recomputed) rows
+    overwrites JUST that partition directory, leaving O/P untouched —
+    `partitionOverwriteMode=dynamic`, pinned per-writer via `.option()`
+    so no session state leaks. Static mode (the default) would have
+    deleted the whole table root first; the census proves O/P survived
+    batch 1 while F carries batch 2's doubled prices — the lakehouse
+    partition-level upsert that G5's row-level MERGE complements.
+
+    Reference analogy: the per-dataset output directories the reference
+    move-commits into (`FileMover.java:9-27`) are partition directories;
+    re-running one dataset must not clobber its siblings.
+
+    Scale: the overwrite cost is proportional to the REWRITTEN
+    partitions, not the table; at 100 TB daily refreshes rewrite only
+    touched date partitions. Concurrent writers to the SAME partition
+    still race (no table format here) — that is the jump to
+    Iceberg/Delta commit protocols, out of scope by declaration.
+    """
+    path = scratch_dir("a21_dyn_overwrite")
+    o = table(spark, sf_dir, "orders")
+    batch1 = o.withColumn("batch_id", F.lit(1))
+    batch1.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    batch2 = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("batch_id", F.lit(2))
+    )
+    (
+        batch2.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.max("batch_id").cast("int").alias("batch_id"),
+    )

@@ -394,3 +394,42 @@ def stateful_cusum(events: DataFrame, ref_means: dict[str, float]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def click_purchase_hourly_counts(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Chained stateful operators in ONE streaming query (Spark 4 lifts
+    the old one-stateful-op limit): the I9 stream-stream interval join
+    feeds a tumbling-window aggregate of attributed purchases per hour —
+    join state AND window state coexist, each bounded by its own
+    watermark arithmetic (the join emits with a delayed watermark; the
+    downstream window closes against that delayed clock, so no
+    correctness race between the two state stores).
+
+    Append-only: a window emits exactly once, when the post-join
+    watermark passes its end — the live test pins stream output ==
+    batch twin restricted to watermark-closed windows.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.groupBy(F.window("p_ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.max("purchase_id").alias("max_purchase_id"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "n_attributed",
+        "max_purchase_id",
+    )

@@ -530,3 +530,20 @@ def test_e11_rolling_median_single_user_shuffle(spark):
     plan = plan_of(spark, "e11_rolling_median")
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_join_strategy_hints_respected(spark):
+    # The optimizer's strategy hints are part of the engine contract: a
+    # user can force the join algorithm per-relation when the CBO guesses
+    # wrong (the manual analog of the reference's hand-scheduled stages).
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.partitioning import physical_plan
+
+    o = table(spark, SF_SMOKE, "orders")
+    c = table(spark, SF_SMOKE, "customer")
+    j_merge = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in physical_plan(j_merge)
+    j_shash = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in physical_plan(j_shash)
+    j_bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in physical_plan(j_bcast)

@@ -394,3 +394,56 @@ def test_stream_dedup_within_watermark_counts(spark, events_json_dir, tmp_path):
     )
     assert got.count() == batch.count()
     assert got.select("user_id", "event_type").distinct().count() == got.count()
+
+
+def test_chained_stateful_join_then_window_equals_batch(
+    spark, events_json_dir, tmp_path
+):
+    """I15 live: TWO stateful operators in one streaming query — the
+    watermarked stream-stream interval join feeding a tumbling-window
+    aggregate. Append mode emits a window exactly once, when the
+    post-join (delayed) watermark passes its end, so the batch twin is
+    restricted to windows the final watermark closed; every emitted
+    window must match the batch computation exactly."""
+    from daas_apps_spark.streaming.live import click_purchase_hourly_counts
+
+    src = events_file_stream(spark, events_json_dir, max_files_per_trigger=2)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    stream = click_purchase_hourly_counts(clicks, purchases)
+    run_stream_to_memory(stream, "t_chained", str(tmp_path / "ck"), "append")
+    got = spark.table("t_chained").toPandas()
+
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).json(events_json_dir)
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    want_all = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.max("purchase_id").alias("max_purchase_id"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_attributed", "max_purchase_id")
+        .toPandas()
+    )
+    # every window the stream emitted must match its batch twin exactly
+    assert len(got) > 0, "chained stateful query emitted nothing"
+    merged = got.merge(want_all, on="window_start", suffixes=("_got", "_want"))
+    assert len(merged) == len(got), "stream emitted a window batch doesn't have"
+    assert (merged.n_attributed_got == merged.n_attributed_want).all()
+    assert (merged.max_purchase_id_got == merged.max_purchase_id_want).all()
