@@ -28,6 +28,7 @@ from daas_apps_spark.sources import io  # noqa: F401  (A2-A7 round-trips)
 from daas_apps_spark.sources import python_datasource  # noqa: F401  (A11)
 from daas_apps_spark.operators import (  # noqa: F401
     timeseries,
+    mllib_lsh,
     ranking,
     graph,
     decontam,

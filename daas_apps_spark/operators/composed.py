@@ -1482,3 +1482,43 @@ def dq8_offset_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (span - F.count(F.lit(1))).cast("double") / span.cast("double")
         ).alias("missing_rate"),
     )
+
+
+_C22_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 5
+  AND l.l_quantity <
+      (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) / COUNT(*))
+       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+
+@register(
+    "c22_small_quantity_revenue",
+    oracle=_C22_SQL,
+    tags=("C22", "B11", "C1", "D1"),
+)
+def c22_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped composition (small-quantity order revenue): lines
+    whose quantity falls below 20% of their part's OWN average quantity —
+    a correlated scalar AGGREGATE subquery over the same fact table the
+    outer query scans. Catalyst decorrelates it into a per-part average
+    aggregate joined back to the fact (two passes over lineitem keyed on
+    partkey — colocated under partkey bucketing); engines that naively
+    re-execute the subquery per outer row go quadratic here, which is
+    why Q17 is the canonical decorrelation benchmark.
+
+    Determinism: the comparison threshold is decimal-sum/COUNT through
+    one multiply — the identical expression tree on both engines (same
+    SQL text), so the float compare sees the same bits; the report sum
+    is decimal-disciplined with a final ROUND.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C22_SQL)

@@ -423,3 +423,58 @@ def a21_dynamic_partition_overwrite(
         dsum("o_totalprice").alias("revenue"),
         F.max("batch_id").cast("int").alias("batch_id"),
     )
+
+
+@register(
+    "a22_csv_quoted_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_len,
+           CAST(SUM(('0x' || substring(md5(text), 1, 7))::BIGINT) AS BIGINT)
+               AS content_digest
+    FROM documents GROUP BY lang
+    """,
+    tags=("A22", "A2", "A15", "K7"),
+)
+def a22_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-safe CSV round-trip: the DOCUMENTS table — free text with
+    commas, quotes, arbitrary unicode — written to CSV with explicit
+    quoting/escaping (`quoteAll`, doubled-quote escape) and read back
+    with `multiLine` (a quoted field may span physical lines), then
+    censused per language with a content digest (sum of md5-prefix ints
+    of the text). The digest hash-matching the ORIGINAL table proves the
+    round-trip byte-lossless — the failure mode this guards is silent:
+    naive CSV handling truncates at embedded delimiters/newlines and
+    still produces plausible-looking rows.
+
+    Scale note: `multiLine` CSV is NOT splittable (a record boundary
+    can't be found mid-file), so the writer controls parallelism via
+    file count — the same writer-sizes-the-read contract as gzip (A17).
+    """
+    path = scratch_dir("a22_csv_quoted")
+    d = table(spark, sf_dir, "documents")
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    digest = "cast(conv(substring(md5(text), 1, 7), 16, 10) as bigint)"
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_len"),
+        F.sum(F.expr(digest)).alias("content_digest"),
+    )

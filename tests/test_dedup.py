@@ -122,3 +122,27 @@ def test_k51_cdc_census_matches_python_reference(spark):
         lang: (len(a[0]), a[1], len(a[2])) for lang, a in agg.items()
     }
     assert got == want
+
+
+def test_k55_mllib_lsh_recalls_handrolled_pairs(spark):
+    """The MLlib MinHashLSH path and the hand-rolled SQL LSH path must
+    agree: every oracle-verified near-dup pair (exact Jaccard ≥ 0.5 from
+    k3) should be recovered by the MLlib candidate join (6 hash tables
+    make a miss on a ≥0.5-similar pair vanishingly unlikely), and every
+    MLlib pair at the threshold must be genuinely similar per its own
+    exact-on-vectors distance."""
+    from daas_apps_spark.registry import REGISTRY
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["k3_lsh_near_dedup"].fn(spark, SF_ORACLE).collect()
+    }
+    got_rows = REGISTRY["k55_mllib_minhash_lsh"].fn(spark, SF_ORACLE).collect()
+    got = {(r.doc_a, r.doc_b) for r in got_rows}
+    assert truth, "hand-rolled path found no pairs — fixture changed?"
+    missed = truth - got
+    assert len(missed) <= max(1, len(truth) // 10), (
+        f"MLlib LSH missed {len(missed)}/{len(truth)} verified pairs"
+    )
+    for r in got_rows:
+        assert r.jaccard >= 0.49, (r.doc_a, r.doc_b, r.jaccard)
