@@ -451,3 +451,111 @@ def gr3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+GR4_TOP = 25
+
+
+@register(
+    "gr4_link_prediction",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
+    adj AS (
+        SELECT u AS a, v AS b FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM adj GROUP BY a
+    ),
+    cand AS (
+        SELECT x.a AS u, y.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+        FROM adj x JOIN adj y ON y.a = x.b AND x.a < y.b
+        GROUP BY x.a, y.b
+    ),
+    nonedge AS (
+        SELECT c.u, c.v, c.common
+        FROM cand c LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL
+    )
+    SELECT u, v, common,
+           CAST(common AS DOUBLE)
+               / CAST(du.degree + dv.degree - common AS DOUBLE)
+               AS nbr_jaccard,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT n.*, du2.degree AS dg_u, dv2.degree AS dg_v,
+               ROW_NUMBER() OVER (ORDER BY common DESC, u, v) AS rnk
+        FROM nonedge n
+        JOIN deg du2 ON du2.node = n.u
+        JOIN deg dv2 ON dv2.node = n.v
+    ) r
+    JOIN deg du ON du.node = r.u
+    JOIN deg dv ON dv.node = r.v
+    WHERE rnk <= {GR4_TOP}
+    """,
+    tags=("GR4", "GR2", "K4"),
+)
+def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the GR2 backbone: for every NON-adjacent
+    supplier pair with at least one common neighbor, the common-neighbor
+    count and neighborhood Jaccard |Γu∩Γv| / |Γu∪Γv| — the classic
+    local-similarity predictors (Liben-Nowell & Kleinberg 2003) behind
+    "suppliers likely to co-supply next". Top-25 under a total order.
+
+    The candidate space is the 2-hop wedge join (same shape as GR2's
+    triangle wedges) minus existing edges via left-anti — never all
+    pairs; scores are exact integers and one exact-integer IEEE division
+    (Adamic-Adar is deliberately absent: its Σ 1/log(deg) float
+    accumulation is association-order-dependent — the t14 regr_* rule).
+
+    Scale: wedge fan-out is bounded by per-node degree in the
+    significance backbone (the threshold keeps it sparse at every
+    scale); the anti-join is keyed on the pair. Degree attach is two
+    small joins against the |V|-row degree table.
+    """
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    x = adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    y = adj.select(F.col("a").alias("mid"), F.col("b").alias("v"))
+    cand = (
+        x.join(y, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedge = cand.join(edges, ["u", "v"], "left_anti")
+    scored = (
+        nonedge.join(
+            deg.select(F.col("node").alias("u"), F.col("degree").alias("dg_u")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("degree").alias("dg_v")),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("dg_u") + F.col("dg_v") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("nbr_jaccard"),
+        )
+    )
+    w = Window.partitionBy().orderBy(
+        F.col("common").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GR4_TOP)
+    )

@@ -901,3 +901,29 @@ def b17_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT c_mktsegment, n_big, revenue
         """
     )
+
+
+@register(
+    "b18_select_except",
+    oracle="""
+    SELECT * EXCLUDE (o_totalprice, o_orderpriority)
+    FROM orders WHERE o_orderkey < 100
+    """,
+    tags=("B18", "B1"),
+)
+def b18_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` — subtractive projection through the SQL
+    front-end (DuckDB spells it EXCLUDE; the semantics are identical and
+    the hash-match pins that). The practical 100 TB point: the analyzer
+    resolves the subtraction to an explicit column list BEFORE
+    optimization, so column pruning still reaches the scan — dropping
+    two columns of a 300-column fact this way reads 298, not 300 plus a
+    projection.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderpriority)
+        FROM orders WHERE o_orderkey < 100
+        """
+    )

@@ -802,3 +802,49 @@ def h_collation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "h_format_functions",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%08d', o_orderkey) AS key_padded,
+           printf('%.2f', o_totalprice) AS price_fixed,
+           printf('%e', CAST(o_orderkey * 12345 AS DOUBLE)) AS key_sci,
+           printf('%x', o_orderkey * 2654435761 % 4294967296) AS key_hex,
+           format('{:,}', CAST(FLOOR(o_totalprice) AS BIGINT)) AS price_grouped,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '*') AS key_lpad,
+           CAST(REPLACE('12,345.67', ',', '') AS DECIMAL(10,2)) AS parsed_amt
+    FROM orders WHERE o_orderkey < 50
+    """,
+    tags=("H",),
+)
+def h_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting/parsing battery: printf-style padding, fixed/scientific
+    rendering, hex, locale-free thousands grouping, lpad, and
+    numeric parsing (`to_number` with a format mask vs DuckDB's
+    strip-and-cast twin). Float-to-string is the subtle cross-engine
+    surface here: Java's Formatter and C's printf agree on %.2f/%e for
+    every double whose decimal rendering doesn't hit a rounding midpoint
+    — %.2f of 2-decimal prices never does, but %e DOES (the mantissa
+    shift re-exposes the trailing 5, where Java rounds HALF_UP and C
+    half-even), so the scientific column runs on an exactly-representable
+    integer-valued double instead — midpoint-avoidance is the battery's
+    documented determinism contract; %x runs on an exact integer Knuth-hash so the
+    hex path is integer-only.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 50)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", "o_orderkey").alias("key_padded"),
+        F.format_string("%.2f", "o_totalprice").alias("price_fixed"),
+        F.format_string("%e", F.expr("cast(o_orderkey * 12345 as double)")).alias("key_sci"),
+        F.format_string(
+            "%x", F.expr("o_orderkey * 2654435761L % 4294967296L")
+        ).alias("key_hex"),
+        F.format_number(F.floor("o_totalprice").cast("long"), 0).alias(
+            "price_grouped"
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "*").alias("key_lpad"),
+        F.expr("to_number('12,345.67', '99,999.99')").alias("parsed_amt"),
+    )

@@ -1126,3 +1126,111 @@ def k52_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rate").alias("min_rate"),
         F.max("rate").alias("max_rate"),
     )
+
+
+@register(
+    "k56_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               md5(text) AS digest
+        FROM documents
+    ),
+    core AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p50_len,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p90_len,
+               CAST(COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT)
+                   AS n_short
+        FROM base
+    ),
+    toplang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY lang
+        ORDER BY n DESC, lang LIMIT 1
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM core
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM core
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM core
+    UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM core
+    UNION ALL SELECT 'mean_doc_chars',
+        CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM core
+    UNION ALL SELECT 'p50_doc_chars', CAST(p50_len AS DOUBLE) FROM core
+    UNION ALL SELECT 'p90_doc_chars', CAST(p90_len AS DOUBLE) FROM core
+    UNION ALL SELECT 'exact_dup_rate',
+        CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM core
+    UNION ALL SELECT 'short_doc_rate',
+        CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM core
+    UNION ALL SELECT 'top_lang_share',
+        CAST((SELECT n FROM toplang) AS DOUBLE)
+            / CAST(n_docs AS DOUBLE) FROM core
+    """,
+    tags=("K56", "K11", "D13", "D16"),
+)
+def k56_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (the Datasheets-for-Datasets / HF dataset
+    card quantitative block as ONE query): corpus size, language/source
+    breadth, length distribution (exact discrete percentiles), exact-dup
+    rate from content digests, short-doc share, and top-language
+    concentration — long-form (metric, value) so downstream tooling
+    renders it directly. This is the governance deliverable the K-surface
+    exists to feed; every number is an exact count, an actual data point
+    (percentile_disc), or an exact-integer IEEE ratio, so the card
+    hash-matches with no rounding discipline.
+
+    Scale: one wide aggregate over the corpus (digest + lang + source
+    distincts share the scan via Expand) plus a |langs|-row census for
+    the concentration metric — two fact passes, no joins of fact scale.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars", F.md5("text").alias("digest")
+    )
+    core = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("digest").alias("n_distinct"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p50_len"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p90_len"),
+        F.count(F.when(F.col("n_chars") < 100, 1)).alias("n_short"),
+    )
+    toplang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("n").alias("top_n"))
+    )
+    c = core.crossJoin(F.broadcast(toplang))
+    nd = F.col("n_docs").cast("double")
+    metrics = [
+        ("n_docs", nd),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("total_chars", F.col("total_chars").cast("double")),
+        ("mean_doc_chars", F.col("total_chars").cast("double") / nd),
+        ("p50_doc_chars", F.col("p50_len").cast("double")),
+        ("p90_doc_chars", F.col("p90_len").cast("double")),
+        (
+            "exact_dup_rate",
+            (F.col("n_docs") - F.col("n_distinct")).cast("double") / nd,
+        ),
+        ("short_doc_rate", F.col("n_short").cast("double") / nd),
+        ("top_lang_share", F.col("top_n").cast("double") / nd),
+    ]
+    out = None
+    for name, expr in metrics:
+        row = c.select(F.lit(name).alias("metric"), expr.alias("value"))
+        out = row if out is None else out.unionAll(row)
+    return out
