@@ -1317,6 +1317,7 @@ LIMIT 20
     "c21_waiting_supplier",
     oracle=_C21_SQL,
     tags=("C21", "B9", "C3", "C4", "F4"),
+    bench=True,
 )
 def c21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-shaped composition (suppliers who kept orders waiting):

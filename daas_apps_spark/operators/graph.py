@@ -496,6 +496,7 @@ GR4_TOP = 25
     WHERE rnk <= {GR4_TOP}
     """,
     tags=("GR4", "GR2", "K4"),
+    bench=True,
 )
 def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the GR2 backbone: for every NON-adjacent
