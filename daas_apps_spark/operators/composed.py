@@ -1523,3 +1523,52 @@ def c22_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_C22_SQL)
+
+
+_C23_SQL = """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS v
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substring(c_name, 10, 2) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY cntrycode
+"""
+
+
+@register(
+    "c23_sales_opportunity",
+    oracle=_C23_SQL,
+    tags=("C23", "C4", "B11", "D1"),
+)
+def c23_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped composition (global sales opportunity): customers
+    with above-average positive balance and no RECENT orders (none since
+    2000 — the lapsed-account twist that keeps the census non-empty on a
+    fixture where every customer ordered at least once), censused by a
+    code derived from the customer name — an uncorrelated scalar
+    subquery (the global average, broadcast as a 1-row literal) feeding
+    a filter, composed with a NOT EXISTS anti-join against the fact.
+    The remaining TPC-H nesting archetype after Q17/Q20/Q21: scalar
+    threshold + anti-join + derived-column grouping in one statement.
+
+    Determinism: the threshold is a decimal-sum / COUNT through one
+    division — the identical expression tree on both engines (same SQL
+    text); the report sum is decimal-disciplined; the country code is a
+    pure substring.
+
+    Scale: the scalar subquery is one tiny aggregate broadcast into the
+    filter; the anti-join hashes on custkey (colocated under custkey
+    bucketing); everything else is map-side.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C23_SQL)

@@ -757,3 +757,71 @@ def k49_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq9_embedding_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT label, len(embedding) AS dim,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm,
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> x = 0.0)) = len(embedding) AS is_zero,
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> isnan(x) OR NOT isfinite(x))) > 0
+                   AS has_nonfinite
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(CASE WHEN dim = {DIMS} THEN 1 END) AS BIGINT) AS n_dim_ok,
+           CAST(COUNT(CASE WHEN is_zero THEN 1 END) AS BIGINT) AS n_zero,
+           CAST(COUNT(CASE WHEN has_nonfinite THEN 1 END) AS BIGINT)
+               AS n_nonfinite,
+           ROUND(MIN(norm), 4) AS min_norm,
+           ROUND(MAX(norm), 4) AS max_norm
+    FROM base GROUP BY label
+    """,
+    tags=("DQ9", "K4", "DQ2"),
+)
+def dq9_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per label, dimension-consistency count,
+    zero-vector and non-finite detection, and the norm range — the
+    ingest gate an ANN index needs BEFORE the K4 family touches the
+    corpus (a zero vector makes cosine undefined; a NaN poisons every
+    distance it meets; a dimension mismatch crashes the index build at
+    the worst possible time). The DQ2/DQ4 audit discipline applied to
+    the vector column: report, never enforce.
+
+    Determinism: norms come from the same sequential-fold Σx² both
+    engines use for the K4 dot products (identical bits), min/max are
+    order statistics, every count is exact; ROUND(,4) absorbs nothing —
+    it is presentation only.
+
+    Scale: one map-side projection per vector + a |labels|-row
+    aggregate; the scan reads two columns. At 100 TB this runs as the
+    validation pass of the embedding-ingest job, sharing its scan.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    base = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(dot(emb, emb)).alias("norm"),
+        (
+            F.size(F.filter(emb, lambda x: x == 0.0)) == F.size("embedding")
+        ).alias("is_zero"),
+        (
+            F.size(F.filter(emb, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))))
+            > 0
+        ).alias("has_nonfinite"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count(F.when(F.col("dim") == DIMS, 1)).alias("n_dim_ok"),
+        F.count(F.when(F.col("is_zero"), 1)).alias("n_zero"),
+        F.count(F.when(F.col("has_nonfinite"), 1)).alias("n_nonfinite"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )

@@ -1234,3 +1234,90 @@ def k56_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = c.select(F.lit(name).alias("metric"), expr.alias("value"))
         out = row if out is None else out.unionAll(row)
     return out
+
+
+K57_VOCAB = 12  # tokenizer vocabulary budget — the fixture's synthetic
+# whitespace vocabulary is ~31 tokens, so a 12-token budget produces a real
+# OOV spread (deciles 2-8); production would use 32k-128k over a BPE alphabet
+
+
+@register(
+    "k57_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (
+                ORDER BY COUNT(*) DESC, tok ASC) AS rnk
+            FROM toks GROUP BY tok
+        ) WHERE rnk <= {K57_VOCAB}
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT)
+                   AS n_oov
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id
+    )
+    SELECT CAST(FLOOR(CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE) * 10)
+                AS INTEGER) AS oov_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+           CAST(SUM(n_oov) AS BIGINT) AS total_oov
+    FROM per_doc GROUP BY oov_decile
+    """,
+    tags=("K57", "K5", "K8", "K46"),
+)
+def k57_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-coverage audit: fit a top-K57_VOCAB
+    frequency vocabulary on the corpus (count-desc, token-asc ties —
+    deterministic), then census each document's out-of-vocabulary token
+    rate into deciles — the "will my tokenizer shatter this corpus into
+    UNK/bytes" check run before committing a vocab budget (the
+    acceptance test for K46's BPE induction, at the whole-corpus grain).
+    High-OOV deciles localize exactly which documents a bigger vocab
+    would help.
+
+    Determinism: the vocab is a rank-window under a total order; OOV
+    membership is a left join; the decile is floor of an exact-integer
+    IEEE ratio.
+
+    Scale: token explode is map-side; the vocab fits in a broadcast by
+    construction (top-K), so the membership probe never shuffles the
+    token stream; per-doc aggregation shuffles on doc_id once. Same
+    shape as K21's surprisal join.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    w = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("tok", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= K57_VOCAB)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    decile = F.floor(
+        F.col("n_oov").cast("double") / F.col("n_toks").cast("double") * 10
+    ).cast("int")
+    return per_doc.groupBy(decile.alias("oov_decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        F.sum("n_oov").alias("total_oov"),
+    )

@@ -547,3 +547,21 @@ def test_join_strategy_hints_respected(spark):
     assert "ShuffledHashJoin" in physical_plan(j_shash)
     j_bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
     assert "BroadcastHashJoin" in physical_plan(j_bcast)
+
+
+def test_cached_table_reused_in_plan(spark):
+    # spark.catalog caching surface: a cached relation must serve
+    # subsequent scans from InMemoryTableScan instead of re-reading
+    # parquet — the iterative-workload accelerator (GR1/K13 would reuse
+    # the same mechanism for their edge/centroid relations at scale).
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.partitioning import physical_plan
+
+    o = table(spark, SF_SMOKE, "orders").filter("o_totalprice > 0")
+    o.cache()
+    try:
+        o.count()  # materialize
+        plan = physical_plan(o.groupBy("o_orderstatus").count())
+        assert "InMemoryTableScan" in plan
+    finally:
+        o.unpersist()
