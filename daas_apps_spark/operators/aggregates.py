@@ -1172,3 +1172,62 @@ def d21_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "g8_union_by_name",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS key, o_totalprice AS amount,
+               o_orderpriority AS priority, NULL AS segment
+        FROM orders WHERE o_orderkey < 200
+    ),
+    b AS (
+        SELECT c_custkey AS key, c_acctbal AS amount,
+               NULL AS priority, c_mktsegment AS segment
+        FROM customer WHERE c_custkey < 200
+    ),
+    u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+    SELECT COALESCE(priority, 'none') AS priority,
+           COALESCE(segment, 'none') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+    FROM u GROUP BY 1, 2
+    """,
+    tags=("G8", "G1", "B1"),
+)
+def g8_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union with missing columns
+    (`unionByName(allowMissingColumns=True)` ↔ DuckDB's
+    `UNION ALL BY NAME`): two relations sharing only part of their
+    schema are combined BY COLUMN NAME, absent columns null-filled — the
+    multi-batch ingestion primitive when feeds evolve independently
+    (A12's mergeSchema at the DataFrame level). Positional UNION would
+    silently zip mismatched columns; the census over the null-filled
+    markers pins that both engines align by name identically.
+    """
+    t = tables(spark, sf_dir)
+    a = (
+        t.orders.filter(F.col("o_orderkey") < 200)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    b = (
+        t.customer.filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_acctbal").alias("amount"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("priority", F.lit("none")).alias("priority"),
+        F.coalesce("segment", F.lit("none")).alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("amount").alias("total_amount"),
+    )

@@ -1321,3 +1321,127 @@ def k57_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_toks"),
         F.sum("n_oov").alias("total_oov"),
     )
+
+
+# K58 ablation rules: (name, duck_predicate). Thresholds chosen so each
+# rule genuinely bites on the fixture (len: 37 docs, dup: 9, stop: ~50).
+K58_MIN_LEN = 100
+K58_DUP_MAX = 0.7
+K58_STOP_MIN = 0.01
+
+
+@register(
+    "k58_filter_ablation",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               length(text) >= {K58_MIN_LEN} AS r_len,
+               1.0 - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+                   / len(string_split(lower(text), ' ')) < {K58_DUP_MAX} AS r_dup,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> list_contains({list(STOPWORDS)}, x)))::DOUBLE
+                   / len(string_split(lower(text), ' ')) >= {K58_STOP_MIN}
+                   AS r_stop
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, r_len, r_dup, r_stop,
+               CAST(NOT r_len AS INTEGER) + CAST(NOT r_dup AS INTEGER)
+                   + CAST(NOT r_stop AS INTEGER) AS n_failed
+        FROM t
+    )
+    SELECT rule,
+           CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_fail_only AS BIGINT) AS n_fail_only,
+           CAST((SELECT COUNT(*) FROM flags WHERE n_failed = 0) AS BIGINT)
+               AS n_pass_all
+    FROM (
+        SELECT 'min_len' AS rule,
+               COUNT(CASE WHEN NOT r_len THEN 1 END) AS n_fail,
+               COUNT(CASE WHEN NOT r_len AND n_failed = 1 THEN 1 END)
+                   AS n_fail_only
+        FROM flags
+        UNION ALL
+        SELECT 'dup_ratio',
+               COUNT(CASE WHEN NOT r_dup THEN 1 END),
+               COUNT(CASE WHEN NOT r_dup AND n_failed = 1 THEN 1 END)
+        FROM flags
+        UNION ALL
+        SELECT 'stopword_floor',
+               COUNT(CASE WHEN NOT r_stop THEN 1 END),
+               COUNT(CASE WHEN NOT r_stop AND n_failed = 1 THEN 1 END)
+        FROM flags
+    )
+    """,
+    tags=("K58", "K6", "D9"),
+)
+def k58_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation report: for each K6-style rule (length
+    floor, repetition ceiling, stopword floor), how many documents fail
+    it at all and how many fail ONLY it — the marginal-impact census a
+    curation review reads before shipping a filter stack (a rule whose
+    kills are all shared with other rules is redundant; one with many
+    sole kills deserves a manual sample). Same decision-support shape as
+    K43's survivor census, on the filter axis.
+
+    Determinism: each rule is an exact-ratio threshold compare (the K6
+    discipline); the report is three filtered counts per rule over one
+    boolean projection.
+
+    Scale: ONE corpus pass computes all rule flags map-side; the report
+    is a 3-row aggregate — adding a rule adds a column, not a pass.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_ch = F.length("text")
+    dup = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / F.size(toks)
+    )
+    flags = d.select(
+        (n_ch >= K58_MIN_LEN).alias("r_len"),
+        (dup < K58_DUP_MAX).alias("r_dup"),
+        (stop >= K58_STOP_MIN).alias("r_stop"),
+    ).select(
+        "r_len",
+        "r_dup",
+        "r_stop",
+        (
+            (~F.col("r_len")).cast("int")
+            + (~F.col("r_dup")).cast("int")
+            + (~F.col("r_stop")).cast("int")
+        ).alias("n_failed"),
+    )
+    agg = flags.agg(
+        F.count(F.when(~F.col("r_len"), 1)).alias("f_len"),
+        F.count(F.when(~F.col("r_len") & (F.col("n_failed") == 1), 1)).alias(
+            "fo_len"
+        ),
+        F.count(F.when(~F.col("r_dup"), 1)).alias("f_dup"),
+        F.count(F.when(~F.col("r_dup") & (F.col("n_failed") == 1), 1)).alias(
+            "fo_dup"
+        ),
+        F.count(F.when(~F.col("r_stop"), 1)).alias("f_stop"),
+        F.count(F.when(~F.col("r_stop") & (F.col("n_failed") == 1), 1)).alias(
+            "fo_stop"
+        ),
+        F.count(F.when(F.col("n_failed") == 0, 1)).alias("n_pass_all"),
+    )
+    out = None
+    for rule, f, fo in (
+        ("min_len", "f_len", "fo_len"),
+        ("dup_ratio", "f_dup", "fo_dup"),
+        ("stopword_floor", "f_stop", "fo_stop"),
+    ):
+        row = agg.select(
+            F.lit(rule).alias("rule"),
+            F.col(f).alias("n_fail"),
+            F.col(fo).alias("n_fail_only"),
+            F.col("n_pass_all"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

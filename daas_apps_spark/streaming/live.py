@@ -433,3 +433,59 @@ def click_purchase_hourly_counts(
         "n_attributed",
         "max_purchase_id",
     )
+
+
+def register_python_stream_source(spark: SparkSession) -> None:
+    """A23: a STREAMING Python Data Source (Spark 4's
+    ``SimpleDataSourceStreamReader``) — a deterministic synthetic tick
+    stream whose offset is just an integer row counter. Each micro-batch
+    reads the next slice of rows generated from the offset arithmetic
+    alone (pure function of the counter, the A11 rule for batch
+    sources), so any trigger pacing replays to the identical table —
+    asserted live in tests/test_streaming_live.py.
+
+    This is the R21-style "custom ingest dispatch" surface on the
+    streaming side: a production analog would wrap a REST/queue poller
+    the same way, with `initialOffset`/`read`/`commit` mapping to
+    cursor-init / fetch-since / ack.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TickStreamReader(SimpleDataSourceStreamReader):
+        ROWS_PER_BATCH = 25
+        MAX_ROWS = 100
+
+        def initialOffset(self):
+            return {"n": 0}
+
+        def read(self, start):
+            n = start["n"]
+            if n >= self.MAX_ROWS:
+                return iter([]), {"n": n}
+            end = min(n + self.ROWS_PER_BATCH, self.MAX_ROWS)
+            rows = [(i, i % 7, float(i) * 1.5) for i in range(n, end)]
+            return iter(rows), {"n": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, i % 7, float(i) * 1.5) for i in range(start["n"], end["n"])]
+            )
+
+        def commit(self, end):
+            pass
+
+    class TickStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_ticks"
+
+        def schema(self) -> str:
+            return "tick_id long, shard int, value double"
+
+        def simpleStreamReader(self, schema) -> TickStreamReader:
+            return TickStreamReader()
+
+    spark.dataSource.register(TickStreamSource)

@@ -447,3 +447,34 @@ def test_chained_stateful_join_then_window_equals_batch(
     assert len(merged) == len(got), "stream emitted a window batch doesn't have"
     assert (merged.n_attributed_got == merged.n_attributed_want).all()
     assert (merged.max_purchase_id_got == merged.max_purchase_id_want).all()
+
+
+def test_python_stream_source_replays_deterministically(spark, tmp_path):
+    """A23 live: the Python streaming data source drains its synthetic
+    offset range through availableNow micro-batches and lands exactly the
+    deterministic table its offset arithmetic defines — the cursor-based
+    custom-ingest surface (initialOffset/read/commit)."""
+    from daas_apps_spark.streaming.live import register_python_stream_source
+
+    register_python_stream_source(spark)
+    # availableNow snapshots ONE read() slice per run, so drain the
+    # 100-row offset range by re-running against the SAME checkpoint —
+    # each run resumes from the committed cursor, which is exactly the
+    # initialOffset/read/commit contract the test exists to pin.
+    out_dir = str(tmp_path / "out")
+    for _ in range(6):
+        stream = spark.readStream.format("synthetic_ticks").load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out_dir).toPandas().sort_values("tick_id")
+    assert len(got) == 100
+    assert got.tick_id.tolist() == list(range(100))
+    assert (got.shard == got.tick_id % 7).all()
+    assert (got.value == got.tick_id * 1.5).all()
