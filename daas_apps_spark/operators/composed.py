@@ -1572,3 +1572,41 @@ def c23_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_C23_SQL)
+
+
+_C24_SQL = """
+WITH per_cust AS (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@register(
+    "c24_customer_distribution",
+    oracle=_C24_SQL,
+    tags=("C24", "C2", "D1"),
+)
+def c24_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped composition (customer order-count distribution):
+    LEFT OUTER join with a predicate ON THE JOIN CONDITION (not a WHERE
+    — moving it to WHERE would silently drop the zero-order customers
+    that are the query's whole point), then an aggregate OF an aggregate:
+    per-customer counts re-grouped into a distribution histogram. The
+    two-level aggregation is the shape behind every "distribution of
+    per-entity activity" report.
+
+    Scale: the join shuffles on custkey; the first aggregate collapses
+    to |customers| rows reusing the join's partitioning (no second
+    exchange for it — the aggregate keys prefix the join keys); the
+    histogram aggregate shuffles |customers| narrow rows down to the
+    ~dozen distinct counts.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C24_SQL)

@@ -1236,3 +1236,79 @@ def t14_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope * (F.col("x_max") + T14_HORIZON).cast("double") + intercept
         ).alias("forecast"),
     )
+
+
+@register(
+    "t15_series_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS BIGINT) AS x,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    sums AS (
+        SELECT date_trunc('week', d) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM daily GROUP BY 1
+    )
+    SELECT wk, n, sx AS clicks, sy AS purchases,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS pearson_r
+    FROM sums WHERE n >= 3
+    """,
+    tags=("T15", "T14", "D7"),
+)
+def t15_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week Pearson correlation between the daily click and purchase
+    count series — "do clicks co-move with purchases this week", the
+    leading-indicator check behind funnel-health dashboards. Like T14,
+    the estimator is computed from exact BIGINT sums (n, Σx, Σy, Σxy,
+    Σx², Σy² over integer daily counts) with the final r assembled in
+    one pinned float expression — `corr()` itself float-accumulates
+    per row (association-order-dependent), so it is deliberately
+    avoided; degenerate weeks (zero variance on either side) return
+    NULL rather than a 0/0 NaN.
+
+    Scale: the fact collapses to |days| rows map-side; the weekly
+    regression sums and the r-expression run over that tiny rollup —
+    two cheap aggregates after one fact pass.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    sums = daily.groupBy(F.date_trunc("week", "d").alias("wk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (var_x > 0) & (var_y > 0),
+        cov_n.cast("double")
+        / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+    )
+    return (
+        sums.filter(F.col("n") >= 3)
+        .select(
+            "wk",
+            "n",
+            F.col("sx").alias("clicks"),
+            F.col("sy").alias("purchases"),
+            r.alias("pearson_r"),
+        )
+    )
