@@ -825,3 +825,107 @@ def dq9_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("norm"), 4).alias("min_norm"),
         F.round(F.max("norm"), 4).alias("max_norm"),
     )
+
+
+DRIFT_FP = 1_000_000_000  # 1e-9 fixed-point units for centroid sums
+
+
+@register(
+    "dq10_embedding_drift",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, vec_id % 2 AS half, CAST(t.i AS INTEGER) AS dim,
+               CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+                          * {DRIFT_FP}) AS BIGINT) AS xf
+        FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    coords AS (
+        SELECT label, half, dim,
+               CAST(SUM(xf) AS DOUBLE)
+                   / ({DRIFT_FP}.0 * COUNT(*)) AS coord
+        FROM ex GROUP BY label, half, dim
+    ),
+    cents AS (
+        SELECT label, half,
+               list_transform(
+                   list_sort(list_zip(list(dim), list(coord))),
+                   p -> p[2]) AS c
+        FROM coords GROUP BY label, half
+    ),
+    pairs AS (
+        SELECT a.label, a.c AS ca, b.c AS cb
+        FROM cents a JOIN cents b
+          ON a.label = b.label AND a.half = 0 AND b.half = 1
+    ),
+    sizes AS (
+        SELECT label,
+               CAST(COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+                   AS n_a,
+               CAST(COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+                   AS n_b
+        FROM embeddings GROUP BY label
+    )
+    SELECT p.label, s.n_a, s.n_b,
+           ROUND(list_dot_product(ca, cb)
+                 / (sqrt(list_dot_product(ca, ca))
+                    * sqrt(list_dot_product(cb, cb))), 6) AS centroid_cosine
+    FROM pairs p JOIN sizes s ON s.label = p.label
+    """,
+    tags=("DQ10", "DQ9", "K13", "K4"),
+)
+def dq10_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift audit: per label, the cosine between
+    the centroids of two deterministic halves of the data (vec_id
+    parity) — the self-consistency baseline for "did my embedding model
+    or upstream corpus shift" monitoring (in production the two halves
+    are yesterday's batch vs today's; a healthy stable distribution
+    keeps split-half centroid cosine ≈ 1).
+
+    Determinism where K13's `avg` precedent relies on small groups, this
+    audit is exact by construction: coordinates are floor-fixed-pointed
+    to 1e-9 BIGINT units (floor, not decimal rounding — no midpoint
+    semantics to disagree on), summed exactly in any order, and divided
+    once; the cosine then runs the shared sequential-fold dot product.
+
+    Scale: posexplode fans each vector to |dims| narrow rows, aggregated
+    map-side by (label, half, dim) — the K13 update-step shape; the
+    centroid relation is |labels|×2 rows of dims-length arrays.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(as_double("embedding")).alias("dim", "x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("x") * DRIFT_FP).cast("long").alias("xf"),
+    )
+    coords = ex.groupBy("label", "half", "dim").agg(
+        (
+            F.sum("xf").cast("double")
+            / (F.lit(float(DRIFT_FP)) * F.count(F.lit(1)))
+        ).alias("coord")
+    )
+    cents = coords.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "coord"))),
+            lambda p: p["coord"],
+        ).alias("c")
+    )
+    a = cents.filter(F.col("half") == 0).select("label", F.col("c").alias("ca"))
+    b = cents.filter(F.col("half") == 1).select("label", F.col("c").alias("cb"))
+    sizes = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_b"),
+    )
+    cos = dot(F.col("ca"), F.col("cb")) / (
+        F.sqrt(dot(F.col("ca"), F.col("ca")))
+        * F.sqrt(dot(F.col("cb"), F.col("cb")))
+    )
+    return (
+        a.join(b, "label")
+        .join(sizes, "label")
+        .select("label", "n_a", "n_b", F.round(cos, 6).alias("centroid_cosine"))
+    )
