@@ -71,6 +71,29 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the optimized logical + executed physical plan of a query —
+    the plan-review step a performance engineer runs before shipping a
+    new operator (the interactive form of tests/test_plans.py's pinned
+    assertions and tools/gen_explain.py's bulk dump)."""
+    specs = _specs()
+    if args.name not in specs:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    from daas_apps_spark.operators.partitioning import physical_plan
+    from daas_apps_spark.session import get_spark
+
+    spark = get_spark(f"daas-explain-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = specs[args.name].fn(spark, args.sf)
+    if args.mode == "formatted":
+        df.explain("formatted")
+    else:
+        # executed AQE-final plan (runs the query)
+        print(physical_plan(df))
+    return 0
+
+
 def cmd_verify(args: argparse.Namespace) -> int:
     from daas_apps_spark.session import get_spark
     from daas_apps_spark.verify import verify_queries
@@ -112,6 +135,17 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--sf", default=DEFAULT_SF)
     p_run.add_argument("--limit", type=int, default=20)
     p_run.set_defaults(fn=cmd_run)
+
+    p_exp = sub.add_parser("explain", help="print a query's physical plan")
+    p_exp.add_argument("name")
+    p_exp.add_argument("--sf", default=DEFAULT_SF)
+    p_exp.add_argument(
+        "--mode",
+        choices=("formatted", "executed"),
+        default="formatted",
+        help="formatted = static plan; executed = AQE-final (runs the query)",
+    )
+    p_exp.set_defaults(fn=cmd_explain)
 
     p_ver = sub.add_parser("verify", help="compare queries to their oracles")
     p_ver.add_argument("names", nargs="*")

@@ -143,3 +143,12 @@ def test_d18_topk_budget_covers_event_type_domain(spark):
         f"{APPROX_TOPK_K}: raise the constant (the oracle's exactness "
         "contract is domain <= tracked budget)"
     )
+
+
+def test_cli_explain_subcommand(capsys):
+    from daas_apps_spark.__main__ import main
+
+    rc = main(["explain", "q1_pricing_summary"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PushedFilters" in out and "HashAggregate" in out
