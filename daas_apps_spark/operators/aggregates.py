@@ -1030,25 +1030,21 @@ def d19_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN o_custkey END, {THETA_LG_K})"
         ).alias("sk_b"),
     )
-    est = F.expr  # readability below
-    pairs = [
-        ("A", "theta_sketch_estimate(sk_a)"),
-        ("B", "theta_sketch_estimate(sk_b)"),
-        ("A_union_B", "theta_sketch_estimate(theta_union(sk_a, sk_b))"),
-        (
-            "A_intersect_B",
-            "theta_sketch_estimate(theta_intersection(sk_a, sk_b))",
-        ),
-        ("A_minus_B", "theta_sketch_estimate(theta_difference(sk_a, sk_b))"),
-    ]
-    out = None
-    for name, expr in pairs:
-        row = sk.select(
-            F.lit(name).alias("set_op"),
-            F.round(est(expr)).cast("long").alias("est_distinct"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    # stack() the single sketch row (the d13 pattern): a unionAll of
+    # selects would re-run the sketch-building fact scan once per set_op.
+    ests = {
+        "A": "theta_sketch_estimate(sk_a)",
+        "B": "theta_sketch_estimate(sk_b)",
+        "A_union_B": "theta_sketch_estimate(theta_union(sk_a, sk_b))",
+        "A_intersect_B": "theta_sketch_estimate(theta_intersection(sk_a, sk_b))",
+        "A_minus_B": "theta_sketch_estimate(theta_difference(sk_a, sk_b))",
+    }
+    branches = ", ".join(
+        f"'{name}', cast(round({expr}) as bigint)" for name, expr in ests.items()
+    )
+    return sk.select(
+        F.expr(f"stack({len(ests)}, {branches}) as (set_op, est_distinct)")
+    )
 
 
 KLL_K = 200  # DataSketches default: ~1.65% rank error, 99% confidence
@@ -1111,7 +1107,9 @@ def d20_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     ).select(
         F.aggregate(
-            F.slice("sks", 2, 1_000_000),
+            # length derived from the array — a literal cap would silently
+            # drop sketches past it at high group counts
+            F.slice("sks", F.lit(2), F.greatest(F.size("sks") - 1, F.lit(0))),
             F.col("sks")[0],
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("msk"),

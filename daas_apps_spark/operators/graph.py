@@ -481,18 +481,15 @@ GR4_TOP = 25
     )
     SELECT u, v, common,
            CAST(common AS DOUBLE)
-               / CAST(du.degree + dv.degree - common AS DOUBLE)
-               AS nbr_jaccard,
+               / CAST(dg_u + dg_v - common AS DOUBLE) AS nbr_jaccard,
            CAST(rnk AS INTEGER) AS rnk
     FROM (
-        SELECT n.*, du2.degree AS dg_u, dv2.degree AS dg_v,
+        SELECT n.*, du.degree AS dg_u, dv.degree AS dg_v,
                ROW_NUMBER() OVER (ORDER BY common DESC, u, v) AS rnk
         FROM nonedge n
-        JOIN deg du2 ON du2.node = n.u
-        JOIN deg dv2 ON dv2.node = n.v
-    ) r
-    JOIN deg du ON du.node = r.u
-    JOIN deg dv ON dv.node = r.v
+        JOIN deg du ON du.node = n.u
+        JOIN deg dv ON dv.node = n.v
+    )
     WHERE rnk <= {GR4_TOP}
     """,
     tags=("GR4", "GR2", "K4"),

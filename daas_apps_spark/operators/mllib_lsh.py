@@ -75,8 +75,14 @@ def k55_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=LSH_SEED,
     )
     model = lsh.fit(feats)
+    # approxSimilarityJoin keeps pairs with distance STRICTLY below the
+    # bound; the hand-rolled k3 path keeps Jaccard >= threshold
+    # (inclusive), and small shingle sets routinely land on exact ratios
+    # like 2/4 — so the bound gets an epsilon to make the boundary
+    # inclusive, or every exactly-at-threshold truth pair is missed with
+    # probability 1 (not a hash-table miss).
     pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+        feats, feats, (1.0 - JACCARD_THRESHOLD) + 1e-9, distCol="jaccard_dist"
     )
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))

@@ -1213,27 +1213,26 @@ def k56_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("top_n"))
     )
     c = core.crossJoin(F.broadcast(toplang))
-    nd = F.col("n_docs").cast("double")
-    metrics = [
-        ("n_docs", nd),
-        ("n_langs", F.col("n_langs").cast("double")),
-        ("n_sources", F.col("n_sources").cast("double")),
-        ("total_chars", F.col("total_chars").cast("double")),
-        ("mean_doc_chars", F.col("total_chars").cast("double") / nd),
-        ("p50_doc_chars", F.col("p50_len").cast("double")),
-        ("p90_doc_chars", F.col("p90_len").cast("double")),
-        (
-            "exact_dup_rate",
-            (F.col("n_docs") - F.col("n_distinct")).cast("double") / nd,
-        ),
-        ("short_doc_rate", F.col("n_short").cast("double") / nd),
-        ("top_lang_share", F.col("top_n").cast("double") / nd),
-    ]
-    out = None
-    for name, expr in metrics:
-        row = c.select(F.lit(name).alias("metric"), expr.alias("value"))
-        out = row if out is None else out.unionAll(row)
-    return out
+    # ONE stack() unpivot of the single wide row (the d13 pattern) — a
+    # unionAll-of-selects here would re-execute the corpus aggregate once
+    # per metric row (10 scans for a 10-row report).
+    nd = "cast(n_docs as double)"
+    return c.select(
+        F.expr(
+            f"""stack(10,
+            'n_docs', {nd},
+            'n_langs', cast(n_langs as double),
+            'n_sources', cast(n_sources as double),
+            'total_chars', cast(total_chars as double),
+            'mean_doc_chars', cast(total_chars as double) / {nd},
+            'p50_doc_chars', cast(p50_len as double),
+            'p90_doc_chars', cast(p90_len as double),
+            'exact_dup_rate', cast(n_docs - n_distinct as double) / {nd},
+            'short_doc_rate', cast(n_short as double) / {nd},
+            'top_lang_share', cast(top_n as double) / {nd}
+            ) as (metric, value)"""
+        )
+    )
 
 
 K57_VOCAB = 12  # tokenizer vocabulary budget — the fixture's synthetic
@@ -1431,17 +1430,15 @@ def k58_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("n_failed") == 0, 1)).alias("n_pass_all"),
     )
-    out = None
-    for rule, f, fo in (
-        ("min_len", "f_len", "fo_len"),
-        ("dup_ratio", "f_dup", "fo_dup"),
-        ("stopword_floor", "f_stop", "fo_stop"),
-    ):
-        row = agg.select(
-            F.lit(rule).alias("rule"),
-            F.col(f).alias("n_fail"),
-            F.col(fo).alias("n_fail_only"),
-            F.col("n_pass_all"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    # stack() the single wide row (the d13 pattern): a unionAll of selects
+    # would re-run the corpus aggregate once per rule row.
+    return agg.select(
+        F.expr(
+            """stack(3,
+            'min_len', f_len, fo_len,
+            'dup_ratio', f_dup, fo_dup,
+            'stopword_floor', f_stop, fo_stop
+            ) as (rule, n_fail, n_fail_only)"""
+        ),
+        "n_pass_all",
+    )

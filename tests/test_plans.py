@@ -565,3 +565,18 @@ def test_cached_table_reused_in_plan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         o.unpersist()
+
+
+def test_report_operators_stack_not_unionall(spark):
+    # The long-form report operators unpivot ONE wide aggregate row with
+    # stack() — a unionAll-of-selects would re-execute the corpus/fact
+    # aggregate once per output row (k56 measured 20 scans before the
+    # rewrite; these pins hold it at the documented pass count).
+    for name, max_scans in (
+        ("k56_dataset_card", 4),
+        ("k58_filter_ablation", 2),
+        ("d19_theta_sketch_setops", 2),
+    ):
+        plan = plan_of(spark, name)
+        n = plan.count("Scan parquet")
+        assert n <= max_scans, f"{name}: {n} parquet scans (max {max_scans})"
