@@ -1610,3 +1610,138 @@ def c24_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_C24_SQL)
+
+
+_C25_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "c25_order_priority_check",
+    oracle=_C25_SQL,
+    tags=("C25", "B9", "C3", "D1"),
+)
+def c25_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped composition (order priority checking): orders in a
+    date window having at least one line shipped 30+ days after the
+    order date, counted by priority — EXISTS correlated on the order key
+    AND the outer's own date column. The date-window predicate pushes to
+    the orders scan BEFORE the semi-join, so the probe side is pruned
+    first (the pushdown-then-decorrelate interaction Q4 exists to test).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C25_SQL)
+
+
+_C26_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "c26_disjunctive_brackets",
+    oracle=_C26_SQL,
+    tags=("C26", "C7", "B5"),
+)
+def c26_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped composition (discounted revenue brackets): a
+    three-way OR of conjunctive (brand, size-range, quantity-range)
+    brackets spanning BOTH join sides — the disjunctive-predicate
+    pushdown test. The optimizer must split the OR into the
+    single-sided implied filters (brand/size → part scan, quantity →
+    lineitem scan: Spark derives `p_size BETWEEN 1 AND 50` etc. from the
+    OR's union bounds) while keeping the full cross-side residual on the
+    join — engines that can't reason through the disjunction scan
+    everything and filter late.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C26_SQL)
+
+
+_C27_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register(
+    "c27_top_supplier",
+    oracle=_C27_SQL,
+    tags=("C27", "B11", "D1", "F4"),
+)
+def c27_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped composition (top supplier): a named revenue
+    relation consumed TWICE in one statement — once as the join input,
+    once inside the scalar MAX subquery — selecting every supplier at
+    the maximum (ties all surface, unlike a LIMIT 1). The decimal-sum
+    discipline makes the equality comparison safe: both sides of `=`
+    come from the identical exact aggregate, so float equality is
+    well-defined here (comparing two independently-rounded doubles would
+    not be).
+
+    Scale: the CTE materializes once under AQE subquery reuse; the MAX
+    is a 1-row broadcast back into the filter.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C27_SQL)
+
+
+_C28_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < -500.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "c28_supplier_part_census",
+    oracle=_C28_SQL,
+    tags=("C28", "C4", "D3"),
+)
+def c28_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped composition (supplier-part relationship census):
+    distinct-supplier counts per (brand, type, size) after excluding a
+    NOT IN subquery of deprecated suppliers — the null-aware anti-join
+    (NOT IN must evaluate to UNKNOWN if the subquery could produce NULL,
+    a semantics LEFT ANTI alone doesn't give; Catalyst plans
+    NullAwareAntiJoin) composed with negated LIKE/inequality dimension
+    filters and a multi-key distinct aggregate.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_C28_SQL)
