@@ -489,3 +489,39 @@ def register_python_stream_source(spark: SparkSession) -> None:
             return TickStreamReader()
 
     spark.dataSource.register(TickStreamSource)
+
+
+def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Chained windowed AGGREGATES in one streaming query (the second
+    multiple-stateful-operator shape after the I15 join→window chain):
+    events roll up to hourly counts, and the hourly rows roll up again
+    to per-day hour-bucket statistics — the streaming materialized-
+    rollup pattern (raw → hourly → daily) expressed as ONE query instead
+    of two jobs wired through a sink.
+
+    The second aggregate windows over the FIRST window STRUCT itself
+    (the `window(window_col, ...)` overload, which is what propagates
+    the event-time watermark through the intermediate relation —
+    windowing over `hw.end` as a plain timestamp severs it), so each
+    level closes against the same advancing clock; append mode emits
+    each day exactly once.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("hw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        hourly.groupBy(F.window(F.col("hw"), "1 day").alias("dw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("peak_hour_events"),
+        )
+        .select(
+            F.col("dw.start").alias("day_start"),
+            "n_hours",
+            "n_events",
+            "peak_hour_events",
+        )
+    )

@@ -478,3 +478,43 @@ def test_python_stream_source_replays_deterministically(spark, tmp_path):
     assert got.tick_id.tolist() == list(range(100))
     assert (got.shard == got.tick_id % 7).all()
     assert (got.value == got.tick_id * 1.5).all()
+
+
+def test_chained_window_aggregates_equal_batch(spark, events_json_dir, tmp_path):
+    """I16 live: two chained windowed aggregates (hourly → daily rollup)
+    in ONE streaming query. Every emitted day must equal the batch twin;
+    append mode means only watermark-closed days emit, so the comparison
+    is subset-exact rather than set-equal."""
+    from daas_apps_spark.streaming.live import hourly_then_daily_counts
+
+    src = events_file_stream(spark, events_json_dir, max_files_per_trigger=2)
+    stream = hourly_then_daily_counts(src)
+    run_stream_to_memory(stream, "t_two_level", str(tmp_path / "ck"), "append")
+    got = spark.table("t_two_level").toPandas()
+
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).json(events_json_dir)
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("hw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy(F.window(F.col("hw"), "1 day").alias("dw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("peak_hour_events"),
+        )
+        .select(
+            F.col("dw.start").alias("day_start"),
+            "n_hours",
+            "n_events",
+            "peak_hour_events",
+        )
+        .toPandas()
+    )
+    assert len(got) > 0, "no day closed — watermark never advanced?"
+    merged = got.merge(want, on="day_start", suffixes=("_got", "_want"))
+    assert len(merged) == len(got)
+    for col in ("n_hours", "n_events", "peak_hour_events"):
+        assert (merged[f"{col}_got"] == merged[f"{col}_want"]).all(), col
