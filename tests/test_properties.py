@@ -814,3 +814,92 @@ def test_ewma_matches_direct_fold(spark, rows, parts):
                 num += seq[i - j][1] * w
                 den += w
             assert got[(etype, eid)] == num / den, (etype, eid)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 10_000), vals), min_size=1, max_size=40
+    ),
+    parts=st.integers(1, 7),
+)
+def test_rolling_median_matches_bruteforce(spark, rows, parts):
+    """E11: the collected-frame order-statistic median must equal the
+    brute-force trailing-5 median under ANY partitioning, including the
+    (a+b)/2 even-frame rule and duplicate (key, ts) tie-breaks."""
+    data = [
+        Row(user_id=k, event_id=i, ts=ts, value=float(v))
+        for i, (k, ts, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data).repartition(parts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n.cast("int") / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, (n.cast("int") / 2).cast("int"))
+    med = F.when(
+        n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))
+    ).otherwise((mid_lo + mid_hi) / 2)
+    got = {
+        r.event_id: r.med
+        for r in df.select("event_id", med.alias("med")).collect()
+    }
+    import statistics
+
+    by_key: dict[int, list] = {}
+    for r in sorted(data, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        hist = by_key.setdefault(r.user_id, [])
+        hist.append(r)
+        window = [x.value for x in hist[-5:]]
+        assert got[r.event_id] == statistics.median(window), (
+            r,
+            window,
+            got[r.event_id],
+        )
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_integer_sum_pearson_matches_numpy(spark, rows):
+    """T15: the exact-integer-sums Pearson assembly must agree with
+    numpy's corrcoef to float tolerance on ANY integer series (and
+    return NULL exactly when either side has zero variance)."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [Row(i=i, x=x, y=y) for i, (x, y) in enumerate(rows)]
+    )
+    sums = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r_expr = F.when(
+        (var_x > 0) & (var_y > 0),
+        cov_n.cast("double")
+        / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+    )
+    got = sums.select(r_expr.alias("r")).collect()[0].r
+    xs = np.array([x for x, _ in rows], dtype=float)
+    ys = np.array([y for _, y in rows], dtype=float)
+    if xs.std() == 0 or ys.std() == 0:
+        assert got is None
+    else:
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(got - want) < 1e-9, (got, want)
