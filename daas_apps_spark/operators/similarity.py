@@ -929,3 +929,109 @@ def dq10_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "label")
         .select("label", "n_a", "n_b", F.round(cos, 6).alias("centroid_cosine"))
     )
+
+
+def _k59_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    topk_sql = REGISTRY["k4_cosine_topk"].oracle
+    return f"""
+    WITH topk AS ({topk_sql}),
+    labeled AS (
+        SELECT t.query_id, t.rnk,
+               (q.label = c.label) AS is_rel
+        FROM topk t
+        JOIN embeddings q ON q.vec_id = t.query_id
+        JOIN embeddings c ON c.vec_id = t.cand_id
+    ),
+    totals AS (
+        SELECT q.vec_id AS query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rel_corpus
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERY}
+        GROUP BY q.vec_id
+    )
+    SELECT l.query_id,
+           CAST(COUNT(CASE WHEN is_rel THEN 1 END) AS BIGINT) AS n_rel_at_k,
+           t.n_rel_corpus,
+           CAST(COUNT(CASE WHEN is_rel THEN 1 END) AS DOUBLE) / {TOP_K}
+               AS precision_at_k,
+           CAST(COUNT(CASE WHEN is_rel THEN 1 END) AS DOUBLE)
+               / CAST(LEAST(t.n_rel_corpus, {TOP_K}) AS DOUBLE)
+               AS recall_at_k,
+           COALESCE(1.0 / CAST(MIN(CASE WHEN is_rel THEN rnk END) AS DOUBLE),
+                    0.0) AS mrr_at_k
+    FROM labeled l JOIN totals t ON t.query_id = l.query_id
+    GROUP BY l.query_id, t.n_rel_corpus
+    """
+
+
+@register(
+    "k59_retrieval_eval",
+    oracle=_k59_oracle(),
+    tags=("K59", "K4", "K28", "D9"),
+)
+def k59_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metrics evaluation of the dense retriever: the K4 cosine top-k
+    ranking scored against label-match relevance (same embedding label =
+    relevant, the standard proxy-qrels trick when no human judgments
+    exist) — per query, Precision@k, Recall@k (capped-denominator
+    variant: |relevant ∧ top-k| / min(|relevant|, k)), and MRR@k. This
+    is the acceptance harness every retrieval change runs against; the
+    K25/K49 audits measure self-consistency of compressed indexes, this
+    measures retrieval QUALITY against ground truth.
+
+    Determinism: ranks are integers from the k4 total-order window;
+    every metric is an exact-integer IEEE ratio; ties cannot occur.
+
+    Scale: the ranking inherits k4's broadcast-queries shape; the qrels
+    join touches |queries|·k rows plus one |queries|-row relevant-count
+    census (label-keyed aggregate, never the corpus pair space).
+    """
+    topk = k4_cosine_topk(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl")),
+            "cand_id",
+        )
+        .select("query_id", "rnk", (F.col("ql") == F.col("cl")).alias("is_rel"))
+    )
+    q = lab.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    totals = (
+        q.join(
+            lab.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl")),
+            (F.col("ql") == F.col("cl")) & (F.col("cid") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_corpus"))
+    )
+    hits = F.count(F.when(F.col("is_rel"), 1))
+    return (
+        labeled.groupBy("query_id")
+        .agg(
+            hits.alias("n_rel_at_k"),
+            F.min(F.when(F.col("is_rel"), F.col("rnk"))).alias("first_rel"),
+        )
+        .join(totals, "query_id")
+        .select(
+            "query_id",
+            "n_rel_at_k",
+            "n_rel_corpus",
+            (F.col("n_rel_at_k").cast("double") / TOP_K).alias("precision_at_k"),
+            (
+                F.col("n_rel_at_k").cast("double")
+                / F.least(F.col("n_rel_corpus"), F.lit(TOP_K)).cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce(
+                1.0 / F.col("first_rel").cast("double"), F.lit(0.0)
+            ).alias("mrr_at_k"),
+        )
+    )

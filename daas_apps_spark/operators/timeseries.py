@@ -1312,3 +1312,96 @@ def t15_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.alias("pearson_r"),
         )
     )
+
+
+@register(
+    "t16_stl_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, y,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN CAST(SUM(y) OVER w AS DOUBLE) / 7.0 END AS trend,
+               dayofweek(d) AS dow
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(CAST(FLOOR((CAST(y AS DOUBLE) - trend) * 10000)
+                             AS BIGINT)) AS DOUBLE)
+                   / (10000.0 * COUNT(*)) AS seasonal
+        FROM tr WHERE trend IS NOT NULL
+        GROUP BY dow
+    )
+    SELECT t.d, t.y, t.trend, s.seasonal,
+           CAST(t.y AS DOUBLE) - t.trend - s.seasonal AS residual
+    FROM tr t JOIN seas s ON s.dow = t.dow
+    WHERE t.trend IS NOT NULL
+    """,
+    tags=("T16", "T7", "T3", "E5"),
+)
+def t16_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic additive seasonal decomposition (the moving-average core
+    of STL, Cleveland et al. 1990): daily counts split into trend
+    (centered 7-day moving average, complete windows only), weekly
+    seasonal (per-weekday mean of the detrended series), and residual —
+    the decomposition T7's diurnal profile performs on the
+    hour-of-day axis, here on the day-of-week axis with an explicit
+    trend term so level shifts don't contaminate the seasonal.
+
+    Determinism: the trend is an exact-integer sum / 7.0 (one IEEE
+    division); the seasonal mean fixed-points the detrended values to
+    1e-4 BIGINT units before averaging (floor — no midpoint semantics),
+    so its sum is association-free; the residual subtracts through an
+    identical expression tree on both engines. No ROUND anywhere.
+
+    Scale: the fact collapses to |days| rows map-side; both windows and
+    the weekday census run over that tiny series — the T8 shape. A
+    per-key variant adds the key to every PARTITION BY/GROUP BY.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("y").over(w).cast("double") / 7.0,
+        ).alias("trend"),
+        F.dayofweek("d").alias("dow"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("y").cast("double") - F.col("trend")) * 10000
+                    ).cast("long")
+                ).cast("double")
+                / (10000.0 * F.count(F.lit(1)))
+            ).alias("seasonal")
+        )
+    )
+    return (
+        tr.filter(F.col("trend").isNotNull())
+        .join(seas, "dow")
+        .select(
+            "d",
+            "y",
+            "trend",
+            "seasonal",
+            (
+                F.col("y").cast("double") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+    )
