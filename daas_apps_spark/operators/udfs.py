@@ -600,3 +600,53 @@ def j11_iter_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("event_type") == "view").select(
         "event_id", score("value").alias("scored")
     )
+
+
+@register(
+    "j12_polymorphic_udtf",
+    oracle="""
+    SELECT doc_id,
+           string_split(lower(text), ' ')[1] AS tok_0,
+           string_split(lower(text), ' ')[2] AS tok_1,
+           string_split(lower(text), ' ')[3] AS tok_2
+    FROM documents
+    """,
+    tags=("J12", "J6"),
+)
+def j12_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4's static ``analyze``): the output
+    SCHEMA is computed from the call's literal argument — here
+    `split_cols(text, 3)` derives columns tok_0..tok_2, and a different
+    width literal would derive a different relation shape at ANALYSIS
+    time. This is the table-function contract j6's fixed-schema UDTF
+    cannot express (pivot-style writers, schema-per-config readers); the
+    oracle spells the equivalent fixed projection, pinning that the
+    analyzed schema and per-row slicing agree.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = n.value  # literal arg — schema derived from it
+            schema = StructType()
+            for i in range(width):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.lower().split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("split_cols", udtf(SplitCols, useArrow=True))
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_j12_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok_0, s.tok_1, s.tok_2
+        FROM documents_j12_src d, LATERAL split_cols(d.text, 3) s
+        """
+    )

@@ -150,6 +150,32 @@ def _stage_union(df: DataFrame, p: dict, spark: SparkSession, sf_dir: str) -> Da
     return df.unionByName(build_pipeline(spark, p["pipeline"], sf_dir))
 
 
+def _stage_asof_join(
+    df: DataFrame, p: dict, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C10 as-of join as a declarative stage: enrich each row with the
+    latest (or per ``direction``, nearest/next) state row from another
+    table along the time axis — the composite operator reused from
+    operators/asof.py, so the spec layer gets the single-shuffle plan,
+    not a re-derivation."""
+    from daas_apps_spark.operators.asof import asof_join
+
+    right = table(spark, sf_dir, p["table"])
+    if "right_filter" in p:
+        right = right.filter(p["right_filter"])
+    return asof_join(
+        df,
+        right,
+        on=p["on"],
+        left_time=p["left_time"],
+        right_time=p["right_time"],
+        right_payload=p["payload"],
+        how=p.get("how", "inner"),
+        direction=p.get("direction", "backward"),
+        tolerance_secs=p.get("tolerance_secs"),
+    )
+
+
 _STAGES = {
     "filter": _stage_filter,
     "select": _stage_select,
@@ -161,7 +187,11 @@ _STAGES = {
     "limit": _stage_limit,
     "sample": _stage_sample,
 }
-_CONTEXT_STAGES = {"join": _stage_join, "union": _stage_union}
+_CONTEXT_STAGES = {
+    "join": _stage_join,
+    "union": _stage_union,
+    "asof_join": _stage_asof_join,
+}
 
 
 # Per-op required parameters (validated before execution).
@@ -177,6 +207,7 @@ _REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "limit": ("n",),
     "sample": ("key", "permille"),
     "union": ("pipeline",),
+    "asof_join": ("table", "on", "left_time", "right_time", "payload"),
 }
 _SINK_MODES = ("errorifexists", "error", "overwrite", "append", "ignore")
 _SINK_FORMATS = ("parquet", "csv", "json", "orc")

@@ -318,3 +318,66 @@ def test_window_stage_properties_and_validation(spark, tmp_path):
     with pytest.raises(PipelineSpecError) as err:
         validate_pipeline(bad)
     assert "cols" in str(err.value) and "frame_rows" in str(err.value)
+
+
+def test_asof_join_stage_matches_direct_call(spark):
+    """The declarative asof_join stage must produce exactly the helper's
+    result (same single-shuffle plan under the spec layer)."""
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.asof import asof_join
+
+    spec = {
+        "source": {"table": "events"},
+        "stages": [
+            {"op": "filter", "condition": "event_type = 'purchase'"},
+            {
+                "op": "select",
+                "columns": ["event_id AS purchase_id", "user_id", "ts"],
+            },
+            {
+                "op": "asof_join",
+                "table": "events",
+                "right_filter": "event_type = 'click'",
+                "on": ["user_id"],
+                "left_time": "ts",
+                "right_time": "ts",
+                "payload": ["event_id"],
+                "how": "left",
+            },
+        ],
+    }
+    got = build_pipeline(spark, spec, SF_SMOKE)
+
+    e = table(spark, SF_SMOKE, "events")
+    want = asof_join(
+        e.filter("event_type = 'purchase'").selectExpr(
+            "event_id AS purchase_id", "user_id", "ts"
+        ),
+        e.filter("event_type = 'click'"),
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id"],
+        how="left",
+    )
+    gp = got.toPandas().sort_values("purchase_id").reset_index(drop=True)
+    wp = want.toPandas().sort_values("purchase_id").reset_index(drop=True)
+    cols = sorted(gp.columns)
+    assert cols == sorted(wp.columns)
+    assert gp[cols].equals(wp[cols])
+
+
+def test_asof_join_stage_validated(spark):
+    """Spec validation rejects an asof_join stage with missing params and
+    unknown tables BEFORE any job runs."""
+    import pytest
+    from daas_apps_spark.plans.pipeline_spec import validate_pipeline
+
+    bad = {
+        "source": {"table": "events"},
+        "stages": [{"op": "asof_join", "table": "nope", "on": ["user_id"]}],
+    }
+    with pytest.raises(ValueError) as ei:
+        validate_pipeline(bad, SF_SMOKE)
+    msg = str(ei.value)
+    assert "left_time" in msg or "nope" in msg
