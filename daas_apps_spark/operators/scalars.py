@@ -848,3 +848,53 @@ def h_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("o_orderkey").cast("string"), 12, "*").alias("key_lpad"),
         F.expr("to_number('12,345.67', '99,999.99')").alias("parsed_amt"),
     )
+
+
+@register(
+    "h_string_extras",
+    oracle="""
+    SELECT doc_id,
+           ascii(substring(text, 1, 1)) AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INTEGER)) AS doc_letter,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars_len,
+           base64(encode(substring(text, 1, 12))) AS head_b64,
+           CAST(from_base64(base64(encode(substring(text, 1, 12))))
+                AS VARCHAR) AS head_roundtrip,
+           left(text, 8) AS head8,
+           right(text, 8) AS tail8,
+           repeat(substring(text, 1, 2), 3) AS rep6,
+           split_part(text, ' ', 2) AS second_word,
+           CAST(position('the' IN text) AS BIGINT) AS the_pos
+    FROM documents WHERE doc_id < 40
+    """,
+    tags=("H", "K5"),
+)
+def h_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery — the byte-vs-character boundary and
+    codec surface the first battery leaves out: code-point extraction
+    (`ascii`/`chr`), byte length vs character length (they diverge on
+    any non-ASCII text — the truncation-budget trap when a tokenizer
+    bills by bytes and a UI bills by chars), base64 round-trip through
+    binary, anchored `left`/`right` slicing, `repeat`, delimiter-indexed
+    `split_part` (Spark spells it `split(...)[i]` — the oracle pins the
+    1-based/0-based correspondence), and substring `position`.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    head12 = F.substring("text", 1, 12)
+    return d.select(
+        "doc_id",
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.chr(65 + F.col("doc_id") % 26).alias("doc_letter"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.char_length("text").cast("long").alias("n_chars_len"),
+        F.base64(F.encode(head12, "UTF-8")).alias("head_b64"),
+        F.decode(
+            F.unbase64(F.base64(F.encode(head12, "UTF-8"))), "UTF-8"
+        ).alias("head_roundtrip"),
+        F.expr("left(text, 8)").alias("head8"),
+        F.expr("right(text, 8)").alias("tail8"),
+        F.repeat(F.substring("text", 1, 2), 3).alias("rep6"),
+        F.split(F.col("text"), " ")[1].alias("second_word"),
+        F.instr("text", "the").cast("long").alias("the_pos"),
+    )
