@@ -215,3 +215,110 @@ def k7_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_md5"),
         )
     )
+
+
+def _k7_ppm_oracle() -> str:
+    """Closed-form per-channel means of the synthetic PPM pixel field:
+    channel value at pixel p is (7*doc_id + 3*p + c) % 256."""
+    return """
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               3 + doc_id % 4 AS h
+        FROM documents WHERE doc_id < 60
+    ),
+    px AS (
+        SELECT doc_id, w, h, t.p
+        FROM dims, unnest(range(w * h)) AS t(p)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((7 * doc_id + 3 * p + 0) % 256) AS DOUBLE)
+               / (MAX(w) * MAX(h)) AS mean_r,
+           CAST(SUM((7 * doc_id + 3 * p + 1) % 256) AS DOUBLE)
+               / (MAX(w) * MAX(h)) AS mean_g,
+           CAST(SUM((7 * doc_id + 3 * p + 2) % 256) AS DOUBLE)
+               / (MAX(w) * MAX(h)) AS mean_b
+    FROM px GROUP BY doc_id
+    """
+
+
+@register(
+    "k7_ppm_decode",
+    oracle=_k7_ppm_oracle(),
+    tags=("K7", "J4", "A10"),
+)
+def k7_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL image codec through the multimodal plumbing — no stub: each
+    row synthesizes a valid binary P6 PPM (header + RGB24 raster, the
+    format's actual wire layout), and a second `mapInPandas` pass parses
+    the header, `numpy.frombuffer`s the raster, reshapes to (h, w, 3),
+    and reduces per-channel means — exactly the decode→feature shape a
+    JPEG/PNG pipeline runs, executed end-to-end because PPM needs no
+    codec library. The oracle recomputes the channel means in closed
+    form from the pixel formula, so the check spans synthesis, byte
+    layout, parsing, and reduction.
+
+    The deterministic pixel field ((7·doc_id + 3·p + c) mod 256) makes
+    the binary a pure content function — any batching or partitioning
+    yields identical images, the K9 rule applied to synthesized media.
+
+    Scale: both passes are Arrow-batched iterator UDFs over opaque
+    binary — the payload never leaves the executor; per-row memory is
+    one image. Real corpora would ingest payloads via A10 binaryFile
+    instead of synthesizing them; everything after the scan is
+    identical.
+    """
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    src = d.select("doc_id")
+
+    def encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 4 + int(doc_id) % 5
+                h = 3 + int(doc_id) % 4
+                p = np.arange(w * h, dtype=np.int64)
+                rast = np.empty((w * h, 3), dtype=np.uint8)
+                for c in range(3):
+                    rast[:, c] = (7 * int(doc_id) + 3 * p + c) % 256
+                payloads.append(
+                    f"P6\n{w} {h}\n255\n".encode("ascii") + rast.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppm": payloads})
+
+    images = src.mapInPandas(encode_ppm, schema="doc_id long, ppm binary")
+
+    def decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["ppm"]):
+                raw = bytes(blob)
+                # P6 header: magic \n "w h" \n maxval \n raster
+                magic, wh, maxv, raster = raw.split(b"\n", 3)
+                assert magic == b"P6" and maxv == b"255"
+                w, h = (int(x) for x in wh.split())
+                img = np.frombuffer(raster, dtype=np.uint8).reshape(h * w, 3)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                # exact integer sums / n -> one IEEE division per channel
+                for i, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[name].append(
+                        float(img[:, i].astype(np.int64).sum()) / (w * h)
+                    )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(
+        decode_ppm,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
