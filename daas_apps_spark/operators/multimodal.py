@@ -322,3 +322,120 @@ def k7_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_r double, mean_g double, mean_b double"
         ),
     )
+
+
+def _k7_wav_oracle() -> str:
+    """Closed-form features of the synthetic PCM16 waveform:
+    sample s of doc d is ((7*d + 13*s) % 2001) - 1000."""
+    return """
+    WITH dims AS (
+        SELECT doc_id, 100 + doc_id % 50 AS n
+        FROM documents WHERE doc_id < 60
+    ),
+    smp AS (
+        SELECT doc_id, n, t.s,
+               (7 * doc_id + 13 * t.s) % 2001 - 1000 AS v
+        FROM dims, unnest(range(n)) AS t(s)
+    ),
+    lagged AS (
+        SELECT doc_id, n, s, v,
+               LAG(v) OVER (PARTITION BY doc_id ORDER BY s) AS pv
+        FROM smp
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(MIN(v) AS INTEGER) AS v_min,
+           CAST(MAX(v) AS INTEGER) AS v_max,
+           CAST(SUM(v) AS BIGINT) AS v_sum,
+           CAST(COUNT(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 END)
+                AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "k7_wav_decode",
+    oracle=_k7_wav_oracle(),
+    tags=("K7", "J4", "A10"),
+)
+def k7_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL audio codec through the same plumbing as k7_ppm_decode:
+    each row synthesizes a valid RIFF/WAVE file (fmt chunk: PCM, mono,
+    8 kHz, 16-bit; data chunk: little-endian int16 samples), and the
+    decode pass walks the chunk structure — finds the `data` chunk by
+    tag, not by offset assumption — `numpy.frombuffer`s the PCM, and
+    reduces to waveform features (extrema, exact sum, zero-crossing
+    count, the cheap VAD-ish signals). With PPM (image) and the strided
+    frame sampler (video), all three declared media modalities now have
+    a working parse path; only entropy-coded formats (JPEG/MP3) remain
+    stubbed, by container constraint.
+
+    The sample field ((7·doc_id + 13·s) mod 2001 − 1000) is a pure
+    content function — same K9 determinism rule as the PPM pixels — and
+    the oracle re-derives every feature in closed form, so the check
+    spans synthesis, RIFF layout, chunk walking, endianness, and
+    reduction (a byte-order bug flips v_sum's sign pattern instantly).
+    """
+    import struct
+
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    src = d.select("doc_id")
+
+    def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 100 + int(doc_id) % 50
+                s = np.arange(n, dtype=np.int64)
+                v = ((7 * int(doc_id) + 13 * s) % 2001 - 1000).astype("<i2")
+                data = v.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    waves = src.mapInPandas(encode_wav, schema="doc_id long, wav binary")
+
+    def decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_samples": [], "v_min": [], "v_max": [],
+                "v_sum": [], "zero_crossings": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+                raw = bytes(blob)
+                assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+                # walk chunks: [tag(4)][size(4)][payload(size)]...
+                off, data = 12, None
+                while off + 8 <= len(raw):
+                    tag = raw[off : off + 4]
+                    (size,) = struct.unpack_from("<I", raw, off + 4)
+                    if tag == b"data":
+                        data = raw[off + 8 : off + 8 + size]
+                        break
+                    off += 8 + size
+                assert data is not None, "no data chunk"
+                v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(v))
+                rows["v_min"].append(int(v.min()))
+                rows["v_max"].append(int(v.max()))
+                rows["v_sum"].append(int(v.sum()))
+                rows["zero_crossings"].append(int(((v[1:] * v[:-1]) < 0).sum()))
+            yield pd.DataFrame(rows)
+
+    return waves.mapInPandas(
+        decode_wav,
+        schema=(
+            "doc_id long, n_samples int, v_min int, v_max int, "
+            "v_sum long, zero_crossings long"
+        ),
+    )
