@@ -557,3 +557,90 @@ def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= GR4_TOP)
     )
+
+
+GR5_MAX_ITERS = 12
+
+
+@register(
+    "gr5_component_census",
+    oracle=f"""
+    WITH RECURSIVE {_BACKBONE_CTE},
+    adj AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT a.dst AS node, r.lbl
+        FROM reach r JOIN adj a ON a.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node
+    FROM comp GROUP BY component
+    """,
+    tags=("GR5", "GR3", "K3"),
+)
+def gr5_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census of the GR2 backbone: every node
+    labeled with the minimum node id reachable from it (min-label
+    propagation — the same kernel k3_dedup_clusters runs on the
+    near-dup graph, here on the supplier graph), collapsed to a
+    per-component size census. The labels are exact integers, so the
+    census hash-matches DuckDB's WITH RECURSIVE reachability closure
+    with no discipline.
+
+    The loop is iterate-until-stable with a hard cap and an explicit
+    post-verification (no edge may straddle two labels — raising beats
+    silently wrong labels on a deeper-than-expected graph, the
+    k3-clusters rule).
+
+    Scale: each round is one join + one aggregate keyed on node id with
+    localCheckpoint lineage truncation; rounds needed = component
+    diameter, and the census itself is |V|-row work. Web-scale graphs
+    switch to pointer-jumping (label ← label-of-label) to collapse
+    diameter logarithmically.
+    """
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint()
+    labels = adj.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(GR5_MAX_ITERS):
+        nbr_min = (
+            adj.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        labels = new_labels
+    # converged ⇔ no edge crosses two labels
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    crossing = adj.join(la, "src").join(lb, "dst").filter(F.col("la") != F.col("lb"))
+    if crossing.limit(1).count() > 0:
+        raise RuntimeError(
+            f"gr5_component_census: not converged after {GR5_MAX_ITERS} rounds"
+        )
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
