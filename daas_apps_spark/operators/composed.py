@@ -1745,3 +1745,81 @@ def c28_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_C28_SQL)
+
+
+@register(
+    "dq11_out_of_orderness",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS seen_max
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               CASE WHEN seen_max IS NOT NULL AND ts < seen_max
+                    THEN CAST(epoch_us(seen_max) - epoch_us(ts) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS lateness_us
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN lateness_us > 0 THEN 1 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY lateness_us)
+                AS BIGINT) AS p95_lateness_us
+    FROM late GROUP BY event_type
+    """,
+    tags=("DQ11", "I4", "E4"),
+)
+def dq11_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness census — THE input statistic for sizing a
+    streaming watermark delay (I4): per event type, how many events
+    arrive with an event time EARLIER than something already seen
+    (arrival order proxied by event_id, the ingest sequence number
+    DQ8 audits), the worst lateness, and the p95 lateness in exact
+    microseconds. A watermark of p95 lateness drops ~5% of late rows;
+    of max, none — this report is how that delay gets chosen from data
+    instead of folklore.
+
+    Determinism: lateness is exact integer µs from a running-max window
+    under the (event_id) total order; percentiles are discrete (actual
+    data points).
+
+    Scale: one hash shuffle on event type + in-partition sort by the
+    arrival sequence — the E4 running-window shape; the census is
+    |types| rows. Per-partition Kafka variants partition by (topic,
+    partition) instead.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("seen_max"),
+    )
+    late = arr.select(
+        "event_type",
+        F.when(
+            F.col("seen_max").isNotNull() & (F.col("ts") < F.col("seen_max")),
+            F.unix_micros("seen_max") - F.unix_micros("ts"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lateness_us"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("lateness_us") > 0, 1)).alias("n_late"),
+        F.max("lateness_us").alias("max_lateness_us"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY lateness_us)")
+        .cast("long")
+        .alias("p95_lateness_us"),
+    )

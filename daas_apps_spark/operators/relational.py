@@ -927,3 +927,28 @@ def b18_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey < 100
         """
     )
+
+
+_B19_SQL = """
+SELECT t.r_name, n.n_name, t.mult * n.n_nationkey AS scaled_key
+FROM (VALUES ('AMERICA', 2), ('ASIA', 3), ('EUROPE', 5))
+     AS t(r_name, mult)
+JOIN region r ON r.r_name = t.r_name
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register(
+    "b19_values_inline_table",
+    oracle=_B19_SQL,
+    tags=("B19", "B3", "C1"),
+)
+def b19_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES as an inline relation joined against catalog tables — the
+    parameter-table idiom (a small config list shipped in the query text
+    instead of a temp table). The literal rows constant-fold and
+    broadcast; the SAME text runs on both engines, pinning the derived
+    column aliasing (`AS t(r_name, mult)`) and literal typing.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B19_SQL)
