@@ -415,3 +415,49 @@ def e11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(med, 4).alias("med5"),
     )
+
+
+@register(
+    "e12_nth_value",
+    oracle="""
+    SELECT event_id, user_id,
+           nth_value(value, 3) OVER w AS third_val,
+           first_value(CASE WHEN event_type = 'purchase' THEN value END
+                       IGNORE NULLS) OVER w AS first_purchase_val,
+           last_value(CASE WHEN event_type = 'error' THEN value END
+                      IGNORE NULLS) OVER w AS last_error_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("E12", "E6", "E3"),
+)
+def e12_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values beyond first/last (E6): `nth_value` (the
+    k-th row of the frame — NULL until the frame is k deep) and
+    IGNORE NULLS variants of first/last over conditional expressions —
+    "the user's first purchase amount so far" / "their most recent
+    error value", the as-of-current-row state lookups dashboards join
+    for. IGNORE NULLS is the load-bearing part: with nulls respected,
+    the conditional CASE would poison first/last at almost every row.
+
+    Same window spec text on both engines; frames are pinned by the
+    (ts, event_id) total order so every positional lookup is exact.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    error_val = F.when(F.col("event_type") == "error", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.nth_value("value", 3).over(w).alias("third_val"),
+        F.first(purchase_val, ignorenulls=True).over(w).alias(
+            "first_purchase_val"
+        ),
+        F.last(error_val, ignorenulls=True).over(w).alias("last_error_val"),
+    )
