@@ -478,3 +478,45 @@ def a22_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_len"),
         F.sum(F.expr(digest)).alias("content_digest"),
     )
+
+
+@register(
+    "a24_parquet_codecs",
+    oracle="""
+    SELECT 'zstd' AS codec,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    UNION ALL
+    SELECT 'snappy', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders
+    """,
+    tags=("A24", "A5", "A17"),
+)
+def a24_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec round-trips: the same table written with
+    zstd and snappy, re-read, and censused — both must reproduce the
+    source exactly (codec choice is a storage knob, never a semantics
+    knob). Unlike gzip text (A17), parquet pages stay independently
+    decodable under every codec, so scans remain splittable — the reason
+    columnar-plus-codec is the 100 TB default while compressed text is
+    the ingest-only exception. zstd trades ~2x tighter files for ~1.2x
+    write cost vs snappy; read cost is usually scan-bound either way —
+    the knob to revisit when storage, not CPU, is the budget.
+    """
+    o = table(spark, sf_dir, "orders")
+    out = None
+    for codec in ("zstd", "snappy"):
+        path = scratch_dir(f"a24_{codec}")
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(F.lit(codec).alias("codec"), "n_rows", "revenue")
+        )
+        out = back if out is None else out.unionAll(back)
+    return out
