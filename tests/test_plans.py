@@ -580,3 +580,31 @@ def test_report_operators_stack_not_unionall(spark):
         plan = plan_of(spark, name)
         n = plan.count("Scan parquet")
         assert n <= max_scans, f"{name}: {n} parquet scans (max {max_scans})"
+
+
+def test_c28_not_in_plans_anti_join(spark):
+    # NOT IN must plan as an anti join, never a per-row subquery
+    # re-execution. (Catalyst proves the subquery key non-null here and
+    # legally simplifies the null-aware form to a plain LeftAnti; a
+    # nullable key would require NAAJ semantics.)
+    plan = plan_of(spark, "c28_supplier_part_census")
+    assert "LeftAnti" in plan
+
+
+def test_c26_or_brackets_push_implied_bounds(spark):
+    # The three-way OR must still push its union bounds into the part
+    # scan (brand IN set, size range) — disjunctions are not an excuse
+    # to scan everything.
+    plan = plan_of(spark, "c26_disjunctive_brackets")
+    # part side: per-bracket (brand AND size-range) conjuncts survive as
+    # a pushed OR tree; lineitem side: the quantity-range union pushes.
+    assert "And(EqualTo(p_brand,Brand#9)" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_dq11_single_type_shuffle(spark):
+    # The lateness window shuffles once on event_type; the census reuses
+    # that partitioning — no second fact exchange, no join.
+    plan = plan_of(spark, "dq11_out_of_orderness")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(event_type") >= 1
