@@ -776,3 +776,60 @@ def k45_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resample_factor",
         F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
     )
+
+
+K60_EPOCHS = 3
+
+
+@register(
+    "k60_epoch_shuffle",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT e.epoch, d.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(e.epoch || ':' || d.doc_id), d.doc_id
+               ) AS pos
+        FROM documents d,
+             unnest(range({K60_EPOCHS})) AS e(epoch)
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+           MIN(CASE WHEN pos = 2 THEN doc_id END) AS second_doc,
+           CAST(SUM(pos * (doc_id + 7)) AS BIGINT) AS order_checksum
+    FROM ordered GROUP BY epoch
+    """,
+    tags=("K60", "K9", "E1"),
+)
+def k60_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch data-loader shuffle: each training epoch
+    orders the corpus by md5(epoch ‖ doc_id) — a different but fully
+    reproducible permutation per epoch, the property that makes
+    training runs resumable and bug reports replayable (seeded RNG
+    shuffles break under repartitioning; a content-hash order cannot,
+    K9's hash-not-rand rule applied to ordering). The census carries an
+    order-sensitive checksum Σ pos·(doc_id+7) — any transposition
+    anywhere in any epoch's permutation changes it.
+
+    Scale: one rank window per epoch partition (epoch count is tiny, so
+    the fan-out is |docs|×epochs narrow rows); a real loader materializes
+    the (epoch, pos, doc_id) manifest once and range-reads it — this
+    query IS that manifest build plus its validation checksum.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(K60_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    fanned = d.crossJoin(F.broadcast(epochs))
+    w = Window.partitionBy("epoch").orderBy(
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))),
+        F.col("doc_id"),
+    )
+    ordered = fanned.select("epoch", "doc_id", F.row_number().over(w).alias("pos"))
+    return ordered.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.min(F.when(F.col("pos") == 2, F.col("doc_id"))).alias("second_doc"),
+        F.sum(F.col("pos") * (F.col("doc_id") + 7)).alias("order_checksum"),
+    )
