@@ -1823,3 +1823,70 @@ def dq11_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_lateness_us"),
     )
+
+
+def _t17_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    t3 = REGISTRY["t3_rolling_zscore"].oracle
+    t8 = REGISTRY["t8_cusum_changepoint"].oracle
+    dq6 = REGISTRY["dq6_volume_anomaly"].oracle
+    return f"""
+    SELECT 'rolling_zscore' AS detector,
+           CAST(event_id AS VARCHAR) AS entity,
+           ROUND(abs(zscore), 4) AS severity
+    FROM ({t3}) WHERE abs(zscore) > 2.5
+    UNION ALL
+    SELECT 'cusum_shift', event_type || '@' || day, ROUND(abs(cusum), 4)
+    FROM ({t8}) WHERE is_shift
+    UNION ALL
+    SELECT 'volume_anomaly', day, ROUND(abs(vol_z), 4)
+    FROM ({dq6}) WHERE is_anomaly
+    """
+
+
+@register(
+    "t17_anomaly_alerts",
+    oracle=_t17_oracle(),
+    tags=("T17", "T3", "T8", "DQ6"),
+)
+def t17_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alert bus: three independent, individually-oracle-checked
+    detectors — pointwise rolling z-score (T3), CUSUM mean-shift (T8),
+    volume anomaly (DQ6) — composed into ONE normalized alert relation
+    (detector, entity, severity), the table a pager/dashboard actually
+    consumes. Each detector catches what the others miss (spikes vs
+    persistent drift vs day-grain volume), which is why production
+    monitors run the ensemble, not a favorite.
+
+    Pure composition: the branches call the registered operators and
+    project to the common schema — no logic re-derivation, so a fix in
+    any detector propagates here automatically (and the oracle composes
+    the same three oracle SQLs, keeping both sides honest).
+
+    Scale: the union is of ALERT rows (each branch is already filtered
+    to its flagged set), so the combined relation is tiny regardless of
+    fact scale; the three branches share nothing and parallelize as
+    independent jobs within one action.
+    """
+    from daas_apps_spark.registry import REGISTRY
+
+    t3 = REGISTRY["t3_rolling_zscore"].fn(spark, sf_dir)
+    t8 = REGISTRY["t8_cusum_changepoint"].fn(spark, sf_dir)
+    dq6 = REGISTRY["dq6_volume_anomaly"].fn(spark, sf_dir)
+    a1 = t3.filter(F.abs("zscore") > 2.5).select(
+        F.lit("rolling_zscore").alias("detector"),
+        F.col("event_id").cast("string").alias("entity"),
+        F.round(F.abs("zscore"), 4).alias("severity"),
+    )
+    a2 = t8.filter("is_shift").select(
+        F.lit("cusum_shift").alias("detector"),
+        F.concat_ws("@", F.col("event_type"), F.col("day")).alias("entity"),
+        F.round(F.abs("cusum"), 4).alias("severity"),
+    )
+    a3 = dq6.filter("is_anomaly").select(
+        F.lit("volume_anomaly").alias("detector"),
+        F.col("day").alias("entity"),
+        F.round(F.abs("vol_z"), 4).alias("severity"),
+    )
+    return a1.unionAll(a2).unionAll(a3)

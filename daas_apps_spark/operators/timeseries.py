@@ -1405,3 +1405,4 @@ def t16_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
