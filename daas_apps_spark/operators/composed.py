@@ -1890,3 +1890,61 @@ def t17_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs("vol_z"), 4).alias("severity"),
     )
     return a1.unionAll(a2).unionAll(a3)
+
+
+_C29_TEMPLATE = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 1000 {IDIV} CAST(l_quantity AS BIGINT)) AS ps_supplycost_mc
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+       ps.ps_supplycost_mc
+FROM part p
+JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost_mc = (
+    SELECT MIN(ps2.ps_supplycost_mc)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+@register(
+    "c29_min_cost_supplier",
+    oracle=_C29_TEMPLATE.format(IDIV="//"),
+    tags=("C29", "B11", "C5", "D1"),
+)
+def c29_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped composition (minimum-cost supplier): the supplier
+    achieving each part's REGIONAL minimum supply cost — a correlated
+    scalar-MIN subquery over a named derived relation (partsupp is
+    derived from lineitem as min unit price per (part, supplier), since
+    the fixture has no partsupp table) that the outer query ALSO joins,
+    through a two-hop dimension chain on both sides. The remaining
+    TPC-H archetype after Q17/Q20/Q21/Q22: correlated aggregate over a
+    CTE consumed twice, decorrelated to a per-part min + join-back.
+
+    Determinism: supply cost is exact integer milli-cents per unit
+    (exact-decimal cents × 1000, integer-divided by quantity — decimal
+    DIVISION scale rules differ between engines, integer `div` does
+    not), so the correlated equality compares exact integers. Ties (two
+    suppliers at the min) all surface — no LIMIT hides them.
+
+    Scale: the derived partsupp aggregates lineitem once, keyed on
+    (part, supp); the correlated min decorrelates to a second aggregate
+    over the SAME relation (AQE reuses the exchange); dims broadcast.
+    """
+    register_views(spark, sf_dir)
+    # identical text modulo the integer-division spelling (Spark `div`,
+    # DuckDB `//`) — same exact-integer semantics on non-negatives
+    return spark.sql(_C29_TEMPLATE.format(IDIV="div"))
