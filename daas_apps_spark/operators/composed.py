@@ -1835,7 +1835,7 @@ def _t17_oracle() -> str:
     SELECT 'rolling_zscore' AS detector,
            CAST(event_id AS VARCHAR) AS entity,
            ROUND(abs(zscore), 4) AS severity
-    FROM ({t3}) WHERE abs(zscore) > 2.5
+    FROM ({t3})
     UNION ALL
     SELECT 'cusum_shift', event_type || '@' || day, ROUND(abs(cusum), 4)
     FROM ({t8}) WHERE is_shift
@@ -1874,7 +1874,10 @@ def t17_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = REGISTRY["t3_rolling_zscore"].fn(spark, sf_dir)
     t8 = REGISTRY["t8_cusum_changepoint"].fn(spark, sf_dir)
     dq6 = REGISTRY["dq6_volume_anomaly"].fn(spark, sf_dir)
-    a1 = t3.filter(F.abs("zscore") > 2.5).select(
+    # t3 already emits ONLY its flagged rows (raw |z| > 2.5 before
+    # rounding) — re-filtering on the rounded column here would drop
+    # borderline alerts like raw z = 2.50004 (rounds to exactly 2.5).
+    a1 = t3.select(
         F.lit("rolling_zscore").alias("detector"),
         F.col("event_id").cast("string").alias("entity"),
         F.round(F.abs("zscore"), 4).alias("severity"),

@@ -620,17 +620,29 @@ def gr5_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jumping (label <- label-of-label): labels are node ids,
+        # so chasing one hop per round makes GR5_MAX_ITERS rounds cover
+        # components of diameter ~2^rounds, not rounds — the k3-clusters
+        # kernel's trick, without which a 13-hop chain would raise below.
+        lab_of = stepped.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        labels = (
+            stepped.join(lab_of, "lbl", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                    F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint()
         )
-        labels = new_labels
     # converged ⇔ no edge crosses two labels
     la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))

@@ -895,6 +895,6 @@ def h_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("left(text, 8)").alias("head8"),
         F.expr("right(text, 8)").alias("tail8"),
         F.repeat(F.substring("text", 1, 2), 3).alias("rep6"),
-        F.split(F.col("text"), " ")[1].alias("second_word"),
+        F.coalesce(F.split(F.col("text"), " ")[1], F.lit("")).alias("second_word"),
         F.instr("text", "the").cast("long").alias("the_pos"),
     )

@@ -262,7 +262,7 @@ def validate_pipeline(
         for param in _REQUIRED_PARAMS[op]:
             if param not in stage:
                 errors.append(f"{where}: op {op!r} requires {param!r}")
-        if op == "join" and "table" in stage:
+        if op in ("join", "asof_join") and "table" in stage:
             check_table(stage["table"], where)
         if op == "limit" and not isinstance(stage.get("n"), int):
             errors.append(f"{where}: limit 'n' must be an int")
@@ -374,10 +374,11 @@ def run_pipeline(
 
 _LIST_KEYS = {
     "columns", "group_by", "keys", "order_by", "by", "on", "select",
-    "partition_by",
+    "partition_by", "payload",
 }
 _BOOL_KEYS = {"broadcast", "single_file", "enabled"}
 _INT_KEYS = {"n", "permille"}
+_FLOAT_KEYS = {"tolerance_secs"}
 
 
 def _coerce(key: str, value: str) -> Any:
@@ -387,6 +388,8 @@ def _coerce(key: str, value: str) -> Any:
         return value.strip().lower() in ("true", "yes", "1")
     if key in _INT_KEYS:
         return int(value.strip())
+    if key in _FLOAT_KEYS:
+        return float(value.strip())
     return value.strip()
 
 

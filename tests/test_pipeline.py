@@ -367,17 +367,40 @@ def test_asof_join_stage_matches_direct_call(spark):
     assert gp[cols].equals(wp[cols])
 
 
-def test_asof_join_stage_validated(spark):
-    """Spec validation rejects an asof_join stage with missing params and
-    unknown tables BEFORE any job runs."""
+def test_asof_join_stage_missing_params_rejected(spark):
+    """Spec validation rejects an asof_join stage with missing required
+    params BEFORE any job runs."""
     import pytest
     from daas_apps_spark.plans.pipeline_spec import validate_pipeline
 
     bad = {
         "source": {"table": "events"},
-        "stages": [{"op": "asof_join", "table": "nope", "on": ["user_id"]}],
+        "stages": [{"op": "asof_join", "table": "events", "on": ["user_id"]}],
     }
     with pytest.raises(ValueError) as ei:
         validate_pipeline(bad, SF_SMOKE)
-    msg = str(ei.value)
-    assert "left_time" in msg or "nope" in msg
+    assert "left_time" in str(ei.value)
+
+
+def test_asof_join_stage_unknown_table_rejected(spark):
+    """And separately: an unknown right-table name is a spec error, not a
+    mid-run Spark failure (the join-stage check applies to asof_join)."""
+    import pytest
+    from daas_apps_spark.plans.pipeline_spec import validate_pipeline
+
+    bad = {
+        "source": {"table": "events"},
+        "stages": [
+            {
+                "op": "asof_join",
+                "table": "nope",
+                "on": ["user_id"],
+                "left_time": "ts",
+                "right_time": "ts",
+                "payload": ["event_id"],
+            }
+        ],
+    }
+    with pytest.raises(ValueError) as ei:
+        validate_pipeline(bad, SF_SMOKE)
+    assert "nope" in str(ei.value)
