@@ -898,3 +898,81 @@ def h_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.split(F.col("text"), " ")[1], F.lit("")).alias("second_word"),
         F.instr("text", "the").cast("long").alias("the_pos"),
     )
+
+
+@register(
+    "h_csv_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+               || printf('%.2f', o_totalprice) AS as_csv,
+           split_part('42,HIGH,19.5', ',', 1)::BIGINT AS parsed_id,
+           split_part('42,HIGH,19.5', ',', 2) AS parsed_label,
+           split_part('42,HIGH,19.5', ',', 3)::DOUBLE AS parsed_score
+    FROM orders WHERE o_orderkey < 30
+    """,
+    tags=("H", "A2"),
+)
+def h_csv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scalar functions: `to_csv` over a struct (one row → one CSV
+    line, the embed-a-record-in-a-string shape) and `from_csv` with an
+    explicit schema (parse-in-place without a file reader). The oracle
+    re-derives both through explicit concat / split_part + casts —
+    pinning quoting-free field layout and the schema-directed type
+    coercion. The %.2f render keeps the float field on the same
+    midpoint-free footing as h_format_functions.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30)
+    parsed = F.from_csv(
+        F.lit("42,HIGH,19.5"), F.lit("id BIGINT, label STRING, score DOUBLE")
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_csv(
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.format_string("%.2f", "o_totalprice"),
+            )
+        ).alias("as_csv"),
+        parsed["id"].alias("parsed_id"),
+        parsed["label"].alias("parsed_label"),
+        parsed["score"].alias("parsed_score"),
+    )
+
+
+@register(
+    "h_crypto_functions",
+    oracle="""
+    SELECT doc_id,
+           substring(text, 1, 20) AS plaintext,
+           substring(text, 1, 20) AS decrypted,
+           true AS roundtrip_ok,
+           NULL AS bad_key_result
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("H", "K10"),
+)
+def h_crypto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: `aes_encrypt`/`aes_decrypt`
+    round-trip (GCM mode — the ciphertext is IV-randomized and
+    deliberately NOT an output column; what is deterministic, and what
+    the oracle pins, is decrypt(encrypt(x)) == x) plus
+    `try_aes_decrypt` with a wrong key yielding NULL instead of an
+    exception — the per-column PII-vaulting primitive (K10's redaction
+    removes data; encryption keeps it recoverable under key control).
+    """
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    wrong = F.lit("fedcba9876543210")
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    plain = F.substring("text", 1, 20)
+    enc = F.aes_encrypt(plain.cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary")).cast("string")
+    bad = F.try_aes_decrypt(enc, wrong.cast("binary")).cast("string")
+    return d.select(
+        "doc_id",
+        plain.alias("plaintext"),
+        dec.alias("decrypted"),
+        (dec == plain).alias("roundtrip_ok"),
+        bad.alias("bad_key_result"),
+    )
