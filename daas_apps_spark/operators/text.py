@@ -1442,3 +1442,146 @@ def k58_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_pass_all",
     )
+
+
+def _k61_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    k41 = REGISTRY["k41_quality_classifier"].oracle
+    return f"""
+    WITH scored AS (
+        SELECT s.doc_id, s.quality_score, d.source
+        FROM ({k41}) s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE d.source IN ('src0', 'src1')
+    ),
+    counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY source
+    ),
+    steps AS (
+        SELECT quality_score, doc_id, source,
+               CAST(COUNT(CASE WHEN source = 'src0' THEN 1 END)
+                    OVER (ORDER BY quality_score, doc_id) AS DOUBLE)
+                   / (SELECT CAST(n AS DOUBLE) FROM counts WHERE source='src0')
+                 - CAST(COUNT(CASE WHEN source = 'src1' THEN 1 END)
+                    OVER (ORDER BY quality_score, doc_id) AS DOUBLE)
+                   / (SELECT CAST(n AS DOUBLE) FROM counts WHERE source='src1')
+               AS cdf_gap
+        FROM scored
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM counts WHERE source = 'src0') AS n_a,
+           (SELECT CAST(n AS BIGINT) FROM counts WHERE source = 'src1') AS n_b,
+           MAX(abs(cdf_gap)) AS ks_stat
+    FROM steps
+    """
+
+
+@register(
+    "k61_score_ks_test",
+    oracle=_k61_oracle(),
+    tags=("K61", "K41", "DQ3", "E4"),
+)
+def k61_score_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the K41 quality
+    scores of two sources: max |CDF_a − CDF_b| over the pooled ordered
+    scores — the distribution-equality test behind "is the new scrape's
+    quality profile the same as the old one" (DQ3's PSI bins the same
+    question coarsely; KS is bin-free and sensitive anywhere along the
+    distribution).
+
+    Exact by construction: both empirical CDFs are running counts under
+    the pooled (score, doc_id) total order divided by exact group sizes
+    — integer ratios, so the max gap hash-matches with no ε.
+
+    Scale: one pooled sort (a global window here; per the e7 rule, at
+    100 TB the pooled order would be range-partitioned and the running
+    counts composed per range — same two-pass trick as K48's prefix
+    window); everything else is two scalar counts.
+    """
+    from daas_apps_spark.operators.text import k41_quality_classifier
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        k41_quality_classifier(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .join(d, "doc_id")
+        .filter(F.col("source").isin("src0", "src1"))
+    )
+    counts = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    n_a = counts.filter("source = 'src0'").select(F.col("n").alias("n_a"))
+    n_b = counts.filter("source = 'src1'").select(F.col("n").alias("n_b"))
+    w = Window.orderBy("quality_score", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = (
+        scored.crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            (
+                F.count(F.when(F.col("source") == "src0", 1)).over(w).cast("double")
+                / F.col("n_a").cast("double")
+                - F.count(F.when(F.col("source") == "src1", 1)).over(w).cast("double")
+                / F.col("n_b").cast("double")
+            ).alias("cdf_gap"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return steps.groupBy("n_a", "n_b").agg(
+        F.max(F.abs("cdf_gap")).alias("ks_stat")
+    ).select(F.col("n_a").cast("long"), F.col("n_b").cast("long"), "ks_stat")
+
+
+K62_PREFIX_LEN = 16
+K62_TOP = 10
+
+
+@register(
+    "k62_template_prefixes",
+    oracle=f"""
+    WITH pref AS (
+        SELECT substring(text, 1, {K62_PREFIX_LEN}) AS prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT prefix, n_docs,
+           CAST(n_docs AS DOUBLE) / (SELECT n FROM tot) AS share,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, prefix) AS rnk
+        FROM pref
+    )
+    WHERE rnk <= {K62_TOP}
+    """,
+    tags=("K62", "K12", "K6"),
+)
+def k62_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-prefix census: the top shared {K62_PREFIX_LEN}-char
+    document prefixes with their corpus share — boilerplate/prompt
+    templates ("Subject: ", "<!DOCTYPE html>", scaffold headers) surface
+    as high-share prefixes long before full near-dup analysis runs, and
+    the census is ~free (one aggregate) where K3 costs signatures and
+    joins. The curation move it feeds: inspect the top prefixes, then
+    strip or downweight the matched cohorts.
+
+    Scale: map-side prefix projection + one aggregate; the top-k rank
+    runs over the distinct-prefix relation, and a production variant
+    caps it with TakeOrderedAndProject exactly like F4.
+    """
+    d = table(spark, sf_dir, "documents")
+    pref = d.groupBy(
+        F.substring("text", 1, K62_PREFIX_LEN).alias("prefix")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy().orderBy(F.col("n_docs").desc(), F.col("prefix"))
+    return (
+        pref.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K62_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prefix",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n")).alias("share"),
+            "rnk",
+        )
+    )
