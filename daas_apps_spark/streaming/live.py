@@ -525,3 +525,83 @@ def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> Da
             "peak_hour_events",
         )
     )
+
+
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+def session_close_on_timeout(events: DataFrame) -> DataFrame:
+    """I17: event-time TIMEOUT-driven session emission — sessions close
+    and EMIT when the watermark passes last_event + gap, not when the
+    next event happens to arrive (the difference matters for "user went
+    away" analytics: I3's session_window emits on the next batch's
+    evidence; a timeout emits on the CLOCK). State per key is one open
+    session struct; ``GroupStateTimeout.EventTimeTimeout`` fires the
+    flush callback when the watermark crosses the registered timestamp.
+
+    Requires in-order-per-key delivery to keep in-batch sessionization
+    exact (the test feeds time-range-ordered files); out-of-order
+    arrival within the watermark would need a per-key buffer — the
+    trade the reference's sorted-BAM requirement (R3) makes for the
+    same reason.
+    """
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    out_schema = (
+        "event_type string, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["ts"]])
+        # exact epoch-microseconds (the fixture carries sub-ms precision)
+        ts_us = (pd.concat(rows)["ts"].astype("int64") // 1_000).sort_values()
+        for t in ts_us:
+            t = int(t)
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                yield emit(start_us, last_us, n)
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # setTimeoutTimestamp takes epoch-ms; round UP so the timeout
+        # never fires a hair before last + gap
+        state.setTimeoutTimestamp((last_us + gap_us + 999) // 1000)
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -7,8 +7,10 @@ equal the one-shot batch computation over the same events.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table
@@ -518,3 +520,105 @@ def test_chained_window_aggregates_equal_batch(spark, events_json_dir, tmp_path)
     assert len(merged) == len(got)
     for col in ("n_hours", "n_events", "peak_hour_events"):
         assert (merged[f"{col}_got"] == merged[f"{col}_want"]).all(), col
+
+
+def test_session_close_on_event_time_timeout(spark, tmp_path):
+    """I17 live: sessions EMIT when the advancing watermark crosses
+    last_event + gap (EventTimeTimeout), with in-batch gap closures for
+    sessions fully contained in one micro-batch. Files are written in
+    time-range order (one per quarter of the span) so per-key arrival is
+    monotonic; every emitted session must match the batch gaps-and-
+    islands sessionization, and sessions whose close the final watermark
+    proved must ALL be present."""
+    import time as _time
+
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.streaming.live import (
+        EVENTS_SCHEMA,
+        SESSION_GAP_MIN,
+        session_close_on_timeout,
+    )
+
+    e = table(spark, SF_SMOKE, "events")
+    # four time-ordered slices -> four monotonic micro-batches
+    src_dir = str(tmp_path / "slices")
+    bounds = e.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    span = (hi - lo) / 4
+    for i in range(4):
+        cut_lo = lo + i * span
+        cut_hi = lo + (i + 1) * span
+        cond = (F.col("ts") >= cut_lo) & (
+            F.col("ts") < cut_hi if i < 3 else F.col("ts") <= hi
+        )
+        e.filter(cond).coalesce(1).write.mode("append").json(src_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    q = (
+        session_close_on_timeout(stream)
+        .writeStream.format("memory")
+        .queryName("t_timeout_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_timeout_sessions").toPandas()
+
+    gap_s = SESSION_GAP_MIN * 60
+    # batch twin reads the SAME JSON slices (JSON serializes ts at ms
+    # precision; comparing against the parquet fixture would diff by µs)
+    e_json = spark.read.schema(EVENTS_SCHEMA).json(src_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    batch = (
+        e_json.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("event_type", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+    )
+    assert len(got) > 0, "no session emitted — timeouts never fired?"
+    key = ["event_type", "session_start"]
+    merged = got.merge(batch, on=key, suffixes=("_got", "_want"))
+    # every emitted session is a true batch session, byte-for-byte
+    assert len(merged) == len(got)
+    assert (merged.n_events_got == merged.n_events_want).all()
+    assert (merged.session_end_got == merged.session_end_want).all()
+    # and coverage: every session the final watermark (max ts) closed —
+    # i.e. ended more than gap before the stream's max event time and
+    # not still open at end-of-stream — must have been emitted
+    final_wm = batch.session_end.max()
+    closed = batch[
+        (batch.session_end + pd.Timedelta(seconds=gap_s)) < final_wm
+    ]
+    have = set(zip(got.event_type, got.session_start))
+    missing = [
+        (r.event_type, r.session_start)
+        for r in closed.itertuples()
+        if (r.event_type, r.session_start) not in have
+    ]
+    assert not missing, f"watermark-closed sessions never emitted: {missing[:5]}"
