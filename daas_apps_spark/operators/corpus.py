@@ -833,3 +833,113 @@ def k60_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("pos") == 2, F.col("doc_id"))).alias("second_doc"),
         F.sum(F.col("pos") * (F.col("doc_id") + 7)).alias("order_checksum"),
     )
+
+
+K63_BATCH = 32  # sequences per training batch
+
+
+def _k63_oracle() -> str:
+    arms = {
+        "hash_order": "md5('b:' || CAST(doc_id AS VARCHAR)), doc_id",
+        "length_sorted": "n_tokens, doc_id",
+    }
+    branches = []
+    for name, order in arms.items():
+        branches.append(f"""
+    SELECT '{name}' AS ordering,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(batch_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(CAST(batch_max AS BIGINT) * n_in_batch) AS BIGINT)
+               AS padded_tokens,
+           CAST(SUM(CAST(batch_max AS BIGINT) * n_in_batch - batch_tokens)
+                AS DOUBLE)
+               / CAST(SUM(CAST(batch_max AS BIGINT) * n_in_batch) AS DOUBLE)
+               AS waste_rate
+    FROM (
+        SELECT CAST((rn - 1) // {K63_BATCH} AS BIGINT) AS batch_id,
+               MAX(n_tokens) AS batch_max,
+               SUM(n_tokens) AS batch_tokens,
+               COUNT(*) AS n_in_batch
+        FROM (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (ORDER BY {order}) AS rn
+            FROM lens
+        ) GROUP BY 1
+    )""")
+    return f"""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    {" UNION ALL ".join(branches)}
+    """
+
+
+@register(
+    "k63_batch_padding_waste",
+    oracle=_k63_oracle(),
+    tags=("K63", "K20", "K60", "F1"),
+)
+def k63_batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste comparison between batching orders: documents packed
+    into fixed-size batches of {K63_BATCH} under (a) the K60 hash
+    shuffle order and (b) length-sorted order; per arm, the padded token
+    count (Σ batch_max·batch_size — every sequence pads to its batch
+    max) vs real tokens, and the waste rate. This is the measured ROI of
+    length-bucketed batching (the dynamic-batching argument every
+    training/serving stack makes) — on mixed-length corpora the sorted
+    arm's waste collapses because batch peers share lengths.
+
+    Determinism: lengths are integers, orderings are total (hash or
+    (length, id)), batch assignment is integer division of the rank —
+    every quantity is exact; the waste rate is one exact-integer IEEE
+    division per arm.
+
+    Scale: each arm is a rank window over (doc, length) rows — the K48
+    prefix-window note applies (range-partitioned composition at 100 TB)
+    — followed by a |batches|-row aggregate; the real packer (K20) then
+    consumes the chosen ordering.
+    """
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    # both arms' ranks in ONE corpus pass (two window sorts over the same
+    # scan), stacked to (ordering, rn) rows — a per-arm unionAll of
+    # pipelines would re-scan documents per arm (the k56 rule)
+    w_hash = Window.partitionBy().orderBy(
+        F.md5(F.concat(F.lit("b:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    w_len = Window.partitionBy().orderBy(F.col("n_tokens"), F.col("doc_id"))
+    ranked = lens.select(
+        "n_tokens",
+        F.row_number().over(w_hash).alias("rn_hash"),
+        F.row_number().over(w_len).alias("rn_len"),
+    ).select(
+        F.expr(
+            "stack(2, 'hash_order', rn_hash, 'length_sorted', rn_len)"
+            " as (ordering, rn)"
+        ),
+        "n_tokens",
+    )
+    batches = ranked.groupBy(
+        "ordering", ((F.col("rn") - 1) / K63_BATCH).cast("long").alias("batch_id")
+    ).agg(
+        F.max("n_tokens").alias("batch_max"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )
+    padded = F.sum(F.col("batch_max") * F.col("n_in_batch"))
+    return batches.groupBy("ordering").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("batch_tokens").alias("real_tokens"),
+        padded.alias("padded_tokens"),
+        (
+            (padded - F.sum("batch_tokens")).cast("double")
+            / padded.cast("double")
+        ).alias("waste_rate"),
+    )
