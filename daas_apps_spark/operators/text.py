@@ -1585,3 +1585,70 @@ def k62_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# K64 release thresholds: metric -> (op, bound). The gate READS the K56
+# card; changing a threshold is a config edit, not an operator change.
+K64_GATES = (
+    ("exact_dup_rate", "max", 0.05),
+    ("short_doc_rate", "max", 0.25),
+    ("top_lang_share", "max", 0.60),
+    ("p50_doc_chars", "min", 120.0),
+    ("n_docs", "min", 100.0),
+)
+
+
+def _k64_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    card = REGISTRY["k56_dataset_card"].oracle
+    rows = ", ".join(
+        f"('{m}', '{op}', CAST({b} AS DOUBLE))" for m, op, b in K64_GATES
+    )
+    return f"""
+    WITH card AS ({card}),
+    gates(metric, op, bound) AS (VALUES {rows})
+    SELECT g.metric, c.value, g.op, g.bound,
+           CASE WHEN g.op = 'max' THEN c.value <= g.bound
+                ELSE c.value >= g.bound END AS passes
+    FROM gates g JOIN card c ON c.metric = g.metric
+    """
+
+
+@register(
+    "k64_release_gate",
+    oracle=_k64_oracle(),
+    tags=("K64", "K56", "DQ4", "B19"),
+)
+def k64_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset release gate: the K56 card joined against a declared
+    threshold table (dup-rate ceiling, short-doc ceiling, language-
+    concentration ceiling, length and size floors) emitting per-check
+    pass/fail — the ship/don't-ship artifact a data-release process
+    signs off on, closing the governance arc (card → gate → release).
+    DQ4's rule: the gate REPORTS; enforcement is the caller's decision.
+
+    Thresholds live in one literal table (B19's parameter-table idiom),
+    so tuning the gate is a config edit; the comparison directions are
+    data ('max'/'min'), not code branches.
+
+    Scale: inherits K56's two fact passes; the gate itself joins two
+    tiny relations.
+    """
+    card = k56_dataset_card(spark, sf_dir)
+    gates = spark.createDataFrame(
+        [(m, op, float(b)) for m, op, b in K64_GATES],
+        "metric string, op string, bound double",
+    )
+    return (
+        card.join(F.broadcast(gates), "metric")
+        .select(
+            "metric",
+            "value",
+            "op",
+            "bound",
+            F.when(F.col("op") == "max", F.col("value") <= F.col("bound"))
+            .otherwise(F.col("value") >= F.col("bound"))
+            .alias("passes"),
+        )
+    )
