@@ -1951,3 +1951,64 @@ def c29_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical text modulo the integer-division spelling (Spark `div`,
     # DuckDB `//`) — same exact-integer semantics on non-negatives
     return spark.sql(_C29_TEMPLATE.format(IDIV="div"))
+
+
+@register(
+    "dq12_full_row_duplicates",
+    oracle="""
+    WITH h AS (
+        SELECT md5(CAST(event_id AS VARCHAR) || '|' ||
+                   CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                   CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+                   printf('%.2f', value) || '|' || props) AS row_digest
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT row_digest) AS BIGINT) AS n_distinct_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT row_digest) AS BIGINT)
+               AS n_duplicate_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT row_digest) AS DOUBLE)
+               / COUNT(*) AS duplicate_rate
+    FROM h
+    """,
+    tags=("DQ12", "DQ2", "K1"),
+)
+def dq12_full_row_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row duplicate census — the double-ingest detector: every
+    column folded into one canonical digest (typed values rendered
+    through pinned formats: epoch-µs for timestamps, %.2f for the
+    2-decimal measure, the h_format midpoint rule), rows vs distinct
+    digests counted in one pass. DQ2 audits KEY uniqueness (same key,
+    different payload = corruption); this audits ROW uniqueness (same
+    everything = the upstream retried a batch). Zero duplicates on the
+    fixture is the expected PASS — the operator's job is the measurement
+    that proves it.
+
+    Scale: one aggregate; the distinct count shuffles digests (32 bytes/
+    row) — at 100 TB screen with approx_count_distinct first (the D4
+    trade) and only run the exact pass when the estimate is off.
+    """
+    e = table(spark, sf_dir, "events")
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros("ts").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.format_string("%.2f", "value"),
+            F.col("props"),
+        )
+    )
+    h = e.select(digest.alias("row_digest"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_digest").alias("n_distinct_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("row_digest")).alias(
+            "n_duplicate_rows"
+        ),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("row_digest")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("duplicate_rate"),
+    )

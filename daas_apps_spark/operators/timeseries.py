@@ -1406,3 +1406,62 @@ def t16_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "t18_period_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT wk, n_orders, revenue,
+           revenue - LAG(revenue) OVER (ORDER BY wk) AS wow_delta,
+           CASE WHEN LAG(revenue) OVER (ORDER BY wk) > 0.0
+                THEN ROUND((revenue - LAG(revenue) OVER (ORDER BY wk))
+                           / LAG(revenue) OVER (ORDER BY wk), 6) END
+               AS wow_pct,
+           CAST(n_orders - LAG(n_orders) OVER (ORDER BY wk) AS BIGINT)
+               AS order_delta
+    FROM weekly
+    """,
+    tags=("T18", "E3", "D1"),
+)
+def t18_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the universal BI report shape: weekly
+    revenue/order rollup with week-over-week absolute and percentage
+    deltas via LAG over the period spine. Deltas subtract two exact
+    decimal-disciplined sums (bit-identical on both engines); the pct is
+    one division of those exact values, rounded at the report edge;
+    the first week's deltas are NULL by construction, not zero — a
+    missing baseline is not a 0% change.
+
+    Scale: fact collapses to |weeks| rows map-side; the LAG window runs
+    over that tiny spine (T8's shape). Month/quarter variants change one
+    date_trunc literal.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    weekly = o.groupBy(F.date_trunc("week", "o_orderdate").alias("wk")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("wk")
+    prev_rev = F.lag("revenue").over(w)
+    return weekly.select(
+        "wk",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") - prev_rev).alias("wow_delta"),
+        F.when(
+            prev_rev > 0.0,
+            F.round((F.col("revenue") - prev_rev) / prev_rev, 6),
+        ).alias("wow_pct"),
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("order_delta"),
+    )
