@@ -943,3 +943,75 @@ def k63_batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / padded.cast("double")
         ).alias("waste_rate"),
     )
+
+
+K65_LENGTHS = (64, 128, 256, 512)  # candidate context budgets (tokens)
+
+
+@register(
+    "k65_context_fit",
+    oracle=f"""
+    WITH lens AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+        FROM documents
+    ),
+    cands(ctx) AS (VALUES {", ".join(f"({c})" for c in K65_LENGTHS)})
+    SELECT CAST(c.ctx AS INTEGER) AS ctx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN n_tokens <= c.ctx THEN 1 END) AS BIGINT)
+               AS n_fit,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tokens > c.ctx THEN n_tokens - c.ctx
+                         ELSE 0 END) AS BIGINT) AS truncated_tokens,
+           CAST(SUM(CASE WHEN n_tokens > c.ctx THEN n_tokens - c.ctx
+                         ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n_tokens) AS DOUBLE) AS truncated_share
+    FROM lens, cands c
+    GROUP BY c.ctx
+    """,
+    tags=("K65", "K20", "K63", "D10"),
+)
+def k65_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length fit census — the `max_seq_len` decision input: for
+    each candidate context budget, how many documents fit whole and what
+    fraction of the corpus's TOKEN MASS a hard truncation at that budget
+    would discard. Doc-count percentiles (K56) understate the damage
+    because long documents carry disproportionate tokens; this report
+    weights by tokens, which is what the training loss actually sees.
+    K20's packer and K10's chunker are the mitigations once a budget is
+    chosen — this is the report that chooses it.
+
+    Exact: token counts are integers, the candidate fan-out is a literal
+    table (B19 idiom), the share is one exact-integer division per row.
+
+    Scale: one corpus pass computes lengths; the |candidates|-way
+    fan-out multiplies the tiny length relation, not the text; aggregate
+    is map-side partial. Adding a candidate budget edits the literal.
+    """
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    cands = spark.createDataFrame(
+        [(c,) for c in K65_LENGTHS], "ctx int"
+    )
+    trunc = F.when(
+        F.col("n_tokens") > F.col("ctx"), F.col("n_tokens") - F.col("ctx")
+    ).otherwise(F.lit(0))
+    return (
+        lens.crossJoin(F.broadcast(cands))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_tokens") <= F.col("ctx"), 1)).alias(
+                "n_fit"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(trunc).alias("truncated_tokens"),
+            (
+                F.sum(trunc).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("truncated_share"),
+        )
+    )
