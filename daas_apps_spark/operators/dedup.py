@@ -1093,3 +1093,79 @@ def k54_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("src_lo", "src_hi", "cross_source").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def _k66_oracle() -> str:
+    from daas_apps_spark.registry import REGISTRY
+
+    pairs_sql = REGISTRY["k3_lsh_near_dedup"].oracle
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    und AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    wedges AS (
+        SELECT x.u AS a, x.v AS b, y.v AS c
+        FROM und x JOIN und y ON y.u = x.v AND x.u < y.v
+    ),
+    tagged AS (
+        SELECT w.a, w.c,
+               (p.doc_a IS NOT NULL) AS closed
+        FROM wedges w
+        LEFT JOIN pairs p ON p.doc_a = w.a AND p.doc_b = w.c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COUNT(CASE WHEN closed THEN 1 END) AS BIGINT)
+               AS n_closed,
+           CAST(COUNT(CASE WHEN NOT closed THEN 1 END) AS BIGINT)
+               AS n_open,
+           CAST(COUNT(CASE WHEN closed THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS transitivity
+    FROM tagged
+    """
+
+
+@register(
+    "k66_neardup_transitivity",
+    oracle=_k66_oracle(),
+    tags=("K66", "K3", "GR2", "K43"),
+)
+def k66_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup transitivity audit: over the verified K3 pair graph, how
+    many two-hop wedges A~B~C are CLOSED by a verified A~C pair vs left
+    open — the number that justifies (or indicts) clustering by
+    connected components: high transitivity means CC clusters are tight
+    near-dup families; low transitivity means chains of pairwise-similar
+    documents whose ends differ, where keep-one-per-component (K43)
+    over-deletes. The GR2 wedge-counting kernel applied to the dedup
+    graph instead of the co-supply graph.
+
+    Scale: the pair relation is LSH-bounded (never N²), so the wedge
+    join is tiny; the closure probe is a left join on the ordered pair.
+    """
+    pairs = k3_lsh_near_dedup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    x = und.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    y = und.select(F.col("u").alias("mid"), F.col("v").alias("c"))
+    wedges = x.join(y, "mid").filter(F.col("a") < F.col("c"))
+    tagged = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("c"),
+            F.lit(True).alias("closed"),
+        ),
+        ["a", "c"],
+        "left",
+    ).select(F.coalesce("closed", F.lit(False)).alias("closed"))
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count(F.when(F.col("closed"), 1)).alias("n_closed"),
+        F.count(F.when(~F.col("closed"), 1)).alias("n_open"),
+        (
+            F.count(F.when(F.col("closed"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("transitivity"),
+    )
