@@ -1652,3 +1652,75 @@ def k64_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("passes"),
         )
     )
+
+
+K67_TOP_TERMS = 3
+
+
+@register(
+    "k67_keyword_extraction",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               ROUND(t.tf * ln((SELECT n_docs FROM n) / d.df), 6) AS tfidf
+        FROM tf t JOIN df d ON d.term = t.term
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K67_TOP_TERMS}
+    """,
+    tags=("K67", "K8", "F5"),
+)
+def k67_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-{K67_TOP_TERMS}
+    terms by tf·ln(N/df) — the zero-dependency tagger behind search
+    facets, dataset browsing, and topic labels (K8 publishes the model
+    tables; this applies them back per document). The tfidf float is one
+    multiply of an exact count by one log evaluation — the same
+    single-expression shape the K21 surprisal scorer pins — rounded at
+    the report edge, and the per-doc rank breaks ties by term so top-k
+    is total-ordered.
+
+    Scale: (doc, term) tf and term df are the K8 aggregates; the score
+    join broadcasts the |vocab|-row df side onto the tf stream, and the
+    top-k window partitions by doc — one shuffle each, no corpus-sized
+    sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df.crossJoin(F.broadcast(n))), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K67_TOP_TERMS)
+    )
