@@ -853,7 +853,8 @@ def d16_ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *,
                ROW_NUMBER() OVER (PARTITION BY o_orderstatus
                                   ORDER BY n DESC, o_orderpriority ASC) AS rn,
-               SUM(n) OVER (PARTITION BY o_orderstatus) AS n_group
+               CAST(SUM(n) OVER (PARTITION BY o_orderstatus)
+                    AS BIGINT) AS n_group
         FROM counted
     ) WHERE rn = 1
     """,

@@ -1957,10 +1957,12 @@ def c29_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq12_full_row_duplicates",
     oracle="""
     WITH h AS (
-        SELECT md5(CAST(event_id AS VARCHAR) || '|' ||
-                   CAST(epoch_us(ts) AS VARCHAR) || '|' ||
-                   CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-                   printf('%.2f', value) || '|' || props) AS row_digest
+        SELECT md5(COALESCE(CAST(event_id AS VARCHAR), '<NULL>') || '|' ||
+                   COALESCE(CAST(epoch_us(ts) AS VARCHAR), '<NULL>') || '|' ||
+                   COALESCE(CAST(user_id AS VARCHAR), '<NULL>') || '|' ||
+                   COALESCE(event_type, '<NULL>') || '|' ||
+                   COALESCE(printf('%.2f', value), '<NULL>') || '|' ||
+                   COALESCE(props, '<NULL>')) AS row_digest
         FROM events
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1989,15 +1991,27 @@ def dq12_full_row_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade) and only run the exact pass when the estimate is off.
     """
     e = table(spark, sf_dir, "events")
+    # Every field is wrapped in coalesce(field, '<NULL>') BEFORE joining:
+    # concat_ws silently SKIPS nulls (making 'a|NULL|b' and 'a|b|NULL'
+    # collide), while the oracle's || NULL-propagates — the sentinel makes
+    # the digest injective w.r.t. NULL position and identical on both
+    # engines (the concat-vs-concat_ws null rule documented earlier in
+    # this module).
+    _nul = F.lit("<NULL>")
     digest = F.md5(
         F.concat_ws(
             "|",
-            F.col("event_id").cast("string"),
-            F.unix_micros("ts").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.format_string("%.2f", "value"),
-            F.col("props"),
+            F.coalesce(F.col("event_id").cast("string"), _nul),
+            F.coalesce(F.unix_micros("ts").cast("string"), _nul),
+            F.coalesce(F.col("user_id").cast("string"), _nul),
+            F.coalesce(F.col("event_type"), _nul),
+            # format_string does NOT null-propagate (Java Formatter renders
+            # null as the literal "null", truncated by precision) — guard
+            # explicitly to match the oracle's NULL-propagating printf
+            F.when(F.col("value").isNull(), _nul).otherwise(
+                F.format_string("%.2f", "value")
+            ),
+            F.coalesce(F.col("props"), _nul),
         )
     )
     h = e.select(digest.alias("row_digest"))

@@ -45,10 +45,12 @@ def _pagerank_oracle() -> str:
         iters.append(f"""
     pr{i} AS (
         SELECT d.node,
-               (SELECT tele FROM consts)
-               + ({PR_DAMP_NUM} * COALESCE(inb.m, 0)) // {PR_DAMP_DEN} AS pr_fp
+               CAST((SELECT tele FROM consts)
+                    + ({PR_DAMP_NUM} * COALESCE(inb.m, 0)) // {PR_DAMP_DEN}
+                    AS BIGINT) AS pr_fp
         FROM deg d LEFT JOIN (
-            SELECT e.dst AS node, SUM(p.pr_fp // dd.degree) AS m
+            SELECT e.dst AS node,
+                   CAST(SUM(p.pr_fp // dd.degree) AS BIGINT) AS m
             FROM edges e
             JOIN {prev} p ON p.node = e.src
             JOIN deg dd ON dd.node = e.src
@@ -550,13 +552,18 @@ def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nbr_jaccard"),
         )
     )
+    # Top-25 via orderBy().limit() — Catalyst compiles this to
+    # TakeOrderedAndProject (per-partition bounded heaps, merged on the
+    # driver), so the full candidate set is NEVER funneled through one
+    # partition the way an unpartitioned row_number window would. rnk is
+    # then derived with a window over the 25-row result only.
+    topk = scored.orderBy(
+        F.col("common").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(GR4_TOP)
     w = Window.partitionBy().orderBy(
         F.col("common").desc(), F.col("u").asc(), F.col("v").asc()
     )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= GR4_TOP)
-    )
+    return topk.withColumn("rnk", F.row_number().over(w))
 
 
 GR5_MAX_ITERS = 12

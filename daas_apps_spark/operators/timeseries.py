@@ -1252,8 +1252,10 @@ def t14_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
         SELECT date_trunc('week', d) AS wk,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
         FROM daily GROUP BY 1
     )
     SELECT wk, n, sx AS clicks, sy AS purchases,

@@ -455,11 +455,18 @@ def a22_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = scratch_dir("a22_csv_quoted")
     d = table(spark, sf_dir, "documents")
+    # emptyValue/nullValue are pinned DISTINCT on both writer and reader:
+    # by default Spark's reader maps a quoted empty string back to NULL,
+    # so an empty text field would silently drop from the length/digest
+    # sums — the round-trip must hold for '' and NULL separately, not
+    # just for the fixture's non-empty rows.
     (
         d.write.mode("overwrite")
         .option("header", "true")
         .option("quoteAll", "true")
         .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
         .csv(path)
     )
     back = (
@@ -469,6 +476,8 @@ def a22_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
         .csv(path)
     )
     digest = "cast(conv(substring(md5(text), 1, 7), 16, 10) as bigint)"

@@ -488,6 +488,17 @@ def test_k49_truncation_recall_stays_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") >= 2
 
 
+def test_gr4_topk_no_global_sort(spark):
+    # gr4's top-25 must compile to TakeOrderedAndProject (per-partition
+    # bounded heaps), never funnel the full non-edge candidate set — the
+    # component whose size grows ~3x per data decade — through a single
+    # unpartitioned row_number window. The residual rnk window runs over
+    # the 25-row limit result only.
+    plan = plan_of(spark, "gr4_link_prediction")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_gr3_bfs_rounds_never_cartesian(spark):
     # Each BFS round is frontier⋈adjacency on node id + left-anti visited
     # dedup — hash joins only, never a cartesian blowup. (localCheckpoint
