@@ -1343,6 +1343,46 @@ def c21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_C21_SQL)
 
 
+@register(
+    "c21_bucketed_layout",
+    oracle=_C21_SQL,
+    tags=("C21", "A13", "C3", "C4"),
+    bench=True,
+)
+def c21_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 on a BUCKETED storage layout: lineitem bucketed+sorted on
+    l_orderkey and orders on o_orderkey (sources/bucketed.py), so the
+    three key-local fact passes — the probe join plus Catalyst's
+    left-semi and left-anti self-probes from the EXISTS / NOT EXISTS
+    pair — read an already-hash-partitioned layout and run with NO
+    Exchange on the probe key (pinned: test_c21_bucketed_probes_
+    shuffle_free). Identical semantics and oracle as c21; only the
+    layout differs.
+
+    This is the engine's generalization of the reference pre-splitting
+    inputs per contig so every downstream tool run is partition-local
+    (SAMSplitter.java:10-43, SparkCaller.java:175-249): pay the
+    partitioning ONCE at ingest, then every self-probe query shape over
+    the fact table (Q21/Q13/Q22-style) is exchange-free. At 100 TB the
+    un-bucketed plan shuffles the fact table on l_orderkey three times
+    per run; this plan never does.
+
+    The bucketed copy materializes on first call and is reused after
+    (same one-time-ingest contract as layout.compact_dir — bench.py's
+    untimed warmup absorbs the write, exactly as a deployment's
+    OPTIMIZE pass is excluded from per-query latency).
+    """
+    from daas_apps_spark.sources.bucketed import bucketed_sql
+
+    register_views(spark, sf_dir)  # supplier still reads the raw view
+    return bucketed_sql(
+        spark,
+        sf_dir,
+        _C21_SQL,
+        {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+    )
+
+
 # Benford expected first-digit frequencies log10(1 + 1/d), pinned as
 # 17-significant-digit literals in E-notation: scientific notation is
 # lexed as a DOUBLE in both engines (a plain decimal literal would pass

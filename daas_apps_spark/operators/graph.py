@@ -603,17 +603,27 @@ def gr5_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     census hash-matches DuckDB's WITH RECURSIVE reachability closure
     with no discipline.
 
-    The loop is iterate-until-stable with a hard cap and an explicit
-    post-verification (no edge may straddle two labels — raising beats
-    silently wrong labels on a deeper-than-expected graph, the
-    k3-clusters rule).
+    The loop is CONVERGENCE-DRIVEN (iterate until no label changes, the
+    GraphFrames/Pregel form) with GR5_MAX_ITERS as a safety bound only:
+    each round materializes the |V|-row label table through a RELIABLE
+    checkpoint (a named checkpoint directory, not executor-local blocks)
+    and counts changed labels — zero changes ends the loop. Reliable
+    checkpoints are the 100 TB discipline: an iterate-to-convergence
+    lineage survives executor loss and is truncated every round, so
+    round N's plan never re-derives rounds 1..N-1. An explicit
+    post-verification (no edge may straddle two labels) still guards the
+    safety bound — raising beats silently wrong labels.
 
-    Scale: each round is one join + one aggregate keyed on node id with
-    localCheckpoint lineage truncation; rounds needed = component
-    diameter, and the census itself is |V|-row work. Web-scale graphs
-    switch to pointer-jumping (label ← label-of-label) to collapse
-    diameter logarithmically.
+    Scale: each round is one join + one aggregate keyed on node id;
+    rounds needed = O(log diameter) via pointer jumping, and the
+    convergence count is an action over the |V|-row label table — cheap
+    relative to the edge join it gates.
     """
+    from daas_apps_spark.sources.io import scratch_dir
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(scratch_dir("gr5_checkpoints"))
     edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
     adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
@@ -621,6 +631,7 @@ def gr5_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = adj.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    converged = False
     for _ in range(GR5_MAX_ITERS):
         nbr_min = (
             adj.join(labels.withColumnRenamed("node", "src"), "src")
@@ -634,13 +645,12 @@ def gr5_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         # pointer jumping (label <- label-of-label): labels are node ids,
-        # so chasing one hop per round makes GR5_MAX_ITERS rounds cover
-        # components of diameter ~2^rounds, not rounds — the k3-clusters
-        # kernel's trick, without which a 13-hop chain would raise below.
+        # so chasing one hop per round makes the loop cover components of
+        # diameter ~2^rounds, not rounds — the k3-clusters kernel's trick.
         lab_of = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        labels = (
+        new_labels = (
             stepped.join(lab_of, "lbl", "left")
             .select(
                 "node",
@@ -648,16 +658,30 @@ def gr5_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .checkpoint()  # reliable: truncates lineage AND survives executor loss
         )
-    # converged ⇔ no edge crosses two labels
-    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
-    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
-    crossing = adj.join(la, "src").join(lb, "dst").filter(F.col("la") != F.col("lb"))
-    if crossing.limit(1).count() > 0:
-        raise RuntimeError(
-            f"gr5_component_census: not converged after {GR5_MAX_ITERS} rounds"
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "prev_lbl"), "node"
+            )
+            .filter(F.col("lbl") != F.col("prev_lbl"))
+            .count()
         )
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        # safety bound hit without a fixed point — verify before trusting
+        la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+        lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+        crossing = (
+            adj.join(la, "src").join(lb, "dst").filter(F.col("la") != F.col("lb"))
+        )
+        if crossing.limit(1).count() > 0:
+            raise RuntimeError(
+                f"gr5_component_census: not converged after {GR5_MAX_ITERS} rounds"
+            )
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),

@@ -529,3 +529,66 @@ def a24_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = back if out is None else out.unionAll(back)
     return out
+
+
+@register(
+    "a25_table_format_timetravel",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(1 AS INTEGER) AS batch_id
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE),
+           CAST(CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END AS INTEGER)
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A25", "A21", "G5"),
+)
+def a25_table_format_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table-format round-trip (sources/table_format.py): orders
+    appended as commit v1, then a MERGE upsert (partition F's rows with
+    doubled prices, batch 2) as commit v2 — and BOTH snapshots read back
+    through the commit log: the latest state AND the time-traveled v1,
+    censused side by side. v1 must still census to the original table
+    even though v2 retired its data files — immutable data + replayable
+    log is the property under test, the thing A21's in-place dynamic
+    overwrite cannot give (its old partition is gone after the second
+    batch).
+
+    Scale: a snapshot read is a plain multi-dir parquet scan (pruning
+    and pushdown apply per normal); the commit log is O(versions) tiny
+    JSON files, compactable into checkpoints exactly as Delta does when
+    version count grows.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a25_table_format")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o.withColumn("batch_id", F.lit(1)))
+    updates = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("batch_id", F.lit(2))
+    )
+    vt.merge(updates, ["o_orderkey"])
+
+    def census(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("revenue"),
+                F.max("batch_id").cast("int").alias("batch_id"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+
+    return census(vt.read(version=1), 1).unionByName(census(vt.read(), 2))

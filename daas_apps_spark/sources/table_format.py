@@ -1,0 +1,130 @@
+"""Minimal versioned table format: Delta/Iceberg-style commit log on parquet.
+
+The A21 dynamic-partition-overwrite surface stops where concurrent writers
+and time travel begin — the jump SCALING.md names to a TABLE FORMAT: data
+files are immutable parquet, and table STATE is a numbered chain of JSON
+commit files, each recording the data directories it adds and removes. A
+reader resolves a snapshot by replaying the log to a version; a writer
+never mutates data in place, only appends a new commit. That single
+discipline buys atomic overwrite, upsert (MERGE as copy-on-write), time
+travel, and crash safety (a torn write leaves an orphan data dir that no
+commit references — invisible to readers).
+
+Layout:
+    <table>/_log/00000001.json   {"version","operation","add":[...],"remove":[...]}
+    <table>/_log/00000002.json
+    <table>/data/v1-<uuid>/part-*.parquet     (immutable, one dir per commit)
+
+Commit atomicity here is `os.rename` of a tmp file into the log — the
+single-writer filesystem contract. A multi-writer deployment swaps exactly
+that one primitive for a compare-and-swap commit service (what Delta's
+LogStore / Iceberg's catalog provide); everything else is unchanged. Reads
+scale because a snapshot is just a list of parquet directories handed to
+``spark.read.parquet`` — partition pruning, pushdown, and scan parallelism
+all apply per normal.
+
+MERGE is copy-on-write at commit granularity: the new version rewrites the
+table from snapshot ⟕ updates (anti-join + union) into one new dir and
+retires the old dirs. At 100 TB the refinement is file-level COW — track
+per-file key min/max in the commit and rewrite only files whose range
+intersects the updates — same log schema, smaller `remove` sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class VersionedTable:
+    """A parquet table whose state is a replayable JSON commit log."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, _LOG), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+
+    # -- log plumbing ------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, _LOG)
+
+    def _commits(self) -> list[dict]:
+        entries = []
+        for name in sorted(os.listdir(self._log_dir())):
+            if name.endswith(".json"):
+                with open(os.path.join(self._log_dir(), name)) as f:
+                    entries.append(json.load(f))
+        return entries
+
+    def latest_version(self) -> int:
+        commits = self._commits()
+        return commits[-1]["version"] if commits else 0
+
+    def _commit(self, operation: str, add: list[str], remove: list[str]) -> int:
+        version = self.latest_version() + 1
+        entry = {
+            "version": version,
+            "operation": operation,
+            "add": add,
+            "remove": remove,
+        }
+        tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        # rename IS the commit: readers either see the whole version or none
+        os.rename(tmp, os.path.join(self._log_dir(), f"{version:08d}.json"))
+        return version
+
+    def _live_dirs(self, version: int | None = None) -> list[str]:
+        live: list[str] = []
+        for entry in self._commits():
+            if version is not None and entry["version"] > version:
+                break
+            live = [d for d in live if d not in set(entry["remove"])]
+            live.extend(entry["add"])
+        return [os.path.join(self.path, _DATA, d) for d in live]
+
+    def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
+        rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, _DATA, rel)
+        )
+        return rel
+
+    # -- operations --------------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        rel = self._write_data_dir(df, self.latest_version() + 1)
+        return self._commit("append", add=[rel], remove=[])
+
+    def overwrite(self, df: DataFrame) -> int:
+        old = [os.path.basename(p) for p in self._live_dirs()]
+        rel = self._write_data_dir(df, self.latest_version() + 1)
+        return self._commit("overwrite", add=[rel], remove=old)
+
+    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+        """Upsert (copy-on-write): rows matching on ``keys`` are replaced,
+        the rest inserted. One new data dir; prior dirs retired."""
+        current = self.read()
+        merged = current.join(updates, keys, "left_anti").unionByName(updates)
+        old = [os.path.basename(p) for p in self._live_dirs()]
+        rel = self._write_data_dir(merged, self.latest_version() + 1)
+        return self._commit("merge", add=[rel], remove=old)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read — latest by default, time travel with ``version``."""
+        dirs = self._live_dirs(version)
+        if not dirs:
+            raise ValueError(f"no snapshot at version {version} in {self.path}")
+        return self.spark.read.parquet(*dirs)
+
+    def history(self) -> list[dict]:
+        return self._commits()

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table
 from daas_apps_spark.operators.partitioning import physical_plan
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +59,60 @@ def test_bucketed_aggregate_has_no_shuffle(spark, bucketed_tables):
     plan = physical_plan(agg, mode="simple")
     assert "Exchange" not in plan
     assert agg.count() == table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+
+
+def test_c21_bucketed_probes_shuffle_free(spark):
+    """c21_bucketed_layout's three fact passes (probe join to orders plus
+    Catalyst's left-semi / left-anti self-probes) must run on the bucketed
+    layout with ZERO Exchange on the orderkey — the bucket layout IS the
+    partitioning. Dim-broadcast regime (supplier broadcasts, facts don't):
+    the only remaining exchange is the final tiny group-by aggregate."""
+    from daas_apps_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(100 * 1024))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["c21_bucketed_layout"].fn(spark, SF_ORACLE)
+        plan = physical_plan(df, mode="simple")
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+        assert "SortMergeJoin" in plan  # the probes are real fact-fact joins
+        # and the bucketed result equals the plain c21 result
+        plain = REGISTRY["c21_waiting_supplier"].fn(spark, SF_ORACLE)
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_c6_bucketed_groupby_shuffle_free(spark):
+    """c6_bucketed_layout's (l_partkey, l_suppkey) pre-aggregation — the
+    query's one fact shuffle — must run with NO Exchange on the bucketed
+    scan: HashPartitioning(l_partkey) satisfies the pair groupBy's
+    ClusteredDistribution (partitioning keys ⊆ grouping keys)."""
+    from daas_apps_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["c6_bucketed_layout"].fn(spark, SF_ORACLE)
+        plan = physical_plan(df, mode="simple")
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "l_partkey" not in ln, ln
+        plain = REGISTRY["c6_multikey_join"].fn(spark, SF_ORACLE)
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def test_a13_zorder_buckets_bound_both_dimensions(spark):

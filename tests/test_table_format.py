@@ -1,0 +1,116 @@
+"""Versioned table format (sources/table_format.py): commit-log semantics.
+
+The contract under test is Delta/Iceberg's core discipline reduced to its
+essentials: immutable parquet data dirs + a replayable JSON commit log, so
+overwrite/merge are atomic (readers see whole versions or nothing), old
+snapshots stay readable (time travel), and a torn data write is invisible
+(no commit references it).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from daas_apps_spark.sources.table_format import VersionedTable
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_accumulates_versions(spark, vt):
+    assert vt.append(_df(spark, [(1, "a")])) == 1
+    assert vt.append(_df(spark, [(2, "b")])) == 2
+    got = sorted((r.k, r.v) for r in vt.read().collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert [c["operation"] for c in vt.history()] == ["append", "append"]
+
+
+def test_overwrite_retires_prior_files_but_keeps_them_readable(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.overwrite(_df(spark, [(3, "c")]))
+    assert [r.k for r in vt.read().collect()] == [3]
+    # time travel: v1 still reads the retired files
+    assert sorted(r.k for r in vt.read(version=1).collect()) == [1, 2]
+
+
+def test_merge_upserts_matched_and_inserts_new(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.merge(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # and the pre-merge snapshot is unchanged
+    old = dict((r.k, r.v) for r in vt.read(version=1).collect())
+    assert old == {1: "a", 2: "b"}
+
+
+def test_orphan_data_dir_is_invisible(spark, vt):
+    """A torn write (data dir present, commit absent) must not surface."""
+    vt.append(_df(spark, [(1, "a")]))
+    orphan = os.path.join(vt.path, "data", "v9-deadbeef")
+    _df(spark, [(99, "zz")]).write.parquet(orphan)
+    assert [r.k for r in vt.read().collect()] == [1]
+
+
+def test_read_missing_version_raises(spark, vt):
+    with pytest.raises(ValueError):
+        vt.read()
+    vt.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        vt.read(version=0)
+
+
+def test_commit_log_is_contiguous_and_replayable(spark, vt):
+    for i in range(4):
+        vt.append(_df(spark, [(i, str(i))]))
+    hist = vt.history()
+    assert [c["version"] for c in hist] == [1, 2, 3, 4]
+    # every referenced data dir exists; every add set is disjoint
+    seen = set()
+    for c in hist:
+        for d in c["add"]:
+            assert os.path.isdir(os.path.join(vt.path, "data", d))
+            assert d not in seen
+            seen.add(d)
+
+
+def test_merge_is_copy_on_write_not_in_place(spark, vt):
+    """The merge commit must add a NEW dir and retire (not delete) the old
+    ones — in-place mutation would break every older snapshot."""
+    vt.append(_df(spark, [(1, "a")]))
+    before = set(os.listdir(os.path.join(vt.path, "data")))
+    vt.merge(_df(spark, [(1, "A")]), keys=["k"])
+    after = set(os.listdir(os.path.join(vt.path, "data")))
+    assert before < after  # old dirs still on disk, new dir added
+    last = vt.history()[-1]
+    assert last["operation"] == "merge"
+    assert set(last["remove"]) == before
+
+
+def test_schema_carries_through_merge(spark, vt):
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("n"),
+        F.lit("x").alias("tag"),
+    )
+    vt.append(df)
+    vt.merge(
+        spark.range(2).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).alias("n"),
+            F.lit("y").alias("tag"),
+        ),
+        keys=["k"],
+    )
+    out = vt.read()
+    assert set(out.columns) == {"k", "n", "tag"}
+    got = {r.k: (r.n, r.tag) for r in out.collect()}
+    assert got == {0: (0, "y"), 1: (100, "y"), 2: (20, "x")}
