@@ -125,6 +125,87 @@ def c15_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c15_bucketed_layout",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("C15", "A13", "C5", "D1"),
+    bench=True,
+)
+def c15_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 (TPC-H-Q5 shape) on the SAME bucketed layout c21 ingested —
+    lineitem and orders bucketed on the orderkey (sources/bucketed.py
+    caches the managed copies, so the second query pays zero extra
+    ingest: ONE layout serves every orderkey-spine query, the point of
+    baking partitioning into storage).
+
+    Restructured for the layout: (1) lineitem⋈orders runs bucket-local,
+    NO exchange on the orderkey — the raw plan's only fact-sized
+    shuffle; (2) supplier broadcasts onto the joined fact, giving
+    s_nationkey per row; (3) the fact PRE-AGGREGATES by (o_custkey,
+    s_nationkey) — scaled-long partial sums, exact and associative per
+    functions/discipline.py — so the one remaining shuffle carries
+    ≤ |customers|·|nations| aggregate rows, not lineitems; (4) customer
+    + the ASIA nation census join and re-aggregate on the tiny side.
+    At 100 TB: zero fact-table shuffles, one aggregate-sized shuffle.
+    """
+    from daas_apps_spark.sources.bucketed import bucketed_views
+
+    t = tables(spark, sf_dir)
+    b = bucketed_views(
+        spark, sf_dir, {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    )
+    li, o = spark.table(b["lineitem"]), spark.table(b["orders"])
+    n_asia = (
+        F.broadcast(t.region.filter(F.col("r_name") == "ASIA"))
+        .join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    o = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    scaled_rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        * 10_000
+    ).cast("long")
+    fact = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))  # bucket-local
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("o_custkey", "s_nationkey")
+        .agg(
+            F.sum(scaled_rev).alias("rev_l"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+    )
+    return (
+        fact.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum("rev_l") / F.lit(10_000.0)).alias("revenue"),
+            F.sum("n_part").alias("n_lineitems"),
+        )
+    )
+
+
 _LATERAL_SQL = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (

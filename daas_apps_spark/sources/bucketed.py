@@ -55,6 +55,13 @@ def bucketed_table(
     """
     label = _safe(sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tbl = f"bkt_{label}_{_safe(name)}_{_safe(key)}_{n_buckets}"
+    if spark.catalog.tableExists(tbl):
+        # guard against a catalog entry whose files another session
+        # removed (the warehouse dir is shared; commits are single-writer)
+        try:
+            spark.table(tbl).limit(1).count()
+        except Exception:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
         # the warehouse directory outlives the in-memory catalog (a prior
         # session may have written this table) — clear the stale location

@@ -68,13 +68,20 @@ class VersionedTable:
         commits = self._commits()
         return commits[-1]["version"] if commits else 0
 
-    def _commit(self, operation: str, add: list[str], remove: list[str]) -> int:
+    def _commit(
+        self,
+        operation: str,
+        add: list[str],
+        remove: list[str],
+        metadata: dict | None = None,
+    ) -> int:
         version = self.latest_version() + 1
         entry = {
             "version": version,
             "operation": operation,
             "add": add,
             "remove": remove,
+            "metadata": metadata or {},
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -101,14 +108,14 @@ class VersionedTable:
 
     # -- operations --------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, metadata: dict | None = None) -> int:
         rel = self._write_data_dir(df, self.latest_version() + 1)
-        return self._commit("append", add=[rel], remove=[])
+        return self._commit("append", add=[rel], remove=[], metadata=metadata)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, metadata: dict | None = None) -> int:
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(df, self.latest_version() + 1)
-        return self._commit("overwrite", add=[rel], remove=old)
+        return self._commit("overwrite", add=[rel], remove=old, metadata=metadata)
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Upsert (copy-on-write): rows matching on ``keys`` are replaced,
@@ -118,6 +125,38 @@ class VersionedTable:
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(merged, self.latest_version() + 1)
         return self._commit("merge", add=[rel], remove=old)
+
+    def optimize(self, target_partitions: int = 1) -> int:
+        """Compaction: rewrite the live snapshot into ``target_partitions``
+        files in one new dir and retire the fragmented dirs — logically a
+        no-op (same rows), so readers of ANY version are unaffected. The
+        small-files problem is the table format's chronic disease (every
+        append adds a dir; scan cost grows with file count, not bytes);
+        OPTIMIZE is the periodic cure, exactly Delta's."""
+        current = self.read().coalesce(target_partitions)
+        old = [os.path.basename(p) for p in self._live_dirs()]
+        rel = self._write_data_dir(current, self.latest_version() + 1)
+        return self._commit("optimize", add=[rel], remove=old)
+
+    def vacuum(self, keep_versions: int = 0) -> list[str]:
+        """Delete data dirs unreferenced by any version newer than
+        ``latest - keep_versions`` — the storage-reclaim step that
+        TRADES time travel (older snapshots become unreadable) for
+        space. Orphan dirs (torn writes no commit references) are always
+        reclaimed. Returns the deleted dir names."""
+        import shutil
+
+        horizon = self.latest_version() - keep_versions
+        keep: set[str] = set()
+        for v in range(max(horizon, 1), self.latest_version() + 1):
+            keep.update(os.path.basename(p) for p in self._live_dirs(v))
+        data_root = os.path.join(self.path, _DATA)
+        deleted = []
+        for d in sorted(os.listdir(data_root)):
+            if d not in keep:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                deleted.append(d)
+        return deleted
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read — latest by default, time travel with ``version``."""

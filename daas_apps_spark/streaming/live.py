@@ -346,6 +346,81 @@ def run_stream_upsert_counts(
     q.awaitTermination()
 
 
+def run_stream_to_versioned_table(
+    spark: SparkSession, src_dir: str, table_path: str, checkpoint_dir: str
+) -> None:
+    """Streaming sink into the versioned table format (sources/
+    table_format.py): each micro-batch's per-user counts merge with the
+    table's current snapshot and commit as a NEW VERSION, with the
+    stream's ``batch_id`` recorded in the commit metadata.
+
+    The metadata is what upgrades foreachBatch's at-least-once replay to
+    EXACTLY-ONCE application: a replayed batch (crash between the table
+    commit and the stream checkpoint advance) finds its batch_id already
+    in the log and skips — the transactional-sink idempotence contract
+    Delta's `txn` app-id/version pair provides, reduced to its essence.
+    run_stream_upsert_counts gets effectively-once from re-merging
+    against pre-swap state; this sink gets it from the commit log, and
+    keeps every batch boundary time-travelable as a bonus.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    stream = events_file_stream(spark, src_dir, max_files_per_trigger=2)
+    vt = VersionedTable(spark, table_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied = {
+            c.get("metadata", {}).get("batch_id") for c in vt.history()
+        }
+        if batch_id in applied:  # replayed batch — already committed
+            return
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("inc_value"),
+        )
+        try:
+            state = vt.read().select(
+                F.col("user_id").alias("s_user"),
+                F.col("n_events").alias("s_n"),
+                F.col("total_value").cast("decimal(18,4)").alias("s_total"),
+            )
+        except ValueError:  # no snapshot yet
+            state = None
+        if state is None:
+            merged = inc.select(
+                "user_id",
+                "n_events",
+                F.col("inc_value").cast("double").alias("total_value"),
+            )
+        else:
+            merged = inc.join(
+                state, inc.user_id == state.s_user, "full_outer"
+            ).select(
+                F.coalesce("user_id", "s_user").alias("user_id"),
+                (
+                    F.coalesce("n_events", F.lit(0))
+                    + F.coalesce("s_n", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(
+                        F.col("inc_value"), F.lit(0).cast("decimal(18,4)")
+                    )
+                    + F.coalesce("s_total", F.lit(0).cast("decimal(18,4)"))
+                )
+                .cast("double")
+                .alias("total_value"),
+            )
+        vt.overwrite(merged, metadata={"batch_id": batch_id})
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 CUSUM_STATE_SCALE = 10_000  # 4-decimal fixed point — matches batch T8
 
 

@@ -115,6 +115,29 @@ def test_c6_bucketed_groupby_shuffle_free(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+def test_c15_bucketed_fact_join_shuffle_free(spark):
+    """c15_bucketed_layout: lineitem⋈orders must run bucket-local (zero
+    Exchange on the orderkey — the raw plan's only fact-sized shuffle);
+    the surviving exchanges carry pre-aggregated rows only."""
+    from daas_apps_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["c15_bucketed_layout"].fn(spark, SF_ORACLE)
+        plan = physical_plan(df, mode="simple")
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+        plain = REGISTRY["c15_regional_revenue"].fn(spark, SF_ORACLE)
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 def test_a13_zorder_buckets_bound_both_dimensions(spark):
     """The defining Z-order property: each of the 16 top-level Morton
     buckets fixes the top 2 bits of BOTH dimensions, so every bucket's

@@ -246,6 +246,58 @@ def test_foreachbatch_upsert_equals_batch(spark, events_json_dir, tmp_path):
     assert (abs(got_s.total_value.values - want_s.total_value.values) < 1e-9).all()
 
 
+def test_stream_to_versioned_table_exactly_once(spark, events_json_dir, tmp_path):
+    """Streaming sink into the versioned table format: (a) the final
+    snapshot equals the one-shot batch aggregate, (b) each micro-batch's
+    commit records its batch_id (the idempotence key), (c) re-running the
+    drained stream on the SAME checkpoint commits nothing new, and (d) a
+    manually replayed batch_id is skipped — exactly-once application."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import run_stream_to_versioned_table
+
+    tbl = str(tmp_path / "vt")
+    ck = str(tmp_path / "ck")
+    run_stream_to_versioned_table(spark, events_json_dir, tbl, ck)
+    vt = VersionedTable(spark, tbl)
+    got = vt.read().toPandas()
+
+    src = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(events_json_dir)
+    want = (
+        src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .toPandas()
+    )
+    got_s = got.sort_values("user_id").reset_index(drop=True)
+    want_s = want.sort_values("user_id").reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s.n_events.values == want_s.n_events.values).all()
+    assert (abs(got_s.total_value.values - want_s.total_value.values) < 1e-9).all()
+
+    hist = vt.history()
+    batch_ids = [c["metadata"].get("batch_id") for c in hist]
+    assert batch_ids == sorted(batch_ids) and None not in batch_ids
+    n_versions = vt.latest_version()
+    assert n_versions >= 2  # maxFilesPerTrigger=2 over >2 files → >1 batch
+
+    # (c) drained stream, same checkpoint: no new commits
+    run_stream_to_versioned_table(spark, events_json_dir, tbl, ck)
+    assert vt.latest_version() == n_versions
+
+    # (d) a FRESH checkpoint replays every file with batch ids restarting
+    # at 0 — all already in the log, so the guard must skip each one:
+    # no new versions, no double counting
+    before = vt.read().toPandas().n_events.sum()
+    assert 0 in batch_ids
+    run_stream_to_versioned_table(spark, events_json_dir, tbl, str(tmp_path / "ck2"))
+    assert vt.latest_version() == n_versions
+    assert vt.read().toPandas().n_events.sum() == before
+
+
 def test_stream_left_join_matched_and_watermark_closed_nulls(
     spark, events_json_dir, tmp_path
 ):

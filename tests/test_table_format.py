@@ -95,6 +95,33 @@ def test_merge_is_copy_on_write_not_in_place(spark, vt):
     assert set(last["remove"]) == before
 
 
+def test_optimize_compacts_without_changing_rows(spark, vt):
+    for i in range(4):
+        vt.append(_df(spark, [(i, str(i))]))
+    before = sorted((r.k, r.v) for r in vt.read().collect())
+    v = vt.optimize()
+    assert vt.history()[-1]["operation"] == "optimize"
+    assert sorted((r.k, r.v) for r in vt.read().collect()) == before
+    # one live dir now, and old versions still time-travel
+    assert len(vt._live_dirs()) == 1
+    assert sorted(r.k for r in vt.read(version=2).collect()) == [0, 1]
+    assert v == 5
+
+
+def test_vacuum_reclaims_unreferenced_and_orphans(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "b")]))
+    orphan = os.path.join(vt.path, "data", "v9-torn")
+    _df(spark, [(99, "zz")]).write.parquet(orphan)
+    deleted = vt.vacuum(keep_versions=0)
+    # v1's retired dir and the orphan are gone; latest still reads
+    assert any(d.startswith("v1-") for d in deleted)
+    assert "v9-torn" in deleted
+    assert [r.k for r in vt.read().collect()] == [2]
+    with pytest.raises(Exception):
+        vt.read(version=1).collect()
+
+
 def test_schema_carries_through_merge(spark, vt):
     df = spark.range(3).select(
         F.col("id").alias("k"),
