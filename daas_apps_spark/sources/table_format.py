@@ -82,6 +82,7 @@ class VersionedTable:
             "add": add,
             "remove": remove,
             "metadata": metadata or {},
+            "stats": {rel: self._dir_stats(rel) for rel in add},
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -99,12 +100,63 @@ class VersionedTable:
             live.extend(entry["add"])
         return [os.path.join(self.path, _DATA, d) for d in live]
 
+    def _live_stats(self, version: int | None = None) -> dict:
+        """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
+        stats: dict = {}
+        live: list[str] = []
+        for entry in self._commits():
+            if version is not None and entry["version"] > version:
+                break
+            live = [d for d in live if d not in set(entry["remove"])]
+            live.extend(entry["add"])
+            stats.update(entry.get("stats", {}))
+        return {d: stats.get(d, {}) for d in live}
+
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _DATA, rel)
         )
         return rel
+
+    def _dir_stats(self, rel: str) -> dict:
+        """Per-column [min, max] for a data dir, harvested from the parquet
+        FOOTERS the write already produced — no second scan, the Iceberg
+        manifest-stats approach. Only JSON-safe scalar types are kept
+        (int/float/str); a column with any stats-less row group is dropped
+        entirely (a partial range would prune incorrectly)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        mins: dict = {}
+        maxs: dict = {}
+        unsafe: set = set()
+        for f in glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for i in range(row_group.num_columns):
+                    col = row_group.column(i)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str))
+                        or isinstance(st.min, bool)
+                    ):
+                        unsafe.add(name)
+                        continue
+                    if name not in mins or st.min < mins[name]:
+                        mins[name] = st.min
+                    if name not in maxs or st.max > maxs[name]:
+                        maxs[name] = st.max
+        return {
+            name: [mins[name], maxs[name]]
+            for name in mins
+            if name not in unsafe
+        }
 
     # -- operations --------------------------------------------------------
 
@@ -158,11 +210,35 @@ class VersionedTable:
                 deleted.append(d)
         return deleted
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read — latest by default, time travel with ``version``."""
+    def read(
+        self,
+        version: int | None = None,
+        prune: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Snapshot read — latest by default, time travel with ``version``.
+
+        ``prune=(col, lo, hi)`` is manifest-level file skipping: data dirs
+        whose commit-recorded [min, max] for ``col`` cannot intersect
+        [lo, hi] are excluded from the scan ENTIRELY (they are never
+        listed, opened, or footer-read) — the Iceberg manifest-pruning
+        step that sits ABOVE parquet's own row-group pruning. Dirs with
+        no recorded stats for the column are conservatively kept. The
+        caller still applies the actual filter; pruning only shrinks the
+        scan, never the semantics."""
         dirs = self._live_dirs(version)
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
+        if prune is not None:
+            col, lo, hi = prune
+            stats = self._live_stats(version)
+            kept = []
+            for p in dirs:
+                rng = stats.get(os.path.basename(p), {}).get(col)
+                if rng is None or not (rng[1] < lo or rng[0] > hi):
+                    kept.append(p)
+            if not kept:
+                return self.spark.read.parquet(*dirs).limit(0)
+            dirs = kept
         return self.spark.read.parquet(*dirs)
 
     def history(self) -> list[dict]:

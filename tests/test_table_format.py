@@ -122,6 +122,41 @@ def test_vacuum_reclaims_unreferenced_and_orphans(spark, vt):
         vt.read(version=1).collect()
 
 
+def test_commit_records_footer_stats(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (5, "b")]))
+    stats = vt.history()[-1]["stats"]
+    (dir_stats,) = stats.values()
+    assert dir_stats["k"] == [1, 5]
+    assert dir_stats["v"] == ["a", "b"]
+
+
+def test_pruned_read_skips_disjoint_dirs_and_keeps_semantics(spark, vt):
+    """Three appends with disjoint key ranges: a range-pruned read must
+    scan ONLY the intersecting dir(s) (manifest-level file skipping) and
+    return exactly the rows a full-scan filter would."""
+    vt.append(_df(spark, [(1, "a"), (10, "b")]))
+    vt.append(_df(spark, [(100, "c"), (110, "d")]))
+    vt.append(_df(spark, [(1000, "e")]))
+    pruned = vt.read(prune=("k", 100, 200))
+    # only the middle dir intersects [100, 200]
+    scanned = pruned.inputFiles()
+    assert all("v2-" in f for f in scanned), scanned
+    got = sorted(r.k for r in pruned.filter("k BETWEEN 100 AND 200").collect())
+    want = sorted(
+        r.k for r in vt.read().filter("k BETWEEN 100 AND 200").collect()
+    )
+    assert got == want == [100, 110]
+    # fully disjoint range: empty result, zero dirs scanned
+    assert vt.read(prune=("k", 5000, 9000)).count() == 0
+
+
+def test_pruned_read_is_conservative_without_stats(spark, vt):
+    """A column absent from the recorded stats must never prune."""
+    vt.append(_df(spark, [(1, "a")]))
+    # prune on a non-existent stats key: dir kept, read still works
+    assert vt.read(prune=("nope", 0, 0)).count() == 1
+
+
 def test_schema_carries_through_merge(spark, vt):
     df = spark.range(3).select(
         F.col("id").alias("k"),
