@@ -178,17 +178,138 @@ class VersionedTable:
         rel = self._write_data_dir(merged, self.latest_version() + 1)
         return self._commit("merge", add=[rel], remove=old)
 
-    def optimize(self, target_partitions: int = 1) -> int:
+    def optimize(
+        self,
+        target_partitions: int = 1,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """Compaction: rewrite the live snapshot into ``target_partitions``
         files in one new dir and retire the fragmented dirs — logically a
         no-op (same rows), so readers of ANY version are unaffected. The
         small-files problem is the table format's chronic disease (every
         append adds a dir; scan cost grows with file count, not bytes);
-        OPTIMIZE is the periodic cure, exactly Delta's."""
-        current = self.read().coalesce(target_partitions)
+        OPTIMIZE is the periodic cure, exactly Delta's.
+
+        ``zorder_by=(x, y)`` additionally clusters the rewrite on the
+        Morton interleave of the two columns (each linearly scaled to
+        0..255 from its observed range — one tiny pre-aggregate), via
+        ``repartitionByRange`` + ``sortWithinPartitions`` on the code:
+        every output file then bounds BOTH columns, so parquet row-group
+        min/max stats — and this format's own per-dir stats — prune
+        scans filtered on either column. OPTIMIZE ZORDER, reduced to
+        arithmetic (see operators/partitioning.py::a13 for the bit math
+        and the bounding-box property test)."""
+        from pyspark.sql import functions as F
+
+        current = self.read()
+        if zorder_by is None:
+            current = current.coalesce(target_partitions)
+        else:
+            from daas_apps_spark.operators.partitioning import (
+                Z_BITS,
+                _morton_sql,
+            )
+
+            xcol, ycol = zorder_by
+            lo_x, hi_x, lo_y, hi_y = current.agg(
+                F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+            ).first()
+
+            def scaled(col: str, lo, hi) -> str:
+                span = hi - lo if hi > lo else 1
+                return (
+                    f"(cast(floor(({col} - ({lo})) * 255.0 / ({span})) "
+                    "as bigint))"
+                )
+
+            morton = _morton_sql(
+                scaled(xcol, lo_x, hi_x), scaled(ycol, lo_y, hi_y), "div"
+            )
+            # Split files on the EXACT code prefix (bucket = z div width),
+            # not on sampled raw-code ranges: a sampled boundary can land
+            # inside a quadrant and hand one file a sliver of the next
+            # quadrant — whose OTHER dimension resets to 0 — destroying
+            # that file's bounding box. The hive partitioned writer splits
+            # by VALUE (never by sample), so each output file holds exactly
+            # one bucket; the files are then moved up into a flat data dir
+            # (the bucket id has done its job — it is not a data column).
+            # Cost: file-size balance follows the data's code-space
+            # distribution — the pruning-over-balance trade OPTIMIZE wants.
+            import glob
+            import shutil
+
+            width = max((1 << (2 * Z_BITS)) // target_partitions, 1)
+            rel = f"v{self.latest_version() + 1}-{uuid.uuid4().hex[:8]}"
+            tmp_out = os.path.join(self.path, _DATA, f".tmp-{rel}")
+            (
+                current.withColumn("_zorder", F.expr(morton))
+                .withColumn("_zbucket", F.expr(f"_zorder div {width}"))
+                .repartition(target_partitions, "_zbucket")
+                .sortWithinPartitions("_zbucket", "_zorder")
+                .drop("_zorder")
+                .write.partitionBy("_zbucket")
+                .mode("overwrite")
+                .parquet(tmp_out)
+            )
+            final = os.path.join(self.path, _DATA, rel)
+            os.makedirs(final, exist_ok=True)
+            idx = 0
+            for sub in sorted(glob.glob(os.path.join(tmp_out, "_zbucket=*"))):
+                for f in sorted(glob.glob(os.path.join(sub, "*.parquet"))):
+                    os.rename(
+                        f, os.path.join(final, f"z{idx:05d}.snappy.parquet")
+                    )
+                    idx += 1
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            old = [os.path.basename(p) for p in self._live_dirs()]
+            return self._commit("optimize", add=[rel], remove=old)
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(current, self.latest_version() + 1)
         return self._commit("optimize", add=[rel], remove=old)
+
+    def changes_between(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two versions: rows tagged
+        ``_change_type`` 'insert' or 'delete' (an update surfaces as the
+        delete+insert pair — Delta CDF's pre/post-image, reduced to full
+        rows).
+
+        Fast path: when every commit in the range only ADDS dirs
+        (append-only), the inserts are exactly the added dirs — read
+        straight off the manifest, no snapshot diff, no shuffle; the scan
+        touches only the new data regardless of table size. Rewriting
+        commits (overwrite/merge/optimize) in the range fall back to a
+        snapshot diff (two ``exceptAll``s) — correct everywhere, priced
+        by the smaller snapshot."""
+        from pyspark.sql import functions as F
+
+        v_to = self.latest_version() if v_to is None else v_to
+        in_range = [
+            c for c in self._commits() if v_from < c["version"] <= v_to
+        ]
+        if all(not c["remove"] for c in in_range):
+            added = [
+                os.path.join(self.path, _DATA, d)
+                for c in in_range
+                for d in c["add"]
+            ]
+            if not added:
+                return self.read(version=v_to).limit(0).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            return self.spark.read.parquet(*added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        cur = self.read(version=v_to)
+        base = self.read(version=v_from)
+        return (
+            cur.exceptAll(base)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                base.exceptAll(cur).withColumn("_change_type", F.lit("delete"))
+            )
+        )
 
     def vacuum(self, keep_versions: int = 0) -> list[str]:
         """Delete data dirs unreferenced by any version newer than

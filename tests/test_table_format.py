@@ -157,6 +157,70 @@ def test_pruned_read_is_conservative_without_stats(spark, vt):
     assert vt.read(prune=("nope", 0, 0)).count() == 1
 
 
+def test_changes_between_append_only_uses_manifest_only(spark, vt):
+    """Append-only range: the change feed must read ONLY the dirs the
+    range's commits added (manifest fast path — no snapshot diff)."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    vt.append(_df(spark, [(3, "c")]))
+    feed = vt.changes_between(1, 3)
+    assert all(("v2-" in f or "v3-" in f) for f in feed.inputFiles())
+    got = sorted((r.k, r._change_type) for r in feed.collect())
+    assert got == [(2, "insert"), (3, "insert")]
+    # empty range
+    assert vt.changes_between(3, 3).count() == 0
+
+
+def test_changes_between_with_rewrite_diffs_snapshots(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.merge(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    got = sorted(
+        (r.k, r.v, r._change_type) for r in vt.changes_between(1).collect()
+    )
+    assert got == [
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "insert"),
+    ]
+
+
+def test_optimize_zorder_bounds_both_dimensions(spark, vt):
+    """OPTIMIZE ZORDER: over a full 2-D grid, each of the 4 output files
+    must bound BOTH columns to roughly half their range (a one-column
+    sort would leave the other column spanning the full range in every
+    file) — checked from the parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    grid = spark.range(64 * 64).selectExpr(
+        "cast(id % 64 as long) as x", "cast(id div 64 as long) as y"
+    )
+    vt.append(grid)
+    vt.optimize(target_partitions=4, zorder_by=("x", "y"))
+    assert vt.read().count() == 64 * 64
+    (live_dir,) = vt._live_dirs()
+    files = glob.glob(os.path.join(live_dir, "*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        spans = {}
+        for i in range(md.row_group(0).num_columns):
+            name = md.row_group(0).column(i).path_in_schema
+            mn = min(
+                md.row_group(r).column(i).statistics.min
+                for r in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(r).column(i).statistics.max
+                for r in range(md.num_row_groups)
+            )
+            spans[name] = mx - mn
+        # half-range + slack for sampling-based range boundaries
+        assert spans["x"] <= 40, spans
+        assert spans["y"] <= 40, spans
+
+
 def test_schema_carries_through_merge(spark, vt):
     df = spark.range(3).select(
         F.col("id").alias("k"),
