@@ -513,8 +513,22 @@ def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: wedge fan-out is bounded by per-node degree in the
     significance backbone (the threshold keeps it sparse at every
     scale); the anti-join is keyed on the pair. Degree attach is two
-    small joins against the |V|-row degree table.
+    small joins against the |V|-row degree table. The candidate space
+    grows Σ deg(mid)² — the engine's worst scaling line — so
+    ``mid_degree_cap`` is the declared escape valve: drop wedge
+    MIDPOINTS above the cap before the self-join (a hub that co-supplies
+    with thousands of suppliers predicts little — every pair through it
+    shares that hub, the classic stop-word analogy), bounding the join
+    at cap·|V| wedges. None (the oracle-checked default) is exact;
+    ``test_gr4_mid_degree_cap_*`` pins that a cap at/above the max
+    degree is a no-op and that capping only ever shrinks candidates.
     """
+    return _gr4_impl(spark, sf_dir, mid_degree_cap=None)
+
+
+def _gr4_impl(
+    spark: SparkSession, sf_dir: str, mid_degree_cap: int | None
+) -> DataFrame:
     edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -522,8 +536,17 @@ def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    x = adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
-    y = adj.select(F.col("a").alias("mid"), F.col("b").alias("v"))
+    wedge_adj = adj
+    if mid_degree_cap is not None:
+        low_deg_mids = deg.filter(F.col("degree") <= mid_degree_cap).select(
+            F.col("node").alias("b")
+        )
+        # cap applies to the MIDPOINT side only: adjacency rows whose
+        # wedge-center endpoint is a super-hub are dropped before the
+        # quadratic self-join; endpoint degrees (dg_u/dg_v) stay exact
+        wedge_adj = adj.join(low_deg_mids, "b", "left_semi")
+    x = wedge_adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    y = wedge_adj.select(F.col("b").alias("mid"), F.col("a").alias("v"))
     cand = (
         x.join(y, "mid")
         .filter(F.col("u") < F.col("v"))

@@ -903,3 +903,39 @@ def test_integer_sum_pearson_matches_numpy(spark, rows):
     else:
         want = float(np.corrcoef(xs, ys)[0, 1])
         assert abs(got - want) < 1e-9, (got, want)
+
+
+def test_gr4_mid_degree_cap_at_max_is_exact(spark):
+    """A midpoint-degree cap at (or above) the graph's max degree must be
+    a no-op: identical top-k to the exact query. This pins the escape
+    valve's semantics — capping only ever REMOVES hub-centered wedges."""
+    from daas_apps_spark.operators.graph import _backbone_edges, _gr4_impl
+    from daas_apps_spark.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    edges = _backbone_edges(table(spark, SF_SMOKE, "lineitem"))
+    adj = edges.select(F.col("u").alias("a")).union(
+        edges.select(F.col("v").alias("a"))
+    )
+    max_deg = adj.groupBy("a").count().agg(F.max("count")).first()[0]
+    exact = sorted(map(tuple, _gr4_impl(spark, SF_SMOKE, None).collect()))
+    capped = sorted(
+        map(tuple, _gr4_impl(spark, SF_SMOKE, int(max_deg)).collect())
+    )
+    assert exact == capped
+
+
+def test_gr4_mid_degree_cap_shrinks_candidates(spark):
+    """A tight cap must never surface a pair the exact query lacks, and
+    every surviving pair's common count can only be <= the exact count."""
+    from daas_apps_spark.operators.graph import _gr4_impl
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        (r.u, r.v): r.common
+        for r in _gr4_impl(spark, SF_SMOKE, None).collect()
+    }
+    capped = _gr4_impl(spark, SF_SMOKE, 3).collect()
+    for r in capped:
+        if (r.u, r.v) in exact:
+            assert r.common <= exact[(r.u, r.v)]
