@@ -564,8 +564,10 @@ def a25_table_format_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: a snapshot read is a plain multi-dir parquet scan (pruning
     and pushdown apply per normal); the commit log is O(versions) tiny
-    JSON files, compactable into checkpoints exactly as Delta does when
-    version count grows.
+    JSON files, folded into a checkpoint snapshot every
+    CHECKPOINT_EVERY commits (replay cost stays O(N mod CHECKPOINT_
+    EVERY); pre-checkpoint commit files become droppable — log
+    retention, tested in test_log_checkpoint_written_and_equivalent).
     """
     from daas_apps_spark.sources.table_format import VersionedTable
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG = "_log"
 _DATA = "data"
+CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
 
 class VersionedTable:
@@ -59,10 +60,18 @@ class VersionedTable:
     def _commits(self) -> list[dict]:
         entries = []
         for name in sorted(os.listdir(self._log_dir())):
-            if name.endswith(".json"):
+            if name.endswith(".json") and ".checkpoint." not in name:
                 with open(os.path.join(self._log_dir(), name)) as f:
                     entries.append(json.load(f))
         return entries
+
+    def _checkpoints(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self._log_dir())):
+            if name.endswith(".checkpoint.json"):
+                with open(os.path.join(self._log_dir(), name)) as f:
+                    out.append(json.load(f))
+        return out
 
     def latest_version(self) -> int:
         commits = self._commits()
@@ -89,27 +98,54 @@ class VersionedTable:
             json.dump(entry, f)
         # rename IS the commit: readers either see the whole version or none
         os.rename(tmp, os.path.join(self._log_dir(), f"{version:08d}.json"))
+        if version % CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(version)
         return version
 
-    def _live_dirs(self, version: int | None = None) -> list[str]:
-        live: list[str] = []
-        for entry in self._commits():
-            if version is not None and entry["version"] > version:
-                break
-            live = [d for d in live if d not in set(entry["remove"])]
-            live.extend(entry["add"])
-        return [os.path.join(self.path, _DATA, d) for d in live]
+    def _write_checkpoint(self, version: int) -> None:
+        """Fold the log into one snapshot file so readers replay O(N %
+        CHECKPOINT_EVERY) commits instead of O(N) — Delta's checkpoint
+        parquet, reduced to JSON. Commit files OLDER than a checkpoint
+        become droppable (log retention); time travel before the oldest
+        surviving state is then gone, the same trade VACUUM makes for
+        data."""
+        live, stats = self._replay(version)
+        snap = {"version": version, "live": live, "stats": stats}
+        tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.rename(
+            tmp,
+            os.path.join(self._log_dir(), f"{version:08d}.checkpoint.json"),
+        )
 
-    def _live_stats(self, version: int | None = None) -> dict:
-        """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
-        stats: dict = {}
-        live: list[str] = []
+    def _replay(self, version: int | None = None) -> tuple[list, dict]:
+        """(live rel-dirs, stats) at ``version``, replaying from the newest
+        checkpoint at-or-before it rather than from the beginning."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        live: list[str] = list(base["live"]) if base else []
+        stats: dict = dict(base["stats"]) if base else {}
+        floor = base["version"] if base else 0
         for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
             if version is not None and entry["version"] > version:
                 break
             live = [d for d in live if d not in set(entry["remove"])]
             live.extend(entry["add"])
             stats.update(entry.get("stats", {}))
+        return live, stats
+
+    def _live_dirs(self, version: int | None = None) -> list[str]:
+        live, _ = self._replay(version)
+        return [os.path.join(self.path, _DATA, d) for d in live]
+
+    def _live_stats(self, version: int | None = None) -> dict:
+        """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
+        live, stats = self._replay(version)
         return {d: stats.get(d, {}) for d in live}
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
@@ -335,6 +371,7 @@ class VersionedTable:
         self,
         version: int | None = None,
         prune: tuple[str, object, object] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read — latest by default, time travel with ``version``.
 
@@ -360,7 +397,13 @@ class VersionedTable:
             if not kept:
                 return self.spark.read.parquet(*dirs).limit(0)
             dirs = kept
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        if merge_schema:
+            # schema evolution: commits may add columns over time; the
+            # merged read surfaces the union schema with NULLs for rows
+            # written before a column existed (parquet mergeSchema)
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def history(self) -> list[dict]:
         return self._commits()

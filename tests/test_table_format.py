@@ -240,3 +240,38 @@ def test_schema_carries_through_merge(spark, vt):
     assert set(out.columns) == {"k", "n", "tag"}
     got = {r.k: (r.n, r.tag) for r in out.collect()}
     assert got == {0: (0, "y"), 1: (100, "y"), 2: (20, "x")}
+
+
+def test_log_checkpoint_written_and_equivalent(spark, vt):
+    """At CHECKPOINT_EVERY commits a checkpoint snapshot is written; the
+    replay-from-checkpoint state must equal the full replay, and commit
+    files OLDER than the checkpoint become droppable (log retention):
+    latest reads survive their deletion, pre-checkpoint time travel is
+    gone — the VACUUM trade, applied to the log."""
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    for i in range(CHECKPOINT_EVERY + 2):
+        vt.append(_df(spark, [(i, str(i))]))
+    ck_file = os.path.join(
+        vt.path, "_log", f"{CHECKPOINT_EVERY:08d}.checkpoint.json"
+    )
+    assert os.path.exists(ck_file)
+    want = sorted(r.k for r in vt.read().collect())
+    # drop every commit file the checkpoint covers
+    for v in range(1, CHECKPOINT_EVERY + 1):
+        os.remove(os.path.join(vt.path, "_log", f"{v:08d}.json"))
+    assert sorted(r.k for r in vt.read().collect()) == want
+    assert vt.latest_version() == CHECKPOINT_EVERY + 2
+    with pytest.raises(ValueError):
+        vt.read(version=3)  # history before the checkpoint is truncated
+
+
+def test_schema_evolution_merge_read(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    merged = vt.read(merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "score"}
+    got = {r.k: r.score for r in merged.collect()}
+    assert got[1] is None and got[2] == 9.5
