@@ -43,6 +43,42 @@ _DATA = "data"
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
 
+def read_log(path: str) -> list[dict]:
+    """Pure-filesystem commit-log read (no SparkSession) — the piece a
+    streaming source worker needs: it runs outside the driver's session,
+    so table state must be resolvable from files alone."""
+    log_dir = os.path.join(path, _LOG)
+    entries = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json") and ".checkpoint." not in name:
+            with open(os.path.join(log_dir, name)) as f:
+                entries.append(json.load(f))
+    return entries
+
+
+def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
+    """(absolute added dirs, resolved v_to) for the append-only commit
+    range (v_from, v_to]. Raises on a rewriting commit in the range —
+    the append-only contract a version-offset stream requires (Delta's
+    streaming source makes the same demand unless told to ignore
+    changes)."""
+    commits = read_log(path)
+    latest = commits[-1]["version"] if commits else 0
+    v_to = latest if v_to is None else v_to
+    dirs: list[str] = []
+    for c in commits:
+        if v_from < c["version"] <= v_to:
+            if c["remove"]:
+                raise ValueError(
+                    f"commit {c['version']} ({c['operation']}) rewrites data; "
+                    "a version-offset change stream requires append-only"
+                )
+            dirs.extend(
+                os.path.join(path, _DATA, d) for d in c["add"]
+            )
+    return dirs, v_to
+
+
 class VersionedTable:
     """A parquet table whose state is a replayable JSON commit log."""
 

@@ -566,6 +566,82 @@ def register_python_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(TickStreamSource)
 
 
+def register_table_change_stream_source(spark: SparkSession) -> None:
+    """The versioned table (sources/table_format.py) as a STREAMING
+    SOURCE — Delta's table-as-a-stream, on the A23 Python streaming data
+    source machinery: the stream OFFSET is the table VERSION, each
+    micro-batch is the rows the commits in (start, latest] added, and
+    replay between two committed offsets is exact because the commit log
+    is immutable. Rewriting commits (overwrite/merge/optimize) in the
+    range raise — the append-only contract every version-offset change
+    stream requires.
+
+    The reader resolves table state from FILES alone (pure-filesystem
+    log replay + pyarrow parquet read, no SparkSession) because the data
+    source worker runs outside the driver's session. Usage::
+
+        spark.readStream.format("table_changes")
+             .option("path", table_path)
+             .option("tableschema", "k long, v string").load()
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TableChangeStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, path: str):
+            self.path = path
+
+        def _rows(self, v_from: int, v_to: int | None):
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            from daas_apps_spark.sources.table_format import (
+                added_dirs_between,
+            )
+
+            dirs, resolved = added_dirs_between(self.path, v_from, v_to)
+            rows: list[tuple] = []
+            for d in dirs:
+                for f in sorted(_glob.glob(f"{d}/*.parquet")):
+                    table = pq.read_table(f)
+                    rows.extend(
+                        tuple(r.values()) for r in table.to_pylist()
+                    )
+            return rows, resolved
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def read(self, start):
+            rows, latest = self._rows(start["version"], None)
+            if latest <= start["version"]:
+                return iter([]), start
+            return iter(rows), {"version": latest}
+
+        def readBetweenOffsets(self, start, end):
+            rows, _ = self._rows(start["version"], end["version"])
+            return iter(rows)
+
+        def commit(self, end):
+            pass
+
+    class TableChangeSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "table_changes"
+
+        def schema(self) -> str:
+            return self.options["tableschema"]
+
+        def simpleStreamReader(self, schema) -> TableChangeStreamReader:
+            return TableChangeStreamReader(self.options["path"])
+
+    spark.dataSource.register(TableChangeSource)
+
+
 def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Chained windowed AGGREGATES in one streaming query (the second
     multiple-stateful-operator shape after the I15 join→window chain):

@@ -298,6 +298,61 @@ def test_stream_to_versioned_table_exactly_once(spark, events_json_dir, tmp_path
     assert vt.read().toPandas().n_events.sum() == before
 
 
+def test_table_change_stream_source_versions_as_offsets(spark, tmp_path):
+    """The versioned table as a streaming source: (a) an availableNow run
+    drains every appended version, (b) a rerun on the same checkpoint
+    picks up ONLY versions committed after the last offset, (c) a
+    rewriting commit in the range raises (append-only contract)."""
+    import pytest as _pytest
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    vt.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.format("table_changes")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+    # new commit, same checkpoint: only version 3 arrives (no re-emit of 1-2)
+    vt.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    drain()
+    got2 = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got2 == [(1, "a"), (2, "b"), (3, "c")]
+
+    # a rewrite breaks the append-only contract
+    vt.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    from daas_apps_spark.sources.table_format import added_dirs_between
+
+    with _pytest.raises(ValueError):
+        added_dirs_between(tbl, 3)
+
+
 def test_stream_left_join_matched_and_watermark_closed_nulls(
     spark, events_json_dir, tmp_path
 ):
