@@ -4,6 +4,7 @@
     python -m daas_apps_spark show NAME
     python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
     python -m daas_apps_spark verify [NAME ...] [--sf DIR]
+    python -m daas_apps_spark table history|read|optimize|vacuum PATH
 
 `list`/`show` are metadata-only (no Spark session). `run` executes one
 registered query and prints rows; `verify` runs queries on BOTH engines
@@ -118,6 +119,40 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    """Operate on a versioned table (sources/table_format.py): inspect
+    the commit log, read a snapshot (optionally time-traveled), compact,
+    or reclaim storage — the lakehouse maintenance surface as CLI."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    if args.op == "history":
+        from daas_apps_spark.sources.table_format import read_log
+
+        for c in read_log(args.path):
+            meta = c.get("metadata") or {}
+            extra = f" metadata={meta}" if meta else ""
+            print(
+                f"v{c['version']:<4d} {c['operation']:<9s} "
+                f"+{len(c['add'])} -{len(c['remove'])}{extra}"
+            )
+        return 0
+
+    from daas_apps_spark.session import get_spark
+
+    spark = get_spark("daas-table")
+    spark.sparkContext.setLogLevel("ERROR")
+    vt = VersionedTable(spark, args.path)
+    if args.op == "read":
+        vt.read(version=args.version).show(args.limit, truncate=False)
+    elif args.op == "optimize":
+        v = vt.optimize(target_partitions=args.target)
+        print(f"optimized -> v{v}")
+    elif args.op == "vacuum":
+        deleted = vt.vacuum(keep_versions=args.keep)
+        print(f"vacuumed {len(deleted)} dirs: {deleted}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m daas_apps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -151,6 +186,15 @@ def main(argv: list[str] | None = None) -> int:
     p_ver.add_argument("names", nargs="*")
     p_ver.add_argument("--sf", default=DEFAULT_SF)
     p_ver.set_defaults(fn=cmd_verify)
+
+    p_tbl = sub.add_parser("table", help="versioned-table maintenance")
+    p_tbl.add_argument("op", choices=("history", "read", "optimize", "vacuum"))
+    p_tbl.add_argument("path")
+    p_tbl.add_argument("--version", type=int, default=None)
+    p_tbl.add_argument("--limit", type=int, default=20)
+    p_tbl.add_argument("--target", type=int, default=1)
+    p_tbl.add_argument("--keep", type=int, default=0)
+    p_tbl.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)
