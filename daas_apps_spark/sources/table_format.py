@@ -66,6 +66,7 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     latest = commits[-1]["version"] if commits else 0
     v_to = latest if v_to is None else v_to
     dirs: list[str] = []
+    present: set[int] = set()
     for c in commits:
         if v_from < c["version"] <= v_to:
             if c["remove"]:
@@ -73,9 +74,20 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
                     f"commit {c['version']} ({c['operation']}) rewrites data; "
                     "a version-offset change stream requires append-only"
                 )
+            present.add(c["version"])
             dirs.extend(
                 os.path.join(path, _DATA, d) for d in c["add"]
             )
+    # log retention may have dropped commit files the checkpoint covers —
+    # a range reaching into the truncated region would silently MISS adds,
+    # so demand contiguous coverage and fail loudly instead
+    missing = set(range(v_from + 1, v_to + 1)) - present
+    if missing:
+        raise ValueError(
+            f"commit files missing for versions {sorted(missing)} — the "
+            "log was truncated past this range; reprocess from a full "
+            "snapshot instead of the change feed"
+        )
     return dirs, v_to
 
 
@@ -360,6 +372,15 @@ class VersionedTable:
         in_range = [
             c for c in self._commits() if v_from < c["version"] <= v_to
         ]
+        missing = set(range(v_from + 1, v_to + 1)) - {
+            c["version"] for c in in_range
+        }
+        if missing:
+            raise ValueError(
+                f"commit files missing for versions {sorted(missing)} — the "
+                "log was truncated past this range; reprocess from a full "
+                "snapshot instead of the change feed"
+            )
         if all(not c["remove"] for c in in_range):
             added = [
                 os.path.join(self.path, _DATA, d)

@@ -266,6 +266,29 @@ def test_log_checkpoint_written_and_equivalent(spark, vt):
         vt.read(version=3)  # history before the checkpoint is truncated
 
 
+def test_change_feed_refuses_truncated_log(spark, vt):
+    """Log retention (post-checkpoint commit-file deletion) must make a
+    change-feed range that reaches into the truncated region FAIL LOUDLY
+    — silently missing the dropped commits' adds would corrupt every
+    downstream incremental consumer."""
+    from daas_apps_spark.sources.table_format import (
+        CHECKPOINT_EVERY,
+        added_dirs_between,
+    )
+
+    for i in range(CHECKPOINT_EVERY + 1):
+        vt.append(_df(spark, [(i, str(i))]))
+    for v in range(1, 4):  # drop commits 1-3 (checkpoint at 10 covers them)
+        os.remove(os.path.join(vt.path, "_log", f"{v:08d}.json"))
+    with pytest.raises(ValueError, match="truncated"):
+        vt.changes_between(0)
+    with pytest.raises(ValueError, match="truncated"):
+        added_dirs_between(vt.path, 0)
+    # ranges entirely within surviving commits still work
+    feed = vt.changes_between(CHECKPOINT_EVERY - 1)
+    assert feed.count() == 2
+
+
 def test_schema_evolution_merge_read(spark, vt):
     vt.append(_df(spark, [(1, "a")]))
     vt.append(
