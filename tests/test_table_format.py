@@ -289,6 +289,82 @@ def test_change_feed_refuses_truncated_log(spark, vt):
     assert feed.count() == 2
 
 
+def test_lakehouse_end_to_end(spark, tmp_path):
+    """The full arc composed: batch ingest commits -> table-as-stream ->
+    streaming transform -> exactly-once sink into a SECOND versioned
+    table -> OPTIMIZE -> stats-pruned read -> VACUUM. Each piece is
+    tested alone above/in test_streaming_live; this pins that they
+    compose without stepping on each other's state."""
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double")
+    )
+    src.append(
+        spark.createDataFrame([(3, 30.0), (4, 40.0)], "k long, x double")
+    )
+
+    # stream the source table, double x, land in a second versioned table
+    out = VersionedTable(spark, str(tmp_path / "out"))
+
+    def apply_batch(batch_df, batch_id):
+        applied = {
+            c.get("metadata", {}).get("batch_id") for c in out.history()
+        }
+        if batch_id in applied:
+            return
+        out.append(
+            batch_df.selectExpr("k", "x * 2 AS x2"),
+            metadata={"batch_id": batch_id},
+        )
+
+    stream = (
+        spark.readStream.format("table_changes")
+        .option("path", src.path)
+        .option("tableschema", "k long, x double")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted((r.k, r.x2) for r in out.read().collect()) == [
+        (1, 20.0),
+        (2, 40.0),
+        (3, 60.0),
+        (4, 80.0),
+    ]
+
+    # maintenance: compact, then a stats-pruned read, then reclaim
+    out.optimize()
+    pruned = out.read(prune=("k", 3, 4))
+    assert sorted(r.k for r in pruned.filter("k >= 3").collect()) == [3, 4]
+    out.vacuum(keep_versions=0)
+    assert sorted(r.k for r in out.read().collect()) == [1, 2, 3, 4]
+
+    # and a second streaming run on the same checkpoint is a no-op
+    before = out.latest_version()
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", src.path)
+        .option("tableschema", "k long, x double")
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert out.latest_version() == before
+
+
 def test_schema_evolution_merge_read(spark, vt):
     vt.append(_df(spark, [(1, "a")]))
     vt.append(
