@@ -230,7 +230,22 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution — repaid every run, no cross-run caching. At 100 TB use a
     checkpoint dir (survives executor loss); the stored shingle relation is
     ~2× corpus size, the standard space-for-CPU trade of every LSH build.
+
+    Hot bands (boilerplate that hashes thousands of docs into one band)
+    are the skew risk: ``band_cap`` is the declared escape valve — drop
+    band keys with more than cap colliding docs BEFORE the self-join
+    (a band that degenerate carries no near-dup signal, only quadratic
+    cost; the standard band-frequency cap). None (the oracle-checked
+    default) is exact; ``test_k3_band_cap_*`` pins that a cap at/above
+    the max band frequency is a no-op and that capping only shrinks the
+    candidate set.
     """
+    return _k3_impl(spark, sf_dir, band_cap=None)
+
+
+def _k3_impl(
+    spark: SparkSession, sf_dir: str, band_cap: int | None
+) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = (
         d.withColumn("tokens", tokens_col())
@@ -248,6 +263,14 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_key"
         ),
     ).localCheckpoint()
+    if band_cap is not None:
+        cool_bands = (
+            bands.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("band_n"))
+            .filter(F.col("band_n") <= band_cap)
+            .select("band_key")
+        )
+        bands = bands.join(cool_bands, "band_key", "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

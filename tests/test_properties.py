@@ -939,3 +939,28 @@ def test_gr4_mid_degree_cap_shrinks_candidates(spark):
     for r in capped:
         if (r.u, r.v) in exact:
             assert r.common <= exact[(r.u, r.v)]
+
+
+def test_k3_band_cap_at_max_is_exact(spark):
+    """A band-frequency cap at (or above) the max band collision count
+    must be a no-op: identical verified near-dup pairs."""
+    from daas_apps_spark.operators.dedup import _k3_impl
+    from tests.conftest import SF_SMOKE
+
+    exact = sorted(map(tuple, _k3_impl(spark, SF_SMOKE, None).collect()))
+    capped = sorted(map(tuple, _k3_impl(spark, SF_SMOKE, 10**6).collect()))
+    assert exact == capped
+
+
+def test_k3_band_cap_shrinks_candidates(spark):
+    """A tight cap must only ever REMOVE pairs (every surviving pair is
+    in the exact result with the same jaccard)."""
+    from daas_apps_spark.operators.dedup import _k3_impl
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _k3_impl(spark, SF_SMOKE, None).collect()
+    }
+    for r in _k3_impl(spark, SF_SMOKE, 2).collect():
+        assert exact.get((r.doc_a, r.doc_b)) == r.jaccard
