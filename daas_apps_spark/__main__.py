@@ -148,7 +148,9 @@ def cmd_table(args: argparse.Namespace) -> int:
         v = vt.optimize(target_partitions=args.target)
         print(f"optimized -> v{v}")
     elif args.op == "vacuum":
-        deleted = vt.vacuum(keep_versions=args.keep)
+        deleted = vt.vacuum(
+            keep_versions=args.keep, min_age_seconds=args.min_age
+        )
         print(f"vacuumed {len(deleted)} dirs: {deleted}")
     return 0
 
@@ -193,7 +195,19 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--limit", type=int, default=20)
     p_tbl.add_argument("--target", type=int, default=1)
-    p_tbl.add_argument("--keep", type=int, default=0)
+    p_tbl.add_argument(
+        "--keep",
+        type=int,
+        default=2,
+        help="versions of time travel to retain (default 2; 0 = latest only)",
+    )
+    p_tbl.add_argument(
+        "--min-age",
+        type=float,
+        default=3600.0,
+        help="spare unreferenced dirs younger than this many seconds "
+        "(concurrent-writer safety window; default 1h)",
+    )
     p_tbl.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)

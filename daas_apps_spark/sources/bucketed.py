@@ -25,17 +25,55 @@ from per-query latency by warming up untimed).
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from daas_apps_spark.catalog import table
 
-DEFAULT_BUCKETS = 16
-
 
 def _safe(s: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", s).strip("_").lower()
+
+
+def default_buckets(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Size the bucket count to the MACHINE and the TABLE, not a constant:
+    ``max(defaultParallelism, table_bytes / maxPartitionBytes)`` rounded up
+    to a power of two. One file per bucket means the bucket count caps scan
+    parallelism, so it must never undershoot the core count (a 16-bucket
+    table on a 32-core box wastes half the machine — measured slower than
+    the raw layout at sf0.1); and each bucket must fit an executor's scan
+    partition budget, so at 100 TB the bytes term dominates and grows the
+    count with the data. Power-of-two rounding keeps counts stable across
+    nearby scale factors (reference analog: contigs-per-partition sizing,
+    SparkCaller.java:191-207)."""
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw.strip().lower())
+    target = int(m.group(1)) * {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[m.group(2)] if m else 128 << 20
+    table_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(sf_dir, f"{name}.parquet", "*.parquet"))
+        or glob.glob(os.path.join(sf_dir, f"{name}.parquet"))
+        if os.path.isfile(f)
+    )
+    n = max(cores, -(-table_bytes // target))
+    return 1 << (n - 1).bit_length()
+
+
+def _table_name(sf_dir: str, name: str, key: str, n_buckets: int) -> str:
+    """Managed-table cache key: embeds a short hash of the FULL sf_dir
+    path (not just its basename), so two fixture dirs whose last path
+    segment collides can never serve each other's cached table."""
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    label = (
+        f"{_safe(full.rsplit('/', 1)[-1])}_"
+        f"{hashlib.sha256(full.encode()).hexdigest()[:8]}"
+    )
+    return f"bkt_{label}_{_safe(name)}_{_safe(key)}_{n_buckets}"
 
 
 def bucketed_table(
@@ -43,7 +81,7 @@ def bucketed_table(
     sf_dir: str,
     name: str,
     key: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> str:
     """Materialize (once) and return the managed-table name of a bucketed
     copy of fixture ``name`` hash-bucketed AND sorted on ``key``.
@@ -52,9 +90,15 @@ def bucketed_table(
     exactly one bucket, so every bucket is ONE file — the layout Spark's
     reader needs to also skip the per-partition sort for sort-merge joins
     (multi-file buckets forfeit the sortedness metadata).
+
+    ``n_buckets=None`` sizes the count to the machine and table via
+    ``default_buckets``. The managed-table name embeds a short hash of the
+    FULL sf_dir path (not just its basename), so two fixture dirs whose
+    last path segment collides can never serve each other's cache.
     """
-    label = _safe(sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    tbl = f"bkt_{label}_{_safe(name)}_{_safe(key)}_{n_buckets}"
+    if n_buckets is None:
+        n_buckets = default_buckets(spark, sf_dir, name)
+    tbl = _table_name(sf_dir, name, key, n_buckets)
     if spark.catalog.tableExists(tbl):
         # guard against a catalog entry whose files another session
         # removed (the warehouse dir is shared; commits are single-writer)
@@ -86,7 +130,7 @@ def bucketed_views(
     spark: SparkSession,
     sf_dir: str,
     keys: dict[str, str],
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> dict[str, str]:
     """Bucket each ``{table: key}`` fixture and return {table: managed name}."""
     return {
@@ -95,12 +139,33 @@ def bucketed_views(
     }
 
 
+# one string literal ('' escape), line comment, or block comment — spans
+# substitute_tables must never rewrite inside
+_SQL_OPAQUE = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.DOTALL)
+
+
 def substitute_tables(sql: str, mapping: dict[str, str]) -> str:
-    """Replace whole-word fixture table names in ``sql`` with managed names
-    (word-boundary match, so ``orders`` never rewrites ``o_orderstatus``)."""
-    for src, dst in mapping.items():
-        sql = re.sub(rf"\b{src}\b", dst, sql)
-    return sql
+    """Replace fixture table names in ``sql`` with managed names, only in
+    FROM/JOIN position and only OUTSIDE string literals / comments (so
+    ``orders`` in a literal, comment, or column name can never be
+    rewritten); source names are regex-escaped."""
+
+    def _sub(segment: str) -> str:
+        for src, dst in mapping.items():
+            segment = re.sub(
+                rf"(?i)\b(from|join)(\s+){re.escape(src)}\b",
+                lambda m, d=dst: f"{m.group(1)}{m.group(2)}{d}",
+                segment,
+            )
+        return segment
+
+    out, pos = [], 0
+    for m in _SQL_OPAQUE.finditer(sql):
+        out.append(_sub(sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_sub(sql[pos:]))
+    return "".join(out)
 
 
 def bucketed_sql(
@@ -108,7 +173,7 @@ def bucketed_sql(
     sf_dir: str,
     sql: str,
     keys: dict[str, str],
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Run ``sql`` with the given fixture tables swapped for bucketed copies."""
     mapping = bucketed_views(spark, sf_dir, keys, n_buckets)

@@ -388,9 +388,7 @@ class VersionedTable:
                 for d in c["add"]
             ]
             if not added:
-                return self.read(version=v_to).limit(0).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                return self._empty_feed(v_to)
             return self.spark.read.parquet(*added).withColumn(
                 "_change_type", F.lit("insert")
             )
@@ -404,24 +402,71 @@ class VersionedTable:
             )
         )
 
-    def vacuum(self, keep_versions: int = 0) -> list[str]:
+    def _empty_feed(self, v_to: int) -> DataFrame:
+        """Zero-row change feed carrying the table's schema. An empty
+        version range on an EMPTY table has no snapshot to ``read`` (and
+        even historical commits may be vacuumed), so fall back through:
+        snapshot at v_to → any data dir still on disk from the log →
+        a bare ``_change_type`` column."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        try:
+            return self.read(version=v_to).limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        except ValueError:
+            pass
+        for c in reversed(self._commits()):
+            for rel in c["add"]:
+                d = os.path.join(self.path, _DATA, rel)
+                if os.path.isdir(d):
+                    return self.spark.read.parquet(d).limit(0).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField("_change_type", T.StringType())])
+        )
+
+    def vacuum(
+        self, keep_versions: int = 0, min_age_seconds: float = 0.0
+    ) -> list[str]:
         """Delete data dirs unreferenced by any version newer than
         ``latest - keep_versions`` — the storage-reclaim step that
         TRADES time travel (older snapshots become unreadable) for
-        space. Orphan dirs (torn writes no commit references) are always
-        reclaimed. Returns the deleted dir names."""
+        space. Orphan dirs (torn writes no commit references) are also
+        reclaimed. Returns the deleted dir names.
+
+        ``min_age_seconds`` is the retention window Delta's VACUUM has
+        for the same reason: a concurrent in-flight writer's
+        not-yet-committed dir is indistinguishable from a torn-write
+        orphan, so dirs younger than the threshold are spared. The
+        default 0 reclaims everything immediately and therefore REQUIRES
+        writer quiescence (the single-writer deployments this format's
+        os.rename commit already assumes); the CLI defaults to a safer
+        1h window."""
         import shutil
+        import time
 
         horizon = self.latest_version() - keep_versions
         keep: set[str] = set()
         for v in range(max(horizon, 1), self.latest_version() + 1):
             keep.update(os.path.basename(p) for p in self._live_dirs(v))
         data_root = os.path.join(self.path, _DATA)
+        now = time.time()
         deleted = []
         for d in sorted(os.listdir(data_root)):
-            if d not in keep:
-                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                deleted.append(d)
+            if d in keep:
+                continue
+            full = os.path.join(data_root, d)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < min_age_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(d)
         return deleted
 
     def read(
@@ -443,6 +488,12 @@ class VersionedTable:
         dirs = self._live_dirs(version)
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
+        reader = self.spark.read
+        if merge_schema:
+            # schema evolution: commits may add columns over time; the
+            # merged read surfaces the union schema with NULLs for rows
+            # written before a column existed (parquet mergeSchema)
+            reader = reader.option("mergeSchema", "true")
         if prune is not None:
             col, lo, hi = prune
             stats = self._live_stats(version)
@@ -452,14 +503,10 @@ class VersionedTable:
                 if rng is None or not (rng[1] < lo or rng[0] > hi):
                     kept.append(p)
             if not kept:
-                return self.spark.read.parquet(*dirs).limit(0)
+                # all dirs pruned: zero rows, but keep the same (possibly
+                # merged) schema the un-pruned read would surface
+                return reader.parquet(*dirs).limit(0)
             dirs = kept
-        reader = self.spark.read
-        if merge_schema:
-            # schema evolution: commits may add columns over time; the
-            # merged read surfaces the union schema with NULLs for rows
-            # written before a column existed (parquet mergeSchema)
-            reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
     def history(self) -> list[dict]:

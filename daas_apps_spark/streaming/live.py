@@ -22,6 +22,7 @@ swap-in upgrade where protobuf is available.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -356,9 +357,15 @@ def run_stream_to_versioned_table(
 
     The metadata is what upgrades foreachBatch's at-least-once replay to
     EXACTLY-ONCE application: a replayed batch (crash between the table
-    commit and the stream checkpoint advance) finds its batch_id already
-    in the log and skips — the transactional-sink idempotence contract
-    Delta's `txn` app-id/version pair provides, reduced to its essence.
+    commit and the stream checkpoint advance) finds its (stream_id,
+    batch_id) PAIR already in the log and skips — the transactional-sink
+    idempotence contract of Delta's `txn` (appId, version) pair. The
+    stream id is the streaming query id Spark persists in the
+    checkpoint's metadata file: stable across restarts of the SAME
+    checkpoint, regenerated when the checkpoint is reset — so after a
+    reset, new source data replaying with batch ids restarting at 0 is
+    correctly applied (a bare-batch_id guard would silently drop it),
+    and two distinct streams writing one table never collide.
     run_stream_upsert_counts gets effectively-once from re-merging
     against pre-swap state; this sink gets it from the commit log, and
     keeps every batch boundary time-travelable as a bonus.
@@ -368,11 +375,24 @@ def run_stream_to_versioned_table(
     stream = events_file_stream(spark, src_dir, max_files_per_trigger=2)
     vt = VersionedTable(spark, table_path)
 
+    def _stream_id() -> str:
+        # the query id Spark wrote into the checkpoint's metadata file;
+        # by the time any batch runs, the file exists
+        import json
+
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _stream_id()
         applied = {
-            c.get("metadata", {}).get("batch_id") for c in vt.history()
+            (
+                c.get("metadata", {}).get("stream_id"),
+                c.get("metadata", {}).get("batch_id"),
+            )
+            for c in vt.history()
         }
-        if batch_id in applied:  # replayed batch — already committed
+        if (sid, batch_id) in applied:  # replayed batch — already committed
             return
         inc = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -410,7 +430,9 @@ def run_stream_to_versioned_table(
                 .cast("double")
                 .alias("total_value"),
             )
-        vt.overwrite(merged, metadata={"batch_id": batch_id})
+        vt.overwrite(
+            merged, metadata={"stream_id": sid, "batch_id": batch_id}
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -152,3 +152,43 @@ def test_a13_zorder_buckets_bound_both_dimensions(spark):
     for r in rows:
         assert r.x_span <= 63, (r.zbucket, r.x_span)
         assert r.y_span <= 63, (r.zbucket, r.y_span)
+
+
+def test_default_buckets_sized_to_machine_and_pow2(spark):
+    """One file per bucket means bucket count caps scan parallelism, so
+    the default must never undershoot the core count, and must be a
+    power of two for stable reuse across scale factors."""
+    from daas_apps_spark.sources.bucketed import default_buckets
+
+    n = default_buckets(spark, SF_SMOKE, "lineitem")
+    assert n >= spark.sparkContext.defaultParallelism
+    assert n & (n - 1) == 0  # power of two
+
+
+def test_substitute_tables_only_rewrites_from_join_positions():
+    from daas_apps_spark.sources.bucketed import substitute_tables
+
+    sql = (
+        "SELECT 'from orders' AS lit, o_orderkey -- join orders\n"
+        "FROM orders o /* from orders */ "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.note = 'it''s from orders'"
+    )
+    out = substitute_tables(sql, {"orders": "B_O", "lineitem": "B_L"})
+    assert out.count("B_O") == 1 and out.count("B_L") == 1
+    assert "'from orders'" in out and "-- join orders" in out
+    assert "/* from orders */" in out and "'it''s from orders'" in out
+
+
+def test_bucketed_table_cache_key_distinguishes_full_paths(tmp_path):
+    """Two fixture dirs with the same basename must never share a managed
+    table (the cache key embeds a hash of the FULL path)."""
+    from daas_apps_spark.sources.bucketed import _table_name
+
+    a = str(tmp_path / "x" / "sfsame")
+    b = str(tmp_path / "y" / "sfsame")
+    ta = _table_name(a, "orders", "o_custkey", 32)
+    tb = _table_name(b, "orders", "o_custkey", 32)
+    assert ta != tb
+    # and the key is stable for the same path however it's spelled
+    assert _table_name(a + "/", "orders", "o_custkey", 32) == ta

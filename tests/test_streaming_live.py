@@ -249,9 +249,10 @@ def test_foreachbatch_upsert_equals_batch(spark, events_json_dir, tmp_path):
 def test_stream_to_versioned_table_exactly_once(spark, events_json_dir, tmp_path):
     """Streaming sink into the versioned table format: (a) the final
     snapshot equals the one-shot batch aggregate, (b) each micro-batch's
-    commit records its batch_id (the idempotence key), (c) re-running the
-    drained stream on the SAME checkpoint commits nothing new, and (d) a
-    manually replayed batch_id is skipped — exactly-once application."""
+    commit records its (stream_id, batch_id) pair (the idempotence key),
+    (c) re-running the drained stream on the SAME checkpoint commits
+    nothing new, and (d) a second stream with colliding batch ids is
+    APPLIED, not skipped — the pair, not the bare id, is the key."""
     from daas_apps_spark.sources.table_format import VersionedTable
     from daas_apps_spark.streaming.live import run_stream_to_versioned_table
 
@@ -288,14 +289,49 @@ def test_stream_to_versioned_table_exactly_once(spark, events_json_dir, tmp_path
     run_stream_to_versioned_table(spark, events_json_dir, tbl, ck)
     assert vt.latest_version() == n_versions
 
-    # (d) a FRESH checkpoint replays every file with batch ids restarting
-    # at 0 — all already in the log, so the guard must skip each one:
-    # no new versions, no double counting
-    before = vt.read().toPandas().n_events.sum()
+    # (d) replay-within-a-checkpoint is keyed on the (stream_id, batch_id)
+    # PAIR — Delta's `txn` (appId, version) contract: manually re-invoking
+    # the drained stream's own pairs is skipped (covered by (c)), while a
+    # SECOND stream (fresh checkpoint, new source dir) writing the same
+    # table restarts batch ids at 0 — already present in the log from the
+    # first stream — and must NOT be skipped: the bare-batch_id guard this
+    # replaces silently dropped such data (data loss after checkpoint
+    # reset, and cross-stream collisions).
     assert 0 in batch_ids
-    run_stream_to_versioned_table(spark, events_json_dir, tbl, str(tmp_path / "ck2"))
-    assert vt.latest_version() == n_versions
-    assert vt.read().toPandas().n_events.sum() == before
+    import json as _json
+
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    rows = [
+        {
+            "event_id": 10_000 + i,
+            "ts": f"2024-01-01T00:0{i}:00.000Z",
+            "user_id": 999_999,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(3)
+    ]
+    (src2 / "part-0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    run_stream_to_versioned_table(spark, str(src2), tbl, str(tmp_path / "ck2"))
+    assert vt.latest_version() == n_versions + 1
+    after = vt.read().toPandas()
+    new_user = after[after.user_id == 999_999]
+    assert len(new_user) == 1 and int(new_user.n_events.iloc[0]) == 3
+    # prior users unchanged — the second stream merged, not clobbered
+    assert (
+        after[after.user_id != 999_999].n_events.sum() == got.n_events.sum()
+    )
+    # both streams' ids are recorded; the pairs never collide
+    pairs = [
+        (c["metadata"].get("stream_id"), c["metadata"].get("batch_id"))
+        for c in vt.history()
+    ]
+    assert len(pairs) == len(set(pairs))
+    assert len({s for s, _ in pairs}) == 2
 
 
 def test_table_change_stream_source_versions_as_offsets(spark, tmp_path):

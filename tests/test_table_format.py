@@ -374,3 +374,52 @@ def test_schema_evolution_merge_read(spark, vt):
     assert set(merged.columns) == {"k", "v", "score"}
     got = {r.k: r.score for r in merged.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_vacuum_min_age_spares_young_dirs(spark, vt):
+    """The retention window: an unreferenced dir younger than
+    min_age_seconds is indistinguishable from a concurrent writer's
+    in-flight (not-yet-committed) dir, so vacuum must spare it — Delta's
+    VACUUM retention contract. Backdating the dir makes it reclaimable."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "b")]))
+    in_flight = os.path.join(vt.path, "data", "v9-inflight")
+    _df(spark, [(99, "zz")]).write.parquet(in_flight)
+    deleted = vt.vacuum(keep_versions=0, min_age_seconds=3600)
+    assert deleted == []  # everything unreferenced is still "young"
+    assert os.path.isdir(in_flight)
+    # age the in-flight dir past the window; now it's a reclaimable orphan
+    old = 1_000_000_000
+    os.utime(in_flight, (old, old))
+    deleted = vt.vacuum(keep_versions=0, min_age_seconds=3600)
+    assert deleted == ["v9-inflight"]
+    assert [r.k for r in vt.read().collect()] == [2]
+
+
+def test_changes_between_empty_range_on_empty_table(spark, vt):
+    """An empty version range on an EMPTY table (v_to == 0) must return an
+    empty change feed, not raise — the fallback can't read a snapshot that
+    never existed."""
+    feed = vt.changes_between(0, 0)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns
+
+
+def test_changes_between_empty_range_keeps_schema(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    feed = vt.changes_between(1, 1)
+    assert feed.count() == 0
+    assert set(feed.columns) == {"k", "v", "_change_type"}
+
+
+def test_all_pruned_read_keeps_merged_schema(spark, vt):
+    """When manifest pruning excludes EVERY dir, the zero-row result must
+    still surface the same (merged) schema the un-pruned read would — a
+    narrower schema breaks downstream unions."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    got = vt.read(prune=("k", 100, 200), merge_schema=True)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v", "score"}
