@@ -243,6 +243,67 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k3_impl(spark, sf_dir, band_cap=None)
 
 
+K3_BAND_CAP = 4
+
+
+@register(
+    "k3_lsh_capped",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , hsh AS (
+        SELECT doc_id, {_DUCK_BASE_HASH} FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(_minhash_sig_duck(i) for i in range(N_PERM))}
+        FROM hsh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sigs
+    ),
+    cool AS (
+        SELECT band_key FROM bands
+        GROUP BY band_key HAVING COUNT(*) <= {K3_BAND_CAP}
+    ),
+    bands2 AS (
+        SELECT bands.doc_id, bands.band_key
+        FROM bands JOIN cool USING (band_key)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands2 a JOIN bands2 b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jaccard
+    FROM cands c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("K3", "K2"),
+    bench=True,
+)
+def k3_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k3_lsh_near_dedup with the ``band_cap`` escape valve ON — the form
+    you'd actually run at 100 TB, registered first-class so the oracle
+    checks the capped plan, not just the exact one.
+
+    A hot band (boilerplate hashing thousands of docs into one key) costs
+    O(n²) candidate pairs while carrying no near-dup signal; dropping
+    band keys with more than K3_BAND_CAP colliding docs BEFORE the
+    self-join bounds every band's contribution at cap² pairs — the
+    standard band-frequency cap. Pairs may still surface through any of
+    their other 5 bands, so only documents degenerate in EVERY band lose
+    candidates. The DuckDB oracle mirrors the cap with the same HAVING
+    filter on the band-frequency CTE, so the capped result is
+    hash-matchable — "the form you run at scale is the form the oracle
+    checks"."""
+    return _k3_impl(spark, sf_dir, band_cap=K3_BAND_CAP)
+
+
 def _k3_impl(
     spark: SparkSession, sf_dir: str, band_cap: int | None
 ) -> DataFrame:

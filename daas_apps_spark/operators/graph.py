@@ -589,6 +589,76 @@ def _gr4_impl(
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+GR4_MID_DEGREE_CAP = 48
+
+
+@register(
+    "gr4_capped",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
+    adj AS (
+        SELECT u AS a, v AS b FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM adj GROUP BY a
+    ),
+    wadj AS (
+        SELECT adj.a, adj.b FROM adj
+        JOIN deg ON deg.node = adj.b
+        WHERE deg.degree <= {GR4_MID_DEGREE_CAP}
+    ),
+    cand AS (
+        SELECT x.a AS u, y.a AS v, CAST(COUNT(*) AS BIGINT) AS common
+        FROM wadj x JOIN wadj y ON y.b = x.b AND x.a < y.a
+        GROUP BY x.a, y.a
+    ),
+    nonedge AS (
+        SELECT c.u, c.v, c.common
+        FROM cand c LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL
+    )
+    SELECT u, v, common,
+           CAST(common AS DOUBLE)
+               / CAST(dg_u + dg_v - common AS DOUBLE) AS nbr_jaccard,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT n.*, du.degree AS dg_u, dv.degree AS dg_v,
+               ROW_NUMBER() OVER (ORDER BY common DESC, u, v) AS rnk
+        FROM nonedge n
+        JOIN deg du ON du.node = n.u
+        JOIN deg dv ON dv.node = n.v
+    )
+    WHERE rnk <= {GR4_TOP}
+    """,
+    tags=("GR4", "GR2", "K4"),
+    bench=True,
+)
+def gr4_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gr4_link_prediction with the ``mid_degree_cap`` escape valve ON —
+    the form you'd actually run at 100 TB, registered as a first-class
+    query so the oracle checks the capped plan, not just the exact one.
+
+    The exact form's candidate space grows Σ deg(mid)² (the engine's
+    worst scaling line); capping wedge MIDPOINTS at degree ≤
+    GR4_MID_DEGREE_CAP before the self-join bounds it at cap·|V|
+    wedges, turning the quadratic hub blow-up into a linear term. A hub
+    that co-supplies with thousands of suppliers predicts little — every
+    pair through it shares that hub (the stop-word analogy) — so the cap
+    changes rankings only where the signal was weakest. Endpoint degrees
+    (dg_u/dg_v) stay EXACT: only candidate generation is capped, the
+    Jaccard denominators are not.
+
+    The DuckDB oracle mirrors the cap with the same degree filter on the
+    wedge-adjacency CTE (midpoint = the ``b`` column on BOTH self-join
+    sides, exactly the Spark plan's shape), so the capped result is
+    hash-matchable — "the form you run at scale is the form the oracle
+    checks"."""
+    return _gr4_impl(spark, sf_dir, mid_degree_cap=GR4_MID_DEGREE_CAP)
+
+
 GR5_MAX_ITERS = 12
 
 

@@ -152,3 +152,39 @@ def test_cli_explain_subcommand(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "PushedFilters" in out and "HashAggregate" in out
+
+
+def test_rotation_priority_groups_are_monotonic():
+    """The driver verifies the FIRST ~50 registered queries per round, so
+    registration order IS coverage policy. Pin the data-driven rotation's
+    group order — red-with-oracle → never-driver-checked oracle →
+    rows-only → driver-green — so a refactor of operators/__init__.py can
+    never silently hand window slots to queries that cannot produce a
+    hash-green row (rows-only) or don't need one (already green)."""
+    import daas_apps_spark.operators as ops
+    from daas_apps_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    greens, reds = ops._driver_rows()
+
+    def group(name: str) -> int:
+        spec = REGISTRY[name]
+        if name in reds and spec.oracle:
+            return 0
+        if name in greens:
+            return 3
+        if spec.oracle is None:
+            return 2
+        return 1
+
+    groups = [group(n) for n in REGISTRY]
+    assert groups == sorted(groups), (
+        "registry order violates the rotation's group priority"
+    )
+    # the declared rows-only designs (no oracle, never green) must all
+    # sort after every never-checked oracle query
+    order = list(REGISTRY)
+    oracle_pending = [n for n in order if group(n) == 1]
+    rows_only = [n for n in order if group(n) == 2]
+    if oracle_pending and rows_only:
+        assert order.index(rows_only[0]) > order.index(oracle_pending[-1])
