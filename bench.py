@@ -6,8 +6,12 @@ Prints ONE JSON line:
 
 Methodology (mirrors the reference's published protocol — each data point is
 the mean of repeated runs with identical settings, genomics/README.md:108):
-per query, one untimed warmup run (JVM / codegen / parquet-footer warm-up),
-then the MEAN OF 3 timed runs. Each timed run rebuilds the DataFrame from
+a GLOBAL untimed warm pass (every query once) so the JVM/JIT reaches steady
+state before any measurement — a within-process A/B showed the same query
+set runs ~33% faster after a few minutes of session work, so without the
+global pass the alphabetically-early queries are charged JIT warm-up the
+late ones aren't — then, per query, one more untimed warmup run
+(codegen / parquet-footer warm-up), then the MEAN OF 3 timed runs. Each timed run rebuilds the DataFrame from
 scratch (fresh scan → plan → execute → materialize) so no shuffle-stage
 reuse leaks between runs; result sets are small by construction (every
 headline query aggregates or limits).
@@ -57,6 +61,9 @@ def main() -> None:
     spark = get_spark("daas_apps_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     tune_scan_confs(spark)
+
+    for spec in specs:  # global warm pass: JIT + one-time ingests, untimed
+        spec.fn(spark, run_dir).toPandas()
 
     timings: dict[str, float] = {}
     for spec in specs:

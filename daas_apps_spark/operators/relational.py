@@ -473,8 +473,16 @@ def c6_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioning keys are a subset of the grouping keys). The derived
     partsupp probe then joins key-local, and the dims broadcast.
     Identical semantics and oracle as c6_multikey_join; only the layout
-    differs — the same ingest-once contract as c21_bucketed_layout
-    (measured ~35% under the raw-layout plan at sf0.1).
+    differs — the same ingest-once contract as c21_bucketed_layout.
+
+    The pre-aggregate is ``localCheckpoint``ed before the self-probe:
+    the raw plan's two aggregate subtrees collapse into one ReuseExchange
+    because an Exchange is the reuse point — here there IS no exchange
+    (the layout replaced it), so without the checkpoint Catalyst would
+    aggregate the fact TWICE (once per probe side; measured slower than
+    raw at sf0.1). Checkpointed, the bucket-local aggregation runs once
+    and both probe sides read the materialized result — the same
+    multiply-consumed-intermediate discipline as k3's shingle relation.
 
     At 100 TB: the raw-layout plan shuffles the full fact table on the
     key pair once per run; this plan never shuffles it at all. Bucketing
@@ -491,9 +499,13 @@ def c6_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 10_000
     ).cast("long")
-    pre = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.count(F.lit(1)).alias("pre_n"),
-        F.sum(scaled_rev).alias("pre_rev"),
+    pre = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("pre_n"),
+            F.sum(scaled_rev).alias("pre_rev"),
+        )
+        .localCheckpoint()
     )
     partsupp = pre.select(
         F.col("l_partkey").alias("ps_partkey"),

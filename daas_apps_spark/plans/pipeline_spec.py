@@ -211,6 +211,7 @@ _REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
 }
 _SINK_MODES = ("errorifexists", "error", "overwrite", "append", "ignore")
 _SINK_FORMATS = ("parquet", "csv", "json", "orc")
+_VT_SINK_MODES = ("append", "overwrite", "merge")
 
 
 def validate_pipeline(
@@ -237,10 +238,20 @@ def validate_pipeline(
             errors.append(f"{where}: table {name!r} has no parquet file in {sf_dir}")
 
     src = spec.get("source")
-    if not isinstance(src, dict) or ("table" not in src and "path" not in src):
-        errors.append(f"{_where}.source: needs 'table' or 'path'")
+    if not isinstance(src, dict) or (
+        "table" not in src
+        and "path" not in src
+        and "versioned_table" not in src
+    ):
+        errors.append(
+            f"{_where}.source: needs 'table', 'path', or 'versioned_table'"
+        )
     elif "table" in src:
         check_table(src["table"], f"{_where}.source")
+    elif "versioned_table" in src:
+        v = src.get("version")
+        if v is not None and not isinstance(v, int):
+            errors.append(f"{_where}.source: 'version' must be an int")
 
     stages = spec.get("stages", [])
     if not isinstance(stages, list):
@@ -292,8 +303,22 @@ def validate_pipeline(
 
     sink = spec.get("sink")
     if sink is not None:
-        if not isinstance(sink, dict) or "path" not in sink:
-            errors.append(f"{_where}.sink: needs 'path'")
+        if isinstance(sink, dict) and "versioned_table" in sink:
+            # lakehouse sink: commits into the versioned table format
+            # (sources/table_format.py) instead of writing loose files
+            mode = sink.get("mode", "append")
+            if mode not in _VT_SINK_MODES:
+                errors.append(
+                    f"{_where}.sink: unknown versioned-table mode {mode!r};"
+                    f" known: {_VT_SINK_MODES}"
+                )
+            if mode == "merge" and not sink.get("merge_keys"):
+                errors.append(
+                    f"{_where}.sink: versioned-table mode 'merge' requires"
+                    " 'merge_keys'"
+                )
+        elif not isinstance(sink, dict) or "path" not in sink:
+            errors.append(f"{_where}.sink: needs 'path' or 'versioned_table'")
         else:
             mode = sink.get("mode", "errorifexists")
             if mode not in _SINK_MODES:
@@ -325,13 +350,21 @@ def build_pipeline(
     src = spec["source"]
     if "table" in src:
         df = table(spark, sf_dir, src["table"])
+    elif "versioned_table" in src:
+        from daas_apps_spark.sources.table_format import VersionedTable
+
+        df = VersionedTable(spark, src["versioned_table"]).read(
+            version=src.get("version")
+        )
     elif "path" in src:
         reader = spark.read
         if src.get("schema"):
             reader = reader.schema(src["schema"])
         df = reader.format(src.get("format", "parquet")).load(src["path"])
     else:
-        raise ValueError("pipeline source needs 'table' or 'path'")
+        raise ValueError(
+            "pipeline source needs 'table', 'path', or 'versioned_table'"
+        )
 
     for i, stage in enumerate(spec.get("stages", [])):
         if stage is None or stage.get("enabled", True) is False:
@@ -355,6 +388,21 @@ def run_pipeline(
     sink = spec.get("sink")
     if not sink:
         return df
+    if "versioned_table" in sink:
+        # lakehouse sink: the pipeline's result commits as a new VERSION of
+        # the table (append / overwrite / keyed merge) — time travel, change
+        # feed, and the streaming source all compose with spec-driven runs
+        from daas_apps_spark.sources.table_format import VersionedTable
+
+        vt = VersionedTable(spark, sink["versioned_table"])
+        mode = sink.get("mode", "append")
+        if mode == "append":
+            vt.append(df)
+        elif mode == "overwrite":
+            vt.overwrite(df)
+        else:
+            vt.merge(df, keys=list(sink["merge_keys"]))
+        return None
     # partition_by + single_file is rejected by validate_pipeline (the pair is
     # contradictory), so exactly one shaping applies here.
     out = df.coalesce(1) if sink.get("single_file", False) else df
@@ -374,10 +422,10 @@ def run_pipeline(
 
 _LIST_KEYS = {
     "columns", "group_by", "keys", "order_by", "by", "on", "select",
-    "partition_by", "payload",
+    "partition_by", "payload", "merge_keys",
 }
 _BOOL_KEYS = {"broadcast", "single_file", "enabled"}
-_INT_KEYS = {"n", "permille"}
+_INT_KEYS = {"n", "permille", "version"}
 _FLOAT_KEYS = {"tolerance_secs"}
 
 

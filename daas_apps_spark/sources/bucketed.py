@@ -64,6 +64,14 @@ def default_buckets(spark: SparkSession, sf_dir: str, name: str) -> int:
     return 1 << (n - 1).bit_length()
 
 
+# (session id, table name) → session, for tables already materialized and
+# liveness-probed this session; lets repeat calls skip the guard job
+# entirely. The session object is kept in the value so its id() can never
+# be recycled onto a different (restarted) session (same discipline as
+# catalog._DF_CACHE).
+_VERIFIED: dict[tuple[int, str], SparkSession] = {}
+
+
 def _table_name(sf_dir: str, name: str, key: str, n_buckets: int) -> str:
     """Managed-table cache key: embeds a short hash of the FULL sf_dir
     path (not just its basename), so two fixture dirs whose last path
@@ -99,6 +107,11 @@ def bucketed_table(
     if n_buckets is None:
         n_buckets = default_buckets(spark, sf_dir, name)
     tbl = _table_name(sf_dir, name, key, n_buckets)
+    if (id(spark), tbl) in _VERIFIED:
+        # already materialized AND liveness-probed in this session — skip
+        # the catalog round-trip and the limit(1) guard job (a per-call
+        # Spark job that would otherwise tax every query using the table)
+        return tbl
     if spark.catalog.tableExists(tbl):
         # guard against a catalog entry whose files another session
         # removed (the warehouse dir is shared; commits are single-writer)
@@ -123,6 +136,7 @@ def bucketed_table(
             .mode("overwrite")
             .saveAsTable(tbl)
         )
+    _VERIFIED[(id(spark), tbl)] = spark
     return tbl
 
 

@@ -23,11 +23,12 @@ scale because a snapshot is just a list of parquet directories handed to
 ``spark.read.parquet`` — partition pruning, pushdown, and scan parallelism
 all apply per normal.
 
-MERGE is copy-on-write at commit granularity: the new version rewrites the
-table from snapshot ⟕ updates (anti-join + union) into one new dir and
-retires the old dirs. At 100 TB the refinement is file-level COW — track
-per-file key min/max in the commit and rewrite only files whose range
-intersects the updates — same log schema, smaller `remove` sets.
+MERGE is FILE-LEVEL copy-on-write: the commit-recorded per-dir key
+[min, max] stats bound which live dirs can hold a matched key, and only
+those are rewritten (snapshot-slice ⟕ updates via anti-join + union) into
+one new dir; range-disjoint dirs survive the commit untouched. Same log
+schema as a full rewrite, smaller `remove` sets — at 100 TB a 1-row MERGE
+rewrites one file's worth of data, not the table.
 """
 
 from __future__ import annotations
@@ -255,12 +256,53 @@ class VersionedTable:
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Upsert (copy-on-write): rows matching on ``keys`` are replaced,
-        the rest inserted. One new data dir; prior dirs retired."""
-        current = self.read()
-        merged = current.join(updates, keys, "left_anti").unionByName(updates)
-        old = [os.path.basename(p) for p in self._live_dirs()]
+        the rest inserted.
+
+        FILE-LEVEL COW: the commit-recorded per-dir [min, max] stats (the
+        same plumbing manifest pruning reads) bound which live dirs can
+        possibly hold a matching key — a dir whose range for ANY key
+        column is disjoint from the updates' range cannot contain a
+        matched row, so it survives the commit untouched. Only
+        intersecting dirs are read, anti-joined, and rewritten into one
+        new dir; at 100 TB a 1-row MERGE therefore rewrites one file's
+        worth of data, not the table (Delta/Iceberg's merge-on-read-free
+        COW shape). Dirs with no recorded stats for a key column are
+        conservatively rewritten. A merge that touches nothing is a pure
+        insert — an append-only commit the change feed's manifest fast
+        path still accepts."""
+        from pyspark.sql import functions as F
+
+        live, stats = self._replay(None)
+        bounds = updates.agg(
+            *[f(k) for k in keys for f in (F.min, F.max)]
+        ).first()
+        touch: list[str] = []
+        keep: list[str] = []
+        for rel in live:
+            st = stats.get(rel, {})
+            intersects = True
+            for i, _k in enumerate(keys):
+                rng = st.get(_k)
+                lo, hi = bounds[2 * i], bounds[2 * i + 1]
+                if (
+                    rng is not None
+                    and lo is not None
+                    and (rng[1] < lo or rng[0] > hi)
+                ):
+                    intersects = False
+                    break
+            (touch if intersects else keep).append(rel)
+        if touch:
+            current = self.spark.read.parquet(
+                *[os.path.join(self.path, _DATA, d) for d in touch]
+            )
+            merged = current.join(updates, keys, "left_anti").unionByName(
+                updates
+            )
+        else:
+            merged = updates
         rel = self._write_data_dir(merged, self.latest_version() + 1)
-        return self._commit("merge", add=[rel], remove=old)
+        return self._commit("merge", add=[rel], remove=touch)
 
     def optimize(
         self,

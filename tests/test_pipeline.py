@@ -404,3 +404,95 @@ def test_asof_join_stage_unknown_table_rejected(spark):
     with pytest.raises(ValueError) as ei:
         validate_pipeline(bad, SF_SMOKE)
     assert "nope" in str(ei.value)
+
+
+def test_versioned_table_sink_and_source_stages(spark, tmp_path):
+    """The lakehouse arc driven entirely from specs: a pipeline COMMITS its
+    result as a version of the table format (append → append → keyed
+    merge), and a second spec READS the table — latest or time-traveled —
+    as its source. The spec layer composes with time travel exactly like
+    the library path (tests/test_table_format.py::test_lakehouse_end_to_end)."""
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    tbl = str(tmp_path / "vt")
+    base = {
+        "source": {"table": "nation"},
+        "stages": [
+            {"op": "select", "columns": ["n_nationkey AS k", "n_name AS v"]},
+        ],
+    }
+    run_pipeline(
+        spark,
+        {**base, "sink": {"versioned_table": tbl, "mode": "append"}},
+        SF_SMOKE,
+    )
+    run_pipeline(
+        spark,
+        {
+            "source": {"table": "region"},
+            "stages": [
+                {"op": "select", "columns": ["r_regionkey + 100 AS k", "r_name AS v"]},
+            ],
+            "sink": {"versioned_table": tbl, "mode": "append"},
+        },
+        SF_SMOKE,
+    )
+    run_pipeline(
+        spark,
+        {
+            "source": {"table": "region"},
+            "stages": [
+                {"op": "select", "columns": ["r_regionkey + 100 AS k", "upper(r_name) AS v"]},
+            ],
+            "sink": {
+                "versioned_table": tbl,
+                "mode": "merge",
+                "merge_keys": ["k"],
+            },
+        },
+        SF_SMOKE,
+    )
+    vt = VersionedTable(spark, tbl)
+    assert vt.latest_version() == 3
+    n_nations = table(spark, SF_SMOKE, "nation").count()
+    n_regions = table(spark, SF_SMOKE, "region").count()
+    latest = run_pipeline(
+        spark, {"source": {"versioned_table": tbl}}, SF_SMOKE
+    ).toPandas()
+    assert len(latest) == n_nations + n_regions
+    # the merge upper-cased every region row
+    assert all(v == v.upper() for v in latest[latest.k >= 100].v)
+    # time travel through the spec source: version 1 predates the regions
+    v1 = run_pipeline(
+        spark,
+        {"source": {"versioned_table": tbl, "version": 1}},
+        SF_SMOKE,
+    ).toPandas()
+    assert len(v1) == n_nations
+
+
+def test_versioned_table_sink_validation():
+    from daas_apps_spark.plans.pipeline_spec import (
+        PipelineSpecError,
+        validate_pipeline,
+    )
+
+    with pytest.raises(PipelineSpecError, match="merge_keys"):
+        validate_pipeline(
+            {
+                "source": {"table": "nation"},
+                "sink": {"versioned_table": "/tmp/x", "mode": "merge"},
+            }
+        )
+    with pytest.raises(PipelineSpecError, match="versioned-table mode"):
+        validate_pipeline(
+            {
+                "source": {"table": "nation"},
+                "sink": {"versioned_table": "/tmp/x", "mode": "errorifexists"},
+            }
+        )
+    with pytest.raises(PipelineSpecError, match="version"):
+        validate_pipeline(
+            {"source": {"versioned_table": "/tmp/x", "version": "one"}}
+        )

@@ -423,3 +423,36 @@ def test_all_pruned_read_keeps_merged_schema(spark, vt):
     got = vt.read(prune=("k", 100, 200), merge_schema=True)
     assert got.count() == 0
     assert set(got.columns) == {"k", "v", "score"}
+
+
+def test_merge_is_file_level_cow(spark, vt):
+    """A MERGE whose update keys intersect only ONE dir's recorded range
+    must rewrite only that dir; range-disjoint dirs survive the commit
+    untouched — at 100 TB a 1-row MERGE rewrites one file's worth of
+    data, not the table."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))  # dir 1: k ∈ [1, 2]
+    vt.append(_df(spark, [(100, "x"), (200, "y")]))  # dir 2: k ∈ [100, 200]
+    live_before = [os.path.basename(p) for p in vt._live_dirs()]
+    vt.merge(_df(spark, [(2, "B")]), keys=["k"])
+    last = vt.history()[-1]
+    assert last["operation"] == "merge"
+    assert len(last["remove"]) == 1  # only the intersecting dir retired
+    assert last["remove"][0] == live_before[0]
+    live_after = [os.path.basename(p) for p in vt._live_dirs()]
+    assert live_before[1] in live_after  # disjoint dir untouched
+    got = sorted((r.k, r.v) for r in vt.read().collect())
+    assert got == [(1, "a"), (2, "B"), (100, "x"), (200, "y")]
+
+
+def test_merge_disjoint_keys_is_pure_insert(spark, vt):
+    """Updates whose key range intersects NO live dir append without
+    retiring anything — an append-only commit the change feed's manifest
+    fast path still accepts."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.merge(_df(spark, [(50, "z")]), keys=["k"])
+    assert vt.history()[-1]["remove"] == []
+    got = sorted((r.k, r.v) for r in vt.read().collect())
+    assert got == [(1, "a"), (50, "z")]
+    # append-only range → manifest-only change feed works across it
+    feed = vt.changes_between(1, 2)
+    assert [(r.k, r.v) for r in feed.collect()] == [(50, "z")]
