@@ -439,3 +439,143 @@ def k7_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_sum long, zero_crossings long"
         ),
     )
+
+
+def _k7_bmp_oracle() -> str:
+    """Closed-form features of the synthetic BMP pixel field: logical RGB
+    channel c of pixel p (row-major, top-down) is (11*doc_id + 5*p + c)
+    % 256. top_row_sum covers the rows p < w — in the FILE those are the
+    LAST stored row (BMP rasters are bottom-up), so a decoder that skips
+    the vertical flip fails this column even though the means (row-order
+    invariant) still agree."""
+    return """
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               3 + doc_id % 4 AS h
+        FROM documents WHERE doc_id < 60
+    ),
+    px AS (
+        SELECT doc_id, w, h, t.p
+        FROM dims, unnest(range(w * h)) AS t(p)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((11 * doc_id + 5 * p + 0) % 256) AS DOUBLE)
+               / (MAX(w) * MAX(h)) AS mean_r,
+           CAST(SUM((11 * doc_id + 5 * p + 1) % 256) AS DOUBLE)
+               / (MAX(w) * MAX(h)) AS mean_g,
+           CAST(SUM((11 * doc_id + 5 * p + 2) % 256) AS DOUBLE)
+               / (MAX(w) * MAX(h)) AS mean_b,
+           CAST(SUM(CASE WHEN p < w THEN
+                 (11 * doc_id + 5 * p + 0) % 256
+               + (11 * doc_id + 5 * p + 1) % 256
+               + (11 * doc_id + 5 * p + 2) % 256
+             ELSE 0 END) AS BIGINT) AS top_row_sum
+    FROM px GROUP BY doc_id
+    """
+
+
+@register(
+    "k7_bmp_decode",
+    oracle=_k7_bmp_oracle(),
+    tags=("K7", "J4", "A10"),
+)
+def k7_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND real image codec through the multimodal plumbing: each row
+    synthesizes a valid 24-bit uncompressed BMP — 14-byte file header,
+    40-byte BITMAPINFOHEADER, then the raster stored BOTTOM-UP in BGR
+    order with every row zero-padded to a 4-byte boundary — and a second
+    ``mapInPandas`` pass parses the headers with ``struct``, strips the
+    per-row padding, flips the rows, swaps BGR back to RGB, and reduces
+    to per-channel means plus a top-row checksum.
+
+    Where PPM (k7_ppm_decode) exercises a text-header + packed-RGB
+    format, BMP adds the three wire-format hazards codec code actually
+    trips on: row padding (widths here make the pad 0-3 bytes across
+    docs, so a stride bug breaks the reshape), bottom-up row order
+    (caught by ``top_row_sum``, which the oracle computes over the
+    LOGICAL top row), and BGR channel order (caught by mean_r/mean_b,
+    which differ by construction). Still pure stdlib + numpy — no codec
+    library, nothing stubbed.
+
+    The deterministic pixel field ((11·doc_id + 5·p + c) mod 256) keeps
+    the binary a pure content function — the K9 determinism rule — and
+    the oracle recomputes every feature in closed form, so the check
+    spans synthesis, byte layout, parsing, and reduction. Scale: both
+    passes are Arrow-batched iterator UDFs over opaque binary; payloads
+    never leave the executor (A10 binaryFile would replace synthesis on
+    a real corpus)."""
+    import struct
+
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    src = d.select("doc_id")
+
+    def encode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w = 4 + did % 5
+                h = 3 + did % 4
+                p = np.arange(w * h, dtype=np.int64)
+                rgb = np.empty((w * h, 3), dtype=np.uint8)
+                for c in range(3):
+                    rgb[:, c] = (11 * did + 5 * p + c) % 256
+                bgr = rgb.reshape(h, w, 3)[:, :, ::-1]  # channel swap
+                stride = (3 * w + 3) & ~3
+                raster = np.zeros((h, stride), dtype=np.uint8)
+                raster[:, : 3 * w] = bgr[::-1].reshape(h, 3 * w)  # bottom-up
+                image_size = stride * h
+                header = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + image_size, 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+                    )
+                )
+                payloads.append(header + raster.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": payloads})
+
+    images = src.mapInPandas(encode_bmp, schema="doc_id long, bmp binary")
+
+    def decode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "top_row_sum": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["bmp"]):
+                raw = bytes(blob)
+                assert raw[:2] == b"BM"
+                (offset,) = struct.unpack_from("<I", raw, 10)
+                hdr_size, w, h, planes, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", raw, 14
+                )
+                assert hdr_size == 40 and bpp == 24 and comp == 0
+                stride = (3 * w + 3) & ~3
+                raster = np.frombuffer(
+                    raw, dtype=np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)
+                bgr = raster[:, : 3 * w].reshape(h, w, 3)
+                rgb = bgr[::-1, :, ::-1]  # un-flip rows, BGR -> RGB
+                flat = rgb.reshape(w * h, 3).astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for i, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[name].append(float(flat[:, i].sum()) / (w * h))
+                rows["top_row_sum"].append(int(rgb[0].astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(
+        decode_bmp,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, top_row_sum long"
+        ),
+    )
