@@ -12,10 +12,12 @@ Q21/Q13/Q17-style semi/anti/aggregate probes against the same fact) becomes
 exchange-free on the probe key.
 
 At 100 TB this is the difference between shuffling the fact table three
-times per Q21 run and never shuffling it at all; the bucket count is sized
-so a single bucket fits an executor's memory (n ≈ table_bytes /
-target_partition_bytes, rounded to a power of two for stable re-use across
-scale factors).
+times per Q21 run and never shuffling it at all; the bucket count is
+COMPUTED per machine and table (``default_buckets``): never below the
+core count (one file per bucket caps scan parallelism), and at least
+table_bytes / target_partition_bytes so a single bucket fits an
+executor's scan budget, rounded to a power of two for stable re-use
+across scale factors.
 
 The materialization is cached per (sf_dir, table, key, buckets) as a managed
 table in the session warehouse: first call writes, later calls reuse — the

@@ -145,11 +145,23 @@ class VersionedTable:
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(entry, f)
-        # rename IS the commit: readers either see the whole version or none
-        os.rename(tmp, os.path.join(self._log_dir(), f"{version:08d}.json"))
+        self._publish_commit(
+            tmp, os.path.join(self._log_dir(), f"{version:08d}.json")
+        )
         if version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(version)
         return version
+
+    def _publish_commit(self, tmp: str, final: str) -> None:
+        """THE atomicity primitive — the single swap site a multi-writer
+        deployment overrides. Here it is `os.rename` (atomic on POSIX,
+        single-writer: last renamer wins a version collision); Delta's
+        LogStore / Iceberg's catalog replace exactly this call with a
+        compare-and-swap that FAILS if ``final`` already exists, turning
+        a concurrent commit into a retriable conflict. Everything else —
+        log replay, checkpoints, stats, pruning — is unchanged by that
+        swap."""
+        os.rename(tmp, final)
 
     def _write_checkpoint(self, version: int) -> None:
         """Fold the log into one snapshot file so readers replay O(N %
@@ -163,7 +175,10 @@ class VersionedTable:
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f)
-        os.rename(
+        # checkpoints are derived state (idempotent content for a given
+        # version), so colliding writers publish identical bytes — the
+        # same hook still routes them for deployments that need it
+        self._publish_commit(
             tmp,
             os.path.join(self._log_dir(), f"{version:08d}.checkpoint.json"),
         )
