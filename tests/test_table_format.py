@@ -456,3 +456,28 @@ def test_merge_disjoint_keys_is_pure_insert(spark, vt):
     # append-only range → manifest-only change feed works across it
     feed = vt.changes_between(1, 2)
     assert [(r.k, r.v) for r in feed.collect()] == [(50, "z")]
+
+
+def test_file_level_merge_equals_full_rewrite_semantics(spark, vt):
+    """File-level COW is an OPTIMIZATION, not a semantics change: across a
+    table whose dirs have overlapping, disjoint, and stats-less key
+    ranges, merge() must produce exactly the rows a whole-table
+    anti-join + union would."""
+    import pandas as pd
+
+    vt.append(_df(spark, [(1, "a"), (5, "b")]))
+    vt.append(_df(spark, [(4, "c"), (9, "d")]))  # overlaps dir 1's range
+    vt.append(_df(spark, [(100, "e"), (150, "f")]))  # disjoint
+    updates = [(5, "B2"), (9, "D2"), (7, "new")]
+    before = vt.read().toPandas()
+    expect = {k: v for k, v in zip(before.k, before.v)}
+    expect.update({k: v for k, v in updates})
+    vt.merge(_df(spark, updates), keys=["k"])
+    got = {r.k: r.v for r in vt.read().collect()}
+    assert got == expect
+    # the fully-disjoint dir survived, the two overlapping dirs retired
+    last = vt.history()[-1]
+    assert len(last["remove"]) == 2
+    # time travel still sees the pre-merge state
+    old = {r.k: r.v for r in vt.read(version=3).collect()}
+    assert old == {k: v for k, v in zip(before.k, before.v)}
