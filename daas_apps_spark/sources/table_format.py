@@ -44,6 +44,29 @@ _DATA = "data"
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
 
+def _stat_key(v):
+    """Normalize a stats/bound value to a JSON-safe, ORDER-PRESERVING key.
+
+    int/float/str pass through; ``datetime.date`` / ``datetime.datetime``
+    (what parquet DATE/TIMESTAMP footer stats and Spark min/max aggregates
+    both surface) become FIXED-WIDTH ISO strings, whose lexicographic
+    order is chronological — so range intersection tests compare
+    like-with-like across the footer side and the query side. Returns
+    None for unorderable types (bool included: its stats can't prune),
+    which callers treat as "no bound" — conservatively keep/rewrite."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return None
+
+
 def read_log(path: str) -> list[dict]:
     """Pure-filesystem commit-log read (no SparkSession) — the piece a
     streaming source worker needs: it runs outside the driver's session,
@@ -222,9 +245,13 @@ class VersionedTable:
     def _dir_stats(self, rel: str) -> dict:
         """Per-column [min, max] for a data dir, harvested from the parquet
         FOOTERS the write already produced — no second scan, the Iceberg
-        manifest-stats approach. Only JSON-safe scalar types are kept
-        (int/float/str); a column with any stats-less row group is dropped
-        entirely (a partial range would prune incorrectly)."""
+        manifest-stats approach. int/float/str are kept as-is; DATE and
+        TIMESTAMP stats are normalized to FIXED-WIDTH ISO strings
+        (``_stat_key``), whose lexicographic order is chronological — so
+        manifest pruning and file-level COW work on time keys, the
+        commonest partitioning axis at 100 TB. A column with any
+        stats-less row group is dropped entirely (a partial range would
+        prune incorrectly)."""
         import glob
 
         import pyarrow.parquet as pq
@@ -240,18 +267,15 @@ class VersionedTable:
                     col = row_group.column(i)
                     name = col.path_in_schema
                     st = col.statistics
-                    if (
-                        st is None
-                        or not st.has_min_max
-                        or not isinstance(st.min, (int, float, str))
-                        or isinstance(st.min, bool)
-                    ):
+                    lo = _stat_key(st.min) if st and st.has_min_max else None
+                    hi = _stat_key(st.max) if st and st.has_min_max else None
+                    if lo is None or hi is None:
                         unsafe.add(name)
                         continue
-                    if name not in mins or st.min < mins[name]:
-                        mins[name] = st.min
-                    if name not in maxs or st.max > maxs[name]:
-                        maxs[name] = st.max
+                    if name not in mins or lo < mins[name]:
+                        mins[name] = lo
+                    if name not in maxs or hi > maxs[name]:
+                        maxs[name] = hi
         return {
             name: [mins[name], maxs[name]]
             for name in mins
@@ -298,10 +322,12 @@ class VersionedTable:
             intersects = True
             for i, _k in enumerate(keys):
                 rng = st.get(_k)
-                lo, hi = bounds[2 * i], bounds[2 * i + 1]
+                lo = _stat_key(bounds[2 * i])
+                hi = _stat_key(bounds[2 * i + 1])
                 if (
                     rng is not None
                     and lo is not None
+                    and hi is not None
                     and (rng[1] < lo or rng[0] > hi)
                 ):
                     intersects = False
@@ -553,11 +579,17 @@ class VersionedTable:
             reader = reader.option("mergeSchema", "true")
         if prune is not None:
             col, lo, hi = prune
+            lo, hi = _stat_key(lo), _stat_key(hi)
             stats = self._live_stats(version)
             kept = []
             for p in dirs:
                 rng = stats.get(os.path.basename(p), {}).get(col)
-                if rng is None or not (rng[1] < lo or rng[0] > hi):
+                if (
+                    rng is None
+                    or lo is None
+                    or hi is None
+                    or not (rng[1] < lo or rng[0] > hi)
+                ):
                     kept.append(p)
             if not kept:
                 # all dirs pruned: zero rows, but keep the same (possibly

@@ -481,3 +481,39 @@ def test_file_level_merge_equals_full_rewrite_semantics(spark, vt):
     # time travel still sees the pre-merge state
     old = {r.k: r.v for r in vt.read(version=3).collect()}
     assert old == {k: v for k, v in zip(before.k, before.v)}
+
+
+def test_stats_prune_and_merge_on_date_keys(spark, vt):
+    """DATE columns participate in manifest stats (normalized to ISO
+    strings, lexicographic == chronological), so time-keyed pruning and
+    file-level COW merge — the commonest 100 TB partitioning axis —
+    work exactly like integer keys."""
+    import datetime
+
+    def ddf(rows):
+        return spark.createDataFrame(rows, "d date, v string")
+
+    jan = [(datetime.date(2024, 1, i), f"j{i}") for i in (1, 15)]
+    jun = [(datetime.date(2024, 6, i), f"u{i}") for i in (1, 15)]
+    vt.append(ddf(jan))
+    vt.append(ddf(jun))
+    stats = vt._live_stats()
+    d_ranges = [st["d"] for st in stats.values()]
+    assert ["2024-01-01", "2024-01-15"] in d_ranges
+    assert ["2024-06-01", "2024-06-15"] in d_ranges
+    # prune with date objects AND with ISO strings — both hit one dir
+    for lo, hi in [
+        (datetime.date(2024, 1, 1), datetime.date(2024, 2, 1)),
+        ("2024-01-01", "2024-02-01"),
+    ]:
+        pruned = vt.read(prune=("d", lo, hi))
+        assert pruned.inputFiles() and len(pruned.inputFiles()) < len(
+            vt.read().inputFiles()
+        )
+        assert {r.v for r in pruned.collect()} == {"j1", "j15"}
+    # date-keyed merge rewrites only the January dir
+    vt.merge(ddf([(datetime.date(2024, 1, 15), "J15!")]), keys=["d"])
+    last = vt.history()[-1]
+    assert len(last["remove"]) == 1
+    got = {r.v for r in vt.read().collect()}
+    assert got == {"j1", "J15!", "u1", "u15"}
