@@ -594,3 +594,60 @@ def a25_table_format_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(vt.read(version=1), 1).unionByName(census(vt.read(), 2))
+
+
+@register(
+    "a25_temporal_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("A25", "A14", "B2"),
+)
+def a25_temporal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-keyed manifest pruning on the versioned table format: orders
+    land as THREE commits split on o_orderdate (1995 / 1996 / 1997+ —
+    the time-partitioned ingest every event table has), and
+    the 1996 census reads with ``prune=("o_orderdate", ...)`` — the
+    commit-recorded DATE [min, max] stats (normalized to ISO strings,
+    lexicographic == chronological) exclude the other two commits' dirs
+    from the scan ENTIRELY, before Spark lists a single file. The filter
+    is still applied, so semantics equal the oracle's plain WHERE; the
+    pruning only shrinks the scan — pinned structurally in
+    tests/test_table_format.py::test_stats_prune_and_merge_on_date_keys
+    and end-to-end here by the hash match.
+
+    At 100 TB this is the access path for "last month over a ten-year
+    table": manifest stats cut the scan to the intersecting commits at
+    O(#dirs) driver cost, then parquet row-group pruning and predicate
+    pushdown take over inside the survivors.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a25_temporal")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    for lo, hi in (
+        ("1995-01-01", "1996-01-01"),
+        ("1996-01-01", "1997-01-01"),
+        ("1997-01-01", "2002-01-01"),
+    ):
+        vt.append(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        )
+    snap = vt.read(prune=("o_orderdate", "1996-01-01", "1996-12-31"))
+    return (
+        snap.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

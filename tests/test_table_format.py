@@ -517,3 +517,15 @@ def test_stats_prune_and_merge_on_date_keys(spark, vt):
     assert len(last["remove"]) == 1
     got = {r.v for r in vt.read().collect()}
     assert got == {"j1", "J15!", "u1", "u15"}
+
+
+def test_a25_temporal_prune_scans_one_commit(spark):
+    """The registered temporal-prune query must actually skip the other
+    commits' dirs — only the 1996 commit's dir may appear in inputFiles."""
+    from daas_apps_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_SMOKE
+
+    _load_all()
+    df = REGISTRY["a25_temporal_prune"].fn(spark, SF_SMOKE)
+    dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("v2-"), dirs
