@@ -4,7 +4,7 @@
     python -m daas_apps_spark show NAME
     python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
     python -m daas_apps_spark verify [NAME ...] [--sf DIR]
-    python -m daas_apps_spark table history|read|optimize|vacuum PATH
+    python -m daas_apps_spark table history|read|optimize|vacuum|delete PATH
 
 `list`/`show` are metadata-only (no Spark session). `run` executes one
 registered query and prints rows; `verify` runs queries on BOTH engines
@@ -152,6 +152,12 @@ def cmd_table(args: argparse.Namespace) -> int:
             keep_versions=args.keep, min_age_seconds=args.min_age
         )
         print(f"vacuumed {len(deleted)} dirs: {deleted}")
+    elif args.op == "delete":
+        if not args.where:
+            print("delete requires --where <sql predicate>")
+            return 2
+        v = vt.delete(args.where)
+        print(f"deleted -> v{v}")
     return 0
 
 
@@ -190,7 +196,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ver.set_defaults(fn=cmd_verify)
 
     p_tbl = sub.add_parser("table", help="versioned-table maintenance")
-    p_tbl.add_argument("op", choices=("history", "read", "optimize", "vacuum"))
+    p_tbl.add_argument(
+        "op", choices=("history", "read", "optimize", "vacuum", "delete")
+    )
     p_tbl.add_argument("path")
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--limit", type=int, default=20)
@@ -200,6 +208,11 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=2,
         help="versions of time travel to retain (default 2; 0 = latest only)",
+    )
+    p_tbl.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate for the delete op (rows matching are removed)",
     )
     p_tbl.add_argument(
         "--min-age",

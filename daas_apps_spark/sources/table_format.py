@@ -258,6 +258,7 @@ class VersionedTable:
 
         mins: dict = {}
         maxs: dict = {}
+        nulls: dict = {}  # per-column null count; None = unknown
         unsafe: set = set()
         for f in glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet")):
             md = pq.ParquetFile(f).metadata
@@ -272,12 +273,17 @@ class VersionedTable:
                     if lo is None or hi is None:
                         unsafe.add(name)
                         continue
+                    nc = st.null_count if st.has_null_count else None
+                    if name not in nulls:
+                        nulls[name] = nc
+                    elif nulls[name] is not None:
+                        nulls[name] = None if nc is None else nulls[name] + nc
                     if name not in mins or lo < mins[name]:
                         mins[name] = lo
                     if name not in maxs or hi > maxs[name]:
                         maxs[name] = hi
         return {
-            name: [mins[name], maxs[name]]
+            name: [mins[name], maxs[name], nulls.get(name)]
             for name in mins
             if name not in unsafe
         }
@@ -293,9 +299,86 @@ class VersionedTable:
         rel = self._write_data_dir(df, self.latest_version() + 1)
         return self._commit("overwrite", add=[rel], remove=old, metadata=metadata)
 
-    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+    def delete_range(self, col: str, lo, hi) -> int:
+        """DELETE WHERE ``col`` BETWEEN lo AND hi, file-level: the
+        commit-recorded per-dir [min, max] three-way partitions the live
+        dirs — dirs DISJOINT from the range survive untouched, dirs
+        fully INSIDE it are dropped without reading a row (their every
+        row matches), and only PARTIALLY-overlapping dirs are read,
+        filtered, and rewritten. At 100 TB "delete last March" touches
+        only March's boundary files; the bulk of the deletion is pure
+        manifest arithmetic. Dirs without stats for ``col`` are
+        conservatively rewritten. Bounds accept the same types the stats
+        normalization does (int/float/str/date/datetime)."""
+        from pyspark.sql import functions as F
+
+        klo, khi = _stat_key(lo), _stat_key(hi)
+        live, stats = self._replay(None)
+        drop: list[str] = []  # fully inside: every row matches
+        rewrite: list[str] = []  # straddles a boundary
+        for rel in live:
+            rng = stats.get(rel, {}).get(col)
+            if rng is None or klo is None or khi is None:
+                rewrite.append(rel)
+            elif rng[1] < klo or rng[0] > khi:
+                continue  # disjoint: untouched (NULL rows never match)
+            elif (
+                klo <= rng[0]
+                and rng[1] <= khi
+                # min/max ignore NULLs, and NULL never matches BETWEEN —
+                # a whole-dir drop is only sound with a PROVEN zero null
+                # count (older commits without the count rewrite instead)
+                and len(rng) > 2
+                and rng[2] == 0
+            ):
+                drop.append(rel)
+            else:
+                rewrite.append(rel)
+        add: list[str] = []
+        if rewrite:
+            kept = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, _DATA, d) for d in rewrite]
+                )
+                # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
+                .filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
+            )
+            add = [self._write_data_dir(kept, self.latest_version() + 1)]
+        return self._commit("delete", add=add, remove=drop + rewrite)
+
+    def delete(self, condition: str) -> int:
+        """DELETE WHERE ``condition`` (any SQL predicate), whole-table
+        copy-on-write: the snapshot is rewritten without the matching
+        rows. For range predicates on a single column prefer
+        ``delete_range`` — it skips and drops files by manifest stats
+        instead of reading everything."""
+        from pyspark.sql import functions as F
+
+        # a row is deleted only when the predicate is TRUE; NULL (unknown)
+        # keeps the row — SQL DELETE semantics
+        kept = self.read().filter(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        old = [os.path.basename(p) for p in self._live_dirs()]
+        rel = self._write_data_dir(kept, self.latest_version() + 1)
+        return self._commit("delete", add=[rel], remove=old)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        allow_schema_evolution: bool = False,
+    ) -> int:
         """Upsert (copy-on-write): rows matching on ``keys`` are replaced,
         the rest inserted.
+
+        ``allow_schema_evolution=True`` lets ``updates`` carry columns the
+        table lacks (and vice versa): the rewritten dirs take the UNION
+        schema with NULLs for the missing side — Delta's mergeSchema.
+        Untouched (range-disjoint) dirs keep their narrower files; read
+        them with ``merge_schema=True`` to surface the union. Off by
+        default so a typo'd column name fails loudly instead of quietly
+        widening the table.
 
         FILE-LEVEL COW: the commit-recorded per-dir [min, max] stats (the
         same plumbing manifest pruning reads) bound which live dirs can
@@ -334,11 +417,14 @@ class VersionedTable:
                     break
             (touch if intersects else keep).append(rel)
         if touch:
-            current = self.spark.read.parquet(
+            reader = self.spark.read
+            if allow_schema_evolution:
+                reader = reader.option("mergeSchema", "true")
+            current = reader.parquet(
                 *[os.path.join(self.path, _DATA, d) for d in touch]
             )
             merged = current.join(updates, keys, "left_anti").unionByName(
-                updates
+                updates, allowMissingColumns=allow_schema_evolution
             )
         else:
             merged = updates

@@ -126,8 +126,8 @@ def test_commit_records_footer_stats(spark, vt):
     vt.append(_df(spark, [(1, "a"), (5, "b")]))
     stats = vt.history()[-1]["stats"]
     (dir_stats,) = stats.values()
-    assert dir_stats["k"] == [1, 5]
-    assert dir_stats["v"] == ["a", "b"]
+    assert dir_stats["k"] == [1, 5, 0]  # [min, max, null_count]
+    assert dir_stats["v"] == ["a", "b", 0]
 
 
 def test_pruned_read_skips_disjoint_dirs_and_keeps_semantics(spark, vt):
@@ -499,8 +499,8 @@ def test_stats_prune_and_merge_on_date_keys(spark, vt):
     vt.append(ddf(jun))
     stats = vt._live_stats()
     d_ranges = [st["d"] for st in stats.values()]
-    assert ["2024-01-01", "2024-01-15"] in d_ranges
-    assert ["2024-06-01", "2024-06-15"] in d_ranges
+    assert ["2024-01-01", "2024-01-15", 0] in d_ranges
+    assert ["2024-06-01", "2024-06-15", 0] in d_ranges
     # prune with date objects AND with ISO strings — both hit one dir
     for lo, hi in [
         (datetime.date(2024, 1, 1), datetime.date(2024, 2, 1)),
@@ -529,3 +529,62 @@ def test_a25_temporal_prune_scans_one_commit(spark):
     df = REGISTRY["a25_temporal_prune"].fn(spark, SF_SMOKE)
     dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
     assert len(dirs) == 1 and next(iter(dirs)).startswith("v2-"), dirs
+
+
+def test_delete_range_three_way_partitions_dirs(spark, vt):
+    """DELETE of a key range must leave disjoint dirs untouched, drop
+    fully-covered dirs without reading a row, and rewrite only the
+    straddling dir — pure manifest arithmetic plus one boundary file."""
+    vt.append(_df(spark, [(1, "a"), (5, "b")]))  # disjoint (below)
+    vt.append(_df(spark, [(10, "c"), (20, "d")]))  # fully inside [10, 30]
+    vt.append(_df(spark, [(25, "e"), (40, "f")]))  # straddles hi boundary
+    live_before = [os.path.basename(p) for p in vt._live_dirs()]
+    vt.delete_range("k", 10, 30)
+    last = vt.history()[-1]
+    assert last["operation"] == "delete"
+    # dropped dir 2 and rewrote dir 3; dir 1 untouched
+    assert set(last["remove"]) == set(live_before[1:])
+    assert len(last["add"]) == 1
+    got = sorted((r.k, r.v) for r in vt.read().collect())
+    assert got == [(1, "a"), (5, "b"), (40, "f")]
+    # time travel still sees the pre-delete rows
+    assert len(vt.read(version=3).collect()) == 6
+
+
+def test_delete_range_keeps_null_keys(spark, vt):
+    """NULL never matches BETWEEN, so NULL-keyed rows survive a range
+    delete — including in dirs whose non-null range sits inside the
+    deleted interval (min/max stats ignore NULLs; the recorded null
+    count blocks the whole-dir drop)."""
+    vt.append(
+        spark.createDataFrame([(10, "x"), (None, "n")], "k long, v string")
+    )
+    vt.delete_range("k", 0, 100)
+    got = [(r.k, r.v) for r in vt.read().collect()]
+    assert got == [(None, "n")]
+
+
+def test_delete_condition_copy_on_write(spark, vt):
+    vt.append(_df(spark, [(1, "keep"), (2, "drop"), (3, "keep")]))
+    vt.delete("v = 'drop'")
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+    # NULL predicate keeps the row (SQL DELETE semantics)
+    vt.append(
+        spark.createDataFrame([(9, None)], "k long, v string")
+    )
+    vt.delete("v = 'drop'")
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3, 9]
+
+
+def test_merge_schema_evolution(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    wide = spark.createDataFrame(
+        [(2, "B", 9.5)], "k long, v string, score double"
+    )
+    with pytest.raises(Exception):  # evolution is opt-in
+        vt.merge(wide, keys=["k"])
+    vt.merge(wide, keys=["k"], allow_schema_evolution=True)
+    out = vt.read(merge_schema=True)
+    assert set(out.columns) == {"k", "v", "score"}
+    got = {r.k: (r.v, r.score) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5)}
