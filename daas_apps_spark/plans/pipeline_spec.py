@@ -551,3 +551,150 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(main())
+
+
+# ---------------------------------------------------------------------------
+# Streaming front-end: the same declarative spec over a file STREAM, landing
+# in the versioned table with the exactly-once (stream_id, batch_id) guard —
+# run_stream_to_versioned_table (streaming/live.py) generalized from one
+# hard-coded aggregate to spec-declared group keys and additive aggregates.
+# ---------------------------------------------------------------------------
+
+_STREAM_STATELESS = ("filter", "select", "with_columns", "sample")
+
+
+def validate_stream_pipeline(spec: dict[str, Any]) -> None:
+    """Analyzer-style validation for a streaming spec — pure Python.
+
+    Shape:
+      stream_source: {path, schema, format?=json, max_files_per_trigger?}
+      stages: stateless ops only (filter/select/with_columns/sample)
+      aggregate: {group_by: [...], aggs: {name: expr}, add: [names]}
+        — ``add`` lists the agg columns that are ADDITIVE across batches
+        (count/sum); they combine with + on merge. Every agg must be
+        listed (non-additive aggregates don't have a batch-merge law).
+      stream_sink: {versioned_table: path}
+    """
+    errors: list[str] = []
+    src = spec.get("stream_source")
+    if not isinstance(src, dict) or "path" not in src or "schema" not in src:
+        errors.append("stream_source: needs 'path' and 'schema' (no inference mid-stream)")
+    for i, stage in enumerate(spec.get("stages", [])):
+        if stage is None:
+            continue
+        op = stage.get("op") if isinstance(stage, dict) else None
+        if op not in _STREAM_STATELESS:
+            errors.append(
+                f"stages[{i}]: op {op!r} not allowed in a stream pipeline;"
+                f" stateless ops only: {_STREAM_STATELESS}"
+            )
+    agg = spec.get("aggregate")
+    if not isinstance(agg, dict) or not agg.get("group_by") or not agg.get("aggs"):
+        errors.append("aggregate: needs 'group_by' and 'aggs'")
+    else:
+        add = set(agg.get("add", []))
+        missing = set(agg["aggs"]) - add
+        if missing:
+            errors.append(
+                f"aggregate: aggs {sorted(missing)} not declared additive in"
+                " 'add' — cross-batch merge is only defined for additive"
+                " (count/sum-shaped) aggregates"
+            )
+    sink = spec.get("stream_sink")
+    if not isinstance(sink, dict) or "versioned_table" not in sink:
+        errors.append("stream_sink: needs 'versioned_table'")
+    if errors:
+        raise PipelineSpecError(
+            f"{len(errors)} spec error(s), nothing executed:\n" + "\n".join(errors)
+        )
+
+
+def run_stream_pipeline(
+    spark: SparkSession, spec: dict[str, Any], checkpoint_dir: str
+) -> None:
+    """Run a streaming spec to completion (availableNow) with EXACTLY-ONCE
+    application into the versioned table.
+
+    Each micro-batch applies the stateless stages, computes the declared
+    aggregate, and merges it with the table's snapshot by the group keys
+    — additive columns combine with +, so replay-with-merge is NOT
+    idempotent by itself; idempotence comes from the (stream_id,
+    batch_id) commit-metadata guard, the same Delta `txn` contract as
+    run_stream_to_versioned_table (streaming/live.py), which this
+    generalizes to spec-declared keys and aggregates."""
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    validate_stream_pipeline(spec)
+    src = spec["stream_source"]
+    reader = spark.readStream.schema(src["schema"])
+    if src.get("max_files_per_trigger") is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", src["max_files_per_trigger"]
+        )
+    stream = getattr(reader, src.get("format", "json"))(src["path"])
+    for stage in spec.get("stages", []):
+        if stage is None or stage.get("enabled", True) is False:
+            continue
+        stream = _STAGES[stage["op"]](stream, stage)
+
+    agg = spec["aggregate"]
+    keys = list(agg["group_by"])
+    add_cols = list(agg["add"])
+    vt = VersionedTable(spark, spec["stream_sink"]["versioned_table"])
+
+    def _stream_id() -> str:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return _json.load(f)["id"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _stream_id()
+        applied = {
+            (
+                c.get("metadata", {}).get("stream_id"),
+                c.get("metadata", {}).get("batch_id"),
+            )
+            for c in vt.history()
+        }
+        if (sid, batch_id) in applied:  # replayed batch — already committed
+            return
+        inc = batch_df.groupBy(*keys).agg(
+            *[F.expr(e).alias(name) for name, e in agg["aggs"].items()]
+        )
+        try:
+            state = vt.read()
+        except ValueError:
+            state = None
+        if state is None:
+            merged = inc
+        else:
+            s = state.select(
+                *[F.col(k).alias(f"__s_{k}") for k in keys],
+                *[F.col(c).alias(f"__s_{c}") for c in add_cols],
+            )
+            cond = [inc[k] == s[f"__s_{k}"] for k in keys]
+            merged = inc.join(s, cond, "full_outer").select(
+                *[
+                    F.coalesce(inc[k], s[f"__s_{k}"]).alias(k)
+                    for k in keys
+                ],
+                *[
+                    (
+                        F.coalesce(inc[c], F.lit(0))
+                        + F.coalesce(s[f"__s_{c}"], F.lit(0))
+                    ).alias(c)
+                    for c in add_cols
+                ],
+            )
+        vt.overwrite(
+            merged, metadata={"stream_id": sid, "batch_id": batch_id}
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -496,3 +496,86 @@ def test_versioned_table_sink_validation():
         validate_pipeline(
             {"source": {"versioned_table": "/tmp/x", "version": "one"}}
         )
+
+
+def test_stream_pipeline_spec_equals_batch(spark, tmp_path):
+    """The declarative STREAMING pipeline: stateless stages + an additive
+    aggregate merged into the versioned table per micro-batch must end at
+    exactly the batch pipeline's answer, (stream_id, batch_id)-guarded —
+    and a drained re-run on the same checkpoint commits nothing."""
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.plans.pipeline_spec import run_stream_pipeline
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "events_json")
+    table(spark, SF_SMOKE, "events").repartition(4).write.mode(
+        "overwrite"
+    ).json(src)
+    tbl = str(tmp_path / "vt")
+    ck = str(tmp_path / "ck")
+    spec = {
+        "stream_source": {
+            "path": src,
+            "schema": "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+            "max_files_per_trigger": 2,
+        },
+        "stages": [
+            {"op": "filter", "condition": "event_type IS NOT NULL"},
+            {"op": "with_columns", "columns": {"v100": "CAST(value * 100 AS BIGINT)"}},
+        ],
+        "aggregate": {
+            "group_by": ["event_type"],
+            "aggs": {"n": "count(1)", "v_sum": "sum(v100)"},
+            "add": ["n", "v_sum"],
+        },
+        "stream_sink": {"versioned_table": tbl},
+    }
+    run_stream_pipeline(spark, spec, ck)
+    vt = VersionedTable(spark, tbl)
+    got = {
+        r.event_type: (r.n, r.v_sum) for r in vt.read().collect()
+    }
+    batch = (
+        spark.read.schema(spec["stream_source"]["schema"])
+        .json(src)
+        .filter("event_type IS NOT NULL")
+        .selectExpr("*", "CAST(value * 100 AS BIGINT) AS v100")
+        .groupBy("event_type")
+        .agg(F.expr("count(1)").alias("n"), F.expr("sum(v100)").alias("v_sum"))
+    )
+    want = {r.event_type: (r.n, r.v_sum) for r in batch.collect()}
+    assert got == want
+    n_versions = vt.latest_version()
+    assert n_versions >= 2  # maxFilesPerTrigger=2 over 4 files
+    # drained re-run, same checkpoint: exactly-once guard holds
+    run_stream_pipeline(spark, spec, ck)
+    assert vt.latest_version() == n_versions
+
+
+def test_stream_pipeline_spec_validation():
+    from daas_apps_spark.plans.pipeline_spec import (
+        PipelineSpecError,
+        validate_stream_pipeline,
+    )
+
+    with pytest.raises(PipelineSpecError, match="stateless"):
+        validate_stream_pipeline(
+            {
+                "stream_source": {"path": "/x", "schema": "a int"},
+                "stages": [{"op": "sort", "by": ["a"]}],
+                "aggregate": {"group_by": ["a"], "aggs": {"n": "count(1)"}, "add": ["n"]},
+                "stream_sink": {"versioned_table": "/t"},
+            }
+        )
+    with pytest.raises(PipelineSpecError, match="additive"):
+        validate_stream_pipeline(
+            {
+                "stream_source": {"path": "/x", "schema": "a int"},
+                "aggregate": {"group_by": ["a"], "aggs": {"m": "avg(a)"}, "add": []},
+                "stream_sink": {"versioned_table": "/t"},
+            }
+        )
+    with pytest.raises(PipelineSpecError, match="stream_source"):
+        validate_stream_pipeline({"aggregate": {"group_by": ["a"], "aggs": {"n": "count(1)"}, "add": ["n"]}, "stream_sink": {"versioned_table": "/t"}})
