@@ -435,6 +435,7 @@ class VersionedTable:
         self,
         target_partitions: int = 1,
         zorder_by: tuple[str, str] | None = None,
+        max_dir_bytes: int | None = None,
     ) -> int:
         """Compaction: rewrite the live snapshot into ``target_partitions``
         files in one new dir and retire the fragmented dirs — logically a
@@ -442,6 +443,13 @@ class VersionedTable:
         small-files problem is the table format's chronic disease (every
         append adds a dir; scan cost grows with file count, not bytes);
         OPTIMIZE is the periodic cure, exactly Delta's.
+
+        ``max_dir_bytes`` makes the compaction INCREMENTAL, like Delta's
+        file-size threshold: only dirs smaller than the bound are folded
+        into the new dir; already-right-sized dirs survive untouched, so
+        the periodic OPTIMIZE pass over a 100 TB table costs the small
+        tail, not a full rewrite. A no-op (fewer than two small dirs)
+        commits nothing and returns the current version.
 
         ``zorder_by=(x, y)`` additionally clusters the rewrite on the
         Morton interleave of the two columns (each linearly scaled to
@@ -453,6 +461,26 @@ class VersionedTable:
         arithmetic (see operators/partitioning.py::a13 for the bit math
         and the bounding-box property test)."""
         from pyspark.sql import functions as F
+
+        if max_dir_bytes is not None and zorder_by is None:
+            live, _ = self._replay(None)
+
+            def dir_bytes(rel: str) -> int:
+                root = os.path.join(self.path, _DATA, rel)
+                return sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in os.listdir(root)
+                    if os.path.isfile(os.path.join(root, f))
+                )
+
+            small = [rel for rel in live if dir_bytes(rel) < max_dir_bytes]
+            if len(small) < 2:
+                return self.latest_version()  # nothing worth folding
+            folded = self.spark.read.parquet(
+                *[os.path.join(self.path, _DATA, d) for d in small]
+            ).coalesce(target_partitions)
+            rel = self._write_data_dir(folded, self.latest_version() + 1)
+            return self._commit("optimize", add=[rel], remove=small)
 
         current = self.read()
         if zorder_by is None:

@@ -588,3 +588,25 @@ def test_merge_schema_evolution(spark, vt):
     assert set(out.columns) == {"k", "v", "score"}
     got = {r.k: (r.v, r.score) for r in out.collect()}
     assert got == {1: ("a", None), 2: ("B", 9.5)}
+
+
+def test_optimize_incremental_folds_only_small_dirs(spark, vt):
+    """OPTIMIZE with a size threshold folds only the small-dir tail; a
+    right-sized dir survives untouched, and rows are unchanged."""
+    big = spark.range(100_000).selectExpr(
+        "id AS k", "sha2(cast(id AS string), 256) AS v"  # incompressible
+    )
+    vt.append(big)
+    vt.append(_df(spark, [(1_000_001, "a")]))
+    vt.append(_df(spark, [(1_000_002, "b")]))
+    live_before = [os.path.basename(p) for p in vt._live_dirs()]
+    rows_before = vt.read().count()
+    v = vt.optimize(max_dir_bytes=1 << 20)  # 1 MiB: big dir is over
+    last = vt.history()[-1]
+    assert last["operation"] == "optimize"
+    assert set(last["remove"]) == set(live_before[1:])  # only the 2 small
+    assert live_before[0] in [os.path.basename(p) for p in vt._live_dirs()]
+    assert vt.read().count() == rows_before
+    assert len(vt._live_dirs()) == 2  # big + folded
+    # idempotent: a second pass finds one (already-folded) small dir → no-op
+    assert vt.optimize(max_dir_bytes=1 << 20) == v
