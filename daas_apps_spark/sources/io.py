@@ -651,3 +651,73 @@ def a25_temporal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "a25_incremental_view",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate < DATE '1998-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("A25", "D1", "G5"),
+)
+def a25_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed: a grouped
+    count+sum aggregate is advanced from its version-1 state to the
+    table head by the IVM algebra (insert +1 / delete −1 signed deltas,
+    ``maintain_additive_aggregate``) — the table meanwhile takes an
+    append (1997 orders) AND a merge (F-status prices doubled, which
+    the feed surfaces as delete+insert pairs). The oracle recomputes
+    the FINAL state directly from orders, so the hash match proves the
+    incremental path lands exactly where the full recompute does —
+    updates included, not just appends.
+
+    At 100 TB this is the materialized-view refresh pattern: the nightly
+    delta is read off the manifest (or a snapshot diff priced by the
+    smaller side when a rewrite intervened), the maintained aggregate is
+    |groups|-sized, and the base table is never rescanned. Sums ride the
+    engine's exact-decimal discipline so +delta/−delta cancel
+    bit-for-bit.
+    """
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        maintain_additive_aggregate,
+    )
+
+    path = scratch_dir("a25_incr_view")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o.filter(F.col("o_orderdate") < "1997-01-01"))  # v1
+    vt.append(
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )  # v2
+    updates = (
+        o.filter(
+            (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("o_orderstatus") == "F")
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    vt.merge(updates, ["o_orderkey"])  # v3: feed shows delete+insert pairs
+    view = maintain_additive_aggregate(
+        vt,
+        v_from=1,
+        v_to=None,
+        group_by=["o_orderpriority"],
+        count_col="n_orders",
+        sums={"rev_dec": "CAST(o_totalprice AS DECIMAL(18,4))"},
+    )
+    return view.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

@@ -115,6 +115,78 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     return dirs, v_to
 
 
+def maintain_additive_aggregate(
+    vt: "VersionedTable",
+    v_from: int,
+    v_to: int | None,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str] | None = None,
+    state: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental view maintenance: advance a grouped additive aggregate
+    (counts + sums) from its state at ``v_from`` to ``v_to`` using ONLY
+    the change feed — cost ∝ |delta|, never table size.
+
+    The feed's rows are signed (insert +1, delete −1; an update is its
+    delete+insert pair), so the per-group delta is ``sum(sign)`` for the
+    count and ``sum(sign * expr)`` for each declared summand — the
+    classic IVM algebra for distributive aggregates. The delta
+    full-outer-merges with the prior state and groups whose count
+    reaches zero vanish, so the maintained view is EXACTLY the aggregate
+    a full recompute at ``v_to`` would produce (hash-checked end-to-end
+    by the a25_incremental_view oracle). ``state=None`` computes the
+    ``v_from`` state with one direct aggregate over that snapshot.
+
+    Only count/sum are maintainable this way (avg derives as sum/count;
+    min/max are not distributive under deletes — recompute those).
+    Summands should be EXACT types (decimal/long, the engine's scaled-
+    sum discipline) so +delta/−delta cancel bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    sums = sums or {}
+
+    def aggregate(df: DataFrame, sign: str | None) -> DataFrame:
+        factor = F.col(sign) if sign else F.lit(1)
+        return df.groupBy(*group_by).agg(
+            F.sum(factor).cast("long").alias(count_col),
+            *[
+                F.sum(factor * F.expr(e)).alias(name)
+                for name, e in sums.items()
+            ],
+        )
+
+    if state is None:
+        state = aggregate(vt.read(version=v_from), None)
+    feed = vt.changes_between(v_from, v_to).withColumn(
+        "__sign",
+        F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    delta = aggregate(feed, "__sign")
+    s = state.select(
+        *[F.col(k).alias(f"__s_{k}") for k in group_by],
+        *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sums]],
+    )
+    cond = [delta[k] == s[f"__s_{k}"] for k in group_by]
+    merged = delta.join(s, cond, "full_outer").select(
+        *[F.coalesce(delta[k], s[f"__s_{k}"]).alias(k) for k in group_by],
+        (
+            F.coalesce(delta[count_col], F.lit(0))
+            + F.coalesce(s[f"__s_{count_col}"], F.lit(0))
+        ).alias(count_col),
+        *[
+            (
+                F.coalesce(delta[c], F.lit(0))
+                + F.coalesce(s[f"__s_{c}"], F.lit(0))
+            ).alias(c)
+            for c in sums
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)
+
+
 class VersionedTable:
     """A parquet table whose state is a replayable JSON commit log."""
 
