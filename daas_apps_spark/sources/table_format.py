@@ -82,10 +82,11 @@ def read_log(path: str) -> list[dict]:
 
 def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     """(absolute added dirs, resolved v_to) for the append-only commit
-    range (v_from, v_to]. Raises on a rewriting commit in the range —
-    the append-only contract a version-offset stream requires (Delta's
-    streaming source makes the same demand unless told to ignore
-    changes)."""
+    range (v_from, v_to]. Commits marked ``data_change: false`` (OPTIMIZE
+    compactions — pure rewrites of already-delivered rows) are SKIPPED,
+    Delta's dataChange contract, so streaming and compaction coexist;
+    any other rewriting commit raises — the append-only contract a
+    version-offset stream requires."""
     commits = read_log(path)
     latest = commits[-1]["version"] if commits else 0
     v_to = latest if v_to is None else v_to
@@ -93,12 +94,14 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     present: set[int] = set()
     for c in commits:
         if v_from < c["version"] <= v_to:
+            present.add(c["version"])
+            if c.get("data_change", True) is False:
+                continue  # compaction: same rows, already streamed
             if c["remove"]:
                 raise ValueError(
                     f"commit {c['version']} ({c['operation']}) rewrites data; "
                     "a version-offset change stream requires append-only"
                 )
-            present.add(c["version"])
             dirs.extend(
                 os.path.join(path, _DATA, d) for d in c["add"]
             )
@@ -227,6 +230,7 @@ class VersionedTable:
         add: list[str],
         remove: list[str],
         metadata: dict | None = None,
+        data_change: bool = True,
     ) -> int:
         version = self.latest_version() + 1
         entry = {
@@ -234,6 +238,10 @@ class VersionedTable:
             "operation": operation,
             "add": add,
             "remove": remove,
+            # False = a pure rewrite of existing rows (OPTIMIZE): readers
+            # of the change feed / version-offset stream skip it — Delta's
+            # dataChange flag
+            "data_change": data_change,
             "metadata": metadata or {},
             "stats": {rel: self._dir_stats(rel) for rel in add},
         }
@@ -552,7 +560,7 @@ class VersionedTable:
                 *[os.path.join(self.path, _DATA, d) for d in small]
             ).coalesce(target_partitions)
             rel = self._write_data_dir(folded, self.latest_version() + 1)
-            return self._commit("optimize", add=[rel], remove=small)
+            return self._commit("optimize", add=[rel], remove=small, data_change=False)
 
         current = self.read()
         if zorder_by is None:
@@ -615,10 +623,10 @@ class VersionedTable:
                     idx += 1
             shutil.rmtree(tmp_out, ignore_errors=True)
             old = [os.path.basename(p) for p in self._live_dirs()]
-            return self._commit("optimize", add=[rel], remove=old)
+            return self._commit("optimize", add=[rel], remove=old, data_change=False)
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(current, self.latest_version() + 1)
-        return self._commit("optimize", add=[rel], remove=old)
+        return self._commit("optimize", add=[rel], remove=old, data_change=False)
 
     def changes_between(
         self, v_from: int, v_to: int | None = None
@@ -650,10 +658,14 @@ class VersionedTable:
                 "log was truncated past this range; reprocess from a full "
                 "snapshot instead of the change feed"
             )
-        if all(not c["remove"] for c in in_range):
+        # OPTIMIZE commits are pure rewrites (data_change: false): row-wise
+        # no-ops the feed skips, so compaction inside the range neither
+        # breaks the manifest fast path nor surfaces phantom changes
+        changing = [c for c in in_range if c.get("data_change", True)]
+        if all(not c["remove"] for c in changing):
             added = [
                 os.path.join(self.path, _DATA, d)
-                for c in in_range
+                for c in changing
                 for d in c["add"]
             ]
             if not added:

@@ -610,3 +610,35 @@ def test_optimize_incremental_folds_only_small_dirs(spark, vt):
     assert len(vt._live_dirs()) == 2  # big + folded
     # idempotent: a second pass finds one (already-folded) small dir → no-op
     assert vt.optimize(max_dir_bytes=1 << 20) == v
+
+
+def test_change_feed_skips_optimize_commits(spark, vt):
+    """Compaction and the change feed coexist: an OPTIMIZE between two
+    appends is a pure rewrite (data_change: false), so the feed across it
+    still takes the manifest fast path and yields exactly the appended
+    rows — no raise, no phantom inserts, no duplicates."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    vt.optimize()  # v3: rewrites v1+v2 into one dir, same rows
+    vt.append(_df(spark, [(3, "c")]))
+    feed = vt.changes_between(1, 4)
+    got = sorted((r.k, r._change_type) for r in feed.collect())
+    assert got == [(2, "insert"), (3, "insert")]
+    # and only the append dirs are scanned — manifest fast path held
+    assert all(("v2-" in f or "v4-" in f) for f in feed.inputFiles())
+
+
+def test_version_offset_stream_survives_optimize(spark, vt):
+    """added_dirs_between must skip the OPTIMIZE commit the way Delta's
+    dataChange=false does, and still raise on a REAL rewrite (merge)."""
+    from daas_apps_spark.sources.table_format import added_dirs_between
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.optimize()
+    vt.append(_df(spark, [(2, "b")]))
+    dirs, v_to = added_dirs_between(vt.path, 1, 3)
+    assert v_to == 3
+    assert len(dirs) == 1 and "v3-" in dirs[0]
+    vt.merge(_df(spark, [(1, "A")]), keys=["k"])
+    with pytest.raises(ValueError, match="append-only"):
+        added_dirs_between(vt.path, 1, 4)
