@@ -424,6 +424,14 @@ class VersionedTable:
                 .filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
             )
             add = [self._write_data_dir(kept, self.latest_version() + 1)]
+        elif drop and len(drop) == len(live):
+            # every live dir dropped: write a zero-row dir carrying the
+            # schema so the table stays READABLE as empty (a full DELETE
+            # must not make read() raise "no snapshot")
+            empty = self.spark.read.parquet(
+                *[os.path.join(self.path, _DATA, d) for d in drop]
+            ).limit(0)
+            add = [self._write_data_dir(empty, self.latest_version() + 1)]
         return self._commit("delete", add=add, remove=drop + rewrite)
 
     def delete(self, condition: str) -> int:

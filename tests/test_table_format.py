@@ -642,3 +642,26 @@ def test_version_offset_stream_survives_optimize(spark, vt):
     vt.merge(_df(spark, [(1, "A")]), keys=["k"])
     with pytest.raises(ValueError, match="append-only"):
         added_dirs_between(vt.path, 1, 4)
+
+
+def test_full_range_delete_leaves_readable_empty_table(spark, vt):
+    """Deleting every row must leave the table READABLE as zero rows with
+    its schema — not an unreadable no-snapshot state."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    vt.delete_range("k", 0, 100)
+    out = vt.read()
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+    # and it comes back to life on the next append
+    vt.append(_df(spark, [(3, "c")]))
+    assert [r.k for r in vt.read().collect()] == [3]
+
+
+def test_merge_with_empty_updates_is_content_noop(spark, vt):
+    """An empty updates frame has no key bounds (all-NULL aggregate), so
+    the conservative path rewrites but the CONTENT must be unchanged."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    before = sorted((r.k, r.v) for r in vt.read().collect())
+    vt.merge(_df(spark, []).limit(0), keys=["k"])
+    assert sorted((r.k, r.v) for r in vt.read().collect()) == before
