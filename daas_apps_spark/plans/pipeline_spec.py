@@ -600,6 +600,12 @@ def validate_stream_pipeline(spec: dict[str, Any]) -> None:
                 " 'add' — cross-batch merge is only defined for additive"
                 " (count/sum-shaped) aggregates"
             )
+        unknown = add - set(agg["aggs"])
+        if unknown:
+            errors.append(
+                f"aggregate: 'add' names {sorted(unknown)} that are not in"
+                " 'aggs' — typo'd names would otherwise fail mid-stream"
+            )
     sink = spec.get("stream_sink")
     if not isinstance(sink, dict) or "versioned_table" not in sink:
         errors.append("stream_sink: needs 'versioned_table'")
@@ -622,9 +628,8 @@ def run_stream_pipeline(
     batch_id) commit-metadata guard, the same Delta `txn` contract as
     run_stream_to_versioned_table (streaming/live.py), which this
     generalizes to spec-declared keys and aggregates."""
-    import json as _json
-
     from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import checkpoint_stream_id
 
     validate_stream_pipeline(spec)
     src = spec["stream_source"]
@@ -644,12 +649,8 @@ def run_stream_pipeline(
     add_cols = list(agg["add"])
     vt = VersionedTable(spark, spec["stream_sink"]["versioned_table"])
 
-    def _stream_id() -> str:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
-            return _json.load(f)["id"]
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sid = _stream_id()
+        sid = checkpoint_stream_id(checkpoint_dir)
         applied = {
             (
                 c.get("metadata", {}).get("stream_id"),
@@ -673,7 +674,10 @@ def run_stream_pipeline(
                 *[F.col(k).alias(f"__s_{k}") for k in keys],
                 *[F.col(c).alias(f"__s_{c}") for c in add_cols],
             )
-            cond = [inc[k] == s[f"__s_{k}"] for k in keys]
+            # eqNullSafe: a NULL group key is a real group in both the
+            # batch aggregate and the state — a non-null-safe join would
+            # grow one duplicate NULL row per micro-batch
+            cond = [inc[k].eqNullSafe(s[f"__s_{k}"]) for k in keys]
             merged = inc.join(s, cond, "full_outer").select(
                 *[
                     F.coalesce(inc[k], s[f"__s_{k}"]).alias(k)

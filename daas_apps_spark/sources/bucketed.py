@@ -164,7 +164,10 @@ def substitute_tables(sql: str, mapping: dict[str, str]) -> str:
     """Replace fixture table names in ``sql`` with managed names, only in
     FROM/JOIN position and only OUTSIDE string literals / comments (so
     ``orders`` in a literal, comment, or column name can never be
-    rewritten); source names are regex-escaped."""
+    rewritten); source names are regex-escaped. Table-QUALIFIED column
+    references (``orders.o_orderkey``) follow the swap. Comma-separated
+    FROM lists raise rather than silently leaving an operand on the raw
+    table (use explicit JOINs)."""
 
     def _sub(segment: str) -> str:
         for src, dst in mapping.items():
@@ -172,6 +175,15 @@ def substitute_tables(sql: str, mapping: dict[str, str]) -> str:
                 rf"(?i)\b(from|join)(\s+){re.escape(src)}\b",
                 lambda m, d=dst: f"{m.group(1)}{m.group(2)}{d}",
                 segment,
+            )
+            if re.search(rf",\s*{re.escape(src)}\b(?!\s*\.)", segment):
+                raise ValueError(
+                    f"substitute_tables: {src!r} appears in comma position "
+                    "(comma-separated FROM list?) — it would silently keep "
+                    "the raw table; rewrite the query with explicit JOINs"
+                )
+            segment = re.sub(
+                rf"\b{re.escape(src)}\s*\.", f"{dst}.", segment
             )
         return segment
 

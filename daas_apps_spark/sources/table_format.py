@@ -61,6 +61,12 @@ def _stat_key(v):
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
+        # pyarrow footer stats for TIMESTAMP(isAdjustedToUTC) are tz-AWARE
+        # while Spark aggregate bounds are naive in the session tz (pinned
+        # UTC engine-wide, session.py) — normalize both to naive UTC so
+        # the two sides compare like-with-like
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
@@ -172,7 +178,9 @@ def maintain_additive_aggregate(
         *[F.col(k).alias(f"__s_{k}") for k in group_by],
         *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sums]],
     )
-    cond = [delta[k] == s[f"__s_{k}"] for k in group_by]
+    # eqNullSafe: a NULL group key is a real group in both aggregates —
+    # a non-null-safe join would split it into duplicate output rows
+    cond = [delta[k].eqNullSafe(s[f"__s_{k}"]) for k in group_by]
     merged = delta.join(s, cond, "full_outer").select(
         *[F.coalesce(delta[k], s[f"__s_{k}"]).alias(k) for k in group_by],
         (
@@ -417,7 +425,7 @@ class VersionedTable:
         add: list[str] = []
         if rewrite:
             kept = (
-                self.spark.read.parquet(
+                self.spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.path, _DATA, d) for d in rewrite]
                 )
                 # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
@@ -428,7 +436,7 @@ class VersionedTable:
             # every live dir dropped: write a zero-row dir carrying the
             # schema so the table stays READABLE as empty (a full DELETE
             # must not make read() raise "no snapshot")
-            empty = self.spark.read.parquet(
+            empty = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, _DATA, d) for d in drop]
             ).limit(0)
             add = [self._write_data_dir(empty, self.latest_version() + 1)]
@@ -444,7 +452,7 @@ class VersionedTable:
 
         # a row is deleted only when the predicate is TRUE; NULL (unknown)
         # keeps the row — SQL DELETE semantics
-        kept = self.read().filter(
+        kept = self.read(merge_schema=True).filter(
             ~F.coalesce(F.expr(condition), F.lit(False))
         )
         old = [os.path.basename(p) for p in self._live_dirs()]
@@ -488,27 +496,32 @@ class VersionedTable:
         ).first()
         touch: list[str] = []
         keep: list[str] = []
-        for rel in live:
-            st = stats.get(rel, {})
-            intersects = True
-            for i, _k in enumerate(keys):
-                rng = st.get(_k)
-                lo = _stat_key(bounds[2 * i])
-                hi = _stat_key(bounds[2 * i + 1])
-                if (
-                    rng is not None
-                    and lo is not None
-                    and hi is not None
-                    and (rng[1] < lo or rng[0] > hi)
-                ):
-                    intersects = False
-                    break
-            (touch if intersects else keep).append(rel)
+        if any(
+            _stat_key(bounds[2 * i]) is None or _stat_key(bounds[2 * i + 1]) is None
+            for i in range(len(keys))
+        ):
+            # a None min/max means the updates frame is empty or a key
+            # column is entirely NULL — and NULL never equality-matches,
+            # so ZERO dirs can hold a matched row: pure insert, not the
+            # conservative full rewrite
+            keep = list(live)
+        else:
+            for rel in live:
+                st = stats.get(rel, {})
+                intersects = True
+                for i, _k in enumerate(keys):
+                    rng = st.get(_k)
+                    lo = _stat_key(bounds[2 * i])
+                    hi = _stat_key(bounds[2 * i + 1])
+                    if rng is not None and (rng[1] < lo or rng[0] > hi):
+                        intersects = False
+                        break
+                (touch if intersects else keep).append(rel)
         if touch:
-            reader = self.spark.read
-            if allow_schema_evolution:
-                reader = reader.option("mergeSchema", "true")
-            current = reader.parquet(
+            # always mergeSchema on the rewrite read: an EARLIER evolved
+            # merge may have left heterogeneous dirs, and a plain read
+            # would adopt one file's schema and silently drop the rest
+            current = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, _DATA, d) for d in touch]
             )
             merged = current.join(updates, keys, "left_anti").unionByName(
@@ -550,7 +563,14 @@ class VersionedTable:
         and the bounding-box property test)."""
         from pyspark.sql import functions as F
 
-        if max_dir_bytes is not None and zorder_by is None:
+        if max_dir_bytes is not None and zorder_by is not None:
+            raise ValueError(
+                "optimize: max_dir_bytes (incremental fold) and zorder_by "
+                "(full clustered rewrite) are mutually exclusive — a "
+                "Z-order rewrite is whole-table by definition; run them as "
+                "separate passes"
+            )
+        if max_dir_bytes is not None:
             live, _ = self._replay(None)
 
             def dir_bytes(rel: str) -> int:
@@ -564,13 +584,13 @@ class VersionedTable:
             small = [rel for rel in live if dir_bytes(rel) < max_dir_bytes]
             if len(small) < 2:
                 return self.latest_version()  # nothing worth folding
-            folded = self.spark.read.parquet(
+            folded = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, _DATA, d) for d in small]
             ).coalesce(target_partitions)
             rel = self._write_data_dir(folded, self.latest_version() + 1)
             return self._commit("optimize", add=[rel], remove=small, data_change=False)
 
-        current = self.read()
+        current = self.read(merge_schema=True)
         if zorder_by is None:
             current = current.coalesce(target_partitions)
         else:

@@ -347,6 +347,18 @@ def run_stream_upsert_counts(
     q.awaitTermination()
 
 
+def checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """The streaming query id Spark persists in the checkpoint's metadata
+    file — stable across restarts of the SAME checkpoint, regenerated on a
+    checkpoint reset: exactly Delta's `txn` appId semantics. By the time
+    any foreachBatch batch runs, the file exists. Shared by every
+    exactly-once sink (this module and plans/pipeline_spec.py)."""
+    import json
+
+    with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        return json.load(f)["id"]
+
+
 def run_stream_to_versioned_table(
     spark: SparkSession, src_dir: str, table_path: str, checkpoint_dir: str
 ) -> None:
@@ -375,16 +387,8 @@ def run_stream_to_versioned_table(
     stream = events_file_stream(spark, src_dir, max_files_per_trigger=2)
     vt = VersionedTable(spark, table_path)
 
-    def _stream_id() -> str:
-        # the query id Spark wrote into the checkpoint's metadata file;
-        # by the time any batch runs, the file exists
-        import json
-
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
-            return json.load(f)["id"]
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sid = _stream_id()
+        sid = checkpoint_stream_id(checkpoint_dir)
         applied = {
             (
                 c.get("metadata", {}).get("stream_id"),
@@ -414,7 +418,7 @@ def run_stream_to_versioned_table(
             )
         else:
             merged = inc.join(
-                state, inc.user_id == state.s_user, "full_outer"
+                state, inc.user_id.eqNullSafe(state.s_user), "full_outer"
             ).select(
                 F.coalesce("user_id", "s_user").alias("user_id"),
                 (

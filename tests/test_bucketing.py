@@ -192,3 +192,20 @@ def test_bucketed_table_cache_key_distinguishes_full_paths(tmp_path):
     assert ta != tb
     # and the key is stable for the same path however it's spelled
     assert _table_name(a + "/", "orders", "o_custkey", 32) == ta
+
+
+def test_substitute_tables_follows_qualified_refs_and_rejects_comma_lists():
+    from daas_apps_spark.sources.bucketed import substitute_tables
+
+    out = substitute_tables(
+        "SELECT orders.o_orderkey FROM orders WHERE orders.o_totalprice > 0",
+        {"orders": "B_O"},
+    )
+    assert out == "SELECT B_O.o_orderkey FROM B_O WHERE B_O.o_totalprice > 0"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="comma position"):
+        substitute_tables(
+            "SELECT * FROM orders, lineitem WHERE 1=1",
+            {"orders": "B_O", "lineitem": "B_L"},
+        )

@@ -658,10 +658,74 @@ def test_full_range_delete_leaves_readable_empty_table(spark, vt):
     assert [r.k for r in vt.read().collect()] == [3]
 
 
-def test_merge_with_empty_updates_is_content_noop(spark, vt):
-    """An empty updates frame has no key bounds (all-NULL aggregate), so
-    the conservative path rewrites but the CONTENT must be unchanged."""
+def test_merge_with_empty_updates_is_pure_insert_noop(spark, vt):
+    """An empty updates frame has no key bounds — and a NULL/absent bound
+    means NO row can equality-match, so the merge must touch ZERO dirs
+    (pure no-op insert), not conservatively rewrite the table."""
     vt.append(_df(spark, [(1, "a"), (2, "b")]))
     before = sorted((r.k, r.v) for r in vt.read().collect())
     vt.merge(_df(spark, []).limit(0), keys=["k"])
+    assert vt.history()[-1]["remove"] == []  # nothing rewritten
     assert sorted((r.k, r.v) for r in vt.read().collect()) == before
+
+
+def test_ivm_null_group_keys_merge_not_split(spark, vt):
+    """A NULL group key is a real group: the IVM state-delta join must be
+    null-safe, or the NULL group splits into duplicate rows and the
+    maintained view diverges from a recompute."""
+    from daas_apps_spark.sources.table_format import (
+        maintain_additive_aggregate,
+    )
+
+    def gdf(rows):
+        return spark.createDataFrame(rows, "g string, x long")
+
+    vt.append(gdf([("a", 1), (None, 10)]))
+    vt.append(gdf([(None, 5), ("a", 2)]))
+    view = maintain_additive_aggregate(
+        vt, v_from=1, v_to=None, group_by=["g"], count_col="n",
+        sums={"sx": "x"},
+    ).toPandas()
+    assert len(view) == 2  # groups: 'a' and NULL — one row each
+    null_row = view[view.g.isna()]
+    assert int(null_row.n.iloc[0]) == 2 and int(null_row.sx.iloc[0]) == 15
+
+
+def test_rewrites_preserve_evolved_schema(spark, vt):
+    """After a schema-evolving merge leaves heterogeneous dirs, every
+    rewriting op (delete, merge, optimize) must read with mergeSchema —
+    a plain read would adopt one file's schema and silently drop the
+    evolved column's data."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.merge(
+        spark.createDataFrame([(3, "c", 9.5)], "k long, v string, score double"),
+        keys=["k"],
+        allow_schema_evolution=True,
+    )
+    vt.delete("k = 1")
+    out = vt.read(merge_schema=True)
+    assert set(out.columns) == {"k", "v", "score"}
+    got = {r.k: r.score for r in out.collect()}
+    assert got == {2: None, 3: 9.5}
+    vt.optimize()
+    got = {r.k: r.score for r in vt.read().collect()}
+    assert got == {2: None, 3: 9.5}
+
+
+def test_stat_key_normalizes_tz_aware_to_utc():
+    import datetime
+
+    from daas_apps_spark.sources.table_format import _stat_key
+
+    naive = datetime.datetime(2024, 3, 1, 7, 0, 0)
+    aware = datetime.datetime(
+        2024, 2, 29, 23, 0, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=-8)),
+    )
+    assert _stat_key(naive) == _stat_key(aware)  # same instant in UTC
+
+
+def test_optimize_rejects_incremental_plus_zorder(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        vt.optimize(max_dir_bytes=1 << 20, zorder_by=("k", "k"))
