@@ -182,8 +182,11 @@ def substitute_tables(sql: str, mapping: dict[str, str]) -> str:
                     "(comma-separated FROM list?) — it would silently keep "
                     "the raw table; rewrite the query with explicit JOINs"
                 )
+            # (?i) matches the FROM/JOIN rewrite above: 'FROM Orders ...
+            # WHERE ORDERS.o_orderkey' must rewrite BOTH or analysis fails
+            # on a dangling qualifier
             segment = re.sub(
-                rf"\b{re.escape(src)}\s*\.", f"{dst}.", segment
+                rf"(?i)\b{re.escape(src)}\s*\.", f"{dst}.", segment
             )
         return segment
 

@@ -44,6 +44,11 @@ _DATA = "data"
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
 
+class CommitConflictError(RuntimeError):
+    """Two writers raced to publish the same commit version; the loser
+    gets this (retriable) instead of silently clobbering the winner."""
+
+
 def _stat_key(v):
     """Normalize a stats/bound value to a JSON-safe, ORDER-PRESERVING key.
 
@@ -265,14 +270,26 @@ class VersionedTable:
 
     def _publish_commit(self, tmp: str, final: str) -> None:
         """THE atomicity primitive — the single swap site a multi-writer
-        deployment overrides. Here it is `os.rename` (atomic on POSIX,
-        single-writer: last renamer wins a version collision); Delta's
-        LogStore / Iceberg's catalog replace exactly this call with a
-        compare-and-swap that FAILS if ``final`` already exists, turning
-        a concurrent commit into a retriable conflict. Everything else —
-        log replay, checkpoints, stats, pruning — is unchanged by that
+        deployment overrides. ``os.link`` + unlink has rename's atomicity
+        but FAILS LOUDLY (EEXIST) on a version collision instead of
+        silently overwriting — the local analog of Delta's LogStore /
+        Iceberg's catalog compare-and-swap, which replace exactly this
+        call. A crashed-and-retried writer therefore surfaces a
+        ``CommitConflictError`` (retriable: re-read the log, rebase,
+        re-commit) rather than dropping the raced commit. Everything else
+        — log replay, checkpoints, stats, pruning — is unchanged by that
         swap."""
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"version file {os.path.basename(final)} already exists — "
+                "a concurrent (or crashed-and-retried) writer committed "
+                "this version first; re-read the log and retry the "
+                "operation against the new snapshot"
+            ) from None
+        os.unlink(tmp)
 
     def _write_checkpoint(self, version: int) -> None:
         """Fold the log into one snapshot file so readers replay O(N %
@@ -287,12 +304,17 @@ class VersionedTable:
         with open(tmp, "w") as f:
             json.dump(snap, f)
         # checkpoints are derived state (idempotent content for a given
-        # version), so colliding writers publish identical bytes — the
-        # same hook still routes them for deployments that need it
-        self._publish_commit(
-            tmp,
-            os.path.join(self._log_dir(), f"{version:08d}.checkpoint.json"),
-        )
+        # version), so colliding writers publish identical bytes — a
+        # collision here is benign and swallowed, unlike commit files
+        try:
+            self._publish_commit(
+                tmp,
+                os.path.join(
+                    self._log_dir(), f"{version:08d}.checkpoint.json"
+                ),
+            )
+        except CommitConflictError:
+            pass
 
     def _replay(self, version: int | None = None) -> tuple[list, dict]:
         """(live rel-dirs, stats) at ``version``, replaying from the newest
@@ -356,8 +378,22 @@ class VersionedTable:
                     col = row_group.column(i)
                     name = col.path_in_schema
                     st = col.statistics
-                    lo = _stat_key(st.min) if st and st.has_min_max else None
-                    hi = _stat_key(st.max) if st and st.has_min_max else None
+                    try:
+                        lo = (
+                            _stat_key(st.min)
+                            if st and st.has_min_max
+                            else None
+                        )
+                        hi = (
+                            _stat_key(st.max)
+                            if st and st.has_min_max
+                            else None
+                        )
+                    except NotImplementedError:
+                        # pyarrow can't surface stats for some physical
+                        # types (e.g. DECIMAL as FIXED_LEN_BYTE_ARRAY) —
+                        # treat as stats-less, never crash the commit
+                        lo = hi = None
                     if lo is None or hi is None:
                         unsafe.add(name)
                         continue
@@ -497,14 +533,23 @@ class VersionedTable:
         touch: list[str] = []
         keep: list[str] = []
         if any(
-            _stat_key(bounds[2 * i]) is None or _stat_key(bounds[2 * i + 1]) is None
+            bounds[2 * i] is None or bounds[2 * i + 1] is None
             for i in range(len(keys))
         ):
-            # a None min/max means the updates frame is empty or a key
+            # a RAW None min/max means the updates frame is empty or a key
             # column is entirely NULL — and NULL never equality-matches,
             # so ZERO dirs can hold a matched row: pure insert, not the
             # conservative full rewrite
             keep = list(live)
+        elif any(
+            _stat_key(bounds[2 * i]) is None or _stat_key(bounds[2 * i + 1]) is None
+            for i in range(len(keys))
+        ):
+            # non-None bound of an UNORDERABLE key type (decimal/bool/
+            # binary): stats can't prove any dir disjoint, and treating it
+            # as a pure insert would silently DUPLICATE matched keys —
+            # conservative full rewrite, mirroring delete_range's handling
+            touch = list(live)
         else:
             for rel in live:
                 st = stats.get(rel, {})
@@ -529,6 +574,15 @@ class VersionedTable:
             )
         else:
             merged = updates
+            if not allow_schema_evolution and live:
+                # the COW branch's unionByName validates the updates schema
+                # as a side effect; the pure-insert path must apply the
+                # same fail-loudly contract, or a typo'd column lands as a
+                # silently heterogeneous dir
+                current = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, _DATA, d) for d in live]
+                )
+                current.limit(0).unionByName(updates, allowMissingColumns=False)
         rel = self._write_data_dir(merged, self.latest_version() + 1)
         return self._commit("merge", add=[rel], remove=touch)
 
@@ -698,11 +752,38 @@ class VersionedTable:
             ]
             if not added:
                 return self._empty_feed(v_to)
-            return self.spark.read.parquet(*added).withColumn(
-                "_change_type", F.lit("insert")
+            # mergeSchema across the added dirs: commits after a
+            # schema-evolving merge carry wider files, and a plain read
+            # would adopt one dir's schema and drop the evolved column
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*added)
+                .withColumn("_change_type", F.lit("insert"))
             )
-        cur = self.read(version=v_to)
-        base = self.read(version=v_from)
+        # snapshot diff under schema evolution: read BOTH sides merged and
+        # align them to the union schema (NULL for a side that predates a
+        # column) — exceptAll requires identical schemas, and a narrower
+        # base would either raise or silently drop rows that differ only
+        # in the evolved column, corrupting downstream IVM
+        cur = self.read(version=v_to, merge_schema=True)
+        base = self.read(version=v_from, merge_schema=True)
+        cur_types = {f.name: f.dataType for f in cur.schema.fields}
+        base_types = {f.name: f.dataType for f in base.schema.fields}
+        names = list(dict.fromkeys([*cur_types, *base_types]))
+
+        def _align(df, have):
+            return df.select(
+                *[
+                    F.col(n)
+                    if n in have
+                    else F.lit(None)
+                    .cast(cur_types.get(n) or base_types[n])
+                    .alias(n)
+                    for n in names
+                ]
+            )
+
+        cur, base = _align(cur, cur_types), _align(base, base_types)
         return (
             cur.exceptAll(base)
             .withColumn("_change_type", F.lit("insert"))

@@ -359,6 +359,24 @@ def checkpoint_stream_id(checkpoint_dir: str) -> str:
         return json.load(f)["id"]
 
 
+def applied_batch_keys(history: list[dict], stream_id: str) -> set:
+    """The exactly-once idempotence set for the versioned-table sink:
+    (stream_id, batch_id) pairs already committed. A LEGACY commit
+    written by the pre-pair code carries only ``batch_id`` metadata; it
+    is treated as applied FOR THE CALLING STREAM, so a batch committed
+    before the upgrade and replayed after it (crash between the table
+    commit and the checkpoint advance) is not applied twice — one-time
+    migration compatibility. New commits always carry the full pair, so
+    cross-stream batch-id collisions still apply correctly."""
+    applied = set()
+    for c in history:
+        md = c.get("metadata", {})
+        if "batch_id" not in md:
+            continue
+        applied.add((md.get("stream_id", stream_id), md["batch_id"]))
+    return applied
+
+
 def run_stream_to_versioned_table(
     spark: SparkSession, src_dir: str, table_path: str, checkpoint_dir: str
 ) -> None:
@@ -389,13 +407,7 @@ def run_stream_to_versioned_table(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sid = checkpoint_stream_id(checkpoint_dir)
-        applied = {
-            (
-                c.get("metadata", {}).get("stream_id"),
-                c.get("metadata", {}).get("batch_id"),
-            )
-            for c in vt.history()
-        }
+        applied = applied_batch_keys(vt.history(), sid)
         if (sid, batch_id) in applied:  # replayed batch — already committed
             return
         inc = batch_df.groupBy("user_id").agg(

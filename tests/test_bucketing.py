@@ -209,3 +209,19 @@ def test_substitute_tables_follows_qualified_refs_and_rejects_comma_lists():
             "SELECT * FROM orders, lineitem WHERE 1=1",
             {"orders": "B_O", "lineitem": "B_L"},
         )
+
+
+def test_substitute_tables_case_insensitive_qualified_refs():
+    """FROM/JOIN rewriting is case-insensitive; qualified column refs
+    must follow with the SAME case-insensitivity, or 'FROM Orders ...
+    WHERE ORDERS.x' leaves a dangling qualifier that fails analysis."""
+    from daas_apps_spark.sources.bucketed import substitute_tables
+
+    sql = (
+        "SELECT ORDERS.o_orderkey FROM Orders "
+        "WHERE ORDERS.o_totalprice > 5 AND orders.o_orderkey < 9"
+    )
+    out = substitute_tables(sql, {"orders": "bkt_o"})
+    assert "FROM bkt_o" in out
+    assert out.count("bkt_o.") == 3
+    assert "ORDERS." not in out and "orders." not in out

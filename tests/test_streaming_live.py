@@ -765,3 +765,25 @@ def test_session_close_on_event_time_timeout(spark, tmp_path):
         if (r.event_type, r.session_start) not in have
     ]
     assert not missing, f"watermark-closed sessions never emitted: {missing[:5]}"
+
+
+def test_applied_batch_keys_legacy_commit_migration():
+    """A commit written by the pre-pair sink carries only batch_id
+    metadata; it must count as applied for the CALLING stream (replay
+    across the upgrade must not double-apply), while full-pair commits
+    keep cross-stream batch-id collisions applying correctly."""
+    from daas_apps_spark.streaming.live import applied_batch_keys
+
+    history = [
+        {"metadata": {"batch_id": 0}},                          # legacy
+        {"metadata": {"stream_id": "s1", "batch_id": 1}},       # upgraded
+        {"metadata": {}},                                       # non-stream commit
+    ]
+    mine = applied_batch_keys(history, "s1")
+    assert ("s1", 0) in mine and ("s1", 1) in mine
+    # a DIFFERENT stream also sees the legacy commit as its own batch 0
+    # (conservative: ambiguous ownership never double-applies), but s1's
+    # upgraded commit stays keyed to s1 only
+    other = applied_batch_keys(history, "s2")
+    assert ("s2", 0) in other and ("s2", 1) not in other
+    assert ("s1", 1) in other

@@ -729,3 +729,141 @@ def test_optimize_rejects_incremental_plus_zorder(spark, vt):
     vt.append(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="mutually exclusive"):
         vt.optimize(max_dir_bytes=1 << 20, zorder_by=("k", "k"))
+
+
+def test_merge_on_unorderable_key_upserts_not_duplicates(spark, vt):
+    """A merge keyed on a type the stats normalization can't order
+    (DECIMAL, BOOLEAN) must fall back to the conservative full rewrite —
+    NOT the pure-insert branch, which would silently duplicate matched
+    keys (the _stat_key-None ambiguity: NULL bounds vs unorderable
+    bounds)."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("1.10"), "a"), (Decimal("2.20"), "b")],
+        "k decimal(10,2), v string",
+    )
+    vt.append(df)
+    vt.merge(
+        spark.createDataFrame(
+            [(Decimal("2.20"), "B"), (Decimal("3.30"), "c")],
+            "k decimal(10,2), v string",
+        ),
+        keys=["k"],
+    )
+    got = {(str(r.k), r.v) for r in vt.read().collect()}
+    assert got == {("1.10", "a"), ("2.20", "B"), ("3.30", "c")}
+
+    bt = spark.createDataFrame([(True, 1), (False, 2)], "flag boolean, n long")
+    vt2 = __import__(
+        "daas_apps_spark.sources.table_format", fromlist=["VersionedTable"]
+    ).VersionedTable(spark, vt.path + "_bool")
+    vt2.append(bt)
+    vt2.merge(
+        spark.createDataFrame([(True, 10)], "flag boolean, n long"),
+        keys=["flag"],
+    )
+    assert {(r.flag, r.n) for r in vt2.read().collect()} == {
+        (True, 10),
+        (False, 2),
+    }
+
+
+def test_merge_pure_insert_validates_schema(spark, vt):
+    """The pure-insert branch (no dir intersects the update key range)
+    must apply the same fail-loudly schema contract as the COW branch
+    when allow_schema_evolution=False — a typo'd column name raises
+    instead of committing a silently heterogeneous dir."""
+    vt.append(_df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(100, "x")], "k long, vv string")
+    with pytest.raises(Exception, match="(?i)vv|unresolved|union|column"):
+        vt.merge(bad, keys=["k"])
+    # nothing was committed by the failed merge
+    assert vt.latest_version() == 1
+    # and the same frame IS accepted when evolution is opted into
+    vt.merge(bad, keys=["k"], allow_schema_evolution=True)
+    out = vt.read(merge_schema=True)
+    assert set(out.columns) == {"k", "v", "vv"}
+
+
+def test_change_feed_fast_path_merges_evolved_schema(spark, vt):
+    """Append-only fast path across heterogeneous dirs: a schema-evolved
+    pure-insert commit must surface the evolved column in the feed, not
+    adopt one dir's narrower schema."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.merge(
+        spark.createDataFrame([(100, "x", 5)], "k long, v string, w long"),
+        keys=["k"],
+        allow_schema_evolution=True,
+    )
+    feed = vt.changes_between(0)
+    assert "w" in feed.columns
+    got = {(r.k, r.w, r._change_type) for r in feed.collect()}
+    assert got == {(1, None, "insert"), (100, 5, "insert")}
+
+
+def test_change_feed_snapshot_diff_aligns_evolved_schema(spark, vt):
+    """Snapshot-diff path under schema evolution: cur/base are read
+    merged and aligned to the union schema, so rows differing only in
+    the evolved column appear in the feed instead of vanishing (the IVM
+    corruption class)."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    # touches key 1 → rewriting commit → snapshot diff in the feed
+    vt.merge(
+        spark.createDataFrame([(1, "A", 7)], "k long, v string, w long"),
+        keys=["k"],
+        allow_schema_evolution=True,
+    )
+    feed = vt.changes_between(1)
+    assert "w" in feed.columns
+    got = {(r.k, r.v, r.w, r._change_type) for r in feed.collect()}
+    assert (1, "A", 7, "insert") in got
+    assert (1, "a", None, "delete") in got
+    # untouched row 2 must NOT phantom through the diff
+    assert not any(r[0] == 2 for r in got)
+
+
+def test_racing_commit_one_winner_one_conflict(spark, vt):
+    """Two writers racing the same version: exactly one commit survives
+    and the loser raises a retriable CommitConflictError — the log is
+    never silently overwritten (os.link EEXIST semantics, the local
+    analog of Delta's LogStore CAS)."""
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import CommitConflictError
+
+    vt.append(_df(spark, [(1, "a")]))
+    # a racing writer publishes version 2 between our snapshot read and
+    # our publish: emulate by pre-creating the version-2 commit file
+    winner = {
+        "version": 2,
+        "operation": "append",
+        "add": [],
+        "remove": [],
+        "data_change": True,
+        "metadata": {"writer": "winner"},
+        "stats": {},
+    }
+    with open(os.path.join(vt.path, "_log", "00000002.json"), "w") as f:
+        _json.dump(winner, f)
+    with pytest.raises(CommitConflictError, match="00000002"):
+        vt.append(_df(spark, [(2, "b")]))
+    # winner's commit intact; loser left only an invisible orphan dir
+    assert vt.history()[-1]["metadata"] == {"writer": "winner"}
+    assert [r.k for r in vt.read().collect()] == [1]
+    # no stray tmp files in the log
+    assert not [
+        n for n in os.listdir(os.path.join(vt.path, "_log"))
+        if n.startswith(".tmp-")
+    ]
+    # the conflict is retriable: a fresh attempt lands as version 3
+    assert vt.append(_df(spark, [(3, "c")])) == 3
+
+
+def test_checkpoint_republish_is_benign(spark, vt):
+    """Checkpoints are derived state with idempotent content — a
+    collision on republish is swallowed, unlike commit files."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt._write_checkpoint(1)
+    vt._write_checkpoint(1)  # identical bytes — must not raise
+    assert [r.k for r in vt.read().collect()] == [1]
