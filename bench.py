@@ -45,6 +45,21 @@ from daas_apps_spark.sources.layout import compact_dir, tune_scan_confs
 RUNS = 3
 
 
+def _drop_persisted_rdds(spark) -> None:
+    """Unpersist every RDD still pinned in the block store — the
+    ``localCheckpoint()`` blocks some queries materialize multiply-consumed
+    intermediates into. A bench session runs each query 5× (global warm +
+    per-query warm + 3 timed); without this sweep the checkpointed blocks
+    of every prior run accumulate in the unified memory region and push
+    later queries into cache eviction, inflating their timings (the
+    BENCH_r04 c6_bucketed 10.45s artifact). The consumers have fully
+    materialized by the time this runs, so dropping the blocks is safe —
+    the next run rebuilds its own checkpoint from scratch, which is
+    exactly the no-cross-run-reuse protocol."""
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -61,9 +76,16 @@ def main() -> None:
     spark = get_spark("daas_apps_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     tune_scan_confs(spark)
+    try:  # reclaim superseded-naming bucketed layouts before any ingest
+        from daas_apps_spark.sources.bucketed import prune_stale_warehouse
+
+        prune_stale_warehouse(spark)
+    except Exception:
+        pass
 
     for spec in specs:  # global warm pass: JIT + one-time ingests, untimed
         spec.fn(spark, run_dir).toPandas()
+        _drop_persisted_rdds(spark)
 
     timings: dict[str, float] = {}
     for spec in specs:
@@ -71,13 +93,17 @@ def main() -> None:
         assert rows is not None
         elapsed = 0.0
         for _ in range(RUNS):
-            # No cross-run reuse: any persist() a query declares is cleared so
-            # every timed run re-executes the full scan→shuffle→agg pipeline.
+            # No cross-run reuse: any persist() a query declares is cleared
+            # (cache + checkpointed RDD blocks) so every timed run
+            # re-executes the full scan→shuffle→agg pipeline against an
+            # empty block store.
             spark.catalog.clearCache()
+            _drop_persisted_rdds(spark)
             t0 = time.perf_counter()
             spec.fn(spark, run_dir).toPandas()
             elapsed += time.perf_counter() - t0
         timings[spec.name] = round(elapsed / RUNS, 4)
+    _drop_persisted_rdds(spark)
 
     duck_timings = _duckdb_timings(run_dir, specs)
 

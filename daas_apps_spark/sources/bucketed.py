@@ -142,6 +142,33 @@ def bucketed_table(
     return tbl
 
 
+def prune_stale_warehouse(spark: SparkSession) -> list[str]:
+    """Delete warehouse ``bkt_*`` dirs written under SUPERSEDED naming
+    schemes (no full-path hash segment — e.g. the pre-r4 16-bucket
+    layouts). Current code can never reference those names again, so
+    the dirs are pure disk leakage; current-scheme dirs are left alone
+    (``bucketed_table`` itself rmtree's and rewrites them on demand,
+    and a concurrent session may own one). Returns the removed names.
+    One warehouse layout per (fixture, key, buckets) is the invariant
+    this restores after a naming/bucket-count migration."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    removed = []
+    for d in sorted(glob.glob(os.path.join(wh, "bkt_*"))):
+        name = os.path.basename(d)
+        if any(
+            len(s) == 8 and set(s) <= set("0123456789abcdef")
+            for s in name.split("_")
+        ):
+            continue  # current naming scheme — potentially live
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
 def bucketed_views(
     spark: SparkSession,
     sf_dir: str,

@@ -225,3 +225,23 @@ def test_substitute_tables_case_insensitive_qualified_refs():
     assert "FROM bkt_o" in out
     assert out.count("bkt_o.") == 3
     assert "ORDERS." not in out and "orders." not in out
+
+
+def test_prune_stale_warehouse_removes_only_old_naming(spark, tmp_path):
+    """The janitor deletes bkt_* dirs from superseded naming schemes
+    (no full-path-hash segment) and leaves current-scheme dirs alone."""
+    import os
+    from urllib.parse import urlparse
+
+    from daas_apps_spark.sources.bucketed import prune_stale_warehouse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, "bkt_sf0_001_lineitem_l_orderkey_16")
+    current = os.path.join(wh, "bkt_sf0_001_0a1b2c3d_lineitem_l_orderkey_32")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(current, exist_ok=True)
+    removed = prune_stale_warehouse(spark)
+    assert "bkt_sf0_001_lineitem_l_orderkey_16" in removed
+    assert not os.path.exists(stale)
+    assert os.path.exists(current)
+    os.rmdir(current)
