@@ -621,6 +621,14 @@ def register_table_change_stream_source(spark: SparkSession) -> None:
         spark.readStream.format("table_changes")
              .option("path", table_path)
              .option("tableschema", "k long, v string").load()
+
+    ``maxVersionsPerTrigger`` (Delta's maxFilesPerTrigger analog) caps
+    each micro-batch at N commits, so a cold start over a long log
+    drains in bounded batches instead of delivering the whole table in
+    one. Exactly-once is unaffected — the offset advances only to the
+    capped version. Note: an ``availableNow`` run terminates at the
+    FIRST capped offset (the Simple reader API has no multi-batch
+    catch-up plan); drain with repeated runs or a continuous trigger.
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -628,8 +636,9 @@ def register_table_change_stream_source(spark: SparkSession) -> None:
     )
 
     class TableChangeStreamReader(SimpleDataSourceStreamReader):
-        def __init__(self, path: str):
+        def __init__(self, path: str, max_versions_per_trigger: int | None):
             self.path = path
+            self.max_versions = max_versions_per_trigger
 
         def _rows(self, v_from: int, v_to: int | None):
             import glob as _glob
@@ -654,10 +663,22 @@ def register_table_change_stream_source(spark: SparkSession) -> None:
             return {"version": 0}
 
         def read(self, start):
-            rows, latest = self._rows(start["version"], None)
+            from daas_apps_spark.sources.table_format import read_log
+
+            latest = (read_log(self.path) or [{"version": 0}])[-1]["version"]
             if latest <= start["version"]:
                 return iter([]), start
-            return iter(rows), {"version": latest}
+            # rate limit: cap each micro-batch at max_versions_per_trigger
+            # commits (Delta's maxFilesPerTrigger analog) so a cold start
+            # over a long log drains in bounded batches instead of
+            # delivering the whole table at once; exactly-once is
+            # unaffected — the offset advances only to the capped version,
+            # and replay between committed offsets stays exact
+            end = latest
+            if self.max_versions is not None:
+                end = min(latest, start["version"] + self.max_versions)
+            rows, _ = self._rows(start["version"], end)
+            return iter(rows), {"version": end}
 
         def readBetweenOffsets(self, start, end):
             rows, _ = self._rows(start["version"], end["version"])
@@ -675,7 +696,10 @@ def register_table_change_stream_source(spark: SparkSession) -> None:
             return self.options["tableschema"]
 
         def simpleStreamReader(self, schema) -> TableChangeStreamReader:
-            return TableChangeStreamReader(self.options["path"])
+            cap = self.options.get("maxversionspertrigger")
+            return TableChangeStreamReader(
+                self.options["path"], int(cap) if cap is not None else None
+            )
 
     spark.dataSource.register(TableChangeSource)
 

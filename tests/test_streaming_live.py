@@ -787,3 +787,59 @@ def test_applied_batch_keys_legacy_commit_migration():
     other = applied_batch_keys(history, "s2")
     assert ("s2", 0) in other and ("s2", 1) not in other
     assert ("s1", 1) in other
+
+
+def test_table_change_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """maxVersionsPerTrigger caps each micro-batch at N commits (Delta's
+    maxFilesPerTrigger analog): a cold start over a 4-commit log drains
+    in ceil(4/2)=2 batches with exactly-once delivery intact."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    for k in range(1, 5):
+        vt.append(
+            spark.createDataFrame([(k, f"v{k}")], "k long, v string")
+        )
+
+    out = str(tmp_path / "out")
+    seen_batches: list[list[int]] = []
+
+    def drain_once():
+        stream = (
+            spark.readStream.format("table_changes")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+        )
+
+        def sink(batch_df, batch_id):
+            rows = sorted(r.k for r in batch_df.collect())
+            if rows:
+                seen_batches.append(rows)
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # an availableNow run stops at the first capped offset, so a cold
+    # start over the 4-commit log needs ceil(4/2)=2 runs to drain
+    drain_once()
+    got1 = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]  # capped: NOT the whole table in one batch
+    drain_once()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    # every row exactly once, and no batch carried more than 2 versions
+    assert got == [1, 2, 3, 4]
+    assert all(len(b) <= 2 for b in seen_batches), seen_batches
+    assert len(seen_batches) == 2

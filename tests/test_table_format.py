@@ -946,3 +946,22 @@ def test_pruned_read_skips_disjoint_files_within_a_dir(spark, vt):
     assert len(scanned) == 1, scanned
     got = sorted(r.k for r in pruned.filter("k BETWEEN 12 AND 17").collect())
     assert got == list(range(12, 18))
+
+
+def test_pinned_reader_survives_optimize_and_vacuum(spark, vt):
+    """A reader that resolved its snapshot at version N keeps working
+    through a LATER compaction (OPTIMIZE never deletes files) and a
+    VACUUM whose retention still covers N — the concurrent-reader
+    contract Delta's retention window exists for. Only the version
+    vacuum actually aged out becomes unreadable."""
+    vt.append(_df(spark, [(1, "a")]))              # v1
+    vt.overwrite(_df(spark, [(2, "b"), (3, "c")]))  # v2 retires v1's dir
+    pinned = vt.read(version=2)  # lazy: file list resolved now
+    vt.optimize()                                   # v3 compaction
+    vt.vacuum(keep_versions=1)  # retention covers v2..v3; reclaims v1 only
+    # the pinned reader still materializes its full snapshot
+    assert sorted(r.k for r in pinned.collect()) == [2, 3]
+    assert sorted(r.k for r in vt.read(version=2).collect()) == [2, 3]
+    # v1 aged out of retention
+    with pytest.raises(Exception):
+        vt.read(version=1).collect()

@@ -11,7 +11,10 @@ oracle at the given sf_dir, then reports
   * int-vs-float column dtype divergence (the typed-cell-hash failure class
     the canonical comparator cannot see — see tools/strict_typecheck.py).
 
-Usage: python tools/preverify_window.py [sf_dir] [n]
+Usage: python tools/preverify_window.py [sf_dir] [n] [offset]
+
+``offset`` replays a FUTURE window (e.g. ``... 50 50`` simulates next
+round's slots 50-99 after this round's 50 names go green and rotate out).
 """
 
 from __future__ import annotations
@@ -37,13 +40,14 @@ def _kind(dtype) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     from daas_apps_spark.registry import REGISTRY, _load_all
 
     _load_all()
     spark = get_spark()
     con = duck_connect(sf_dir)
     bad = 0
-    for name, spec in list(REGISTRY.items())[:n]:
+    for name, spec in list(REGISTRY.items())[offset : offset + n]:
         if not spec.oracle:
             print(f"SKIP {name}: rows-only (no oracle)")
             continue
