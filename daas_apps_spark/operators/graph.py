@@ -182,16 +182,32 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
     count clears mean + 2σ of the co-occurrence distribution. Exact
     integer sums feed one pinned float threshold expression, so both
     engines select the identical edge set (see gr2 docstring)."""
-    pairs = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
+    # Per-part supplier sets via collect_set (dedups (pk, sk) in the same
+    # shuffle), then MAP-SIDE pair generation from the sorted array — one
+    # exchange replaces the distinct + self-join + re-exchange chain of
+    # the naive wedge join (identical pair multiset: C(deg, 2) per part
+    # either way, and both shapes colocate a part's pairs on one task, so
+    # skew is no worse). sort_array pins u < v. Measured sf0.01→0.1
+    # growth 1.85x vs 2.24x for the join form — the win compounds with
+    # data because the joined pair relation is never shuffled.
+    grp = (
+        li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
         )
-        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .groupBy("pk")
+        .agg(F.sort_array(F.collect_set("sk")).alias("sks"))
+    )
+    co = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sks, (x, i) -> transform("
+                    "slice(sks, i + 2, size(sks)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     stats = co.agg(
