@@ -40,24 +40,13 @@ import time
 
 from daas_apps_spark.registry import REGISTRY, _load_all
 from daas_apps_spark.session import get_spark
-from daas_apps_spark.sources.layout import compact_dir, tune_scan_confs
+from daas_apps_spark.sources.layout import (
+    compact_dir,
+    drop_persisted_rdds as _drop_persisted_rdds,
+    tune_scan_confs,
+)
 
 RUNS = 3
-
-
-def _drop_persisted_rdds(spark) -> None:
-    """Unpersist every RDD still pinned in the block store — the
-    ``localCheckpoint()`` blocks some queries materialize multiply-consumed
-    intermediates into. A bench session runs each query 5× (global warm +
-    per-query warm + 3 timed); without this sweep the checkpointed blocks
-    of every prior run accumulate in the unified memory region and push
-    later queries into cache eviction, inflating their timings (the
-    BENCH_r04 c6_bucketed 10.45s artifact). The consumers have fully
-    materialized by the time this runs, so dropping the blocks is safe —
-    the next run rebuilds its own checkpoint from scratch, which is
-    exactly the no-cross-run-reuse protocol."""
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
 
 
 def main() -> None:

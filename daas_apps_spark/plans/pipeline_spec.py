@@ -650,14 +650,10 @@ def run_stream_pipeline(
     vt = VersionedTable(spark, spec["stream_sink"]["versioned_table"])
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from daas_apps_spark.streaming.live import applied_batch_keys
+
         sid = checkpoint_stream_id(checkpoint_dir)
-        applied = {
-            (
-                c.get("metadata", {}).get("stream_id"),
-                c.get("metadata", {}).get("batch_id"),
-            )
-            for c in vt.history()
-        }
+        applied = applied_batch_keys(vt.history(), sid)
         if (sid, batch_id) in applied:  # replayed batch — already committed
             return
         inc = batch_df.groupBy(*keys).agg(

@@ -203,7 +203,7 @@ def substitute_tables(sql: str, mapping: dict[str, str]) -> str:
                 lambda m, d=dst: f"{m.group(1)}{m.group(2)}{d}",
                 segment,
             )
-            if re.search(rf",\s*{re.escape(src)}\b(?!\s*\.)", segment):
+            if re.search(rf"(?i),\s*{re.escape(src)}\b(?!\s*\.)", segment):
                 raise ValueError(
                     f"substitute_tables: {src!r} appears in comma position "
                     "(comma-separated FROM list?) — it would silently keep "

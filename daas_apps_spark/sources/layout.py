@@ -69,6 +69,21 @@ def compact_dir(sf_dir: str, dest: str | None = None, parts: int = DEFAULT_PARTS
     return dest
 
 
+def drop_persisted_rdds(spark) -> None:
+    """Unpersist every RDD still pinned in the block store — the
+    ``localCheckpoint()`` blocks some queries materialize multiply-
+    consumed intermediates into. Shared by the bench and scaling-curve
+    harnesses: without the sweep between runs, checkpointed blocks from
+    every prior run accumulate in the unified memory region and push
+    later queries into cache eviction, inflating their timings (the
+    BENCH_r04 c6_bucketed 10.45s artifact). Consumers have fully
+    materialized when this runs, so dropping the blocks is safe — the
+    next run rebuilds its own checkpoint from scratch, exactly the
+    no-cross-run-reuse protocol."""
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
+
 def tune_scan_confs(spark) -> None:
     """Size split planning so each compacted row group becomes its own task.
 

@@ -43,6 +43,11 @@ _LOG = "_log"
 _DATA = "data"
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
+import re as _re
+
+_COMMIT_NAME = _re.compile(r"\d{8}\.json")
+_CHECKPOINT_NAME = _re.compile(r"\d{8}\.checkpoint\.json")
+
 
 class CommitConflictError(RuntimeError):
     """Two writers raced to publish the same commit version; the loser
@@ -101,7 +106,9 @@ def read_log(path: str) -> list[dict]:
     log_dir = os.path.join(path, _LOG)
     entries = []
     for name in sorted(os.listdir(log_dir)):
-        if name.endswith(".json") and ".checkpoint." not in name:
+        # same strict match as VersionedTable._commits: never parse a
+        # crash-orphaned .tmp-*.json as a commit
+        if _COMMIT_NAME.fullmatch(name):
             with open(os.path.join(log_dir, name)) as f:
                 entries.append(json.load(f))
     return entries
@@ -236,7 +243,11 @@ class VersionedTable:
     def _commits(self) -> list[dict]:
         entries = []
         for name in sorted(os.listdir(self._log_dir())):
-            if name.endswith(".json") and ".checkpoint." not in name:
+            # strict name match: a crash between link and unlink in
+            # _publish_commit leaves a .tmp-*.json — parsing it as a
+            # commit would double-apply its adds (torn LOG writes must be
+            # as invisible as torn data writes)
+            if _COMMIT_NAME.fullmatch(name):
                 with open(os.path.join(self._log_dir(), name)) as f:
                     entries.append(json.load(f))
         return entries
@@ -244,7 +255,7 @@ class VersionedTable:
     def _checkpoints(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self._log_dir())):
-            if name.endswith(".checkpoint.json"):
+            if _CHECKPOINT_NAME.fullmatch(name):
                 with open(os.path.join(self._log_dir(), name)) as f:
                     out.append(json.load(f))
         return out
@@ -260,9 +271,19 @@ class VersionedTable:
         remove: list[str],
         metadata: dict | None = None,
         data_change: bool = True,
+        known_stats: dict | None = None,
     ) -> int:
+        """``known_stats`` maps an added rel to its precomputed
+        (dir_stats, file_stats) — carry dirs pass the source commit's
+        recorded per-file entries through, so carrying N files is pure
+        manifest arithmetic (zero footer reads), as _carry_dir
+        advertises."""
         version = self.latest_version() + 1
-        harvested = {rel: self._harvest_stats(rel) for rel in add}
+        known_stats = known_stats or {}
+        harvested = {
+            rel: known_stats.get(rel) or self._harvest_stats(rel)
+            for rel in add
+        }
         entry = {
             "version": version,
             "operation": operation,
@@ -319,11 +340,20 @@ class VersionedTable:
         surviving state is then gone, the same trade VACUUM makes for
         data."""
         live, stats, file_stats = self._replay(version)
+        live_set = set(live)
         snap = {
             "version": version,
             "live": live,
-            "stats": stats,
-            "file_stats": file_stats,
+            # prune stats to LIVE dirs: replay from this checkpoint never
+            # needs a dead dir's stats (earlier versions replay from an
+            # earlier checkpoint or the raw commits, which still carry
+            # theirs), and without the prune checkpoints grow with total
+            # HISTORICAL file count — unbounded for an overwrite-per-batch
+            # streaming sink
+            "stats": {d: s for d, s in stats.items() if d in live_set},
+            "file_stats": {
+                d: s for d, s in file_stats.items() if d in live_set
+            },
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -383,6 +413,29 @@ class VersionedTable:
             os.path.join(self.path, _DATA, rel)
         )
         return rel
+
+    def _table_columns(self, live: list[str]) -> set[str]:
+        """Lower-cased union of column names across the live dirs, read
+        from ONE parquet footer per dir (each dir holds a single write's
+        homogeneous files) — metadata-only schema resolution for
+        validation, no Spark job."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        cols: set[str] = set()
+        for rel in live:
+            files = sorted(
+                glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
+            )
+            if not files:
+                continue
+            try:
+                schema = pq.ParquetFile(files[0]).schema_arrow
+            except Exception:
+                continue
+            cols.update(name.lower() for name in schema.names)
+        return cols
 
     def _carry_dir(
         self, src_rel: str, files: list[str], version_hint: int
@@ -512,6 +565,7 @@ class VersionedTable:
         vhint = self.latest_version() + 1
         remove: list[str] = []
         add: list[str] = []
+        known: dict = {}  # carry-dir stats passed through, no re-harvest
         rewrite_paths: list[str] = []  # straddling FILES (or whole dirs)
 
         def _classify(rng):
@@ -548,9 +602,12 @@ class VersionedTable:
             if all(c == "disjoint" for c in cls.values()):
                 continue  # dir untouched
             remove.append(rel)
-            carry = [f for f, c in cls.items() if c == "disjoint"]
+            carry = sorted(f for f, c in cls.items() if c == "disjoint")
             if carry:
-                add.append(self._carry_dir(rel, sorted(carry), vhint))
+                cdir = self._carry_dir(rel, carry, vhint)
+                fsub = {f: fstats[f] for f in carry}
+                known[cdir] = (_rollup_stats(fsub), fsub)
+                add.append(cdir)
             rewrite_paths.extend(
                 os.path.join(self.path, _DATA, rel, f)
                 for f, c in cls.items()
@@ -572,7 +629,9 @@ class VersionedTable:
                 *[os.path.join(self.path, _DATA, d) for d in remove]
             ).limit(0)
             add.append(self._write_data_dir(empty, vhint))
-        return self._commit("delete", add=add, remove=remove)
+        return self._commit(
+            "delete", add=add, remove=remove, known_stats=known
+        )
 
     def delete(self, condition: str) -> int:
         """DELETE WHERE ``condition`` (any SQL predicate), whole-table
@@ -631,6 +690,7 @@ class VersionedTable:
         ).first()
         remove: list[str] = []
         carries: list[str] = []
+        known: dict = {}  # carry-dir stats passed through, no re-harvest
         rewrite_paths: list[str] = []  # intersecting FILES (or whole dirs)
 
         def _intersects(st: dict) -> bool:
@@ -680,7 +740,10 @@ class VersionedTable:
                 remove.append(rel)
                 carry = sorted(f for f, h in hit.items() if not h)
                 if carry:
-                    carries.append(self._carry_dir(rel, carry, vhint))
+                    cdir = self._carry_dir(rel, carry, vhint)
+                    fsub = {f: fstats[f] for f in carry}
+                    known[cdir] = (_rollup_stats(fsub), fsub)
+                    carries.append(cdir)
                 rewrite_paths.extend(
                     os.path.join(self.path, _DATA, rel, f)
                     for f, h in hit.items()
@@ -702,13 +765,23 @@ class VersionedTable:
                 # the COW branch's unionByName validates the updates schema
                 # as a side effect; the pure-insert path must apply the
                 # same fail-loudly contract, or a typo'd column lands as a
-                # silently heterogeneous dir
-                current = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, _DATA, d) for d in live]
-                )
-                current.limit(0).unionByName(updates, allowMissingColumns=False)
+                # silently heterogeneous dir. Column names come from ONE
+                # parquet footer per live dir (each dir is one write, so
+                # intra-dir schemas are homogeneous) — metadata-only, no
+                # whole-table Spark inference job on the cheap append path
+                table_cols = self._table_columns(live)
+                mine = {c.lower() for c in updates.columns}
+                if table_cols and mine != table_cols:
+                    raise ValueError(
+                        "merge: updates schema does not match the table "
+                        f"(updates-only: {sorted(mine - table_cols)}, "
+                        f"table-only: {sorted(table_cols - mine)}); pass "
+                        "allow_schema_evolution=True to widen the table"
+                    )
         rel = self._write_data_dir(merged, vhint)
-        return self._commit("merge", add=carries + [rel], remove=remove)
+        return self._commit(
+            "merge", add=carries + [rel], remove=remove, known_stats=known
+        )
 
     def optimize(
         self,

@@ -359,26 +359,43 @@ def checkpoint_stream_id(checkpoint_dir: str) -> str:
         return json.load(f)["id"]
 
 
-def applied_batch_keys(history: list[dict], stream_id: str) -> set:
+def applied_batch_keys(
+    history: list[dict], stream_id: str, legacy_is_mine: bool = False
+) -> set:
     """The exactly-once idempotence set for the versioned-table sink:
-    (stream_id, batch_id) pairs already committed. A LEGACY commit
-    written by the pre-pair code carries only ``batch_id`` metadata; it
-    is treated as applied FOR THE CALLING STREAM, so a batch committed
-    before the upgrade and replayed after it (crash between the table
-    commit and the checkpoint advance) is not applied twice — one-time
-    migration compatibility. New commits always carry the full pair, so
-    cross-stream batch-id collisions still apply correctly."""
+    (stream_id, batch_id) pairs already committed.
+
+    A LEGACY commit written by the pre-pair code carries only
+    ``batch_id`` metadata, which is genuinely ambiguous: if the calling
+    stream is the upgraded continuation of the writer that produced it,
+    the batch was already applied (replaying it would double-apply); if
+    the caller is a NEW stream (checkpoint reset, second writer), the
+    colliding batch id is fresh data (skipping it would silently drop
+    rows). No log-side evidence distinguishes the two, so the caller
+    must say which: ``legacy_is_mine=True`` claims legacy commits for
+    the calling stream (set it ONLY when resuming a checkpoint that
+    predates the upgrade); the default False preserves the documented
+    checkpoint-reset contract — new streams always apply. Commits
+    written by current code always carry the full pair, so the
+    ambiguity dies out with the migration."""
     applied = set()
     for c in history:
         md = c.get("metadata", {})
         if "batch_id" not in md:
             continue
-        applied.add((md.get("stream_id", stream_id), md["batch_id"]))
+        if "stream_id" in md:
+            applied.add((md["stream_id"], md["batch_id"]))
+        elif legacy_is_mine:
+            applied.add((stream_id, md["batch_id"]))
     return applied
 
 
 def run_stream_to_versioned_table(
-    spark: SparkSession, src_dir: str, table_path: str, checkpoint_dir: str
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    legacy_batch_ids_are_mine: bool = False,
 ) -> None:
     """Streaming sink into the versioned table format (sources/
     table_format.py): each micro-batch's per-user counts merge with the
@@ -399,6 +416,12 @@ def run_stream_to_versioned_table(
     run_stream_upsert_counts gets effectively-once from re-merging
     against pre-swap state; this sink gets it from the commit log, and
     keeps every batch boundary time-travelable as a bonus.
+
+    ``legacy_batch_ids_are_mine=True`` is the one-time migration switch
+    for resuming a checkpoint that predates the (stream_id, batch_id)
+    pair: it claims bare-batch_id commits for this stream so a batch
+    committed pre-upgrade and replayed post-upgrade isn't applied twice.
+    Leave it False (default) everywhere else — see applied_batch_keys.
     """
     from daas_apps_spark.sources.table_format import VersionedTable
 
@@ -407,7 +430,9 @@ def run_stream_to_versioned_table(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sid = checkpoint_stream_id(checkpoint_dir)
-        applied = applied_batch_keys(vt.history(), sid)
+        applied = applied_batch_keys(
+            vt.history(), sid, legacy_is_mine=legacy_batch_ids_are_mine
+        )
         if (sid, batch_id) in applied:  # replayed batch — already committed
             return
         inc = batch_df.groupBy("user_id").agg(

@@ -245,3 +245,19 @@ def test_prune_stale_warehouse_removes_only_old_naming(spark, tmp_path):
     assert not os.path.exists(stale)
     assert os.path.exists(current)
     os.rmdir(current)
+
+
+def test_substitute_tables_comma_guard_is_case_insensitive():
+    """A capitalized comma-position operand must raise like a lowercase
+    one — otherwise the FROM keeps the raw table while the (?i)
+    qualifier rewrite half-applies."""
+    import pytest
+
+    from daas_apps_spark.sources.bucketed import substitute_tables
+
+    with pytest.raises(ValueError, match="comma position"):
+        substitute_tables(
+            "SELECT * FROM Orders, Lineitem "
+            "WHERE Lineitem.l_orderkey = Orders.o_orderkey",
+            {"orders": "bkt_o", "lineitem": "bkt_l"},
+        )

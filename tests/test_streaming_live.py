@@ -768,10 +768,11 @@ def test_session_close_on_event_time_timeout(spark, tmp_path):
 
 
 def test_applied_batch_keys_legacy_commit_migration():
-    """A commit written by the pre-pair sink carries only batch_id
-    metadata; it must count as applied for the CALLING stream (replay
-    across the upgrade must not double-apply), while full-pair commits
-    keep cross-stream batch-id collisions applying correctly."""
+    """A bare-batch_id commit (pre-pair code) is ambiguous: the caller
+    must opt in with legacy_is_mine to claim it (upgrade-in-place
+    migration, no double-apply on replay); by DEFAULT it is unclaimed,
+    preserving the checkpoint-reset contract — a NEW stream's colliding
+    batch ids are applied, never silently dropped."""
     from daas_apps_spark.streaming.live import applied_batch_keys
 
     history = [
@@ -779,14 +780,17 @@ def test_applied_batch_keys_legacy_commit_migration():
         {"metadata": {"stream_id": "s1", "batch_id": 1}},       # upgraded
         {"metadata": {}},                                       # non-stream commit
     ]
-    mine = applied_batch_keys(history, "s1")
+    # default: legacy commit claims nothing — a reset/new stream applies
+    # its own batch 0 instead of dropping it
+    default = applied_batch_keys(history, "s2")
+    assert ("s2", 0) not in default
+    assert ("s1", 1) in default
+    # migration opt-in: the upgraded continuation claims legacy batch 0
+    mine = applied_batch_keys(history, "s1", legacy_is_mine=True)
     assert ("s1", 0) in mine and ("s1", 1) in mine
-    # a DIFFERENT stream also sees the legacy commit as its own batch 0
-    # (conservative: ambiguous ownership never double-applies), but s1's
-    # upgraded commit stays keyed to s1 only
-    other = applied_batch_keys(history, "s2")
+    # and the claim is scoped to the caller, not to other streams' pairs
+    other = applied_batch_keys(history, "s2", legacy_is_mine=True)
     assert ("s2", 0) in other and ("s2", 1) not in other
-    assert ("s1", 1) in other
 
 
 def test_table_change_stream_rate_limit_bounds_batches(spark, tmp_path):

@@ -965,3 +965,69 @@ def test_pinned_reader_survives_optimize_and_vacuum(spark, vt):
     # v1 aged out of retention
     with pytest.raises(Exception):
         vt.read(version=1).collect()
+
+
+def test_vacuum_after_file_level_merge_keeps_carried_links(spark, vt):
+    """VACUUM rmtree's the retired dir whose untouched files were
+    hard-linked into a carry dir: the shared inodes must survive (link
+    count), so the current snapshot reads intact after reclamation."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k long, v string"
+    ).repartitionByRange(4, "k")
+    vt.append(df)
+    vt.merge(
+        spark.createDataFrame([(5, "V5")], "k long, v string"), keys=["k"]
+    )
+    deleted = vt.vacuum(keep_versions=0)
+    assert any(d.startswith("v1-") for d in deleted)  # retired dir gone
+    got = {r.k: r.v for r in vt.read().collect()}
+    assert got == {k: ("V5" if k == 5 else f"v{k}") for k in range(40)}
+    # and OPTIMIZE folds carry + rewrite dirs back into one
+    vt.optimize()
+    assert len(vt._live_dirs()) == 1
+    assert {r.k for r in vt.read().collect()} == set(range(40))
+
+
+def test_crash_orphaned_tmp_log_file_is_invisible(spark, vt):
+    """A writer crash can orphan a .tmp-*.json in the log (between link
+    and unlink) — it must never parse as a commit: a stale commit-tmp
+    would double-apply its adds, and a stale checkpoint-tmp (different
+    shape) would crash replay."""
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import read_log
+
+    vt.append(_df(spark, [(1, "a")]))
+    commit1 = vt.history()[0]
+    log = os.path.join(vt.path, "_log")
+    # stale commit tmp duplicating commit 1's adds
+    with open(os.path.join(log, ".tmp-deadbeef.json"), "w") as f:
+        _json.dump(commit1, f)
+    # stale checkpoint tmp (snapshot shape: no add/remove keys)
+    with open(os.path.join(log, ".tmp-cafebabe.json"), "w") as f:
+        _json.dump({"version": 1, "live": [], "stats": {}}, f)
+    assert [r.k for r in vt.read().collect()] == [1]  # no double rows
+    assert len(vt.history()) == 1
+    assert len(read_log(vt.path)) == 1
+    assert vt.append(_df(spark, [(2, "b")])) == 2  # versioning unharmed
+
+
+def test_checkpoint_prunes_dead_dir_stats(spark, vt):
+    """Checkpoints carry stats only for LIVE dirs — an overwrite-per-
+    batch workload must not accumulate per-file stats for every dir ever
+    written."""
+    for i in range(10):  # version 10 writes a checkpoint
+        vt.overwrite(_df(spark, [(i, str(i))]))
+    [ck] = [
+        n for n in os.listdir(os.path.join(vt.path, "_log"))
+        if n.endswith(".checkpoint.json")
+    ]
+    import json as _json
+
+    with open(os.path.join(vt.path, "_log", ck)) as f:
+        snap = _json.load(f)
+    assert len(snap["live"]) == 1
+    assert set(snap["stats"]) == set(snap["live"])
+    assert set(snap["file_stats"]) == set(snap["live"])
+    # and replay through the pruned checkpoint still time-travels
+    assert [r.k for r in vt.read(version=9).collect()] == [8]
