@@ -99,6 +99,23 @@ def _rollup_stats(per_file: dict) -> dict:
     return out
 
 
+def retry_on_conflict(fn, attempts: int = 5):
+    """Run ``fn`` (a VersionedTable operation closure), rebasing and
+    retrying on ``CommitConflictError`` up to ``attempts`` times — the
+    optimistic-concurrency loop Delta/Iceberg writers run around their
+    CAS commit. Rebase is free here because every operation re-reads the
+    log and recomputes its version AT COMMIT TIME; semantic conflicts
+    (two merges touching the same key) are the caller's to reconcile,
+    exactly as in Delta's conflict-resolution matrix. Returns fn()'s
+    result; re-raises the final conflict when attempts are exhausted."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except CommitConflictError:
+            if i == attempts - 1:
+                raise
+
+
 def read_log(path: str) -> list[dict]:
     """Pure-filesystem commit-log read (no SparkSession) — the piece a
     streaming source worker needs: it runs outside the driver's session,

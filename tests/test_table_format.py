@@ -1031,3 +1031,85 @@ def test_checkpoint_prunes_dead_dir_stats(spark, vt):
     assert set(snap["file_stats"]) == set(snap["live"])
     # and replay through the pruned checkpoint still time-travels
     assert [r.k for r in vt.read(version=9).collect()] == [8]
+
+
+def test_zorder_plus_file_stats_prune_on_both_columns(spark, vt):
+    """OPTIMIZE ZORDER x per-FILE manifest stats: after a Z-order
+    rewrite, a range read on EITHER clustered column scans a strict
+    subset of the dir's files — the synergy the two features exist for
+    (clustering bounds both columns per file; the manifest records the
+    bounds; pruning skips at file granularity)."""
+    grid = spark.range(64 * 64).selectExpr(
+        "cast(id % 64 as long) as x", "cast(id div 64 as long) as y"
+    )
+    vt.append(grid)
+    vt.optimize(target_partitions=4, zorder_by=("x", "y"))
+    total_files = len(vt.read().inputFiles())
+    assert total_files == 4
+    for col in ("x", "y"):
+        pruned = vt.read(prune=(col, 0, 15))
+        assert len(pruned.inputFiles()) < total_files, col
+        got = pruned.filter(f"{col} BETWEEN 0 AND 15").count()
+        assert got == 16 * 64
+
+
+def test_retry_on_conflict_rebases_and_lands(spark, vt):
+    """The optimistic-concurrency loop: a writer that loses the version
+    race retries, recomputes its version from the fresh log, and lands —
+    both racers' rows end up committed exactly once."""
+    from daas_apps_spark.sources.table_format import (
+        CommitConflictError,
+        retry_on_conflict,
+    )
+
+    vt.append(_df(spark, [(1, "a")]))
+    original_publish = vt._publish_commit
+    fail_once = {"armed": True}
+
+    def racing_publish(tmp, final):
+        if fail_once["armed"]:
+            # a concurrent writer lands this version first, exactly once
+            fail_once["armed"] = False
+            import json as _json
+
+            with open(final, "w") as f:
+                _json.dump(
+                    {
+                        "version": int(os.path.basename(final)[:8]),
+                        "operation": "append",
+                        "add": [],
+                        "remove": [],
+                        "data_change": True,
+                        "metadata": {"writer": "racer"},
+                        "stats": {},
+                    },
+                    f,
+                )
+        return original_publish(tmp, final)
+
+    vt._publish_commit = racing_publish
+    try:
+        v = retry_on_conflict(
+            lambda: vt.append(_df(spark, [(2, "b")]))
+        )
+    finally:
+        vt._publish_commit = original_publish
+    assert v == 3  # rebased past the racer's version 2
+    assert [c["metadata"].get("writer") for c in vt.history()].count(
+        "racer"
+    ) == 1
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2]
+
+    # exhausted attempts re-raise
+    vt._publish_commit = lambda tmp, final: (_ for _ in ()).throw(
+        CommitConflictError("always")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(CommitConflictError):
+            retry_on_conflict(
+                lambda: vt.append(_df(spark, [(3, "c")])), attempts=2
+            )
+    finally:
+        vt._publish_commit = original_publish
