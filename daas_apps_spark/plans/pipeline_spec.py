@@ -616,7 +616,10 @@ def validate_stream_pipeline(spec: dict[str, Any]) -> None:
 
 
 def run_stream_pipeline(
-    spark: SparkSession, spec: dict[str, Any], checkpoint_dir: str
+    spark: SparkSession,
+    spec: dict[str, Any],
+    checkpoint_dir: str,
+    legacy_batch_ids_are_mine: bool = False,
 ) -> None:
     """Run a streaming spec to completion (availableNow) with EXACTLY-ONCE
     application into the versioned table.
@@ -653,7 +656,12 @@ def run_stream_pipeline(
         from daas_apps_spark.streaming.live import applied_batch_keys
 
         sid = checkpoint_stream_id(checkpoint_dir)
-        applied = applied_batch_keys(vt.history(), sid)
+        # legacy_batch_ids_are_mine: one-time migration switch for
+        # checkpoints predating the (stream_id, batch_id) pair — see
+        # streaming/live.py::applied_batch_keys
+        applied = applied_batch_keys(
+            vt.history(), sid, legacy_is_mine=legacy_batch_ids_are_mine
+        )
         if (sid, batch_id) in applied:  # replayed batch — already committed
             return
         inc = batch_df.groupBy(*keys).agg(

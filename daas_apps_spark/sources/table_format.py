@@ -45,8 +45,21 @@ CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
 import re as _re
 
-_COMMIT_NAME = _re.compile(r"\d{8}\.json")
-_CHECKPOINT_NAME = _re.compile(r"\d{8}\.checkpoint\.json")
+# {version:08d} grows past 8 digits at version 1e8 — match and sort
+# NUMERICALLY so a rollover neither hides commits nor missorts replay
+_COMMIT_NAME = _re.compile(r"(\d{8,})\.json")
+_CHECKPOINT_NAME = _re.compile(r"(\d{8,})\.checkpoint\.json")
+
+
+def _log_names(log_dir: str, pattern) -> list[str]:
+    """Log file names matching ``pattern``, in VERSION order (numeric —
+    lexicographic order breaks when the zero-padded width rolls over)."""
+    out = [
+        (int(m.group(1)), name)
+        for name in os.listdir(log_dir)
+        if (m := pattern.fullmatch(name))
+    ]
+    return [name for _, name in sorted(out)]
 
 
 class CommitConflictError(RuntimeError):
@@ -108,6 +121,8 @@ def retry_on_conflict(fn, attempts: int = 5):
     (two merges touching the same key) are the caller's to reconcile,
     exactly as in Delta's conflict-resolution matrix. Returns fn()'s
     result; re-raises the final conflict when attempts are exhausted."""
+    if attempts < 1:
+        raise ValueError("retry_on_conflict: attempts must be >= 1")
     for i in range(attempts):
         try:
             return fn()
@@ -122,12 +137,11 @@ def read_log(path: str) -> list[dict]:
     so table state must be resolvable from files alone."""
     log_dir = os.path.join(path, _LOG)
     entries = []
-    for name in sorted(os.listdir(log_dir)):
-        # same strict match as VersionedTable._commits: never parse a
-        # crash-orphaned .tmp-*.json as a commit
-        if _COMMIT_NAME.fullmatch(name):
-            with open(os.path.join(log_dir, name)) as f:
-                entries.append(json.load(f))
+    # same strict match + numeric order as VersionedTable._commits: never
+    # parse a crash-orphaned .tmp-*.json, never missort on width rollover
+    for name in _log_names(log_dir, _COMMIT_NAME):
+        with open(os.path.join(log_dir, name)) as f:
+            entries.append(json.load(f))
     return entries
 
 
@@ -258,23 +272,21 @@ class VersionedTable:
         return os.path.join(self.path, _LOG)
 
     def _commits(self) -> list[dict]:
+        # strict name match: a crash between link and unlink in
+        # _publish_commit leaves a .tmp-*.json — parsing it as a commit
+        # would double-apply its adds (torn LOG writes must be as
+        # invisible as torn data writes)
         entries = []
-        for name in sorted(os.listdir(self._log_dir())):
-            # strict name match: a crash between link and unlink in
-            # _publish_commit leaves a .tmp-*.json — parsing it as a
-            # commit would double-apply its adds (torn LOG writes must be
-            # as invisible as torn data writes)
-            if _COMMIT_NAME.fullmatch(name):
-                with open(os.path.join(self._log_dir(), name)) as f:
-                    entries.append(json.load(f))
+        for name in _log_names(self._log_dir(), _COMMIT_NAME):
+            with open(os.path.join(self._log_dir(), name)) as f:
+                entries.append(json.load(f))
         return entries
 
     def _checkpoints(self) -> list[dict]:
         out = []
-        for name in sorted(os.listdir(self._log_dir())):
-            if _CHECKPOINT_NAME.fullmatch(name):
-                with open(os.path.join(self._log_dir(), name)) as f:
-                    out.append(json.load(f))
+        for name in _log_names(self._log_dir(), _CHECKPOINT_NAME):
+            with open(os.path.join(self._log_dir(), name)) as f:
+                out.append(json.load(f))
         return out
 
     def latest_version(self) -> int:
@@ -447,16 +459,20 @@ class VersionedTable:
             )
             if not files:
                 continue
-            try:
-                schema = pq.ParquetFile(files[0]).schema_arrow
-            except Exception:
-                continue
+            # an unreadable footer fails LOUD: swallowing it would either
+            # spuriously reject a correct updates frame (missing dir's
+            # columns) or silently skip the validation this exists for
+            schema = pq.ParquetFile(files[0]).schema_arrow
             cols.update(name.lower() for name in schema.names)
         return cols
 
     def _carry_dir(
-        self, src_rel: str, files: list[str], version_hint: int
-    ) -> str:
+        self,
+        src_rel: str,
+        files: list[str],
+        version_hint: int,
+        src_file_stats: dict,
+    ) -> tuple[str, tuple[dict, dict]]:
         """Hard-link the UNTOUCHED files of a partially-rewritten dir into
         a fresh dir — the 'keep' half of file-level COW without moving a
         byte of data (files are immutable, so sharing inodes is safe; an
@@ -464,7 +480,10 @@ class VersionedTable:
         files individually, exactly as it swaps _publish_commit for a
         CAS). The old dir stays intact for time travel; VACUUM reclaims
         it later, and the link count keeps shared files alive until the
-        LAST referencing dir is vacuumed."""
+        LAST referencing dir is vacuumed. Returns (rel, (dir_stats,
+        file_stats)) with the stats SLICED from the source commit's
+        recorded entries — carrying is pure manifest arithmetic, zero
+        footer reads — for _commit's ``known_stats`` pass-through."""
         new = f"v{version_hint}-carry-{uuid.uuid4().hex[:8]}"
         dst = os.path.join(self.path, _DATA, new)
         os.makedirs(dst)
@@ -473,7 +492,8 @@ class VersionedTable:
                 os.path.join(self.path, _DATA, src_rel, f),
                 os.path.join(dst, f),
             )
-        return new
+        fsub = {f: src_file_stats[f] for f in files}
+        return new, (_rollup_stats(fsub), fsub)
 
     def _harvest_stats(self, rel: str) -> tuple[dict, dict]:
         """(dir-level, per-FILE) column [min, max, null_count] for a data
@@ -621,9 +641,7 @@ class VersionedTable:
             remove.append(rel)
             carry = sorted(f for f, c in cls.items() if c == "disjoint")
             if carry:
-                cdir = self._carry_dir(rel, carry, vhint)
-                fsub = {f: fstats[f] for f in carry}
-                known[cdir] = (_rollup_stats(fsub), fsub)
+                cdir, known[cdir] = self._carry_dir(rel, carry, vhint, fstats)
                 add.append(cdir)
             rewrite_paths.extend(
                 os.path.join(self.path, _DATA, rel, f)
@@ -631,12 +649,17 @@ class VersionedTable:
                 if c == "straddle"
             )
         if rewrite_paths:
-            kept = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*sorted(rewrite_paths))
-                # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
-                .filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
+            kept = self.spark.read.option("mergeSchema", "true").parquet(
+                *sorted(rewrite_paths)
             )
+            if col.lower() in {c.lower() for c in kept.columns}:
+                # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
+                kept = kept.filter(
+                    F.col(col).isNull() | ~F.col(col).between(lo, hi)
+                )
+            # else: every rewrite file PREDATES the column (schema
+            # evolution) — the column is NULL for all their rows, nothing
+            # matches, the rewrite is a carry-through, not a crash
             add.append(self._write_data_dir(kept, vhint))
         elif not add and remove and len(remove) == len(live):
             # every live file dropped: write a zero-row dir carrying the
@@ -757,9 +780,9 @@ class VersionedTable:
                 remove.append(rel)
                 carry = sorted(f for f, h in hit.items() if not h)
                 if carry:
-                    cdir = self._carry_dir(rel, carry, vhint)
-                    fsub = {f: fstats[f] for f in carry}
-                    known[cdir] = (_rollup_stats(fsub), fsub)
+                    cdir, known[cdir] = self._carry_dir(
+                        rel, carry, vhint, fstats
+                    )
                     carries.append(cdir)
                 rewrite_paths.extend(
                     os.path.join(self.path, _DATA, rel, f)
@@ -871,6 +894,16 @@ class VersionedTable:
             lo_x, hi_x, lo_y, hi_y = current.agg(
                 F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
             ).first()
+            if None in (lo_x, hi_x, lo_y, hi_y):
+                # min/max ignore NULLs: a None bound means the column has
+                # no non-NULL values — no range to interleave; fail with
+                # intent instead of a NoneType comparison deep in scaled()
+                raise ValueError(
+                    "optimize(zorder_by=...): column "
+                    f"{xcol if lo_x is None else ycol!r} is entirely NULL "
+                    "(or the table is empty) — Z-order needs a value "
+                    "range on both columns"
+                )
 
             def scaled(col: str, lo, hi) -> str:
                 span = hi - lo if hi > lo else 1

@@ -283,20 +283,47 @@ def run_stream_upsert_counts(
     the streaming CDC-apply pattern.
 
     Each batch: aggregate the delta → full-outer merge with current state
-    → write to a scratch dir → atomic swap (the reference's R16
-    write-then-move commit, FileMover.java:9-27 — required here because
-    parquet cannot be overwritten while it is also the read source).
-    ``foreachBatch`` + checkpoint gives effectively-once application: a
-    replayed batch re-runs its merge against the pre-swap state.
+    → write to a scratch dir → swap (the reference's R16 write-then-move
+    commit, FileMover.java:9-27 — required here because parquet cannot be
+    overwritten while it is also the read source). The two-rename swap
+    has a crash window, so apply_batch leads with RECOVERY: a ``.next``
+    dir carrying its ``_applied_batch`` marker is a complete post-state
+    (finish the swap); otherwise a stranded ``.old`` is the intact
+    pre-state (roll back). The marker also upgrades replay handling to
+    exactly-once: a batch replayed after its swap completed (crash before
+    the checkpoint advanced) is recognized and skipped instead of
+    re-merged into post-swap state.
     """
     import os
     import shutil
 
     from pyspark.sql.utils import AnalysisException
 
+    def recover_state() -> None:
+        # crash recovery: the marker is written only after the next
+        # state's parquet completes, so its presence proves ``.next``
+        # is whole (finish the swap); without it, a stranded ``.old``
+        # is the intact pre-state (roll back). Runs at stream start —
+        # a drained checkpoint fires no batches — and before each batch.
+        nxt, old = state_dir + ".next", state_dir + ".old"
+        if not os.path.exists(state_dir):
+            if os.path.exists(os.path.join(nxt, "_applied_batch")):
+                os.rename(nxt, state_dir)
+            elif os.path.exists(old):
+                os.rename(old, state_dir)
+
+    recover_state()
     stream = events_file_stream(spark, src_dir, max_files_per_trigger=2)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nxt = state_dir + ".next"
+        old = state_dir + ".old"
+        recover_state()
+        marker = os.path.join(state_dir, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if f.read().strip() == str(batch_id):
+                    return  # replay after a completed swap — exactly-once
         inc = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
@@ -316,7 +343,12 @@ def run_stream_upsert_counts(
             )
         else:
             merged = (
-                inc.join(state, inc.user_id == state.s_user, "full_outer")
+                # eqNullSafe: a NULL user_id is a real group on both
+                # sides — a plain equality would emit both halves every
+                # batch and the NULL key's counts would never consolidate
+                inc.join(
+                    state, inc.user_id.eqNullSafe(state.s_user), "full_outer"
+                )
                 .select(
                     F.coalesce("user_id", "s_user").alias("user_id"),
                     (
@@ -329,13 +361,13 @@ def run_stream_upsert_counts(
                     ).cast("double").alias("total_value"),
                 )
             )
-        tmp = state_dir + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = state_dir + ".old"
+        merged.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, "_applied_batch"), "w") as f:
+            f.write(str(batch_id))
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(state_dir):
             os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
+        os.rename(nxt, state_dir)
         shutil.rmtree(old, ignore_errors=True)
 
     q = (

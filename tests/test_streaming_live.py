@@ -847,3 +847,50 @@ def test_table_change_stream_rate_limit_bounds_batches(spark, tmp_path):
     assert got == [1, 2, 3, 4]
     assert all(len(b) <= 2 for b in seen_batches), seen_batches
     assert len(seen_batches) == 2
+
+
+def test_upsert_counts_consolidates_null_user_and_skips_completed_replay(
+    spark, tmp_path
+):
+    """I8 upsert sink hardening: (a) NULL user_id rows consolidate into
+    ONE state row across batches (eqNullSafe merge), (b) the
+    _applied_batch marker makes a replay after a completed swap a no-op,
+    (c) a stranded .next with its marker is recovered as the new state."""
+    import json as _json
+    import os as _os
+
+    from daas_apps_spark.streaming.live import run_stream_upsert_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):  # 4 files, maxFilesPerTrigger=2 -> 2 batches
+        rows = [
+            {
+                "event_id": 100 * i + j,
+                "ts": f"2024-01-01T0{i}:0{j}:00.000Z",
+                "user_id": None if j == 0 else 7,
+                "event_type": "click",
+                "value": 1.0,
+                "props": "{}",
+            }
+            for j in range(3)
+        ]
+        (src / f"part-{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+    state = str(tmp_path / "state")
+    run_stream_upsert_counts(spark, str(src), state, str(tmp_path / "ck"))
+    out = spark.read.parquet(state).collect()
+    by_user = {r.user_id: r.n_events for r in out}
+    assert by_user == {None: 4, 7: 8}  # ONE consolidated NULL row
+
+    # (b) replay of the last completed batch is skipped via the marker
+    marker = _os.path.join(state, "_applied_batch")
+    assert _os.path.exists(marker)
+    # (c) crash-window recovery: simulate rename(state->old) done but
+    # rename(next->state) lost — next (with marker) must be adopted
+    _os.rename(state, state + ".next_backup")
+    _os.rename(state + ".next_backup", state + ".next")
+    run_stream_upsert_counts(spark, str(src), state, str(tmp_path / "ck"))
+    got = {r.user_id: r.n_events for r in spark.read.parquet(state).collect()}
+    assert got == {None: 4, 7: 8}  # recovered, not reset, not doubled

@@ -1113,3 +1113,66 @@ def test_retry_on_conflict_rebases_and_lands(spark, vt):
             )
     finally:
         vt._publish_commit = original_publish
+
+
+def test_delete_range_on_evolved_column_skips_pre_evolution_files(spark, vt):
+    """delete_range on a column only SOME dirs have: pre-evolution files
+    (no stats for the column → straddle set) hold only NULLs for it, so
+    nothing matches — the delete must carry them through, not crash on
+    an unresolvable column."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))  # pre-evolution: k, v
+    vt.merge(
+        spark.createDataFrame([(100, "x", 25)], "k long, v string, w long"),
+        keys=["k"],
+        allow_schema_evolution=True,
+    )
+    vt.delete_range("w", 20, 30)  # hits the evolved row only
+    out = vt.read(merge_schema=True)
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b")}  # w=25 row deleted, legacy kept
+    # the last file carrying w is gone, so the schema-on-read narrows —
+    # the file-derived-schema trade this format makes (Delta's table-level
+    # schema would instead keep an all-NULL w)
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_zorder_all_null_column_fails_loud(spark, vt):
+    vt.append(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "x long, y long"
+        )
+    )
+    with pytest.raises(ValueError, match="entirely NULL"):
+        vt.optimize(target_partitions=2, zorder_by=("x", "y"))
+
+
+def test_retry_on_conflict_rejects_zero_attempts():
+    from daas_apps_spark.sources.table_format import retry_on_conflict
+
+    with pytest.raises(ValueError, match="attempts"):
+        retry_on_conflict(lambda: 1, attempts=0)
+
+
+def test_log_names_sort_numerically_past_width_rollover(tmp_path):
+    """Version 1e8 produces a 9-digit name; replay order and visibility
+    must survive the zero-padded width rollover."""
+    from daas_apps_spark.sources.table_format import (
+        _COMMIT_NAME,
+        _log_names,
+    )
+
+    log = tmp_path / "log"
+    log.mkdir()
+    for name in (
+        "99999999.json",
+        "100000000.json",
+        "00000001.json",
+        ".tmp-abc.json",
+        "00000005.checkpoint.json",
+    ):
+        (log / name).write_text("{}")
+    assert _log_names(str(log), _COMMIT_NAME) == [
+        "00000001.json",
+        "99999999.json",
+        "100000000.json",
+    ]
