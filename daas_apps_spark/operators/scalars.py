@@ -668,6 +668,15 @@ def h_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals. Struct comparison is the engine-internal primitive under
     every min_by/max_by-on-(key, tiebreak) pattern (T2 OHLC, D8 argmax);
     this query pins that both engines agree on the ordering itself.
+
+    Codegen note: array-of-struct element extraction uses 0-based
+    `getItem(0)` (GetArrayItem) rather than 1-based `element_at(.., 1)`:
+    ElementAt→GetStructField trips a whole-stage-codegen bug in this
+    Spark build ("Expression isNull_N is not an rvalue") whenever it
+    shares a projection with any other column, silently demoting the
+    whole stage to the interpreted path — a per-task perf cliff at
+    scale. GetArrayItem generates clean code; the two are identical on
+    a non-null 2-element literal array.
     """
     o = table(spark, sf_dir, "orders")
     return o.select(
@@ -683,13 +692,12 @@ def h_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.named_struct(
             F.lit("cust"), F.col("o_custkey"), F.lit("price"), F.col("o_totalprice")
         )["price"].alias("price_rt"),
-        F.element_at(
-            F.array(
-                F.struct(F.col("o_custkey").alias("k")),
-                F.struct(F.col("o_orderkey").alias("k")),
-            ),
-            1,
-        )["k"].alias("first_elem_k"),
+        F.array(
+            F.struct(F.col("o_custkey").alias("k")),
+            F.struct(F.col("o_orderkey").alias("k")),
+        )
+        .getItem(0)["k"]
+        .alias("first_elem_k"),
         F.when(
             F.struct(F.col("o_custkey"), F.col("o_orderkey"))
             < F.struct(F.col("o_orderkey"), F.col("o_custkey")),

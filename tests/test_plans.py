@@ -134,6 +134,26 @@ def test_headline_queries_stay_in_codegen(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
+def test_h_struct_battery_compiles_without_fallback(spark):
+    """The struct battery must survive whole-stage codegen STRICTLY — with
+    spark.sql.codegen.fallback off, a generated-code compile error fails the
+    job instead of silently demoting the stage to the interpreted path.
+    Pinned because ElementAt→GetStructField codegen in this Spark build
+    emits an invalid cross-expression variable reference ("isNull_N is not
+    an rvalue") whenever it shares a projection with any other column;
+    h_struct_functions dodges it via GetArrayItem (getItem(0)), and this
+    test catches both a regression to element_at and any future expression
+    that re-trips the bug."""
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    try:
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        rows = REGISTRY["h_struct_functions"].fn(spark, SF_SMOKE).collect()
+        assert len(rows) > 0
+        assert all(r["first_elem_k"] is not None for r in rows)
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_k12_decontam_broadcasts_bench_grams(spark):
     """The eval-set gram pool is the small side at any corpus scale: the
     contamination probe must be a broadcast hash join (the corpus side
