@@ -16,6 +16,14 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("daas_apps_spark-tests", master="local[8]")
+    # Strict codegen: a whole-stage-codegen compile error fails the test
+    # instead of silently demoting the stage to the interpreted path (a
+    # per-task perf cliff that production would hit quietly). The full
+    # registry is verified clean under this flag; keep it so any new
+    # expression that trips a codegen bug (e.g. ElementAt→GetStructField,
+    # see test_plans.py::test_h_struct_battery_compiles_without_fallback)
+    # fails loudly here first.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     yield spark
 
 
