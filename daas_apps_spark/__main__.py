@@ -4,7 +4,8 @@
     python -m daas_apps_spark show NAME
     python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
     python -m daas_apps_spark verify [NAME ...] [--sf DIR]
-    python -m daas_apps_spark table history|read|optimize|vacuum|delete PATH
+    python -m daas_apps_spark table \
+        history|read|optimize|vacuum|delete|clone|constraints PATH
 
 `list`/`show` are metadata-only (no Spark session). `run` executes one
 registered query and prints rows; `verify` runs queries on BOTH engines
@@ -158,6 +159,16 @@ def cmd_table(args: argparse.Namespace) -> int:
             return 2
         v = vt.delete(args.where)
         print(f"deleted -> v{v}")
+    elif args.op == "clone":
+        if not args.dest:
+            print("clone requires --dest <path>")
+            return 2
+        clone = vt.clone_to(args.dest, version=args.version)
+        print(f"cloned {args.path}@v{args.version or vt.latest_version()} -> "
+              f"{clone.path} (zero-copy)")
+    elif args.op == "constraints":
+        for name, expr in sorted(vt.constraints().items()):
+            print(f"{name}: CHECK ({expr})")
     return 0
 
 
@@ -197,9 +208,21 @@ def main(argv: list[str] | None = None) -> int:
 
     p_tbl = sub.add_parser("table", help="versioned-table maintenance")
     p_tbl.add_argument(
-        "op", choices=("history", "read", "optimize", "vacuum", "delete")
+        "op",
+        choices=(
+            "history",
+            "read",
+            "optimize",
+            "vacuum",
+            "delete",
+            "clone",
+            "constraints",
+        ),
     )
     p_tbl.add_argument("path")
+    p_tbl.add_argument(
+        "--dest", default=None, help="destination path for the clone op"
+    )
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--limit", type=int, default=20)
     p_tbl.add_argument("--target", type=int, default=1)

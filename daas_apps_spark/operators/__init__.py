@@ -111,7 +111,16 @@ _FAMILY_SWEEP = [  # group-2 sweep order: (regex, tier)
 ]
 
 
+# Queries registered AFTER a round's ~50-slot window has been pre-verified
+# must not displace it (the driver samples the FIRST 50 in this order): late
+# arrivals sort behind every incumbent group-2 name and enter the NEXT
+# round's window instead.
+_SWEEP_LATE = _re.compile(r"^a2[78]_")
+
+
 def _sweep_tier(name: str) -> int:
+    if _SWEEP_LATE.match(name):
+        return len(_FAMILY_SWEEP) + 1
     for rx, tier in _FAMILY_SWEEP:
         if rx.match(name):
             return tier

@@ -721,3 +721,132 @@ def a25_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "a27_shallow_clone",
+    oracle="""
+    SELECT 'source' AS branch,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    UNION ALL
+    SELECT 'clone',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders
+    WHERE o_orderdate < DATE '1996-01-01'
+       OR o_orderdate >= DATE '1997-01-01'
+    """,
+    tags=("A27", "A25", "G6"),
+)
+def a27_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE divergence (table_format.py::clone_to): orders land
+    in the source as two commits (pre-1996 = v1, the rest = v2); the
+    clone forks at v1 — zero bytes copied, every live file HARD-LINKED,
+    stats carried from the source manifest — then takes its own append
+    (the 1997+ slice). The two tables are then censused side by side:
+    the source must still hold ALL orders (the clone's append is
+    invisible to it) and the clone exactly pre-1996 + 1997+ (the
+    source's v2 is invisible to it). Delta/Iceberg's CLONE/branching
+    surface, with one upgrade: shared inodes survive a source VACUUM,
+    so the fork cannot be broken by the parent's retention (pinned in
+    tests/test_table_format.py::test_clone_survives_source_vacuum).
+
+    At 100 TB this is the dev/staging-fork pattern: a full-table copy
+    costs days of I/O; a manifest fork costs O(files) metadata ops and
+    each branch pays only for the data it diverges by.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    src_path = scratch_dir("a27_clone_src")
+    clone_path = scratch_dir("a27_clone_dst")
+    vt = VersionedTable(spark, src_path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o.filter(F.col("o_orderdate") < "1996-01-01"))  # v1
+    vt.append(o.filter(F.col("o_orderdate") >= "1996-01-01"))  # v2
+    clone = vt.clone_to(clone_path, version=1)
+    clone.append(o.filter(F.col("o_orderdate") >= "1997-01-01"))
+
+    def census(t, branch: str) -> DataFrame:
+        return t.read().agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        ).select(F.lit(branch).alias("branch"), "n_orders", "revenue")
+
+    return census(vt, "source").unionAll(census(clone, "clone"))
+
+
+@register(
+    "a28_check_constraints",
+    oracle="""
+    SELECT 'price_positive' AS constraint_name,
+           'o_totalprice > 0' AS expr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 97 = 0
+               AND NOT (-o_totalprice > 0)) AS n_rejected
+    UNION ALL
+    SELECT 'date_floor',
+           'o_orderdate >= DATE ''1990-01-01''',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 97 = 0
+               AND NOT (o_orderdate >= DATE '1990-01-01'))
+    """,
+    tags=("A28", "A25", "DQ4"),
+)
+def a28_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints enforced AT THE WRITE (table_format.py::
+    add_constraint / _validate — Delta's ALTER TABLE ADD CONSTRAINT +
+    write invariants): two constraints go on an empty table, the full
+    orders batch passes them, then a poisoned batch (every 97th key
+    with its price negated) is REJECTED whole — the table keeps exactly
+    the valid rows, proven by censusing it after the failed write. The
+    output reports, per constraint, the table's row count and how many
+    rows of the poisoned batch violated it (price_positive: all of
+    them; date_floor: none — but the batch fails atomically on ANY
+    violation). SQL CHECK semantics: NULL passes, only FALSE rejects.
+
+    DQ4 audits constraint violations after the fact; A28 is the other
+    discipline — stop them at the boundary, where one column-pruned
+    pass over the incoming batch (not the 100 TB table) pays for the
+    guarantee every downstream reader then inherits.
+    """
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    path = scratch_dir("a28_constraints")
+    vt = VersionedTable(spark, path)
+    vt.add_constraint("price_positive", "o_totalprice > 0")
+    vt.add_constraint("date_floor", "o_orderdate >= DATE '1990-01-01'")
+    o = table(spark, sf_dir, "orders")
+    vt.append(o)  # valid: commits
+    bad = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        vt.append(bad)
+        raise RuntimeError("constraint violation did not reject the batch")
+    except ConstraintViolationError:
+        pass
+    total = vt.read().agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    out = None
+    for name, expr in vt.constraints().items():
+        rejected = bad.agg(
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rejected")
+        )
+        row = total.crossJoin(rejected).select(
+            F.lit(name).alias("constraint_name"),
+            F.lit(expr).alias("expr"),
+            "n_rows",
+            "n_rejected",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -67,6 +67,12 @@ class CommitConflictError(RuntimeError):
     gets this (retriable) instead of silently clobbering the winner."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write contained rows that fail an active CHECK constraint; the
+    whole batch is rejected and NO commit is published (the write is
+    all-or-nothing, so a half-valid batch can never land)."""
+
+
 def _stat_key(v):
     """Normalize a stats/bound value to a JSON-safe, ORDER-PRESERVING key.
 
@@ -383,6 +389,10 @@ class VersionedTable:
             "file_stats": {
                 d: s for d, s in file_stats.items() if d in live_set
             },
+            # fold the active constraint set too: replay-from-checkpoint
+            # must reproduce ALL table state, and retention may drop the
+            # commits that added these
+            "constraints": self.constraints(version),
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -435,6 +445,147 @@ class VersionedTable:
         """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
         live, stats, _ = self._replay(version)
         return {d: stats.get(d, {}) for d in live}
+
+    def constraints(self, version: int | None = None) -> dict:
+        """Active CHECK constraints ``{name: sql_expr}`` at ``version``
+        (latest by default). Constraint ops live in commit METADATA
+        (data_change=False commits add/drop them; a clone bootstraps the
+        full set via ``constraints_set``) and are folded into checkpoints
+        alongside the live-dir list, so replay stays O(N mod
+        CHECKPOINT_EVERY) and log retention can't lose them."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active: dict = dict(base.get("constraints", {})) if base else {}
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "constraints_set" in md:
+                active = dict(md["constraints_set"])
+            op = md.get("constraint")
+            if op:
+                if op["op"] == "add":
+                    active[op["name"]] = op["expr"]
+                else:
+                    active.pop(op["name"], None)
+        return active
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr``): existing
+        rows must already satisfy it (one validation scan now — Delta's
+        rule), and every subsequent append/overwrite/merge validates its
+        incoming batch before committing (Delta invariants). SQL CHECK
+        semantics: NULL/unknown passes; only expr IS FALSE violates.
+        Recorded as a data_change=False metadata commit, so the change
+        feed and version-offset stream skip it like a compaction."""
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        if self._live_dirs():
+            self._validate(self.read(merge_schema=True), {name: expr})
+        return self._commit(
+            "add_constraint",
+            add=[],
+            remove=[],
+            metadata={"constraint": {"op": "add", "name": name, "expr": expr}},
+            data_change=False,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"constraint {name!r} does not exist")
+        return self._commit(
+            "drop_constraint",
+            add=[],
+            remove=[],
+            metadata={"constraint": {"op": "drop", "name": name}},
+            data_change=False,
+        )
+
+    def _validate(self, df: DataFrame, active: dict | None = None) -> None:
+        """Reject ``df`` if any row fails any active constraint. ONE
+        aggregate job counts violations for every constraint at once (the
+        batch is about to be written anyway, so this is the one extra
+        column-pruned pass Delta's invariant check also pays); the error
+        names each violated constraint with its row count so the producer
+        can fix data, not play twenty questions."""
+        from pyspark.sql import functions as F
+
+        active = self.constraints() if active is None else active
+        if not active:
+            return
+        names = list(active)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(active[n]), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        bad = {
+            n: int(counts[i] or 0)
+            for i, n in enumerate(names)
+            if (counts[i] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolationError(
+                "write rejected — CHECK constraint violations: "
+                + ", ".join(
+                    f"{n} ({active[n]}): {c} rows" for n, c in bad.items()
+                )
+            )
+
+    def clone_to(self, dest_path: str, version: int | None = None):
+        """SHALLOW CLONE at ``version`` (latest by default): a NEW table
+        whose first commit references the source snapshot's data by
+        HARD-LINKING every live file — zero bytes copied, O(files)
+        metadata ops, and stats carried from the source manifest (zero
+        footer re-reads). Unlike Delta's shallow clone (a path reference
+        the source's VACUUM silently breaks), shared inodes keep the data
+        alive until the LAST referencing table vacuums it — each table
+        then evolves and reclaims independently. Active constraints at
+        the cloned version carry over (``constraints_set`` bootstrap).
+        An object-store deployment swaps the links for a manifest listing
+        source files plus retention coordination, exactly as it swaps
+        _publish_commit for a CAS. Dest must be on the same filesystem
+        and must not already be a table."""
+        import glob
+
+        live, stats, file_stats = self._replay(version)
+        if not live:
+            raise ValueError(f"no snapshot at version {version} to clone")
+        dest = VersionedTable(self.spark, dest_path)
+        if dest._commits():
+            raise ValueError(f"clone destination {dest_path} is not empty")
+        known: dict = {}
+        for rel in live:
+            src_dir = os.path.join(self.path, _DATA, rel)
+            dst_dir = os.path.join(dest_path, _DATA, rel)
+            os.makedirs(dst_dir)
+            for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+                os.link(f, os.path.join(dst_dir, os.path.basename(f)))
+            if rel in file_stats:
+                known[rel] = (stats.get(rel, {}), file_stats[rel])
+        resolved = version if version is not None else self.latest_version()
+        dest._commit(
+            "clone",
+            add=list(live),
+            remove=[],
+            metadata={
+                "clone_source": self.path,
+                "clone_source_version": resolved,
+                "constraints_set": self.constraints(version),
+            },
+            known_stats=known,
+        )
+        return dest
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
@@ -572,10 +723,12 @@ class VersionedTable:
     # -- operations --------------------------------------------------------
 
     def append(self, df: DataFrame, metadata: dict | None = None) -> int:
+        self._validate(df)
         rel = self._write_data_dir(df, self.latest_version() + 1)
         return self._commit("append", add=[rel], remove=[], metadata=metadata)
 
     def overwrite(self, df: DataFrame, metadata: dict | None = None) -> int:
+        self._validate(df)
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(df, self.latest_version() + 1)
         return self._commit("overwrite", add=[rel], remove=old, metadata=metadata)
@@ -723,6 +876,9 @@ class VersionedTable:
         change feed's manifest fast path still accepts."""
         from pyspark.sql import functions as F
 
+        # carried/anti-joined rows were validated when first written;
+        # only the incoming side needs the invariant check
+        self._validate(updates)
         live, stats, file_stats = self._replay(None)
         vhint = self.latest_version() + 1
         bounds = updates.agg(

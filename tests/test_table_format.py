@@ -1176,3 +1176,166 @@ def test_log_names_sort_numerically_past_width_rollover(tmp_path):
         "99999999.json",
         "100000000.json",
     ]
+
+
+# -- A27 shallow clone ------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """Every cloned file shares its inode with the source (st_nlink >= 2,
+    zero bytes copied); afterwards the branches evolve independently —
+    a clone append is invisible to the source and vice versa."""
+    import glob
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    src.append(_df(spark, [(3, "c")]))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    cloned_files = glob.glob(
+        os.path.join(clone.path, "data", "*", "*.parquet")
+    )
+    assert cloned_files
+    assert all(os.stat(f).st_nlink >= 2 for f in cloned_files)
+    assert sorted(r.k for r in clone.read().collect()) == [1, 2, 3]
+    clone.append(_df(spark, [(4, "d")]))
+    src.append(_df(spark, [(5, "e")]))
+    assert sorted(r.k for r in clone.read().collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in src.read().collect()) == [1, 2, 3, 5]
+
+
+def test_clone_at_version_carries_stats_for_pruning(spark, tmp_path):
+    """A version-pinned clone sees exactly that snapshot, and the carried
+    manifest stats still prune: a disjoint range read lists no files."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    src.append(_df(spark, [(100, "z")]))
+    clone = src.clone_to(str(tmp_path / "dst"), version=1)
+    assert sorted(r.k for r in clone.read().collect()) == [1, 2]
+    # stats carried: a k-range disjoint from [1, 2] prunes everything
+    assert clone.read(prune=("k", 500, 900)).count() == 0
+    assert clone.read(prune=("k", 1, 5)).count() == 2
+
+
+def test_clone_survives_source_vacuum(spark, tmp_path):
+    """The upgrade over Delta's shallow clone: after the SOURCE rewrites
+    and vacuums away the cloned-from files, the clone still reads — the
+    hard links keep the shared inodes alive."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    src.overwrite(_df(spark, [(9, "z")]))  # retires v1's dir
+    deleted = src.vacuum(keep_versions=0)
+    assert deleted  # the cloned-from dir really was reclaimed at source
+    assert sorted((r.k, r.v) for r in clone.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_clone_refuses_nonempty_destination(spark, tmp_path):
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]))
+    dst = VersionedTable(spark, str(tmp_path / "dst"))
+    dst.append(_df(spark, [(2, "b")]))
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone_to(dst.path)
+
+
+# -- A28 CHECK constraints --------------------------------------------------
+
+
+def test_constraint_rejects_batch_atomically(spark, vt):
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    vt.add_constraint("k_positive", "k > 0")
+    vt.append(_df(spark, [(1, "a")]))
+    before = vt.latest_version()
+    with pytest.raises(ConstraintViolationError, match="k_positive"):
+        vt.append(_df(spark, [(2, "ok"), (-3, "bad")]))
+    # all-or-nothing: the valid row of the poisoned batch didn't land
+    assert vt.latest_version() == before
+    assert [r.k for r in vt.read().collect()] == [1]
+
+
+def test_constraint_null_passes_false_rejects(spark, vt):
+    """SQL CHECK semantics: NULL/unknown passes, only FALSE violates."""
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    vt.add_constraint("v_nonempty", "length(v) > 0")
+    vt.append(_df(spark, [(1, None)]))  # NULL -> unknown -> passes
+    with pytest.raises(ConstraintViolationError):
+        vt.append(_df(spark, [(2, "")]))
+    assert [r.k for r in vt.read().collect()] == [1]
+
+
+def test_add_constraint_validates_existing_rows(spark, vt):
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    vt.append(_df(spark, [(1, "a"), (-2, "b")]))
+    with pytest.raises(ConstraintViolationError, match="k_positive"):
+        vt.add_constraint("k_positive", "k > 0")
+    assert vt.constraints() == {}  # the failed add left no constraint
+
+
+def test_constraint_enforced_on_merge_and_dropped(spark, vt):
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    vt.add_constraint("k_positive", "k > 0")
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ConstraintViolationError):
+        vt.merge(_df(spark, [(-2, "B")]), keys=["k"])
+    vt.drop_constraint("k_positive")
+    vt.merge(_df(spark, [(-2, "B")]), keys=["k"])
+    assert sorted(r.k for r in vt.read().collect()) == [-2, 1, 2]
+
+
+def test_constraints_survive_checkpoint_fold(spark, vt):
+    """Constraints added before a checkpoint must replay from it: the
+    checkpoint carries the active set, so dropping pre-checkpoint commit
+    files (log retention) cannot lose the table's invariants."""
+    import json
+
+    from daas_apps_spark.sources.table_format import (
+        CHECKPOINT_EVERY,
+        ConstraintViolationError,
+    )
+
+    vt.add_constraint("k_positive", "k > 0")
+    for i in range(CHECKPOINT_EVERY):  # push past a checkpoint boundary
+        vt.append(_df(spark, [(i + 1, "x")]))
+    log = os.path.join(vt.path, "_log")
+    cks = [n for n in os.listdir(log) if n.endswith("checkpoint.json")]
+    assert cks
+    with open(os.path.join(log, sorted(cks)[-1])) as f:
+        assert json.load(f)["constraints"] == {"k_positive": "k > 0"}
+    # drop every commit file at-or-before the checkpoint (retention)
+    ck_v = int(sorted(cks)[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert vt.constraints() == {"k_positive": "k > 0"}
+    with pytest.raises(ConstraintViolationError):
+        vt.append(_df(spark, [(-1, "bad")]))
+
+
+def test_clone_carries_constraints(spark, tmp_path):
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.add_constraint("k_positive", "k > 0")
+    src.append(_df(spark, [(1, "a")]))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    assert clone.constraints() == {"k_positive": "k > 0"}
+    with pytest.raises(ConstraintViolationError):
+        clone.append(_df(spark, [(-1, "bad")]))
