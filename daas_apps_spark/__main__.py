@@ -5,7 +5,7 @@
     python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
     python -m daas_apps_spark verify [NAME ...] [--sf DIR]
     python -m daas_apps_spark table \
-        history|read|optimize|vacuum|delete|clone|constraints PATH
+        history|read|optimize|vacuum|delete|clone|constraints|tag|refs PATH
 
 `list`/`show` are metadata-only (no Spark session). `run` executes one
 registered query and prints rows; `verify` runs queries on BOTH engines
@@ -129,11 +129,20 @@ def cmd_table(args: argparse.Namespace) -> int:
     if args.op == "history":
         from daas_apps_spark.sources.table_format import read_log
 
+        import datetime
+
         for c in read_log(args.path):
             meta = c.get("metadata") or {}
             extra = f" metadata={meta}" if meta else ""
+            when = (
+                datetime.datetime.fromtimestamp(
+                    c["ts"], tz=datetime.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%SZ")
+                if c.get("ts")
+                else " " * 20
+            )
             print(
-                f"v{c['version']:<4d} {c['operation']:<9s} "
+                f"v{c['version']:<4d} {when} {c['operation']:<9s} "
                 f"+{len(c['add'])} -{len(c['remove'])}{extra}"
             )
         return 0
@@ -144,7 +153,9 @@ def cmd_table(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     vt = VersionedTable(spark, args.path)
     if args.op == "read":
-        vt.read(version=args.version).show(args.limit, truncate=False)
+        vt.read(
+            version=args.version, as_of=args.as_of, ref=args.ref
+        ).show(args.limit, truncate=False)
     elif args.op == "optimize":
         v = vt.optimize(target_partitions=args.target)
         print(f"optimized -> v{v}")
@@ -169,6 +180,16 @@ def cmd_table(args: argparse.Namespace) -> int:
     elif args.op == "constraints":
         for name, expr in sorted(vt.constraints().items()):
             print(f"{name}: CHECK ({expr})")
+    elif args.op == "tag":
+        if not args.name:
+            print("tag requires --name")
+            return 2
+        v = vt.set_ref(args.name, version=args.version)
+        print(f"tagged {args.name} -> "
+              f"v{args.version or vt.refs()[args.name]} (commit v{v})")
+    elif args.op == "refs":
+        for name, v in sorted(vt.refs().items()):
+            print(f"{name} -> v{v}")
     return 0
 
 
@@ -217,11 +238,25 @@ def main(argv: list[str] | None = None) -> int:
             "delete",
             "clone",
             "constraints",
+            "tag",
+            "refs",
         ),
     )
     p_tbl.add_argument("path")
     p_tbl.add_argument(
         "--dest", default=None, help="destination path for the clone op"
+    )
+    p_tbl.add_argument(
+        "--name", default=None, help="ref name for the tag op"
+    )
+    p_tbl.add_argument(
+        "--ref", default=None, help="read at a named tag (set by tag op)"
+    )
+    p_tbl.add_argument(
+        "--as-of",
+        dest="as_of",
+        default=None,
+        help="read TIMESTAMP AS OF (ISO datetime or epoch seconds)",
     )
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--limit", type=int, default=20)

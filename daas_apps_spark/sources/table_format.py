@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -328,6 +329,10 @@ class VersionedTable:
             # of the change feed / version-offset stream skip it — Delta's
             # dataChange flag
             "data_change": data_change,
+            # wall-clock publish time (epoch seconds) — what TIMESTAMP AS
+            # OF resolves against; informational only, never replayed into
+            # table state, so clock skew can't corrupt anything
+            "ts": _time.time(),
             "metadata": metadata or {},
             "stats": {rel: h[0] for rel, h in harvested.items()},
             # per-FILE manifest stats (basename → {col: [min, max, nulls]})
@@ -389,10 +394,11 @@ class VersionedTable:
             "file_stats": {
                 d: s for d, s in file_stats.items() if d in live_set
             },
-            # fold the active constraint set too: replay-from-checkpoint
-            # must reproduce ALL table state, and retention may drop the
-            # commits that added these
+            # fold the active constraint set and refs too: replay-from-
+            # checkpoint must reproduce ALL table state, and retention may
+            # drop the commits that added these
             "constraints": self.constraints(version),
+            "refs": self.refs(version),
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -483,6 +489,21 @@ class VersionedTable:
         semantics: NULL/unknown passes; only expr IS FALSE violates.
         Recorded as a data_change=False metadata commit, so the change
         feed and version-offset stream skip it like a compaction."""
+        # Eager SYNTAX check so a malformed expression fails HERE, not at
+        # the first append against an empty table (F.expr parses lazily).
+        # Column resolution still waits for data — an empty table has no
+        # schema to resolve against. Internal-parser access degrades
+        # gracefully: only a genuine ParseException rejects the add.
+        try:
+            parser = self.spark._jsparkSession.sessionState().sqlParser()
+            parser.parseExpression(expr)
+        except Exception as e:  # noqa: BLE001 — classify, don't swallow
+            if "ParseException" in type(e).__name__ or "PARSE_SYNTAX" in str(
+                e
+            ):
+                raise ValueError(
+                    f"constraint expression does not parse: {expr!r}"
+                ) from e
         if name in self.constraints():
             raise ValueError(f"constraint {name!r} already exists")
         if self._live_dirs():
@@ -542,7 +563,95 @@ class VersionedTable:
                 )
             )
 
-    def clone_to(self, dest_path: str, version: int | None = None):
+    def refs(self, version: int | None = None) -> dict:
+        """Named version tags ``{name: version}`` — Iceberg's refs/tags:
+        a ref is a FROZEN pointer ('prod', 'eval-2026-08') that survives
+        further writes, so consumers pin a blessed snapshot by name
+        instead of circulating raw version numbers. Stored and replayed
+        exactly like constraints (metadata commits + checkpoint fold)."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active: dict = dict(base.get("refs", {})) if base else {}
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            op = (entry.get("metadata") or {}).get("ref")
+            if op:
+                if op["op"] == "set":
+                    active[op["name"]] = op["version"]
+                else:
+                    active.pop(op["name"], None)
+        return active
+
+    def set_ref(self, name: str, version: int | None = None) -> int:
+        """Tag ``version`` (default: the current head) as ``name``,
+        overwriting an existing tag of that name. data_change=False: the
+        change feed and streams skip it."""
+        target = version if version is not None else self.latest_version()
+        if not 1 <= target <= self.latest_version():
+            raise ValueError(
+                f"cannot tag version {target}: table is at "
+                f"v{self.latest_version()}"
+            )
+        return self._commit(
+            "set_ref",
+            add=[],
+            remove=[],
+            metadata={"ref": {"op": "set", "name": name, "version": target}},
+            data_change=False,
+        )
+
+    def drop_ref(self, name: str) -> int:
+        if name not in self.refs():
+            raise ValueError(f"ref {name!r} does not exist")
+        return self._commit(
+            "drop_ref",
+            add=[],
+            remove=[],
+            metadata={"ref": {"op": "drop", "name": name}},
+            data_change=False,
+        )
+
+    def _resolve_as_of(self, as_of) -> int:
+        """Version whose commit is the newest published at-or-before
+        ``as_of`` (epoch seconds, datetime, or ISO string) — Delta's
+        TIMESTAMP AS OF. Resolution uses the commit log's informational
+        ``ts`` field; pre-``ts`` commits (older log formats) count as
+        arbitrarily old, which can only resolve the query to an OLDER
+        snapshot, never a too-new one."""
+        import datetime
+
+        if isinstance(as_of, str):
+            try:
+                as_of = float(as_of)  # "1723670000.5" — epoch seconds
+            except ValueError:
+                as_of = datetime.datetime.fromisoformat(as_of)
+        if isinstance(as_of, datetime.datetime):
+            if as_of.tzinfo is None:
+                as_of = as_of.replace(tzinfo=datetime.timezone.utc)
+            as_of = as_of.timestamp()
+        best = None
+        for entry in self._commits():
+            if (entry.get("ts") or 0.0) <= as_of:
+                best = entry["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {as_of!r} — the table did not "
+                "exist yet"
+            )
+        return best
+
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        ref: str | None = None,
+    ):
         """SHALLOW CLONE at ``version`` (latest by default): a NEW table
         whose first commit references the source snapshot's data by
         HARD-LINKING every live file — zero bytes copied, O(files)
@@ -555,9 +664,17 @@ class VersionedTable:
         An object-store deployment swaps the links for a manifest listing
         source files plus retention coordination, exactly as it swaps
         _publish_commit for a CAS. Dest must be on the same filesystem
-        and must not already be a table."""
+        and must not already be a table. ``ref`` clones a named tag
+        instead of a raw version number."""
         import glob
 
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass at most one of version / ref")
+            tags = self.refs()
+            if ref not in tags:
+                raise ValueError(f"unknown ref {ref!r}; have {sorted(tags)}")
+            version = tags[ref]
         live, stats, file_stats = self._replay(version)
         if not live:
             raise ValueError(f"no snapshot at version {version} to clone")
@@ -1267,8 +1384,13 @@ class VersionedTable:
         version: int | None = None,
         prune: tuple[str, object, object] | None = None,
         merge_schema: bool = False,
+        as_of=None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Snapshot read — latest by default, time travel with ``version``.
+        """Snapshot read — latest by default; time travel with ``version``
+        (VERSION AS OF), ``as_of`` (TIMESTAMP AS OF: epoch seconds,
+        datetime, or ISO string), or ``ref`` (a named tag from set_ref).
+        The three selectors are mutually exclusive.
 
         ``prune=(col, lo, hi)`` is manifest-level FILE skipping: files
         whose commit-recorded [min, max] for ``col`` cannot intersect
@@ -1282,6 +1404,15 @@ class VersionedTable:
         for the column, are conservatively kept. The caller still
         applies the actual filter; pruning only shrinks the scan, never
         the semantics."""
+        if sum(x is not None for x in (version, as_of, ref)) > 1:
+            raise ValueError("pass at most one of version / as_of / ref")
+        if ref is not None:
+            tags = self.refs()
+            if ref not in tags:
+                raise ValueError(f"unknown ref {ref!r}; have {sorted(tags)}")
+            version = tags[ref]
+        elif as_of is not None:
+            version = self._resolve_as_of(as_of)
         live, stats, file_stats = self._replay(version)
         dirs = [os.path.join(self.path, _DATA, d) for d in live]
         if not dirs:

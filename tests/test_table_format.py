@@ -1339,3 +1339,87 @@ def test_clone_carries_constraints(spark, tmp_path):
     assert clone.constraints() == {"k_positive": "k > 0"}
     with pytest.raises(ConstraintViolationError):
         clone.append(_df(spark, [(-1, "bad")]))
+
+
+# -- refs / timestamp time travel ---------------------------------------------
+
+
+def test_refs_pin_versions_by_name(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.set_ref("prod")  # tags v1 (the head)
+    vt.append(_df(spark, [(2, "b")]))
+    assert vt.refs() == {"prod": 1}
+    # a ref is FROZEN: later writes don't move it
+    assert [r.k for r in vt.read(ref="prod").collect()] == [1]
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2]
+    vt.set_ref("prod", version=3)  # retag to the append's commit
+    assert vt.refs() == {"prod": 3}
+    vt.drop_ref("prod")
+    assert vt.refs() == {}
+    with pytest.raises(ValueError, match="unknown ref"):
+        vt.read(ref="prod")
+
+
+def test_ref_cannot_point_past_head(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="cannot tag"):
+        vt.set_ref("future", version=99)
+
+
+def test_timestamp_as_of_resolves_between_commits(spark, vt):
+    """TIMESTAMP AS OF picks the newest commit at-or-before the given
+    time; a time before the table existed fails loudly."""
+    import json
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    log = os.path.join(vt.path, "_log")
+    commits = {}
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n and not n.startswith("."):
+            with open(os.path.join(log, n)) as f:
+                e = json.load(f)
+            commits[e["version"]] = e["ts"]
+    assert set(commits) == {1, 2} and commits[1] <= commits[2]
+    # exactly at v1's publish time -> v1; between v1 and v2 inclusive -> as given
+    assert [r.k for r in vt.read(as_of=commits[1]).collect()] == [1]
+    assert sorted(
+        r.k for r in vt.read(as_of=commits[2] + 60).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="did not exist"):
+        vt.read(as_of=commits[1] - 60)
+    with pytest.raises(ValueError, match="at most one"):
+        vt.read(version=1, as_of=commits[1])
+
+
+def test_refs_survive_checkpoint_fold(spark, vt):
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.set_ref("stable")  # pins v1
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_df(spark, [(i + 10, "x")]))
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    assert cks
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n and not n.startswith("."):
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert vt.refs() == {"stable": 1}
+
+
+def test_clone_at_ref(spark, tmp_path):
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]))
+    src.set_ref("blessed")
+    src.append(_df(spark, [(2, "b")]))
+    clone = src.clone_to(str(tmp_path / "dst"), ref="blessed")
+    assert [r.k for r in clone.read().collect()] == [1]
+
+
+def test_add_constraint_rejects_malformed_expression(spark, vt):
+    with pytest.raises(ValueError, match="does not parse"):
+        vt.add_constraint("broken", "k > ")
+    assert vt.constraints() == {}
