@@ -533,12 +533,27 @@ class VersionedTable:
         batch is about to be written anyway, so this is the one extra
         column-pruned pass Delta's invariant check also pays); the error
         names each violated constraint with its row count so the producer
-        can fix data, not play twenty questions."""
+        can fix data, not play twenty questions.
+
+        Table columns the batch lacks (a schema-evolving merge's narrower
+        updates) are aligned in as NULLs first, so a constraint on such a
+        column evaluates exactly what a reader of the written rows will
+        see — NULL, which CHECK semantics pass — instead of failing
+        resolution."""
         from pyspark.sql import functions as F
 
         active = self.constraints() if active is None else active
         if not active:
             return
+        live, _, _ = self._replay(None)
+        if live:
+            missing = self._table_columns(live) - {
+                c.lower() for c in df.columns
+            }
+            if missing:
+                df = df.withColumns(
+                    {c: F.lit(None) for c in sorted(missing)}
+                )
         names = list(active)
         counts = df.agg(
             *[
@@ -665,7 +680,9 @@ class VersionedTable:
         source files plus retention coordination, exactly as it swaps
         _publish_commit for a CAS. Dest must be on the same filesystem
         and must not already be a table. ``ref`` clones a named tag
-        instead of a raw version number."""
+        instead of a raw version number; refs themselves are NOT carried
+        (they name SOURCE version numbers, meaningless in the clone's
+        own log)."""
         import glob
 
         if ref is not None:
@@ -1344,7 +1361,8 @@ class VersionedTable:
         """Delete data dirs unreferenced by any version newer than
         ``latest - keep_versions`` — the storage-reclaim step that
         TRADES time travel (older snapshots become unreadable) for
-        space. Orphan dirs (torn writes no commit references) are also
+        space. Snapshots pinned by a named ref (set_ref) are always
+        spared. Orphan dirs (torn writes no commit references) are also
         reclaimed. Returns the deleted dir names.
 
         ``min_age_seconds`` is the retention window Delta's VACUUM has
@@ -1361,6 +1379,11 @@ class VersionedTable:
         horizon = self.latest_version() - keep_versions
         keep: set[str] = set()
         for v in range(max(horizon, 1), self.latest_version() + 1):
+            keep.update(os.path.basename(p) for p in self._live_dirs(v))
+        # a named ref PROTECTS its snapshot from expiration (Iceberg's
+        # retention rule): a tag that vacuum can silently break is no
+        # pin at all — drop the ref first to release its storage
+        for v in self.refs().values():
             keep.update(os.path.basename(p) for p in self._live_dirs(v))
         data_root = os.path.join(self.path, _DATA)
         now = time.time()

@@ -1423,3 +1423,44 @@ def test_add_constraint_rejects_malformed_expression(spark, vt):
     with pytest.raises(ValueError, match="does not parse"):
         vt.add_constraint("broken", "k > ")
     assert vt.constraints() == {}
+
+
+def test_vacuum_spares_ref_pinned_snapshots(spark, vt):
+    """A named ref protects its snapshot from expiration (Iceberg's
+    retention rule); dropping the ref releases the storage."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.set_ref("pinned")
+    vt.overwrite(_df(spark, [(9, "z")]))
+    assert vt.vacuum(keep_versions=0) == []  # the ref'd dir survived
+    assert [r.k for r in vt.read(ref="pinned").collect()] == [1]
+    vt.drop_ref("pinned")
+    assert vt.vacuum(keep_versions=0)  # now it's reclaimable
+    assert [r.k for r in vt.read().collect()] == [9]
+
+
+def test_constraint_on_evolved_column_passes_as_null(spark, vt):
+    """A schema-evolving merge whose narrower updates lack a constrained
+    column must see NULL for it (what a reader of the written rows sees)
+    — CHECK passes — not an unresolved-column crash; a FALSE evaluation
+    still rejects."""
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    vt.append(
+        spark.createDataFrame([(1, "a", 5)], "k long, v string, score long")
+    )
+    vt.add_constraint("score_pos", "score > 0")
+    vt.merge(
+        _df(spark, [(2, "b")]),  # no score column -> NULL -> passes
+        keys=["k"],
+        allow_schema_evolution=True,
+    )
+    got = {r.k: r.score for r in vt.read(merge_schema=True).collect()}
+    assert got == {1: 5, 2: None}
+    with pytest.raises(ConstraintViolationError):
+        vt.append(
+            spark.createDataFrame(
+                [(3, "c", -1)], "k long, v string, score long"
+            )
+        )
