@@ -964,3 +964,89 @@ def test_k3_band_cap_shrinks_candidates(spark):
     }
     for r in _k3_impl(spark, SF_SMOKE, 2).collect():
         assert exact.get((r.doc_a, r.doc_b)) == r.jaccard
+
+
+# ---------------------------------------------------------------------------
+# Versioned table format (A25/A27): ANY sequence of append / merge /
+# delete_range / overwrite / optimize must leave the table equal to a
+# trivial in-memory model, every intermediate version must time-travel
+# back to the model's snapshot at that point, and a ref tagged mid-way
+# must keep reading the tagged snapshot at the end. This is the
+# whole-format invariant the per-op unit tests can't see: OP INTERACTIONS
+# (merge after delete, optimize between appends, evolution-free paths)
+# are where manifest bookkeeping would drift from semantics.
+
+_tbl_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.sampled_from(["a", "b", "c"])),
+    min_size=0,
+    max_size=5,
+)
+_tbl_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _tbl_rows),
+        st.tuples(st.just("merge"), _tbl_rows),
+        st.tuples(
+            st.just("delete_range"), st.integers(0, 6), st.integers(0, 6)
+        ),
+        st.tuples(st.just("overwrite"), _tbl_rows),
+        st.tuples(st.just("optimize")),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+_seq_counter = [0]
+
+
+@given(ops=_tbl_ops, tag_at=st.integers(0, 4))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_table_format_matches_model_over_any_op_sequence(
+    spark, tmp_path, ops, tag_at
+):
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    _seq_counter[0] += 1
+    vt = VersionedTable(spark, str(tmp_path / f"t{_seq_counter[0]}"))
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def snapshot(t, **kw):
+        return sorted((r.k, r.v) for r in t.read(**kw).collect())
+
+    model: list[tuple[int, str]] = [(0, "seed"), (1, "seed")]
+    vt.append(df(model))  # v1: never start empty (read() errors pre-commit)
+    history: dict[int, list] = {1: sorted(model)}
+    tagged = None
+    for i, op in enumerate(ops):
+        if op[0] == "append":
+            vt.append(df(op[1]))
+            model.extend(op[1])
+        elif op[0] == "merge":
+            # upsert: ALL rows with a matched key replaced by the updates
+            matched = {k for k, _ in op[1]}
+            vt.merge(df(op[1]), keys=["k"])
+            model = [r for r in model if r[0] not in matched] + list(op[1])
+        elif op[0] == "delete_range":
+            lo, hi = min(op[1], op[2]), max(op[1], op[2])
+            vt.delete_range("k", lo, hi)
+            model = [r for r in model if not lo <= r[0] <= hi]
+        elif op[0] == "overwrite":
+            vt.overwrite(df(op[1]))
+            model = list(op[1])
+        elif op[0] == "optimize":
+            vt.optimize(target_partitions=1)
+        assert snapshot(vt) == sorted(model), f"after op {i}: {op}"
+        history[vt.latest_version()] = sorted(model)
+        if i == tag_at:
+            vt.set_ref("pin")
+            tagged = sorted(model)
+    # every recorded version time-travels back to its model snapshot
+    for v, snap in history.items():
+        assert snapshot(vt, version=v) == snap, f"time travel to v{v}"
+    if tagged is not None:
+        assert snapshot(vt, ref="pin") == tagged
