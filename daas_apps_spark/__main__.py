@@ -168,8 +168,8 @@ def cmd_table(args: argparse.Namespace) -> int:
         if not args.where:
             print("delete requires --where <sql predicate>")
             return 2
-        v = vt.delete(args.where)
-        print(f"deleted -> v{v}")
+        v = vt.delete(args.where, mode=args.mode)
+        print(f"deleted ({args.mode}) -> v{v}")
     elif args.op == "clone":
         if not args.dest:
             print("clone requires --dest <path>")
@@ -271,6 +271,14 @@ def main(argv: list[str] | None = None) -> int:
         "--where",
         default=None,
         help="SQL predicate for the delete op (rows matching are removed)",
+    )
+    p_tbl.add_argument(
+        "--mode",
+        choices=("cow", "mor"),
+        default="cow",
+        help="delete strategy: cow rewrites files without the matching "
+        "rows; mor records a deletion vector and touches no data file "
+        "(OPTIMIZE purges vectors physically)",
     )
     p_tbl.add_argument(
         "--min-age",

@@ -850,3 +850,71 @@ def a28_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "a29_deletion_vectors",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT')
+      AND NOT (o_orderstatus = 'F' AND o_orderpriority = '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+    tags=("A29", "A25", "B2"),
+)
+def a29_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (table_format.py::
+    delete(mode="mor")): orders land as commit v1, then TWO overlapping
+    predicate deletes run as MOR commits — each records a tiny parquet
+    of (file basename, row position) pairs under ``_dv/`` and touches
+    ZERO data files (asserted structurally below). The head census must
+    equal the oracle's double-WHERE recompute (vectors compose without
+    double-counting: the second delete's matching scan is itself
+    DV-applied), and the time-traveled v1 census must still see every
+    row — vectors are versioned table state, not mutations.
+
+    At 100 TB this is the delete path that makes GDPR-style point
+    deletes affordable: COW rewrites a gigabyte file to drop three rows;
+    a vector writes kilobytes, and reads pay one broadcast anti-join on
+    (file, position) until OPTIMIZE purges physically. Delta's deletion
+    vectors / Iceberg's position deletes, reduced to a manifest entry
+    plus ``_metadata.row_index``.
+    """
+    import os as _os
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a29_dv")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o)  # v1
+    data_root = _os.path.join(path, "data")
+    dirs_before = sorted(_os.listdir(data_root))
+    vt.delete("o_orderpriority = '1-URGENT'", mode="mor")  # v2
+    vt.delete(
+        "o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        mode="mor",
+    )  # v3 — overlaps v2's range; only the NEW positions are recorded
+    assert sorted(_os.listdir(data_root)) == dirs_before, (
+        "merge-on-read delete must not add or rewrite data dirs"
+    )
+
+    def census(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+
+    return census(vt.read(version=1), 1).unionByName(census(vt.read(), 3))

@@ -29,6 +29,19 @@ those are rewritten (snapshot-slice ⟕ updates via anti-join + union) into
 one new dir; range-disjoint dirs survive the commit untouched. Same log
 schema as a full rewrite, smaller `remove` sets — at 100 TB a 1-row MERGE
 rewrites one file's worth of data, not the table.
+
+DELETE additionally has a MERGE-ON-READ path (``delete(cond,
+mode="mor")``): instead of rewriting any data file, the commit adds a
+DELETION VECTOR — a tiny parquet of (file basename, row position) pairs
+under ``<table>/_dv/`` — and every snapshot read anti-joins it against
+the scan's ``_metadata.file_name``/``row_index``. Delta's deletion
+vectors / Iceberg's position deletes, reduced to one broadcast anti-join:
+at 100 TB, deleting 3 rows from a 1 GB file writes KILOBYTES, not the
+gigabyte COW would. Vector keys are file BASENAMES (globally unique per
+write — Spark part files embed a job UUID), so hard-link carries and
+shallow clones keep vectors valid without rewriting them. OPTIMIZE (a
+full rewrite) PURGES: it applies outstanding vectors physically and drops
+them from table state.
 """
 
 from __future__ import annotations
@@ -42,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG = "_log"
 _DATA = "data"
+_DV = "_dv"  # deletion-vector dirs (merge-on-read position deletes)
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 
 import re as _re
@@ -169,10 +183,13 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
             present.add(c["version"])
             if c.get("data_change", True) is False:
                 continue  # compaction: same rows, already streamed
-            if c["remove"]:
+            if c["remove"] or c.get("dv_add"):
+                # dv_add deletes rows without removing a dir (merge-on-read)
+                # — just as append-only-breaking as a rewrite
                 raise ValueError(
-                    f"commit {c['version']} ({c['operation']}) rewrites data; "
-                    "a version-offset change stream requires append-only"
+                    f"commit {c['version']} ({c['operation']}) rewrites or "
+                    "deletes data; a version-offset change stream requires "
+                    "append-only"
                 )
             dirs.extend(
                 os.path.join(path, _DATA, d) for d in c["add"]
@@ -308,12 +325,15 @@ class VersionedTable:
         metadata: dict | None = None,
         data_change: bool = True,
         known_stats: dict | None = None,
+        dv_add: list[str] | None = None,
+        dv_remove: list[str] | None = None,
     ) -> int:
         """``known_stats`` maps an added rel to its precomputed
         (dir_stats, file_stats) — carry dirs pass the source commit's
         recorded per-file entries through, so carrying N files is pure
         manifest arithmetic (zero footer reads), as _carry_dir
-        advertises."""
+        advertises. ``dv_add``/``dv_remove`` track deletion-vector dirs
+        (under ``_dv/``) the same way add/remove track data dirs."""
         version = self.latest_version() + 1
         known_stats = known_stats or {}
         harvested = {
@@ -338,6 +358,11 @@ class VersionedTable:
             # per-FILE manifest stats (basename → {col: [min, max, nulls]})
             # — what bounds pruning and COW at file, not commit, granularity
             "file_stats": {rel: h[1] for rel, h in harvested.items()},
+            # deletion-vector dirs this commit activates/retires (absent
+            # keys read as [] — commits from before the MOR path replay
+            # unchanged)
+            "dv_add": dv_add or [],
+            "dv_remove": dv_remove or [],
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -399,6 +424,9 @@ class VersionedTable:
             # drop the commits that added these
             "constraints": self.constraints(version),
             "refs": self.refs(version),
+            # live deletion-vector dirs are table state exactly like live
+            # data dirs: a replay that lost them would resurrect deleted rows
+            "dvs": self._live_dvs(version),
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -446,6 +474,68 @@ class VersionedTable:
     def _live_dirs(self, version: int | None = None) -> list[str]:
         live, _, _ = self._replay(version)
         return [os.path.join(self.path, _DATA, d) for d in live]
+
+    def _live_dvs(self, version: int | None = None) -> list[str]:
+        """Live deletion-vector dirs (rel names under ``_dv/``) at
+        ``version``, replayed exactly like live data dirs: from the
+        newest checkpoint at-or-before the version, then the commits'
+        dv_add/dv_remove. Pre-MOR commits and checkpoints contribute
+        nothing (missing keys read as empty)."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        dvs: list[str] = list(base.get("dvs", [])) if base else []
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            rm = set(entry.get("dv_remove", []))
+            dvs = [d for d in dvs if d not in rm]
+            dvs.extend(entry.get("dv_add", []))
+        return dvs
+
+    def _apply_dv(self, df: DataFrame, dvs: list[str]) -> DataFrame:
+        """Subtract the deletion vectors from a parquet scan: anti-join on
+        (file basename, row position) via the scan's ``_metadata`` struct.
+        The vector side is tiny by construction (positions, not rows) —
+        an explicit broadcast keeps the scan side shuffle-free, so a MOR
+        read costs one map-side anti-join over the plan COW would run
+        anyway. No-op (same plan object) when no vectors are live."""
+        if not dvs:
+            return df
+        from pyspark.sql import functions as F
+
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, _DV, d) for d in dvs]
+        )
+        orig = df.columns
+        return (
+            df.withColumn("__dv_file", F.col("_metadata.file_name"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long"))
+            .join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").cast("long").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+            .select(*orig)
+        )
+
+    def _write_dv_dir(self, df: DataFrame, version_hint: int) -> str:
+        """Write a (file string, pos long) deletion-vector frame as one
+        small parquet dir under ``_dv/``; returns the rel name."""
+        rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, _DV, rel)
+        )
+        return rel
 
     def _live_stats(self, version: int | None = None) -> dict:
         """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
@@ -707,6 +797,16 @@ class VersionedTable:
                 os.link(f, os.path.join(dst_dir, os.path.basename(f)))
             if rel in file_stats:
                 known[rel] = (stats.get(rel, {}), file_stats[rel])
+        # deletion vectors are PART of the snapshot: a clone that dropped
+        # them would resurrect deleted rows. Vectors key on file basename,
+        # which the hard links preserve — link the dirs, carry the state.
+        dvs = self._live_dvs(version)
+        for rel in dvs:
+            src_dir = os.path.join(self.path, _DV, rel)
+            dst_dir = os.path.join(dest_path, _DV, rel)
+            os.makedirs(dst_dir)
+            for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+                os.link(f, os.path.join(dst_dir, os.path.basename(f)))
         resolved = version if version is not None else self.latest_version()
         dest._commit(
             "clone",
@@ -718,6 +818,7 @@ class VersionedTable:
                 "constraints_set": self.constraints(version),
             },
             known_stats=known,
+            dv_add=dvs,
         )
         return dest
 
@@ -865,7 +966,14 @@ class VersionedTable:
         self._validate(df)
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(df, self.latest_version() + 1)
-        return self._commit("overwrite", add=[rel], remove=old, metadata=metadata)
+        return self._commit(
+            "overwrite",
+            add=[rel],
+            remove=old,
+            metadata=metadata,
+            # every file the vectors referenced is retired with this commit
+            dv_remove=self._live_dvs(),
+        )
 
     def delete_range(self, col: str, lo, hi) -> int:
         """DELETE WHERE ``col`` BETWEEN lo AND hi at FILE granularity:
@@ -936,8 +1044,14 @@ class VersionedTable:
                 if c == "straddle"
             )
         if rewrite_paths:
-            kept = self.spark.read.option("mergeSchema", "true").parquet(
-                *sorted(rewrite_paths)
+            # DV-applied raw read: a straddling file may carry deletion
+            # vectors, and rewriting it without subtracting them would
+            # RESURRECT the deleted rows in the new file
+            kept = self._apply_dv(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(rewrite_paths)
+                ),
+                self._live_dvs(),
             )
             if col.lower() in {c.lower() for c in kept.columns}:
                 # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
@@ -960,14 +1074,31 @@ class VersionedTable:
             "delete", add=add, remove=remove, known_stats=known
         )
 
-    def delete(self, condition: str) -> int:
-        """DELETE WHERE ``condition`` (any SQL predicate), whole-table
-        copy-on-write: the snapshot is rewritten without the matching
-        rows. For range predicates on a single column prefer
-        ``delete_range`` — it skips and drops files by manifest stats
-        instead of reading everything."""
+    def delete(self, condition: str, mode: str = "cow") -> int:
+        """DELETE WHERE ``condition`` (any SQL predicate).
+
+        ``mode="cow"`` (default): whole-table copy-on-write — the
+        snapshot is rewritten without the matching rows. For range
+        predicates on a single column prefer ``delete_range`` — it skips
+        and drops files by manifest stats instead of reading everything.
+
+        ``mode="mor"`` (merge-on-read): NO data file is touched — the
+        commit adds a deletion vector (a tiny parquet of (file basename,
+        row position) pairs under ``_dv/``) that every subsequent read
+        anti-joins away. Delta's deletion vectors / Iceberg's position
+        deletes: at 100 TB, a delete matching 3 rows in a 1 GB file
+        writes kilobytes instead of rewriting the gigabyte. The write
+        cost is one scan of the (manifest-prunable) table to find the
+        matching positions; read cost is one broadcast anti-join until
+        OPTIMIZE purges the vectors physically. Manifest stats stay
+        sound (a vector only SHRINKS a file's live rows, so recorded
+        [min, max, nulls] remain valid upper bounds for pruning)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete: unknown mode {mode!r} (cow|mor)")
+        if mode == "mor":
+            return self._delete_mor(condition)
         # a row is deleted only when the predicate is TRUE; NULL (unknown)
         # keeps the row — SQL DELETE semantics
         kept = self.read(merge_schema=True).filter(
@@ -975,7 +1106,74 @@ class VersionedTable:
         )
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(kept, self.latest_version() + 1)
-        return self._commit("delete", add=[rel], remove=old)
+        return self._commit(
+            "delete",
+            add=[rel],
+            remove=old,
+            # the rewrite applied every outstanding vector physically —
+            # retire them with the files they referenced
+            dv_remove=self._live_dvs(),
+        )
+
+    def _delete_mor(self, condition: str) -> int:
+        """Merge-on-read DELETE: record matching (file, position) pairs as
+        a deletion vector, touching no data file. Positions come from the
+        scan's own ``_metadata`` struct; already-deleted rows are excluded
+        (the matching scan is itself DV-applied), so vectors never
+        duplicate entries across successive deletes."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        live = self._live_dirs()
+        if not live:
+            raise ValueError(f"no snapshot to delete from in {self.path}")
+        vhint = self.latest_version() + 1
+        scan = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*live)
+            .withColumn("__dv_file", F.col("_metadata.file_name"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long"))
+        )
+        prior = self._live_dvs()
+        if prior:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, _DV, d) for d in prior]
+            )
+            scan = scan.join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").cast("long").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+        hit = scan.filter(
+            F.coalesce(F.expr(condition), F.lit(False))
+        ).select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        rel = self._write_dv_dir(hit, vhint)
+        # footer-count the vector (metadata-only) to decide no-op vs commit
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(self.path, _DV, rel, "*.parquet"))
+        )
+        if n == 0:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, _DV, rel), ignore_errors=True)
+            return self.latest_version()  # nothing matched: no commit
+        return self._commit(
+            "delete",
+            add=[],
+            remove=[],
+            dv_add=[rel],
+            metadata={"mode": "merge-on-read", "rows_deleted": n},
+        )
 
     def merge(
         self,
@@ -1082,9 +1280,14 @@ class VersionedTable:
         if rewrite_paths:
             # always mergeSchema on the rewrite read: an EARLIER evolved
             # merge may have left heterogeneous files, and a plain read
-            # would adopt one file's schema and silently drop the rest
-            current = self.spark.read.option("mergeSchema", "true").parquet(
-                *sorted(rewrite_paths)
+            # would adopt one file's schema and silently drop the rest.
+            # DV-applied: rewriting a vector-carrying file without
+            # subtracting its deletion vector would resurrect deleted rows
+            current = self._apply_dv(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(rewrite_paths)
+                ),
+                self._live_dvs(),
             )
             merged = current.join(updates, keys, "left_anti").unionByName(
                 updates, allowMissingColumns=allow_schema_evolution
@@ -1165,8 +1368,15 @@ class VersionedTable:
             small = [rel for rel in live if dir_bytes(rel) < max_dir_bytes]
             if len(small) < 2:
                 return self.latest_version()  # nothing worth folding
-            folded = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, _DATA, d) for d in small]
+            # DV-applied fold: a folded file's deletion vector must be
+            # subtracted before its rows land in the compacted file (the
+            # vectors of UNTOUCHED dirs stay live — this fold only purges
+            # the folded files' entries physically)
+            folded = self._apply_dv(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, _DATA, d) for d in small]
+                ),
+                self._live_dvs(),
             ).coalesce(target_partitions)
             rel = self._write_data_dir(folded, self.latest_version() + 1)
             return self._commit("optimize", add=[rel], remove=small, data_change=False)
@@ -1234,18 +1444,39 @@ class VersionedTable:
             final = os.path.join(self.path, _DATA, rel)
             os.makedirs(final, exist_ok=True)
             idx = 0
+            # the dir's own uuid suffix keeps z-file BASENAMES globally
+            # unique — deletion vectors key on basename, so two zorder
+            # rewrites must never mint the same file name
+            ztag = rel.rsplit("-", 1)[-1]
             for sub in sorted(glob.glob(os.path.join(tmp_out, "_zbucket=*"))):
                 for f in sorted(glob.glob(os.path.join(sub, "*.parquet"))):
                     os.rename(
-                        f, os.path.join(final, f"z{idx:05d}.snappy.parquet")
+                        f,
+                        os.path.join(
+                            final, f"z{idx:05d}-{ztag}.snappy.parquet"
+                        ),
                     )
                     idx += 1
             shutil.rmtree(tmp_out, ignore_errors=True)
             old = [os.path.basename(p) for p in self._live_dirs()]
-            return self._commit("optimize", add=[rel], remove=old, data_change=False)
+            # ``current`` came from read() and is therefore DV-applied:
+            # a full rewrite PURGES outstanding deletion vectors
+            return self._commit(
+                "optimize",
+                add=[rel],
+                remove=old,
+                data_change=False,
+                dv_remove=self._live_dvs(),
+            )
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(current, self.latest_version() + 1)
-        return self._commit("optimize", add=[rel], remove=old, data_change=False)
+        return self._commit(
+            "optimize",
+            add=[rel],
+            remove=old,
+            data_change=False,
+            dv_remove=self._live_dvs(),
+        )
 
     def changes_between(
         self, v_from: int, v_to: int | None = None
@@ -1281,7 +1512,12 @@ class VersionedTable:
         # no-ops the feed skips, so compaction inside the range neither
         # breaks the manifest fast path nor surfaces phantom changes
         changing = [c for c in in_range if c.get("data_change", True)]
-        if all(not c["remove"] for c in changing):
+        # a MOR delete commit removes ROWS without removing a dir — its
+        # dv_add disqualifies the append-only fast path exactly like a
+        # rewrite would (the snapshot diff below is DV-aware via read())
+        if all(
+            not c["remove"] and not c.get("dv_add") for c in changing
+        ):
             added = [
                 os.path.join(self.path, _DATA, d)
                 for c in changing
@@ -1303,7 +1539,14 @@ class VersionedTable:
         # base would either raise or silently drop rows that differ only
         # in the evolved column, corrupting downstream IVM
         cur = self.read(version=v_to, merge_schema=True)
-        base = self.read(version=v_from, merge_schema=True)
+        try:
+            base = self.read(version=v_from, merge_schema=True)
+        except ValueError:
+            # v_from predates the first snapshot (e.g. 0): the base is the
+            # empty table — every current row is an insert. The fast path
+            # used to absorb this case; a MOR delete in the range routes
+            # it here instead
+            base = cur.limit(0)
         cur_types = {f.name: f.dataType for f in cur.schema.fields}
         base_types = {f.name: f.dataType for f in base.schema.fields}
         names = list(dict.fromkeys([*cur_types, *base_types]))
@@ -1385,21 +1628,33 @@ class VersionedTable:
         # pin at all — drop the ref first to release its storage
         for v in self.refs().values():
             keep.update(os.path.basename(p) for p in self._live_dirs(v))
-        data_root = os.path.join(self.path, _DATA)
+        # deletion-vector dirs expire by the same rule: keep any vector
+        # live in a retained or ref-pinned snapshot, reclaim the rest
+        dv_keep: set[str] = set()
+        for v in range(max(horizon, 1), self.latest_version() + 1):
+            dv_keep.update(self._live_dvs(v))
+        for v in self.refs().values():
+            dv_keep.update(self._live_dvs(v))
         now = time.time()
         deleted = []
-        for d in sorted(os.listdir(data_root)):
-            if d in keep:
+        for root, protected, prefix in (
+            (os.path.join(self.path, _DATA), keep, ""),
+            (os.path.join(self.path, _DV), dv_keep, f"{_DV}/"),
+        ):
+            if not os.path.isdir(root):
                 continue
-            full = os.path.join(data_root, d)
-            try:
-                age = now - os.path.getmtime(full)
-            except OSError:
-                continue
-            if age < min_age_seconds:
-                continue
-            shutil.rmtree(full, ignore_errors=True)
-            deleted.append(d)
+            for d in sorted(os.listdir(root)):
+                if d in protected:
+                    continue
+                full = os.path.join(root, d)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < min_age_seconds:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                deleted.append(prefix + d)
         return deleted
 
     def read(
@@ -1437,6 +1692,7 @@ class VersionedTable:
         elif as_of is not None:
             version = self._resolve_as_of(as_of)
         live, stats, file_stats = self._replay(version)
+        dvs = self._live_dvs(version)
         dirs = [os.path.join(self.path, _DATA, d) for d in live]
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
@@ -1476,8 +1732,8 @@ class VersionedTable:
                 # all files pruned: zero rows, but keep the same (possibly
                 # merged) schema the un-pruned read would surface
                 return reader.parquet(*dirs).limit(0)
-            return reader.parquet(*kept)
-        return reader.parquet(*dirs)
+            return self._apply_dv(reader.parquet(*kept), dvs)
+        return self._apply_dv(reader.parquet(*dirs), dvs)
 
     def history(self) -> list[dict]:
         return self._commits()

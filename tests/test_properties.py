@@ -988,6 +988,9 @@ _tbl_ops = st.lists(
         st.tuples(
             st.just("delete_range"), st.integers(0, 6), st.integers(0, 6)
         ),
+        st.tuples(
+            st.just("delete_mor"), st.integers(0, 6), st.integers(0, 6)
+        ),
         st.tuples(st.just("overwrite"), _tbl_rows),
         st.tuples(st.just("optimize")),
     ),
@@ -1034,6 +1037,14 @@ def test_table_format_matches_model_over_any_op_sequence(
         elif op[0] == "delete_range":
             lo, hi = min(op[1], op[2]), max(op[1], op[2])
             vt.delete_range("k", lo, hi)
+            model = [r for r in model if not lo <= r[0] <= hi]
+        elif op[0] == "delete_mor":
+            # merge-on-read: same semantics as a COW delete, zero data
+            # files touched — interactions with merge/optimize/COW ops
+            # (vector purge, carry validity) are exactly what this
+            # model test exists to catch
+            lo, hi = min(op[1], op[2]), max(op[1], op[2])
+            vt.delete(f"k BETWEEN {lo} AND {hi}", mode="mor")
             model = [r for r in model if not lo <= r[0] <= hi]
         elif op[0] == "overwrite":
             vt.overwrite(df(op[1]))

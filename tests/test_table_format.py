@@ -1464,3 +1464,194 @@ def test_constraint_on_evolved_column_passes_as_null(spark, vt):
                 [(3, "c", -1)], "k long, v string, score long"
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE): the commit records (file
+# basename, row position) pairs instead of rewriting data files; reads
+# anti-join them away. The invariants: no data file is touched, every
+# read path (snapshot, time travel, prune, rewrite-reads inside
+# merge/delete_range/optimize) subtracts live vectors, full rewrites
+# purge them, vacuum/clone/checkpoint treat them as table state.
+
+
+def _data_dirs(vt):
+    root = os.path.join(vt.path, "data")
+    return sorted(os.listdir(root)) if os.path.isdir(root) else []
+
+
+def test_mor_delete_touches_no_data_file(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    before = _data_dirs(vt)
+    v = vt.delete("k = 2", mode="mor")
+    assert v == 2
+    assert _data_dirs(vt) == before  # zero data dirs added or removed
+    c = vt.history()[-1]
+    assert c["add"] == [] and c["remove"] == []
+    assert len(c["dv_add"]) == 1
+    assert c["metadata"]["rows_deleted"] == 1
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+    # time travel to the pre-delete snapshot still sees the row
+    assert sorted(r.k for r in vt.read(version=1).collect()) == [1, 2, 3]
+
+
+def test_mor_delete_noop_commits_nothing(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    assert vt.delete("k = 99", mode="mor") == 1  # nothing matched
+    assert len(vt.history()) == 1
+
+
+def test_mor_deletes_compose_and_never_double_count(spark, vt):
+    vt.append(_df(spark, [(i, "x") for i in range(6)]))
+    vt.delete("k < 2", mode="mor")
+    vt.delete("k < 4", mode="mor")  # overlaps the first delete's range
+    assert sorted(r.k for r in vt.read().collect()) == [4, 5]
+    # the second vector holds only the NEWLY deleted positions (2, 3) —
+    # the matching scan is itself DV-applied
+    assert vt.history()[-1]["metadata"]["rows_deleted"] == 2
+
+
+def test_merge_rewrite_does_not_resurrect_mor_deleted_rows(spark, vt):
+    """A COW merge reads intersecting files raw — it must subtract their
+    deletion vectors or the deleted rows reappear in the rewrite."""
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.delete("k = 2", mode="mor")
+    vt.merge(_df(spark, [(3, "C"), (4, "d")]), keys=["k"])
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {1: "a", 3: "C", 4: "d"}  # no resurrected (2, "b")
+
+
+def test_delete_range_rewrite_does_not_resurrect_mor_deleted_rows(spark, vt):
+    vt.append(_df(spark, [(i, "x") for i in range(10)]))
+    vt.delete("k = 7", mode="mor")
+    vt.delete_range("k", 5, 6)  # straddling rewrite reads files raw
+    assert sorted(r.k for r in vt.read().collect()) == [0, 1, 2, 3, 4, 8, 9]
+
+
+def test_optimize_purges_deletion_vectors(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.delete("k = 2", mode="mor")
+    assert vt._live_dvs()  # vector live before the purge
+    vt.optimize(target_partitions=1)
+    assert vt._live_dvs() == []  # full rewrite retired it
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+    # the pre-optimize MOR snapshot still applies its vector
+    assert sorted(r.k for r in vt.read(version=2).collect()) == [1, 3]
+    assert sorted(r.k for r in vt.read(version=1).collect()) == [1, 2, 3]
+
+
+def test_incremental_optimize_applies_vectors_of_folded_files(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    vt.delete("k = 2", mode="mor")
+    vt.optimize(target_partitions=1, max_dir_bytes=10**9)  # folds both dirs
+    assert sorted(r.k for r in vt.read().collect()) == [1]
+    # fold is data_change=False: the feed over the whole range shows the
+    # MOR delete (via snapshot diff) but no phantom rows from the fold
+    feed = vt.changes_between(0)
+    rows = sorted((r.k, r._change_type) for r in feed.collect())
+    assert rows == [(1, "insert")]
+
+
+def test_change_feed_surfaces_mor_delete(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.latest_version()
+    vt.delete("k = 1", mode="mor")
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [(1, "a", "delete")]
+
+
+def test_version_offset_stream_rejects_mor_delete(spark, vt):
+    from daas_apps_spark.sources.table_format import added_dirs_between
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.delete("k = 1", mode="mor")
+    with pytest.raises(ValueError, match="append-only"):
+        added_dirs_between(vt.path, 0, None)
+
+
+def test_cow_delete_and_overwrite_retire_vectors(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.delete("k = 1", mode="mor")
+    vt.delete("k = 2", mode="cow")  # full rewrite applies + retires
+    assert vt._live_dvs() == []
+    assert sorted(r.k for r in vt.read().collect()) == [3]
+    vt.delete("k = 3", mode="mor")
+    vt.overwrite(_df(spark, [(9, "z")]))
+    assert vt._live_dvs() == []
+    assert [r.k for r in vt.read().collect()] == [9]
+
+
+def test_read_prune_applies_deletion_vectors(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.append(_df(spark, [(10, "x"), (11, "y")]))
+    vt.delete("k = 10", mode="mor")
+    snap = vt.read(prune=("k", 9, 12))
+    assert sorted(r.k for r in snap.collect()) == [11]
+
+
+def test_vacuum_reclaims_dead_vectors_and_spares_live(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.delete("k = 1", mode="mor")  # v2: vector live
+    assert vt.vacuum(keep_versions=0) == []  # live vector spared
+    assert sorted(r.k for r in vt.read().collect()) == [2]
+    vt.optimize(target_partitions=1)  # v3 purges the vector
+    deleted = vt.vacuum(keep_versions=0)
+    assert any(d.startswith("_dv/") for d in deleted)
+    assert sorted(r.k for r in vt.read().collect()) == [2]
+
+
+def test_vacuum_spares_ref_pinned_vectors(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.delete("k = 1", mode="mor")
+    vt.set_ref("mor-pin")
+    vt.optimize(target_partitions=1)  # purges vectors at HEAD
+    assert not any(
+        d.startswith("_dv/") for d in vt.vacuum(keep_versions=0)
+    )  # pinned snapshot still needs its vector
+    assert sorted(r.k for r in vt.read(ref="mor-pin").collect()) == [2]
+
+
+def test_clone_carries_deletion_vectors(spark, vt, tmp_path):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.delete("k = 2", mode="mor")
+    clone = vt.clone_to(str(tmp_path / "clone"))
+    assert sorted(r.k for r in clone.read().collect()) == [1, 3]
+    # clone state is independent: purging the SOURCE's vectors does not
+    # resurrect rows in the clone (and vice versa)
+    vt.optimize(target_partitions=1)
+    assert sorted(r.k for r in clone.read().collect()) == [1, 3]
+    clone.delete("k = 3", mode="mor")
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+
+
+def test_checkpoint_folds_deletion_vectors(spark, vt):
+    """Replay from a checkpoint must reproduce DV state: vectors recorded
+    only in pre-checkpoint commits would otherwise vanish from replay."""
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    vt.append(_df(spark, [(i, "x") for i in range(4)]))
+    vt.delete("k = 0", mode="mor")  # v2
+    for i in range(CHECKPOINT_EVERY):  # push a checkpoint past v2
+        vt.append(_df(spark, [(100 + i, "y")]))
+    ck = os.path.join(
+        vt.path, "_log", f"{CHECKPOINT_EVERY:08d}.checkpoint.json"
+    )
+    assert os.path.exists(ck)
+    import json
+
+    with open(ck) as f:
+        assert json.load(f)["dvs"]  # the vector survived the fold
+    got = sorted(r.k for r in vt.read().collect())
+    assert 0 not in got and got[:3] == [1, 2, 3]
+
+
+def test_mor_delete_null_predicate_keeps_row(spark, vt):
+    """NULL predicate result keeps the row — SQL DELETE semantics on the
+    MOR path too."""
+    vt.append(
+        spark.createDataFrame([(1, None), (2, "b")], "k long, v string")
+    )
+    vt.delete("v = 'b'", mode="mor")  # NULL v -> unknown -> kept
+    assert sorted(r.k for r in vt.read().collect()) == [1]
