@@ -5,7 +5,7 @@
     python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
     python -m daas_apps_spark verify [NAME ...] [--sf DIR]
     python -m daas_apps_spark table \
-        history|read|optimize|vacuum|delete|clone|constraints|tag|refs PATH
+        history|read|optimize|vacuum|delete|update|clone|constraints|tag|refs PATH
 
 `list`/`show` are metadata-only (no Spark session). `run` executes one
 registered query and prints rows; `verify` runs queries on BOTH engines
@@ -170,6 +170,13 @@ def cmd_table(args: argparse.Namespace) -> int:
             return 2
         v = vt.delete(args.where, mode=args.mode)
         print(f"deleted ({args.mode}) -> v{v}")
+    elif args.op == "update":
+        if not args.where or not args.set:
+            print("update requires --where <predicate> and --set col=expr")
+            return 2
+        assignments = dict(kv.split("=", 1) for kv in args.set)
+        v = vt.update(args.where, assignments, mode=args.mode)
+        print(f"updated ({args.mode}) -> v{v}")
     elif args.op == "clone":
         if not args.dest:
             print("clone requires --dest <path>")
@@ -236,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
             "optimize",
             "vacuum",
             "delete",
+            "update",
             "clone",
             "constraints",
             "tag",
@@ -273,12 +281,20 @@ def main(argv: list[str] | None = None) -> int:
         help="SQL predicate for the delete op (rows matching are removed)",
     )
     p_tbl.add_argument(
+        "--set",
+        action="append",
+        default=None,
+        metavar="COL=EXPR",
+        help="SET assignment for the update op (repeatable; EXPR is SQL "
+        "evaluated against the row's old values)",
+    )
+    p_tbl.add_argument(
         "--mode",
         choices=("cow", "mor"),
         default="cow",
-        help="delete strategy: cow rewrites files without the matching "
-        "rows; mor records a deletion vector and touches no data file "
-        "(OPTIMIZE purges vectors physically)",
+        help="delete/update strategy: cow rewrites files; mor records a "
+        "deletion vector (plus, for update, one new dir of updated rows) "
+        "and touches no existing data file (OPTIMIZE purges vectors)",
     )
     p_tbl.add_argument(
         "--min-age",

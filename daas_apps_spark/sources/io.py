@@ -918,3 +918,63 @@ def a29_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(vt.read(version=1), 1).unionByName(census(vt.read(), 3))
+
+
+@register(
+    "a30_mor_update",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS version, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), o_orderpriority,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A30", "A29", "A25"),
+)
+def a30_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (table_format.py::update(mode="mor")): orders
+    land as commit v1, then ``UPDATE ... SET o_totalprice = o_totalprice
+    * 2 WHERE o_orderstatus = 'F'`` runs as ONE commit pairing a deletion
+    vector (the old rows' positions) with one new data dir (the updated
+    rows) — no existing file rewritten, and readers see old-rows-out /
+    new-rows-in atomically because both land in the same commit. The
+    head census must match the oracle's CASE WHEN recompute; the
+    time-traveled v1 census must still see the original prices (row
+    counts equal across versions — UPDATE never changes cardinality).
+
+    This completes the DML triple (MERGE upsert / DELETE / UPDATE) on
+    the versioned table. At 100 TB the MOR form is the only affordable
+    wide-predicate update: COW rewrites every touched file; this writes
+    |matched| rows plus a kilobyte vector, and OPTIMIZE later folds the
+    update into the base files off the hot path.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a30_mor_update")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o)  # v1
+    vt.update(
+        "o_orderstatus = 'F'",
+        {"o_totalprice": "o_totalprice * 2"},
+        mode="mor",
+    )  # v2: one deletion vector + one dir of updated rows
+
+    def census(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+
+    return census(vt.read(version=1), 1).unionByName(census(vt.read(), 2))

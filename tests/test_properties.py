@@ -991,6 +991,12 @@ _tbl_ops = st.lists(
         st.tuples(
             st.just("delete_mor"), st.integers(0, 6), st.integers(0, 6)
         ),
+        st.tuples(
+            st.just("update"),
+            st.sampled_from(["cow", "mor"]),
+            st.integers(0, 6),
+            st.integers(0, 6),
+        ),
         st.tuples(st.just("overwrite"), _tbl_rows),
         st.tuples(st.just("optimize")),
     ),
@@ -1046,6 +1052,17 @@ def test_table_format_matches_model_over_any_op_sequence(
             lo, hi = min(op[1], op[2]), max(op[1], op[2])
             vt.delete(f"k BETWEEN {lo} AND {hi}", mode="mor")
             model = [r for r in model if not lo <= r[0] <= hi]
+        elif op[0] == "update":
+            mode, lo, hi = op[1], min(op[2], op[3]), max(op[2], op[3])
+            vt.update(
+                f"k BETWEEN {lo} AND {hi}",
+                {"v": "concat(v, '+')"},
+                mode=mode,
+            )
+            model = [
+                (k, v + "+") if lo <= k <= hi else (k, v)
+                for k, v in model
+            ]
         elif op[0] == "overwrite":
             vt.overwrite(df(op[1]))
             model = list(op[1])

@@ -1655,3 +1655,102 @@ def test_mor_delete_null_predicate_keeps_row(spark, vt):
     )
     vt.delete("v = 'b'", mode="mor")  # NULL v -> unknown -> kept
     assert sorted(r.k for r in vt.read().collect()) == [1]
+
+
+# ---------------------------------------------------------------------------
+# UPDATE ... SET (the third DML verb): COW rewrites with CASE WHEN; MOR
+# pairs a deletion vector (old positions) with a new data dir (updated
+# rows) in ONE atomic commit.
+
+
+def test_cow_update_rewrites_and_time_travels(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v = vt.update("k >= 2", {"v": "upper(v)"}, mode="cow")
+    assert v == 2
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {1: "a", 2: "B", 3: "C"}
+    old = dict((r.k, r.v) for r in vt.read(version=1).collect())
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_mor_update_touches_no_existing_file(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    before = _data_dirs(vt)
+    vt.update("k = 2", {"v": "'B'"}, mode="mor")
+    after = _data_dirs(vt)
+    assert set(before) < set(after) and len(after) == len(before) + 1
+    c = vt.history()[-1]
+    assert c["operation"] == "update"
+    assert c["remove"] == [] and len(c["add"]) == 1 and len(c["dv_add"]) == 1
+    assert c["metadata"]["rows_updated"] == 1
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # pre-update snapshot unchanged
+    assert dict(
+        (r.k, r.v) for r in vt.read(version=1).collect()
+    ) == {1: "a", 2: "b", 3: "c"}
+
+
+def test_update_set_sees_old_values_per_row(spark, vt):
+    """Standard UPDATE semantics: the SET expression evaluates against
+    the row's OLD values, on both paths."""
+    vt.append(_df(spark, [(1, "x"), (2, "y")]))
+    vt.update("k = 1", {"v": "concat(v, '!')"}, mode="mor")
+    vt.update("k = 2", {"v": "concat(v, '?')"}, mode="cow")
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {1: "x!", 2: "y?"}
+
+
+def test_mor_update_composes_with_mor_delete_and_merge(spark, vt):
+    vt.append(_df(spark, [(i, "x") for i in range(5)]))
+    vt.update("k in (1, 2)", {"v": "'u'"}, mode="mor")
+    vt.delete("k = 2", mode="mor")  # deletes the UPDATED row, not the old
+    vt.merge(_df(spark, [(3, "m")]), keys=["k"])
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {0: "x", 1: "u", 3: "m", 4: "x"}
+
+
+def test_update_unknown_column_raises(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown column"):
+        vt.update("k = 1", {"nope": "'x'"})
+    assert len(vt.history()) == 1
+
+
+def test_update_violating_constraint_rejected_whole(spark, vt):
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    vt.append(spark.createDataFrame([(1, 5), (2, 7)], "k long, score long"))
+    vt.add_constraint("score_pos", "score > 0")
+    for mode in ("mor", "cow"):
+        with pytest.raises(ConstraintViolationError):
+            vt.update("k = 1", {"score": "-1"}, mode=mode)
+    assert dict(
+        (r.k, r.score) for r in vt.read().collect()
+    ) == {1: 5, 2: 7}
+
+
+def test_mor_update_noop_commits_nothing(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    assert vt.update("k = 99", {"v": "'x'"}, mode="mor") == 1
+    assert len(vt.history()) == 1
+
+
+def test_change_feed_surfaces_mor_update_as_delete_insert(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.latest_version()
+    vt.update("k = 1", {"v": "'A'"}, mode="mor")
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [(1, "A", "insert"), (1, "a", "delete")]
+
+
+def test_update_null_condition_keeps_row_unchanged(spark, vt):
+    vt.append(
+        spark.createDataFrame([(1, None), (2, "b")], "k long, v string")
+    )
+    vt.update("v = 'b'", {"v": "'B'"}, mode="mor")  # NULL v -> unchanged
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {1: None, 2: "B"}
