@@ -978,3 +978,65 @@ def a30_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(vt.read(version=1), 1).unionByName(census(vt.read(), 2))
+
+
+@register(
+    "a31_mor_feed_ivm",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    tags=("A31", "A29", "A30", "A25"),
+)
+def a31_mor_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over MERGE-ON-READ commits via the
+    change feed's MOR delta fast path: orders land as v1, a MOR DELETE
+    drops every 1-URGENT row (that whole group must VANISH from the
+    maintained view — its count telescopes to zero), and a MOR UPDATE
+    doubles F-status prices; the grouped count+sum view is then advanced
+    from its v1 state by ``maintain_additive_aggregate``. The feed range
+    contains only vector commits, so the delta is resolved from the
+    MANIFEST — deletes read ONLY the vector-referenced files and
+    semi-join the positions; no snapshot diff, cost ∝ |delta| — and the
+    oracle recomputes the final state directly, so the hash match proves
+    the fast path is exactly diff-equivalent.
+
+    At 100 TB this is the nightly-refresh shape after a compliance
+    sweep: the view advances at the price of the deleted/updated rows,
+    while the COW alternative would rewrite files AND diff snapshots.
+    """
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        maintain_additive_aggregate,
+    )
+
+    path = scratch_dir("a31_mor_ivm")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o)  # v1
+    vt.delete("o_orderpriority = '1-URGENT'", mode="mor")  # v2
+    vt.update(
+        "o_orderstatus = 'F'",
+        {"o_totalprice": "o_totalprice * 2"},
+        mode="mor",
+    )  # v3
+    view = maintain_additive_aggregate(
+        vt,
+        v_from=1,
+        v_to=None,
+        group_by=["o_orderpriority"],
+        count_col="n_orders",
+        sums={"rev_dec": "CAST(o_totalprice AS DECIMAL(18,4))"},
+    )
+    return view.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

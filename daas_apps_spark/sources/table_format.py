@@ -1639,27 +1639,32 @@ class VersionedTable:
         # no-ops the feed skips, so compaction inside the range neither
         # breaks the manifest fast path nor surfaces phantom changes
         changing = [c for c in in_range if c.get("data_change", True)]
-        # a MOR delete commit removes ROWS without removing a dir — its
-        # dv_add disqualifies the append-only fast path exactly like a
-        # rewrite would (the snapshot diff below is DV-aware via read())
-        if all(
-            not c["remove"] and not c.get("dv_add") for c in changing
-        ):
+        if all(not c["remove"] for c in changing):
             added = [
                 os.path.join(self.path, _DATA, d)
                 for c in changing
                 for d in c["add"]
             ]
-            if not added:
-                return self._empty_feed(v_to)
-            # mergeSchema across the added dirs: commits after a
-            # schema-evolving merge carry wider files, and a plain read
-            # would adopt one dir's schema and drop the evolved column
-            return (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*added)
-                .withColumn("_change_type", F.lit("insert"))
-            )
+            dv_rels = [
+                d for c in changing for d in c.get("dv_add", [])
+            ]
+            if not dv_rels:
+                if not added:
+                    return self._empty_feed(v_to)
+                # mergeSchema across the added dirs: commits after a
+                # schema-evolving merge carry wider files, and a plain read
+                # would adopt one dir's schema and drop the evolved column
+                return (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*added)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            # MOR delta fast path: deletes are exactly the in-range
+            # vectors' positions — read ONLY the referenced files and
+            # semi-join, cost ∝ |delta| like the insert side
+            mor = self._mor_delta_feed(in_range, added, dv_rels)
+            if mor is not None:
+                return mor
         # snapshot diff under schema evolution: read BOTH sides merged and
         # align them to the union schema (NULL for a side that predates a
         # column) — exceptAll requires identical schemas, and a narrower
@@ -1698,6 +1703,86 @@ class VersionedTable:
                 base.exceptAll(cur).withColumn("_change_type", F.lit("delete"))
             )
         )
+
+    def _mor_delta_feed(
+        self, in_range: list[dict], added: list[str], dv_rels: list[str]
+    ) -> DataFrame | None:
+        """Manifest fast path for a commit range whose only row removals
+        are MERGE-ON-READ vectors (no dir rewrites): inserts are the
+        added dirs (as in the append-only path), and deletes are the
+        in-range vectors' (file, position) pairs — resolved by reading
+        ONLY the referenced files and semi-joining the positions. Cost is
+        ∝ |delta| on both sides; the snapshot diff it replaces scans the
+        table twice. At 100 TB this is what keeps incremental view
+        maintenance affordable after a night of GDPR deletes: the feed
+        prices the deletes, not the corpus.
+
+        Returns None — caller falls back to the snapshot diff — when the
+        path cannot be proven exactly net-equivalent to the diff:
+        vectors referencing files ADDED in the same range (insert+delete
+        would need cancelling), or files from pre-manifest commits whose
+        basenames the log cannot place."""
+        from pyspark.sql import functions as F
+
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, _DV, d) for d in dv_rels]
+        )
+        # manifest arithmetic: basename -> owning data dir, from every
+        # commit's recorded per-file stats (tiny driver-side maps, the
+        # same scale as the live-dir bookkeeping)
+        owner: dict[str, str] = {}
+        for c in self._commits():
+            for rel, fstats in (c.get("file_stats") or {}).items():
+                for basename in fstats:
+                    owner[basename] = rel
+        in_range_files = {
+            basename
+            for c in in_range
+            for fstats in (c.get("file_stats") or {}).values()
+            for basename in fstats
+        }
+        # the vector side is manifest-sized: one distinct-basename pull
+        touched = [r.file for r in dv.select("file").distinct().collect()]
+        if any(f not in owner for f in touched):
+            return None  # pre-manifest file: cannot place it
+        if any(f in in_range_files for f in touched):
+            # a row inserted AND vector-deleted inside the range: the
+            # snapshot diff nets the pair out; emitting both would break
+            # exact diff equivalence — fall back
+            return None
+        paths = sorted(
+            os.path.join(self.path, _DATA, owner[f], f) for f in touched
+        )
+        deletes = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .withColumn("__dv_file", F.col("_metadata.file_name"))
+            .withColumn(
+                "__dv_pos", F.col("_metadata.row_index").cast("long")
+            )
+            .join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").cast("long").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_semi",
+            )
+            .drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        if not added:
+            return deletes
+        inserts = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*added)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        # union by name with NULL fill: deleted rows come from files that
+        # may predate an evolved column the inserts carry (and vice versa)
+        return inserts.unionByName(deletes, allowMissingColumns=True)
 
     def _empty_feed(self, v_to: int) -> DataFrame:
         """Zero-row change feed carrying the table's schema. An empty

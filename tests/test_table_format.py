@@ -1754,3 +1754,90 @@ def test_update_null_condition_keeps_row_unchanged(spark, vt):
     vt.update("v = 'b'", {"v": "'B'"}, mode="mor")  # NULL v -> unchanged
     got = dict((r.k, r.v) for r in vt.read().collect())
     assert got == {1: None, 2: "B"}
+
+
+# ---------------------------------------------------------------------------
+# MOR delta fast path in the change feed: a range whose only row removals
+# are deletion vectors prices the feed by |delta| (vector'd files +
+# added dirs), never by two full-snapshot exceptAlls.
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_change_feed_mor_fast_path_skips_snapshot_diff(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))  # pre-range
+    v1 = vt.latest_version()
+    vt.append(_df(spark, [(4, "d")]))
+    vt.delete("k = 2", mode="mor")
+    vt.update("k = 3", {"v": "'C'"}, mode="mor")
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [
+        (2, "b", "delete"),
+        (3, "C", "insert"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+    # structural pin: the manifest path, not the exceptAll diff
+    # (exceptAll optimizes to a replicaterows Generate, not an Except node)
+    assert "replicaterows" not in _optimized_plan(feed)
+
+
+def test_change_feed_mor_delete_only_range(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.latest_version()
+    vt.delete("k = 1", mode="mor")
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [(1, "a", "delete")]
+    assert "replicaterows" not in _optimized_plan(feed)
+
+
+def test_change_feed_falls_back_when_insert_and_delete_net_out(spark, vt):
+    """A row appended AND vector-deleted inside the range must net to
+    nothing (diff semantics) — the fast path proves it can't guarantee
+    that and falls back to the snapshot diff."""
+    vt.append(_df(spark, [(1, "a")]))
+    v1 = vt.latest_version()
+    vt.append(_df(spark, [(2, "b"), (3, "c")]))  # in-range insert
+    vt.delete("k = 2", mode="mor")  # deletes an in-range row
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [(3, "c", "insert")]  # the (2,b) pair netted out
+    assert "replicaterows" in _optimized_plan(feed)
+
+
+def test_ivm_over_mor_deletes_matches_recompute(spark, vt):
+    """maintain_additive_aggregate fed by the MOR fast path lands exactly
+    where a full recompute does."""
+    from daas_apps_spark.sources.table_format import (
+        maintain_additive_aggregate,
+    )
+
+    vt.append(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i * 10) for i in range(12)],
+            "k long, g string, x long",
+        )
+    )
+    v1 = vt.latest_version()
+    vt.delete("k in (1, 4, 7)", mode="mor")
+    vt.update("k = 2", {"x": "x + 1000"}, mode="mor")
+    view = maintain_additive_aggregate(
+        vt, v_from=v1, v_to=None, group_by=["g"], count_col="n",
+        sums={"sx": "x"},
+    )
+    got = {(r.g, r.n, r.sx) for r in view.collect()}
+    expect = {
+        (r.g, r.n, r.sx)
+        for r in vt.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+        .collect()
+    }
+    assert got == expect
