@@ -5,7 +5,7 @@
     python -m daas_apps_spark run NAME [--sf DIR] [--limit N]
     python -m daas_apps_spark verify [NAME ...] [--sf DIR]
     python -m daas_apps_spark table \
-        history|read|optimize|vacuum|delete|update|clone|constraints|tag|refs PATH
+        history|read|optimize|compact-vectors|vacuum|delete|update|clone|... PATH
 
 `list`/`show` are metadata-only (no Spark session). `run` executes one
 registered query and prints rows; `verify` runs queries on BOTH engines
@@ -159,6 +159,9 @@ def cmd_table(args: argparse.Namespace) -> int:
     elif args.op == "optimize":
         v = vt.optimize(target_partitions=args.target)
         print(f"optimized -> v{v}")
+    elif args.op == "compact-vectors":
+        v = vt.compact_vectors()
+        print(f"vectors compacted -> v{v}")
     elif args.op == "vacuum":
         deleted = vt.vacuum(
             keep_versions=args.keep, min_age_seconds=args.min_age
@@ -241,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
             "history",
             "read",
             "optimize",
+            "compact-vectors",
             "vacuum",
             "delete",
             "update",

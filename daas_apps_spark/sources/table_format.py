@@ -1443,6 +1443,52 @@ class VersionedTable:
             "merge", add=carries + [rel], remove=remove, known_stats=known
         )
 
+    def compact_vectors(self) -> int:
+        """Fold every live deletion-vector dir into ONE — metadata-only
+        maintenance (data_change=False: the feed and the version-offset
+        stream skip it, no row changed). A busy MOR table accumulates a
+        tiny dir per delete/update; each adds a file listing to every
+        read's anti-join side. Folding restores a single small vector at
+        the cost of reading kilobytes — the vector-side analog of
+        incremental OPTIMIZE, for when a full purge (which rewrites data)
+        is not yet worth it. Stale entries whose file is no longer live
+        are dropped during the fold (they can never match a scan again).
+        No-op (current version, no commit) with fewer than two live
+        vector dirs."""
+        from pyspark.sql import functions as F
+
+        dvs = self._live_dvs()
+        if len(dvs) < 2:
+            return self.latest_version()
+        live, _, file_stats = self._replay(None)
+        live_files = {
+            basename
+            for rel in live
+            for basename in (file_stats.get(rel) or {})
+        }
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, _DV, d) for d in dvs]
+        )
+        # drop entries for dead basenames (their file left the live set
+        # via COW/optimize); pre-manifest dirs have no recorded basenames,
+        # so only prune when the manifest is authoritative. Semi-join (not
+        # an isin literal list): the live-file set is manifest-sized but
+        # unbounded at 100 TB
+        if live_files and all(rel in file_stats for rel in live):
+            live_df = self.spark.createDataFrame(
+                [(f,) for f in sorted(live_files)], "file string"
+            )
+            dv = dv.join(F.broadcast(live_df), "file", "left_semi")
+        rel = self._write_dv_dir(dv, self.latest_version() + 1)
+        return self._commit(
+            "compact_vectors",
+            add=[],
+            remove=[],
+            data_change=False,
+            dv_add=[rel],
+            dv_remove=dvs,
+        )
+
     def optimize(
         self,
         target_partitions: int = 1,

@@ -1841,3 +1841,52 @@ def test_ivm_over_mor_deletes_matches_recompute(spark, vt):
         .collect()
     }
     assert got == expect
+
+
+def test_compact_vectors_folds_to_one_and_preserves_reads(spark, vt):
+    vt.append(_df(spark, [(i, "x") for i in range(8)]))
+    vt.delete("k = 1", mode="mor")
+    vt.delete("k = 3", mode="mor")
+    vt.update("k = 5", {"v": "'u'"}, mode="mor")
+    assert len(vt._live_dvs()) == 3
+    v = vt.compact_vectors()
+    assert len(vt._live_dvs()) == 1
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got == {0: "x", 2: "x", 4: "x", 5: "u", 6: "x", 7: "x"}
+    # metadata-only: data_change=False, so the feed skips the fold
+    c = vt.history()[-1]
+    assert c["operation"] == "compact_vectors"
+    assert c["data_change"] is False and c["add"] == []
+    # time travel BEFORE the fold still reads the original vectors
+    assert dict(
+        (r.k, r.v) for r in vt.read(version=v - 1).collect()
+    ) == got
+    # fewer than two live vectors: no-op
+    assert vt.compact_vectors() == v
+
+
+def test_compact_vectors_drops_stale_entries(spark, vt):
+    """An incremental OPTIMIZE fold applies vectors physically but leaves
+    them live — their entries for the folded files become dead weight the
+    vector fold prunes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.delete("k = 1", mode="mor")
+    vt.append(_df(spark, [(3, "c"), (4, "d")]))
+    vt.delete("k = 4", mode="mor")
+    vt.optimize(target_partitions=1, max_dir_bytes=10**9)  # folds both dirs
+    vt.delete("k = 3", mode="mor")  # fresh vector on the folded file
+    assert len(vt._live_dvs()) == 3
+    vt.compact_vectors()
+    [rel] = vt._live_dvs()
+    n = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(
+            os.path.join(vt.path, "_dv", rel, "*.parquet")
+        )
+    )
+    assert n == 1  # only the live file's entry survived the fold
+    assert sorted(r.k for r in vt.read().collect()) == [2]
