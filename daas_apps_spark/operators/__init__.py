@@ -115,7 +115,7 @@ _FAMILY_SWEEP = [  # group-2 sweep order: (regex, tier)
 # must not displace it (the driver samples the FIRST 50 in this order): late
 # arrivals sort behind every incumbent group-2 name and enter the NEXT
 # round's window instead.
-_SWEEP_LATE = _re.compile(r"^a(2[789]|3[0-9])_")
+_SWEEP_LATE = _re.compile(r"^a(2[789]|3[0-9])_|^k4_ann_ivf_pq_")
 
 
 def _sweep_tier(name: str) -> int:

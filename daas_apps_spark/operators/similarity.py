@@ -346,6 +346,215 @@ def k4_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tuned on the synthetic fixtures (i.i.d. random embeddings — PQ's WORST
+# case, no cluster structure to exploit): 16 subspaces × 4 dims at 125
+# codewords holds recall ≈ 0.52 vs the IVF-Flat probe ceiling of 0.64;
+# coarser grids (4×16 @ 63 words) collapse to ≈ 0.18. Real embedding
+# corpora cluster, so production would use FEWER subspaces for the same
+# recall — the knob trades code bytes (PQ_M per vector) against error.
+PQ_M = 16  # product-quantization subspaces (64 dims → 16 × 4)
+PQ_SUB = DIMS // PQ_M
+PQ_MOD = 4  # vec_id % 4 == 0 → codebook coreset (~125 entries per subspace)
+
+
+def pq_reconstructions(corpus: DataFrame) -> DataFrame:
+    """(vec_id, rv): each corpus vector PQ-encoded then decoded — every
+    sub-vector snapped to its nearest coreset codeword (argmin of
+    ||e||² − 2·x·e, code-id tie-breaks), codewords concatenated back in
+    subspace order. ``corpus`` must have (vec_id long, v array<double>).
+    All distances are left-to-right `dot` folds so the argmin decisions
+    are bit-stable across engines."""
+    spark = corpus.sparkSession
+    sub = spark.createDataFrame(
+        [(m, m * PQ_SUB + 1) for m in range(PQ_M)], "m int, lo int"
+    )
+    # codebook: coreset sub-vectors per subspace (broadcast both ways)
+    cb = (
+        corpus.filter(F.col("vec_id") % PQ_MOD == 0)
+        .crossJoin(F.broadcast(sub))
+        .select(
+            "m",
+            F.col("vec_id").alias("code_id"),
+            F.expr(f"slice(v, lo, {PQ_SUB})").alias("ev"),
+        )
+    )
+    xsub = corpus.crossJoin(F.broadcast(sub)).select(
+        "vec_id", "m", F.expr(f"slice(v, lo, {PQ_SUB})").alias("xm")
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code_id").asc()
+    )
+    enc = (
+        xsub.join(F.broadcast(cb), "m")
+        .withColumn(
+            "d2",
+            dot(F.col("ev"), F.col("ev"))
+            - F.lit(2) * dot(F.col("xm"), F.col("ev")),
+        )
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "ev")
+    )
+    # decode once per corpus vector: subspace codewords concatenated in
+    # subspace order (array_sort on (m, ev) structs orders by m first)
+    return enc.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "ev"))),
+                lambda s: s["ev"],
+            )
+        ).alias("rv")
+    )
+
+
+@register(
+    "k4_ann_ivf_pq_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({m}, {m * (DIMS // PQ_M) + 1}, {(m + 1) * (DIMS // PQ_M)})" for m in range(PQ_M))}
+        ) t(m, lo, hi)
+    ),
+    cb AS (
+        SELECT x.vec_id AS code_id, s.m, x.v[s.lo:s.hi] AS ev
+        FROM corpus x CROSS JOIN sub s WHERE x.vec_id % {PQ_MOD} = 0
+    ),
+    enc AS (
+        SELECT vec_id, m, ev FROM (
+            SELECT x.vec_id, s.m, cb.ev,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x.vec_id, s.m
+                       ORDER BY list_dot_product(cb.ev, cb.ev)
+                                - 2 * list_dot_product(x.v[s.lo:s.hi], cb.ev) ASC,
+                                cb.code_id ASC) AS rn
+            FROM corpus x CROSS JOIN sub s
+            JOIN cb ON cb.m = s.m
+        ) WHERE rn = 1
+    ),
+    rvs AS (
+        SELECT vec_id, flatten(list(ev ORDER BY m)) AS rv
+        FROM enc GROUP BY vec_id
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+    ),
+    asn AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT x.vec_id, ct.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_DUCK_COS_VC} DESC, ct.cent_id ASC) AS rn
+            FROM corpus x CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id, v AS qv FROM (
+            SELECT x.vec_id, ct.cent_id, x.v,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_DUCK_COS_VC} DESC, ct.cent_id ASC) AS rn
+            FROM corpus x CROSS JOIN cent ct
+            WHERE x.vec_id < {N_QUERY}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               ROUND(list_dot_product(p.qv, r.rv)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(r.rv, r.rv))), 6) AS cosine_pq
+        FROM probes p
+        JOIN asn a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        JOIN rvs r ON r.vec_id = a.vec_id
+    )
+    SELECT query_id, cand_id, cosine_pq, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_pq DESC, cand_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("K4", "K25", "F5"),
+)
+def k4_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-PQ: inverted-list pruning (IVF) + product
+    quantization (PQ) scoring — the memory-bounded ANN shape for a
+    100 TB embedding corpus, where even the probed lists are too large
+    to hold raw float vectors in RAM.
+
+    PQ splits each vector into PQ_M subspaces and snaps each sub-vector
+    to its nearest codebook entry (argmin of ||e||² − 2·x·e, the
+    norm-expanded L2, with code-id tie-breaks); a candidate is then
+    scored against the query via its RECONSTRUCTED vector — the
+    relational equivalent of ADC table lookups (the packed-uint8-codes +
+    lookup-table form is the storage optimization of exactly this
+    algebra; per-subspace code rows are its join-friendly form). A
+    packed corpus stores PQ_M bytes per vector instead of 8·DIMS —
+    32× smaller here, which is what lets a probed list live in memory.
+
+    Codebooks and coarse centroids are deterministic coresets (every
+    PQ_MOD-th / CENT_MOD-th vector) so the whole path — encode, probe,
+    reconstruct, rank — is exactly reproducible and ORACLE-CHECKABLE
+    (unlike the recall-checked LSH arm); swapping in trained codebooks
+    is the k13 Lloyd iteration per subspace, plumbing unchanged. Every
+    distance is a left-to-right `dot` fold, bit-identical to DuckDB's
+    list_dot_product, so argmin encode decisions cannot drift between
+    engines; scoring reconstructs ONE 64-dim fold per (query, candidate)
+    rather than summing per-subspace partials (float-sum order across a
+    groupBy would not be engine-stable).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", as_double("embedding").alias("v"))
+    rvs = pq_reconstructions(corpus)
+    cent = e.filter(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    )
+    cos_vc = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_vc").desc(), F.col("cent_id").asc()
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cos_vc", cos_vc)
+        .withColumn("rn", F.row_number().over(w_asn))
+    )
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERY) & (F.col("rn") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv")
+    )
+    scored = (
+        probes.join(asn, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(rvs, "vec_id")
+        .withColumn(
+            "cosine_pq",
+            F.round(
+                dot(F.col("qv"), F.col("rv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("rv"), F.col("rv")))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cosine_pq")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_pq").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine_pq", "rnk")
+    )
+
+
 @register(
     "k4_label_centroids",
     oracle="""

@@ -38,3 +38,56 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
     # every query must still return a full top-k page
     assert (ivf.groupby("query_id").size() == 5).all()
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """IVF-PQ (coreset codebooks, reconstructed-vector scoring) must keep
+    most of the true top-k despite quantization loss."""
+    brute = REGISTRY["k4_cosine_topk"].fn(spark, SF_ORACLE).toPandas()
+    pq = REGISTRY["k4_ann_ivf_pq_topk"].fn(spark, SF_ORACLE).toPandas()
+    truth = {(r.query_id, r.cand_id) for r in brute.itertuples()}
+    got = {(r.query_id, r.cand_id) for r in pq.itertuples()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall:.2f}"
+
+
+def test_ivf_pq_reconstruction_matches_numpy_argmin(spark):
+    """The decode must snap every sub-vector to the L2-nearest coreset
+    codeword of ITS subspace, concatenated in subspace order — checked
+    against a direct numpy argmin (ties broken by code id, matching the
+    operator's ORDER BY)."""
+    import numpy as np
+
+    from daas_apps_spark.catalog import table as _table
+    from daas_apps_spark.operators.similarity import (
+        PQ_M,
+        PQ_MOD,
+        PQ_SUB,
+        as_double,
+        pq_reconstructions,
+    )
+    from pyspark.sql import functions as F
+
+    e = _table(spark, SF_ORACLE, "embeddings")
+    corpus = e.select("vec_id", as_double("embedding").alias("v"))
+    got = {
+        r.vec_id: np.array(r.rv)
+        for r in pq_reconstructions(corpus).collect()
+    }
+    vecs = {r.vec_id: np.array(r.v) for r in corpus.collect()}
+    code_ids = sorted(v for v in vecs if v % PQ_MOD == 0)
+    for vid, v in list(sorted(vecs.items()))[:40]:
+        expect = []
+        for m in range(PQ_M):
+            xm = v[m * PQ_SUB : (m + 1) * PQ_SUB]
+            d2 = [
+                float(np.dot(e_, e_) - 2 * np.dot(xm, e_))
+                for e_ in (
+                    vecs[c][m * PQ_SUB : (m + 1) * PQ_SUB]
+                    for c in code_ids
+                )
+            ]
+            best = code_ids[int(np.argmin(d2))]  # argmin ties → lowest idx
+            expect.append(vecs[best][m * PQ_SUB : (m + 1) * PQ_SUB])
+        assert np.allclose(got[vid], np.concatenate(expect)), vid
+    assert all(len(rv) == PQ_M * PQ_SUB for rv in got.values())
