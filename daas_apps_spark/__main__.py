@@ -159,6 +159,12 @@ def cmd_table(args: argparse.Namespace) -> int:
     elif args.op == "optimize":
         v = vt.optimize(target_partitions=args.target)
         print(f"optimized -> v{v}")
+    elif args.op == "restore":
+        if args.version is None and not args.ref:
+            print("restore requires --version or --ref")
+            return 2
+        v = vt.restore(version=args.version, ref=args.ref or None)
+        print(f"restored to v{args.version or vt.refs()[args.ref]} -> v{v}")
     elif args.op == "compact-vectors":
         v = vt.compact_vectors()
         print(f"vectors compacted -> v{v}")
@@ -244,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             "history",
             "read",
             "optimize",
+            "restore",
             "compact-vectors",
             "vacuum",
             "delete",

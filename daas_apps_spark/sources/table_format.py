@@ -1443,6 +1443,67 @@ class VersionedTable:
             "merge", add=carries + [rel], remove=remove, known_stats=known
         )
 
+    def restore(self, version: int | None = None, ref: str | None = None) -> int:
+        """RESTORE TABLE TO VERSION/REF — roll the table back to an
+        earlier snapshot as a NEW commit (Delta's RESTORE): the commit
+        re-references the target version's data dirs and deletion
+        vectors and retires the current ones. Nothing is copied — the
+        old dirs are still on disk (that is what time travel reads), so
+        restore is pure manifest arithmetic; history is preserved (the
+        bad version remains time-travelable, unlike a log rewind) and
+        the restore itself shows in the log. Fails if VACUUM already
+        reclaimed any of the target's dirs — restore needs the data,
+        not just the manifest. Stats are carried from the target
+        commit's recorded entries (zero footer reads)."""
+        if (version is None) == (ref is None):
+            raise ValueError("restore: pass exactly one of version / ref")
+        if ref is not None:
+            tags = self.refs()
+            if ref not in tags:
+                raise ValueError(f"unknown ref {ref!r}; have {sorted(tags)}")
+            version = tags[ref]
+        live_now, _, _ = self._replay(None)
+        target, stats, file_stats = self._replay(version)
+        if not target:
+            raise ValueError(f"no snapshot at version {version} to restore")
+        missing = [
+            rel
+            for rel in target
+            if not os.path.isdir(os.path.join(self.path, _DATA, rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore: data dirs {missing} of version {version} were "
+                "vacuumed — the snapshot is no longer materializable"
+            )
+        dvs_now = self._live_dvs()
+        dvs_then = self._live_dvs(version)
+        dv_missing = [
+            d
+            for d in dvs_then
+            if not os.path.isdir(os.path.join(self.path, _DV, d))
+        ]
+        if dv_missing:
+            raise ValueError(
+                f"restore: deletion-vector dirs {dv_missing} of version "
+                f"{version} were vacuumed — the snapshot is no longer "
+                "materializable"
+            )
+        known = {
+            rel: (stats.get(rel, {}), file_stats.get(rel, {}))
+            for rel in target
+            if rel in file_stats
+        }
+        return self._commit(
+            "restore",
+            add=[rel for rel in target if rel not in set(live_now)],
+            remove=[rel for rel in live_now if rel not in set(target)],
+            metadata={"restored_version": version},
+            known_stats=known,
+            dv_add=[d for d in dvs_then if d not in set(dvs_now)],
+            dv_remove=[d for d in dvs_now if d not in set(dvs_then)],
+        )
+
     def compact_vectors(self) -> int:
         """Fold every live deletion-vector dir into ONE — metadata-only
         maintenance (data_change=False: the feed and the version-offset

@@ -999,6 +999,7 @@ _tbl_ops = st.lists(
         ),
         st.tuples(st.just("overwrite"), _tbl_rows),
         st.tuples(st.just("optimize")),
+        st.tuples(st.just("restore"), st.integers(0, 4)),
     ),
     min_size=1,
     max_size=5,
@@ -1068,6 +1069,14 @@ def test_table_format_matches_model_over_any_op_sequence(
             model = list(op[1])
         elif op[0] == "optimize":
             vt.optimize(target_partitions=1)
+        elif op[0] == "restore":
+            # roll back to a previously recorded version; the model is
+            # exactly that snapshot (restore after MOR deletes / merges /
+            # optimizes is where manifest+vector state could drift)
+            versions = sorted(history)
+            target = versions[op[1] % len(versions)]
+            vt.restore(version=target)
+            model = [tuple(r) for r in history[target]]
         assert snapshot(vt) == sorted(model), f"after op {i}: {op}"
         history[vt.latest_version()] = sorted(model)
         if i == tag_at:

@@ -1890,3 +1890,60 @@ def test_compact_vectors_drops_stale_entries(spark, vt):
     )
     assert n == 1  # only the live file's entry survived the fold
     assert sorted(r.k for r in vt.read().collect()) == [2]
+
+
+# ---------------------------------------------------------------------------
+# RESTORE: roll back to an earlier snapshot as a NEW commit — pure
+# manifest arithmetic over dirs still on disk, history preserved.
+
+
+def test_restore_rolls_back_and_preserves_history(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))  # v1 — good
+    vt.overwrite(_df(spark, [(9, "bad")]))  # v2 — bad load
+    v = vt.restore(version=1)
+    assert v == 3
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2]
+    # the bad version stays time-travelable (unlike a log rewind)
+    assert [r.k for r in vt.read(version=2).collect()] == [9]
+    assert vt.history()[-1]["operation"] == "restore"
+    assert vt.history()[-1]["metadata"]["restored_version"] == 1
+
+
+def test_restore_carries_deletion_vectors(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.delete("k = 2", mode="mor")  # v2: snapshot is {1, 3}
+    vt.optimize(target_partitions=1)  # v3 purges the vector
+    vt.append(_df(spark, [(4, "d")]))  # v4
+    vt.restore(version=2)
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+    assert len(vt._live_dvs()) == 1  # the vector is live state again
+
+
+def test_restore_feed_shows_rollback_as_changes(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))  # v2
+    v2 = vt.latest_version()
+    vt.restore(version=1)
+    feed = vt.changes_between(v2)
+    rows = sorted((r.k, r._change_type) for r in feed.collect())
+    assert rows == [(2, "delete")]
+
+
+def test_restore_refuses_vacuumed_snapshot(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "b")]))
+    vt.vacuum(keep_versions=0)  # reclaims v1's dir
+    with pytest.raises(ValueError, match="vacuumed"):
+        vt.restore(version=1)
+
+
+def test_restore_to_ref_and_arg_validation(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.set_ref("good")
+    vt.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="exactly one"):
+        vt.restore()
+    with pytest.raises(ValueError, match="exactly one"):
+        vt.restore(version=1, ref="good")
+    vt.restore(ref="good")
+    assert [r.k for r in vt.read().collect()] == [1]
