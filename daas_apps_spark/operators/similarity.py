@@ -555,6 +555,178 @@ def k4_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_RERANK = 3 * TOP_K  # PQ shortlist width fed to the exact re-rank
+
+
+@register(
+    "k4_ann_ivf_pq_rerank",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({m}, {m * (DIMS // PQ_M) + 1}, {(m + 1) * (DIMS // PQ_M)})" for m in range(PQ_M))}
+        ) t(m, lo, hi)
+    ),
+    cb AS (
+        SELECT x.vec_id AS code_id, s.m, x.v[s.lo:s.hi] AS ev
+        FROM corpus x CROSS JOIN sub s WHERE x.vec_id % {PQ_MOD} = 0
+    ),
+    enc AS (
+        SELECT vec_id, m, ev FROM (
+            SELECT x.vec_id, s.m, cb.ev,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x.vec_id, s.m
+                       ORDER BY list_dot_product(cb.ev, cb.ev)
+                                - 2 * list_dot_product(x.v[s.lo:s.hi], cb.ev) ASC,
+                                cb.code_id ASC) AS rn
+            FROM corpus x CROSS JOIN sub s
+            JOIN cb ON cb.m = s.m
+        ) WHERE rn = 1
+    ),
+    rvs AS (
+        SELECT vec_id, flatten(list(ev ORDER BY m)) AS rv
+        FROM enc GROUP BY vec_id
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+    ),
+    asn AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT x.vec_id, ct.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_DUCK_COS_VC} DESC, ct.cent_id ASC) AS rn
+            FROM corpus x CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id, v AS qv FROM (
+            SELECT x.vec_id, ct.cent_id, x.v,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_DUCK_COS_VC} DESC, ct.cent_id ASC) AS rn
+            FROM corpus x CROSS JOIN cent ct
+            WHERE x.vec_id < {N_QUERY}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    shortlist AS (
+        SELECT query_id, cand_id, qv FROM (
+            SELECT p.query_id, a.vec_id AS cand_id, p.qv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY ROUND(list_dot_product(p.qv, r.rv)
+                                / (sqrt(list_dot_product(p.qv, p.qv))
+                                 * sqrt(list_dot_product(r.rv, r.rv))), 6) DESC,
+                                a.vec_id ASC) AS prnk
+            FROM probes p
+            JOIN asn a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            JOIN rvs r ON r.vec_id = a.vec_id
+        ) WHERE prnk <= {PQ_RERANK}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.cand_id,
+               ROUND(list_dot_product(s.qv, c.v)
+                     / (sqrt(list_dot_product(s.qv, s.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        FROM shortlist s JOIN corpus c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("K4", "K25", "F5"),
+)
+def k4_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank — the production ANN pipeline: IVF
+    prunes the corpus to N_PROBE inverted lists, PQ scores the survivors
+    from compressed codes (RAM-resident at 100 TB), and only the
+    PQ_RERANK-deep shortlist pays an exact-cosine rescore against raw
+    vectors (a point-lookup join: |queries|·PQ_RERANK rows fetched, not
+    a scan). Quantization error then only costs recall when the true
+    neighbor falls OUT of the shortlist, not when PQ merely misorders it
+    — on the i.i.d. worst-case fixtures this lifts recall from the pure
+    PQ ranking to the IVF probe ceiling (pinned in
+    tests/test_similarity.py). Deterministic coresets keep all three
+    stages hash-checkable; same bit-stable `dot` fold discipline as
+    k4_ann_ivf_pq_topk.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", as_double("embedding").alias("v"))
+    rvs = pq_reconstructions(corpus)
+    cent = e.filter(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    )
+    cos_vc = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_vc").desc(), F.col("cent_id").asc()
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cos_vc", cos_vc)
+        .withColumn("rn", F.row_number().over(w_asn))
+    )
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERY) & (F.col("rn") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv")
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_pq").desc(), F.col("cand_id").asc()
+    )
+    shortlist = (
+        probes.join(asn, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(rvs, "vec_id")
+        .withColumn(
+            "cosine_pq",
+            F.round(
+                dot(F.col("qv"), F.col("rv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("rv"), F.col("rv")))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "qv", "cosine_pq")
+        .withColumn("prnk", F.row_number().over(w_pq))
+        .filter(F.col("prnk") <= PQ_RERANK)
+    )
+    rescored = (
+        shortlist.join(
+            corpus.select(F.col("vec_id").alias("cand_id"), "v"), "cand_id"
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
 @register(
     "k4_label_centroids",
     oracle="""

@@ -91,3 +91,24 @@ def test_ivf_pq_reconstruction_matches_numpy_argmin(spark):
             expect.append(vecs[best][m * PQ_SUB : (m + 1) * PQ_SUB])
         assert np.allclose(got[vid], np.concatenate(expect)), vid
     assert all(len(rv) == PQ_M * PQ_SUB for rv in got.values())
+
+
+def test_ivf_pq_rerank_recovers_ivf_ceiling(spark):
+    """Exact re-rank of the PQ shortlist must lift recall to (or near)
+    the IVF probe ceiling — quantization error may only cost recall via
+    shortlist MISSES, not misordering."""
+    brute = REGISTRY["k4_cosine_topk"].fn(spark, SF_ORACLE).toPandas()
+    ivf = REGISTRY["k4_ann_ivf_topk"].fn(spark, SF_ORACLE).toPandas()
+    rr = REGISTRY["k4_ann_ivf_pq_rerank"].fn(spark, SF_ORACLE).toPandas()
+    pq = REGISTRY["k4_ann_ivf_pq_topk"].fn(spark, SF_ORACLE).toPandas()
+    truth = {(r.query_id, r.cand_id) for r in brute.itertuples()}
+
+    def recall(df):
+        got = {(r.query_id, r.cand_id) for r in df.itertuples()}
+        return len(truth & got) / len(truth)
+
+    r_ivf, r_rr, r_pq = recall(ivf), recall(rr), recall(pq)
+    assert r_rr >= r_pq, f"re-rank below raw PQ: {r_rr:.2f} < {r_pq:.2f}"
+    assert r_rr >= r_ivf - 0.1, (
+        f"re-rank {r_rr:.2f} fell far below IVF ceiling {r_ivf:.2f}"
+    )
