@@ -207,6 +207,106 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     return dirs, v_to
 
 
+def cdf_rows_between(
+    path: str,
+    v_from: int,
+    v_to: int | None = None,
+    columns: list[str] | None = None,
+):
+    """(change rows, resolved v_to) for the commit range (v_from, v_to] —
+    the PURE-FILESYSTEM change-data-feed reader the streaming source
+    worker runs (no SparkSession: commit-log replay + pyarrow only). Each
+    row is the table row's values (in ``columns`` order when given, else
+    file order) with the change type ('insert' / 'delete') appended.
+
+    Per data-changing commit: added dirs stream as inserts; deletion
+    vectors stream as deletes by reading ONLY the vector-referenced
+    files and ``take``-ing the recorded positions (row_index == position
+    in file) — a MOR UPDATE commit therefore emits its delete preimages
+    then its insert postimages, Delta CDF's pair. data_change=False
+    commits (OPTIMIZE, vector compaction) are skipped. A commit that
+    REMOVES dirs (overwrite/merge/COW delete/restore) raises — resolving
+    its row-level delta needs a snapshot diff, which is the batch
+    ``changes_between``'s job, not a feed the offset log can replay."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    commits = read_log(path)
+    latest = commits[-1]["version"] if commits else 0
+    v_to = latest if v_to is None else v_to
+    owner: dict[str, str] = {}
+    for c in commits:
+        for rel, fstats in (c.get("file_stats") or {}).items():
+            for basename in fstats:
+                owner[basename] = rel
+
+    def _emit(table, tag, out):
+        cols = columns or table.column_names
+        data = [
+            table.column(n).to_pylist() if n in table.column_names
+            else [None] * table.num_rows
+            for n in cols
+        ]
+        out.extend(
+            tuple(col[i] for col in data) + (tag,)
+            for i in range(table.num_rows)
+        )
+
+    rows: list[tuple] = []
+    present: set[int] = set()
+    for c in commits:
+        if not (v_from < c["version"] <= v_to):
+            continue
+        present.add(c["version"])
+        if c.get("data_change", True) is False:
+            continue
+        if c["remove"]:
+            raise ValueError(
+                f"commit {c['version']} ({c['operation']}) rewrites data; "
+                "the change-data-feed stream can replay appends and "
+                "merge-on-read deletes only — reprocess rewrites from a "
+                "snapshot diff"
+            )
+        # delete preimages first (Delta CDF's update ordering)
+        by_file: dict[str, list[int]] = {}
+        for dvrel in c.get("dv_add", []):
+            for f in sorted(
+                _glob.glob(os.path.join(path, _DV, dvrel, "*.parquet"))
+            ):
+                t = pq.read_table(f)
+                for basename, pos in zip(
+                    t.column("file").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    by_file.setdefault(basename, []).append(pos)
+        for basename in sorted(by_file):
+            if basename not in owner:
+                raise ValueError(
+                    f"commit {c['version']}: deletion vector references "
+                    f"{basename}, which no commit's manifest places — "
+                    "cannot stream this delete"
+                )
+            full = os.path.join(path, _DATA, owner[basename], basename)
+            _emit(
+                pq.read_table(full).take(sorted(by_file[basename])),
+                "delete",
+                rows,
+            )
+        for d in c["add"]:
+            for f in sorted(
+                _glob.glob(os.path.join(path, _DATA, d, "*.parquet"))
+            ):
+                _emit(pq.read_table(f), "insert", rows)
+    missing = set(range(v_from + 1, v_to + 1)) - present
+    if missing:
+        raise ValueError(
+            f"commit files missing for versions {sorted(missing)} — the "
+            "log was truncated past this range; reprocess from a full "
+            "snapshot instead of the change feed"
+        )
+    return rows, v_to
+
+
 def maintain_additive_aggregate(
     vt: "VersionedTable",
     v_from: int,

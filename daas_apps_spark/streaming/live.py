@@ -761,6 +761,103 @@ def register_table_change_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(TableChangeSource)
 
 
+def register_table_cdf_stream_source(spark: SparkSession) -> None:
+    """The versioned table's CHANGE-DATA-FEED as a streaming source —
+    Delta's ``readChangeFeed`` streaming analog on the A23 machinery.
+    Unlike the ``table_changes`` source (append-only rows), this one
+    also replays MERGE-ON-READ deletes and updates: each micro-batch is
+    the commits' row-level changes tagged ``_change_type`` ('insert' /
+    'delete'; a MOR update arrives as its delete-preimage +
+    insert-postimage pair), resolved PURELY from the manifest and the
+    vector-referenced files (``cdf_rows_between`` — cost ∝ |delta|,
+    pyarrow in the source worker, no SparkSession). Commits that REMOVE
+    dirs (overwrite / COW merge / restore) still raise: their row delta
+    needs a snapshot diff, which the offset log cannot replay exactly.
+
+    Usage::
+
+        spark.readStream.format("table_cdf")
+             .option("path", table_path)
+             .option("tableschema", "k long, v string").load()
+        # output schema: tableschema + (_change_type string)
+
+    ``maxVersionsPerTrigger`` rate-limits exactly like the
+    ``table_changes`` source. Downstream, the signed rows drive
+    streaming IVM: +1 for insert, −1 for delete, the same algebra
+    ``maintain_additive_aggregate`` runs in batch."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TableCdfStreamReader(SimpleDataSourceStreamReader):
+        def __init__(
+            self,
+            path: str,
+            columns: list[str],
+            max_versions_per_trigger: int | None,
+        ):
+            self.path = path
+            self.columns = columns
+            self.max_versions = max_versions_per_trigger
+
+        def _rows(self, v_from: int, v_to: int | None):
+            from daas_apps_spark.sources.table_format import (
+                cdf_rows_between,
+            )
+
+            return cdf_rows_between(
+                self.path, v_from, v_to, columns=self.columns
+            )
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def read(self, start):
+            from daas_apps_spark.sources.table_format import read_log
+
+            latest = (read_log(self.path) or [{"version": 0}])[-1]["version"]
+            if latest <= start["version"]:
+                return iter([]), start
+            end = latest
+            if self.max_versions is not None:
+                end = min(latest, start["version"] + self.max_versions)
+            rows, _ = self._rows(start["version"], end)
+            return iter(rows), {"version": end}
+
+        def readBetweenOffsets(self, start, end):
+            rows, _ = self._rows(start["version"], end["version"])
+            return iter(rows)
+
+        def commit(self, end):
+            pass
+
+    class TableCdfSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "table_cdf"
+
+        def schema(self) -> str:
+            return self.options["tableschema"] + ", _change_type string"
+
+        def simpleStreamReader(self, schema) -> TableCdfStreamReader:
+            cap = self.options.get("maxversionspertrigger")
+            # column NAMES from the declared schema: emit values by name
+            # so file column order / schema evolution can't mis-slot them
+            cols = [
+                part.strip().split()[0]
+                for part in self.options["tableschema"].split(",")
+                if part.strip()
+            ]
+            return TableCdfStreamReader(
+                self.options["path"],
+                cols,
+                int(cap) if cap is not None else None,
+            )
+
+    spark.dataSource.register(TableCdfSource)
+
+
 def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Chained windowed AGGREGATES in one streaming query (the second
     multiple-stateful-operator shape after the I15 join→window chain):

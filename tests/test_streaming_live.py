@@ -894,3 +894,71 @@ def test_upsert_counts_consolidates_null_user_and_skips_completed_replay(
     run_stream_upsert_counts(spark, str(src), state, str(tmp_path / "ck"))
     got = {r.user_id: r.n_events for r in spark.read.parquet(state).collect()}
     assert got == {None: 4, 7: 8}  # recovered, not reset, not doubled
+
+
+def test_table_cdf_stream_replays_mor_deletes_and_updates(spark, tmp_path):
+    """The change-data-feed streaming source: appends arrive as inserts,
+    a MOR delete as delete rows, a MOR update as its delete+insert pair;
+    a rerun on the same checkpoint picks up only newer commits; a
+    rewriting commit still raises."""
+    import pytest as _pytest
+
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        cdf_rows_between,
+    )
+    from daas_apps_spark.streaming.live import (
+        register_table_cdf_stream_source,
+    )
+
+    register_table_cdf_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    vt.delete("k = 1", mode="mor")  # v2
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.format("table_cdf")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(
+        (r.k, r.v, r._change_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "a", "delete"),
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    ]
+    # a MOR update on the same checkpoint: ONLY the pair arrives
+    vt.update("k = 2", {"v": "'B'"}, mode="mor")
+    drain()
+    got2 = sorted(
+        (r.k, r.v, r._change_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == sorted(got + [(2, "B", "insert"), (2, "b", "delete")])
+    # signed-sum sanity: the net state the feed implies == the table
+    net = {}
+    for k, v, t in got2:
+        net[(k, v)] = net.get((k, v), 0) + (1 if t == "insert" else -1)
+    live = {(r.k, r.v) for r in vt.read().collect()}
+    assert {kv for kv, n in net.items() if n > 0} == live
+    # rewrites still raise (their delta needs a snapshot diff)
+    vt.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    with _pytest.raises(ValueError, match="rewrites data"):
+        cdf_rows_between(tbl, 3)
