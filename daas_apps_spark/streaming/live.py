@@ -858,6 +858,34 @@ def register_table_cdf_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(TableCdfSource)
 
 
+def cdf_running_aggregate(
+    changes: DataFrame,
+    group_by: list[str],
+    count_col: str = "n",
+    sums: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming materialized view over a change-data-feed stream: the
+    signed-delta IVM algebra (insert +1 / delete −1) as a streaming
+    aggregation, so the maintained counts/sums advance with every
+    micro-batch — the live twin of the batch
+    ``maintain_additive_aggregate`` (table_format.py). Groups whose
+    count telescopes to zero surface with ``count_col = 0`` (streaming
+    state cannot drop rows); readers filter ``> 0``. Use with
+    ``outputMode("complete")`` (or update + an upsert sink): the state
+    is |groups|-sized, never |table|-sized, and each micro-batch costs
+    the delta — the 100 TB story is identical to the batch IVM's."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return changes.groupBy(*group_by).agg(
+        F.sum(sign).cast("long").alias(count_col),
+        *[
+            F.sum(sign * F.expr(e)).alias(name)
+            for name, e in (sums or {}).items()
+        ],
+    )
+
+
 def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Chained windowed AGGREGATES in one streaming query (the second
     multiple-stateful-operator shape after the I15 join→window chain):

@@ -962,3 +962,62 @@ def test_table_cdf_stream_replays_mor_deletes_and_updates(spark, tmp_path):
     vt.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
     with _pytest.raises(ValueError, match="rewrites data"):
         cdf_rows_between(tbl, 3)
+
+
+def test_cdf_streaming_materialized_view_equals_batch(spark, tmp_path):
+    """The CDF stream driving the signed-delta IVM aggregation lands
+    exactly where a batch recompute of the final snapshot does — the
+    streaming materialized-view loop closed end-to-end (append + MOR
+    delete + MOR update replayed through versions-as-offsets)."""
+    from pyspark.sql import functions as F
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        cdf_running_aggregate,
+        register_table_cdf_stream_source,
+    )
+
+    register_table_cdf_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i * 10) for i in range(12)],
+            "k long, g string, x long",
+        )
+    )
+    vt.delete("k in (1, 4, 7)", mode="mor")  # drops three g1 rows
+    vt.update("k = 2", {"x": "x + 1000"}, mode="mor")
+
+    stream = (
+        spark.readStream.format("table_cdf")
+        .option("path", tbl)
+        .option("tableschema", "k long, g string, x long")
+        .load()
+    )
+    view = cdf_running_aggregate(
+        stream, group_by=["g"], count_col="n", sums={"sx": "x"}
+    )
+    q = (
+        view.writeStream.format("memory")
+        .queryName("cdf_mv")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.g, r.n, r.sx)
+        for r in spark.sql("SELECT * FROM cdf_mv WHERE n > 0").collect()
+    }
+    expect = {
+        (r.g, r.n, r.sx)
+        for r in vt.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+        .collect()
+    }
+    assert got == expect
