@@ -107,15 +107,26 @@ Z_BITS = 8  # bits per dimension → 16-bit Morton code
 Z_BUCKETS = 16  # layout "files": morton // 4096
 
 
-def _morton_sql(x: str, y: str, int_div: str) -> str:
-    """Bit-interleave via arithmetic only (portable across engines):
-    bit i of x lands at position 2i, bit i of y at 2i+1. ``int_div`` is
-    the engine's integer-division operator ('div' Spark, '//' DuckDB)."""
+def _morton_sql_n(cols: list[str], int_div: str, bits: int = Z_BITS) -> str:
+    """N-dimensional bit-interleave via arithmetic only (portable across
+    engines): bit i of dimension j lands at position i·N + j, so every
+    prefix range of the code bounds ALL N dimensions — the multi-column
+    OPTIMIZE ZORDER key. ``int_div`` is the engine's integer-division
+    operator ('div' Spark, '//' DuckDB). Code width is bits·N; keep
+    N·bits ≤ 62 (bigint)."""
+    n = len(cols)
     terms = []
-    for i in range(Z_BITS):
-        terms.append(f"(({x} {int_div} {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"(({y} {int_div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                f"(({c} {int_div} {1 << i}) % 2) * {1 << (i * n + j)}"
+            )
     return " + ".join(terms)
+
+
+def _morton_sql(x: str, y: str, int_div: str) -> str:
+    """2-D special case of ``_morton_sql_n`` (bit i of x → 2i, y → 2i+1)."""
+    return _morton_sql_n([x, y], int_div)
 
 
 _ZX = "(o_custkey % 256)"

@@ -1721,23 +1721,28 @@ class VersionedTable:
         else:
             from daas_apps_spark.operators.partitioning import (
                 Z_BITS,
-                _morton_sql,
+                _morton_sql_n,
             )
 
-            xcol, ycol = zorder_by
-            lo_x, hi_x, lo_y, hi_y = current.agg(
-                F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
-            ).first()
-            if None in (lo_x, hi_x, lo_y, hi_y):
-                # min/max ignore NULLs: a None bound means the column has
-                # no non-NULL values — no range to interleave; fail with
-                # intent instead of a NoneType comparison deep in scaled()
+            cols = list(zorder_by)
+            if len(cols) < 2 or len(cols) * Z_BITS > 62:
                 raise ValueError(
-                    "optimize(zorder_by=...): column "
-                    f"{xcol if lo_x is None else ycol!r} is entirely NULL "
-                    "(or the table is empty) — Z-order needs a value "
-                    "range on both columns"
+                    "optimize(zorder_by=...): pass 2 to "
+                    f"{62 // Z_BITS} columns (got {len(cols)})"
                 )
+            bounds = current.agg(
+                *[f(c) for c in cols for f in (F.min, F.max)]
+            ).first()
+            for i, c in enumerate(cols):
+                if bounds[2 * i] is None or bounds[2 * i + 1] is None:
+                    # min/max ignore NULLs: a None bound means the column
+                    # has no non-NULL values — no range to interleave;
+                    # fail with intent instead of a NoneType comparison
+                    raise ValueError(
+                        f"optimize(zorder_by=...): column {c!r} is "
+                        "entirely NULL (or the table is empty) — Z-order "
+                        "needs a value range on every column"
+                    )
 
             def scaled(col: str, lo, hi) -> str:
                 span = hi - lo if hi > lo else 1
@@ -1746,8 +1751,12 @@ class VersionedTable:
                     "as bigint))"
                 )
 
-            morton = _morton_sql(
-                scaled(xcol, lo_x, hi_x), scaled(ycol, lo_y, hi_y), "div"
+            morton = _morton_sql_n(
+                [
+                    scaled(c, bounds[2 * i], bounds[2 * i + 1])
+                    for i, c in enumerate(cols)
+                ],
+                "div",
             )
             # Split files on the EXACT code prefix (bucket = z div width),
             # not on sampled raw-code ranges: a sampled boundary can land
@@ -1762,7 +1771,9 @@ class VersionedTable:
             import glob
             import shutil
 
-            width = max((1 << (2 * Z_BITS)) // target_partitions, 1)
+            width = max(
+                (1 << (len(cols) * Z_BITS)) // target_partitions, 1
+            )
             rel = f"v{self.latest_version() + 1}-{uuid.uuid4().hex[:8]}"
             tmp_out = os.path.join(self.path, _DATA, f".tmp-{rel}")
             (

@@ -1947,3 +1947,47 @@ def test_restore_to_ref_and_arg_validation(spark, vt):
         vt.restore(version=1, ref="good")
     vt.restore(ref="good")
     assert [r.k for r in vt.read().collect()] == [1]
+
+
+def test_optimize_zorder_three_columns_bounds_all(spark, vt):
+    """Multi-column ZORDER (N-D Morton): over a full 3-D grid, each of
+    the 8 output files must bound ALL THREE columns to a fraction of
+    their range — a 2-col interleave would leave the third column
+    spanning the full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    grid = spark.range(16 * 16 * 16).selectExpr(
+        "cast(id % 16 as long) as x",
+        "cast((id div 16) % 16 as long) as y",
+        "cast(id div 256 as long) as z",
+    )
+    vt.append(grid)
+    vt.optimize(target_partitions=8, zorder_by=("x", "y", "z"))
+    assert vt.read().count() == 16 * 16 * 16
+    (live_dir,) = vt._live_dirs()
+    files = glob.glob(os.path.join(live_dir, "*.parquet"))
+    assert len(files) == 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        spans = {}
+        for i in range(md.row_group(0).num_columns):
+            name = md.row_group(0).column(i).path_in_schema
+            mn = min(
+                md.row_group(r).column(i).statistics.min
+                for r in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(r).column(i).statistics.max
+                for r in range(md.num_row_groups)
+            )
+            spans[name] = mx - mn
+        # 8 files over a 16^3 grid: each bounds every dim to ≤ ~2/3 range
+        assert all(s <= 11 for s in spans.values()), (f, spans)
+
+
+def test_optimize_zorder_rejects_bad_column_counts(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="2 to"):
+        vt.optimize(zorder_by=("k",))
