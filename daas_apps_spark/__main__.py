@@ -152,6 +152,10 @@ def cmd_table(args: argparse.Namespace) -> int:
     spark = get_spark("daas-table")
     spark.sparkContext.setLogLevel("ERROR")
     vt = VersionedTable(spark, args.path)
+    if args.op == "detail":
+        for k, v in vt.detail(version=args.version).items():
+            print(f"{k}: {v}")
+        return 0
     if args.op == "read":
         vt.read(
             version=args.version, as_of=args.as_of, ref=args.ref
@@ -248,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=(
             "history",
+            "detail",
             "read",
             "optimize",
             "restore",

@@ -2167,3 +2167,56 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         return self._commits()
+
+    def detail(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL — the operational summary a table owner reads
+        before deciding to OPTIMIZE / compact vectors / VACUUM: live
+        dir/file counts and bytes, small-file count, live deletion-vector
+        dirs and their recorded delete counts, constraints, refs, and log
+        depth. Pure manifest + filesystem arithmetic (file sizes via
+        os.stat on the live set — O(files) metadata ops, no data read,
+        no Spark job)."""
+        live, _, file_stats = self._replay(version)
+        n_files = 0
+        total_bytes = 0
+        small_files = 0
+        for rel in live:
+            root = os.path.join(self.path, _DATA, rel)
+            for f in os.listdir(root):
+                full = os.path.join(root, f)
+                if not (os.path.isfile(full) and f.endswith(".parquet")):
+                    continue
+                n_files += 1
+                size = os.path.getsize(full)
+                total_bytes += size
+                if size < 4 << 20:
+                    small_files += 1
+        dvs = self._live_dvs(version)
+        dv_rows = 0
+        if dvs:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            dv_rows = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for d in dvs
+                for f in _glob.glob(
+                    os.path.join(self.path, _DV, d, "*.parquet")
+                )
+            )
+        resolved = (
+            version if version is not None else self.latest_version()
+        )
+        return {
+            "version": resolved,
+            "num_data_dirs": len(live),
+            "num_files": n_files,
+            "total_bytes": total_bytes,
+            "num_small_files": small_files,  # < 4 MiB: OPTIMIZE candidates
+            "num_deletion_vector_dirs": len(dvs),
+            "num_deleted_positions": dv_rows,
+            "num_constraints": len(self.constraints(version)),
+            "refs": self.refs(version),
+            "log_commits": len(self._commits()),
+        }

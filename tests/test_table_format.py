@@ -1991,3 +1991,20 @@ def test_optimize_zorder_rejects_bad_column_counts(spark, vt):
     vt.append(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="2 to"):
         vt.optimize(zorder_by=("k",))
+
+
+def test_detail_reports_operational_summary(spark, vt):
+    vt.append(_df(spark, [(i, "x") for i in range(6)]))
+    vt.append(_df(spark, [(10, "y")]))
+    vt.delete("k in (1, 2)", mode="mor")
+    vt.add_constraint("k_nonneg", "k >= 0")
+    vt.set_ref("pin")
+    d = vt.detail()
+    assert d["num_data_dirs"] == 2 and d["num_files"] >= 2
+    assert d["num_deletion_vector_dirs"] == 1
+    assert d["num_deleted_positions"] == 2
+    assert d["num_constraints"] == 1 and "pin" in d["refs"]
+    assert d["total_bytes"] > 0 and d["num_small_files"] == d["num_files"]
+    # time travel: the pre-delete version reports no vectors
+    d1 = vt.detail(version=2)
+    assert d1["num_deletion_vector_dirs"] == 0 and d1["version"] == 2
