@@ -77,6 +77,20 @@ def _log_names(log_dir: str, pattern) -> list[str]:
     return [name for _, name in sorted(out)]
 
 
+# Reader feature flags (Delta's protocol actions, reduced to a set): a
+# commit DECLARES the features a reader must understand to resolve the
+# snapshot it creates; replay REFUSES commits declaring unknown features.
+# Without this, a reader predating deletion vectors would silently
+# resurrect deleted rows — the guard turns format evolution into a loud
+# version error instead of wrong answers.
+SUPPORTED_FEATURES = {"deletion-vectors"}
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The commit log declares a feature this reader does not implement;
+    reading on would produce WRONG results (not just missing ones)."""
+
+
 class CommitConflictError(RuntimeError):
     """Two writers raced to publish the same commit version; the loser
     gets this (retriable) instead of silently clobbering the winner."""
@@ -152,17 +166,33 @@ def retry_on_conflict(fn, attempts: int = 5):
                 raise
 
 
+def _check_features(entry: dict, where: str) -> None:
+    """Refuse to resolve state through a commit/checkpoint declaring a
+    reader feature this code does not implement — reading on would give
+    WRONG answers (e.g. resurrected rows), not merely incomplete ones."""
+    unknown = set(entry.get("features", [])) - SUPPORTED_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"{where} requires reader feature(s) {sorted(unknown)}; this "
+            f"reader supports {sorted(SUPPORTED_FEATURES)} — upgrade the "
+            "reader before touching this table"
+        )
+
+
 def read_log(path: str) -> list[dict]:
     """Pure-filesystem commit-log read (no SparkSession) — the piece a
     streaming source worker needs: it runs outside the driver's session,
-    so table state must be resolvable from files alone."""
+    so table state must be resolvable from files alone. Refuses logs
+    that declare reader features this code lacks (protocol guard)."""
     log_dir = os.path.join(path, _LOG)
     entries = []
     # same strict match + numeric order as VersionedTable._commits: never
     # parse a crash-orphaned .tmp-*.json, never missort on width rollover
     for name in _log_names(log_dir, _COMMIT_NAME):
         with open(os.path.join(log_dir, name)) as f:
-            entries.append(json.load(f))
+            entry = json.load(f)
+        _check_features(entry, f"commit {name}")
+        entries.append(entry)
     return entries
 
 
@@ -403,14 +433,18 @@ class VersionedTable:
         entries = []
         for name in _log_names(self._log_dir(), _COMMIT_NAME):
             with open(os.path.join(self._log_dir(), name)) as f:
-                entries.append(json.load(f))
+                entry = json.load(f)
+            _check_features(entry, f"commit {name}")
+            entries.append(entry)
         return entries
 
     def _checkpoints(self) -> list[dict]:
         out = []
         for name in _log_names(self._log_dir(), _CHECKPOINT_NAME):
             with open(os.path.join(self._log_dir(), name)) as f:
-                out.append(json.load(f))
+                ck = json.load(f)
+            _check_features(ck, f"checkpoint {name}")
+            out.append(ck)
         return out
 
     def latest_version(self) -> int:
@@ -463,6 +497,9 @@ class VersionedTable:
             # unchanged)
             "dv_add": dv_add or [],
             "dv_remove": dv_remove or [],
+            # reader-protocol declaration: features a reader must
+            # implement to resolve this commit's snapshot correctly
+            "features": (["deletion-vectors"] if dv_add or dv_remove else []),
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -528,6 +565,9 @@ class VersionedTable:
             # data dirs: a replay that lost them would resurrect deleted rows
             "dvs": self._live_dvs(version),
         }
+        # fold the protocol too: retention may drop the commits that
+        # declared a feature, but the checkpoint STATE still requires it
+        snap["features"] = ["deletion-vectors"] if snap["dvs"] else []
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f)

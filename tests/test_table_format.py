@@ -2008,3 +2008,43 @@ def test_detail_reports_operational_summary(spark, vt):
     # time travel: the pre-delete version reports no vectors
     d1 = vt.detail(version=2)
     assert d1["num_deletion_vector_dirs"] == 0 and d1["version"] == 2
+
+
+def test_unknown_reader_feature_fails_loud(spark, vt):
+    """A commit declaring a feature this reader lacks must refuse ALL
+    state resolution (reading on would give wrong answers, not missing
+    ones) — the Delta reader-protocol guard."""
+    import json
+
+    from daas_apps_spark.sources.table_format import (
+        UnsupportedTableFeatureError,
+        read_log,
+    )
+
+    vt.append(_df(spark, [(1, "a")]))
+    # hand-forge a future commit declaring an unknown feature
+    entry = {
+        "version": 2,
+        "operation": "append",
+        "add": [],
+        "remove": [],
+        "data_change": True,
+        "ts": 0,
+        "metadata": {},
+        "stats": {},
+        "file_stats": {},
+        "features": ["row-tracking-v9"],
+    }
+    with open(os.path.join(vt.path, "_log", "00000002.json"), "w") as f:
+        json.dump(entry, f)
+    with pytest.raises(UnsupportedTableFeatureError, match="row-tracking-v9"):
+        vt.read()
+    with pytest.raises(UnsupportedTableFeatureError):
+        read_log(vt.path)  # the streaming workers' reader refuses too
+
+
+def test_mor_commits_declare_the_dv_feature(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.delete("k = 1", mode="mor")
+    assert vt.history()[-1]["features"] == ["deletion-vectors"]
+    assert vt.history()[0].get("features", []) == []  # plain append: none
