@@ -886,6 +886,100 @@ def cdf_running_aggregate(
     )
 
 
+def run_cdf_to_materialized_view(
+    spark: SparkSession,
+    src_table: str,
+    view_table: str,
+    checkpoint_dir: str,
+    tableschema: str,
+    group_by: list[str],
+    count_col: str = "n",
+    sums: dict[str, str] | None = None,
+) -> None:
+    """The COMPLETE CDC loop: source versioned table → ``table_cdf``
+    stream (versions as offsets, MOR deletes/updates replayed as signed
+    rows) → per-batch signed-delta view maintenance → EXACTLY-ONCE
+    commit into a second versioned table. Each micro-batch costs the
+    delta; the maintained view is |groups|-sized; a replayed batch
+    (crash between the view commit and the checkpoint advance) finds its
+    (stream_id, batch_id) pair in the view table's log and skips — the
+    same Delta-`txn` idempotence contract as
+    ``run_stream_to_versioned_table``. Every refresh is itself a
+    time-travelable version of the view table.
+
+    This is the 100 TB materialized-view architecture end-to-end: base
+    table mutates via appends and merge-on-read DML, the view advances
+    incrementally off the manifest, and neither side ever rescans the
+    corpus."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    register_table_cdf_stream_source(spark)
+    stream = (
+        spark.readStream.format("table_cdf")
+        .option("path", src_table)
+        .option("tableschema", tableschema)
+        .load()
+    )
+    vt = VersionedTable(spark, view_table)
+    sums = sums or {}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = checkpoint_stream_id(checkpoint_dir)
+        if (sid, batch_id) in applied_batch_keys(vt.history(), sid):
+            return  # replayed batch — already committed
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = batch_df.groupBy(*group_by).agg(
+            F.sum(sign).cast("long").alias(count_col),
+            *[
+                F.sum(sign * F.expr(e)).alias(name)
+                for name, e in sums.items()
+            ],
+        )
+        try:
+            state = vt.read()
+        except ValueError:  # first batch: no view snapshot yet
+            state = None
+        if state is not None:
+            s = state.select(
+                *[F.col(k).alias(f"__s_{k}") for k in group_by],
+                *[
+                    F.col(c).alias(f"__s_{c}")
+                    for c in [count_col, *sums]
+                ],
+            )
+            # eqNullSafe: a NULL group key is one group on both sides
+            cond = [
+                delta[k].eqNullSafe(s[f"__s_{k}"]) for k in group_by
+            ]
+            delta = delta.join(s, cond, "full_outer").select(
+                *[
+                    F.coalesce(delta[k], s[f"__s_{k}"]).alias(k)
+                    for k in group_by
+                ],
+                *[
+                    (
+                        F.coalesce(delta[c], F.lit(0))
+                        + F.coalesce(s[f"__s_{c}"], F.lit(0))
+                    ).alias(c)
+                    for c in [count_col, *sums]
+                ],
+            )
+        vt.overwrite(
+            delta.filter(F.col(count_col) > 0),
+            metadata={"stream_id": sid, "batch_id": batch_id},
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Chained windowed AGGREGATES in one streaming query (the second
     multiple-stateful-operator shape after the I15 join→window chain):

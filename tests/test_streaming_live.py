@@ -1021,3 +1021,70 @@ def test_cdf_streaming_materialized_view_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_cdf_to_materialized_view_table_end_to_end(spark, tmp_path):
+    """The complete CDC loop: base versioned table → CDF stream →
+    signed-delta maintenance → exactly-once versioned VIEW table. The
+    view must equal a batch recompute after each drain (appends, then
+    MOR delete + update on the SAME checkpoint), a no-new-commit rerun
+    must change nothing, and every refresh is a time-travelable view
+    version."""
+    from pyspark.sql import functions as F
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        run_cdf_to_materialized_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    vt = VersionedTable(spark, src)
+    vt.append(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i * 10) for i in range(12)],
+            "k long, g string, x long",
+        )
+    )
+
+    def drain():
+        run_cdf_to_materialized_view(
+            spark,
+            src,
+            view,
+            ck,
+            tableschema="k long, g string, x long",
+            group_by=["g"],
+            count_col="n",
+            sums={"sx": "x"},
+        )
+
+    def batch_expect():
+        return {
+            (r.g, r.n, r.sx)
+            for r in vt.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"),
+            )
+            .collect()
+        }
+
+    vv = VersionedTable(spark, view)
+    drain()
+    assert {(r.g, r.n, r.sx) for r in vv.read().collect()} == batch_expect()
+
+    # MOR DML on the same checkpoint: the view advances by the delta only
+    vt.delete("k in (1, 4, 7)", mode="mor")
+    vt.update("k = 2", {"x": "x + 1000"}, mode="mor")
+    drain()
+    assert {(r.g, r.n, r.sx) for r in vv.read().collect()} == batch_expect()
+
+    # no new commits: rerun is a no-op (exactly-once, no phantom version)
+    v_before = vv.latest_version()
+    drain()
+    assert vv.latest_version() == v_before
+    # each refresh is a time-travelable view version
+    assert vv.read(version=1).count() > 0
