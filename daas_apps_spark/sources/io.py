@@ -1040,3 +1040,48 @@ def a31_mor_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "a32_restore_rollback",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_at_bad_version
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A32", "A27", "A25"),
+)
+def a32_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as the operational rollback (table_format.py::restore):
+    orders land as v1, a CORRUPTED batch (every price negated — the
+    classic bad-upstream-load) overwrites as v2, and restore(1) rolls
+    back as commit v3 — pure manifest arithmetic over dirs still on
+    disk, zero bytes copied. The head census must equal the oracle's
+    clean recompute, and the BAD version must remain time-travelable
+    (its per-status row count is reported alongside — a log rewind
+    would have destroyed the evidence an incident review needs).
+
+    At 100 TB this is the five-second undo for a bad load: COW-copying
+    the prior snapshot back would rewrite the table; restore writes one
+    JSON commit.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a32_restore")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(o)  # v1 — good
+    vt.overwrite(o.withColumn("o_totalprice", -F.col("o_totalprice")))  # v2
+    vt.restore(version=1)  # v3 — rollback, history intact
+    good = vt.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    bad = vt.read(version=2).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_at_bad_version")
+    )
+    return good.join(bad, "o_orderstatus").select(
+        "o_orderstatus", "n_orders", "revenue", "n_at_bad_version"
+    )
