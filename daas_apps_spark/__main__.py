@@ -174,9 +174,12 @@ def cmd_table(args: argparse.Namespace) -> int:
         print(f"vectors compacted -> v{v}")
     elif args.op == "vacuum":
         deleted = vt.vacuum(
-            keep_versions=args.keep, min_age_seconds=args.min_age
+            keep_versions=args.keep,
+            min_age_seconds=args.min_age,
+            dry_run=args.dry_run,
         )
-        print(f"vacuumed {len(deleted)} dirs: {deleted}")
+        verb = "would vacuum" if args.dry_run else "vacuumed"
+        print(f"{verb} {len(deleted)} dirs: {deleted}")
     elif args.op == "delete":
         if not args.where:
             print("delete requires --where <sql predicate>")
@@ -311,6 +314,11 @@ def main(argv: list[str] | None = None) -> int:
         help="delete/update strategy: cow rewrites files; mor records a "
         "deletion vector (plus, for update, one new dir of updated rows) "
         "and touches no existing data file (OPTIMIZE purges vectors)",
+    )
+    p_tbl.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="vacuum: report reclaimable dirs without deleting anything",
     )
     p_tbl.add_argument(
         "--min-age",

@@ -2069,7 +2069,10 @@ class VersionedTable:
         )
 
     def vacuum(
-        self, keep_versions: int = 0, min_age_seconds: float = 0.0
+        self,
+        keep_versions: int = 0,
+        min_age_seconds: float = 0.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data dirs unreferenced by any version newer than
         ``latest - keep_versions`` — the storage-reclaim step that
@@ -2085,7 +2088,11 @@ class VersionedTable:
         default 0 reclaims everything immediately and therefore REQUIRES
         writer quiescence (the single-writer deployments this format's
         os.rename commit already assumes); the CLI defaults to a safer
-        1h window."""
+        1h window.
+
+        ``dry_run=True`` reports what WOULD be reclaimed (same list, same
+        age/ref/retention rules) without deleting anything — the sanity
+        read before trading away time travel, Delta's VACUUM DRY RUN."""
         import shutil
         import time
 
@@ -2123,7 +2130,8 @@ class VersionedTable:
                     continue
                 if age < min_age_seconds:
                     continue
-                shutil.rmtree(full, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
                 deleted.append(prefix + d)
         return deleted
 

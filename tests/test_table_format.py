@@ -2048,3 +2048,14 @@ def test_mor_commits_declare_the_dv_feature(spark, vt):
     vt.delete("k = 1", mode="mor")
     assert vt.history()[-1]["features"] == ["deletion-vectors"]
     assert vt.history()[0].get("features", []) == []  # plain append: none
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "b")]))
+    would = vt.vacuum(keep_versions=0, dry_run=True)
+    assert would  # v1's dir is reclaimable...
+    assert sorted(r.k for r in vt.read(version=1).collect()) == [1]  # ...but intact
+    assert vt.vacuum(keep_versions=0) == would  # the real run matches the report
+    with pytest.raises(Exception):
+        vt.read(version=1).collect()  # now it's gone
