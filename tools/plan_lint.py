@@ -20,6 +20,11 @@ Run as a module for a report, or through tests/test_plans.py's
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from daas_apps_spark.operators.partitioning import physical_plan
 from daas_apps_spark.registry import REGISTRY, _load_all
 

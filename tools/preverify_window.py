@@ -23,6 +23,11 @@ import sys
 
 import pandas as pd
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from daas_apps_spark.session import get_spark
 from daas_apps_spark.verify import canonicalize, duck_connect
 
