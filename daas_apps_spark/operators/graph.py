@@ -511,7 +511,11 @@ GR4_TOP = 25
     WHERE rnk <= {GR4_TOP}
     """,
     tags=("GR4", "GR2", "K4"),
-    bench=True,
+    # NOT bench-flagged: the exact form's wedge-candidate growth is
+    # 2.74×/decade (SCALING_CURVE.md) — registered for oracle parity,
+    # while its production form gr4_capped (1.88×/decade) carries the
+    # headline bench row; a headline set should contain only plans one
+    # would actually run at 100× the data
 )
 def gr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the GR2 backbone: for every NON-adjacent

@@ -237,27 +237,43 @@ def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     return dirs, v_to
 
 
-def cdf_rows_between(
+def change_plan_between(
     path: str,
     v_from: int,
     v_to: int | None = None,
-    columns: list[str] | None = None,
+    mode: str = "cdf",
 ):
-    """(change rows, resolved v_to) for the commit range (v_from, v_to] —
-    the PURE-FILESYSTEM change-data-feed reader the streaming source
-    worker runs (no SparkSession: commit-log replay + pyarrow only). Each
-    row is the table row's values (in ``columns`` order when given, else
-    file order) with the change type ('insert' / 'delete') appended.
+    """(read units, resolved v_to) for the commit range (v_from, v_to] —
+    the metadata-only PLANNING half of the change feed, split from the
+    data-reading half (``read_change_unit``) so a streaming source can
+    run planning on the driver and ship one unit per file to executors
+    (the partition-parallel `DataSourceStreamReader` shape). Planning
+    cost is manifest-sized: commit-log JSON plus the deletion-vector
+    parquet (positions, not rows — |delta|-bounded), never the data.
 
-    Per data-changing commit: added dirs stream as inserts; deletion
-    vectors stream as deletes by reading ONLY the vector-referenced
-    files and ``take``-ing the recorded positions (row_index == position
-    in file) — a MOR UPDATE commit therefore emits its delete preimages
-    then its insert postimages, Delta CDF's pair. data_change=False
-    commits (OPTIMIZE, vector compaction) are skipped. A commit that
-    REMOVES dirs (overwrite/merge/COW delete/restore) raises — resolving
-    its row-level delta needs a snapshot diff, which is the batch
-    ``changes_between``'s job, not a feed the offset log can replay."""
+    Each unit is a plain serializable dict:
+
+      {"kind": "insert", "file": <abs parquet path>}
+      {"kind": "delete", "file": <abs parquet path>, "positions": [...]}
+
+    Units are ordered per commit as Delta CDF orders changes: delete
+    preimages first (sorted by basename), then inserts (add dirs in
+    commit order, files sorted) — a MOR UPDATE commit therefore plans
+    its delete preimages before its insert postimages.
+
+    ``mode="append"`` is the append-only contract (the ``table_changes``
+    stream): deletion vectors raise like dir rewrites do. ``mode="cdf"``
+    replays MOR deletes as delete units. In both modes:
+    data_change=False commits (OPTIMIZE, vector compaction) are skipped;
+    a commit that REMOVES dirs raises (its row delta needs a snapshot
+    diff, which the offset log cannot replay); a truncated log raises;
+    a planned dir that yields ZERO parquet files raises (the dir was
+    vacuumed past the replay horizon — silence here would drop change
+    rows with no error); and a deletion vector whose basename maps to
+    TWO different data dirs raises (basename collision — reading the
+    preimage from either candidate would be a silent guess)."""
+    if mode not in ("cdf", "append"):
+        raise ValueError(f"mode must be 'cdf' or 'append', got {mode!r}")
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -266,24 +282,15 @@ def cdf_rows_between(
     latest = commits[-1]["version"] if commits else 0
     v_to = latest if v_to is None else v_to
     owner: dict[str, str] = {}
+    collide: set[str] = set()
     for c in commits:
         for rel, fstats in (c.get("file_stats") or {}).items():
             for basename in fstats:
+                if basename in owner and owner[basename] != rel:
+                    collide.add(basename)
                 owner[basename] = rel
 
-    def _emit(table, tag, out):
-        cols = columns or table.column_names
-        data = [
-            table.column(n).to_pylist() if n in table.column_names
-            else [None] * table.num_rows
-            for n in cols
-        ]
-        out.extend(
-            tuple(col[i] for col in data) + (tag,)
-            for i in range(table.num_rows)
-        )
-
-    rows: list[tuple] = []
+    units: list[dict] = []
     present: set[int] = set()
     for c in commits:
         if not (v_from < c["version"] <= v_to):
@@ -298,12 +305,27 @@ def cdf_rows_between(
                 "merge-on-read deletes only — reprocess rewrites from a "
                 "snapshot diff"
             )
+        if mode == "append" and c.get("dv_add"):
+            # dv_add deletes rows without removing a dir (merge-on-read)
+            # — just as append-only-breaking as a rewrite
+            raise ValueError(
+                f"commit {c['version']} ({c['operation']}) rewrites or "
+                "deletes data; a version-offset change stream requires "
+                "append-only"
+            )
         # delete preimages first (Delta CDF's update ordering)
         by_file: dict[str, list[int]] = {}
-        for dvrel in c.get("dv_add", []):
-            for f in sorted(
+        for dvrel in c.get("dv_add", []) if mode == "cdf" else []:
+            dv_files = sorted(
                 _glob.glob(os.path.join(path, _DV, dvrel, "*.parquet"))
-            ):
+            )
+            if not dv_files:
+                raise ValueError(
+                    f"commit {c['version']}: deletion-vector dir {dvrel} "
+                    "holds no parquet files — it was vacuumed past this "
+                    "replay range; reprocess from a full snapshot"
+                )
+            for f in dv_files:
                 t = pq.read_table(f)
                 for basename, pos in zip(
                     t.column("file").to_pylist(), t.column("pos").to_pylist()
@@ -316,17 +338,31 @@ def cdf_rows_between(
                     f"{basename}, which no commit's manifest places — "
                     "cannot stream this delete"
                 )
-            full = os.path.join(path, _DATA, owner[basename], basename)
-            _emit(
-                pq.read_table(full).take(sorted(by_file[basename])),
-                "delete",
-                rows,
+            if basename in collide:
+                raise ValueError(
+                    f"commit {c['version']}: deletion vector references "
+                    f"{basename}, which two different commits' manifests "
+                    "place in different dirs — cannot resolve the "
+                    "preimage file unambiguously"
+                )
+            units.append(
+                {
+                    "kind": "delete",
+                    "file": os.path.join(path, _DATA, owner[basename], basename),
+                    "positions": sorted(by_file[basename]),
+                }
             )
         for d in c["add"]:
-            for f in sorted(
+            add_files = sorted(
                 _glob.glob(os.path.join(path, _DATA, d, "*.parquet"))
-            ):
-                _emit(pq.read_table(f), "insert", rows)
+            )
+            if not add_files:
+                raise ValueError(
+                    f"commit {c['version']}: added dir {d} holds no "
+                    "parquet files — it was vacuumed past this replay "
+                    "range; reprocess from a full snapshot"
+                )
+            units.extend({"kind": "insert", "file": f} for f in add_files)
     missing = set(range(v_from + 1, v_to + 1)) - present
     if missing:
         raise ValueError(
@@ -334,6 +370,99 @@ def cdf_rows_between(
             "log was truncated past this range; reprocess from a full "
             "snapshot instead of the change feed"
         )
+    return units, v_to
+
+
+def _pylist_converter(dtype):
+    """Value converter (or None for identity) turning pyarrow's
+    ``to_pylist`` representation into what Spark's Python data-source
+    row path expects: arrow MAP values surface as [(k, v), ...] pair
+    lists but the engine's variant converter asserts dict — recurse
+    through list/struct nesting so map<...> works at any depth."""
+    import pyarrow as pa
+
+    if pa.types.is_map(dtype):
+        kc = _pylist_converter(dtype.key_type) or (lambda v: v)
+        vc = _pylist_converter(dtype.item_type) or (lambda v: v)
+        return lambda v: (
+            None if v is None else {kc(k): vc(x) for k, x in v}
+        )
+    if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):
+        inner = _pylist_converter(dtype.value_type)
+        if inner is None:
+            return None
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if pa.types.is_struct(dtype):
+        subs = {
+            f.name: _pylist_converter(f.type)
+            for f in dtype
+            if _pylist_converter(f.type) is not None
+        }
+        if not subs:
+            return None
+        return lambda v: (
+            None
+            if v is None
+            else {k: subs[k](x) if k in subs else x for k, x in v.items()}
+        )
+    return None
+
+
+def read_change_unit(
+    unit: dict,
+    columns: list[str] | None = None,
+    tag: bool = True,
+) -> list[tuple]:
+    """Materialize ONE planned change unit (``change_plan_between``) as
+    Python row tuples — the data-reading half the streaming source runs
+    per-partition on executors (pyarrow only, no SparkSession). Values
+    are emitted by column NAME in ``columns`` order when given (missing
+    columns → None, so schema evolution can't mis-slot values), else in
+    file order. ``tag=True`` appends the '_change_type' value ('insert'
+    / 'delete'); the append-only ``table_changes`` stream passes
+    ``tag=False``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(unit["file"])
+    if unit["kind"] == "delete":
+        t = t.take(unit["positions"])
+    cols = columns or t.column_names
+    data = []
+    for n in cols:
+        if n not in t.column_names:
+            data.append([None] * t.num_rows)
+            continue
+        vals = t.column(n).to_pylist()
+        conv = _pylist_converter(t.schema.field(n).type)
+        data.append([conv(v) for v in vals] if conv else vals)
+    suffix = (unit["kind"],) if tag else ()
+    return [
+        tuple(col[i] for col in data) + suffix for i in range(t.num_rows)
+    ]
+
+
+def cdf_rows_between(
+    path: str,
+    v_from: int,
+    v_to: int | None = None,
+    columns: list[str] | None = None,
+):
+    """(change rows, resolved v_to) for the commit range (v_from, v_to] —
+    the PURE-FILESYSTEM change-data-feed reader (no SparkSession:
+    commit-log replay + pyarrow only). Each row is the table row's
+    values (in ``columns`` order when given, else file order) with the
+    change type ('insert' / 'delete') appended.
+
+    Single-process composition of the two halves the partition-parallel
+    stream source runs split: ``change_plan_between`` (planning) +
+    ``read_change_unit`` per unit (reading). Semantics — MOR
+    delete-preimage/insert-postimage ordering, data_change=False skips,
+    rewrite/truncation/vacuumed-dir/basename-collision errors — live in
+    the planner; see its docstring."""
+    units, v_to = change_plan_between(path, v_from, v_to, mode="cdf")
+    rows: list[tuple] = []
+    for u in units:
+        rows.extend(read_change_unit(u, columns=columns))
     return rows, v_to
 
 
@@ -636,6 +765,43 @@ class VersionedTable:
             dvs = [d for d in dvs if d not in rm]
             dvs.extend(entry.get("dv_add", []))
         return dvs
+
+    def _live_sets_at(
+        self, versions: list[int]
+    ) -> tuple[set[str], set[str]]:
+        """(live data-dir basenames, live dv rel-dirs) UNIONED over the
+        given sorted versions, in ONE forward replay: start from the
+        newest checkpoint at-or-before the oldest wanted version, apply
+        commits in order, and snapshot both live sets as each wanted
+        version is reached. Equivalent to ∪_v _live_dirs(v) ∪-paired
+        with ∪_v _live_dvs(v), but O(commits) instead of O(versions)
+        full replays — vacuum's retention scan on a long log."""
+        keep: set[str] = set()
+        dv_keep: set[str] = set()
+        if not versions:
+            return keep, dv_keep
+        base = None
+        for ck in self._checkpoints():
+            if ck["version"] <= versions[0]:
+                base = ck
+        live: list[str] = list(base["live"]) if base else []
+        dvs: list[str] = list(base.get("dvs", [])) if base else []
+        floor = base["version"] if base else 0
+        commits = [e for e in self._commits() if e["version"] > floor]
+        i = 0
+        for v in versions:
+            while i < len(commits) and commits[i]["version"] <= v:
+                e = commits[i]
+                rm = set(e["remove"])
+                live = [d for d in live if d not in rm]
+                live.extend(e["add"])
+                dv_rm = set(e.get("dv_remove", []))
+                dvs = [d for d in dvs if d not in dv_rm]
+                dvs.extend(e.get("dv_add", []))
+                i += 1
+            keep.update(live)
+            dv_keep.update(dvs)
+        return keep, dv_keep
 
     def _apply_dv(self, df: DataFrame, dvs: list[str]) -> DataFrame:
         """Subtract the deletion vectors from a parquet scan: anti-join on
@@ -1695,6 +1861,7 @@ class VersionedTable:
         target_partitions: int = 1,
         zorder_by: tuple[str, str] | None = None,
         max_dir_bytes: int | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """Compaction: rewrite the live snapshot into ``target_partitions``
         files in one new dir and retire the fragmented dirs — logically a
@@ -1718,7 +1885,15 @@ class VersionedTable:
         min/max stats — and this format's own per-dir stats — prune
         scans filtered on either column. OPTIMIZE ZORDER, reduced to
         arithmetic (see operators/partitioning.py::a13 for the bit math
-        and the bounding-box property test)."""
+        and the bounding-box property test).
+
+        ``zorder_bits`` is the per-dimension code RESOLUTION (default 8
+        → 256 cells per dimension). A high-cardinality key on a large
+        table wants more: with only 2^bits cells per dimension, files
+        beyond bits·N code width stop subdividing, so bounding boxes
+        plateau; 12-bit 2-D (16.7M cells) keeps tightening where 8-bit
+        flattens out (pinned by test). Constraint: N·bits ≤ 62 (the
+        code must fit a bigint)."""
         from pyspark.sql import functions as F
 
         if max_dir_bytes is not None and zorder_by is not None:
@@ -1760,15 +1935,19 @@ class VersionedTable:
             current = current.coalesce(target_partitions)
         else:
             from daas_apps_spark.operators.partitioning import (
-                Z_BITS,
                 _morton_sql_n,
             )
 
             cols = list(zorder_by)
-            if len(cols) < 2 or len(cols) * Z_BITS > 62:
+            if zorder_bits < 1:
+                raise ValueError(
+                    f"optimize(zorder_bits=...): need >= 1, got {zorder_bits}"
+                )
+            if len(cols) < 2 or len(cols) * zorder_bits > 62:
                 raise ValueError(
                     "optimize(zorder_by=...): pass 2 to "
-                    f"{62 // Z_BITS} columns (got {len(cols)})"
+                    f"{62 // zorder_bits} columns at {zorder_bits} bits "
+                    f"(N*bits must fit a bigint; got {len(cols)})"
                 )
             bounds = current.agg(
                 *[f(c) for c in cols for f in (F.min, F.max)]
@@ -1784,10 +1963,12 @@ class VersionedTable:
                         "needs a value range on every column"
                     )
 
+            zmax = (1 << zorder_bits) - 1
+
             def scaled(col: str, lo, hi) -> str:
                 span = hi - lo if hi > lo else 1
                 return (
-                    f"(cast(floor(({col} - ({lo})) * 255.0 / ({span})) "
+                    f"(cast(floor(({col} - ({lo})) * {zmax}.0 / ({span})) "
                     "as bigint))"
                 )
 
@@ -1797,6 +1978,7 @@ class VersionedTable:
                     for i, c in enumerate(cols)
                 ],
                 "div",
+                bits=zorder_bits,
             )
             # Split files on the EXACT code prefix (bucket = z div width),
             # not on sampled raw-code ranges: a sampled boundary can land
@@ -1812,7 +1994,7 @@ class VersionedTable:
             import shutil
 
             width = max(
-                (1 << (len(cols) * Z_BITS)) // target_partitions, 1
+                (1 << (len(cols) * zorder_bits)) // target_partitions, 1
             )
             rel = f"v{self.latest_version() + 1}-{uuid.uuid4().hex[:8]}"
             tmp_out = os.path.join(self.path, _DATA, f".tmp-{rel}")
@@ -1989,9 +2171,12 @@ class VersionedTable:
         # commit's recorded per-file stats (tiny driver-side maps, the
         # same scale as the live-dir bookkeeping)
         owner: dict[str, str] = {}
+        collide: set[str] = set()
         for c in self._commits():
             for rel, fstats in (c.get("file_stats") or {}).items():
                 for basename in fstats:
+                    if basename in owner and owner[basename] != rel:
+                        collide.add(basename)
                     owner[basename] = rel
         in_range_files = {
             basename
@@ -2003,6 +2188,13 @@ class VersionedTable:
         touched = [r.file for r in dv.select("file").distinct().collect()]
         if any(f not in owner for f in touched):
             return None  # pre-manifest file: cannot place it
+        if any(f in collide for f in touched):
+            # basename placed in TWO dirs by different commits (e.g.
+            # legacy fixed-name zorder files across historical OPTIMIZE
+            # runs resurfaced by RESTORE): last-writer-wins would read
+            # the preimage from a silently-guessed file — fall back to
+            # the snapshot diff, which never resolves by basename
+            return None
         if any(f in in_range_files for f in touched):
             # a row inserted AND vector-deleted inside the range: the
             # snapshot diff nets the pair out; emitting both would break
@@ -2097,21 +2289,19 @@ class VersionedTable:
         import time
 
         horizon = self.latest_version() - keep_versions
-        keep: set[str] = set()
-        for v in range(max(horizon, 1), self.latest_version() + 1):
-            keep.update(os.path.basename(p) for p in self._live_dirs(v))
         # a named ref PROTECTS its snapshot from expiration (Iceberg's
         # retention rule): a tag that vacuum can silently break is no
-        # pin at all — drop the ref first to release its storage
-        for v in self.refs().values():
-            keep.update(os.path.basename(p) for p in self._live_dirs(v))
-        # deletion-vector dirs expire by the same rule: keep any vector
-        # live in a retained or ref-pinned snapshot, reclaim the rest
-        dv_keep: set[str] = set()
-        for v in range(max(horizon, 1), self.latest_version() + 1):
-            dv_keep.update(self._live_dvs(v))
-        for v in self.refs().values():
-            dv_keep.update(self._live_dvs(v))
+        # pin at all — drop the ref first to release its storage.
+        # Deletion-vector dirs expire by the same rule: keep any vector
+        # live in a retained or ref-pinned snapshot, reclaim the rest.
+        # One incremental replay snapshots BOTH live sets at every
+        # protected version — O(commits) total, not O(versions) full
+        # replays (each of which re-reads every checkpoint/commit JSON).
+        wanted = sorted(
+            set(range(max(horizon, 1), self.latest_version() + 1))
+            | set(self.refs().values())
+        )
+        keep, dv_keep = self._live_sets_at(wanted)
         now = time.time()
         deleted = []
         for root, protected, prefix in (

@@ -793,10 +793,39 @@ def test_applied_batch_keys_legacy_commit_migration():
     assert ("s2", 0) in other and ("s2", 1) not in other
 
 
+def _drain_table_changes(
+    spark, tbl, out, ck, seen_batches, cap="2", simple=False
+):
+    stream = (
+        spark.readStream.format("table_changes")
+        .option("path", tbl)
+        .option("tableschema", "k long, v string")
+        .option("maxVersionsPerTrigger", cap)
+        .option("simplereader", "true" if simple else "false")
+        .load()
+    )
+
+    def sink(batch_df, batch_id):
+        rows = sorted(r.k for r in batch_df.collect())
+        if rows:
+            seen_batches.append(rows)
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def test_table_change_stream_rate_limit_bounds_batches(spark, tmp_path):
     """maxVersionsPerTrigger caps each micro-batch at N commits (Delta's
-    maxFilesPerTrigger analog): a cold start over a 4-commit log drains
-    in ceil(4/2)=2 batches with exactly-once delivery intact."""
+    maxFilesPerTrigger analog). An availableNow run consults
+    latestOffset ONCE (engine contract for Python stream sources), so a
+    cold start over a 4-commit log drains in ceil(4/2)=2 capped runs,
+    exactly-once."""
     from daas_apps_spark.sources.table_format import VersionedTable
     from daas_apps_spark.streaming.live import (
         register_table_change_stream_source,
@@ -811,39 +840,100 @@ def test_table_change_stream_rate_limit_bounds_batches(spark, tmp_path):
         )
 
     out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
     seen_batches: list[list[int]] = []
 
-    def drain_once():
-        stream = (
-            spark.readStream.format("table_changes")
-            .option("path", tbl)
-            .option("tableschema", "k long, v string")
-            .option("maxVersionsPerTrigger", "2")
-            .load()
-        )
-
-        def sink(batch_df, batch_id):
-            rows = sorted(r.k for r in batch_df.collect())
-            if rows:
-                seen_batches.append(rows)
-            batch_df.write.mode("append").parquet(out)
-
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", str(tmp_path / "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    # an availableNow run stops at the first capped offset, so a cold
-    # start over the 4-commit log needs ceil(4/2)=2 runs to drain
-    drain_once()
+    _drain_table_changes(spark, tbl, out, ck, seen_batches)
     got1 = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got1 == [1, 2]  # capped: NOT the whole table in one batch
-    drain_once()
+    _drain_table_changes(spark, tbl, out, ck, seen_batches)
     got = sorted(r.k for r in spark.read.parquet(out).collect())
-    # every row exactly once, and no batch carried more than 2 versions
+    assert got == [1, 2, 3, 4]
+    assert all(len(b) <= 2 for b in seen_batches), seen_batches
+    assert len(seen_batches) == 2
+    # a rerun on the drained checkpoint delivers nothing new
+    _drain_table_changes(spark, tbl, out, ck, seen_batches)
+    assert len(seen_batches) == 2
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == got
+
+
+def test_table_change_stream_rate_limit_continuous_drain(spark, tmp_path):
+    """Under a processingTime trigger the engine polls latestOffset per
+    trigger, so ONE running query drains a 6-commit log in three capped
+    batches (2 versions each) — the steady-state rate-limit shape a
+    long-log catch-up runs at scale."""
+    import time as _time
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    for k in range(1, 7):
+        vt.append(
+            spark.createDataFrame([(k, f"v{k}")], "k long, v string")
+        )
+
+    seen_batches: list[list[int]] = []
+
+    def sink(batch_df, batch_id):
+        rows = sorted(r.k for r in batch_df.collect())
+        if rows:
+            seen_batches.append(rows)
+
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", tbl)
+        .option("tableschema", "k long, v string")
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while (
+        _time.time() < deadline
+        and sum(len(b) for b in seen_batches) < 6
+    ):
+        _time.sleep(0.5)
+    q.stop()
+    assert sorted(k for b in seen_batches for k in b) == [1, 2, 3, 4, 5, 6]
+    assert all(len(b) <= 2 for b in seen_batches), seen_batches
+    assert len(seen_batches) == 3
+
+
+def test_table_change_stream_simple_fallback_rate_limit(spark, tmp_path):
+    """option("simplereader","true") selects the prefetching
+    SimpleDataSourceStreamReader fallback, whose availableNow run stops
+    at the FIRST capped offset — a cold start over a 4-commit log needs
+    ceil(4/2)=2 runs to drain, still exactly-once."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    for k in range(1, 5):
+        vt.append(
+            spark.createDataFrame([(k, f"v{k}")], "k long, v string")
+        )
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    seen_batches: list[list[int]] = []
+
+    _drain_table_changes(spark, tbl, out, ck, seen_batches, simple=True)
+    got1 = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]  # capped: NOT the whole table in one batch
+    _drain_table_changes(spark, tbl, out, ck, seen_batches, simple=True)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4]
     assert all(len(b) <= 2 for b in seen_batches), seen_batches
     assert len(seen_batches) == 2
@@ -894,6 +984,119 @@ def test_upsert_counts_consolidates_null_user_and_skips_completed_replay(
     run_stream_upsert_counts(spark, str(src), state, str(tmp_path / "ck"))
     got = {r.user_id: r.n_events for r in spark.read.parquet(state).collect()}
     assert got == {None: 4, 7: 8}  # recovered, not reset, not doubled
+
+
+def test_table_change_stream_multifile_commit_parallel_partitions(
+    spark, tmp_path
+):
+    """The partition-planned reader ships ONE InputPartition per planned
+    file: a commit written as 3 parquet files arrives as a 3-partition
+    micro-batch (executors read the files in parallel — no single-process
+    row funnel), and the rows match a batch read of the table exactly."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "k long, v string"
+    ).repartition(3)
+    vt.append(df)
+    import glob as _glob
+
+    n_files = len(_glob.glob(f"{tbl}/data/*/*.parquet"))
+    assert n_files == 3  # precondition: a genuinely multi-file commit
+
+    batch_parts: list[int] = []
+
+    def sink(batch_df, batch_id):
+        batch_parts.append(batch_df.rdd.getNumPartitions())
+        batch_df.write.mode("append").parquet(str(tmp_path / "out"))
+
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", tbl)
+        .option("tableschema", "k long, v string")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert batch_parts == [3], batch_parts  # one partition per file
+    got = sorted(
+        (r.k, r.v) for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted((r.k, r.v) for r in vt.read().collect())
+    assert got == want
+
+
+def test_ddl_field_names_depth_aware():
+    """Comma-bearing types (decimal(18,4), map<k,v>, struct<...>) must
+    not split into phantom columns; backquoted names keep their spaces."""
+    import pytest as _pytest
+
+    from daas_apps_spark.streaming.live import ddl_field_names
+
+    assert ddl_field_names("k long, v string") == ["k", "v"]
+    assert ddl_field_names(
+        "a decimal(18,4), m map<string,int>, "
+        "s struct<x:int,y:decimal(10,2)>, "
+        "arr array<struct<p:int,q:map<string,array<int>>>>"
+    ) == ["a", "m", "s", "arr"]
+    assert ddl_field_names("`weird col` int, b: string") == ["weird col", "b"]
+    with _pytest.raises(ValueError, match="unbalanced"):
+        ddl_field_names("a map<string,int")
+
+
+def test_table_cdf_stream_handles_comma_bearing_types(spark, tmp_path):
+    """A table whose schema carries commas inside types (decimal(18,4),
+    map<string,int>) must stream through table_cdf with correct arity
+    and value slotting — the naive split-on-comma schema parse produced
+    phantom columns here."""
+    from decimal import Decimal
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_cdf_stream_source,
+    )
+
+    register_table_cdf_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    schema = "k long, amt decimal(18,4), m map<string,int>"
+    vt.append(
+        spark.createDataFrame(
+            [(1, Decimal("10.5000"), {"a": 1}), (2, Decimal("2.2500"), {"b": 2})],
+            schema,
+        )
+    )
+    vt.delete("k = 1", mode="mor")
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", tbl)
+        .option("tableschema", schema)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_commas")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, str(r.amt), dict(r.m), r._change_type)
+        for r in spark.table("cdf_commas").collect()
+    )
+    assert got == [
+        (1, "10.5000", {"a": 1}, "delete"),
+        (1, "10.5000", {"a": 1}, "insert"),
+        (2, "2.2500", {"b": 2}, "insert"),
+    ]
 
 
 def test_table_cdf_stream_replays_mor_deletes_and_updates(spark, tmp_path):

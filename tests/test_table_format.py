@@ -184,6 +184,62 @@ def test_changes_between_with_rewrite_diffs_snapshots(spark, vt):
     ]
 
 
+def test_optimize_zorder_bits_tighten_high_cardinality(spark, tmp_path):
+    """Configurable Z-order resolution: on a HIGH-cardinality 2-D key
+    with many output files, 12-bit codes keep subdividing where 8-bit
+    codes plateau (an 8-bit 2-D code has only 16 bits — beyond 2^16/N
+    files the extra files stop shrinking any bounding box), so the mean
+    per-file x-span must be strictly tighter at 12 bits."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    # 4096 x 4096 sparse grid — far beyond 8-bit's 256 cells/dimension
+    data = spark.range(40000).selectExpr(
+        "cast((id * 2654435761) % 4096 as long) as x",
+        "cast((id * 40503) % 4096 as long) as y",
+    )
+
+    def mean_x_span(bits: int) -> float:
+        vt = VersionedTable(spark, str(tmp_path / f"vt_{bits}"))
+        vt.append(data)
+        vt.optimize(
+            target_partitions=64, zorder_by=("x", "y"), zorder_bits=bits
+        )
+        (live_dir,) = vt._live_dirs()
+        spans = []
+        for f in glob.glob(os.path.join(live_dir, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }["x"]
+            mn = min(
+                md.row_group(r).column(col).statistics.min
+                for r in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(r).column(col).statistics.max
+                for r in range(md.num_row_groups)
+            )
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    assert mean_x_span(12) < mean_x_span(8)
+
+    # the bigint guard scales with bits: 12-bit allows at most 5 columns
+    vt = VersionedTable(spark, str(tmp_path / "vt_guard"))
+    vt.append(data)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bigint"):
+        vt.optimize(
+            zorder_by=("x", "y", "x", "y", "x", "y"), zorder_bits=12
+        )
+
+
 def test_optimize_zorder_bounds_both_dimensions(spark, vt):
     """OPTIMIZE ZORDER: over a full 2-D grid, each of the 4 output files
     must bound BOTH columns to roughly half their range (a one-column
@@ -821,6 +877,92 @@ def test_change_feed_snapshot_diff_aligns_evolved_schema(spark, vt):
     assert (1, "a", None, "delete") in got
     # untouched row 2 must NOT phantom through the diff
     assert not any(r[0] == 2 for r in got)
+
+
+_RACE_WORKER = r"""
+import os, sys, time, uuid
+
+sys.path.insert(0, sys.argv[4])
+from daas_apps_spark.sources.table_format import (
+    VersionedTable,
+    retry_on_conflict,
+)
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+tbl, wid, go = sys.argv[1], sys.argv[2], sys.argv[3]
+# the commit path is pure-filesystem (footer harvest + log CAS) — no
+# SparkSession needed, which is exactly what makes a real second OS
+# process cheap enough to race here
+vt = VersionedTable(None, tbl)
+while not os.path.exists(go):
+    time.sleep(0.005)
+for i in range(5):
+    rel = f"w{wid}-{i}-{uuid.uuid4().hex[:6]}"
+    d = os.path.join(tbl, "data", rel)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"k": [int(wid) * 100 + i], "w": [int(wid)]}),
+        os.path.join(d, "part-0.parquet"),
+    )
+    retry_on_conflict(
+        lambda: vt._commit(
+            "append", add=[rel], remove=[], metadata={"writer": wid, "i": i}
+        ),
+        attempts=100,
+    )
+"""
+
+
+def test_two_process_commit_race_all_land(spark, tmp_path):
+    """The deployment claim behind _publish_commit: the os.link CAS
+    holds across OS PROCESS boundaries. Two real child processes race 5
+    retry_on_conflict appends each against the same table; afterwards
+    the log must hold exactly 10 contiguous versions (no lost commit,
+    no duplicate version file, no torn JSON), every writer's 5 commits
+    present, and the snapshot read must see all 10 rows."""
+    import subprocess
+    import sys as _sys
+
+    tbl = str(tmp_path / "vt")
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    VersionedTable(spark, tbl)  # create the dir skeleton
+    go = str(tmp_path / "go")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _RACE_WORKER, tbl, wid, go, repo],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for wid in ("1", "2")
+    ]
+    open(go, "w").close()  # starting gun: both racers loop until it exists
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    vt = VersionedTable(spark, tbl)
+    commits = vt.history()
+    assert [c["version"] for c in commits] == list(range(1, 11))
+    by_writer = {}
+    for c in commits:
+        by_writer.setdefault(c["metadata"]["writer"], []).append(
+            c["metadata"]["i"]
+        )
+    assert sorted(by_writer) == ["1", "2"]
+    assert sorted(by_writer["1"]) == list(range(5))
+    assert sorted(by_writer["2"]) == list(range(5))
+    rows = sorted((r.w, r.k) for r in vt.read().collect())
+    assert rows == sorted(
+        (w, w * 100 + i) for w in (1, 2) for i in range(5)
+    )
+    # no stranded .tmp commit files in the log after the race settles
+    assert not [
+        f for f in os.listdir(os.path.join(tbl, "_log"))
+        if f.startswith(".tmp")
+    ]
 
 
 def test_racing_commit_one_winner_one_conflict(spark, vt):
