@@ -441,6 +441,42 @@ def read_change_unit(
     ]
 
 
+def read_change_batches(unit: dict, arrow_schema, tag: bool = True):
+    """Arrow fast path for ``read_change_unit``: materialize ONE planned
+    change unit as pyarrow RecordBatches already cast to the stream's
+    declared arrow schema (``to_arrow_schema(return_type)`` — the same
+    derivation Spark's data-source worker uses for the tuple path), so
+    the executor ships columnar buffers straight through instead of
+    round-tripping every row via Python objects. Missing columns
+    (schema evolution) fill with typed nulls; ``tag`` appends the
+    '_change_type' literal column. Raises on any arrow-level type
+    incompatibility — the caller falls back to the tuple path, which is
+    always correct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(unit["file"])
+    if unit["kind"] == "delete":
+        t = t.take(unit["positions"])
+    names = list(arrow_schema.names)
+    data_names = names[:-1] if tag else names
+    cols = []
+    for name in data_names:
+        if name in t.column_names:
+            cols.append(t.column(name))
+        else:
+            cols.append(pa.nulls(t.num_rows, type=arrow_schema.field(name).type))
+    if tag:
+        cols.append(
+            pa.array(
+                [unit["kind"]] * t.num_rows,
+                type=arrow_schema.field(names[-1]).type,
+            )
+        )
+    out = pa.table(cols, names=names).cast(arrow_schema)
+    return out.combine_chunks().to_batches()
+
+
 def cdf_rows_between(
     path: str,
     v_from: int,

@@ -786,9 +786,10 @@ def _make_table_stream_source(
             self.columns = columns
 
     class _FullReader(_TableStreamReaderCore, DataSourceStreamReader):
-        def __init__(self, path, columns, cap):
+        def __init__(self, path, columns, cap, arrow_schema=None):
             _TableStreamReaderCore.__init__(self, path, cap)
             self.columns = columns
+            self.arrow_schema = arrow_schema
 
         def initialOffset(self):
             self._last = 0
@@ -814,11 +815,25 @@ def _make_table_stream_source(
 
         def read(self, partition):
             from daas_apps_spark.sources.table_format import (
+                read_change_batches,
                 read_change_unit,
             )
 
             if partition.unit is None:
                 return iter([])
+            if self.arrow_schema is not None:
+                try:
+                    # Arrow fast path: ship columnar buffers straight
+                    # through (no per-row Python objects) — the shape
+                    # that keeps a wide multi-GB commit executor-bound
+                    # instead of serializer-bound
+                    return iter(
+                        read_change_batches(
+                            partition.unit, self.arrow_schema, tag=tag
+                        )
+                    )
+                except Exception:
+                    pass  # any arrow-level type gap → exact tuple path
             return iter(
                 read_change_unit(
                     partition.unit, columns=partition.columns, tag=tag
@@ -896,7 +911,19 @@ def _make_table_stream_source(
                     errorClass="NOT_IMPLEMENTED",
                     messageParameters={"feature": "streamReader"},
                 )
-            return _FullReader(*self._args())
+            arrow_schema = None
+            if self.options.get("arrowbatches", "true").lower() != "false":
+                try:
+                    # the same declared-schema → arrow derivation the
+                    # data-source worker applies to the tuple path, so a
+                    # RecordBatch we emit is byte-compatible with what
+                    # the worker would have built row-by-row
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    arrow_schema = to_arrow_schema(schema)
+                except Exception:
+                    arrow_schema = None  # tuple path still correct
+            return _FullReader(*self._args(), arrow_schema=arrow_schema)
 
         def simpleStreamReader(self, schema) -> "_SimpleReader":
             return _SimpleReader(*self._args())

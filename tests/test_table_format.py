@@ -879,6 +879,63 @@ def test_change_feed_snapshot_diff_aligns_evolved_schema(spark, vt):
     assert not any(r[0] == 2 for r in got)
 
 
+def test_read_change_batches_matches_tuple_path(spark, tmp_path):
+    """The arrow fast path (read_change_batches) must produce exactly
+    the rows of the tuple path (read_change_unit) for every planned
+    unit of an append + MOR-delete + MOR-update + schema-evolution
+    range — including comma-bearing types (decimal, map) and a column
+    added mid-range (typed-null fill)."""
+    from decimal import Decimal
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        change_plan_between,
+        read_change_batches,
+        read_change_unit,
+    )
+
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    schema = "k long, amt decimal(18,4), m map<string,int>"
+    vt.append(
+        spark.createDataFrame(
+            [(i, Decimal(i) / 4, {"a": i}) for i in range(8)], schema
+        )
+    )
+    vt.delete("k < 2", mode="mor")
+    vt.update("k = 5", {"amt": "amt * 2"}, mode="mor")
+    # schema evolution: later commit carries an extra column
+    evolved = "k long, amt decimal(18,4), m map<string,int>, extra string"
+    vt.append(
+        spark.createDataFrame([(100, Decimal("1.5"), {"z": 9}, "new")], evolved)
+    )
+
+    declared = evolved + ", _change_type string"
+    cols = ["k", "amt", "m", "extra"]
+    arrow_schema = to_arrow_schema(_parse_datatype_string(declared))
+    units, _ = change_plan_between(tbl, 0, None, mode="cdf")
+    assert any(u["kind"] == "delete" for u in units)
+    n_rows = 0
+    for u in units:
+        want = read_change_unit(u, columns=cols, tag=True)
+        batches = read_change_batches(u, arrow_schema, tag=True)
+        got = [
+            tuple(
+                dict(v) if isinstance(v, list) and v and isinstance(v[0], tuple)
+                else v
+                for v in row
+            )
+            for b in batches
+            for row in zip(*(b.column(i).to_pylist() for i in range(b.num_columns)))
+        ]
+        assert got == want, u
+        n_rows += len(got)
+    assert n_rows > 0
+
+
 _RACE_WORKER = r"""
 import os, sys, time, uuid
 
