@@ -950,6 +950,65 @@ def register_table_change_stream_source(spark: SparkSession) -> None:
     )
 
 
+def drain_table_stream(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    tableschema: str,
+    checkpoint_dir: str,
+    apply_batch,
+    max_versions_per_trigger: int | None = None,
+    max_runs: int = 1000,
+) -> int:
+    """Fully drain a versioned-table stream (``table_changes`` or
+    ``table_cdf``) through ``apply_batch(df, batch_id)`` with bounded
+    micro-batches, by looping availableNow runs until an entire run
+    delivers nothing new. One availableNow run fixes its target at its
+    single ``latestOffset`` call (engine contract for Python stream
+    sources), so with ``maxVersionsPerTrigger`` set each run advances
+    at most that many commits — this helper is the operational
+    "catch up a long log in bounded steps" loop the engine cannot
+    express as one run. Exactly-once holds across the loop: every run
+    shares ``checkpoint_dir``, so replays skip and the offset only
+    advances on committed batches. Returns the number of non-empty
+    batches applied."""
+    applied = 0
+
+    def counting(df, batch_id):
+        nonlocal progressed, applied
+        if not df.isEmpty():
+            progressed = True
+            applied += 1
+        apply_batch(df, batch_id)
+
+    for _ in range(max_runs):
+        progressed = False
+        reader = (
+            spark.readStream.format(fmt)
+            .option("path", path)
+            .option("tableschema", tableschema)
+        )
+        if max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", str(max_versions_per_trigger)
+            )
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(counting)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not progressed:
+            return applied
+    raise RuntimeError(
+        f"drain_table_stream: still progressing after {max_runs} runs — "
+        "either the table is being appended faster than the drain or "
+        "max_runs is too small for the log length / trigger cap"
+    )
+
+
 def register_table_cdf_stream_source(spark: SparkSession) -> None:
     """The versioned table's CHANGE-DATA-FEED as a streaming source —
     Delta's ``readChangeFeed`` streaming analog on the A23 machinery.

@@ -907,6 +907,44 @@ def test_table_change_stream_rate_limit_continuous_drain(spark, tmp_path):
     assert len(seen_batches) == 3
 
 
+def test_drain_table_stream_catches_up_in_bounded_runs(spark, tmp_path):
+    """drain_table_stream loops availableNow runs until a run delivers
+    nothing: a 5-commit log with a 2-version cap drains in ceil(5/2)=3
+    applied batches, each ≤ 2 versions, every row exactly once."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        drain_table_stream,
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    for k in range(1, 6):
+        vt.append(
+            spark.createDataFrame([(k, f"v{k}")], "k long, v string")
+        )
+    seen: list[list[int]] = []
+
+    def apply(df, batch_id):
+        rows = sorted(r.k for r in df.collect())
+        if rows:
+            seen.append(rows)
+
+    applied = drain_table_stream(
+        spark,
+        "table_changes",
+        tbl,
+        "k long, v string",
+        str(tmp_path / "ck"),
+        apply,
+        max_versions_per_trigger=2,
+    )
+    assert applied == 3
+    assert [k for b in seen for k in b] == [1, 2, 3, 4, 5]
+    assert all(len(b) <= 2 for b in seen), seen
+
+
 def test_table_change_stream_simple_fallback_rate_limit(spark, tmp_path):
     """option("simplereader","true") selects the prefetching
     SimpleDataSourceStreamReader fallback, whose availableNow run stops
