@@ -768,8 +768,16 @@ def _make_table_stream_source(
     catch-up shape. An ``availableNow`` run consults ``latestOffset``
     exactly ONCE (the engine fixes the run's target there), so it
     delivers one capped batch per run and a cold-start drain needs
-    repeated runs — an engine-side limit of the Python stream API, not
-    of this reader.
+    repeated runs (``drain_table_stream`` is that loop) — an
+    engine-side limit of the Python stream API, not of this reader.
+
+    Two composable rate limits on the full reader:
+    ``maxVersionsPerTrigger`` bounds COMMITS per batch (Delta's analog
+    for commit-sized ingests); ``maxFilesPerTrigger`` bounds planned
+    READ UNITS (files / deletion-vector slices) per batch via
+    unit-granular offsets, so even a single bulk-append commit of
+    thousands of files drains in bounded batches — versions alone
+    bound commits, not bytes.
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -786,27 +794,108 @@ def _make_table_stream_source(
             self.columns = columns
 
     class _FullReader(_TableStreamReaderCore, DataSourceStreamReader):
-        def __init__(self, path, columns, cap, arrow_schema=None):
+        """Offsets are (version, units-delivered-within-version): the
+        version-complete form serializes as ``{"version": v}`` (the
+        original format — old checkpoints resume unchanged) and a
+        mid-commit position as ``{"version": v, "unit": u}``. Unit
+        granularity is what lets ``maxFilesPerTrigger`` bound a batch
+        BELOW one commit: a 10k-file bulk append drains as many bounded
+        micro-batches instead of one giant one (Delta's
+        maxFilesPerTrigger/maxBytesPerTrigger concern —
+        maxVersionsPerTrigger alone bounds commits, not bytes). Replay
+        is exact at any split point because a commit's unit list is a
+        pure function of the immutable log."""
+
+        def __init__(
+            self, path, columns, cap, arrow_schema=None, max_files=None
+        ):
             _TableStreamReaderCore.__init__(self, path, cap)
             self.columns = columns
             self.arrow_schema = arrow_schema
+            self.max_files = max_files
+            self._pos: tuple[int, int] | None = None
+            self._plan_cache: dict[int, list] = {}
 
-        def initialOffset(self):
-            self._last = 0
-            return {"version": 0}
-
-        def latestOffset(self):
-            return {"version": self._capped_latest()}
-
-        def partitions(self, start, end):
+        def _units(self, v: int) -> list:
             from daas_apps_spark.sources.table_format import (
                 change_plan_between,
             )
 
-            self._last = max(self._last or 0, end["version"])
-            units, _ = change_plan_between(
-                self.path, start["version"], end["version"], mode=mode
-            )
+            if v <= 0:
+                return []
+            if v not in self._plan_cache:
+                units, _ = change_plan_between(
+                    self.path, v - 1, v, mode=mode
+                )
+                self._plan_cache[v] = units
+            return self._plan_cache[v]
+
+        def _to_offset(self, pos: tuple[int, int]) -> dict:
+            v, u = pos
+            if u >= len(self._units(v)):
+                return {"version": v}
+            return {"version": v, "unit": u}
+
+        def _from_offset(self, d: dict) -> tuple[int, int]:
+            v = d["version"]
+            u = d.get("unit")
+            return (v, len(self._units(v)) if u is None else u)
+
+        def initialOffset(self):
+            self._pos = (0, 0)
+            return {"version": 0}
+
+        def latestOffset(self):
+            from daas_apps_spark.sources.table_format import read_log
+
+            if self._pos is None:
+                # latestOffset can be the engine's FIRST call; on a
+                # checkpoint restart the engine replans the offset
+                # log's last batch via partitions() before this, which
+                # seeds _pos with the true resume point
+                self._pos = (0, 0)
+            latest = (read_log(self.path) or [{"version": 0}])[-1][
+                "version"
+            ]
+            v, u = self._pos
+            vcap = latest
+            if self.max_versions is not None:
+                vcap = min(latest, v + self.max_versions)
+            budget = self.max_files
+            while v < vcap or u < len(self._units(v)):
+                rem = len(self._units(v)) - u
+                if rem <= 0:
+                    if v >= vcap:
+                        break
+                    v, u = v + 1, 0
+                    continue
+                if budget is None:
+                    u += rem
+                    continue
+                take = min(rem, budget)
+                u += take
+                budget -= take
+                if budget == 0:
+                    break
+            if (v, u) > self._pos:
+                self._pos = (v, u)
+            return self._to_offset(self._pos)
+
+        def partitions(self, start, end):
+            vs, us = self._from_offset(start)
+            ve, ue = self._from_offset(end)
+            if self._pos is None or (ve, ue) > self._pos:
+                self._pos = (ve, ue)
+            units = []
+            for v in range(vs, ve + 1):
+                plan = self._units(v)
+                lo = us if v == vs else 0
+                hi = ue if v == ve else len(plan)
+                units.extend(plan[lo:hi])
+            # memory hygiene: plans behind the batch start can only be
+            # needed again after a process restart (fresh cache anyway)
+            for old in [k for k in self._plan_cache if k < vs]:
+                del self._plan_cache[old]
             if not units:
                 # versions advanced on data_change=False commits only;
                 # Spark requires >= 1 partition per planned batch
@@ -841,7 +930,9 @@ def _make_table_stream_source(
             )
 
         def commit(self, end):
-            self._last = max(self._last or 0, end["version"])
+            pos = self._from_offset(end)
+            if self._pos is None or pos > self._pos:
+                self._pos = pos
 
     class _SimpleReader(_TableStreamReaderCore, SimpleDataSourceStreamReader):
         def __init__(self, path, columns, cap):
@@ -923,7 +1014,17 @@ def _make_table_stream_source(
                     arrow_schema = to_arrow_schema(schema)
                 except Exception:
                     arrow_schema = None  # tuple path still correct
-            return _FullReader(*self._args(), arrow_schema=arrow_schema)
+            mft = self.options.get("maxfilespertrigger")
+            max_files = int(mft) if mft is not None else None
+            if max_files is not None and max_files < 1:
+                raise ValueError(
+                    f"maxFilesPerTrigger must be >= 1, got {max_files}"
+                )
+            return _FullReader(
+                *self._args(),
+                arrow_schema=arrow_schema,
+                max_files=max_files,
+            )
 
         def simpleStreamReader(self, schema) -> "_SimpleReader":
             return _SimpleReader(*self._args())

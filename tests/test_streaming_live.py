@@ -907,6 +907,66 @@ def test_table_change_stream_rate_limit_continuous_drain(spark, tmp_path):
     assert len(seen_batches) == 3
 
 
+def test_max_files_per_trigger_splits_one_commit(spark, tmp_path):
+    """maxFilesPerTrigger bounds a batch BELOW one commit via
+    unit-granular offsets: a single 6-file append drains in 3 batches of
+    ≤ 2 files each (repeated availableNow runs on one checkpoint —
+    mid-commit offsets {"version","unit"} resume exactly), every row
+    exactly once, and each micro-batch carries ≤ 2 input partitions."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(6)
+    )
+    import glob as _glob
+
+    assert len(_glob.glob(f"{tbl}/data/*/*.parquet")) == 6
+
+    out = str(tmp_path / "out")
+    batch_stats: list[tuple[int, int]] = []  # (n_partitions, n_rows)
+
+    def drain_once():
+        def sink(batch_df, batch_id):
+            n = batch_df.count()
+            if n:
+                batch_stats.append((batch_df.rdd.getNumPartitions(), n))
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(3):
+        drain_once()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(30))  # exactly once, fully drained
+    assert len(batch_stats) == 3
+    assert all(p <= 2 for p, _ in batch_stats), batch_stats
+    # a further run delivers nothing (offset parked at version-complete)
+    drain_once()
+    assert len(batch_stats) == 3
+    assert sorted(
+        r.k for r in spark.read.parquet(out).collect()
+    ) == list(range(30))
+
+
 def test_drain_table_stream_catches_up_in_bounded_runs(spark, tmp_path):
     """drain_table_stream loops availableNow runs until a run delivers
     nothing: a 5-commit log with a 2-version cap drains in ceil(5/2)=3

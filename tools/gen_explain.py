@@ -42,6 +42,8 @@ NOTES = {
     "k7_ppm_decode": "two Arrow mapInPandas passes: synthesize P6 payloads, then parse header + frombuffer raster to per-channel means — payloads never leave the executor.",
     "c6_bucketed_layout": "the (l_partkey, l_suppkey) pre-aggregation runs ONCE on the bucketed scan (no fact shuffle; localCheckpoint replaces the ReuseExchange the layout removed) and both self-probe sides read the materialized result.",
     "c15_bucketed_layout": "Q5 restructured for the layout: lineitem⋈orders bucket-local, supplier broadcast onto the fact, pre-aggregate by (custkey, nationkey) so the only surviving exchange carries aggregate rows.",
+    "a25_mor_sweep": "the plan shown is only the FINAL census + CDF count union; the timed work before it (clone links, DV delete, MOR update, vector compaction) is commit-log arithmetic plus |delta|-sized writes — see SCALING_CURVE's ~flat growth for the evidence.",
+    "a27_clone_restore_cycle": "two snapshot censuses; the clone/restore themselves are O(files) metadata ops that never appear as data-plan nodes — the point of the row.",
 }
 
 
