@@ -725,6 +725,7 @@ class VersionedTable:
             # checkpoint must reproduce ALL table state, and retention may
             # drop the commits that added these
             "constraints": self.constraints(version),
+            "stats_columns": self.stats_columns(version),
             "refs": self.refs(version),
             # live deletion-vector dirs are table state exactly like live
             # data dirs: a replay that lost them would resurrect deleted rows
@@ -959,6 +960,55 @@ class VersionedTable:
             data_change=False,
         )
 
+    def stats_columns(self, version: int | None = None) -> list | None:
+        """The manifest-stats column allowlist active at ``version``
+        (None = every column gets per-file stats, the default). Like
+        constraints, the setting lives in commit METADATA and is folded
+        into checkpoints, so log retention cannot lose it."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active = base.get("stats_columns") if base else None
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "stats_columns_set" in md:
+                active = md["stats_columns_set"]
+        return active
+
+    def set_stats_columns(self, cols: list | None) -> int:
+        """Bound manifest/checkpoint growth on a very wide or very large
+        table: restrict per-FILE [min,max,null_count] harvesting to
+        ``cols`` (the clustering/partitioning axes pruning actually
+        uses). Commit/checkpoint JSON then grows with |files| x |cols|
+        instead of |files| x |schema|. Columns OUTSIDE the list degrade
+        exactly like pre-manifest commits already do: reads keep
+        unpruned files conservatively, file-level COW falls back to
+        rewriting, correctness unchanged (pinned by test). ``None``
+        restores full harvesting. Applies to stats recorded by LATER
+        commits only — already-recorded stats are history, exactly like
+        schema evolution. Recorded as a data_change=False metadata
+        commit (the change feed and version-offset stream skip it)."""
+        if cols is not None:
+            cols = list(cols)
+            if not cols:
+                raise ValueError(
+                    "set_stats_columns: pass a non-empty list, or None "
+                    "to restore full-stat harvesting"
+                )
+        return self._commit(
+            "set_stats_columns",
+            add=[],
+            remove=[],
+            metadata={"stats_columns_set": cols},
+            data_change=False,
+        )
+
     def _validate(self, df: DataFrame, active: dict | None = None) -> None:
         """Reject ``df`` if any row fails any active constraint. ONE
         aggregate job counts violations for every constraint at once (the
@@ -1158,6 +1208,7 @@ class VersionedTable:
                 "clone_source": self.path,
                 "clone_source_version": resolved,
                 "constraints_set": self.constraints(version),
+                "stats_columns_set": self.stats_columns(version),
             },
             known_stats=known,
             dv_add=dvs,
@@ -1294,6 +1345,13 @@ class VersionedTable:
                 name: [mins[name], maxs[name], nulls.get(name)]
                 for name in mins
                 if name not in unsafe
+            }
+        keep = self.stats_columns()
+        if keep is not None:
+            keep_l = {c.lower() for c in keep}
+            per_file = {
+                f: {c: v for c, v in cols.items() if c.lower() in keep_l}
+                for f, cols in per_file.items()
             }
         return _rollup_stats(per_file), per_file
 

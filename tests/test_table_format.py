@@ -879,6 +879,79 @@ def test_change_feed_snapshot_diff_aligns_evolved_schema(spark, vt):
     assert not any(r[0] == 2 for r in got)
 
 
+def test_stats_columns_allowlist_bounds_manifest(spark, tmp_path):
+    """set_stats_columns bounds manifest growth: later commits record
+    per-file stats ONLY for listed columns; pruning on a listed column
+    still skips files; operations keyed on an UNLISTED column stay
+    correct by falling back to conservative rewrites; None restores
+    full harvesting; a checkpoint folds the setting; a clone carries
+    it."""
+    import glob as _glob
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    df = spark.createDataFrame(
+        [(k, k * 10, f"v{k}") for k in range(40)], "k long, x long, v string"
+    ).repartitionByRange(4, "k")
+    vt.append(df)  # v1: full stats
+    [(rel1, fs1)] = vt.history()[-1]["file_stats"].items()
+    assert {"k", "x", "v"} <= set(next(iter(fs1.values())))
+
+    vt.set_stats_columns(["k"])  # v2 (metadata-only)
+    assert vt.stats_columns() == ["k"]
+    vt.append(df)  # v3: truncated stats
+    [(rel3, fs3)] = vt.history()[-1]["file_stats"].items()
+    assert all(set(cols) == {"k"} for cols in fs3.values())
+
+    # pruning on the listed column still skips files of the new commit
+    pruned = vt.read(prune=("k", 0, 5))
+    full = vt.read()
+    assert pruned.count() < full.count() or len(fs3) == 1
+    assert pruned.filter("k <= 5").count() == 2 * 6  # both commits' rows
+
+    # delete_range on an UNLISTED column: no stats -> conservative
+    # rewrite, result still exact
+    vt.delete_range("x", 100, 150)
+    got = sorted(r.k for r in vt.read().collect())
+    want = sorted(
+        [k for k in range(40) if not (100 <= k * 10 <= 150)] * 2
+    )
+    assert got == want
+
+    # restore full harvesting
+    vt.set_stats_columns(None)
+    assert vt.stats_columns() is None
+    vt.append(spark.createDataFrame([(99, 990, "z")], "k long, x long, v string"))
+    last_fs = vt.history()[-1]["file_stats"]
+    assert {"k", "x", "v"} <= set(next(iter(next(iter(last_fs.values())).values())))
+
+    # checkpoint folds the setting: force enough commits for a checkpoint
+    vt2 = VersionedTable(spark, str(tmp_path / "vt2"))
+    vt2.set_stats_columns(["k"])
+    one = spark.createDataFrame([(1, 2, "a")], "k long, x long, v string")
+    for _ in range(12):
+        vt2.append(one)
+    cks = sorted(_glob.glob(str(tmp_path / "vt2" / "_log" / "*checkpoint*")))
+    assert cks, "expected a checkpoint after 10+ commits"
+    ck = _json.load(open(cks[-1]))
+    assert ck.get("stats_columns") == ["k"]
+    assert vt2.stats_columns() == ["k"]
+
+    # a clone bootstraps the setting
+    clone = vt2.clone_to(str(tmp_path / "vt2_clone"))
+    assert clone.stats_columns() == ["k"]
+    clone.append(one)
+    fs = clone.history()[-1]["file_stats"]
+    assert all(
+        set(cols) == {"k"}
+        for files in fs.values()
+        for cols in files.values()
+    )
+
+
 def test_read_change_batches_matches_tuple_path(spark, tmp_path):
     """The arrow fast path (read_change_batches) must produce exactly
     the rows of the tuple path (read_change_unit) for every planned
