@@ -2549,6 +2549,7 @@ class VersionedTable:
             "num_deletion_vector_dirs": len(dvs),
             "num_deleted_positions": dv_rows,
             "num_constraints": len(self.constraints(version)),
+            "stats_columns": self.stats_columns(version),
             "refs": self.refs(version),
             "log_commits": len(self._commits()),
         }
