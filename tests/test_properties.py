@@ -1000,6 +1000,20 @@ _tbl_ops = st.lists(
         st.tuples(st.just("overwrite"), _tbl_rows),
         st.tuples(st.just("optimize")),
         st.tuples(st.just("restore"), st.integers(0, 4)),
+        # metadata-only ops: the model is unchanged, but their
+        # INTERACTION with later data ops is the coverage — e.g. a
+        # stats allowlist of ["v"] leaves later delete_range("k", ...)
+        # and file-level COW merges without k stats (conservative
+        # rewrite path), and vector compaction between MOR deletes and
+        # a restore stresses dv bookkeeping
+        st.tuples(
+            st.just("stats_cols"),
+            st.sampled_from([["k"], ["v"], None]),
+        ),
+        st.tuples(st.just("compact_vectors")),
+        # clone at a recorded version mid-sequence: the fork must read
+        # the tagged snapshot regardless of what the source did since
+        st.tuples(st.just("clone_check"), st.integers(0, 4)),
     ),
     min_size=1,
     max_size=5,
@@ -1069,6 +1083,19 @@ def test_table_format_matches_model_over_any_op_sequence(
             model = list(op[1])
         elif op[0] == "optimize":
             vt.optimize(target_partitions=1)
+        elif op[0] == "stats_cols":
+            vt.set_stats_columns(op[1])
+        elif op[0] == "compact_vectors":
+            vt.compact_vectors()
+        elif op[0] == "clone_check":
+            versions = sorted(history)
+            target = versions[op[1] % len(versions)]
+            fork = vt.clone_to(
+                str(tmp_path / f"c{_seq_counter[0]}_{i}"), version=target
+            )
+            assert snapshot(fork) == history[target], (
+                f"clone at v{target} after op {i}: {op}"
+            )
         elif op[0] == "restore":
             # roll back to a previously recorded version; the model is
             # exactly that snapshot (restore after MOR deletes / merges /
