@@ -1072,13 +1072,21 @@ def drain_table_stream(
     express as one run. Exactly-once holds across the loop: every run
     shares ``checkpoint_dir``, so replays skip and the offset only
     advances on committed batches. Returns the number of non-empty
-    batches applied."""
+    batches applied.
+
+    Progress detection: a caught-up availableNow run executes ZERO
+    batches (measured — the engine compares latestOffset with the
+    checkpoint before planning), so ANY foreachBatch invocation means
+    the offset advanced. Row counts are deliberately NOT the signal: a
+    capped batch can legitimately deliver zero rows (an empty part
+    file, a data_change=False commit inside the range) while still
+    moving the offset."""
     applied = 0
 
     def counting(df, batch_id):
         nonlocal progressed, applied
+        progressed = True  # invoked at all == offset advanced
         if not df.isEmpty():
-            progressed = True
             applied += 1
         apply_batch(df, batch_id)
 

@@ -907,6 +907,140 @@ def test_table_change_stream_rate_limit_continuous_drain(spark, tmp_path):
     assert len(seen_batches) == 3
 
 
+@pytest.mark.parametrize(
+    "ops,cap,files_cap",
+    [
+        # mixed DML with per-version rate limit
+        (
+            [
+                ("append", [(1, "a"), (2, "b"), (3, "c")]),
+                ("delete_mor", 2, 2),
+                ("append", [(4, "d")]),
+                ("update_mor", 3, 4),
+            ],
+            1,
+            None,
+        ),
+        # compaction interleaved (data_change=False commits are skipped
+        # by the planner, never raise), unit-level cap
+        (
+            [
+                ("append", [(1, "a"), (2, "b")]),
+                ("delete_mor", 1, 1),
+                ("compact_after_second_delete_prep", 0, 0),
+                ("delete_mor", 2, 2),
+                ("compact_vectors", 0, 0),
+                ("append", [(5, "e"), (6, "f")]),
+                ("optimize", 0, 0),
+                ("append", [(7, "g")]),
+            ],
+            None,
+            1,
+        ),
+        # uncapped single drain
+        (
+            [
+                ("append", [(i, f"v{i}") for i in range(6)]),
+                ("update_mor", 0, 2),
+                ("delete_mor", 4, 5),
+            ],
+            None,
+            None,
+        ),
+    ],
+)
+def test_cdf_stream_signed_sum_matches_snapshot(
+    spark, tmp_path, ops, cap, files_cap
+):
+    """Whole-surface invariant for the partition-planned CDF stream:
+    for ANY commit sequence of appends, MOR deletes/updates, vector
+    compaction and OPTIMIZE, draining table_cdf under ANY rate-limit
+    combination must yield signed rows (insert +1 / delete −1) whose
+    net-positive set equals the final snapshot exactly — batching,
+    unit-granular offsets and mid-commit resumes can't lose, duplicate
+    or mis-tag a change."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        drain_table_stream,
+        register_table_cdf_stream_source,
+    )
+
+    register_table_cdf_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(0, "seed")], "k long, v string"))
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            vt.append(spark.createDataFrame(op[1], "k long, v string"))
+        elif kind == "delete_mor":
+            vt.delete(f"k BETWEEN {op[1]} AND {op[2]}", mode="mor")
+        elif kind == "update_mor":
+            vt.update(
+                f"k BETWEEN {op[1]} AND {op[2]}",
+                {"v": "concat(v, '+')"},
+                mode="mor",
+            )
+        elif kind == "compact_vectors":
+            vt.compact_vectors()
+        elif kind == "optimize":
+            vt.optimize(target_partitions=1)
+        # compact_after_second_delete_prep is a no-op marker
+
+    net: dict[tuple, int] = {}
+
+    def apply(df, batch_id):
+        for r in df.collect():
+            key = (r.k, r.v)
+            net[key] = net.get(key, 0) + (
+                1 if r._change_type == "insert" else -1
+            )
+
+    stream_opts = {}
+    if files_cap is not None:
+        stream_opts["maxFilesPerTrigger"] = str(files_cap)
+
+    # drain_table_stream covers version caps; wire files_cap manually
+    def drain():
+        import time as _time
+
+        reader = (
+            spark.readStream.format("table_cdf")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+        )
+        if cap is not None:
+            reader = reader.option("maxVersionsPerTrigger", str(cap))
+        for k, v in stream_opts.items():
+            reader = reader.option(k, v)
+        ran = [False]
+
+        def counting(df, bid):
+            ran[0] = True  # any batch == offset advanced (see
+            # drain_table_stream: a caught-up run executes zero batches;
+            # a capped batch can be 0 rows yet still move the offset)
+            apply(df, bid)
+
+        for _ in range(50):
+            ran[0] = False
+            q = (
+                reader.load()
+                .writeStream.foreachBatch(counting)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if not ran[0]:
+                return
+        raise AssertionError("drain did not converge in 50 runs")
+
+    drain()
+    live = {(r.k, r.v) for r in vt.read().collect()}
+    assert {kv for kv, n in net.items() if n > 0} == live
+    assert all(n in (0, 1) for n in net.values()), net
+
+
 def test_max_files_per_trigger_splits_one_commit(spark, tmp_path):
     """maxFilesPerTrigger bounds a batch BELOW one commit via
     unit-granular offsets: a single 6-file append drains in 3 batches of
