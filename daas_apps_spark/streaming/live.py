@@ -724,10 +724,6 @@ class _TableStreamReaderCore:
             end = min(latest, self._last + self.max_versions)
         end = max(end, self._last)  # offsets never regress
         self._last = end
-        import os as _os
-        if _os.environ.get("SPARK_GRAFT_STREAM_TRACE"):
-            with open("/tmp/calls.log", "a") as f:
-                f.write(f"latestOffset raw={latest} -> {end}\n")
         return end
 
 
