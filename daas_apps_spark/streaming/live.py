@@ -1184,6 +1184,7 @@ def run_cdf_to_materialized_view(
     group_by: list[str],
     count_col: str = "n",
     sums: dict[str, str] | None = None,
+    max_versions_per_trigger: int | None = None,
 ) -> None:
     """The COMPLETE CDC loop: source versioned table → ``table_cdf``
     stream (versions as offsets, MOR deletes/updates replayed as signed
@@ -1199,16 +1200,17 @@ def run_cdf_to_materialized_view(
     This is the 100 TB materialized-view architecture end-to-end: base
     table mutates via appends and merge-on-read DML, the view advances
     incrementally off the manifest, and neither side ever rescans the
-    corpus."""
+    corpus.
+
+    ``max_versions_per_trigger`` bounds each refresh to N source
+    commits and LOOPS availableNow runs until caught up (an availableNow
+    run fixes its target at its single latestOffset call), so a view
+    rebuilt against a month-old checkpoint advances in bounded,
+    individually-committed steps — each one idempotent under replay —
+    instead of one unbounded batch."""
     from daas_apps_spark.sources.table_format import VersionedTable
 
     register_table_cdf_stream_source(spark)
-    stream = (
-        spark.readStream.format("table_cdf")
-        .option("path", src_table)
-        .option("tableschema", tableschema)
-        .load()
-    )
     vt = VersionedTable(spark, view_table)
     sums = sums or {}
 
@@ -1260,13 +1262,15 @@ def run_cdf_to_materialized_view(
             metadata={"stream_id": sid, "batch_id": batch_id},
         )
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    drain_table_stream(
+        spark,
+        "table_cdf",
+        src_table,
+        tableschema,
+        checkpoint_dir,
+        apply_batch,
+        max_versions_per_trigger=max_versions_per_trigger,
     )
-    q.awaitTermination()
 
 
 def hourly_then_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

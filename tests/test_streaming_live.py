@@ -1458,6 +1458,73 @@ def test_cdf_streaming_materialized_view_equals_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_cdf_to_materialized_view_rate_limited_catchup(spark, tmp_path):
+    """A view rebuilt against a long-uncaught-up checkpoint with
+    max_versions_per_trigger advances in bounded, individually-committed
+    refreshes (one view version per applied batch), and the final state
+    equals a batch recompute of the source head."""
+    from pyspark.sql import functions as F
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        run_cdf_to_materialized_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    vt = VersionedTable(spark, src)
+    for i in range(4):
+        vt.append(
+            spark.createDataFrame(
+                [(i * 10 + j, "g%d" % (j % 2), j) for j in range(6)],
+                "k long, g string, x long",
+            )
+        )
+    vt.delete("k < 3", mode="mor")  # 5 source commits total
+
+    run_cdf_to_materialized_view(
+        spark,
+        src,
+        view,
+        str(tmp_path / "ck"),
+        tableschema="k long, g string, x long",
+        group_by=["g"],
+        count_col="n",
+        sums={"sx": "x"},
+        max_versions_per_trigger=1,
+    )
+    mv = VersionedTable(spark, view)
+    got = {(r.g, r.n, r.sx) for r in mv.read().collect()}
+    want = {
+        (r.g, r.n, r.sx)
+        for r in vt.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+        .collect()
+    }
+    assert got == want
+    # one view commit per applied batch: 5 data commits, cap 1 → 5
+    # refreshes, each a time-travelable version
+    assert mv.latest_version() == 5
+    # intermediate version equals the recompute at the matching source
+    # version (batch i covers source commit i)
+    mid = {(r.g, r.n, r.sx) for r in mv.read(version=2).collect()}
+    mid_want = {
+        (r.g, r.n, r.sx)
+        for r in vt.read(version=2)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+        .collect()
+    }
+    assert mid == mid_want
+
+
 def test_cdf_to_materialized_view_table_end_to_end(spark, tmp_path):
     """The complete CDC loop: base versioned table → CDF stream →
     signed-delta maintenance → exactly-once versioned VIEW table. The
