@@ -1331,6 +1331,47 @@ def test_table_cdf_stream_handles_comma_bearing_types(spark, tmp_path):
     ]
 
 
+def test_table_change_stream_schema_evolution_null_fill(spark, tmp_path):
+    """Streaming a table whose early commits PREDATE an evolved column:
+    with the union schema declared, rows from old files surface the new
+    column as NULL (by-name emission — file column order can't mis-slot),
+    on both the arrow and tuple read paths."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    vt.append(
+        spark.createDataFrame(
+            [(2, "b", 7.5)], "k long, v string, score double"
+        )
+    )
+
+    for arrow in ("true", "false"):
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string, score double")
+            .option("arrowbatches", arrow)
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"evo_{arrow}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.k, r.v, r.score)
+            for r in spark.table(f"evo_{arrow}").collect()
+        )
+        assert got == [(1, "a", None), (2, "b", 7.5)], (arrow, got)
+
+
 def test_table_cdf_stream_replays_mor_deletes_and_updates(spark, tmp_path):
     """The change-data-feed streaming source: appends arrive as inserts,
     a MOR delete as delete rows, a MOR update as its delete+insert pair;
