@@ -345,10 +345,20 @@ def change_plan_between(
                     "place in different dirs — cannot resolve the "
                     "preimage file unambiguously"
                 )
+            full = os.path.join(path, _DATA, owner[basename], basename)
+            if not os.path.isfile(full):
+                # fail at PLANNING time (driver-side, loud) instead of a
+                # FileNotFoundError inside an executor read task
+                raise ValueError(
+                    f"commit {c['version']}: deletion vector references "
+                    f"{owner[basename]}/{basename}, which is no longer on "
+                    "disk — it was vacuumed past this replay range; "
+                    "reprocess from a full snapshot"
+                )
             units.append(
                 {
                     "kind": "delete",
-                    "file": os.path.join(path, _DATA, owner[basename], basename),
+                    "file": full,
                     "positions": sorted(by_file[basename]),
                 }
             )

@@ -879,6 +879,33 @@ def test_change_feed_snapshot_diff_aligns_evolved_schema(spark, vt):
     assert not any(r[0] == 2 for r in got)
 
 
+def test_cdf_plan_raises_on_vacuumed_preimage_file(spark, tmp_path):
+    """A deletion vector whose preimage FILE was reclaimed must fail at
+    PLANNING time with the loud vacuumed-past-horizon error — never as
+    a FileNotFoundError inside an executor read task (and never as
+    silently missing delete rows)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        cdf_rows_between,
+    )
+
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    vt.delete("k = 1", mode="mor")
+    (data_dir,) = _glob.glob(os.path.join(tbl, "data", "*"))
+    _shutil.rmtree(data_dir)  # simulate vacuum past the replay horizon
+    with _pytest.raises(ValueError, match="no longer on disk|vacuumed"):
+        cdf_rows_between(tbl, 1)  # range holds only the MOR delete
+    with _pytest.raises(ValueError, match="vacuumed|no parquet files"):
+        cdf_rows_between(tbl, 0)  # full range: the add dir is gone too
+
+
 def test_stats_columns_allowlist_bounds_manifest(spark, tmp_path):
     """set_stats_columns bounds manifest growth: later commits record
     per-file stats ONLY for listed columns; pruning on a listed column
