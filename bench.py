@@ -22,6 +22,15 @@ sides pay engine + columnar-transfer cost. Row-at-a-time ``collect()`` would
 charge Spark a py4j per-row deserialization tax DuckDB doesn't pay (measured
 +0.55s on i3's 95k-row result — more than the query itself).
 
+Headline-set note (round 6): gr4_link_prediction's exact form left the set
+(2.7x/decade candidate growth — not a plan one would run at 100x; its capped
+production form gr4_capped keeps the row), and two lakehouse lifecycle rows
+joined (a25_mor_sweep, a27_clone_restore_cycle). Their DuckDB "twin" is a
+pure query recompute of the net state — it pays none of the commit/clone/
+vector work — so those two rows structurally widen the headline ratio while
+SCALING_CURVE.md shows the property that matters: their cost grows ~flat
+per data decade (delta- and metadata-bound, not table-bound).
+
 Storage layout: the fixtures are rewritten once into multi-row-group parquet
 (`daas_apps_spark.sources.layout.compact_dir`) before timing — identical
 data, scan-splittable chunking. See layout.py's docstring: single-row-group
