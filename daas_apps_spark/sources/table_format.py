@@ -242,6 +242,7 @@ def change_plan_between(
     v_from: int,
     v_to: int | None = None,
     mode: str = "cdf",
+    commits: list | None = None,
 ):
     """(read units, resolved v_to) for the commit range (v_from, v_to] —
     the metadata-only PLANNING half of the change feed, split from the
@@ -271,14 +272,19 @@ def change_plan_between(
     vacuumed past the replay horizon — silence here would drop change
     rows with no error); and a deletion vector whose basename maps to
     TWO different data dirs raises (basename collision — reading the
-    preimage from either candidate would be a silent guess)."""
+    preimage from either candidate would be a silent guess).
+
+    ``commits`` lets a caller planning MANY single-commit ranges (the
+    stream reader) pass one pre-read log snapshot instead of paying a
+    full read_log per call — commits are immutable, so any snapshot
+    covering ``v_to`` is equivalent to a fresh read."""
     if mode not in ("cdf", "append"):
         raise ValueError(f"mode must be 'cdf' or 'append', got {mode!r}")
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    commits = read_log(path)
+    commits = read_log(path) if commits is None else commits
     latest = commits[-1]["version"] if commits else 0
     v_to = latest if v_to is None else v_to
     owner: dict[str, str] = {}

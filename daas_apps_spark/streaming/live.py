@@ -811,17 +811,29 @@ def _make_table_stream_source(
             self.max_files = max_files
             self._pos: tuple[int, int] | None = None
             self._plan_cache: dict[int, list] = {}
+            self._log_snapshot: list | None = None
 
         def _units(self, v: int) -> list:
             from daas_apps_spark.sources.table_format import (
                 change_plan_between,
+                read_log,
             )
 
             if v <= 0:
                 return []
             if v not in self._plan_cache:
+                # plan against ONE log snapshot per engine call instead
+                # of re-reading every commit JSON per version — planning
+                # a K-commit batch over a V-commit log costs O(V), not
+                # O(K*V). Commits are immutable, so a snapshot covering
+                # version v is always sufficient; refresh only when it
+                # does not reach v (restart replay before latestOffset)
+                commits = self._log_snapshot
+                if not commits or commits[-1]["version"] < v:
+                    commits = read_log(self.path)
+                    self._log_snapshot = commits
                 units, _ = change_plan_between(
-                    self.path, v - 1, v, mode=mode
+                    self.path, v - 1, v, mode=mode, commits=commits
                 )
                 self._plan_cache[v] = units
             return self._plan_cache[v]
@@ -850,9 +862,8 @@ def _make_table_stream_source(
                 # log's last batch via partitions() before this, which
                 # seeds _pos with the true resume point
                 self._pos = (0, 0)
-            latest = (read_log(self.path) or [{"version": 0}])[-1][
-                "version"
-            ]
+            self._log_snapshot = read_log(self.path)
+            latest = (self._log_snapshot or [{"version": 0}])[-1]["version"]
             v, u = self._pos
             vcap = latest
             if self.max_versions is not None:
