@@ -1127,10 +1127,18 @@ def _orders_base_table(spark: SparkSession, sf_dir: str):
     if ready(path):  # a concurrent builder finished first — use theirs
         shutil.rmtree(tmp, ignore_errors=True)
         return VersionedTable(spark, path)
-    shutil.rmtree(path, ignore_errors=True)  # stale or partial leftover
+    # Only clear a CONFIRMED-torn leftover (exists but fails ready()).
+    # Never rmtree a ready dir: a concurrent session that already passed
+    # its own ready(path) check may be mid-scan, and deleting a valid
+    # base under it would turn a benign race into FileNotFound failures.
+    if os.path.exists(path) and not ready(path):
+        shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(tmp, path)
-    except OSError:  # lost the rename race — the winner's copy is valid
+    except OSError:
+        # lost the publish race (or a winner appeared between the torn
+        # check and the rename) — adopt the existing dir, content is
+        # deterministic so any completed build is equivalent
         shutil.rmtree(tmp, ignore_errors=True)
     return VersionedTable(spark, path)
 

@@ -287,9 +287,15 @@ def change_plan_between(
     commits = read_log(path) if commits is None else commits
     latest = commits[-1]["version"] if commits else 0
     v_to = latest if v_to is None else v_to
+    # Basename ownership is resolved AS OF v_to: a collision introduced
+    # by a commit AFTER v_to must not poison replay of an older range
+    # where the preimage was still uniquely placed — a stream resuming
+    # from an old checkpoint replays exactly such ranges
     owner: dict[str, str] = {}
     collide: set[str] = set()
     for c in commits:
+        if c["version"] > v_to:
+            break
         for rel, fstats in (c.get("file_stats") or {}).items():
             for basename in fstats:
                 if basename in owner and owner[basename] != rel:

@@ -666,17 +666,23 @@ def ddl_field_names(schema_str: str) -> list[str]:
     NESTING DEPTH ZERO only — ``decimal(18,4)``, ``map<string,int>``,
     ``struct<a:int,b:decimal(10,2)>`` and their nestings all carry
     commas that a bare ``split(',')`` would turn into phantom columns
-    (and mis-sized output tuples). Pure Python (no SparkSession) because
-    the data-source worker parses schemas outside the driver's JVM."""
+    (and mis-sized output tuples). Backquoted names are opaque: a
+    column literally named ``a,b`` (`` `a,b` int ``) is ONE field, not
+    two. Pure Python (no SparkSession) because the data-source worker
+    parses schemas outside the driver's JVM."""
     names: list[str] = []
     depth = 0
+    in_bq = False  # inside `backquotes`: commas/brackets are name chars
     field = ""
     for ch in schema_str + ",":
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "`":
+            in_bq = not in_bq
+        if not in_bq:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_bq:
             part = field.strip()
             if part.startswith("`"):
                 # backquoted names may contain spaces: `weird col` int
@@ -689,6 +695,10 @@ def ddl_field_names(schema_str: str) -> list[str]:
             field += ch
     if depth != 0:
         raise ValueError(f"unbalanced brackets in DDL schema: {schema_str!r}")
+    if in_bq:
+        raise ValueError(
+            f"unbalanced backquotes in DDL schema: {schema_str!r}"
+        )
     return names
 
 
@@ -918,6 +928,8 @@ def _make_table_stream_source(
             if partition.unit is None:
                 return iter([])
             if self.arrow_schema is not None:
+                import pyarrow as pa
+
                 try:
                     # Arrow fast path: ship columnar buffers straight
                     # through (no per-row Python objects) — the shape
@@ -928,8 +940,22 @@ def _make_table_stream_source(
                             partition.unit, self.arrow_schema, tag=tag
                         )
                     )
-                except Exception:
-                    pass  # any arrow-level type gap → exact tuple path
+                except (pa.lib.ArrowException, TypeError, KeyError) as e:
+                    # ONLY arrow-level type/conversion gaps downgrade to
+                    # the tuple path (always correct, just slower); any
+                    # other exception — genuine data corruption, a bug —
+                    # must surface, not silently take the slow path
+                    if not getattr(self, "_warned_fallback", False):
+                        self._warned_fallback = True
+                        import warnings
+
+                        warnings.warn(
+                            f"{source_name}: arrow fast path disabled for "
+                            f"this reader ({type(e).__name__}: {e}); "
+                            "falling back to tuple rows",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
             return iter(
                 read_change_unit(
                     partition.unit, columns=partition.columns, tag=tag

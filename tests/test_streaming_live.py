@@ -1281,8 +1281,64 @@ def test_ddl_field_names_depth_aware():
         "arr array<struct<p:int,q:map<string,array<int>>>>"
     ) == ["a", "m", "s", "arr"]
     assert ddl_field_names("`weird col` int, b: string") == ["weird col", "b"]
+    # a backquoted name may itself contain commas (and brackets): the
+    # scanner must treat everything inside backquotes as name characters
+    assert ddl_field_names("`a,b` int, c string") == ["a,b", "c"]
+    assert ddl_field_names("`x<y,z)` int") == ["x<y,z)"]
     with _pytest.raises(ValueError, match="unbalanced"):
         ddl_field_names("a map<string,int")
+    with _pytest.raises(ValueError, match="backquote"):
+        ddl_field_names("`oops int, b string")
+
+
+def test_arrow_fallback_is_narrow(spark, tmp_path, monkeypatch):
+    """The full reader's arrow fast path downgrades to the tuple path
+    ONLY on arrow-level type/conversion errors (warning once); any other
+    exception — data corruption, a code bug — surfaces instead of
+    silently taking the slow path."""
+    import warnings
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    import daas_apps_spark.sources.table_format as tf
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import _make_table_stream_source
+
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+
+    cls = _make_table_stream_source("x_fallback_probe", "append", "")
+    ds = cls(options={"path": tbl, "tableschema": "k long, v string"})
+    schema = spark.createDataFrame([], "k long, v string").schema
+    reader = ds.streamReader(schema)
+    assert reader.arrow_schema is not None
+    reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions({"version": 0}, end)
+    assert parts and parts[0].unit is not None
+
+    def boom_arrow(*a, **k):
+        raise pa.lib.ArrowInvalid("schema-incompatible batch")
+
+    monkeypatch.setattr(tf, "read_change_batches", boom_arrow)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(rows) == [(1, "a"), (2, "b")]  # exact tuple fallback
+    assert any("arrow fast path disabled" in str(x.message) for x in w)
+
+    def boom_bug(*a, **k):
+        raise RuntimeError("genuine corruption")
+
+    monkeypatch.setattr(tf, "read_change_batches", boom_bug)
+    reader2 = ds.streamReader(schema)
+    reader2.initialOffset()
+    end2 = reader2.latestOffset()
+    parts2 = reader2.partitions({"version": 0}, end2)
+    with _pytest.raises(RuntimeError, match="genuine corruption"):
+        [r for p in parts2 for r in reader2.read(p)]
 
 
 def test_table_cdf_stream_handles_comma_bearing_types(spark, tmp_path):

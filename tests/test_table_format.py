@@ -1036,6 +1036,53 @@ def test_read_change_batches_matches_tuple_path(spark, tmp_path):
     assert n_rows > 0
 
 
+def test_change_plan_collision_after_range_stays_replayable(spark, tmp_path):
+    """Basename ownership is resolved AS OF the plan's v_to: a basename
+    collision introduced by a commit AFTER the range must not poison
+    replay of the older range (a stream resuming from an old checkpoint
+    replays exactly such ranges) — the preimage was uniquely placed at
+    that point in history."""
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        change_plan_between,
+    )
+
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )  # v1
+    vt.delete("k = 1", mode="mor")  # v2: vector references v1's file
+    basename = next(iter(vt._commits()[0]["file_stats"]["".join(
+        vt._commits()[0]["add"]
+    )]))
+    # fabricate a LATER commit whose manifest places the same basename
+    # under a different dir — the collision exists only as of v3
+    entry = {
+        "version": 3,
+        "operation": "append",
+        "add": ["other-dir"],
+        "remove": [],
+        "data_change": True,
+        "ts": 0.0,
+        "metadata": {},
+        "stats": {"other-dir": {}},
+        "file_stats": {"other-dir": {basename: {}}},
+        "dv_add": [],
+        "dv_remove": [],
+        "features": [],
+    }
+    with open(os.path.join(tbl, "_log", "00000003.json"), "w") as f:
+        _json.dump(entry, f)
+    # the historical range (1, 2] must still plan: ownership as of v2 is
+    # unambiguous (pre-fix this raised a basename-collision ValueError)
+    units, _ = change_plan_between(tbl, 1, 2, mode="cdf")
+    assert [u["kind"] for u in units] == ["delete"]
+    assert units[0]["positions"] == [0]
+
+
 _RACE_WORKER = r"""
 import os, sys, time, uuid
 
