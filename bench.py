@@ -4,17 +4,25 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology (mirrors the reference's published protocol — each data point is
-the mean of repeated runs with identical settings, genomics/README.md:108):
-a GLOBAL untimed warm pass (every query once) so the JVM/JIT reaches steady
-state before any measurement — a within-process A/B showed the same query
-set runs ~33% faster after a few minutes of session work, so without the
+Methodology (repeated identical runs, as in the reference's published
+protocol, genomics/README.md:108 — robustified in round 7): a GLOBAL
+untimed warm pass (every query once) so the JVM/JIT reaches steady state
+before any measurement — a within-process A/B showed the same query set
+runs ~33% faster after a few minutes of session work, so without the
 global pass the alphabetically-early queries are charged JIT warm-up the
-late ones aren't — then, per query, one more untimed warmup run
-(codegen / parquet-footer warm-up), then the MEAN OF 3 timed runs. Each timed run rebuilds the DataFrame from
-scratch (fresh scan → plan → execute → materialize) so no shuffle-stage
-reuse leaks between runs; result sets are small by construction (every
-headline query aggregates or limits).
+late ones aren't — then, per query, one more untimed warmup run (codegen /
+parquet-footer warm-up), then the MEDIAN OF 5 timed runs. Median, not
+mean: round 6 showed the official artifact absorbing transient machine
+contention (gr2 at 6.41s in the bench vs 2.92s in the same round's
+uncontended scaling-curve run, zero code change) — a median with the
+per-run spread published alongside ("queries_runs"/"duckdb_runs" plus a
+per-query "spread" = max/min ratio) makes interference VISIBLE in the
+artifact instead of silently inflating it. Each timed run rebuilds the
+DataFrame from scratch (fresh scan → plan → execute → materialize) so no
+shuffle-stage reuse leaks between runs; result sets are small by
+construction (every headline query aggregates or limits); a JVM+Python GC
+runs between query groups so one query's scratch-build garbage isn't
+charged to the next.
 
 Materialization protocol — symmetric columnar on both engines: Spark results
 come back via Arrow ``toPandas()`` and DuckDB results via ``.df()``, so both
@@ -55,7 +63,13 @@ from daas_apps_spark.sources.layout import (
     tune_scan_confs,
 )
 
-RUNS = 3
+RUNS = 5  # median-of-5 (see methodology note above)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:
@@ -85,11 +99,22 @@ def main() -> None:
         spec.fn(spark, run_dir).toPandas()
         _drop_persisted_rdds(spark)
 
+    import gc
+
     timings: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
     for spec in specs:
+        # GC fence: scratch-table builds (the lakehouse rows) and py4j
+        # churn from the PREVIOUS query must not be collected inside the
+        # NEXT query's timed window
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         rows = spec.fn(spark, run_dir).toPandas()  # warmup, untimed
         assert rows is not None
-        elapsed = 0.0
+        samples: list[float] = []
         for _ in range(RUNS):
             # No cross-run reuse: any persist() a query declares is cleared
             # (cache + checkpointed RDD blocks) so every timed run
@@ -99,14 +124,19 @@ def main() -> None:
             _drop_persisted_rdds(spark)
             t0 = time.perf_counter()
             spec.fn(spark, run_dir).toPandas()
-            elapsed += time.perf_counter() - t0
-        timings[spec.name] = round(elapsed / RUNS, 4)
+            samples.append(time.perf_counter() - t0)
+        runs_detail[spec.name] = [round(s, 4) for s in samples]
+        timings[spec.name] = round(_median(samples), 4)
     _drop_persisted_rdds(spark)
 
-    duck_timings = _duckdb_timings(run_dir, specs)
+    duck_timings, duck_runs = _duckdb_timings(run_dir, specs)
 
     total = round(sum(timings.values()), 4)
     duck_total = round(sum(duck_timings.values()), 4) if duck_timings else None
+    spread = {
+        name: round(max(rs) / max(min(rs), 1e-9), 2)
+        for name, rs in runs_detail.items()
+    }
     print(
         json.dumps(
             {
@@ -119,6 +149,14 @@ def main() -> None:
                 "ratio_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
                 "sf": sf,
                 "runs_per_query": RUNS,
+                "stat": "median",
+                # interference visibility: per-run samples + max/min ratio
+                # per query — a spread near 1.0 means the median is
+                # trustworthy, a large one flags contention on that row
+                "queries_runs": runs_detail,
+                "spread": spread,
+                "max_spread": round(max(spread.values()), 2) if spread else None,
+                "duckdb_runs": duck_runs,
                 "layout": layout,
             }
         )
@@ -126,18 +164,19 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _duckdb_timings(run_dir: str, specs) -> dict[str, float]:
+def _duckdb_timings(run_dir: str, specs) -> tuple[dict[str, float], dict]:
     """Time each headline query's DuckDB oracle on the same parquet files.
 
     Committed alongside the Spark numbers so the recorded bench is
     self-contained: one JSON line carries both sides of the comparison and a
     stale external baseline can't contradict it. Same protocol: one untimed
-    warmup, then the mean of RUNS timed executions.
+    warmup, then the median of RUNS timed executions (per-run samples
+    returned alongside for spread visibility).
     """
     try:
         import duckdb
     except ImportError:  # pragma: no cover
-        return {}
+        return {}, {}
     from daas_apps_spark.catalog import TABLES
 
     con = duckdb.connect()
@@ -147,6 +186,7 @@ def _duckdb_timings(run_dir: str, specs) -> dict[str, float]:
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     out: dict[str, float] = {}
+    detail: dict[str, list[float]] = {}
     for spec in specs:
         if not spec.oracle:
             continue
@@ -154,17 +194,18 @@ def _duckdb_timings(run_dir: str, specs) -> dict[str, float]:
         con.sql(spec.oracle).df()  # warmup
         warm = time.perf_counter() - t0
         # long-running oracles (the graph kernels take 15-20s each here)
-        # get one timed run instead of three: a single-threaded DuckDB
-        # query that long has negligible run-to-run variance, and three
+        # get one timed run instead of five: a single-threaded DuckDB
+        # query that long has negligible run-to-run variance, and five
         # runs would push the whole bench past a CI-style timeout
         runs = 1 if warm > 5.0 else RUNS
-        elapsed = 0.0
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             con.sql(spec.oracle).df()
-            elapsed += time.perf_counter() - t0
-        out[spec.name] = round(elapsed / runs, 4)
-    return out
+            samples.append(time.perf_counter() - t0)
+        detail[spec.name] = [round(s, 4) for s in samples]
+        out[spec.name] = round(_median(samples), 4)
+    return out, detail
 
 
 if __name__ == "__main__":

@@ -1087,6 +1087,153 @@ def a32_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a33_column_mapping",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ), extra AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+               o_totalprice * 2 AS price_usd
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), head AS (
+        SELECT o_orderstatus, o_totalprice AS price_usd FROM base
+        UNION ALL
+        SELECT o_orderstatus, price_usd FROM extra
+    )
+    SELECT 'head:' || o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price_usd AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM head GROUP BY 1
+    UNION ALL
+    SELECT 'v1:' || o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM base GROUP BY 1
+    """,
+    tags=("A33", "A25"),
+)
+def a33_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping: RENAME + DROP as METADATA-ONLY commits
+    (table_format.py::rename_column/drop_column — Delta's column
+    mapping / Iceberg field-id resolution). orders lands as v1;
+    ``o_totalprice`` is renamed to ``price_usd`` (v2) and ``o_custkey``
+    dropped (v3) — zero data files rewritten, one JSON commit each; a
+    post-rename batch (urgent orders, doubled price, shifted keys) is
+    appended UNDER THE NEW LOGICAL NAME (v4) and lands with the
+    immutable physical name, keeping files homogeneous. The head census
+    groups by status over ``price_usd`` spanning pre- and post-rename
+    files; the v1 time-travel census proves the OLD name still resolves
+    before the rename (the mapping is versioned state).
+
+    At 100 TB the claim is the commit cost: renaming a column on a
+    10k-file table writes one JSON object, not 100 TB of parquet; old
+    readers refuse via the ``column-mapping`` reader feature instead of
+    mis-projecting physical names.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a33_colmap")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )  # v1
+    vt.rename_column("o_totalprice", "price_usd")  # v2: metadata only
+    vt.drop_column("o_custkey")  # v3: metadata only
+    vt.append(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("price_usd"),
+        )
+    )  # v4: new logical schema
+    head = vt.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("price_usd").alias("revenue"),
+    ).select(
+        F.concat(F.lit("head:"), F.col("o_orderstatus")).alias("grp"),
+        "n_rows",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+    v1 = vt.read(version=1).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("revenue"),
+    ).select(
+        F.concat(F.lit("v1:"), F.col("o_orderstatus")).alias("grp"),
+        "n_rows",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+    return head.unionByName(v1)
+
+
+@register(
+    "a34_partition_evolution",
+    oracle="""
+    SELECT 'census:' || o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'prune:window',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders WHERE o_custkey BETWEEN 100 AND 500
+    """,
+    tags=("A34", "A25", "A13"),
+)
+def a34_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution (table_format.py::set_layout — Iceberg's
+    partition-spec evolution / Delta clustered tables): even orders
+    land UNCLUSTERED (v1), the layout is re-declared to cluster by
+    ``o_custkey`` as a METADATA commit (v2), and the odd half lands
+    range-clustered under the new spec (v3) — old dirs untouched and
+    still readable, so the head census spans both eras as one table.
+    The second leg aggregates a customer-key window through
+    ``read(prune=...)``: manifest file-skipping on the NEW axis over
+    the mixed-era snapshot (era-2 files prune tightly, era-1 files are
+    kept conservatively), hash-checked against the oracle's plain
+    WHERE.
+
+    At 100 TB: re-layout on a new key is one JSON commit now and
+    per-write clustering from then on — never a stop-the-world table
+    rewrite; the old era re-clusters organically at the next OPTIMIZE.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir("a34_layout")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    vt.append(o.filter(F.col("o_orderkey") % 2 == 0))  # v1: old era
+    vt.set_layout(["o_custkey"], target_files=8)  # v2: metadata only
+    vt.append(o.filter(F.col("o_orderkey") % 2 == 1))  # v3: clustered
+    census = vt.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("revenue"),
+    ).select(
+        F.concat(F.lit("census:"), F.col("o_orderstatus")).alias("grp"),
+        "n_rows",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+    pruned = (
+        vt.read(prune=("o_custkey", 100, 500))
+        .filter(F.col("o_custkey").between(100, 500))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.lit("prune:window").alias("grp"),
+            "n_rows",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+    return census.unionByName(pruned)
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

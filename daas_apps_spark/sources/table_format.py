@@ -83,7 +83,26 @@ def _log_names(log_dir: str, pattern) -> list[str]:
 # Without this, a reader predating deletion vectors would silently
 # resurrect deleted rows — the guard turns format evolution into a loud
 # version error instead of wrong answers.
-SUPPORTED_FEATURES = {"deletion-vectors"}
+SUPPORTED_FEATURES = {"deletion-vectors", "column-mapping"}
+
+# WRITER feature flags (Delta's writerFeatures/minWriterVersion, reduced
+# to a set): a commit DECLARES the features any FUTURE WRITER must
+# implement to publish a correct commit against the table's state. The
+# guard is the write-side twin of the reader guard: without it an old
+# writer process appends rows that bypass active CHECK constraints, or
+# COW-rewrites a file without applying its deletion vector (resurrecting
+# deleted rows) — silent wrongness classes the reader guard alone cannot
+# prevent, because the bad state is CREATED at write time. Reads are
+# deliberately NOT affected: a reader-only process consuming a table with
+# unknown writer features is always safe. Declarations are monotone
+# (never retracted by drops), Delta's rule — retracting would let a
+# writer that raced the drop publish a stale-featured commit.
+SUPPORTED_WRITER_FEATURES = {
+    "deletion-vectors",
+    "check-constraints",
+    "column-mapping",
+    "clustered-layout",
+}
 
 
 class UnsupportedTableFeatureError(RuntimeError):
@@ -196,6 +215,53 @@ def read_log(path: str) -> list[dict]:
     return entries
 
 
+def column_mapping_at(
+    path: str, version: int | None = None, commits: list | None = None
+) -> dict | None:
+    """Pure-filesystem replay of the COLUMN MAPPING active at ``version``
+    (latest by default) — the piece the SparkSession-free stream/CDF
+    readers need. The mapping (Delta's column mapping / Iceberg's
+    field-id resolution, reduced to a name table) is
+    ``{"fields": [{"id", "name", "physical"}], "dropped": [...],
+    "next_id": N}``: ``name`` is the LOGICAL column users query,
+    ``physical`` the immutable name stored in parquet files. Renames and
+    drops update this table in a metadata commit — zero data rewritten.
+    Replays from the newest covering checkpoint (retention may drop the
+    setting commit) then forward through commit metadata. ``None`` =
+    mapping never activated (logical == physical throughout)."""
+    log_dir = os.path.join(path, _LOG)
+    mapping = None
+    floor = 0
+    for name in _log_names(log_dir, _CHECKPOINT_NAME):
+        v = int(_CHECKPOINT_NAME.fullmatch(name).group(1))
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            ck = json.load(f)
+        _check_features(ck, f"checkpoint {name}")
+        mapping = ck.get("column_mapping")
+        floor = v
+    commits = read_log(path) if commits is None else commits
+    for c in commits:
+        if c["version"] <= floor:
+            continue
+        if version is not None and c["version"] > version:
+            break
+        md = c.get("metadata") or {}
+        if "column_mapping_set" in md:
+            mapping = md["column_mapping_set"]
+    return mapping
+
+
+def logical_to_physical(mapping: dict | None) -> dict[str, str]:
+    """{lower-cased logical name: exact physical name} for a mapping
+    (empty when mapping is None) — what read paths use to resolve the
+    column a user asked for to the name parquet files actually store."""
+    if not mapping:
+        return {}
+    return {f["name"].lower(): f["physical"] for f in mapping["fields"]}
+
+
 def added_dirs_between(path: str, v_from: int, v_to: int | None = None):
     """(absolute added dirs, resolved v_to) for the append-only commit
     range (v_from, v_to]. Commits marked ``data_change: false`` (OPTIMIZE
@@ -252,10 +318,13 @@ def change_plan_between(
     cost is manifest-sized: commit-log JSON plus the deletion-vector
     parquet (positions, not rows — |delta|-bounded), never the data.
 
-    Each unit is a plain serializable dict:
+    Each unit is a plain serializable dict (``size`` = the bytes an
+    executor will read for the unit, from the manifest's per-file sizes
+    — what lets a stream trigger budget by BYTES, not file count):
 
-      {"kind": "insert", "file": <abs parquet path>}
-      {"kind": "delete", "file": <abs parquet path>, "positions": [...]}
+      {"kind": "insert", "file": <abs parquet path>, "size": <bytes>}
+      {"kind": "delete", "file": <abs parquet path>, "positions": [...],
+       "size": <preimage bytes>}
 
     Units are ordered per commit as Delta CDF orders changes: delete
     preimages first (sorted by basename), then inserts (add dirs in
@@ -293,6 +362,7 @@ def change_plan_between(
     # from an old checkpoint replays exactly such ranges
     owner: dict[str, str] = {}
     collide: set[str] = set()
+    fsize: dict[str, int] = {}  # basename → manifest-recorded bytes
     for c in commits:
         if c["version"] > v_to:
             break
@@ -301,6 +371,15 @@ def change_plan_between(
                 if basename in owner and owner[basename] != rel:
                     collide.add(basename)
                 owner[basename] = rel
+        for sizes in (c.get("file_sizes") or {}).values():
+            fsize.update(sizes)
+
+    def _unit_size(path_on_disk: str) -> int:
+        # manifest first; pre-size-manifest commits fall back to one
+        # stat call (metadata-only — planning never opens the file)
+        return fsize.get(os.path.basename(path_on_disk)) or os.path.getsize(
+            path_on_disk
+        )
 
     units: list[dict] = []
     present: set[int] = set()
@@ -372,6 +451,9 @@ def change_plan_between(
                     "kind": "delete",
                     "file": full,
                     "positions": sorted(by_file[basename]),
+                    # budgeted by the PREIMAGE file's bytes: the reader
+                    # pays a full read of it before taking positions
+                    "size": _unit_size(full),
                 }
             )
         for d in c["add"]:
@@ -384,7 +466,10 @@ def change_plan_between(
                     "parquet files — it was vacuumed past this replay "
                     "range; reprocess from a full snapshot"
                 )
-            units.extend({"kind": "insert", "file": f} for f in add_files)
+            units.extend(
+                {"kind": "insert", "file": f, "size": _unit_size(f)}
+                for f in add_files
+            )
     missing = set(range(v_from + 1, v_to + 1)) - present
     if missing:
         raise ValueError(
@@ -434,28 +519,35 @@ def read_change_unit(
     unit: dict,
     columns: list[str] | None = None,
     tag: bool = True,
+    colmap: dict[str, str] | None = None,
 ) -> list[tuple]:
     """Materialize ONE planned change unit (``change_plan_between``) as
     Python row tuples — the data-reading half the streaming source runs
     per-partition on executors (pyarrow only, no SparkSession). Values
     are emitted by column NAME in ``columns`` order when given (missing
     columns → None, so schema evolution can't mis-slot values), else in
-    file order. ``tag=True`` appends the '_change_type' value ('insert'
-    / 'delete'); the append-only ``table_changes`` stream passes
+    file order. ``colmap`` ({lower logical: physical},
+    ``logical_to_physical``) resolves requested LOGICAL names to the
+    physical names files store when the table has an active column
+    mapping — files written before a rename keep streaming correctly.
+    ``tag=True`` appends the '_change_type' value ('insert' /
+    'delete'); the append-only ``table_changes`` stream passes
     ``tag=False``."""
     import pyarrow.parquet as pq
 
+    colmap = colmap or {}
     t = pq.read_table(unit["file"])
     if unit["kind"] == "delete":
         t = t.take(unit["positions"])
     cols = columns or t.column_names
     data = []
     for n in cols:
-        if n not in t.column_names:
+        fn = colmap.get(n.lower(), n)
+        if fn not in t.column_names:
             data.append([None] * t.num_rows)
             continue
-        vals = t.column(n).to_pylist()
-        conv = _pylist_converter(t.schema.field(n).type)
+        vals = t.column(fn).to_pylist()
+        conv = _pylist_converter(t.schema.field(fn).type)
         data.append([conv(v) for v in vals] if conv else vals)
     suffix = (unit["kind"],) if tag else ()
     return [
@@ -463,7 +555,12 @@ def read_change_unit(
     ]
 
 
-def read_change_batches(unit: dict, arrow_schema, tag: bool = True):
+def read_change_batches(
+    unit: dict,
+    arrow_schema,
+    tag: bool = True,
+    colmap: dict[str, str] | None = None,
+):
     """Arrow fast path for ``read_change_unit``: materialize ONE planned
     change unit as pyarrow RecordBatches already cast to the stream's
     declared arrow schema (``to_arrow_schema(return_type)`` — the same
@@ -477,6 +574,7 @@ def read_change_batches(unit: dict, arrow_schema, tag: bool = True):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    colmap = colmap or {}
     t = pq.read_table(unit["file"])
     if unit["kind"] == "delete":
         t = t.take(unit["positions"])
@@ -484,8 +582,9 @@ def read_change_batches(unit: dict, arrow_schema, tag: bool = True):
     data_names = names[:-1] if tag else names
     cols = []
     for name in data_names:
-        if name in t.column_names:
-            cols.append(t.column(name))
+        fn = colmap.get(name.lower(), name)
+        if fn in t.column_names:
+            cols.append(t.column(fn))
         else:
             cols.append(pa.nulls(t.num_rows, type=arrow_schema.field(name).type))
     if tag:
@@ -516,11 +615,13 @@ def cdf_rows_between(
     ``read_change_unit`` per unit (reading). Semantics — MOR
     delete-preimage/insert-postimage ordering, data_change=False skips,
     rewrite/truncation/vacuumed-dir/basename-collision errors — live in
-    the planner; see its docstring."""
+    the planner; see its docstring. ``columns`` are LOGICAL names; an
+    active column mapping resolves them to the files' physical names."""
     units, v_to = change_plan_between(path, v_from, v_to, mode="cdf")
+    colmap = logical_to_physical(column_mapping_at(path, v_to))
     rows: list[tuple] = []
     for u in units:
-        rows.extend(read_change_unit(u, columns=columns))
+        rows.extend(read_change_unit(u, columns=columns, colmap=colmap))
     return rows, v_to
 
 
@@ -648,13 +749,21 @@ class VersionedTable:
         known_stats: dict | None = None,
         dv_add: list[str] | None = None,
         dv_remove: list[str] | None = None,
+        writer_features: list[str] | None = None,
+        reader_features: list[str] | None = None,
     ) -> int:
         """``known_stats`` maps an added rel to its precomputed
-        (dir_stats, file_stats) — carry dirs pass the source commit's
-        recorded per-file entries through, so carrying N files is pure
-        manifest arithmetic (zero footer reads), as _carry_dir
+        (dir_stats, file_stats, file_sizes) — carry dirs pass the source
+        commit's recorded per-file entries through, so carrying N files
+        is pure manifest arithmetic (zero footer reads), as _carry_dir
         advertises. ``dv_add``/``dv_remove`` track deletion-vector dirs
-        (under ``_dv/``) the same way add/remove track data dirs."""
+        (under ``_dv/``) the same way add/remove track data dirs.
+        ``writer_features`` lets an operation declare NEW writer-protocol
+        requirements this commit introduces (deletion-vector commits
+        declare theirs automatically); the commit itself is guarded by
+        the accumulated requirement set — EVERY write funnels here, so
+        no path can bypass the writer-protocol check."""
+        self._check_writer_features()
         version = self.latest_version() + 1
         known_stats = known_stats or {}
         harvested = {
@@ -679,6 +788,14 @@ class VersionedTable:
             # per-FILE manifest stats (basename → {col: [min, max, nulls]})
             # — what bounds pruning and COW at file, not commit, granularity
             "file_stats": {rel: h[1] for rel, h in harvested.items()},
+            # per-FILE byte sizes (basename → bytes) — what lets stream
+            # triggers budget by BYTES (maxBytesPerTrigger: a 10-file
+            # commit of 1 GB files and of 1 KB files must not plan
+            # identically), OPTIMIZE select dirs by bytes without
+            # listing the filesystem, and VACUUM dry-run report
+            # reclaimable bytes. One int per file: manifest growth is
+            # negligible next to the stats maps
+            "file_sizes": {rel: h[2] for rel, h in harvested.items()},
             # deletion-vector dirs this commit activates/retires (absent
             # keys read as [] — commits from before the MOR path replay
             # unchanged)
@@ -686,7 +803,19 @@ class VersionedTable:
             "dv_remove": dv_remove or [],
             # reader-protocol declaration: features a reader must
             # implement to resolve this commit's snapshot correctly
-            "features": (["deletion-vectors"] if dv_add or dv_remove else []),
+            "features": sorted(
+                set(reader_features or [])
+                | ({"deletion-vectors"} if dv_add or dv_remove else set())
+            ),
+            # writer-protocol declaration: NEW requirements this commit
+            # places on future writers (accumulated monotonically by
+            # writer_features(); vector commits declare theirs here too —
+            # an old writer COW-rewriting a vector-carrying file without
+            # subtracting it would resurrect deleted rows)
+            "writer_features": sorted(
+                set(writer_features or [])
+                | ({"deletion-vectors"} if dv_add or dv_remove else set())
+            ),
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -728,7 +857,7 @@ class VersionedTable:
         become droppable (log retention); time travel before the oldest
         surviving state is then gone, the same trade VACUUM makes for
         data."""
-        live, stats, file_stats = self._replay(version)
+        live, stats, file_stats, file_sizes = self._replay(version)
         live_set = set(live)
         snap = {
             "version": version,
@@ -743,19 +872,34 @@ class VersionedTable:
             "file_stats": {
                 d: s for d, s in file_stats.items() if d in live_set
             },
+            "file_sizes": {
+                d: s for d, s in file_sizes.items() if d in live_set
+            },
             # fold the active constraint set and refs too: replay-from-
             # checkpoint must reproduce ALL table state, and retention may
             # drop the commits that added these
             "constraints": self.constraints(version),
             "stats_columns": self.stats_columns(version),
             "refs": self.refs(version),
+            "layout": self.layout(version),
+            # the column mapping is table state like constraints are: a
+            # replay that lost it would surface physical names (or
+            # resurrect dropped columns)
+            "column_mapping": self.column_mapping(version),
             # live deletion-vector dirs are table state exactly like live
             # data dirs: a replay that lost them would resurrect deleted rows
             "dvs": self._live_dvs(version),
         }
         # fold the protocol too: retention may drop the commits that
         # declared a feature, but the checkpoint STATE still requires it
-        snap["features"] = ["deletion-vectors"] if snap["dvs"] else []
+        snap["features"] = sorted(
+            ({"deletion-vectors"} if snap["dvs"] else set())
+            | ({"column-mapping"} if snap["column_mapping"] else set())
+        )
+        # writer features are monotone table state (never retracted), so
+        # the fold carries the full accumulated set — an old writer must
+        # refuse even after retention drops the declaring commits
+        snap["writer_features"] = sorted(self.writer_features(version))
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -774,12 +918,13 @@ class VersionedTable:
 
     def _replay(
         self, version: int | None = None
-    ) -> tuple[list, dict, dict]:
-        """(live rel-dirs, dir stats, per-file stats) at ``version``,
-        replaying from the newest checkpoint at-or-before it rather than
-        from the beginning. Commits written before the per-file manifest
-        simply contribute nothing to ``file_stats`` — callers fall back
-        to dir granularity for those dirs."""
+    ) -> tuple[list, dict, dict, dict]:
+        """(live rel-dirs, dir stats, per-file stats, per-file byte
+        sizes) at ``version``, replaying from the newest checkpoint
+        at-or-before it rather than from the beginning. Commits written
+        before the per-file manifest simply contribute nothing to
+        ``file_stats``/``file_sizes`` — callers fall back to dir
+        granularity (or a filesystem stat) for those dirs."""
         base = None
         for ck in self._checkpoints():
             if version is None or ck["version"] <= version:
@@ -787,6 +932,7 @@ class VersionedTable:
         live: list[str] = list(base["live"]) if base else []
         stats: dict = dict(base["stats"]) if base else {}
         file_stats: dict = dict(base.get("file_stats", {})) if base else {}
+        file_sizes: dict = dict(base.get("file_sizes", {})) if base else {}
         floor = base["version"] if base else 0
         for entry in self._commits():
             if entry["version"] <= floor:
@@ -797,10 +943,11 @@ class VersionedTable:
             live.extend(entry["add"])
             stats.update(entry.get("stats", {}))
             file_stats.update(entry.get("file_stats", {}))
-        return live, stats, file_stats
+            file_sizes.update(entry.get("file_sizes", {}))
+        return live, stats, file_stats, file_sizes
 
     def _live_dirs(self, version: int | None = None) -> list[str]:
-        live, _, _ = self._replay(version)
+        live, _, _, _ = self._replay(version)
         return [os.path.join(self.path, _DATA, d) for d in live]
 
     def _live_dvs(self, version: int | None = None) -> list[str]:
@@ -904,8 +1051,49 @@ class VersionedTable:
 
     def _live_stats(self, version: int | None = None) -> dict:
         """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
-        live, stats, _ = self._replay(version)
+        live, stats, _, _ = self._replay(version)
         return {d: stats.get(d, {}) for d in live}
+
+    def writer_features(self, version: int | None = None) -> set[str]:
+        """Writer-protocol requirements accumulated at ``version`` (latest
+        by default): the union of every commit's ``writer_features``
+        declarations plus the newest covering checkpoint's fold.
+        Monotone by design — dropping a constraint does not retract
+        ``check-constraints`` (Delta's rule: retraction would let a
+        writer racing the drop publish a stale-featured commit)."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        feats: set[str] = set(base.get("writer_features", [])) if base else set()
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            feats.update(entry.get("writer_features", []))
+        return feats
+
+    def _check_writer_features(self) -> None:
+        """Refuse to PUBLISH a commit against a table whose log requires
+        a writer feature this code does not implement. Writing on would
+        create wrong state, not just read it wrongly: an old writer
+        appends rows that bypass active CHECK constraints, or rewrites a
+        vector-carrying file without subtracting the vector (resurrected
+        rows). Reads are unaffected — reader-only processes never hit
+        this guard. The write-side analog of ``_check_features``; the
+        reference's analog is its eager early validation
+        (SparkCaller.java:401-404)."""
+        unknown = self.writer_features() - SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"table {self.path} requires writer feature(s) "
+                f"{sorted(unknown)}; this writer supports "
+                f"{sorted(SUPPORTED_WRITER_FEATURES)} — upgrade the writer "
+                "before publishing commits to this table (reading remains "
+                "safe)"
+            )
 
     def constraints(self, version: int | None = None) -> dict:
         """Active CHECK constraints ``{name: sql_expr}`` at ``version``
@@ -969,6 +1157,10 @@ class VersionedTable:
             remove=[],
             metadata={"constraint": {"op": "add", "name": name, "expr": expr}},
             data_change=False,
+            # a writer unaware of constraints would append violating rows
+            # and publish — the exact silent-wrongness class the writer
+            # protocol exists for; declare the requirement with the state
+            writer_features=["check-constraints"],
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -1031,6 +1223,308 @@ class VersionedTable:
             data_change=False,
         )
 
+    def layout(self, version: int | None = None) -> dict | None:
+        """The clustered-layout spec active at ``version`` (None = no
+        declared layout). Iceberg's partition-spec evolution reduced to
+        write-side clustering: ``{"cluster_by": [cols...],
+        "target_files": N|None}``. Replayed like stats_columns
+        (metadata commits + checkpoint fold)."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active = base.get("layout") if base else None
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "layout_set" in md:
+                active = md["layout_set"]
+        return active
+
+    def set_layout(
+        self,
+        cluster_by: list[str] | None,
+        target_files: int | None = None,
+    ) -> int:
+        """PARTITION EVOLUTION as a metadata commit (Iceberg's
+        partition-spec evolution, Delta's clustered tables): declare the
+        clustering axes for FUTURE writes. Every subsequent data write
+        (append/overwrite/merge/update rewrites, OPTIMIZE folds) range-
+        repartitions + sorts on ``cluster_by`` before landing, so new
+        files carry tight disjoint per-file [min, max] manifest stats on
+        those axes and manifest pruning cuts scans to the matching
+        files. OLD dirs are untouched and stay readable — a mixed-era
+        snapshot reads as one table, old files just prune conservatively
+        until the next OPTIMIZE re-clusters them. Re-layout on a new key
+        is therefore one JSON commit, never a 100 TB rewrite-now.
+        ``target_files`` bounds files per write (None = keep the
+        incoming partition count). ``cluster_by=None`` clears the
+        layout. Declares the ``clustered-layout`` WRITER feature: an
+        old writer would land unclustered files that silently degrade
+        the layout contract readers budget scans by."""
+        if cluster_by is not None:
+            cluster_by = list(cluster_by)
+            if not cluster_by:
+                raise ValueError(
+                    "set_layout: pass non-empty cluster_by, or None to "
+                    "clear the layout"
+                )
+            if target_files is not None and target_files < 1:
+                raise ValueError("set_layout: target_files must be >= 1")
+            live, _, _, _ = self._replay(None)
+            if live:
+                have = self._logical_columns(live)
+                missing = [c for c in cluster_by if c.lower() not in have]
+                if missing:
+                    raise ValueError(
+                        f"set_layout: unknown column(s) {missing}; table "
+                        f"has {sorted(have)}"
+                    )
+        spec = (
+            None
+            if cluster_by is None
+            else {"cluster_by": cluster_by, "target_files": target_files}
+        )
+        return self._commit(
+            "set_layout",
+            add=[],
+            remove=[],
+            metadata={"layout_set": spec},
+            data_change=False,
+            writer_features=(["clustered-layout"] if spec else []),
+        )
+
+    # -- column mapping (metadata-only rename/drop) -------------------------
+
+    def column_mapping(self, version: int | None = None) -> dict | None:
+        """The column mapping active at ``version`` (None = never
+        activated; logical == physical). Delta's column mapping /
+        Iceberg's field-id resolution reduced to a name table: files
+        store immutable PHYSICAL names; users query LOGICAL names;
+        ``rename_column``/``drop_column`` update the table in a
+        data_change=False metadata commit — at 100 TB a column rename
+        must not rewrite the table. Replayed like constraints
+        (metadata commits + checkpoint fold)."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        mapping = base.get("column_mapping") if base else None
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "column_mapping_set" in md:
+                mapping = md["column_mapping_set"]
+        return mapping
+
+    @staticmethod
+    def _to_logical(df: DataFrame, mapping: dict | None) -> DataFrame:
+        """Project a PHYSICAL-schema frame (a raw parquet scan) to the
+        mapping's logical schema: mapped physicals are aliased to their
+        logical names, dropped physicals vanish, unmapped columns (late
+        schema evolution, internal helper columns) pass through
+        unchanged. No-op without a mapping."""
+        if not mapping:
+            return df
+        from pyspark.sql import functions as F
+
+        phys2log = {
+            f["physical"].lower(): f["name"] for f in mapping["fields"]
+        }
+        dropped = {d.lower() for d in mapping.get("dropped", [])}
+        out = []
+        for c in df.columns:
+            cl = c.lower()
+            if cl in dropped:
+                continue
+            if cl in phys2log:
+                out.append(F.col(c).alias(phys2log[cl]))
+            else:
+                out.append(F.col(c))
+        return df.select(*out)
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+        """Rename a LOGICAL-schema frame to physical names for writing —
+        every data dir stores physical names, so files are homogeneous
+        across renames and a rename never rewrites them. Unmapped
+        columns (schema evolution) keep their names: physical == logical
+        until a later rename lazily registers them."""
+        if not mapping:
+            return df
+        from pyspark.sql import functions as F
+
+        log2phys = {
+            f["name"].lower(): f["physical"] for f in mapping["fields"]
+        }
+        return df.select(
+            *[
+                F.col(c).alias(log2phys[c.lower()])
+                if c.lower() in log2phys
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _table_schema_names(self, live: list[str]) -> list[str]:
+        """Ordered PHYSICAL column names across the live dirs (first-seen
+        order: first dir's footer order, later dirs' new columns
+        appended) — one footer read per dir, no Spark job."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        names: list[str] = []
+        seen: set[str] = set()
+        for rel in live:
+            files = sorted(
+                glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
+            )
+            if not files:
+                continue
+            for n in pq.ParquetFile(files[0]).schema_arrow.names:
+                if n.lower() not in seen:
+                    seen.add(n.lower())
+                    names.append(n)
+        return names
+
+    def _bootstrap_mapping(self) -> dict:
+        """The current mapping, deep-copied for editing — bootstrapped
+        from the live footers (physical == logical, ids assigned in
+        schema order) on first use."""
+        m = self.column_mapping()
+        if m is not None:
+            return json.loads(json.dumps(m))  # deep copy, JSON-safe
+        live, _, _, _ = self._replay(None)
+        cols = self._table_schema_names(live)
+        if not cols:
+            raise ValueError(
+                "column mapping needs an existing schema — write data "
+                "before renaming/dropping columns"
+            )
+        return {
+            "fields": [
+                {"id": i + 1, "name": c, "physical": c}
+                for i, c in enumerate(cols)
+            ],
+            "dropped": [],
+            "next_id": len(cols) + 1,
+        }
+
+    def _commit_mapping(self, operation: str, mapping: dict) -> int:
+        return self._commit(
+            operation,
+            add=[],
+            remove=[],
+            metadata={"column_mapping_set": mapping},
+            data_change=False,
+            # an old reader would surface physical names / resurrect
+            # dropped columns; an old writer would write files under
+            # logical names, splitting the physical schema
+            reader_features=["column-mapping"],
+            writer_features=["column-mapping"],
+        )
+
+    def _mapping_field(self, mapping: dict, name: str) -> dict:
+        """The mapping field for logical ``name``, lazily registering a
+        post-bootstrap evolved column (physical == logical) so it too
+        can be renamed/dropped."""
+        for f in mapping["fields"]:
+            if f["name"].lower() == name.lower():
+                return f
+        live, _, _, _ = self._replay(None)
+        dropped = {d.lower() for d in mapping.get("dropped", [])}
+        mapped_phys = {f["physical"].lower() for f in mapping["fields"]}
+        for c in self._table_schema_names(live):
+            if (
+                c.lower() == name.lower()
+                and c.lower() not in dropped
+                and c.lower() not in mapped_phys
+            ):
+                field = {"id": mapping["next_id"], "name": c, "physical": c}
+                mapping["next_id"] += 1
+                mapping["fields"].append(field)
+                return field
+        raise ValueError(
+            f"column {name!r} does not exist; table has "
+            f"{[f['name'] for f in mapping['fields']]}"
+        )
+
+    def _refuse_constrained_column(self, name: str, verb: str) -> None:
+        import re
+
+        pat = re.compile(rf"(?i)(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])")
+        hits = {
+            cname: expr
+            for cname, expr in self.constraints().items()
+            if pat.search(expr)
+        }
+        if hits:
+            raise ValueError(
+                f"cannot {verb} column {name!r}: referenced by CHECK "
+                f"constraint(s) {sorted(hits)} — drop them first (their "
+                "expressions would silently stop resolving)"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit: the field
+        keeps its id and physical name, only the logical name changes,
+        so zero data files are rewritten and pre-rename files (and
+        their deletion vectors, keyed by basename) stay valid. Time
+        travel before the rename surfaces the old name (the mapping is
+        versioned state); the change feed and streams resolve requested
+        logical names through the mapping, so a stream declared with
+        the NEW name reads files written before the rename correctly.
+        Commits declare the ``column-mapping`` reader AND writer
+        feature: an old reader would mis-project, an old writer would
+        split the physical schema."""
+        self._check_writer_features()
+        m = self._bootstrap_mapping()
+        field = self._mapping_field(m, old)
+        if new.lower() != old.lower():
+            taken = {f["name"].lower() for f in m["fields"]}
+            live, _, _, _ = self._replay(None)
+            dropped = {d.lower() for d in m.get("dropped", [])}
+            mapped_phys = {f["physical"].lower() for f in m["fields"]}
+            unmapped = {
+                c.lower()
+                for c in self._table_schema_names(live)
+                if c.lower() not in mapped_phys and c.lower() not in dropped
+            }
+            if new.lower() in taken or new.lower() in unmapped:
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: a column of that "
+                    "name already exists"
+                )
+        self._refuse_constrained_column(old, "rename")
+        field["name"] = new
+        return self._commit_mapping("rename_column", m)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the physical column
+        stays in every existing file (time travel still reads it); the
+        mapping's ``dropped`` list makes every current-version read
+        project it away. At 100 TB dropping a column costs one JSON
+        commit, not a table rewrite; the bytes come back at the next
+        OPTIMIZE (whose rewrite materializes the logical schema)."""
+        self._check_writer_features()
+        m = self._bootstrap_mapping()
+        field = self._mapping_field(m, name)
+        if len(m["fields"]) == 1:
+            raise ValueError("cannot drop the table's last column")
+        self._refuse_constrained_column(name, "drop")
+        m["fields"].remove(field)
+        m["dropped"].append(field["physical"])
+        return self._commit_mapping("drop_column", m)
+
     def _validate(self, df: DataFrame, active: dict | None = None) -> None:
         """Reject ``df`` if any row fails any active constraint. ONE
         aggregate job counts violations for every constraint at once (the
@@ -1049,9 +1543,9 @@ class VersionedTable:
         active = self.constraints() if active is None else active
         if not active:
             return
-        live, _, _ = self._replay(None)
+        live, _, _, _ = self._replay(None)
         if live:
-            missing = self._table_columns(live) - {
+            missing = self._logical_columns(live) - {
                 c.lower() for c in df.columns
             }
             if missing:
@@ -1196,7 +1690,7 @@ class VersionedTable:
             if ref not in tags:
                 raise ValueError(f"unknown ref {ref!r}; have {sorted(tags)}")
             version = tags[ref]
-        live, stats, file_stats = self._replay(version)
+        live, stats, file_stats, file_sizes = self._replay(version)
         if not live:
             raise ValueError(f"no snapshot at version {version} to clone")
         dest = VersionedTable(self.spark, dest_path)
@@ -1207,10 +1701,16 @@ class VersionedTable:
             src_dir = os.path.join(self.path, _DATA, rel)
             dst_dir = os.path.join(dest_path, _DATA, rel)
             os.makedirs(dst_dir)
+            sizes: dict = {}
             for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
                 os.link(f, os.path.join(dst_dir, os.path.basename(f)))
+                sizes[os.path.basename(f)] = os.path.getsize(f)
             if rel in file_stats:
-                known[rel] = (stats.get(rel, {}), file_stats[rel])
+                known[rel] = (
+                    stats.get(rel, {}),
+                    file_stats[rel],
+                    file_sizes.get(rel) or sizes,
+                )
         # deletion vectors are PART of the snapshot: a clone that dropped
         # them would resurrect deleted rows. Vectors key on file basename,
         # which the hard links preserve — link the dirs, carry the state.
@@ -1222,6 +1722,7 @@ class VersionedTable:
             for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
                 os.link(f, os.path.join(dst_dir, os.path.basename(f)))
         resolved = version if version is not None else self.latest_version()
+        src_mapping = self.column_mapping(version)
         dest._commit(
             "clone",
             add=list(live),
@@ -1231,13 +1732,42 @@ class VersionedTable:
                 "clone_source_version": resolved,
                 "constraints_set": self.constraints(version),
                 "stats_columns_set": self.stats_columns(version),
+                # the mapping is part of the snapshot: without it the
+                # clone would surface physical names and resurrect
+                # dropped columns
+                "column_mapping_set": src_mapping,
             },
             known_stats=known,
             dv_add=dvs,
+            reader_features=(["column-mapping"] if src_mapping else []),
+            # carried state (constraints, vectors, mapping) carries its
+            # writer-protocol requirements with it — a clone must not be
+            # a loophole an old writer can append through
+            writer_features=sorted(self.writer_features(version)),
         )
         return dest
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
+        # the single data-write funnel. Declared clustered layout first
+        # (logical names): range-repartition + sort so every new file
+        # carries tight disjoint manifest stats on the clustering axes —
+        # partition evolution applies to writes FROM the declaring
+        # commit on, old dirs stay as they were
+        layout = self.layout()
+        if layout:
+            byname = {c.lower(): c for c in df.columns}
+            keys = [byname.get(k.lower()) for k in layout["cluster_by"]]
+            if all(keys):
+                n = layout.get("target_files") or max(
+                    df.rdd.getNumPartitions(), 1
+                )
+                df = df.repartitionByRange(n, *keys).sortWithinPartitions(
+                    *keys
+                )
+        # column mapping second: frames arrive LOGICAL and files store
+        # PHYSICAL names, so data written after a rename stays
+        # homogeneous with data before it
+        df = self._to_physical(df, self.column_mapping())
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _DATA, rel)
@@ -1267,13 +1797,27 @@ class VersionedTable:
             cols.update(name.lower() for name in schema.names)
         return cols
 
+    def _logical_columns(self, live: list[str]) -> set[str]:
+        """``_table_columns`` projected through the column mapping:
+        lower-cased LOGICAL names — what incoming (logical-schema)
+        frames are compared against."""
+        cols = self._table_columns(live)
+        m = self.column_mapping()
+        if not m:
+            return cols
+        phys2log = {
+            f["physical"].lower(): f["name"].lower() for f in m["fields"]
+        }
+        dropped = {d.lower() for d in m.get("dropped", [])}
+        return {phys2log.get(c, c) for c in cols if c not in dropped}
+
     def _carry_dir(
         self,
         src_rel: str,
         files: list[str],
         version_hint: int,
         src_file_stats: dict,
-    ) -> tuple[str, tuple[dict, dict]]:
+    ) -> tuple[str, tuple[dict, dict, dict]]:
         """Hard-link the UNTOUCHED files of a partially-rewritten dir into
         a fresh dir — the 'keep' half of file-level COW without moving a
         byte of data (files are immutable, so sharing inodes is safe; an
@@ -1288,17 +1832,19 @@ class VersionedTable:
         new = f"v{version_hint}-carry-{uuid.uuid4().hex[:8]}"
         dst = os.path.join(self.path, _DATA, new)
         os.makedirs(dst)
+        sizes: dict = {}
         for f in files:
-            os.link(
-                os.path.join(self.path, _DATA, src_rel, f),
-                os.path.join(dst, f),
-            )
+            src = os.path.join(self.path, _DATA, src_rel, f)
+            os.link(src, os.path.join(dst, f))
+            # one stat per just-linked file: exact even when the source
+            # commit predates the size manifest
+            sizes[f] = os.path.getsize(src)
         fsub = {f: src_file_stats[f] for f in files}
-        return new, (_rollup_stats(fsub), fsub)
+        return new, (_rollup_stats(fsub), fsub, sizes)
 
-    def _harvest_stats(self, rel: str) -> tuple[dict, dict]:
-        """(dir-level, per-FILE) column [min, max, null_count] for a data
-        dir, harvested from the parquet FOOTERS the write already produced
+    def _harvest_stats(self, rel: str) -> tuple[dict, dict, dict]:
+        """(dir-level stats, per-FILE stats, per-FILE byte sizes) for a
+        data dir, harvested from the parquet FOOTERS the write already produced
         — no second scan, the Iceberg manifest-stats approach. int/float/
         str are kept as-is; DATE and TIMESTAMP stats are normalized to
         FIXED-WIDTH ISO strings (``_stat_key``), whose lexicographic order
@@ -1314,6 +1860,7 @@ class VersionedTable:
         import pyarrow.parquet as pq
 
         per_file: dict = {}
+        sizes: dict = {}
         for f in sorted(
             glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
         ):
@@ -1322,6 +1869,7 @@ class VersionedTable:
             nulls: dict = {}  # per-column null count; None = unknown
             unsafe: set = set()
             md = pq.ParquetFile(f).metadata
+            sizes[os.path.basename(f)] = os.path.getsize(f)
             if md.num_rows == 0:
                 # zero-row part files (a many-task write artifact) carry
                 # no data: omitting them from the manifest is safe — a
@@ -1370,21 +1918,29 @@ class VersionedTable:
             }
         keep = self.stats_columns()
         if keep is not None:
-            keep_l = {c.lower() for c in keep}
+            # the allowlist names LOGICAL columns; footers store physical
+            log2phys = logical_to_physical(self.column_mapping())
+            keep_l = {log2phys.get(c.lower(), c).lower() for c in keep}
             per_file = {
                 f: {c: v for c, v in cols.items() if c.lower() in keep_l}
                 for f, cols in per_file.items()
             }
-        return _rollup_stats(per_file), per_file
+        # sizes are NOT subject to the stats_columns allowlist: one int
+        # per file, and byte budgeting must keep working on wide tables
+        return _rollup_stats(per_file), per_file, sizes
 
     # -- operations --------------------------------------------------------
 
     def append(self, df: DataFrame, metadata: dict | None = None) -> int:
+        # fail BEFORE the data write (the _commit guard would catch it
+        # anyway, but only after paying for an orphan dir)
+        self._check_writer_features()
         self._validate(df)
         rel = self._write_data_dir(df, self.latest_version() + 1)
         return self._commit("append", add=[rel], remove=[], metadata=metadata)
 
     def overwrite(self, df: DataFrame, metadata: dict | None = None) -> int:
+        self._check_writer_features()
         self._validate(df)
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(df, self.latest_version() + 1)
@@ -1414,8 +1970,13 @@ class VersionedTable:
         datetime)."""
         from pyspark.sql import functions as F
 
+        self._check_writer_features()
         klo, khi = _stat_key(lo), _stat_key(hi)
-        live, stats, file_stats = self._replay(None)
+        live, stats, file_stats, _sizes = self._replay(None)
+        mapping = self.column_mapping()
+        # manifest stats key on PHYSICAL names; the filter below runs on
+        # the logical projection, so only the stat lookups translate
+        pcol = logical_to_physical(mapping).get(col.lower(), col)
         vhint = self.latest_version() + 1
         remove: list[str] = []
         add: list[str] = []
@@ -1445,14 +2006,14 @@ class VersionedTable:
             fstats = file_stats.get(rel)
             if not fstats:
                 # pre-file-stats commit: dir-granularity fallback
-                cls = _classify(stats.get(rel, {}).get(col))
+                cls = _classify(stats.get(rel, {}).get(pcol))
                 if cls == "disjoint":
                     continue
                 remove.append(rel)
                 if cls == "straddle":
                     rewrite_paths.append(os.path.join(self.path, _DATA, rel))
                 continue
-            cls = {f: _classify(st.get(col)) for f, st in fstats.items()}
+            cls = {f: _classify(st.get(pcol)) for f, st in fstats.items()}
             if all(c == "disjoint" for c in cls.values()):
                 continue  # dir untouched
             remove.append(rel)
@@ -1469,11 +2030,14 @@ class VersionedTable:
             # DV-applied raw read: a straddling file may carry deletion
             # vectors, and rewriting it without subtracting them would
             # RESURRECT the deleted rows in the new file
-            kept = self._apply_dv(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *sorted(rewrite_paths)
+            kept = self._to_logical(
+                self._apply_dv(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *sorted(rewrite_paths)
+                    ),
+                    self._live_dvs(),
                 ),
-                self._live_dvs(),
+                mapping,
             )
             if col.lower() in {c.lower() for c in kept.columns}:
                 # NULL fails BETWEEN, so NULL rows are NOT matched: keep them
@@ -1488,9 +2052,12 @@ class VersionedTable:
             # every live file dropped: write a zero-row dir carrying the
             # schema so the table stays READABLE as empty (a full DELETE
             # must not make read() raise "no snapshot")
-            empty = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, _DATA, d) for d in remove]
-            ).limit(0)
+            empty = self._to_logical(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, _DATA, d) for d in remove]
+                ).limit(0),
+                mapping,
+            )
             add.append(self._write_data_dir(empty, vhint))
         return self._commit(
             "delete", add=add, remove=remove, known_stats=known
@@ -1519,6 +2086,7 @@ class VersionedTable:
 
         if mode not in ("cow", "mor"):
             raise ValueError(f"delete: unknown mode {mode!r} (cow|mor)")
+        self._check_writer_features()
         if mode == "mor":
             return self._delete_mor(condition)
         # a row is deleted only when the predicate is TRUE; NULL (unknown)
@@ -1552,11 +2120,12 @@ class VersionedTable:
         if not live:
             raise ValueError(f"no snapshot to delete from in {self.path}")
         vhint = self.latest_version() + 1
-        scan = (
+        scan = self._to_logical(
             self.spark.read.option("mergeSchema", "true")
             .parquet(*live)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
-            .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long")),
+            self.column_mapping(),
         )
         prior = self._live_dvs()
         if prior:
@@ -1626,6 +2195,7 @@ class VersionedTable:
 
         if mode not in ("cow", "mor"):
             raise ValueError(f"update: unknown mode {mode!r} (cow|mor)")
+        self._check_writer_features()
         live = self._live_dirs()
         if not live:
             raise ValueError(f"no snapshot to update in {self.path}")
@@ -1670,11 +2240,12 @@ class VersionedTable:
             )
         # merge-on-read: deletion vector for the old positions + a new dir
         # with the updated rows, in one atomic commit
-        scan = (
+        scan = self._to_logical(
             self.spark.read.option("mergeSchema", "true")
             .parquet(*live)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
-            .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long")),
+            self.column_mapping(),
         )
         prior = self._live_dvs()
         if prior:
@@ -1757,10 +2328,16 @@ class VersionedTable:
         change feed's manifest fast path still accepts."""
         from pyspark.sql import functions as F
 
+        self._check_writer_features()
         # carried/anti-joined rows were validated when first written;
         # only the incoming side needs the invariant check
         self._validate(updates)
-        live, stats, file_stats = self._replay(None)
+        live, stats, file_stats, _sizes = self._replay(None)
+        mapping = self.column_mapping()
+        # manifest stats are keyed by PHYSICAL names; keys are logical
+        phys_keys = [
+            logical_to_physical(mapping).get(k.lower(), k) for k in keys
+        ]
         vhint = self.latest_version() + 1
         bounds = updates.agg(
             *[f(k) for k in keys for f in (F.min, F.max)]
@@ -1771,7 +2348,7 @@ class VersionedTable:
         rewrite_paths: list[str] = []  # intersecting FILES (or whole dirs)
 
         def _intersects(st: dict) -> bool:
-            for i, _k in enumerate(keys):
+            for i, _k in enumerate(phys_keys):
                 rng = st.get(_k)
                 lo = _stat_key(bounds[2 * i])
                 hi = _stat_key(bounds[2 * i + 1])
@@ -1831,12 +2408,17 @@ class VersionedTable:
             # merge may have left heterogeneous files, and a plain read
             # would adopt one file's schema and silently drop the rest.
             # DV-applied: rewriting a vector-carrying file without
-            # subtracting its deletion vector would resurrect deleted rows
-            current = self._apply_dv(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *sorted(rewrite_paths)
+            # subtracting its deletion vector would resurrect deleted rows.
+            # _to_logical: the raw scan carries physical names; the
+            # anti-join keys (and the written union) are logical
+            current = self._to_logical(
+                self._apply_dv(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *sorted(rewrite_paths)
+                    ),
+                    self._live_dvs(),
                 ),
-                self._live_dvs(),
+                mapping,
             )
             merged = current.join(updates, keys, "left_anti").unionByName(
                 updates, allowMissingColumns=allow_schema_evolution
@@ -1851,7 +2433,7 @@ class VersionedTable:
                 # parquet footer per live dir (each dir is one write, so
                 # intra-dir schemas are homogeneous) — metadata-only, no
                 # whole-table Spark inference job on the cheap append path
-                table_cols = self._table_columns(live)
+                table_cols = self._logical_columns(live)
                 mine = {c.lower() for c in updates.columns}
                 if table_cols and mine != table_cols:
                     raise ValueError(
@@ -1884,8 +2466,8 @@ class VersionedTable:
             if ref not in tags:
                 raise ValueError(f"unknown ref {ref!r}; have {sorted(tags)}")
             version = tags[ref]
-        live_now, _, _ = self._replay(None)
-        target, stats, file_stats = self._replay(version)
+        live_now, _, _, _ = self._replay(None)
+        target, stats, file_stats, file_sizes = self._replay(version)
         if not target:
             raise ValueError(f"no snapshot at version {version} to restore")
         missing = [
@@ -1912,7 +2494,11 @@ class VersionedTable:
                 "materializable"
             )
         known = {
-            rel: (stats.get(rel, {}), file_stats.get(rel, {}))
+            rel: (
+                stats.get(rel, {}),
+                file_stats.get(rel, {}),
+                file_sizes.get(rel, {}),
+            )
             for rel in target
             if rel in file_stats
         }
@@ -1943,7 +2529,7 @@ class VersionedTable:
         dvs = self._live_dvs()
         if len(dvs) < 2:
             return self.latest_version()
-        live, _, file_stats = self._replay(None)
+        live, _, file_stats, _ = self._replay(None)
         live_files = {
             basename
             for rel in live
@@ -2012,6 +2598,7 @@ class VersionedTable:
         code must fit a bigint)."""
         from pyspark.sql import functions as F
 
+        self._check_writer_features()
         if max_dir_bytes is not None and zorder_by is not None:
             raise ValueError(
                 "optimize: max_dir_bytes (incremental fold) and zorder_by "
@@ -2020,9 +2607,15 @@ class VersionedTable:
                 "separate passes"
             )
         if max_dir_bytes is not None:
-            live, _, _ = self._replay(None)
+            live, _, _, file_sizes = self._replay(None)
 
             def dir_bytes(rel: str) -> int:
+                # manifest first (no filesystem listing — at 100 TB on an
+                # object store a LIST per dir is the expensive part);
+                # pre-size-manifest dirs fall back to one listing
+                recorded = file_sizes.get(rel)
+                if recorded:
+                    return sum(recorded.values())
                 root = os.path.join(self.path, _DATA, rel)
                 return sum(
                     os.path.getsize(os.path.join(root, f))
@@ -2115,11 +2708,17 @@ class VersionedTable:
             rel = f"v{self.latest_version() + 1}-{uuid.uuid4().hex[:8]}"
             tmp_out = os.path.join(self.path, _DATA, f".tmp-{rel}")
             (
-                current.withColumn("_zorder", F.expr(morton))
-                .withColumn("_zbucket", F.expr(f"_zorder div {width}"))
-                .repartition(target_partitions, "_zbucket")
-                .sortWithinPartitions("_zbucket", "_zorder")
-                .drop("_zorder")
+                # _to_physical: this bypasses _write_data_dir, so the
+                # column-mapping rename happens here (helper cols are
+                # unmapped and pass through)
+                self._to_physical(
+                    current.withColumn("_zorder", F.expr(morton))
+                    .withColumn("_zbucket", F.expr(f"_zorder div {width}"))
+                    .repartition(target_partitions, "_zbucket")
+                    .sortWithinPartitions("_zbucket", "_zorder")
+                    .drop("_zorder"),
+                    self.column_mapping(),
+                )
                 .write.partitionBy("_zbucket")
                 .mode("overwrite")
                 .parquet(tmp_out)
@@ -2204,21 +2803,24 @@ class VersionedTable:
             dv_rels = [
                 d for c in changing for d in c.get("dv_add", [])
             ]
+            # feed rows surface LOGICAL names as of v_to — both fast
+            # paths read raw (physical-name) files
+            mapping = self.column_mapping(v_to)
             if not dv_rels:
                 if not added:
                     return self._empty_feed(v_to)
                 # mergeSchema across the added dirs: commits after a
                 # schema-evolving merge carry wider files, and a plain read
                 # would adopt one dir's schema and drop the evolved column
-                return (
+                return self._to_logical(
                     self.spark.read.option("mergeSchema", "true")
-                    .parquet(*added)
-                    .withColumn("_change_type", F.lit("insert"))
-                )
+                    .parquet(*added),
+                    mapping,
+                ).withColumn("_change_type", F.lit("insert"))
             # MOR delta fast path: deletes are exactly the in-range
             # vectors' positions — read ONLY the referenced files and
             # semi-join, cost ∝ |delta| like the insert side
-            mor = self._mor_delta_feed(in_range, added, dv_rels)
+            mor = self._mor_delta_feed(in_range, added, dv_rels, mapping)
             if mor is not None:
                 return mor
         # snapshot diff under schema evolution: read BOTH sides merged and
@@ -2226,9 +2828,14 @@ class VersionedTable:
         # column) — exceptAll requires identical schemas, and a narrower
         # base would either raise or silently drop rows that differ only
         # in the evolved column, corrupting downstream IVM
+        # mapping_as_of=v_to on the BASE read: across a rename, both
+        # snapshots must align on the same (newer) logical names or the
+        # exceptAll pair would see disjoint schemas
         cur = self.read(version=v_to, merge_schema=True)
         try:
-            base = self.read(version=v_from, merge_schema=True)
+            base = self.read(
+                version=v_from, merge_schema=True, mapping_as_of=v_to
+            )
         except ValueError:
             # v_from predates the first snapshot (e.g. 0): the base is the
             # empty table — every current row is an insert. The fast path
@@ -2261,7 +2868,11 @@ class VersionedTable:
         )
 
     def _mor_delta_feed(
-        self, in_range: list[dict], added: list[str], dv_rels: list[str]
+        self,
+        in_range: list[dict],
+        added: list[str],
+        dv_rels: list[str],
+        mapping: dict | None = None,
     ) -> DataFrame | None:
         """Manifest fast path for a commit range whose only row removals
         are MERGE-ON-READ vectors (no dir rewrites): inserts are the
@@ -2319,7 +2930,7 @@ class VersionedTable:
         paths = sorted(
             os.path.join(self.path, _DATA, owner[f], f) for f in touched
         )
-        deletes = (
+        deletes = self._to_logical(
             self.spark.read.option("mergeSchema", "true")
             .parquet(*paths)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
@@ -2336,16 +2947,15 @@ class VersionedTable:
                 ["__dv_file", "__dv_pos"],
                 "left_semi",
             )
-            .drop("__dv_file", "__dv_pos")
-            .withColumn("_change_type", F.lit("delete"))
-        )
+            .drop("__dv_file", "__dv_pos"),
+            mapping,
+        ).withColumn("_change_type", F.lit("delete"))
         if not added:
             return deletes
-        inserts = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*added)
-            .withColumn("_change_type", F.lit("insert"))
-        )
+        inserts = self._to_logical(
+            self.spark.read.option("mergeSchema", "true").parquet(*added),
+            mapping,
+        ).withColumn("_change_type", F.lit("insert"))
         # union by name with NULL fill: deleted rows come from files that
         # may predate an evolved column the inserts carry (and vice versa)
         return inserts.unionByName(deletes, allowMissingColumns=True)
@@ -2369,9 +2979,10 @@ class VersionedTable:
             for rel in c["add"]:
                 d = os.path.join(self.path, _DATA, rel)
                 if os.path.isdir(d):
-                    return self.spark.read.parquet(d).limit(0).withColumn(
-                        "_change_type", F.lit("insert")
-                    )
+                    return self._to_logical(
+                        self.spark.read.parquet(d).limit(0),
+                        self.column_mapping(v_to),
+                    ).withColumn("_change_type", F.lit("insert"))
         return self.spark.createDataFrame(
             [], T.StructType([T.StructField("_change_type", T.StringType())])
         )
@@ -2400,7 +3011,8 @@ class VersionedTable:
 
         ``dry_run=True`` reports what WOULD be reclaimed (same list, same
         age/ref/retention rules) without deleting anything — the sanity
-        read before trading away time travel, Delta's VACUUM DRY RUN."""
+        read before trading away time travel, Delta's VACUUM DRY RUN;
+        ``vacuum_report`` prices the same candidate set in bytes."""
         import shutil
         import time
 
@@ -2441,6 +3053,52 @@ class VersionedTable:
                 deleted.append(prefix + d)
         return deleted
 
+    def vacuum_report(
+        self, keep_versions: int = 0, min_age_seconds: float = 0.0
+    ) -> dict:
+        """Byte-reporting VACUUM dry run: what ``vacuum`` with the same
+        arguments would reclaim, priced in bytes — the number an
+        operator actually weighs against losing time travel. Candidate
+        dirs come from the same dry-run listing (same age/ref/retention
+        rules); bytes come from the manifest's per-file sizes where the
+        dir was committed with them, one filesystem listing otherwise
+        (orphan dirs from torn writes are never in the manifest).
+        Manifest pricing counts DATA files; writer sidecars (_SUCCESS,
+        .crc) are a rounding error it deliberately ignores.
+        Returns ``{"dirs": [...], "total_bytes": N, "per_dir": {...}}``;
+        nothing is deleted."""
+        # rel → recorded sizes across ALL commits (dead dirs included —
+        # the live replay drops exactly the dirs vacuum reclaims)
+        recorded: dict = {}
+        for c in self._commits():
+            recorded.update(c.get("file_sizes") or {})
+        candidates = self.vacuum(
+            keep_versions, min_age_seconds, dry_run=True
+        )
+        per_dir: dict[str, int] = {}
+        for name in candidates:
+            rel = name[len(_DV) + 1 :] if name.startswith(f"{_DV}/") else name
+            sizes = None if name.startswith(f"{_DV}/") else recorded.get(rel)
+            if sizes:
+                per_dir[name] = sum(sizes.values())
+                continue
+            root = os.path.join(
+                self.path, _DV if name.startswith(f"{_DV}/") else _DATA, rel
+            )
+            total = 0
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            per_dir[name] = total
+        return {
+            "dirs": candidates,
+            "total_bytes": sum(per_dir.values()),
+            "per_dir": per_dir,
+        }
+
     def read(
         self,
         version: int | None = None,
@@ -2448,6 +3106,7 @@ class VersionedTable:
         merge_schema: bool = False,
         as_of=None,
         ref: str | None = None,
+        mapping_as_of: int | None = None,
     ) -> DataFrame:
         """Snapshot read — latest by default; time travel with ``version``
         (VERSION AS OF), ``as_of`` (TIMESTAMP AS OF: epoch seconds,
@@ -2465,7 +3124,15 @@ class VersionedTable:
         pre-file-stats commits, and files/dirs with no recorded stats
         for the column, are conservatively kept. The caller still
         applies the actual filter; pruning only shrinks the scan, never
-        the semantics."""
+        the semantics.
+
+        Column names (output schema and the ``prune`` column) are
+        LOGICAL: with an active column mapping the scan's physical names
+        are projected to the logical schema as of the read's version —
+        time travel before a rename surfaces the old name.
+        ``mapping_as_of`` overrides the mapping version (the change
+        feed aligns both of its snapshots on the NEWER mapping so their
+        schemas match across a rename)."""
         if sum(x is not None for x in (version, as_of, ref)) > 1:
             raise ValueError("pass at most one of version / as_of / ref")
         if ref is not None:
@@ -2475,8 +3142,11 @@ class VersionedTable:
             version = tags[ref]
         elif as_of is not None:
             version = self._resolve_as_of(as_of)
-        live, stats, file_stats = self._replay(version)
+        live, stats, file_stats, _ = self._replay(version)
         dvs = self._live_dvs(version)
+        mapping = self.column_mapping(
+            version if mapping_as_of is None else mapping_as_of
+        )
         dirs = [os.path.join(self.path, _DATA, d) for d in live]
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
@@ -2488,6 +3158,10 @@ class VersionedTable:
             reader = reader.option("mergeSchema", "true")
         if prune is not None:
             col, lo, hi = prune
+            # manifest stats are keyed by PHYSICAL names (footer
+            # harvest); resolve the logical prune column through the
+            # mapping
+            col = logical_to_physical(mapping).get(col.lower(), col)
             lo, hi = _stat_key(lo), _stat_key(hi)
 
             def _keeps(rng) -> bool:
@@ -2515,9 +3189,13 @@ class VersionedTable:
             if not kept:
                 # all files pruned: zero rows, but keep the same (possibly
                 # merged) schema the un-pruned read would surface
-                return reader.parquet(*dirs).limit(0)
-            return self._apply_dv(reader.parquet(*kept), dvs)
-        return self._apply_dv(reader.parquet(*dirs), dvs)
+                return self._to_logical(reader.parquet(*dirs).limit(0), mapping)
+            return self._to_logical(
+                self._apply_dv(reader.parquet(*kept), dvs), mapping
+            )
+        return self._to_logical(
+            self._apply_dv(reader.parquet(*dirs), dvs), mapping
+        )
 
     def history(self) -> list[dict]:
         return self._commits()
@@ -2530,7 +3208,7 @@ class VersionedTable:
         depth. Pure manifest + filesystem arithmetic (file sizes via
         os.stat on the live set — O(files) metadata ops, no data read,
         no Spark job)."""
-        live, _, file_stats = self._replay(version)
+        live, _, file_stats, file_sizes = self._replay(version)
         n_files = 0
         total_bytes = 0
         small_files = 0

@@ -777,13 +777,18 @@ def _make_table_stream_source(
     repeated runs (``drain_table_stream`` is that loop) — an
     engine-side limit of the Python stream API, not of this reader.
 
-    Two composable rate limits on the full reader:
+    Three composable rate limits on the full reader:
     ``maxVersionsPerTrigger`` bounds COMMITS per batch (Delta's analog
     for commit-sized ingests); ``maxFilesPerTrigger`` bounds planned
     READ UNITS (files / deletion-vector slices) per batch via
     unit-granular offsets, so even a single bulk-append commit of
-    thousands of files drains in bounded batches — versions alone
-    bound commits, not bytes.
+    thousands of files drains in bounded batches; and
+    ``maxBytesPerTrigger`` bounds the BYTES those units will read
+    (each planned unit carries its manifest-recorded file size), the
+    budget that actually holds under skew — a 10-file commit of 1 GB
+    files and one of 1 KB files must not plan identical batches. Byte
+    batching is soft-max: a single file over the budget still ships
+    alone rather than wedging the stream.
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -795,9 +800,18 @@ def _make_table_stream_source(
     tag = mode == "cdf"
 
     class _ChangeUnitPartition(InputPartition):
-        def __init__(self, unit: dict | None, columns: list[str]):
+        def __init__(
+            self,
+            unit: dict | None,
+            columns: list[str],
+            colmap: dict | None = None,
+        ):
             self.unit = unit
             self.columns = columns
+            # {lower logical: physical} — resolves the declared stream
+            # schema's names to what files store when the table has an
+            # active column mapping (rename/drop without rewrite)
+            self.colmap = colmap or {}
 
     class _FullReader(_TableStreamReaderCore, DataSourceStreamReader):
         """Offsets are (version, units-delivered-within-version): the
@@ -813,12 +827,19 @@ def _make_table_stream_source(
         pure function of the immutable log."""
 
         def __init__(
-            self, path, columns, cap, arrow_schema=None, max_files=None
+            self,
+            path,
+            columns,
+            cap,
+            arrow_schema=None,
+            max_files=None,
+            max_bytes=None,
         ):
             _TableStreamReaderCore.__init__(self, path, cap)
             self.columns = columns
             self.arrow_schema = arrow_schema
             self.max_files = max_files
+            self.max_bytes = max_bytes
             self._pos: tuple[int, int] | None = None
             self._plan_cache: dict[int, list] = {}
             self._log_snapshot: list | None = None
@@ -878,25 +899,68 @@ def _make_table_stream_source(
             vcap = latest
             if self.max_versions is not None:
                 vcap = min(latest, v + self.max_versions)
-            budget = self.max_files
+            files_left = self.max_files
+            bytes_left = self.max_bytes
+            took_any = False
+
+            def _exhausted(next_size: int) -> bool:
+                # stop BEFORE the unit that would blow either budget, but
+                # always take at least one unit per batch (a single file
+                # larger than maxBytesPerTrigger must still progress —
+                # Delta's soft-max rule)
+                if not took_any:
+                    return False
+                if files_left is not None and files_left < 1:
+                    return True
+                return bytes_left is not None and bytes_left < next_size
+
             while v < vcap or u < len(self._units(v)):
-                rem = len(self._units(v)) - u
-                if rem <= 0:
+                plan = self._units(v)
+                if u >= len(plan):
                     if v >= vcap:
+                        break
+                    nxt = self._units(v + 1)
+                    if nxt and _exhausted(nxt[0].get("size") or 0):
+                        # never advance the version counter past the
+                        # last delivered unit: maxVersionsPerTrigger
+                        # accounting stays exact (empty data_change=False
+                        # versions still pass through freely)
                         break
                     v, u = v + 1, 0
                     continue
-                if budget is None:
-                    u += rem
+                if files_left is None and bytes_left is None:
+                    u = len(plan)
                     continue
-                take = min(rem, budget)
-                u += take
-                budget -= take
-                if budget == 0:
+                size = plan[u].get("size") or 0
+                if _exhausted(size):
                     break
+                u += 1
+                took_any = True
+                if files_left is not None:
+                    files_left -= 1
+                if bytes_left is not None:
+                    bytes_left -= size
             if (v, u) > self._pos:
                 self._pos = (v, u)
             return self._to_offset(self._pos)
+
+        def _current_colmap(self) -> dict:
+            from daas_apps_spark.sources.table_format import (
+                column_mapping_at,
+                logical_to_physical,
+                read_log,
+            )
+
+            commits = self._log_snapshot
+            if commits is None:
+                commits = read_log(self.path)
+                self._log_snapshot = commits
+            # the LATEST mapping resolves every planned unit: physical
+            # names are immutable, and the declared stream schema names
+            # the CURRENT logical columns
+            return logical_to_physical(
+                column_mapping_at(self.path, commits=commits)
+            )
 
         def partitions(self, start, end):
             vs, us = self._from_offset(start)
@@ -917,7 +981,10 @@ def _make_table_stream_source(
                 # versions advanced on data_change=False commits only;
                 # Spark requires >= 1 partition per planned batch
                 return [_ChangeUnitPartition(None, self.columns)]
-            return [_ChangeUnitPartition(u, self.columns) for u in units]
+            colmap = self._current_colmap()
+            return [
+                _ChangeUnitPartition(u, self.columns, colmap) for u in units
+            ]
 
         def read(self, partition):
             from daas_apps_spark.sources.table_format import (
@@ -937,7 +1004,10 @@ def _make_table_stream_source(
                     # instead of serializer-bound
                     return iter(
                         read_change_batches(
-                            partition.unit, self.arrow_schema, tag=tag
+                            partition.unit,
+                            self.arrow_schema,
+                            tag=tag,
+                            colmap=getattr(partition, "colmap", None),
                         )
                     )
                 except (pa.lib.ArrowException, TypeError, KeyError) as e:
@@ -958,7 +1028,10 @@ def _make_table_stream_source(
                         )
             return iter(
                 read_change_unit(
-                    partition.unit, columns=partition.columns, tag=tag
+                    partition.unit,
+                    columns=partition.columns,
+                    tag=tag,
+                    colmap=getattr(partition, "colmap", None),
                 )
             )
 
@@ -975,15 +1048,22 @@ def _make_table_stream_source(
         def _rows(self, v_from: int, v_to: int | None):
             from daas_apps_spark.sources.table_format import (
                 change_plan_between,
+                column_mapping_at,
+                logical_to_physical,
                 read_change_unit,
             )
 
             units, resolved = change_plan_between(
                 self.path, v_from, v_to, mode=mode
             )
+            colmap = logical_to_physical(column_mapping_at(self.path))
             rows: list[tuple] = []
             for u in units:
-                rows.extend(read_change_unit(u, columns=self.columns, tag=tag))
+                rows.extend(
+                    read_change_unit(
+                        u, columns=self.columns, tag=tag, colmap=colmap
+                    )
+                )
             return rows, resolved
 
         def initialOffset(self):
@@ -1053,10 +1133,17 @@ def _make_table_stream_source(
                 raise ValueError(
                     f"maxFilesPerTrigger must be >= 1, got {max_files}"
                 )
+            mbt = self.options.get("maxbytespertrigger")
+            max_bytes = int(mbt) if mbt is not None else None
+            if max_bytes is not None and max_bytes < 1:
+                raise ValueError(
+                    f"maxBytesPerTrigger must be >= 1, got {max_bytes}"
+                )
             return _FullReader(
                 *self._args(),
                 arrow_schema=arrow_schema,
                 max_files=max_files,
+                max_bytes=max_bytes,
             )
 
         def simpleStreamReader(self, schema) -> "_SimpleReader":

@@ -7,6 +7,8 @@ equal the one-shot batch computation over the same events.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -1099,6 +1101,126 @@ def test_max_files_per_trigger_splits_one_commit(spark, tmp_path):
     assert sorted(
         r.k for r in spark.read.parquet(out).collect()
     ) == list(range(30))
+
+
+def test_table_stream_resolves_renamed_columns(spark, tmp_path):
+    """A stream declared with the CURRENT (post-rename) logical schema
+    reads files written BEFORE the rename correctly: the planned
+    partitions carry the column mapping, and both the arrow and tuple
+    executor paths resolve logical → physical names. Without the
+    mapping the old files' column would silently NULL-fill."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_cdf_stream_source,
+    )
+
+    register_table_cdf_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )  # v1: physical name "v"
+    vt.delete("k = 2", mode="mor")  # v2: pre-rename preimage
+    vt.rename_column("v", "label")  # v3
+    vt.append(
+        spark.createDataFrame([(3, "c")], "k long, label string")
+    )  # v4: physical still "v"
+
+    for arrow in ("true", "false"):
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", tbl)
+            .option("tableschema", "k long, label string")
+            .option("arrowbatches", arrow)
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"renamed_{arrow}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.k, r.label, r._change_type)
+            for r in spark.table(f"renamed_{arrow}").collect()
+        )
+        assert got == [
+            (1, "a", "insert"),
+            (2, "b", "delete"),
+            (2, "b", "insert"),
+            (3, "c", "insert"),
+        ], (arrow, got)
+
+
+def test_max_bytes_per_trigger_budgets_skewed_commit(spark, tmp_path):
+    """maxBytesPerTrigger bounds each micro-batch by the BYTES its
+    planned units will read (manifest per-file sizes): a single bulk
+    commit of skewed file sizes — one big file, several small — drains
+    in byte-bounded batches (the big file alone, then the small tail),
+    every row exactly once. File-count budgeting would have shipped
+    big+small together."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    # one commit, hand-written skewed files: big (5000 rows) + 3 small
+    rel = "v1-skewed"
+    d = os.path.join(tbl, "data", rel)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"k": list(range(5000)), "v": ["x" * 40] * 5000}),
+        os.path.join(d, "part-big.parquet"),
+        compression="none",
+    )
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": [10000 + i], "v": ["s"]}),
+            os.path.join(d, f"part-s{i}.parquet"),
+            compression="none",
+        )
+    vt._commit("append", add=[rel], remove=[])
+    sizes = vt._commits()[-1]["file_sizes"][rel]
+    big = sizes["part-big.parquet"]
+    small_total = sum(v for f, v in sizes.items() if f != "part-big.parquet")
+    assert big > small_total * 3  # genuinely skewed
+    budget = big  # fits the big file alone, or the whole small tail
+
+    out = str(tmp_path / "out")
+    batch_rows: list[int] = []
+
+    def drain_once():
+        def sink(batch_df, batch_id):
+            n = batch_df.count()
+            if n:
+                batch_rows.append(n)
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+            .option("maxBytesPerTrigger", str(budget))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(3):
+        drain_once()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(5000)) + [10000, 10001, 10002]
+    # byte budget split the ONE commit: big file alone, then the tail
+    assert batch_rows == [5000, 3], batch_rows
 
 
 def test_drain_table_stream_catches_up_in_bounded_runs(spark, tmp_path):

@@ -1673,6 +1673,468 @@ def test_constraints_survive_checkpoint_fold(spark, vt):
         vt.append(_df(spark, [(-1, "bad")]))
 
 
+def test_partition_evolution_set_layout(spark, vt, monkeypatch):
+    """set_layout is a metadata commit: writes FROM it on land range-
+    clustered (disjoint per-file stats on the declared axes → manifest
+    pruning bites), OLD dirs stay readable as-is, the feed is
+    unaffected, the spec folds into checkpoints, and an old writer
+    refuses via the clustered-layout writer feature."""
+    import json as _json
+
+    import daas_apps_spark.sources.table_format as tf
+    from daas_apps_spark.sources.table_format import (
+        CHECKPOINT_EVERY,
+        UnsupportedTableFeatureError,
+    )
+
+    # era 1: one unclustered single-file commit
+    vt.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k long, v string"
+        ).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        vt.set_layout(["nope"])
+    vt.set_layout(["k"], target_files=4)  # v2: metadata only
+    assert "clustered-layout" in vt.writer_features()
+    entry = vt._commits()[-1]
+    assert entry["add"] == [] and entry["data_change"] is False
+    # era 2: a ONE-partition append lands as 4 range-disjoint files
+    vt.append(
+        spark.createDataFrame(
+            [(100 + i, "x") for i in range(100)], "k long, v string"
+        ).coalesce(1)
+    )
+    [(rel, fstats)] = vt._commits()[-1]["file_stats"].items()
+    assert len(fstats) == 4
+    ranges = sorted((st["k"][0], st["k"][1]) for st in fstats.values())
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))  # disjoint
+    # mixed-era snapshot reads as one table
+    assert vt.read().count() == 200
+    # manifest prune on the new axis scans fewer files, same answer
+    pr = vt.read(prune=("k", 150, 160))
+    got = sorted(
+        r.k for r in pr.filter("k between 150 and 160").collect()
+    )
+    assert got == list(range(150, 161))
+    assert len(pr.inputFiles()) < len(vt.read().inputFiles())
+    # the change feed / CDF are unaffected by the layout commit
+    feed = vt.changes_between(1, 3)
+    assert feed.count() == 100  # era-2 inserts only, layout commit skipped
+    # old writer refuses
+    monkeypatch.setattr(
+        tf, "SUPPORTED_WRITER_FEATURES", {"deletion-vectors"}
+    )
+    with pytest.raises(UnsupportedTableFeatureError, match="clustered"):
+        vt.append(_df(spark, [(999, "z")]))
+    monkeypatch.undo()
+    # clearing restores unclustered writes; checkpoint folds the spec
+    vt.set_layout(["k"], target_files=2)
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_df(spark, [(1000 + i, "y")]))
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    with open(os.path.join(log, cks[-1])) as f:
+        assert _json.load(f)["layout"] == {
+            "cluster_by": ["k"],
+            "target_files": 2,
+        }
+    vt.set_layout(None)
+    assert vt.layout() is None
+
+
+def test_rename_column_is_metadata_only(spark, vt, monkeypatch):
+    """rename_column publishes ONE metadata commit: zero data dirs
+    added/removed, head reads surface the new name, time travel before
+    the rename surfaces the old one, post-rename writes store the
+    immutable PHYSICAL name (files stay homogeneous), and a reader
+    without the column-mapping feature refuses instead of
+    mis-projecting."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    import daas_apps_spark.sources.table_format as tf
+    from daas_apps_spark.sources.table_format import (
+        UnsupportedTableFeatureError,
+    )
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    dirs_before = sorted(os.listdir(os.path.join(vt.path, "data")))
+    vt.rename_column("v", "label")
+    entry = vt._commits()[-1]
+    assert entry["add"] == [] and entry["remove"] == []
+    assert entry["data_change"] is False
+    assert entry["features"] == ["column-mapping"]
+    assert "column-mapping" in vt.writer_features()
+    assert sorted(os.listdir(os.path.join(vt.path, "data"))) == dirs_before
+    assert vt.read().columns == ["k", "label"]
+    assert sorted((r.k, r.label) for r in vt.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # time travel BEFORE the rename: the mapping is versioned state
+    assert vt.read(version=1).columns == ["k", "v"]
+    # post-rename append (new logical name) stores the PHYSICAL name
+    vt.append(spark.createDataFrame([(3, "c")], "k long, label string"))
+    new_dir = [
+        d
+        for d in os.listdir(os.path.join(vt.path, "data"))
+        if d not in dirs_before
+    ]
+    f = _glob.glob(os.path.join(vt.path, "data", new_dir[0], "*.parquet"))[0]
+    assert pq.ParquetFile(f).schema_arrow.names == ["k", "v"]
+    assert sorted(r.label for r in vt.read().collect()) == ["a", "b", "c"]
+    # renaming to an existing name refuses; unknown column refuses
+    with pytest.raises(ValueError, match="already exists"):
+        vt.rename_column("label", "k")
+    with pytest.raises(ValueError, match="does not exist"):
+        vt.rename_column("nope", "x")
+    # a pre-mapping reader refuses loudly (it would surface physical
+    # names / resurrect dropped columns)
+    monkeypatch.setattr(tf, "SUPPORTED_FEATURES", {"deletion-vectors"})
+    with pytest.raises(UnsupportedTableFeatureError, match="column-mapping"):
+        vt.read()
+
+
+def test_drop_column_is_metadata_only_and_optimize_materializes(spark, vt):
+    """drop_column hides the physical column without touching a file;
+    time travel still reads it; OPTIMIZE's rewrite materializes the
+    logical schema so the bytes come back; the last column and
+    constraint-referenced columns refuse."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.add_constraint("k_pos", "k > 0")
+    # a constraint-referenced column can be neither dropped nor renamed
+    # (its expression would silently stop resolving)
+    with pytest.raises(ValueError, match="constraint"):
+        vt.drop_column("k")
+    with pytest.raises(ValueError, match="constraint"):
+        vt.rename_column("k", "key")
+    vt.drop_column("v")
+    assert vt.read().columns == ["k"]
+    assert vt.read(version=1).columns == ["k", "v"]  # history intact
+    vt.append(spark.createDataFrame([(3,)], "k long"))
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2, 3]
+    vt.optimize()
+    # the compacted files no longer carry the dropped physical column
+    live = vt._live_dirs()
+    assert len(live) == 1
+    for f in _glob.glob(os.path.join(live[0], "*.parquet")):
+        assert pq.ParquetFile(f).schema_arrow.names == ["k"]
+    vt.drop_constraint("k_pos")
+    with pytest.raises(ValueError, match="last column"):
+        vt.drop_column("k")
+
+
+def test_cdf_and_feed_across_rename(spark, vt):
+    """The change feed aligns BOTH snapshots on the newer logical names
+    across a rename — batch feed, MOR fast path, and the pure-filesystem
+    CDF reader all surface the renamed column for pre-rename rows."""
+    from daas_apps_spark.sources.table_format import cdf_rows_between
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))  # v1
+    vt.delete("k = 2", mode="mor")  # v2 (pre-rename MOR delete)
+    vt.rename_column("v", "label")  # v3
+    vt.append(
+        spark.createDataFrame([(3, "c")], "k long, label string")
+    )  # v4
+    # (1, 4]: the MOR fast path applies (the vector's preimage file is
+    # OUTSIDE the range) — the delete surfaces under the NEW name
+    feed = vt.changes_between(1, 4)
+    assert set(feed.columns) == {"k", "label", "_change_type"}
+    got = sorted((r.k, r.label, r._change_type) for r in feed.collect())
+    assert got == [(2, "b", "delete"), (3, "c", "insert")]
+    # (0, 4]: the vector references an in-range file → snapshot-diff
+    # fallback, which NETS the insert+delete pair (documented feed
+    # semantics) — still aligned on the new logical names
+    net = sorted(
+        (r.k, r.label, r._change_type)
+        for r in vt.changes_between(0, 4).collect()
+    )
+    assert net == [(1, "a", "insert"), (3, "c", "insert")]
+    # pure-filesystem CDF reader (what the stream source runs): the
+    # planner replays the delete unit-by-unit, so the pair is explicit
+    rows, v_to = cdf_rows_between(vt.path, 1, None, columns=["k", "label"])
+    assert v_to == 4
+    assert sorted(rows) == [(2, "b", "delete"), (3, "c", "insert")]
+    rows0, _ = cdf_rows_between(vt.path, 0, None, columns=["k", "label"])
+    assert sorted(rows0) == [
+        (1, "a", "insert"),
+        (2, "b", "delete"),
+        (2, "b", "insert"),
+        (3, "c", "insert"),
+    ]
+
+
+def test_clone_and_checkpoint_carry_column_mapping(spark, tmp_path):
+    """A clone at head carries the mapping (and its protocol features);
+    a clone at a pre-rename version surfaces the old names; checkpoints
+    fold the mapping so log retention cannot lose it."""
+    from daas_apps_spark.sources.table_format import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+    )
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]))  # v1
+    src.rename_column("v", "label")  # v2
+    head_clone = src.clone_to(str(tmp_path / "dst_head"))
+    assert head_clone.read().columns == ["k", "label"]
+    assert "column-mapping" in head_clone.writer_features()
+    old_clone = src.clone_to(str(tmp_path / "dst_old"), version=1)
+    assert old_clone.read().columns == ["k", "v"]
+    # checkpoint fold
+    for i in range(CHECKPOINT_EVERY):
+        src.append(
+            spark.createDataFrame([(10 + i, "x")], "k long, label string")
+        )
+    log = os.path.join(src.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    assert cks
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert src.column_mapping() is not None
+    assert src.read().columns == ["k", "label"]
+
+
+def test_dml_on_renamed_key_translates_manifest_stats(spark, vt):
+    """File-level COW after a rename: the merge key is the LOGICAL name,
+    manifest stats key the PHYSICAL one — the bounding must translate,
+    so a 1-row merge still carries range-disjoint files instead of
+    rewriting them (and delete_range still three-way-partitions)."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartitionByRange(2, "k")
+    vt.append(df)
+    vt.rename_column("k", "id")
+    vt.merge(
+        spark.createDataFrame([(1, "Z")], "id long, v string"), keys=["id"]
+    )
+    entry = vt._commits()[-1]
+    assert any("-carry-" in r for r in entry["add"])  # disjoint file kept
+    got = sorted((r.id, r.v) for r in vt.read().collect())
+    assert got[1] == (1, "Z") and len(got) == 100
+    vt.delete_range("id", 90, 200)
+    assert vt.read().count() == 90
+
+
+def test_manifest_records_file_sizes(spark, vt):
+    """Every commit records per-file byte sizes (basename → bytes) —
+    what byte-budgeted stream triggers, byte-aware OPTIMIZE and the
+    byte-reporting VACUUM dry run read; carry dirs and checkpoints
+    preserve them."""
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartitionByRange(2, "k")
+    vt.append(df)
+    [(rel, sizes)] = vt._commits()[-1]["file_sizes"].items()
+    assert len(sizes) == 2
+    root = os.path.join(vt.path, "data", rel)
+    for f, n in sizes.items():
+        assert os.path.getsize(os.path.join(root, f)) == n
+    # a range delete carries the disjoint file by hard link — the carry
+    # dir's sizes come along as manifest arithmetic
+    vt.delete_range("k", 0, 40)
+    entry = vt._commits()[-1]
+    carry_rels = [r for r in entry["add"] if "-carry-" in r]
+    assert carry_rels
+    for crel in carry_rels:
+        csizes = entry["file_sizes"][crel]
+        assert csizes
+        for f, n in csizes.items():
+            assert (
+                os.path.getsize(os.path.join(vt.path, "data", crel, f)) == n
+            )
+    # checkpoint folds sizes for exactly the live dirs
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_df(spark, [(200 + i, "x")]))
+    import json as _json
+
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    with open(os.path.join(log, cks[-1])) as f:
+        snap = _json.load(f)
+    assert set(snap["file_sizes"]) == set(snap["live"])
+
+
+def test_vacuum_report_prices_reclaim_in_bytes(spark, vt):
+    """vacuum_report returns the dry-run candidate set priced in bytes
+    (manifest sizes for committed dirs, a listing for orphans) and
+    deletes nothing."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.overwrite(_df(spark, [(3, "c")]))  # v1's dir goes dead
+    # an orphan (torn write no commit references) is also priced
+    orphan = os.path.join(vt.path, "data", "torn-orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"x" * 1234)
+    report = vt.vacuum_report()
+    assert set(report["dirs"]) == set(vt.vacuum(dry_run=True))
+    assert "torn-orphan" in report["dirs"]
+    want = 0
+    for name in report["dirs"]:
+        root = os.path.join(vt.path, "data", name)
+        for f in os.listdir(root):
+            # manifest pricing counts data files; Spark's _SUCCESS/.crc
+            # sidecars are deliberately ignored (docstring contract) —
+            # the orphan's junk file is fs-walked and fully counted
+            if name == "torn-orphan" or (
+                f.endswith(".parquet") and not f.startswith(".")
+            ):
+                want += os.path.getsize(os.path.join(root, f))
+    assert report["total_bytes"] == want > 0
+    assert report["per_dir"]["torn-orphan"] == 1234
+    # nothing deleted: all candidate dirs still on disk, table intact
+    for name in report["dirs"]:
+        assert os.path.isdir(os.path.join(vt.path, "data", name))
+    assert vt.read().count() == 1
+
+
+def test_change_plan_units_carry_sizes(spark, vt):
+    """Planned stream units carry the bytes an executor will read —
+    insert units their file's size, delete units the preimage's."""
+    from daas_apps_spark.sources.table_format import change_plan_between
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.delete("k = 1", mode="mor")
+    units, _ = change_plan_between(vt.path, 0, None, mode="cdf")
+    assert {u["kind"] for u in units} == {"insert", "delete"}
+    for u in units:
+        assert u["size"] == os.path.getsize(u["file"]) > 0
+
+
+def test_writer_protocol_old_writer_refused(spark, vt, monkeypatch):
+    """The write-side protocol guard: once a commit declares a writer
+    feature, a writer lacking it refuses EVERY write path loudly —
+    otherwise an old writer appends rows that bypass active CHECK
+    constraints and publishes (the write-side analog of the
+    resurrect-deleted-rows bug the reader guard prevents). Reads stay
+    allowed: reader-only processes are always safe."""
+    import daas_apps_spark.sources.table_format as tf
+    from daas_apps_spark.sources.table_format import (
+        UnsupportedTableFeatureError,
+    )
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.add_constraint("k_positive", "k > 0")
+    last = vt._commits()[-1]
+    assert last["writer_features"] == ["check-constraints"]
+    assert vt.writer_features() == {"check-constraints"}
+
+    # simulate an OLD writer: code that predates check-constraints
+    monkeypatch.setattr(
+        tf, "SUPPORTED_WRITER_FEATURES", {"deletion-vectors"}
+    )
+    for attempt in (
+        lambda: vt.append(_df(spark, [(3, "c")])),
+        lambda: vt.overwrite(_df(spark, [(3, "c")])),
+        lambda: vt.merge(_df(spark, [(1, "z")]), keys=["k"]),
+        lambda: vt.update("k = 1", {"v": "'z'"}),
+        lambda: vt.update("k = 1", {"v": "'z'"}, mode="mor"),
+        lambda: vt.delete("k = 1"),
+        lambda: vt.delete("k = 1", mode="mor"),
+        lambda: vt.delete_range("k", 1, 2),
+        lambda: vt.optimize(),
+    ):
+        with pytest.raises(UnsupportedTableFeatureError, match="writer"):
+            attempt()
+    # no commit landed, no orphan data dirs were written
+    assert vt.latest_version() == 2
+    # reading is still fine — the requirement binds writers only
+    assert vt.read().count() == 2
+    # the current writer works again once the feature is supported
+    monkeypatch.setattr(
+        tf,
+        "SUPPORTED_WRITER_FEATURES",
+        {"deletion-vectors", "check-constraints"},
+    )
+    vt.append(_df(spark, [(3, "c")]))
+    assert vt.read().count() == 3
+
+
+def test_writer_feature_unknown_future_blocks_writes_not_reads(spark, vt):
+    """A commit declaring a FUTURE writer feature (written by a newer
+    writer) blocks this writer's commits but not its reads."""
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import (
+        UnsupportedTableFeatureError,
+    )
+
+    vt.append(_df(spark, [(1, "a")]))
+    entry = {
+        "version": 2,
+        "operation": "frobnicate",
+        "add": [],
+        "remove": [],
+        "data_change": False,
+        "ts": 0.0,
+        "metadata": {},
+        "stats": {},
+        "file_stats": {},
+        "dv_add": [],
+        "dv_remove": [],
+        "features": [],  # readers unaffected
+        "writer_features": ["fancy-future-thing"],
+    }
+    with open(os.path.join(vt.path, "_log", "00000002.json"), "w") as f:
+        _json.dump(entry, f)
+    assert vt.read().count() == 1  # reads unaffected
+    with pytest.raises(
+        UnsupportedTableFeatureError, match="fancy-future-thing"
+    ):
+        vt.append(_df(spark, [(2, "b")]))
+
+
+def test_writer_features_survive_checkpoint_fold_and_mor_declares(
+    spark, vt
+):
+    """Writer features fold into checkpoints (retention can't lose the
+    requirement), accumulate monotonically (dropping the constraint does
+    NOT retract the feature), and MOR commits declare deletion-vectors
+    on the writer side too."""
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.add_constraint("k_positive", "k > 0")
+    vt.delete("k = 2", mode="mor")
+    assert vt._commits()[-1]["writer_features"] == ["deletion-vectors"]
+    vt.drop_constraint("k_positive")  # monotone: feature stays required
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_df(spark, [(10 + i, "x")]))
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(
+        n for n in os.listdir(log) if n.endswith("checkpoint.json")
+    )
+    assert cks
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert vt.writer_features() == {
+        "check-constraints",
+        "deletion-vectors",
+    }
+
+
+def test_clone_carries_writer_features(spark, tmp_path):
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.add_constraint("k_positive", "k > 0")
+    src.append(_df(spark, [(1, "a")]))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    assert "check-constraints" in clone.writer_features()
+
+
 def test_clone_carries_constraints(spark, tmp_path):
     from daas_apps_spark.sources.table_format import (
         ConstraintViolationError,
