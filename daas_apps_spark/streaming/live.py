@@ -1340,51 +1340,134 @@ def run_cdf_to_materialized_view(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sid = checkpoint_stream_id(checkpoint_dir)
-        if (sid, batch_id) in applied_batch_keys(vt.history(), sid):
-            return  # replayed batch — already committed
-        sign = F.when(
-            F.col("_change_type") == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
-        delta = batch_df.groupBy(*group_by).agg(
-            F.sum(sign).cast("long").alias(count_col),
+        _apply_view_delta_exactly_once(
+            vt, batch_df, sid, batch_id, group_by, count_col, sums
+        )
+
+    drain_table_stream(
+        spark,
+        "table_cdf",
+        src_table,
+        tableschema,
+        checkpoint_dir,
+        apply_batch,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
+def _apply_view_delta_exactly_once(
+    vt,
+    batch_df: DataFrame,
+    sid: str,
+    batch_id: int,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str],
+) -> None:
+    """One micro-batch of signed-delta view maintenance committed
+    EXACTLY-ONCE into a versioned table: skip if the (stream_id,
+    batch_id) pair is already in the log, else merge the batch's signed
+    aggregate into the current view state and overwrite with the pair
+    recorded — the per-destination idempotence unit both the single-view
+    CDC loop and the multi-table fan-out build on."""
+    if (sid, batch_id) in applied_batch_keys(vt.history(), sid):
+        return  # replayed batch — already committed
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = batch_df.groupBy(*group_by).agg(
+        F.sum(sign).cast("long").alias(count_col),
+        *[
+            F.sum(sign * F.expr(e)).alias(name)
+            for name, e in sums.items()
+        ],
+    )
+    try:
+        state = vt.read()
+    except ValueError:  # first batch: no view snapshot yet
+        state = None
+    if state is not None:
+        s = state.select(
+            *[F.col(k).alias(f"__s_{k}") for k in group_by],
+            *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sums]],
+        )
+        # eqNullSafe: a NULL group key is one group on both sides
+        cond = [delta[k].eqNullSafe(s[f"__s_{k}"]) for k in group_by]
+        delta = delta.join(s, cond, "full_outer").select(
             *[
-                F.sum(sign * F.expr(e)).alias(name)
-                for name, e in sums.items()
+                F.coalesce(delta[k], s[f"__s_{k}"]).alias(k)
+                for k in group_by
+            ],
+            *[
+                (
+                    F.coalesce(delta[c], F.lit(0))
+                    + F.coalesce(s[f"__s_{c}"], F.lit(0))
+                ).alias(c)
+                for c in [count_col, *sums]
             ],
         )
-        try:
-            state = vt.read()
-        except ValueError:  # first batch: no view snapshot yet
-            state = None
-        if state is not None:
-            s = state.select(
-                *[F.col(k).alias(f"__s_{k}") for k in group_by],
-                *[
-                    F.col(c).alias(f"__s_{c}")
-                    for c in [count_col, *sums]
-                ],
+    vt.overwrite(
+        delta.filter(F.col(count_col) > 0),
+        metadata={"stream_id": sid, "batch_id": batch_id},
+    )
+
+
+def run_cdf_fanout_exactly_once(
+    spark: SparkSession,
+    src_table: str,
+    view_table: str,
+    audit_table: str,
+    checkpoint_dir: str,
+    tableschema: str,
+    group_by: list[str],
+    count_col: str = "n",
+    sums: dict[str, str] | None = None,
+    max_versions_per_trigger: int | None = None,
+) -> None:
+    """MULTI-TABLE exactly-once: ONE change-data-feed stream maintaining
+    TWO versioned tables per micro-batch — a signed-delta materialized
+    view (``view_table``) and an append-only change-audit log
+    (``audit_table``, every CDF row stamped with its batch) — the CDC
+    fan-out shape (serve the aggregate, keep the evidence).
+
+    There is no cross-table transaction manager; instead EACH
+    destination enforces its own (stream_id, batch_id) idempotence key
+    against its own commit log (Delta's `txn` pair, per table). The
+    failure matrix that makes this exactly-once:
+
+    - crash BEFORE the view commit → batch replays, both tables apply;
+    - crash BETWEEN the two commits → batch replays, the view finds its
+      pair in the log and SKIPS, the audit table applies — no double
+      count, no lost audit rows (pinned by a fault-injection test);
+    - crash AFTER both commits but before the checkpoint advances →
+      batch replays, both tables skip.
+
+    Commit order is therefore significant only in that it is FIXED
+    (view first, audit second); any fixed order works because each
+    side's skip decision is independent. Empty batches commit nothing
+    anywhere (no version churn). At 100 TB each batch costs the delta
+    on both sides: the view is |groups|-sized, the audit append is
+    |batch|-sized, and neither ever rescans the corpus."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    register_table_cdf_stream_source(spark)
+    view_vt = VersionedTable(spark, view_table)
+    audit_vt = VersionedTable(spark, audit_table)
+    sums = sums or {}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = checkpoint_stream_id(checkpoint_dir)
+        if not batch_df.isEmpty():
+            _apply_view_delta_exactly_once(
+                view_vt, batch_df, sid, batch_id, group_by, count_col, sums
             )
-            # eqNullSafe: a NULL group key is one group on both sides
-            cond = [
-                delta[k].eqNullSafe(s[f"__s_{k}"]) for k in group_by
-            ]
-            delta = delta.join(s, cond, "full_outer").select(
-                *[
-                    F.coalesce(delta[k], s[f"__s_{k}"]).alias(k)
-                    for k in group_by
-                ],
-                *[
-                    (
-                        F.coalesce(delta[c], F.lit(0))
-                        + F.coalesce(s[f"__s_{c}"], F.lit(0))
-                    ).alias(c)
-                    for c in [count_col, *sums]
-                ],
-            )
-        vt.overwrite(
-            delta.filter(F.col(count_col) > 0),
-            metadata={"stream_id": sid, "batch_id": batch_id},
-        )
+            if (sid, batch_id) not in applied_batch_keys(
+                audit_vt.history(), sid
+            ):
+                audit_vt.append(
+                    batch_df.withColumn("_batch_id", F.lit(batch_id)),
+                    metadata={"stream_id": sid, "batch_id": batch_id},
+                )
 
     drain_table_stream(
         spark,

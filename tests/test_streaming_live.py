@@ -1744,6 +1744,91 @@ def test_cdf_to_materialized_view_rate_limited_catchup(spark, tmp_path):
     assert mid == mid_want
 
 
+def test_cdf_fanout_two_tables_exactly_once(spark, tmp_path, monkeypatch):
+    """Multi-table exactly-once: one CDF stream maintains a signed-delta
+    view AND an append-only audit log, each guarded by its own
+    (stream_id, batch_id) key. Fault injection crashes the batch BETWEEN
+    the two commits; on resume the batch replays, the view SKIPS (its
+    pair is in the log) and the audit applies — no double count, no lost
+    audit rows. A caught-up rerun is a no-op on both tables."""
+    from pyspark.errors import StreamingQueryException
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import run_cdf_fanout_exactly_once
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    audit = str(tmp_path / "audit")
+    ck = str(tmp_path / "ck")
+    vt = VersionedTable(spark, src)
+    vt.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+            "k long, grp string, val double",
+        )
+    )  # v1
+    vt.delete("k = 2", mode="mor")  # v2
+    vt.update("k = 3", {"val": "val + 5"}, mode="mor")  # v3
+
+    # crash INJECTION: the first audit append dies AFTER the view commit
+    orig_append = VersionedTable.append
+    state = {"failed": False}
+
+    def flaky_append(self, df, metadata=None):
+        if self.path == audit and not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected crash between the two commits")
+        return orig_append(self, df, metadata)
+
+    monkeypatch.setattr(VersionedTable, "append", flaky_append)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_cdf_fanout_exactly_once(
+            spark, src, view, audit, ck,
+            "k long, grp string, val double",
+            group_by=["grp"], sums={"total": "val"},
+        )
+    # the view committed batch 0 before the crash; the audit did not
+    assert VersionedTable(spark, view).latest_version() >= 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        VersionedTable(spark, audit).read()
+
+    monkeypatch.setattr(VersionedTable, "append", orig_append)
+    run_cdf_fanout_exactly_once(  # resume: replayed batch, view skips
+        spark, src, view, audit, ck,
+        "k long, grp string, val double",
+        group_by=["grp"], sums={"total": "val"},
+    )
+    view_rows = sorted(
+        (r.grp, r.n, round(r.total, 4))
+        for r in VersionedTable(spark, view).read().collect()
+    )
+    # recompute check: head state is (1,a,10.0) and (3,b,35.0)
+    assert view_rows == [("a", 1, 10.0), ("b", 1, 35.0)]
+    audit_rows = sorted(
+        (r.k, r._change_type)
+        for r in VersionedTable(spark, audit).read().collect()
+    )
+    # every CDF row exactly once: 3 inserts, delete k=2, update pair k=3
+    assert audit_rows == [
+        (1, "insert"),
+        (2, "delete"),
+        (2, "insert"),
+        (3, "delete"),
+        (3, "insert"),
+        (3, "insert"),
+    ]
+    # caught-up rerun: no new versions anywhere
+    v_view = VersionedTable(spark, view).latest_version()
+    v_audit = VersionedTable(spark, audit).latest_version()
+    run_cdf_fanout_exactly_once(
+        spark, src, view, audit, ck,
+        "k long, grp string, val double",
+        group_by=["grp"], sums={"total": "val"},
+    )
+    assert VersionedTable(spark, view).latest_version() == v_view
+    assert VersionedTable(spark, audit).latest_version() == v_audit
+
+
 def test_cdf_to_materialized_view_table_end_to_end(spark, tmp_path):
     """The complete CDC loop: base versioned table → CDF stream →
     signed-delta maintenance → exactly-once versioned VIEW table. The
