@@ -200,6 +200,44 @@ def cmd_table(args: argparse.Namespace) -> int:
         clone = vt.clone_to(args.dest, version=args.version)
         print(f"cloned {args.path}@v{args.version or vt.latest_version()} -> "
               f"{clone.path} (zero-copy)")
+    elif args.op == "vacuum-report":
+        report = vt.vacuum_report(
+            keep_versions=args.keep, min_age_seconds=args.min_age
+        )
+        for name in report["dirs"]:
+            print(f"{report['per_dir'][name]:>14,d} B  {name}")
+        print(
+            f"would reclaim {report['total_bytes']:,d} bytes across "
+            f"{len(report['dirs'])} dirs (nothing deleted)"
+        )
+    elif args.op == "rename-column":
+        if not args.old or not args.new:
+            print("rename-column requires --old <name> and --new <name>")
+            return 2
+        v = vt.rename_column(args.old, args.new)
+        print(f"renamed {args.old} -> {args.new} (metadata commit v{v})")
+    elif args.op == "drop-column":
+        if not args.name:
+            print("drop-column requires --name <column>")
+            return 2
+        v = vt.drop_column(args.name)
+        print(f"dropped {args.name} (metadata commit v{v})")
+    elif args.op == "set-layout":
+        if args.clear:
+            v = vt.set_layout(None)
+            print(f"layout cleared (commit v{v})")
+        elif not args.cluster_by:
+            print("set-layout requires --cluster-by col[,col...] or --clear")
+            return 2
+        else:
+            cols = [
+                c.strip()
+                for part in args.cluster_by
+                for c in part.split(",")
+                if c.strip()
+            ]
+            v = vt.set_layout(cols, target_files=args.target_files)
+            print(f"layout cluster_by={cols} (metadata commit v{v})")
     elif args.op == "constraints":
         for name, expr in sorted(vt.constraints().items()):
             print(f"{name}: CHECK ({expr})")
@@ -261,10 +299,14 @@ def main(argv: list[str] | None = None) -> int:
             "restore",
             "compact-vectors",
             "vacuum",
+            "vacuum-report",
             "delete",
             "update",
             "clone",
             "constraints",
+            "rename-column",
+            "drop-column",
+            "set-layout",
             "tag",
             "refs",
         ),
@@ -326,6 +368,31 @@ def main(argv: list[str] | None = None) -> int:
         default=3600.0,
         help="spare unreferenced dirs younger than this many seconds "
         "(concurrent-writer safety window; default 1h)",
+    )
+    p_tbl.add_argument(
+        "--old", default=None, help="rename-column: current logical name"
+    )
+    p_tbl.add_argument(
+        "--new", default=None, help="rename-column: new logical name"
+    )
+    p_tbl.add_argument(
+        "--cluster-by",
+        action="append",
+        default=None,
+        metavar="COL[,COL...]",
+        help="set-layout: clustering axes for future writes (repeatable)",
+    )
+    p_tbl.add_argument(
+        "--target-files",
+        type=int,
+        default=None,
+        help="set-layout: files per clustered write (default: keep the "
+        "incoming partition count)",
+    )
+    p_tbl.add_argument(
+        "--clear",
+        action="store_true",
+        help="set-layout: clear the declared layout",
     )
     p_tbl.set_defaults(fn=cmd_table)
 
