@@ -1089,7 +1089,24 @@ def test_max_files_per_trigger_splits_one_commit(spark, tmp_path):
         )
         q.awaitTermination()
 
-    for _ in range(3):
+    drain_once()
+    # the restart-mid-commit pin: the DURABLE checkpoint offset after the
+    # first run is a {"version", "unit"} position INSIDE commit 1 — the
+    # next drain is a brand-new query (process-level restart semantics)
+    # that resumes exactly from it
+    import json as _json
+
+    off_dir = os.path.join(str(tmp_path / "ck"), "offsets")
+    latest = sorted(
+        (n for n in os.listdir(off_dir) if n.isdigit()), key=int
+    )[-1]
+    with open(os.path.join(off_dir, latest)) as f:
+        offset_line = f.readlines()[-1].strip()
+    off = _json.loads(offset_line)
+    if isinstance(off, str):  # python-source offsets may double-encode
+        off = _json.loads(off)
+    assert off == {"version": 1, "unit": 2}, off
+    for _ in range(2):
         drain_once()
     got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == list(range(30))  # exactly once, fully drained
