@@ -57,6 +57,13 @@ _LOG = "_log"
 _DATA = "data"
 _DV = "_dv"  # deletion-vector dirs (merge-on-read position deletes)
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
+# Checkpoints whose live set reaches this many FILES externalize the
+# per-file stats/sizes maps to a parquet MANIFEST sidecar instead of
+# inline JSON — Iceberg's manifest-file shape: at millions of files the
+# JSON checkpoint is the scaling bottleneck (gigabytes of text, parsed
+# on every replay), while the same maps as parquet are ~10x smaller and
+# columnar-parsed. Small tables keep the simpler inline form.
+PARQUET_MANIFEST_MIN_FILES = 10_000
 
 import re as _re
 
@@ -736,8 +743,19 @@ class VersionedTable:
         return out
 
     def latest_version(self) -> int:
+        """Newest version across commit files AND checkpoints. The
+        checkpoint matters after log retention: with every commit file
+        at-or-below a checkpoint dropped, a commits-only answer would
+        be 0 — and the next write would mint a version BELOW the
+        checkpoint floor, publishing a commit that replay silently
+        skips (data loss). Max over both sources keeps version minting
+        monotone through retention."""
         commits = self._commits()
-        return commits[-1]["version"] if commits else 0
+        v = commits[-1]["version"] if commits else 0
+        cks = self._checkpoints()
+        if cks:
+            v = max(v, cks[-1]["version"])
+        return v
 
     def _commit(
         self,
@@ -900,6 +918,30 @@ class VersionedTable:
         # the fold carries the full accumulated set — an old writer must
         # refuse even after retention drops the declaring commits
         snap["writer_features"] = sorted(self.writer_features(version))
+        n_files = len(
+            {
+                (rel, f)
+                for rel, m in snap["file_stats"].items()
+                for f in m
+            }
+            | {
+                (rel, f)
+                for rel, m in snap["file_sizes"].items()
+                for f in m
+            }
+        )
+        if n_files >= PARQUET_MANIFEST_MIN_FILES:
+            # externalize the per-file maps to a parquet manifest sidecar
+            # (written FIRST: a crash between sidecar and JSON leaves an
+            # orphan parquet no checkpoint references — harmless, exactly
+            # like a torn data write)
+            mname = f"{version:08d}.checkpoint.manifest.parquet"
+            self._write_manifest_parquet(
+                snap["file_stats"], snap["file_sizes"], mname
+            )
+            snap["file_stats"] = {}
+            snap["file_sizes"] = {}
+            snap["manifest"] = mname
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -915,6 +957,76 @@ class VersionedTable:
             )
         except CommitConflictError:
             pass
+
+    def _write_manifest_parquet(
+        self, file_stats: dict, file_sizes: dict, name: str
+    ) -> None:
+        """One row per (dir, file): rel, file, size_bytes, stats (the
+        per-file column-stats map as a JSON cell — stats values are
+        heterogeneous across columns, and the manifest's consumers
+        rebuild the same dicts the JSON checkpoint would carry).
+        Published via tmp + atomic replace; content is derived state, so
+        concurrent checkpointers write identical bytes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rels: list[str] = []
+        files: list[str] = []
+        sizes: list = []
+        stats: list = []
+        for rel in sorted(set(file_stats) | set(file_sizes)):
+            st = file_stats.get(rel) or {}
+            sz = file_sizes.get(rel) or {}
+            for f in sorted(set(st) | set(sz)):
+                rels.append(rel)
+                files.append(f)
+                sizes.append(sz.get(f))
+                stats.append(json.dumps(st[f]) if f in st else None)
+        table = pa.table(
+            {
+                "rel": pa.array(rels, pa.string()),
+                "file": pa.array(files, pa.string()),
+                "size_bytes": pa.array(sizes, pa.int64()),
+                "stats": pa.array(stats, pa.string()),
+            }
+        )
+        tmp = os.path.join(
+            self._log_dir(), f".tmp-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self._log_dir(), name))
+
+    def _read_manifest_parquet(self, name: str) -> tuple[dict, dict]:
+        """(file_stats, file_sizes) rebuilt from a checkpoint's parquet
+        manifest sidecar. A missing sidecar fails LOUDLY: the JSON
+        checkpoint externalized its per-file maps there, so replaying
+        without it would silently lose pruning/COW bounds AND byte
+        budgets — and retention may have dropped the raw commits that
+        could rebuild them."""
+        import pyarrow.parquet as pq
+
+        full = os.path.join(self._log_dir(), name)
+        if not os.path.isfile(full):
+            raise ValueError(
+                f"checkpoint references manifest sidecar {name}, which is "
+                "missing — the log is corrupted (or the sidecar was "
+                "deleted without its checkpoint); restore it or replay "
+                "from raw commits before retention drops them"
+            )
+        t = pq.read_table(full)
+        file_stats: dict = {}
+        file_sizes: dict = {}
+        for rel, f, size, st in zip(
+            t.column("rel").to_pylist(),
+            t.column("file").to_pylist(),
+            t.column("size_bytes").to_pylist(),
+            t.column("stats").to_pylist(),
+        ):
+            if st is not None:
+                file_stats.setdefault(rel, {})[f] = json.loads(st)
+            if size is not None:
+                file_sizes.setdefault(rel, {})[f] = size
+        return file_stats, file_sizes
 
     def _replay(
         self, version: int | None = None
@@ -933,6 +1045,12 @@ class VersionedTable:
         stats: dict = dict(base["stats"]) if base else {}
         file_stats: dict = dict(base.get("file_stats", {})) if base else {}
         file_sizes: dict = dict(base.get("file_sizes", {})) if base else {}
+        if base and base.get("manifest"):
+            # large checkpoint: the per-file maps live in the parquet
+            # manifest sidecar (the inline JSON maps are empty)
+            m_stats, m_sizes = self._read_manifest_parquet(base["manifest"])
+            file_stats.update(m_stats)
+            file_sizes.update(m_sizes)
         floor = base["version"] if base else 0
         for entry in self._commits():
             if entry["version"] <= floor:

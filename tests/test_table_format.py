@@ -1673,6 +1673,83 @@ def test_constraints_survive_checkpoint_fold(spark, vt):
         vt.append(_df(spark, [(-1, "bad")]))
 
 
+def test_write_after_retention_stays_visible(spark, vt):
+    """Version minting survives log retention: with every commit file
+    at-or-below a checkpoint dropped, the next write must take
+    checkpoint_version + 1 — a commits-only latest_version() would mint
+    v1, which replay (floor = checkpoint version) silently SKIPS: a
+    published-but-invisible commit, i.e. data loss."""
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_df(spark, [(i, "x")]))
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert vt.latest_version() == ck_v
+    v = vt.append(_df(spark, [(100, "new")]))
+    assert v == ck_v + 1
+    assert sorted(r.k for r in vt.read().collect()) == [*range(10), 100]
+
+
+def test_parquet_manifest_checkpoint(spark, vt, monkeypatch):
+    """Large checkpoints externalize the per-file stats/sizes maps to a
+    parquet MANIFEST sidecar (Iceberg's manifest-file shape — at
+    millions of files the JSON checkpoint is the scaling bottleneck).
+    Replay, manifest pruning, file-level COW and byte accounting all
+    work off the sidecar after log retention; a missing sidecar fails
+    loudly instead of silently losing bounds."""
+    import json as _json
+
+    import daas_apps_spark.sources.table_format as tf
+
+    monkeypatch.setattr(tf, "PARQUET_MANIFEST_MIN_FILES", 1)
+    for i in range(tf.CHECKPOINT_EVERY):
+        vt.append(
+            spark.createDataFrame(
+                [(i * 100 + j, "x") for j in range(50)], "k long, v string"
+            ).repartitionByRange(2, "k")
+        )
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    assert cks
+    with open(os.path.join(log, cks[-1])) as f:
+        snap = _json.load(f)
+    assert snap["manifest"] == f"{snap['version']:08d}.checkpoint.manifest.parquet"
+    assert snap["file_stats"] == {} and snap["file_sizes"] == {}
+    assert os.path.isfile(os.path.join(log, snap["manifest"]))
+    # retention: drop every commit file at-or-before the checkpoint
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    # snapshot reads, manifest pruning, and file-level COW off the sidecar
+    assert vt.read().count() == 500
+    pr = vt.read(prune=("k", 0, 49))
+    assert len(pr.inputFiles()) < len(vt.read().inputFiles())
+    assert sorted(r.k for r in pr.filter("k < 50").collect()) == list(
+        range(50)
+    )
+    vt.merge(
+        spark.createDataFrame([(1, "Z")], "k long, v string"), keys=["k"]
+    )
+    assert any("-carry-" in r for r in vt._commits()[-1]["add"])
+    got = sorted((r.k, r.v) for r in vt.read().collect())
+    assert len(got) == 500 and (1, "Z") in got
+    # byte accounting reconstructed: sizes of pre-checkpoint files known
+    _, _, _, file_sizes = vt._replay(None)
+    assert sum(len(v) for v in file_sizes.values()) >= 20
+    # a missing sidecar is a LOUD corruption error, not silent unbounds
+    os.unlink(os.path.join(log, snap["manifest"]))
+    with pytest.raises(ValueError, match="manifest sidecar"):
+        vt.read()
+
+
 def test_partition_evolution_set_layout(spark, vt, monkeypatch):
     """set_layout is a metadata commit: writes FROM it on land range-
     clustered (disjoint per-file stats on the declared axes → manifest
@@ -1902,6 +1979,37 @@ def test_clone_and_checkpoint_carry_column_mapping(spark, tmp_path):
                 os.unlink(os.path.join(log, n))
     assert src.column_mapping() is not None
     assert src.read().columns == ["k", "label"]
+
+
+def test_rename_lazily_registers_post_bootstrap_evolved_column(spark, vt):
+    """A column that evolved into the table AFTER the mapping was
+    bootstrapped (unmapped: physical == logical) can still be renamed —
+    the rename lazily registers it with a fresh field id; reads resolve
+    old (pre-evolution) files as NULL under the new name."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.rename_column("v", "label")  # bootstrap: fields k, v->label
+    vt.merge(
+        spark.createDataFrame(
+            [(2, "b", 7.5)], "k long, label string, score double"
+        ),
+        keys=["k"],
+        allow_schema_evolution=True,
+    )  # 'score' evolves in unmapped
+    assert sorted(
+        (r.k, r.label, r.score)
+        for r in vt.read(merge_schema=True).collect()
+    ) == [(1, "a", None), (2, "b", 7.5)]
+    vt.rename_column("score", "quality")  # lazy registration + rename
+    m = vt.column_mapping()
+    assert {f["name"] for f in m["fields"]} == {"k", "label", "quality"}
+    assert {f["physical"] for f in m["fields"]} == {"k", "v", "score"}
+    assert sorted(
+        (r.k, r.label, r.quality)
+        for r in vt.read(merge_schema=True).collect()
+    ) == [(1, "a", None), (2, "b", 7.5)]
+    # and the lazily-registered field renames again / drops normally
+    vt.drop_column("quality")
+    assert sorted(vt.read(merge_schema=True).columns) == ["k", "label"]
 
 
 def test_dml_on_renamed_key_translates_manifest_stats(spark, vt):
