@@ -1134,7 +1134,9 @@ def a33_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from daas_apps_spark.sources.table_format import VersionedTable
 
-    path = scratch_dir("a33_colmap")
+    # pid-scoped like a25_mor_sweep: a concurrent session (parallel
+    # plan lint) must never observe this table mid-mutation
+    path = scratch_dir(f"a33_colmap_{os.getpid()}")
     vt = VersionedTable(spark, path)
     o = table(spark, sf_dir, "orders")
     vt.append(
@@ -1202,7 +1204,7 @@ def a34_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from daas_apps_spark.sources.table_format import VersionedTable
 
-    path = scratch_dir("a34_layout")
+    path = scratch_dir(f"a34_layout_{os.getpid()}")
     vt = VersionedTable(spark, path)
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"

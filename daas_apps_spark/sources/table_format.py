@@ -1885,7 +1885,29 @@ class VersionedTable:
         # column mapping second: frames arrive LOGICAL and files store
         # PHYSICAL names, so data written after a rename stays
         # homogeneous with data before it
-        df = self._to_physical(df, self.column_mapping())
+        mapping = self.column_mapping()
+        if mapping:
+            dropped = {d.lower() for d in mapping.get("dropped", [])}
+            logical = {f["name"].lower() for f in mapping["fields"]}
+            # an UNMAPPED new column whose name matches a DROPPED
+            # physical would land in files under that physical name —
+            # and every read's drop-projection would silently hide it
+            # (physical names here are original names, not Delta's
+            # per-field UUIDs, so reuse must refuse loudly)
+            bad = [
+                c
+                for c in df.columns
+                if c.lower() in dropped and c.lower() not in logical
+            ]
+            if bad:
+                raise ValueError(
+                    f"column name(s) {bad} were DROPPED from this table; "
+                    "their physical names are still reserved by existing "
+                    "files (time travel reads them) — pick a different "
+                    "name, or rename an existing column onto it "
+                    "(rename_column maps it to a distinct physical)"
+                )
+        df = self._to_physical(df, mapping)
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _DATA, rel)

@@ -2012,6 +2012,32 @@ def test_rename_lazily_registers_post_bootstrap_evolved_column(spark, vt):
     assert sorted(vt.read(merge_schema=True).columns) == ["k", "label"]
 
 
+def test_dropped_physical_name_cannot_be_silently_reused(spark, vt):
+    """Writing a NEW unmapped column whose name matches a DROPPED
+    physical refuses loudly — it would land under the reserved physical
+    name and every read's drop-projection would silently hide it.
+    Renaming an EXISTING column onto the freed logical name is fine
+    (its physical stays distinct)."""
+    vt.append(
+        spark.createDataFrame([(1, "a", 2.0)], "k long, v string, w double")
+    )
+    vt.drop_column("v")
+    with pytest.raises(ValueError, match="DROPPED"):
+        vt.append(
+            spark.createDataFrame([(2, "sneaky")], "k long, v string")
+        )
+    # renaming an existing column onto the freed name maps it to its own
+    # distinct physical — reads stay correct
+    vt.rename_column("w", "v")
+    vt.append(spark.createDataFrame([(2, 3.5)], "k long, v double"))
+    got = sorted((r.k, r.v) for r in vt.read(merge_schema=True).collect())
+    assert got == [(1, 2.0), (2, 3.5)]
+    # time travel still surfaces the ORIGINAL v
+    assert sorted(
+        (r.k, r.v, r.w) for r in vt.read(version=1).collect()
+    ) == [(1, "a", 2.0)]
+
+
 def test_dml_on_renamed_key_translates_manifest_stats(spark, vt):
     """File-level COW after a rename: the merge key is the LOGICAL name,
     manifest stats key the PHYSICAL one — the bounding must translate,
