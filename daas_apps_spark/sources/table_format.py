@@ -3340,6 +3340,77 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return self._commits()
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """The live-file inventory at ``version`` as a DataFrame —
+        Delta/Iceberg's ``files`` metadata table: one row per live data
+        file with its dir, byte size, and per-column [min, max,
+        null_count] stats (JSON cell; stats are heterogeneous across
+        columns). Pure manifest arithmetic — no data file is opened —
+        so it is the cheap input for layout audits ('how skewed are my
+        file sizes', 'are stats tight on the clustering key') that
+        would otherwise need a filesystem crawl."""
+        from pyspark.sql import types as T
+
+        live, _, file_stats, file_sizes = self._replay(version)
+        rows = []
+        for rel in live:
+            st = file_stats.get(rel) or {}
+            sz = file_sizes.get(rel) or {}
+            for f in sorted(set(st) | set(sz)):
+                rows.append(
+                    (
+                        rel,
+                        f,
+                        sz.get(f),
+                        json.dumps(st[f]) if f in st else None,
+                    )
+                )
+        schema = T.StructType(
+            [
+                T.StructField("dir", T.StringType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("size_bytes", T.LongType()),
+                T.StructField("stats", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots(self) -> DataFrame:
+        """The commit log as a DataFrame — Delta's DESCRIBE HISTORY /
+        Iceberg's ``snapshots`` metadata table: one row per commit with
+        version, operation, publish timestamp, add/remove counts, the
+        data_change flag, and declared features."""
+        from pyspark.sql import types as T
+
+        rows = [
+            (
+                c["version"],
+                c["operation"],
+                float(c["ts"]) if c.get("ts") else None,
+                len(c["add"]),
+                len(c["remove"]),
+                len(c.get("dv_add", [])),
+                bool(c.get("data_change", True)),
+                ",".join(c.get("features", [])),
+                ",".join(c.get("writer_features", [])),
+            )
+            for c in self._commits()
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("ts", T.DoubleType()),
+                T.StructField("n_add", T.IntegerType()),
+                T.StructField("n_remove", T.IntegerType()),
+                T.StructField("n_dv_add", T.IntegerType()),
+                T.StructField("data_change", T.BooleanType()),
+                T.StructField("reader_features", T.StringType()),
+                T.StructField("writer_features", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def detail(self, version: int | None = None) -> dict:
         """DESCRIBE DETAIL — the operational summary a table owner reads
         before deciding to OPTIMIZE / compact vectors / VACUUM: live

@@ -712,9 +712,21 @@ class _TableStreamReaderCore:
     version, and replay between committed offsets is exact because the
     commit log is immutable."""
 
-    def __init__(self, path: str, max_versions_per_trigger: int | None):
+    def __init__(
+        self,
+        path: str,
+        max_versions_per_trigger: int | None,
+        start_floor: int = 0,
+    ):
         self.path = path
         self.max_versions = max_versions_per_trigger
+        # startingVersion support: commits AT OR BELOW the floor are
+        # never planned or delivered (floor = startingVersion - 1).
+        # Numeric only — deterministic across checkpoint restarts, where
+        # the reader is reconstructed from the same options; a "latest"
+        # form would re-resolve to a newer floor after a crash and drop
+        # rows from replayed batches
+        self.start_floor = start_floor
         self._last: int | None = None  # newest version already planned
 
     def _capped_latest(self) -> int:
@@ -727,7 +739,7 @@ class _TableStreamReaderCore:
             # checkpoint restart the engine replans the offset log's
             # last batch via partitions() before this, which seeds
             # _last with the true resume point
-            self._last = 0
+            self._last = self.start_floor
         latest = (read_log(self.path) or [{"version": 0}])[-1]["version"]
         end = latest
         if self.max_versions is not None:
@@ -789,6 +801,14 @@ def _make_table_stream_source(
     files and one of 1 KB files must not plan identical batches. Byte
     batching is soft-max: a single file over the budget still ships
     alone rather than wedging the stream.
+
+    ``startingVersion`` (Delta's, inclusive, numeric only) floors the
+    stream: commits below it are never planned OR delivered, so a
+    stream can start past an un-replayable rewrite (the overwrite that
+    seeded the table) instead of raising on it. Numeric only by
+    design — the reader is rebuilt from the same options on a
+    checkpoint restart, so the floor re-derives identically; a
+    "latest" form would re-resolve post-crash and lose replayed rows.
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -834,8 +854,11 @@ def _make_table_stream_source(
             arrow_schema=None,
             max_files=None,
             max_bytes=None,
+            start_floor=0,
         ):
-            _TableStreamReaderCore.__init__(self, path, cap)
+            _TableStreamReaderCore.__init__(
+                self, path, cap, start_floor=start_floor
+            )
             self.columns = columns
             self.arrow_schema = arrow_schema
             self.max_files = max_files
@@ -850,7 +873,10 @@ def _make_table_stream_source(
                 read_log,
             )
 
-            if v <= 0:
+            if v <= 0 or v <= self.start_floor:
+                # pre-floor commits are never delivered, so they are
+                # never PLANNED either — starting past an overwrite (a
+                # commit the change stream cannot replay) must not raise
                 return []
             if v not in self._plan_cache:
                 # plan against ONE log snapshot per engine call instead
@@ -881,8 +907,8 @@ def _make_table_stream_source(
             return (v, len(self._units(v)) if u is None else u)
 
         def initialOffset(self):
-            self._pos = (0, 0)
-            return {"version": 0}
+            self._pos = (self.start_floor, 0)
+            return {"version": self.start_floor}
 
         def latestOffset(self):
             from daas_apps_spark.sources.table_format import read_log
@@ -892,7 +918,7 @@ def _make_table_stream_source(
                 # checkpoint restart the engine replans the offset
                 # log's last batch via partitions() before this, which
                 # seeds _pos with the true resume point
-                self._pos = (0, 0)
+                self._pos = (self.start_floor, 0)
             self._log_snapshot = read_log(self.path)
             latest = (self._log_snapshot or [{"version": 0}])[-1]["version"]
             v, u = self._pos
@@ -1041,8 +1067,10 @@ def _make_table_stream_source(
                 self._pos = pos
 
     class _SimpleReader(_TableStreamReaderCore, SimpleDataSourceStreamReader):
-        def __init__(self, path, columns, cap):
-            _TableStreamReaderCore.__init__(self, path, cap)
+        def __init__(self, path, columns, cap, start_floor=0):
+            _TableStreamReaderCore.__init__(
+                self, path, cap, start_floor=start_floor
+            )
             self.columns = columns
 
         def _rows(self, v_from: int, v_to: int | None):
@@ -1067,7 +1095,7 @@ def _make_table_stream_source(
             return rows, resolved
 
         def initialOffset(self):
-            return {"version": 0}
+            return {"version": self.start_floor}
 
         def read(self, start):
             self._last = start["version"]
@@ -1104,6 +1132,28 @@ def _make_table_stream_source(
                 cols,
                 int(cap) if cap is not None else None,
             )
+
+        def _start_floor(self) -> int:
+            # Delta's startingVersion (INCLUSIVE, numeric only): deliver
+            # commits >= N. Numeric keeps restarts exact — the reader is
+            # rebuilt from the same options, so the floor re-derives
+            # identically; a "latest" form would re-resolve post-crash
+            # and silently skip replayed rows, so it is refused
+            sv = self.options.get("startingversion")
+            if sv is None:
+                return 0
+            if str(sv).lower() == "latest":
+                raise ValueError(
+                    "startingVersion must be a version number; 'latest' "
+                    "would re-resolve after a restart and lose replayed "
+                    "rows — pass table.latest_version() + 1 instead"
+                )
+            sv = int(sv)
+            if sv < 1:
+                raise ValueError(
+                    f"startingVersion must be >= 1, got {sv}"
+                )
+            return sv - 1
 
         def streamReader(self, schema) -> "_FullReader":
             if self.options.get("simplereader", "").lower() == "true":
@@ -1144,10 +1194,13 @@ def _make_table_stream_source(
                 arrow_schema=arrow_schema,
                 max_files=max_files,
                 max_bytes=max_bytes,
+                start_floor=self._start_floor(),
             )
 
         def simpleStreamReader(self, schema) -> "_SimpleReader":
-            return _SimpleReader(*self._args())
+            return _SimpleReader(
+                *self._args(), start_floor=self._start_floor()
+            )
 
     return _TableStreamSource
 

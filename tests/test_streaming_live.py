@@ -1120,6 +1120,101 @@ def test_max_files_per_trigger_splits_one_commit(spark, tmp_path):
     ) == list(range(30))
 
 
+def test_starting_version_floors_the_stream(spark, tmp_path):
+    """startingVersion starts the stream at a chosen commit (inclusive):
+    commits below the floor are never planned OR delivered — so a
+    stream can start past the un-replayable OVERWRITE that seeded the
+    table, which a floor-less stream correctly raises on. Later commits
+    keep flowing on the same checkpoint, and 'latest' is refused
+    (it would re-resolve after a restart and drop replayed rows)."""
+    from pyspark.errors import StreamingQueryException
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+    tbl = str(tmp_path / "vt")
+    vt = VersionedTable(spark, tbl)
+    vt.append(spark.createDataFrame([(1, "a")], "k long, v string"))  # v1
+    vt.overwrite(
+        spark.createDataFrame([(10, "x"), (11, "y")], "k long, v string")
+    )  # v2: un-replayable rewrite
+    vt.append(spark.createDataFrame([(20, "z")], "k long, v string"))  # v3
+
+    def drain(name, starting=None):
+        reader = (
+            spark.readStream.format("table_changes")
+            .option("path", tbl)
+            .option("tableschema", "k long, v string")
+        )
+        if starting is not None:
+            reader = reader.option("startingVersion", str(starting))
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{name}"))
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows(name):
+        return sorted(
+            (r.k, r.v)
+            for r in spark.read.parquet(
+                str(tmp_path / f"out_{name}")
+            ).collect()
+        )
+
+    # floor-less: the overwrite in range raises (append-only contract)
+    with pytest.raises(StreamingQueryException, match="rewrites"):
+        drain("sv_none")
+    # startingVersion=3 skips v1/v2 entirely — no planning, no raise
+    drain("sv3", starting=3)
+    assert rows("sv3") == [(20, "z")]
+    # later commits keep flowing on the same checkpoint
+    vt.append(spark.createDataFrame([(30, "w")], "k long, v string"))  # v4
+    drain("sv3", starting=3)
+    assert rows("sv3") == [(20, "z"), (30, "w")]
+    # 'latest' is refused with guidance
+    with pytest.raises(Exception, match="startingVersion"):
+        drain("sv_latest", starting="latest")
+
+
+def test_files_and_snapshots_metadata_tables(spark, tmp_path):
+    """files()/snapshots(): the manifest as DataFrames — one row per
+    live file with size + stats JSON, one row per commit — pure
+    manifest arithmetic, no data file opened."""
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.append(
+        spark.createDataFrame(
+            [(i, "x") for i in range(40)], "k long, v string"
+        ).repartitionByRange(2, "k")
+    )
+    vt.delete("k = 0", mode="mor")
+    files = vt.files().collect()
+    assert len(files) == 2
+    for r in files:
+        assert r.size_bytes > 0
+        st = _json.loads(r.stats)
+        assert "k" in st and st["k"][0] <= st["k"][1]
+    snaps = vt.snapshots().collect()
+    assert [(s.version, s.operation) for s in snaps] == [
+        (1, "append"),
+        (2, "delete"),
+    ]
+    assert snaps[1].n_dv_add == 1
+    assert snaps[1].reader_features == "deletion-vectors"
+
+
 def test_table_stream_resolves_renamed_columns(spark, tmp_path):
     """A stream declared with the CURRENT (post-rename) logical schema
     reads files written BEFORE the rename correctly: the planned
