@@ -238,6 +238,23 @@ def cmd_table(args: argparse.Namespace) -> int:
             ]
             v = vt.set_layout(cols, target_files=args.target_files)
             print(f"layout cluster_by={cols} (metadata commit v{v})")
+    elif args.op == "protocol":
+        print(f"writer features required: {sorted(vt.writer_features())}")
+        m = vt.column_mapping()
+        if m:
+            for f in m["fields"]:
+                tail = (
+                    ""
+                    if f["name"] == f["physical"]
+                    else f"  (physical: {f['physical']})"
+                )
+                print(f"column: {f['name']}{tail}")
+            if m.get("dropped"):
+                print(f"dropped physicals: {m['dropped']}")
+        else:
+            print("column mapping: not activated (logical == physical)")
+        print(f"layout: {vt.layout()}")
+        print(f"stats columns: {vt.stats_columns()}")
     elif args.op == "constraints":
         for name, expr in sorted(vt.constraints().items()):
             print(f"{name}: CHECK ({expr})")
@@ -304,6 +321,7 @@ def main(argv: list[str] | None = None) -> int:
             "update",
             "clone",
             "constraints",
+            "protocol",
             "rename-column",
             "drop-column",
             "set-layout",

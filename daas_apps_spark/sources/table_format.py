@@ -3424,6 +3424,16 @@ class VersionedTable:
         total_bytes = 0
         small_files = 0
         for rel in live:
+            recorded = file_sizes.get(rel)
+            if recorded:
+                # manifest sizes: no filesystem listing (the expensive
+                # call per dir on an object store)
+                for size in recorded.values():
+                    n_files += 1
+                    total_bytes += size
+                    if size < 4 << 20:
+                        small_files += 1
+                continue
             root = os.path.join(self.path, _DATA, rel)
             for f in os.listdir(root):
                 full = os.path.join(root, f)
