@@ -1856,6 +1856,57 @@ def test_cdf_to_materialized_view_rate_limited_catchup(spark, tmp_path):
     assert mid == mid_want
 
 
+def test_stream_sink_refuses_unknown_writer_feature(spark, tmp_path):
+    """The exactly-once streaming sink is a write path like any other:
+    a destination table whose log requires a writer feature this code
+    lacks fails the stream LOUDLY (batch error -> query error) instead
+    of publishing commits that bypass the requirement."""
+    import json as _json
+
+    from pyspark.errors import StreamingQueryException
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        run_cdf_to_materialized_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    vt = VersionedTable(spark, src)
+    vt.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # the DESTINATION table was touched by a NEWER writer that declared
+    # a feature this code does not implement
+    view_vt = VersionedTable(spark, view)
+    entry = {
+        "version": 1,
+        "operation": "frobnicate",
+        "add": [],
+        "remove": [],
+        "data_change": False,
+        "ts": 0.0,
+        "metadata": {},
+        "stats": {},
+        "file_stats": {},
+        "dv_add": [],
+        "dv_remove": [],
+        "features": [],
+        "writer_features": ["fancy-future-thing"],
+    }
+    with open(os.path.join(view, "_log", "00000001.json"), "w") as f:
+        _json.dump(entry, f)
+    with pytest.raises(StreamingQueryException, match="writer feature"):
+        run_cdf_to_materialized_view(
+            spark,
+            src,
+            view,
+            str(tmp_path / "ck"),
+            "k long, v string",
+            group_by=["v"],
+        )
+    # no commit landed on the destination
+    assert view_vt.latest_version() == 1
+
+
 def test_cdf_fanout_two_tables_exactly_once(spark, tmp_path, monkeypatch):
     """Multi-table exactly-once: one CDF stream maintains a signed-delta
     view AND an append-only audit log, each guarded by its own
