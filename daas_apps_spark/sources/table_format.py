@@ -1907,6 +1907,26 @@ class VersionedTable:
                     "name, or rename an existing column onto it "
                     "(rename_column maps it to a distinct physical)"
                 )
+            # a frame carrying a RENAMED column's old (physical) name
+            # would collide with the mapped column at write time —
+            # refuse with the logical name instead of a cryptic
+            # duplicate-column error from the parquet writer
+            phys2log = {
+                f["physical"].lower(): f["name"]
+                for f in mapping["fields"]
+                if f["physical"].lower() != f["name"].lower()
+            }
+            stale = [
+                c
+                for c in df.columns
+                if c.lower() in phys2log and c.lower() not in logical
+            ]
+            if stale:
+                raise ValueError(
+                    "write uses the old PHYSICAL name(s) "
+                    f"{stale} of renamed column(s) — use the logical "
+                    f"name(s) {[phys2log[c.lower()] for c in stale]}"
+                )
         df = self._to_physical(df, mapping)
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(

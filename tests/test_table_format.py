@@ -2012,6 +2012,22 @@ def test_rename_lazily_registers_post_bootstrap_evolved_column(spark, vt):
     assert sorted(vt.read(merge_schema=True).columns) == ["k", "label"]
 
 
+def test_write_under_old_physical_name_refuses_with_guidance(spark, vt):
+    """After a rename, a frame still using the OLD (physical) name
+    refuses with the logical name named in the message — instead of the
+    parquet writer's cryptic duplicate-column error (the mapped column
+    also renames onto that physical)."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.rename_column("v", "label")
+    with pytest.raises(ValueError, match="logical name.*label"):
+        vt.append(_df(spark, [(2, "stale")]))  # still says "v"
+    vt.append(spark.createDataFrame([(2, "b")], "k long, label string"))
+    assert sorted((r.k, r.label) for r in vt.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
 def test_dropped_physical_name_cannot_be_silently_reused(spark, vt):
     """Writing a NEW unmapped column whose name matches a DROPPED
     physical refuses loudly — it would land under the reserved physical
