@@ -1603,7 +1603,10 @@ class VersionedTable:
         the NEW name reads files written before the rename correctly.
         Commits declare the ``column-mapping`` reader AND writer
         feature: an old reader would mis-project, an old writer would
-        split the physical schema."""
+        split the physical schema. TOP-LEVEL columns only (a
+        struct-typed column renames as a unit; renaming a field INSIDE
+        a struct is not supported — restructure with an expression
+        instead), matching the engine's DDL surface."""
         self._check_writer_features()
         m = self._bootstrap_mapping()
         field = self._mapping_field(m, old)
