@@ -218,7 +218,10 @@ def main() -> None:
                 "stat": "median",
                 "max_spread": round(max(spread.values()), 2) if spread else None,
                 "layout": layout,
-            }
+            },
+            # compact separators: the consumer captures a bounded stdout
+            # tail, so every byte of margin on this line counts
+            separators=(",", ":"),
         )
     )
     sys.stdout.flush()

@@ -1236,6 +1236,226 @@ def a34_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.unionByName(pruned)
 
 
+@register(
+    "a35_manifest_census",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey NOT BETWEEN 1000 AND 2000) AS BIGINT)
+               AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS v1_min,
+           CAST(MAX(o_orderkey) AS BIGINT) AS v1_max,
+           CAST((SELECT MIN(o_orderkey) FROM orders
+                 WHERE o_orderkey NOT BETWEEN 1000 AND 2000) AS BIGINT)
+               AS head_min,
+           CAST((SELECT MAX(o_orderkey) FROM orders
+                 WHERE o_orderkey NOT BETWEEN 1000 AND 2000) AS BIGINT)
+               AS head_max
+    FROM orders
+    """,
+    tags=("A35", "A25", "A14"),
+)
+def a35_manifest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-only aggregates (table_format.py::manifest_count /
+    manifest_min_max): COUNT(*) and MIN/MAX answered from the commit
+    log + checkpoint (+ parquet manifest sidecar) with ZERO data-file
+    opens — the A14 footer-aggregate-pushdown idea applied to the
+    versioned table's own manifest. orders lands as v1; a MOR delete
+    hides the interior key band [1000, 2000] as a deletion vector (v2).
+    ``n_rows`` is the DV-subtracted head count (each live (file, pos)
+    pair hides exactly one row); ``v1_min``/``v1_max`` time-travel the
+    pre-delete snapshot (provably exact: no vectors at v1); OPTIMIZE
+    then purges the vectors so ``head_min``/``head_max`` are provable
+    at head. Inexact cases REFUSE loudly (tests/test_table_format.py::
+    test_manifest_min_max_refuses_when_inexact) instead of guessing.
+
+    At 100 TB: "how many rows is this table" costs one manifest read,
+    not a 1000-executor scan — the same per-interval record accounting
+    the reference tracks per scatter bin (SparkCaller.java:79-126,
+    BinPartitioner.java:8-27), lifted to manifest arithmetic.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a35_census_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt.append(o)  # v1
+    vt.delete("o_orderkey between 1000 and 2000", mode="mor")  # v2: DV
+    n_rows = vt.manifest_count()
+    v1_min, v1_max = vt.manifest_min_max("o_orderkey", version=1)
+    vt.optimize()  # purge the vectors -> head extremes provable again
+    head_min, head_max = vt.manifest_min_max("o_orderkey")
+    return spark.createDataFrame(
+        [(n_rows, v1_min, v1_max, head_min, head_max)],
+        "n_rows long, v1_min long, v1_max long, head_min long, "
+        "head_max long",
+    )
+
+
+@register(
+    "a36_type_widening",
+    oracle="""
+    WITH era1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), era2 AS (
+        SELECT o_orderkey + 4000000000 AS o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), t AS (
+        SELECT * FROM era1 UNION ALL SELECT * FROM era2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM t
+    """,
+    tags=("A36", "A25", "A12"),
+)
+def a36_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (table_format.py::widen_column — Delta's type
+    widening; the third leg of the evolution triad after add=a12 and
+    rename/drop=a33): the even orders land with ``o_orderkey`` as
+    INT32 (v1), the column is widened to BIGINT in ONE metadata commit
+    (v2 — zero files rewritten), and the odd half lands with keys
+    shifted past the int32 ceiling (v3) — exactly the overflow that
+    forces the widen in production. The census aggregates ACROSS both
+    eras through one scan: old files upcast via the explicit widened
+    schema (Spark's parquet reader promotes int32→int64 natively), new
+    files store int64 physically (write-funnel cast). Old readers and
+    writers refuse via the ``type-widening`` feature; time travel at
+    v1 still reads INT (tests/test_table_format.py::
+    test_type_widening_is_metadata_only_and_reads_mixed_eras).
+
+    At 100 TB: the first overflowing id costs one JSON commit, never a
+    stop-the-world rewrite; bytes converge to int64 organically at the
+    next OPTIMIZE.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a36_widen_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )  # v1: narrow era
+    vt.widen_column("o_orderkey", "bigint")  # v2: metadata only
+    vt.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            (F.col("o_orderkey") + F.lit(4_000_000_000)).alias(
+                "o_orderkey"
+            ),
+            "o_totalprice",
+        )
+    )  # v3: wide era (keys past the int32 ceiling)
+    return (
+        vt.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "n_rows",
+            "min_key",
+            "max_key",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "a37_sql_dml",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        FROM orders
+    ), u AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN p + 1 ELSE p END AS p
+        FROM m
+    ), d AS (
+        SELECT * FROM u WHERE o_orderkey NOT BETWEEN 100 AND 199
+    )
+    SELECT 'head:' || o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM d GROUP BY 1
+    UNION ALL
+    SELECT 'v1:' || o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders GROUP BY 1
+    """,
+    tags=("A37", "A25", "A30"),
+)
+def a37_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML front-end (sources/sql_dml.py::run_sql): the whole
+    lakehouse lifecycle driven by DML TEXT instead of Python calls —
+    the reference's "the Properties file IS the plan" idea
+    (MiscUtils.java:44-64) applied to the four statements every
+    Delta/Iceberg operator types daily. orders lands as v1; a
+    ``MERGE INTO ... USING (subquery)`` doubles urgent orders' prices
+    (v2, file-level COW upsert); ``UPDATE ... SET ... WHERE`` adds 1 to
+    finished orders (v3); ``DELETE FROM ... WHERE`` drops a key band
+    (v4); and the returned census is TWO ``SELECT``s — the head state
+    and a ``VERSION AS OF 1`` time travel — both run through the same
+    translator. Translation is commit-for-commit identical to the
+    Python API (tests/test_sql_dml.py parity suite); unsupported
+    shapes refuse loudly rather than guess.
+    """
+    from daas_apps_spark.sources.sql_dml import run_sql
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a37_dml_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )  # v1
+    o.createOrReplaceTempView("a37_orders_src")
+    t = {"t": vt}
+    run_sql(
+        spark,
+        "MERGE INTO t USING (SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice * 2 AS o_totalprice FROM a37_orders_src "
+        "WHERE o_orderpriority = '1-URGENT') AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        t,
+    )  # v2
+    run_sql(
+        spark,
+        "UPDATE t SET o_totalprice = o_totalprice + 1 "
+        "WHERE o_orderstatus = 'F'",
+        t,
+    )  # v3
+    run_sql(spark, "DELETE FROM t WHERE o_orderkey BETWEEN 100 AND 199", t)
+    head = run_sql(
+        spark,
+        "SELECT 'head:' || o_orderstatus AS grp, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue FROM t GROUP BY o_orderstatus",
+        t,
+    )
+    v1 = run_sql(
+        spark,
+        "SELECT 'v1:' || o_orderstatus AS grp, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue FROM t VERSION AS OF 1 GROUP BY o_orderstatus",
+        t,
+    )
+    return head.unionByName(v1)
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

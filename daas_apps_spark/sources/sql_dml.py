@@ -1,0 +1,275 @@
+"""SQL DML front-end for the versioned table (A37).
+
+A THIN, loudly-refusing translator from the four DML/query shapes every
+Delta/Iceberg operator types daily to the existing ``VersionedTable``
+calls — the reference's "the Properties file IS the plan" idea
+(MiscUtils.java:44-64) applied to DML text. The translator parses the
+STATEMENT SHAPE only; predicates, SET expressions, and subqueries pass
+through verbatim to Spark SQL, so expression semantics are Catalyst's,
+never a re-implementation:
+
+    DELETE FROM t WHERE <pred>
+    UPDATE t SET c = <expr>, ... WHERE <pred>
+    MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+
+``tables`` maps the SQL-level table names to ``VersionedTable``s (or
+their paths). DML verbs return the committed version (parity with the
+Python API is commit-for-commit — tests/test_table_format.py pins it);
+SELECT returns the DataFrame. An optional leading ``/*+ MOR */`` hint
+routes DELETE/UPDATE through the merge-on-read path.
+
+Anything outside these shapes raises ``ValueError`` with the supported
+grammar — a thin front-end that guesses would corrupt tables silently.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from daas_apps_spark.sources.table_format import VersionedTable
+
+_HINT_RE = re.compile(r"^\s*/\*\+\s*(?P<hint>\w+)\s*\*/", re.S)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[A-Za-z_][\w]*)\s+"
+    r"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[A-Za-z_][\w]*)\s+SET\s+(?P<sets>.+?)\s+"
+    r"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_][\w]*)"
+    r"(?:\s+AS\s+(?P<talias>\w+))?\s+USING\s+",
+    re.I | re.S,
+)
+_MERGE_TAIL_RE = re.compile(
+    r"^(?:\s+AS\s+(?P<salias>\w+))?\s+"
+    r"ON\s+(?P<cond>.+?)\s+(?P<whens>WHEN\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_UPSERT_WHENS_RE = re.compile(
+    r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$"
+    r"|^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$",
+    re.I | re.S,
+)
+_TRAVEL_RE_TMPL = (
+    r"\b{name}\b"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')?"
+)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero — `SET a = f(x, y)`
+    must not split inside the call, nor inside a string literal."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _resolve(spark: SparkSession, tables: dict, name: str) -> VersionedTable:
+    for k, v in tables.items():
+        if k.lower() == name.lower():
+            return v if isinstance(v, VersionedTable) else VersionedTable(
+                spark, v
+            )
+    raise ValueError(
+        f"unknown table {name!r}; declared tables: {sorted(tables)}"
+    )
+
+
+def _merge_keys(cond: str, talias: str, salias: str) -> list[str]:
+    """Key columns from an equi-join ON clause: a conjunction of
+    ``t.k = s.k`` (either side order, aliases optional when the raw
+    column names match). Anything else refuses — vt.merge upserts BY
+    KEYS, and translating a theta-ON silently would change semantics."""
+    keys: list[str] = []
+    for leg in re.split(r"(?i)\s+AND\s+", cond.strip()):
+        m = re.fullmatch(
+            r"\s*(?:(?P<la>\w+)\.)?(?P<lc>\w+)\s*=\s*"
+            r"(?:(?P<ra>\w+)\.)?(?P<rc>\w+)\s*",
+            leg,
+        )
+        if not m or m.group("lc").lower() != m.group("rc").lower():
+            raise ValueError(
+                f"MERGE ON clause leg {leg!r} is not a key equality "
+                "(t.k = s.k); only equi-key upserts translate to "
+                "VersionedTable.merge"
+            )
+        for a in (m.group("la"), m.group("ra")):
+            if a and a.lower() not in (talias.lower(), salias.lower()):
+                raise ValueError(
+                    f"MERGE ON references unknown alias {a!r} "
+                    f"(declared: {talias!r}, {salias!r})"
+                )
+        keys.append(m.group("lc"))
+    return keys
+
+
+def run_sql(
+    spark: SparkSession, text: str, tables: dict
+) -> DataFrame | int:
+    """Execute one DML/query statement against versioned tables. See
+    the module docstring for the supported grammar. Returns the
+    committed version (DELETE/UPDATE/MERGE) or the result DataFrame
+    (SELECT)."""
+    mode = "cow"
+    mh = _HINT_RE.match(text)
+    if mh:
+        hint = mh.group("hint").lower()
+        if hint not in ("mor", "cow"):
+            raise ValueError(f"unknown hint {hint!r} (MOR|COW)")
+        mode = hint
+        text = text[mh.end():]
+    stripped = text.lstrip()
+    verb = stripped.split(None, 1)[0].upper() if stripped.strip() else ""
+    if verb == "DELETE":
+        m = _DELETE_RE.match(text)
+        if not m:
+            raise ValueError(
+                "unsupported DELETE shape; supported: "
+                "DELETE FROM <table> WHERE <predicate>"
+            )
+        vt = _resolve(spark, tables, m.group("target"))
+        return vt.delete(m.group("pred"), mode=mode)
+    if verb == "UPDATE":
+        m = _UPDATE_RE.match(text)
+        if not m:
+            raise ValueError(
+                "unsupported UPDATE shape; supported: "
+                "UPDATE <table> SET c = expr[, ...] WHERE <predicate>"
+            )
+        vt = _resolve(spark, tables, m.group("target"))
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(m.group("sets")):
+            am = re.match(r"\s*(\w+)\s*=\s*(.+)$", part, re.S)
+            if not am:
+                raise ValueError(f"cannot parse SET assignment {part!r}")
+            assignments[am.group(1)] = am.group(2).strip()
+        return vt.update(m.group("pred"), assignments, mode=mode)
+    if verb == "MERGE":
+        bad = ValueError(
+            "unsupported MERGE shape; supported: MERGE INTO <table> "
+            "[AS a] USING <source|(subquery)> [AS b] ON <k equalities> "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        head = _MERGE_HEAD_RE.match(text)
+        if not head:
+            raise bad
+        rest = text[head.end():]
+        if rest.startswith("("):
+            # balanced-paren scan: the subquery may nest parens and
+            # quotes, so a regex cannot bound it
+            depth = 0
+            quote: str | None = None
+            end = -1
+            for i, ch in enumerate(rest):
+                if quote:
+                    if ch == quote:
+                        quote = None
+                    continue
+                if ch in ("'", '"'):
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise bad
+            src = rest[: end + 1]
+            rest = rest[end + 1:]
+        else:
+            sm = re.match(r"[A-Za-z_]\w*", rest)
+            if not sm:
+                raise bad
+            src = sm.group(0)
+            rest = rest[sm.end():]
+        tail = _MERGE_TAIL_RE.match(rest)
+        if not tail:
+            raise bad
+        whens = re.sub(r"\s+", " ", tail.group("whens").strip())
+        if not _UPSERT_WHENS_RE.match(whens):
+            raise ValueError(
+                f"unsupported MERGE WHEN clauses {whens!r}; only the "
+                "full upsert pair (UPDATE SET * / INSERT *) translates "
+                "to VersionedTable.merge"
+            )
+        vt = _resolve(spark, tables, head.group("target"))
+        if src.startswith("("):
+            source_df = spark.sql(src[1:-1])
+        else:
+            try:
+                source_df = _resolve(spark, tables, src).read()
+            except ValueError:
+                source_df = spark.table(src)  # temp view / catalog table
+        keys = _merge_keys(
+            tail.group("cond"),
+            head.group("talias") or head.group("target"),
+            tail.group("salias") or src,
+        )
+        return vt.merge(source_df, keys)
+    if verb in ("SELECT", "WITH"):
+        # rewrite every declared table reference (with optional
+        # VERSION/TIMESTAMP AS OF) to a fresh temp view over the
+        # corresponding snapshot read, then let Spark SQL run the text
+        rewritten = text
+        for name in tables:
+            pat = re.compile(
+                _TRAVEL_RE_TMPL.format(name=re.escape(name)), re.I
+            )
+
+            def _sub(m: re.Match, _name=name) -> str:
+                vt = _resolve(spark, tables, _name)
+                view = f"__dml_{_name}_{uuid.uuid4().hex[:8]}"
+                if m.group("version") is not None:
+                    df = vt.read(version=int(m.group("version")))
+                elif m.group("ts") is not None:
+                    df = vt.read(as_of=m.group("ts"))
+                else:
+                    df = vt.read()
+                df.createOrReplaceTempView(view)
+                return view
+
+            rewritten = pat.sub(_sub, rewritten)
+        return spark.sql(rewritten)
+    raise ValueError(
+        f"unsupported statement {verb or text!r}; supported verbs: "
+        "DELETE / UPDATE / MERGE / SELECT (incl. VERSION AS OF / "
+        "TIMESTAMP AS OF)"
+    )

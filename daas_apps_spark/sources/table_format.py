@@ -90,7 +90,7 @@ def _log_names(log_dir: str, pattern) -> list[str]:
 # Without this, a reader predating deletion vectors would silently
 # resurrect deleted rows — the guard turns format evolution into a loud
 # version error instead of wrong answers.
-SUPPORTED_FEATURES = {"deletion-vectors", "column-mapping"}
+SUPPORTED_FEATURES = {"deletion-vectors", "column-mapping", "type-widening"}
 
 # WRITER feature flags (Delta's writerFeatures/minWriterVersion, reduced
 # to a set): a commit DECLARES the features any FUTURE WRITER must
@@ -109,6 +109,19 @@ SUPPORTED_WRITER_FEATURES = {
     "check-constraints",
     "column-mapping",
     "clustered-layout",
+    "type-widening",
+}
+
+# Lossless type widenings ``widen_column`` accepts (Delta's type
+# widening, reduced to the integer chain + float→double — the two
+# families whose parquet encodings Spark's vectorized reader upcasts
+# natively, so OLD files need zero rewrites). Keys/values are Spark
+# simpleString type names.
+_WIDEN_OK = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
 }
 
 
@@ -260,6 +273,50 @@ def column_mapping_at(
     return mapping
 
 
+def resolve_stream_colmap(
+    path: str,
+    columns: list[str] | None,
+    commits: list | None = None,
+    where: str = "table stream",
+) -> dict[str, str]:
+    """Logical→physical resolution for a STREAM's declared columns — the
+    latest mapping (physical names are immutable, so it resolves every
+    planned unit), plus a vanish guard: the declared schema is FIXED at
+    stream start while the mapping keeps evolving, so a declared logical
+    name that any historical mapping registered but the CURRENT mapping
+    no longer lists (renamed again mid-stream, or dropped) resolves to
+    neither the mapping nor any physical column — null-filling it from
+    that point on would be silent data loss. Raise at plan time
+    instead."""
+    commits = read_log(path) if commits is None else commits
+    mapping = column_mapping_at(path, commits=commits)
+    if mapping and columns:
+        current = {f["name"].lower() for f in mapping["fields"]}
+        historical: set[str] = set()
+        for c in commits:
+            m = (c.get("metadata") or {}).get("column_mapping_set")
+            if m:
+                historical.update(f["name"].lower() for f in m["fields"])
+                historical.update(
+                    f["physical"].lower() for f in m["fields"]
+                )
+                historical.update(d.lower() for d in m.get("dropped", []))
+        vanished = [
+            c
+            for c in columns
+            if c.lower() in historical and c.lower() not in current
+        ]
+        if vanished:
+            raise ValueError(
+                f"{where}: declared stream column(s) {vanished} no "
+                "longer resolve through the table's current column "
+                "mapping (renamed or dropped after the stream was "
+                "declared) — restart the stream with the current "
+                "logical schema"
+            )
+    return logical_to_physical(mapping)
+
+
 def logical_to_physical(mapping: dict | None) -> dict[str, str]:
     """{lower-cased logical name: exact physical name} for a mapping
     (empty when mapping is None) — what read paths use to resolve the
@@ -383,10 +440,26 @@ def change_plan_between(
 
     def _unit_size(path_on_disk: str) -> int:
         # manifest first; pre-size-manifest commits fall back to one
-        # stat call (metadata-only — planning never opens the file)
-        return fsize.get(os.path.basename(path_on_disk)) or os.path.getsize(
-            path_on_disk
-        )
+        # stat call (metadata-only — planning never opens the file).
+        # `is not None` (not `or`): a recorded 0-byte size is a real
+        # size, not a missing entry. Collided basenames skip the
+        # manifest — two commits recorded sizes for different files of
+        # the same name, so the surviving map entry would be a guess.
+        basename = os.path.basename(path_on_disk)
+        if basename not in collide:
+            s = fsize.get(basename)
+            if s is not None:
+                return s
+        try:
+            return os.path.getsize(path_on_disk)
+        except OSError:
+            # planner-side, descriptive — match the planner's other
+            # vacuumed-past-replay-range errors instead of leaking a
+            # bare FileNotFoundError from a stat call
+            raise ValueError(
+                f"{path_on_disk} is no longer on disk — it was vacuumed "
+                "past this replay range; reprocess from a full snapshot"
+            ) from None
 
     units: list[dict] = []
     present: set[int] = set()
@@ -771,10 +844,13 @@ class VersionedTable:
         reader_features: list[str] | None = None,
     ) -> int:
         """``known_stats`` maps an added rel to its precomputed
-        (dir_stats, file_stats, file_sizes) — carry dirs pass the source
+        (dir_stats, file_stats, file_sizes, file_rows) — carry dirs pass
+        the source
         commit's recorded per-file entries through, so carrying N files
         is pure manifest arithmetic (zero footer reads), as _carry_dir
-        advertises. ``dv_add``/``dv_remove`` track deletion-vector dirs
+        advertises. A source predating the row-count manifest passes an
+        empty rows map; the manifest-only COUNT falls back to one footer
+        read per such file. ``dv_add``/``dv_remove`` track deletion-vector dirs
         (under ``_dv/``) the same way add/remove track data dirs.
         ``writer_features`` lets an operation declare NEW writer-protocol
         requirements this commit introduces (deletion-vector commits
@@ -814,6 +890,14 @@ class VersionedTable:
             # reclaimable bytes. One int per file: manifest growth is
             # negligible next to the stats maps
             "file_sizes": {rel: h[2] for rel, h in harvested.items()},
+            # per-FILE exact row counts (basename → rows) — what answers
+            # COUNT(*) from the manifest alone (one JSON read at 100 TB,
+            # zero data-file opens); carries from pre-row-count commits
+            # contribute empty maps and fall back to a footer read
+            "file_rows": {
+                rel: (h[3] if len(h) > 3 else {})
+                for rel, h in harvested.items()
+            },
             # deletion-vector dirs this commit activates/retires (absent
             # keys read as [] — commits from before the MOR path replay
             # unchanged)
@@ -893,6 +977,11 @@ class VersionedTable:
             "file_sizes": {
                 d: s for d, s in file_sizes.items() if d in live_set
             },
+            "file_rows": {
+                d: r
+                for d, r in self._replay_file_rows(version).items()
+                if d in live_set and r
+            },
             # fold the active constraint set and refs too: replay-from-
             # checkpoint must reproduce ALL table state, and retention may
             # drop the commits that added these
@@ -904,6 +993,9 @@ class VersionedTable:
             # replay that lost it would surface physical names (or
             # resurrect dropped columns)
             "column_mapping": self.column_mapping(version),
+            # the widening map too: a replay that lost it would scan the
+            # mixed-era files with a narrow (crashing) schema
+            "type_widening": self.type_widening(version),
             # live deletion-vector dirs are table state exactly like live
             # data dirs: a replay that lost them would resurrect deleted rows
             "dvs": self._live_dvs(version),
@@ -913,6 +1005,7 @@ class VersionedTable:
         snap["features"] = sorted(
             ({"deletion-vectors"} if snap["dvs"] else set())
             | ({"column-mapping"} if snap["column_mapping"] else set())
+            | ({"type-widening"} if snap["type_widening"] else set())
         )
         # writer features are monotone table state (never retracted), so
         # the fold carries the full accumulated set — an old writer must
@@ -937,10 +1030,14 @@ class VersionedTable:
             # like a torn data write)
             mname = f"{version:08d}.checkpoint.manifest.parquet"
             self._write_manifest_parquet(
-                snap["file_stats"], snap["file_sizes"], mname
+                snap["file_stats"],
+                snap["file_sizes"],
+                snap["file_rows"],
+                mname,
             )
             snap["file_stats"] = {}
             snap["file_sizes"] = {}
+            snap["file_rows"] = {}
             snap["manifest"] = mname
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -959,9 +1056,10 @@ class VersionedTable:
             pass
 
     def _write_manifest_parquet(
-        self, file_stats: dict, file_sizes: dict, name: str
+        self, file_stats: dict, file_sizes: dict, file_rows: dict, name: str
     ) -> None:
-        """One row per (dir, file): rel, file, size_bytes, stats (the
+        """One row per (dir, file): rel, file, size_bytes, rows, stats
+        (the
         per-file column-stats map as a JSON cell — stats values are
         heterogeneous across columns, and the manifest's consumers
         rebuild the same dicts the JSON checkpoint would carry).
@@ -973,20 +1071,24 @@ class VersionedTable:
         rels: list[str] = []
         files: list[str] = []
         sizes: list = []
+        nrows: list = []
         stats: list = []
-        for rel in sorted(set(file_stats) | set(file_sizes)):
+        for rel in sorted(set(file_stats) | set(file_sizes) | set(file_rows)):
             st = file_stats.get(rel) or {}
             sz = file_sizes.get(rel) or {}
-            for f in sorted(set(st) | set(sz)):
+            rw = file_rows.get(rel) or {}
+            for f in sorted(set(st) | set(sz) | set(rw)):
                 rels.append(rel)
                 files.append(f)
                 sizes.append(sz.get(f))
+                nrows.append(rw.get(f))
                 stats.append(json.dumps(st[f]) if f in st else None)
         table = pa.table(
             {
                 "rel": pa.array(rels, pa.string()),
                 "file": pa.array(files, pa.string()),
                 "size_bytes": pa.array(sizes, pa.int64()),
+                "rows": pa.array(nrows, pa.int64()),
                 "stats": pa.array(stats, pa.string()),
             }
         )
@@ -996,13 +1098,16 @@ class VersionedTable:
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(self._log_dir(), name))
 
-    def _read_manifest_parquet(self, name: str) -> tuple[dict, dict]:
-        """(file_stats, file_sizes) rebuilt from a checkpoint's parquet
+    def _read_manifest_parquet(self, name: str) -> tuple[dict, dict, dict]:
+        """(file_stats, file_sizes, file_rows) rebuilt from a
+        checkpoint's parquet
         manifest sidecar. A missing sidecar fails LOUDLY: the JSON
         checkpoint externalized its per-file maps there, so replaying
         without it would silently lose pruning/COW bounds AND byte
         budgets — and retention may have dropped the raw commits that
-        could rebuild them."""
+        could rebuild them. Sidecars written before the row-count
+        manifest lack the ``rows`` column — their rows map is empty and
+        the manifest-only COUNT falls back to footer reads."""
         import pyarrow.parquet as pq
 
         full = os.path.join(self._log_dir(), name)
@@ -1016,17 +1121,26 @@ class VersionedTable:
         t = pq.read_table(full)
         file_stats: dict = {}
         file_sizes: dict = {}
-        for rel, f, size, st in zip(
+        file_rows: dict = {}
+        nrows = (
+            t.column("rows").to_pylist()
+            if "rows" in t.column_names
+            else [None] * t.num_rows
+        )
+        for rel, f, size, rw, st in zip(
             t.column("rel").to_pylist(),
             t.column("file").to_pylist(),
             t.column("size_bytes").to_pylist(),
+            nrows,
             t.column("stats").to_pylist(),
         ):
             if st is not None:
                 file_stats.setdefault(rel, {})[f] = json.loads(st)
             if size is not None:
                 file_sizes.setdefault(rel, {})[f] = size
-        return file_stats, file_sizes
+            if rw is not None:
+                file_rows.setdefault(rel, {})[f] = rw
+        return file_stats, file_sizes, file_rows
 
     def _replay(
         self, version: int | None = None
@@ -1048,7 +1162,9 @@ class VersionedTable:
         if base and base.get("manifest"):
             # large checkpoint: the per-file maps live in the parquet
             # manifest sidecar (the inline JSON maps are empty)
-            m_stats, m_sizes = self._read_manifest_parquet(base["manifest"])
+            m_stats, m_sizes, _ = self._read_manifest_parquet(
+                base["manifest"]
+            )
             file_stats.update(m_stats)
             file_sizes.update(m_sizes)
         floor = base["version"] if base else 0
@@ -1063,6 +1179,31 @@ class VersionedTable:
             file_stats.update(entry.get("file_stats", {}))
             file_sizes.update(entry.get("file_sizes", {}))
         return live, stats, file_stats, file_sizes
+
+    def _replay_file_rows(self, version: int | None = None) -> dict:
+        """Per-file EXACT row counts (rel → {basename: rows}) at
+        ``version``, replayed checkpoint-first exactly like ``_replay``
+        — kept out of ``_replay``'s hot 4-tuple because only the
+        manifest-only aggregates and the checkpoint fold consume it.
+        Commits (and carry sources) from before the row-count manifest
+        contribute nothing; their files fall back to one footer read
+        each in ``manifest_count``."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        rows: dict = dict(base.get("file_rows", {})) if base else {}
+        if base and base.get("manifest"):
+            _, _, m_rows = self._read_manifest_parquet(base["manifest"])
+            rows.update(m_rows)
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            rows.update(entry.get("file_rows", {}))
+        return rows
 
     def _live_dirs(self, version: int | None = None) -> list[str]:
         live, _, _, _ = self._replay(version)
@@ -1537,12 +1678,17 @@ class VersionedTable:
             "next_id": len(cols) + 1,
         }
 
-    def _commit_mapping(self, operation: str, mapping: dict) -> int:
+    def _commit_mapping(
+        self, operation: str, mapping: dict, extra_metadata: dict | None = None
+    ) -> int:
+        md: dict = {"column_mapping_set": mapping}
+        if extra_metadata:
+            md.update(extra_metadata)
         return self._commit(
             operation,
             add=[],
             remove=[],
-            metadata={"column_mapping_set": mapping},
+            metadata=md,
             data_change=False,
             # an old reader would surface physical names / resurrect
             # dropped columns; an old writer would write files under
@@ -1627,7 +1773,23 @@ class VersionedTable:
                 )
         self._refuse_constrained_column(old, "rename")
         field["name"] = new
-        return self._commit_mapping("rename_column", m)
+        # an active clustered layout naming the OLD logical name must
+        # follow the rename IN THE SAME COMMIT — otherwise every future
+        # write's byname lookup misses and files silently land
+        # unclustered while the table still declares the
+        # clustered-layout writer feature readers budget scans by
+        extra = None
+        layout = self.layout()
+        if layout and any(
+            k.lower() == old.lower() for k in layout["cluster_by"]
+        ):
+            spec = dict(layout)
+            spec["cluster_by"] = [
+                new if k.lower() == old.lower() else k
+                for k in layout["cluster_by"]
+            ]
+            extra = {"layout_set": spec}
+        return self._commit_mapping("rename_column", m, extra)
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only: the physical column
@@ -1640,11 +1802,211 @@ class VersionedTable:
         m = self._bootstrap_mapping()
         field = self._mapping_field(m, name)
         if len(m["fields"]) == 1:
-            raise ValueError("cannot drop the table's last column")
+            # the mapping registers post-bootstrap evolved columns
+            # lazily, so its field list can understate the live logical
+            # width — count the real remaining columns (live physical
+            # schema minus dropped minus this field) before refusing
+            live, _, _, _ = self._replay(None)
+            dropped = {d.lower() for d in m.get("dropped", [])}
+            remaining = [
+                c
+                for c in self._table_schema_names(live)
+                if c.lower() not in dropped
+                and c.lower() != field["physical"].lower()
+            ]
+            if not remaining:
+                raise ValueError("cannot drop the table's last column")
+        layout = self.layout()
+        if layout and any(
+            k.lower() == name.lower() for k in layout["cluster_by"]
+        ):
+            raise ValueError(
+                f"cannot drop column {name!r}: it is a clustering key of "
+                "the active layout — clear or re-declare the layout "
+                "(set_layout) first, or future writes could not cluster"
+            )
         self._refuse_constrained_column(name, "drop")
         m["fields"].remove(field)
         m["dropped"].append(field["physical"])
         return self._commit_mapping("drop_column", m)
+
+    # -- type widening (metadata-only ALTER COLUMN TYPE) ---------------------
+
+    def type_widening(self, version: int | None = None) -> dict:
+        """The TYPE-WIDENING map active at ``version``: {lower-cased
+        PHYSICAL column name: widened Spark DDL type}. Delta's type
+        widening: ``widen_column`` records the wider type in a
+        data_change=False metadata commit — zero data files rewritten —
+        and every read scans with an EXPLICIT widened schema (Spark's
+        parquet reader upcasts int→bigint / float→double natively), so
+        pre-widen files surface the wide type. Keyed by physical name:
+        renames are orthogonal (the mapping stays valid across them).
+        Replayed like constraints/layout (metadata commits + checkpoint
+        fold). Empty dict = never widened."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        widening = dict(base.get("type_widening") or {}) if base else {}
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "type_widening_set" in md:
+                widening = dict(md["type_widening_set"])
+        return widening
+
+    def _physical_type(self, pcol: str) -> str:
+        """Current FILE-LEVEL type of physical column ``pcol`` (Spark
+        simpleString), from the first live footer that carries it — one
+        metadata read, never row data."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        live, _, _, _ = self._replay(None)
+        for rel in live:
+            files = sorted(
+                _glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
+            )
+            if not files:
+                continue
+            sch = from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+            for f in sch.fields:
+                if f.name.lower() == pcol:
+                    return f.dataType.simpleString()
+        raise ValueError(
+            f"column {pcol!r} does not exist in any live data file"
+        )
+
+    def widen_column(self, col: str, new_type: str) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — WIDENING only, as a
+        METADATA-ONLY commit (the third leg of the evolution triad:
+        add = schema evolution, rename/drop = column mapping, widen =
+        this). The first time an int32 id overflows, the fix is one
+        JSON commit, never a 100 TB rewrite: old files keep their
+        narrow physical type and every read upcasts them through an
+        explicit scan schema; writes FROM this commit cast up at the
+        single write funnel so new files carry the wide type. Time
+        travel before the widen surfaces the old type (the map is
+        versioned state); the change feed and streams cast to their
+        declared/newest schema. Declares the ``type-widening`` reader
+        AND writer feature: an old reader's plain mixed-era scan would
+        crash or mis-type; an old writer wouldn't upcast. Supported
+        widenings: the lossless integer chain (tinyint→smallint→int→
+        bigint) and float→double — exactly what Spark's vectorized
+        parquet reader promotes natively. ``col`` is the LOGICAL name
+        (resolved through any active column mapping)."""
+        self._check_writer_features()
+        from pyspark.sql.types import _parse_datatype_string
+
+        try:
+            target = _parse_datatype_string(new_type).simpleString()
+        except Exception:
+            raise ValueError(
+                f"widen_column: cannot parse type {new_type!r}"
+            ) from None
+        mapping = self.column_mapping()
+        pcol = logical_to_physical(mapping).get(col.lower(), col).lower()
+        if mapping and col.lower() in {
+            d.lower() for d in mapping.get("dropped", [])
+        }:
+            raise ValueError(f"column {col!r} was dropped")
+        widening = self.type_widening()
+        cur = widening.get(pcol) or self._physical_type(pcol)
+        if target == cur:
+            return self.latest_version()  # already that type: no-op
+        allowed = _WIDEN_OK.get(cur, set())
+        if target not in allowed:
+            raise ValueError(
+                f"cannot widen column {col!r} from {cur} to {target}; "
+                f"supported widenings: "
+                f"{ {k: sorted(v) for k, v in _WIDEN_OK.items()} } "
+                "(narrowing or cross-family changes require a rewrite)"
+            )
+        widening = dict(widening)
+        widening[pcol] = target
+        return self._commit(
+            "widen_column",
+            add=[],
+            remove=[],
+            metadata={"type_widening_set": widening},
+            data_change=False,
+            # an old reader's plain scan crashes (or mis-types) on the
+            # mixed-era files; an old writer would land narrow files and
+            # never upcast reads
+            reader_features=["type-widening"],
+            writer_features=["type-widening"],
+        )
+
+    def _widened_schema(self, paths: list[str], widening: dict):
+        """EXPLICIT scan schema for ``paths`` (data dirs or single
+        parquet files): the first-seen footer union with the widening
+        map's types overriding — what lets ONE ``spark.read.schema``
+        scan span pre- and post-widen files (a plain or mergeSchema
+        read raises CANNOT_MERGE_SCHEMAS on the int/bigint mix). One
+        footer read per path, metadata only."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        fields: dict[str, StructField] = {}
+        order: list[str] = []
+        for p in paths:
+            files = (
+                [p]
+                if p.endswith(".parquet")
+                else sorted(_glob.glob(os.path.join(p, "*.parquet")))
+            )
+            if not files:
+                continue
+            sch = from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+            for f in sch.fields:
+                low = f.name.lower()
+                if low not in fields:
+                    fields[low] = f
+                    order.append(low)
+        for low, ddl in widening.items():
+            if low in fields:
+                fields[low] = StructField(
+                    fields[low].name, _parse_datatype_string(ddl), True
+                )
+        return StructType([fields[c] for c in order])
+
+    def _scan(
+        self,
+        paths: list[str],
+        merge_schema: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The single DATA-file scan helper every read/rewrite path
+        funnels through: a plain ``spark.read.parquet`` (optionally
+        mergeSchema) until a type widening is active at ``version``,
+        then an explicit footer-unioned schema with the widened types —
+        Spark's parquet reader upcasts the narrow files natively, where
+        plain/mergeSchema reads would crash on the mixed-era table.
+        (The explicit schema also unions evolved columns, so it
+        subsumes mergeSchema.) Deletion-vector parquets are NOT data
+        files and scan directly."""
+        widening = self.type_widening(version)
+        if not widening:
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*paths)
+        return self.spark.read.schema(
+            self._widened_schema(paths, widening)
+        ).parquet(*paths)
 
     def _validate(self, df: DataFrame, active: dict | None = None) -> None:
         """Reject ``df`` if any row fails any active constraint. ONE
@@ -1818,6 +2180,7 @@ class VersionedTable:
         if dest._commits():
             raise ValueError(f"clone destination {dest_path} is not empty")
         known: dict = {}
+        src_rows = self._replay_file_rows(version)
         for rel in live:
             src_dir = os.path.join(self.path, _DATA, rel)
             dst_dir = os.path.join(dest_path, _DATA, rel)
@@ -1831,6 +2194,7 @@ class VersionedTable:
                     stats.get(rel, {}),
                     file_stats[rel],
                     file_sizes.get(rel) or sizes,
+                    src_rows.get(rel) or {},
                 )
         # deletion vectors are PART of the snapshot: a clone that dropped
         # them would resurrect deleted rows. Vectors key on file basename,
@@ -1878,13 +2242,28 @@ class VersionedTable:
         if layout:
             byname = {c.lower(): c for c in df.columns}
             keys = [byname.get(k.lower()) for k in layout["cluster_by"]]
-            if all(keys):
-                n = layout.get("target_files") or max(
-                    df.rdd.getNumPartitions(), 1
+            if not all(keys):
+                # refuse loudly, like _refuse_constrained_column does for
+                # constraints: silently landing unclustered files would
+                # break the clustered-layout contract readers budget
+                # scans by while the table still declares the feature
+                missing = [
+                    k
+                    for k, r in zip(layout["cluster_by"], keys)
+                    if r is None
+                ]
+                raise ValueError(
+                    f"write is missing clustering key column(s) {missing} "
+                    f"declared by the active layout {layout['cluster_by']} "
+                    "— include them, or clear/re-declare the layout "
+                    "(set_layout) first"
                 )
-                df = df.repartitionByRange(n, *keys).sortWithinPartitions(
-                    *keys
-                )
+            n = layout.get("target_files") or max(
+                df.rdd.getNumPartitions(), 1
+            )
+            df = df.repartitionByRange(n, *keys).sortWithinPartitions(
+                *keys
+            )
         # column mapping second: frames arrive LOGICAL and files store
         # PHYSICAL names, so data written after a rename stays
         # homogeneous with data before it
@@ -1931,6 +2310,21 @@ class VersionedTable:
                     f"name(s) {[phys2log[c.lower()] for c in stale]}"
                 )
         df = self._to_physical(df, mapping)
+        # type widening third: writes FROM the widening commit cast up
+        # at this single funnel, so every NEW file carries the widened
+        # type (old files upcast at scan time via _scan's explicit
+        # schema — the mixed era is read-side, never write-side)
+        widening = self.type_widening()
+        if widening:
+            from pyspark.sql import functions as F
+
+            casts = {
+                c: F.col(c).cast(widening[c.lower()])
+                for c in df.columns
+                if c.lower() in widening
+            }
+            if casts:
+                df = df.withColumns(casts)
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _DATA, rel)
@@ -1980,7 +2374,8 @@ class VersionedTable:
         files: list[str],
         version_hint: int,
         src_file_stats: dict,
-    ) -> tuple[str, tuple[dict, dict, dict]]:
+        src_file_rows: dict | None = None,
+    ) -> tuple[str, tuple[dict, dict, dict, dict]]:
         """Hard-link the UNTOUCHED files of a partially-rewritten dir into
         a fresh dir — the 'keep' half of file-level COW without moving a
         byte of data (files are immutable, so sharing inodes is safe; an
@@ -2003,10 +2398,19 @@ class VersionedTable:
             # commit predates the size manifest
             sizes[f] = os.path.getsize(src)
         fsub = {f: src_file_stats[f] for f in files}
-        return new, (_rollup_stats(fsub), fsub, sizes)
+        # rows carry only when the SOURCE commit recorded them (a footer
+        # read here would break the zero-footer-reads carry contract);
+        # missing entries fall back at manifest_count time
+        rsub = {
+            f: (src_file_rows or {})[f]
+            for f in files
+            if f in (src_file_rows or {})
+        }
+        return new, (_rollup_stats(fsub), fsub, sizes, rsub)
 
-    def _harvest_stats(self, rel: str) -> tuple[dict, dict, dict]:
-        """(dir-level stats, per-FILE stats, per-FILE byte sizes) for a
+    def _harvest_stats(self, rel: str) -> tuple[dict, dict, dict, dict]:
+        """(dir-level stats, per-FILE stats, per-FILE byte sizes, per-FILE
+        row counts) for a
         data dir, harvested from the parquet FOOTERS the write already produced
         — no second scan, the Iceberg manifest-stats approach. int/float/
         str are kept as-is; DATE and TIMESTAMP stats are normalized to
@@ -2024,6 +2428,7 @@ class VersionedTable:
 
         per_file: dict = {}
         sizes: dict = {}
+        rows: dict = {}  # basename → exact row count (footer metadata)
         for f in sorted(
             glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
         ):
@@ -2033,6 +2438,7 @@ class VersionedTable:
             unsafe: set = set()
             md = pq.ParquetFile(f).metadata
             sizes[os.path.basename(f)] = os.path.getsize(f)
+            rows[os.path.basename(f)] = md.num_rows
             if md.num_rows == 0:
                 # zero-row part files (a many-task write artifact) carry
                 # no data: omitting them from the manifest is safe — a
@@ -2088,9 +2494,10 @@ class VersionedTable:
                 f: {c: v for c, v in cols.items() if c.lower() in keep_l}
                 for f, cols in per_file.items()
             }
-        # sizes are NOT subject to the stats_columns allowlist: one int
-        # per file, and byte budgeting must keep working on wide tables
-        return _rollup_stats(per_file), per_file, sizes
+        # sizes and row counts are NOT subject to the stats_columns
+        # allowlist: one int per file each, byte budgeting and the
+        # manifest-only COUNT(*) must keep working on wide tables
+        return _rollup_stats(per_file), per_file, sizes, rows
 
     # -- operations --------------------------------------------------------
 
@@ -2136,6 +2543,7 @@ class VersionedTable:
         self._check_writer_features()
         klo, khi = _stat_key(lo), _stat_key(hi)
         live, stats, file_stats, _sizes = self._replay(None)
+        all_rows = self._replay_file_rows(None)
         mapping = self.column_mapping()
         # manifest stats key on PHYSICAL names; the filter below runs on
         # the logical projection, so only the stat lookups translate
@@ -2182,7 +2590,9 @@ class VersionedTable:
             remove.append(rel)
             carry = sorted(f for f, c in cls.items() if c == "disjoint")
             if carry:
-                cdir, known[cdir] = self._carry_dir(rel, carry, vhint, fstats)
+                cdir, known[cdir] = self._carry_dir(
+                    rel, carry, vhint, fstats, all_rows.get(rel)
+                )
                 add.append(cdir)
             rewrite_paths.extend(
                 os.path.join(self.path, _DATA, rel, f)
@@ -2195,9 +2605,7 @@ class VersionedTable:
             # RESURRECT the deleted rows in the new file
             kept = self._to_logical(
                 self._apply_dv(
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *sorted(rewrite_paths)
-                    ),
+                    self._scan(sorted(rewrite_paths), merge_schema=True),
                     self._live_dvs(),
                 ),
                 mapping,
@@ -2216,8 +2624,9 @@ class VersionedTable:
             # schema so the table stays READABLE as empty (a full DELETE
             # must not make read() raise "no snapshot")
             empty = self._to_logical(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, _DATA, d) for d in remove]
+                self._scan(
+                    [os.path.join(self.path, _DATA, d) for d in remove],
+                    merge_schema=True,
                 ).limit(0),
                 mapping,
             )
@@ -2284,8 +2693,7 @@ class VersionedTable:
             raise ValueError(f"no snapshot to delete from in {self.path}")
         vhint = self.latest_version() + 1
         scan = self._to_logical(
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*live)
+            self._scan(live, merge_schema=True)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
             .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long")),
             self.column_mapping(),
@@ -2404,8 +2812,7 @@ class VersionedTable:
         # merge-on-read: deletion vector for the old positions + a new dir
         # with the updated rows, in one atomic commit
         scan = self._to_logical(
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*live)
+            self._scan(live, merge_schema=True)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
             .withColumn("__dv_pos", F.col("_metadata.row_index").cast("long")),
             self.column_mapping(),
@@ -2496,6 +2903,7 @@ class VersionedTable:
         # only the incoming side needs the invariant check
         self._validate(updates)
         live, stats, file_stats, _sizes = self._replay(None)
+        all_rows = self._replay_file_rows(None)
         mapping = self.column_mapping()
         # manifest stats are keyed by PHYSICAL names; keys are logical
         phys_keys = [
@@ -2558,7 +2966,7 @@ class VersionedTable:
                 carry = sorted(f for f, h in hit.items() if not h)
                 if carry:
                     cdir, known[cdir] = self._carry_dir(
-                        rel, carry, vhint, fstats
+                        rel, carry, vhint, fstats, all_rows.get(rel)
                     )
                     carries.append(cdir)
                 rewrite_paths.extend(
@@ -2576,9 +2984,7 @@ class VersionedTable:
             # anti-join keys (and the written union) are logical
             current = self._to_logical(
                 self._apply_dv(
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *sorted(rewrite_paths)
-                    ),
+                    self._scan(sorted(rewrite_paths), merge_schema=True),
                     self._live_dvs(),
                 ),
                 mapping,
@@ -2656,11 +3062,13 @@ class VersionedTable:
                 f"{version} were vacuumed — the snapshot is no longer "
                 "materializable"
             )
+        _rows = self._replay_file_rows(version)
         known = {
             rel: (
                 stats.get(rel, {}),
                 file_stats.get(rel, {}),
                 file_sizes.get(rel, {}),
+                _rows.get(rel, {}),
             )
             for rel in target
             if rel in file_stats
@@ -2794,8 +3202,9 @@ class VersionedTable:
             # vectors of UNTOUCHED dirs stay live — this fold only purges
             # the folded files' entries physically)
             folded = self._apply_dv(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, _DATA, d) for d in small]
+                self._scan(
+                    [os.path.join(self.path, _DATA, d) for d in small],
+                    merge_schema=True,
                 ),
                 self._live_dvs(),
             ).coalesce(target_partitions)
@@ -2976,8 +3385,7 @@ class VersionedTable:
                 # schema-evolving merge carry wider files, and a plain read
                 # would adopt one dir's schema and drop the evolved column
                 return self._to_logical(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*added),
+                    self._scan(added, merge_schema=True),
                     mapping,
                 ).withColumn("_change_type", F.lit("insert"))
             # MOR delta fast path: deletes are exactly the in-range
@@ -3094,8 +3502,7 @@ class VersionedTable:
             os.path.join(self.path, _DATA, owner[f], f) for f in touched
         )
         deletes = self._to_logical(
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
+            self._scan(paths, merge_schema=True)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
             .withColumn(
                 "__dv_pos", F.col("_metadata.row_index").cast("long")
@@ -3116,7 +3523,7 @@ class VersionedTable:
         if not added:
             return deletes
         inserts = self._to_logical(
-            self.spark.read.option("mergeSchema", "true").parquet(*added),
+            self._scan(added, merge_schema=True),
             mapping,
         ).withColumn("_change_type", F.lit("insert"))
         # union by name with NULL fill: deleted rows come from files that
@@ -3143,7 +3550,7 @@ class VersionedTable:
                 d = os.path.join(self.path, _DATA, rel)
                 if os.path.isdir(d):
                     return self._to_logical(
-                        self.spark.read.parquet(d).limit(0),
+                        self._scan([d]).limit(0),
                         self.column_mapping(v_to),
                     ).withColumn("_change_type", F.lit("insert"))
         return self.spark.createDataFrame(
@@ -3313,12 +3720,16 @@ class VersionedTable:
         dirs = [os.path.join(self.path, _DATA, d) for d in live]
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
-        reader = self.spark.read
-        if merge_schema:
+
+        def reader_parquet(paths):
             # schema evolution: commits may add columns over time; the
             # merged read surfaces the union schema with NULLs for rows
-            # written before a column existed (parquet mergeSchema)
-            reader = reader.option("mergeSchema", "true")
+            # written before a column existed (parquet mergeSchema). An
+            # active type widening switches to an explicit widened
+            # schema (which subsumes the merge) — _scan decides.
+            return self._scan(paths, merge_schema=merge_schema,
+                              version=version)
+
         if prune is not None:
             col, lo, hi = prune
             # manifest stats are keyed by PHYSICAL names (footer
@@ -3352,12 +3763,14 @@ class VersionedTable:
             if not kept:
                 # all files pruned: zero rows, but keep the same (possibly
                 # merged) schema the un-pruned read would surface
-                return self._to_logical(reader.parquet(*dirs).limit(0), mapping)
+                return self._to_logical(
+                    reader_parquet(dirs).limit(0), mapping
+                )
             return self._to_logical(
-                self._apply_dv(reader.parquet(*kept), dvs), mapping
+                self._apply_dv(reader_parquet(kept), dvs), mapping
             )
         return self._to_logical(
-            self._apply_dv(reader.parquet(*dirs), dvs), mapping
+            self._apply_dv(reader_parquet(dirs), dvs), mapping
         )
 
     def history(self) -> list[dict]:
@@ -3375,16 +3788,19 @@ class VersionedTable:
         from pyspark.sql import types as T
 
         live, _, file_stats, file_sizes = self._replay(version)
+        file_rows = self._replay_file_rows(version)
         rows = []
         for rel in live:
             st = file_stats.get(rel) or {}
             sz = file_sizes.get(rel) or {}
-            for f in sorted(set(st) | set(sz)):
+            rw = file_rows.get(rel) or {}
+            for f in sorted(set(st) | set(sz) | set(rw)):
                 rows.append(
                     (
                         rel,
                         f,
                         sz.get(f),
+                        rw.get(f),
                         json.dumps(st[f]) if f in st else None,
                     )
                 )
@@ -3393,10 +3809,150 @@ class VersionedTable:
                 T.StructField("dir", T.StringType()),
                 T.StructField("file", T.StringType()),
                 T.StructField("size_bytes", T.LongType()),
+                T.StructField("rows", T.LongType()),
                 T.StructField("stats", T.StringType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def _dv_deleted_positions(self, version: int | None = None) -> dict:
+        """{file basename: set of live deleted row positions} from the
+        live deletion-vector parquets at ``version`` — positions, not
+        rows, so the read is |delta|-bounded; pyarrow only, the DATA
+        files are never opened. Duplicate (file, pos) pairs across
+        vector dirs collapse (the read-side anti-join dedups the same
+        way)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, set] = {}
+        for rel in self._live_dvs(version):
+            for f in sorted(
+                _glob.glob(os.path.join(self.path, _DV, rel, "*.parquet"))
+            ):
+                t = pq.read_table(f, columns=["file", "pos"])
+                for b, p in zip(
+                    t.column("file").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    out.setdefault(b, set()).add(p)
+        return out
+
+    def manifest_count(self, version: int | None = None) -> int:
+        """Exact ``COUNT(*)`` at ``version`` answered from the MANIFEST
+        alone — commit log + checkpoint (+ parquet manifest sidecar),
+        minus the live deletion vectors' per-file position counts. Zero
+        data-file opens on any table written by this writer: at 100 TB
+        "how many rows is this table" costs one log read, not a scan.
+        The A14 footer-aggregate pushdown idea (tests/test_plans.py)
+        applied to the versioned table's own manifest. Files from
+        commits predating the row-count manifest fall back to ONE
+        parquet FOOTER read each (metadata pages only, never row data).
+        Generalizes the reference's per-interval record accounting
+        (SparkCaller.java:79-126) to manifest arithmetic."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        live, _, _, file_sizes = self._replay(version)
+        rows_map = self._replay_file_rows(version)
+        rows_by_base: dict[str, int] = {}
+        for rel in live:
+            rw = rows_map.get(rel) or {}
+            sz = file_sizes.get(rel) or {}
+            universe = set(rw) | set(sz)
+            if not universe:
+                # pre-manifest commit: one listing + footer read per file
+                for f in sorted(
+                    _glob.glob(
+                        os.path.join(self.path, _DATA, rel, "*.parquet")
+                    )
+                ):
+                    rows_by_base[os.path.basename(f)] = pq.ParquetFile(
+                        f
+                    ).metadata.num_rows
+                continue
+            for f in universe:
+                n = rw.get(f)
+                if n is None:
+                    n = pq.ParquetFile(
+                        os.path.join(self.path, _DATA, rel, f)
+                    ).metadata.num_rows
+                rows_by_base[f] = n
+        total = sum(rows_by_base.values())
+        # merge-on-read deletes: each live (file, pos) pair hides exactly
+        # one row of a live file
+        for b, poss in self._dv_deleted_positions(version).items():
+            if b in rows_by_base:
+                total -= len(poss)
+        return total
+
+    def manifest_min_max(self, col: str, version: int | None = None):
+        """Exact ``(MIN(col), MAX(col))`` at ``version`` from the
+        per-file manifest stats — zero data reads. SQL semantics: NULLs
+        are ignored (parquet stats already exclude them); an empty table
+        returns ``(None, None)``. DATE/TIMESTAMP extremes return the
+        manifest's fixed-width ISO strings (``_stat_key``).
+
+        Refuses LOUDLY instead of guessing when the manifest cannot
+        prove exactness: a live file with no recorded [min, max] for the
+        column (not stats-listed — widen ``set_stats_columns`` and
+        OPTIMIZE — or an unorderable/all-NULL file, or a pre-file-stats
+        commit), or a deletion vector touching EVERY file that attains
+        the extreme (the vector may have deleted the extreme row itself
+        — OPTIMIZE/compact first, or scan)."""
+        live, _, file_stats, file_sizes = self._replay(version)
+        rows_map = self._replay_file_rows(version)
+        mapping = self.column_mapping(version)
+        pcol = logical_to_physical(mapping).get(col.lower(), col)
+        mins: list[tuple] = []  # (stat value, file basename)
+        maxs: list[tuple] = []
+        for rel in live:
+            fstats = file_stats.get(rel)
+            rw = rows_map.get(rel) or {}
+            universe = (
+                set(rw) | set(file_sizes.get(rel) or {}) | set(fstats or {})
+            )
+            if fstats is None or not universe:
+                raise ValueError(
+                    f"manifest_min_max({col!r}): live dir {rel} predates "
+                    "the per-file stats manifest — OPTIMIZE to rewrite it "
+                    "with stats, or run the scan-based aggregate"
+                )
+            for f in universe:
+                st = (fstats.get(f) or {}).get(pcol)
+                if st is None:
+                    if rw.get(f) == 0:
+                        continue  # zero-row part file: no data, no stats
+                    raise ValueError(
+                        f"manifest_min_max({col!r}): live file {rel}/{f} "
+                        f"has no recorded [min, max] for {pcol!r} — the "
+                        "column is not stats-listed (set_stats_columns) "
+                        "or stats were unavailable at write time; the "
+                        "manifest cannot answer exactly, scan instead"
+                    )
+                mins.append((st[0], f))
+                maxs.append((st[1], f))
+        if not mins:
+            return (None, None)
+        gmin = min(v for v, _ in mins)
+        gmax = max(v for v, _ in maxs)
+        dv = self._dv_deleted_positions(version)
+        if dv:
+            for g, side, lst in (
+                (gmin, "MIN", mins),
+                (gmax, "MAX", maxs),
+            ):
+                attaining = [f for v, f in lst if v == g]
+                if all(f in dv for f in attaining):
+                    raise ValueError(
+                        f"manifest_min_max({col!r}): every file attaining "
+                        f"the global {side} carries a deletion vector — "
+                        "the vector may have deleted the extreme row, so "
+                        "the manifest cannot answer exactly; OPTIMIZE (or "
+                        "purge vectors) first, or scan"
+                    )
+        return (gmin, gmax)
 
     def snapshots(self) -> DataFrame:
         """The commit log as a DataFrame — Delta's DESCRIBE HISTORY /

@@ -972,20 +972,20 @@ def _make_table_stream_source(
 
         def _current_colmap(self) -> dict:
             from daas_apps_spark.sources.table_format import (
-                column_mapping_at,
-                logical_to_physical,
                 read_log,
+                resolve_stream_colmap,
             )
 
             commits = self._log_snapshot
             if commits is None:
                 commits = read_log(self.path)
                 self._log_snapshot = commits
-            # the LATEST mapping resolves every planned unit: physical
-            # names are immutable, and the declared stream schema names
-            # the CURRENT logical columns
-            return logical_to_physical(
-                column_mapping_at(self.path, commits=commits)
+            # the LATEST mapping resolves every planned unit (physical
+            # names are immutable); declared names that VANISHED from
+            # the mapping mid-stream raise at plan time instead of
+            # null-filling (see resolve_stream_colmap)
+            return resolve_stream_colmap(
+                self.path, self.columns, commits=commits, where=source_name
             )
 
         def partitions(self, start, end):
@@ -1076,15 +1076,16 @@ def _make_table_stream_source(
         def _rows(self, v_from: int, v_to: int | None):
             from daas_apps_spark.sources.table_format import (
                 change_plan_between,
-                column_mapping_at,
-                logical_to_physical,
                 read_change_unit,
+                resolve_stream_colmap,
             )
 
             units, resolved = change_plan_between(
                 self.path, v_from, v_to, mode=mode
             )
-            colmap = logical_to_physical(column_mapping_at(self.path))
+            colmap = resolve_stream_colmap(
+                self.path, self.columns, where=source_name
+            )
             rows: list[tuple] = []
             for u in units:
                 rows.extend(

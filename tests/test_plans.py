@@ -514,7 +514,7 @@ def test_gr4_topk_no_global_sort(spark):
     # component whose size grows ~3x per data decade — through a single
     # unpartitioned row_number window. The residual rnk window runs over
     # the 25-row limit result only.
-    plan = plan_of(spark, "gr4_link_prediction")
+    plan = plan_of(spark, "gr4_capped")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
 

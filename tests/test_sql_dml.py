@@ -1,0 +1,161 @@
+"""SQL DML front-end (sources/sql_dml.py): text ≡ Python API, commit for
+commit.
+
+The translator's contract is THIN: statement shape parsed, expressions
+passed through to Catalyst verbatim, everything else refused loudly. The
+parity tests drive twin tables — one via SQL text, one via the Python
+API — and require identical commit operations AND identical final rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from daas_apps_spark.sources.sql_dml import run_sql
+from daas_apps_spark.sources.table_format import VersionedTable
+
+
+@pytest.fixture()
+def twins(spark, tmp_path):
+    a = VersionedTable(spark, str(tmp_path / "sql"))
+    b = VersionedTable(spark, str(tmp_path / "api"))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    a.append(df)
+    b.append(df)
+    return a, b
+
+
+def _rows(vt):
+    return sorted((r.k, r.v, r.x) for r in vt.read().collect())
+
+
+def _ops(vt):
+    return [(c["operation"], bool(c.get("dv_add"))) for c in vt.history()]
+
+
+def test_delete_parity(spark, twins):
+    a, b = twins
+    v = run_sql(spark, "DELETE FROM t WHERE k = 2", {"t": a})
+    assert v == b.delete("k = 2") == 2
+    assert _rows(a) == _rows(b)
+    assert _ops(a) == _ops(b)
+
+
+def test_mor_hint_routes_delete_through_deletion_vectors(spark, twins):
+    a, b = twins
+    run_sql(spark, "/*+ MOR */ DELETE FROM t WHERE k = 2", {"t": a})
+    b.delete("k = 2", mode="mor")
+    assert _rows(a) == _rows(b)
+    assert _ops(a) == _ops(b)
+    assert a.history()[-1]["dv_add"]  # merge-on-read, not a rewrite
+
+
+def test_update_parity_multi_assignment(spark, twins):
+    a, b = twins
+    sql = "UPDATE t SET v = upper(v), x = x * 2 WHERE k >= 2"
+    va = run_sql(spark, sql, {"t": a})
+    vb = b.update("k >= 2", {"v": "upper(v)", "x": "x * 2"})
+    assert va == vb
+    assert _rows(a) == _rows(b) == [
+        (1, "a", 10.0),
+        (2, "B", 40.0),
+        (3, "C", 60.0),
+    ]
+    assert _ops(a) == _ops(b)
+
+
+def test_update_set_list_respects_nested_commas(spark, twins):
+    a, _ = twins
+    run_sql(
+        spark,
+        "UPDATE t SET v = concat_ws(',', v, 'z'), x = round(x, 1) "
+        "WHERE k = 1",
+        {"t": a},
+    )
+    got = dict((r.k, r.v) for r in a.read().collect())
+    assert got[1] == "a,z"
+
+
+def test_merge_parity_subquery_source(spark, twins):
+    a, b = twins
+    upd = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    upd.createOrReplaceTempView("updates_v")
+    va = run_sql(
+        spark,
+        "MERGE INTO t USING (SELECT * FROM updates_v) AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": a},
+    )
+    vb = b.merge(upd, keys=["k"])
+    assert va == vb
+    assert _rows(a) == _rows(b)
+    assert (2, "B2", 99.0) in _rows(a) and (4, "d", 40.0) in _rows(a)
+    assert _ops(a) == _ops(b)
+
+
+def test_merge_named_view_source_and_when_order(spark, twins):
+    a, _ = twins
+    spark.createDataFrame(
+        [(3, "CCC", 3.0)], "k long, v string, x double"
+    ).createOrReplaceTempView("src_v")
+    run_sql(
+        spark,
+        "MERGE INTO t AS tgt USING src_v AS s ON tgt.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN MATCHED THEN UPDATE SET *",
+        {"t": a},
+    )
+    assert dict((r.k, r.v) for r in a.read().collect())[3] == "CCC"
+
+
+def test_select_with_version_as_of(spark, twins):
+    a, _ = twins
+    run_sql(spark, "DELETE FROM t WHERE k = 1", {"t": a})
+    head = run_sql(
+        spark, "SELECT count(*) AS n FROM t", {"t": a}
+    ).first()
+    old = run_sql(
+        spark, "SELECT count(*) AS n FROM t VERSION AS OF 1", {"t": a}
+    ).first()
+    assert (head.n, old.n) == (2, 3)
+    joined = run_sql(
+        spark,
+        "SELECT count(*) AS gone FROM t VERSION AS OF 1 "
+        "WHERE k NOT IN (SELECT k FROM t)",
+        {"t": a},
+    ).first()
+    assert joined.gone == 1
+
+
+def test_refusals_are_loud(spark, twins):
+    a, _ = twins
+    with pytest.raises(ValueError, match="supported verbs"):
+        run_sql(spark, "INSERT INTO t VALUES (9, 'z', 0.0)", {"t": a})
+    with pytest.raises(ValueError, match="key equality"):
+        run_sql(
+            spark,
+            "MERGE INTO t USING t AS s ON t.k > s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"t": a},
+        )
+    with pytest.raises(ValueError, match="WHEN clauses"):
+        run_sql(
+            spark,
+            "MERGE INTO t USING t AS s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+            {"t": a},
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        run_sql(spark, "DELETE FROM nope WHERE k = 1", {"t": a})
+    with pytest.raises(ValueError, match="unknown hint"):
+        run_sql(spark, "/*+ FAST */ DELETE FROM t WHERE k = 1", {"t": a})
+    with pytest.raises(ValueError, match="unsupported DELETE"):
+        run_sql(spark, "DELETE FROM t", {"t": a})  # no WHERE: refuse

@@ -3017,3 +3017,386 @@ def test_vacuum_dry_run_reports_without_deleting(spark, vt):
     assert vt.vacuum(keep_versions=0) == would  # the real run matches the report
     with pytest.raises(Exception):
         vt.read(version=1).collect()  # now it's gone
+
+
+def test_rename_of_clustering_key_rewrites_layout_in_same_commit(spark, vt):
+    """Renaming a column named by the active clustered layout must carry
+    the layout to the new logical name IN THE SAME metadata commit —
+    otherwise every future write's key lookup misses and files silently
+    land unclustered while the table still declares the
+    clustered-layout writer feature readers budget scans by."""
+    vt.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k long, v string"
+        ).coalesce(1)
+    )
+    vt.set_layout(["k"], target_files=4)
+    vt.rename_column("k", "key")
+    entry = vt._commits()[-1]
+    # ONE commit carries both the mapping and the rewritten layout
+    assert "column_mapping_set" in entry["metadata"]
+    assert entry["metadata"]["layout_set"]["cluster_by"] == ["key"]
+    assert vt.layout() == {"cluster_by": ["key"], "target_files": 4}
+    # a post-rename write still clusters: 4 range-disjoint files
+    vt.append(
+        spark.createDataFrame(
+            [(100 + i, "x") for i in range(100)], "key long, v string"
+        ).coalesce(1)
+    )
+    [(_, fstats)] = vt._commits()[-1]["file_stats"].items()
+    assert len(fstats) == 4
+    ranges = sorted((st["k"][0], st["k"][1]) for st in fstats.values())
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+
+
+def test_drop_of_clustering_key_refuses(spark, vt):
+    """Dropping a clustering key would leave the layout pointing at
+    nothing — refuse loudly (like constraints do) instead of letting
+    future writes land unclustered."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.set_layout(["v"])
+    with pytest.raises(ValueError, match="clustering key"):
+        vt.drop_column("v")
+    vt.set_layout(None)
+    vt.drop_column("v")  # clear the layout first → drop proceeds
+    assert vt.read().columns == ["k"]
+
+
+def test_write_missing_clustering_key_refuses(spark, vt):
+    """A write that lacks a declared clustering column must refuse, not
+    silently land unclustered files under a table that declares the
+    clustered-layout writer feature."""
+    vt.append(_df(spark, [(1, "a")]))
+    vt.set_layout(["v"])
+    with pytest.raises(ValueError, match="missing clustering key"):
+        vt.append(spark.createDataFrame([(2,)], "k long"))
+    # a write carrying the key still lands
+    vt.append(_df(spark, [(2, "b")]))
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2]
+
+
+def test_drop_last_mapped_field_with_unmapped_evolved_columns(spark, vt):
+    """The mapping registers post-bootstrap evolved columns lazily, so
+    its field list can understate the live logical width: dropping the
+    last MAPPED field must succeed when unmapped evolved columns still
+    exist in the live files."""
+    vt.append(spark.createDataFrame([(1,)], "k long"))
+    vt.rename_column("k", "key")  # mapping bootstraps with ONE field
+    # schema evolution: a later append introduces v (never renamed →
+    # never registered in the mapping)
+    vt.append(spark.createDataFrame([(2, "b")], "key long, v string"))
+    vt.drop_column("key")  # v remains — NOT the last column
+    assert vt.read(merge_schema=True).columns == ["v"]
+    # and the true last column still refuses
+    with pytest.raises(ValueError, match="last column"):
+        vt.drop_column("v")
+
+
+def test_stream_colmap_raises_on_vanished_declared_column(spark, vt):
+    """A stream's declared schema is fixed at start while the mapping
+    keeps evolving: a declared logical name renamed AWAY mid-stream (or
+    the old physical name of a renamed column) must raise at plan time,
+    never silently null-fill."""
+    from daas_apps_spark.sources.table_format import resolve_stream_colmap
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.rename_column("v", "label")
+    # declared with the current name: resolves to the physical
+    assert resolve_stream_colmap(vt.path, ["k", "label"]) == {
+        "k": "k",
+        "label": "v",
+    }
+    # the OLD name of a renamed column: vanished → raise
+    with pytest.raises(ValueError, match="no longer resolve"):
+        resolve_stream_colmap(vt.path, ["k", "v"])
+    # rename AGAIN: a stream declared between the renames vanishes too
+    vt.rename_column("label", "tag")
+    with pytest.raises(ValueError, match="label"):
+        resolve_stream_colmap(vt.path, ["k", "label"])
+    assert resolve_stream_colmap(vt.path, ["tag"]) == {
+        "k": "k",
+        "tag": "v",
+    }
+    # an unmapped evolved column passes through untouched
+    vt.append(spark.createDataFrame([(2, "x", 1.0)], "k long, tag string, w double"))
+    assert resolve_stream_colmap(vt.path, ["w"])["tag"] == "v"
+
+
+def test_change_plan_stat_fallback_raises_descriptive_error(spark, vt):
+    """A pre-size-manifest commit whose file was vacuumed must fail at
+    PLAN time with the planner's descriptive vacuumed-range error, not a
+    bare FileNotFoundError from a stat call; a manifest-recorded 0-byte
+    size is a real size, not a missing entry."""
+    import glob as _glob
+    import json as _json
+
+    from daas_apps_spark.sources.table_format import change_plan_between
+
+    vt.append(_df(spark, [(1, "a")]))
+    log = os.path.join(vt.path, "_log", "00000001.json")
+    with open(log) as f:
+        entry = _json.load(f)
+    entry.pop("file_sizes", None)  # simulate an old writer's commit
+    with open(log, "w") as f:
+        _json.dump(entry, f)
+    units, _ = change_plan_between(vt.path, 0, 1)  # stat fallback works
+    assert all(u["size"] > 0 for u in units)
+    for fpath in _glob.glob(
+        os.path.join(vt.path, "data", entry["add"][0], "*.parquet")
+    ):
+        os.remove(fpath)
+    with pytest.raises(ValueError, match="vacuumed"):
+        change_plan_between(vt.path, 0, 1)
+
+
+def test_manifest_count_zero_data_reads(spark, vt, tmp_path):
+    """COUNT(*) answered from the manifest alone — commit log + deletion
+    vectors, zero data-file opens (pinned by chmod-ing every data dir
+    unreadable): the 100 TB census costs one log read, not a scan. DV
+    rows subtract exactly; time travel counts the old snapshot; a clone
+    carries the row counts."""
+    vt.append(
+        spark.createDataFrame(
+            [(i, "a") for i in range(100)], "k long, v string"
+        ).repartitionByRange(2, "k")
+    )
+    vt.append(
+        spark.createDataFrame(
+            [(100 + i, "b") for i in range(50)], "k long, v string"
+        ).repartitionByRange(2, "k")
+    )
+    assert vt.manifest_count() == 150
+    # MOR delete in the MIDDLE of the range: count subtracts the vector,
+    # min/max stay provably exact (no DV on an extreme-attaining file)
+    vt.delete("k >= 110 and k < 120", mode="mor")
+    dest = vt.clone_to(str(tmp_path / "clone"))
+    data = os.path.join(vt.path, "data")
+    dirs = [os.path.join(data, d) for d in os.listdir(data)]
+    for d in dirs:
+        os.chmod(d, 0)
+    try:
+        assert vt.manifest_count() == 140
+        assert vt.manifest_count(version=1) == 100
+        assert vt.manifest_min_max("k") == (0, 149)
+        assert dest.manifest_count() == 140
+    finally:
+        for d in dirs:
+            os.chmod(d, 0o755)
+    # the scan agrees once the files are readable again
+    assert vt.read().count() == 140
+
+
+def test_manifest_min_max_refuses_when_inexact(spark, vt):
+    """manifest_min_max refuses LOUDLY instead of guessing: a deletion
+    vector on every file attaining the extreme (the extreme row may be
+    deleted), or a live file with no recorded stats for the column
+    (set_stats_columns narrowed the manifest)."""
+    vt.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, x double"
+        ).repartitionByRange(2, "k")
+    )
+    assert vt.manifest_min_max("k") == (0, 99)
+    assert vt.manifest_min_max("x") == (0.0, 99.0)
+    vt.delete("k = 0", mode="mor")  # the vector touches the MIN file
+    assert vt.manifest_count() == 99  # count stays exact
+    with pytest.raises(ValueError, match="deletion vector"):
+        vt.manifest_min_max("k")
+    # time travel BEFORE the delete is still provably exact
+    assert vt.manifest_min_max("k", version=1) == (0, 99)
+    # a column outside the stats allowlist refuses by name
+    vt.set_stats_columns(["k"])
+    vt.append(spark.createDataFrame([(200, 200.0)], "k long, x double"))
+    with pytest.raises(ValueError, match="no recorded"):
+        vt.manifest_min_max("x")
+    # OPTIMIZE purges the vector -> min/max provable again (allowlist
+    # restored first so the rewrite records stats for both columns)
+    vt.set_stats_columns(None)
+    vt.optimize()
+    assert vt.manifest_min_max("k") == (1, 200)
+    assert vt.manifest_count() == 100
+
+
+def test_manifest_count_survives_checkpoint_sidecar_and_retention(
+    spark, vt, monkeypatch
+):
+    """The per-file row counts fold into checkpoints, externalize to the
+    parquet manifest sidecar, and survive log retention — and a COW
+    merge's carry dirs keep them (pure manifest arithmetic, no footer
+    re-reads)."""
+    import daas_apps_spark.sources.table_format as tf
+
+    monkeypatch.setattr(tf, "PARQUET_MANIFEST_MIN_FILES", 1)
+    for i in range(tf.CHECKPOINT_EVERY):
+        vt.append(
+            spark.createDataFrame(
+                [(i * 100 + j, "x") for j in range(50)], "k long, v string"
+            ).repartitionByRange(2, "k")
+        )
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert vt.manifest_count() == 50 * tf.CHECKPOINT_EVERY
+    # file-level COW: the carry dirs inherit the sidecar's row counts
+    vt.merge(
+        spark.createDataFrame([(1, "Z")], "k long, v string"), keys=["k"]
+    )
+    data = os.path.join(vt.path, "data")
+    dirs = [os.path.join(data, d) for d in os.listdir(data)]
+    for d in dirs:
+        os.chmod(d, 0)
+    try:
+        assert vt.manifest_count() == 50 * tf.CHECKPOINT_EVERY
+    finally:
+        for d in dirs:
+            os.chmod(d, 0o755)
+
+
+def test_type_widening_is_metadata_only_and_reads_mixed_eras(spark, vt):
+    """widen_column publishes ONE metadata commit: zero data dirs
+    touched, old (narrow) files upcast at scan time via the explicit
+    widened schema, new writes land the wide type physically, time
+    travel before the widen surfaces the narrow type."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    vt.append(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, x float")
+    )  # v1: narrow era
+    dirs_before = sorted(os.listdir(os.path.join(vt.path, "data")))
+    assert vt.widen_column("k", "bigint") == 2
+    entry = vt._commits()[-1]
+    assert entry["add"] == [] and entry["remove"] == []
+    assert entry["data_change"] is False
+    assert "type-widening" in entry["features"]
+    assert "type-widening" in vt.writer_features()
+    assert sorted(os.listdir(os.path.join(vt.path, "data"))) == dirs_before
+    assert dict(vt.read().dtypes)["k"] == "bigint"
+    # a post-widen append overflows int32 — the reason the user widened
+    vt.append(spark.createDataFrame([(2**40, 9.5)], "k long, x float"))
+    got = sorted((r.k, r.x) for r in vt.read().collect())
+    assert got == [(1, 1.5), (2, 2.5), (2**40, 9.5)]
+    # the NEW file physically stores the wide type (write-funnel cast)
+    new_dir = [
+        d
+        for d in os.listdir(os.path.join(vt.path, "data"))
+        if d not in dirs_before
+    ]
+    f = _glob.glob(os.path.join(vt.path, "data", new_dir[0], "*.parquet"))[0]
+    assert str(pq.ParquetFile(f).schema_arrow.field("k").type) == "int64"
+    # time travel BEFORE the widen surfaces the narrow type
+    assert dict(vt.read(version=1).dtypes)["k"] == "int"
+    # float -> double widens too, and chains read together
+    vt.widen_column("x", "double")
+    assert dict(vt.read().dtypes)["x"] == "double"
+    assert vt.read().filter("k > 100").count() == 1
+
+
+def test_type_widening_refuses_narrowing_and_old_protocols(
+    spark, vt, monkeypatch
+):
+    """Narrowing/cross-family changes refuse; same-type is a no-op
+    without a commit; pre-widening readers AND writers refuse via the
+    type-widening feature."""
+    import daas_apps_spark.sources.table_format as tf
+    from daas_apps_spark.sources.table_format import (
+        UnsupportedTableFeatureError,
+    )
+
+    vt.append(spark.createDataFrame([(1, 1.5)], "k int, x double"))
+    with pytest.raises(ValueError, match="cannot widen"):
+        vt.widen_column("x", "float")  # narrowing
+    with pytest.raises(ValueError, match="cannot widen"):
+        vt.widen_column("k", "string")  # cross-family
+    with pytest.raises(ValueError, match="does not exist"):
+        vt.widen_column("nope", "bigint")
+    v = vt.latest_version()
+    assert vt.widen_column("k", "int") == v  # no-op: no commit published
+    assert vt.latest_version() == v
+    vt.widen_column("k", "bigint")
+    monkeypatch.setattr(tf, "SUPPORTED_FEATURES", {"deletion-vectors"})
+    with pytest.raises(UnsupportedTableFeatureError, match="type-widening"):
+        vt.read()
+    monkeypatch.undo()
+    monkeypatch.setattr(tf, "SUPPORTED_WRITER_FEATURES", {"deletion-vectors"})
+    with pytest.raises(UnsupportedTableFeatureError, match="type-widening"):
+        vt.append(spark.createDataFrame([(2, 2.0)], "k long, x double"))
+
+
+def test_type_widening_checkpoint_fold_feed_and_cow(spark, vt):
+    """The widening map folds into checkpoints (survives log
+    retention); the change feed spans both eras on the widened type;
+    file-level COW (merge) and MOR delete work across the mixed era;
+    OPTIMIZE materializes the wide type physically."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    vt.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                              "k int, v string")
+    )  # v1: narrow
+    vt.widen_column("k", "bigint")  # v2
+    vt.append(
+        spark.createDataFrame([(2**40, "big")], "k long, v string")
+    )  # v3: wide era
+    # the feed spans both eras, aligned on the widened type
+    feed = vt.changes_between(0, 3)
+    assert dict(feed.dtypes)["k"] == "bigint"
+    assert feed.count() == 11
+    # MOR delete + merge across the mixed era
+    vt.delete("k = 3", mode="mor")  # v4
+    vt.merge(
+        spark.createDataFrame([(1, "ONE"), (2**41, "huge")],
+                              "k long, v string"),
+        keys=["k"],
+    )  # v5
+    got = dict((r.k, r.v) for r in vt.read().collect())
+    assert got[1] == "ONE" and got[2**41] == "huge" and 3 not in got
+    assert len(got) == 11
+    # checkpoint folds the widening map; retention keeps it working
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(
+            spark.createDataFrame([(100 + i, "x")], "k long, v string")
+        )
+    log = os.path.join(vt.path, "_log")
+    cks = sorted(n for n in os.listdir(log) if n.endswith("checkpoint.json"))
+    with open(os.path.join(log, cks[-1])) as f:
+        snap = _json.load(f)
+    assert snap["type_widening"] == {"k": "bigint"}
+    assert "type-widening" in snap["features"]
+    ck_v = int(cks[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and "checkpoint" not in n:
+            if int(n.split(".")[0]) <= ck_v:
+                os.unlink(os.path.join(log, n))
+    assert dict(vt.read().dtypes)["k"] == "bigint"
+    assert vt.read().count() == 11 + CHECKPOINT_EVERY
+    # OPTIMIZE's rewrite materializes the wide type physically
+    vt.optimize()
+    for d in vt._live_dirs():
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            assert str(pq.ParquetFile(f).schema_arrow.field("k").type) == (
+                "int64"
+            )
+
+
+def test_type_widening_resolves_through_column_mapping(spark, vt):
+    """widen_column takes the LOGICAL name: the map keys on the
+    immutable physical name, so renames before/after the widen are
+    orthogonal."""
+    vt.append(spark.createDataFrame([(7, "a")], "k int, v string"))
+    vt.rename_column("k", "key")
+    vt.widen_column("key", "bigint")  # logical name resolves
+    assert vt.type_widening() == {"k": "bigint"}  # keyed physically
+    assert dict(vt.read().dtypes)["key"] == "bigint"
+    vt.rename_column("key", "ident")  # rename AFTER the widen
+    assert dict(vt.read().dtypes)["ident"] == "bigint"
+    assert [r.ident for r in vt.read().collect()] == [7]
