@@ -222,6 +222,32 @@ def cmd_table(args: argparse.Namespace) -> int:
             return 2
         v = vt.drop_column(args.name)
         print(f"dropped {args.name} (metadata commit v{v})")
+    elif args.op == "widen-column":
+        if not args.name or not args.new_type:
+            print("widen-column requires --name <column> and --type <ddl>")
+            return 2
+        v = vt.widen_column(args.name, args.new_type)
+        print(f"widened {args.name} -> {args.new_type} (metadata commit v{v})")
+    elif args.op == "count":
+        # manifest-only: zero data-file opens (A35)
+        print(vt.manifest_count(version=args.version))
+    elif args.op == "minmax":
+        if not args.name:
+            print("minmax requires --name <column>")
+            return 2
+        lo, hi = vt.manifest_min_max(args.name, version=args.version)
+        print(f"min={lo} max={hi}  (manifest-only, exact)")
+    elif args.op == "sql":
+        if not args.statement:
+            print("sql requires --statement '<DML or SELECT>'")
+            return 2
+        from daas_apps_spark.sources.sql_dml import run_sql
+
+        out = run_sql(spark, args.statement, {"t": vt})
+        if isinstance(out, int):
+            print(f"committed -> v{out}")
+        else:
+            out.show(args.limit, truncate=False)
     elif args.op == "set-layout":
         if args.clear:
             v = vt.set_layout(None)
@@ -324,7 +350,11 @@ def main(argv: list[str] | None = None) -> int:
             "protocol",
             "rename-column",
             "drop-column",
+            "widen-column",
             "set-layout",
+            "count",
+            "minmax",
+            "sql",
             "tag",
             "refs",
         ),
@@ -389,6 +419,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_tbl.add_argument(
         "--old", default=None, help="rename-column: current logical name"
+    )
+    p_tbl.add_argument(
+        "--type",
+        dest="new_type",
+        default=None,
+        help="widen-column: the wider Spark DDL type (e.g. bigint, double)",
+    )
+    p_tbl.add_argument(
+        "--statement",
+        default=None,
+        help="sql: one DML/query statement; the table binds as name 't' "
+        "(MERGE INTO t ... / UPDATE t ... / DELETE FROM t ... / "
+        "SELECT ... FROM t [VERSION AS OF n])",
     )
     p_tbl.add_argument(
         "--new", default=None, help="rename-column: new logical name"

@@ -1456,6 +1456,77 @@ def a37_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(v1)
 
 
+@register(
+    "a38_multi_table_txn",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=("A38", "A25", "I9"),
+)
+def a38_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ATOMIC commit (table_format.py::MultiTableTxn —
+    presumed-abort 2PC with one coordinator marker file; the
+    catalog-level multi-table atomicity Iceberg's REST catalog
+    provides). The even orders stage into table A and the odd orders
+    into table B under ONE transaction — invisible on both until the
+    coordinator's single committed marker flips them visible together
+    (the mid-stage census below MUST see zero rows). A second
+    transaction stages a duplicate batch into both tables and ABORTS:
+    its slots are consumed but its rows are permanently invisible, so
+    the final A∪B census equals plain ``orders`` exactly — any
+    half-applied or resurrected-after-abort row breaks the hash. The
+    streaming CDC fan-out builds on this (live.py::
+    run_cdf_fanout_atomic, crash-injection tested): both destinations
+    of a micro-batch become visible together or not at all.
+    """
+    from daas_apps_spark.sources.table_format import (
+        MultiTableTxn,
+        VersionedTable,
+    )
+
+    base = scratch_dir(f"a38_txn_{os.getpid()}")
+    va = VersionedTable(spark, os.path.join(base, "a"))
+    vb = VersionedTable(spark, os.path.join(base, "b"))
+    coord = MultiTableTxn(os.path.join(base, "coord"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    txn = coord.begin()
+    va.append(o.filter(F.col("o_orderkey") % 2 == 0), txn=txn)
+    # BETWEEN the staged commits: a reader of A must see NOTHING —
+    # the atomicity claim, asserted in-line (slot exists, zero state)
+    assert va.latest_version() == 1
+    try:
+        va.read()
+        raise AssertionError("staged txn state leaked before commit")
+    except ValueError:
+        pass  # no visible snapshot: correct
+    vb.append(o.filter(F.col("o_orderkey") % 2 == 1), txn=txn)
+    coord.commit(txn)  # both flip visible together
+    dead = coord.begin()  # a second txn stages duplicates... and dies
+    va.append(o.limit(100), txn=dead)
+    vb.append(o.limit(50), txn=dead)
+    coord.abort(dead)  # consumed slots, permanently invisible
+    return (
+        va.read()
+        .unionByName(vb.read())
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "grp",
+            "n_rows",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

@@ -245,6 +245,26 @@ def run_sql(
         )
         return vt.merge(source_df, keys)
     if verb in ("SELECT", "WITH"):
+        # manifest fast path: a bare COUNT(*) over one declared table
+        # answers from the commit log + checkpoint sidecar with ZERO
+        # data-file opens (A35) — at 100 TB the census costs one
+        # manifest read, not a scan; DV-exact, time-travel-aware
+        fast = re.match(
+            r"^\s*SELECT\s+COUNT\(\s*\*\s*\)\s*(?:AS\s+(?P<alias>\w+))?"
+            r"\s+FROM\s+(?P<t>[A-Za-z_]\w*)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if fast and any(
+            k.lower() == fast.group("t").lower() for k in tables
+        ):
+            vt = _resolve(spark, tables, fast.group("t"))
+            n = vt.manifest_count(
+                version=int(fast.group("v")) if fast.group("v") else None
+            )
+            name = fast.group("alias") or "count(1)"  # Spark's default
+            return spark.createDataFrame([(n,)], f"`{name}` long")
         # rewrite every declared table reference (with optional
         # VERSION/TIMESTAMP AS OF) to a fresh temp view over the
         # corresponding snapshot read, then let Spark SQL run the text

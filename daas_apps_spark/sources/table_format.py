@@ -90,7 +90,12 @@ def _log_names(log_dir: str, pattern) -> list[str]:
 # Without this, a reader predating deletion vectors would silently
 # resurrect deleted rows — the guard turns format evolution into a loud
 # version error instead of wrong answers.
-SUPPORTED_FEATURES = {"deletion-vectors", "column-mapping", "type-widening"}
+SUPPORTED_FEATURES = {
+    "deletion-vectors",
+    "column-mapping",
+    "type-widening",
+    "txn-markers",
+}
 
 # WRITER feature flags (Delta's writerFeatures/minWriterVersion, reduced
 # to a set): a commit DECLARES the features any FUTURE WRITER must
@@ -110,6 +115,7 @@ SUPPORTED_WRITER_FEATURES = {
     "column-mapping",
     "clustered-layout",
     "type-widening",
+    "txn-markers",
 }
 
 # Lossless type widenings ``widen_column`` accepts (Delta's type
@@ -218,11 +224,71 @@ def _check_features(entry: dict, where: str) -> None:
         )
 
 
+def _txn_status(coordinator: str, txn_id: str) -> str:
+    """'committed' | 'aborted' | 'pending' for a multi-table transaction,
+    read from the coordinator directory — the SINGLE atomic visibility
+    point the staged commits of every participating table share."""
+    if os.path.isfile(os.path.join(coordinator, f"{txn_id}.committed.json")):
+        return "committed"
+    if os.path.isfile(os.path.join(coordinator, f"{txn_id}.aborted.json")):
+        return "aborted"
+    return "pending"
+
+
+def _resolve_txn_entries(entries: list[dict]) -> list[dict]:
+    """Visibility resolution for multi-table-transaction commits: an
+    entry staged under a txn marker contributes NO table state until
+    its coordinator records the txn committed — both participating
+    tables' commits therefore become visible together (the coordinator
+    file appears) or not at all. Pending/aborted entries are NEUTERED,
+    not dropped: their version numbers must keep participating in
+    version minting and range-contiguity checks (an aborted txn's slot
+    is consumed forever — presumed-abort 2PC, no completion logic).
+    Pending entries carry a transient ``_txn_pending`` flag (never
+    serialized) so planners can stall instead of skipping past a commit
+    that may yet become visible."""
+    out = []
+    for e in entries:
+        t = e.get("txn")
+        if not t:
+            out.append(e)
+            continue
+        status = _txn_status(t["coordinator"], t["id"])
+        if status == "committed":
+            out.append(e)
+            continue
+        ne = {
+            **e,
+            "add": [],
+            "remove": [],
+            "dv_add": [],
+            "dv_remove": [],
+            "metadata": {},
+            "stats": {},
+            "file_stats": {},
+            "file_sizes": {},
+            "file_rows": {},
+            "data_change": False,
+        }
+        if status == "pending":
+            ne["_txn_pending"] = True
+            # transient (never serialized): what the txn staged, so
+            # VACUUM can protect dirs that will flip live at commit
+            # (an aborted txn's dirs stay unprotected — reclaimable)
+            ne["_txn_staged_add"] = list(e.get("add", []))
+            ne["_txn_staged_dv_add"] = list(e.get("dv_add", []))
+        out.append(ne)
+    return out
+
+
 def read_log(path: str) -> list[dict]:
     """Pure-filesystem commit-log read (no SparkSession) — the piece a
     streaming source worker needs: it runs outside the driver's session,
     so table state must be resolvable from files alone. Refuses logs
-    that declare reader features this code lacks (protocol guard)."""
+    that declare reader features this code lacks (protocol guard).
+    Multi-table-transaction commits resolve through their coordinator
+    (``_resolve_txn_entries``): staged-but-uncommitted state is
+    invisible here exactly as it is to the in-session reader."""
     log_dir = os.path.join(path, _LOG)
     entries = []
     # same strict match + numeric order as VersionedTable._commits: never
@@ -232,7 +298,7 @@ def read_log(path: str) -> list[dict]:
             entry = json.load(f)
         _check_features(entry, f"commit {name}")
         entries.append(entry)
-    return entries
+    return _resolve_txn_entries(entries)
 
 
 def column_mapping_at(
@@ -315,6 +381,95 @@ def resolve_stream_colmap(
                 "logical schema"
             )
     return logical_to_physical(mapping)
+
+
+class MultiTableTxn:
+    """ATOMIC multi-table visibility for versioned tables — presumed-
+    abort two-phase commit with one directory as the coordinator log
+    (the catalog-level atomicity Iceberg's REST catalog provides for
+    multi-table transactions, reduced to one marker file).
+
+    Protocol: ``begin()`` mints a txn marker; each participating write
+    passes it as ``txn=`` (append/overwrite), which publishes a commit
+    that OCCUPIES a version slot but contributes NO visible state;
+    ``commit()`` atomically creates ``<id>.committed.json`` — the single
+    swap after which EVERY participant's staged commit resolves visible
+    at once. A reader between the staged commits can never observe the
+    half-state, because visibility is the coordinator file's existence,
+    not the staged commits' — the fault-injection tests crash between
+    the two stages and between stage and commit to pin exactly this.
+
+    Crash recovery is PRESUMED ABORT: a txn never marked committed is
+    dead — ``abort_abandoned()`` (run at coordinator restart; there is
+    one coordinator per log directory by construction) marks every
+    pending txn aborted, its staged commits stay invisible forever as
+    consumed version slots, and the caller simply re-runs the work
+    under a fresh txn. No completion/redo logic exists to get wrong.
+    Until a txn resolves, further commits to the participating tables
+    refuse (``_commit``'s pending guard) — a later commit would make
+    the flip-to-visible retroactive — and auto-checkpoints defer so a
+    fold can never freeze a staged commit below the replay floor.
+    Staged commits declare the ``txn-markers`` reader AND writer
+    feature: an old reader would apply half a transaction, an old
+    writer lacks the pending guard. Commit-vs-abort races resolve
+    committed-wins (status checks the committed marker first)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _publish(self, name: str) -> None:
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"ts": _time.time()}, f)
+        try:
+            os.link(tmp, os.path.join(self.path, name))
+        except FileExistsError:
+            pass  # idempotent: the marker is content-free
+        os.unlink(tmp)
+
+    @staticmethod
+    def _id(txn) -> str:
+        return txn["id"] if isinstance(txn, dict) else txn
+
+    def begin(self) -> dict:
+        txn_id = uuid.uuid4().hex
+        self._publish(f"{txn_id}.begin.json")
+        return {"id": txn_id, "coordinator": self.path}
+
+    def status(self, txn) -> str:
+        return _txn_status(self.path, self._id(txn))
+
+    def commit(self, txn) -> None:
+        txn_id = self._id(txn)
+        if self.status(txn_id) == "aborted":
+            raise ValueError(
+                f"txn {txn_id} is already aborted — its staged commits "
+                "are permanently invisible; re-run the work under a "
+                "fresh txn"
+            )
+        self._publish(f"{txn_id}.committed.json")
+
+    def abort(self, txn) -> None:
+        txn_id = self._id(txn)
+        if self.status(txn_id) == "committed":
+            raise ValueError(f"txn {txn_id} is already committed")
+        self._publish(f"{txn_id}.aborted.json")
+
+    def abort_abandoned(self) -> list[str]:
+        """Mark every pending txn aborted — the coordinator-restart
+        cleanup (anything pending at startup is abandoned by
+        definition: there is one coordinator per log dir). Returns the
+        aborted ids."""
+        dead = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.endswith(".begin.json"):
+                continue
+            txn_id = name[: -len(".begin.json")]
+            if self.status(txn_id) == "pending":
+                self.abort(txn_id)
+                dead.append(txn_id)
+        return dead
 
 
 def logical_to_physical(mapping: dict | None) -> dict[str, str]:
@@ -467,6 +622,17 @@ def change_plan_between(
         if not (v_from < c["version"] <= v_to):
             continue
         present.add(c["version"])
+        if c.get("_txn_pending"):
+            # a staged-but-unresolved multi-table txn: planning past it
+            # would silently exclude state that may yet become visible,
+            # making this range's answer retroactively wrong. The live
+            # stream sources cap their offsets BEFORE the first pending
+            # version, so they stall instead of hitting this.
+            raise ValueError(
+                f"commit {c['version']} is staged under a pending "
+                "multi-table transaction — wait for the coordinator to "
+                "commit or abort it before reading this change range"
+            )
         if c.get("data_change", True) is False:
             continue
         if c["remove"]:
@@ -804,7 +970,7 @@ class VersionedTable:
                 entry = json.load(f)
             _check_features(entry, f"commit {name}")
             entries.append(entry)
-        return entries
+        return _resolve_txn_entries(entries)
 
     def _checkpoints(self) -> list[dict]:
         out = []
@@ -842,6 +1008,7 @@ class VersionedTable:
         dv_remove: list[str] | None = None,
         writer_features: list[str] | None = None,
         reader_features: list[str] | None = None,
+        txn: dict | None = None,
     ) -> int:
         """``known_stats`` maps an added rel to its precomputed
         (dir_stats, file_stats, file_sizes, file_rows) — carry dirs pass
@@ -856,8 +1023,28 @@ class VersionedTable:
         requirements this commit introduces (deletion-vector commits
         declare theirs automatically); the commit itself is guarded by
         the accumulated requirement set — EVERY write funnels here, so
-        no path can bypass the writer-protocol check."""
+        no path can bypass the writer-protocol check.
+
+        ``txn`` ({"id", "coordinator"}) STAGES the commit under a
+        multi-table transaction: it occupies a version slot immediately
+        but contributes NO visible state until the coordinator records
+        the txn committed (``MultiTableTxn``). A pending foreign txn
+        blocks further commits — a later commit landing before the txn
+        resolves would make the flip-to-visible retroactive, changing
+        what an already-read version number means."""
         self._check_writer_features()
+        pending = {
+            e["txn"]["id"]
+            for e in self._commits()
+            if e.get("_txn_pending")
+        }
+        if pending - ({txn["id"]} if txn else set()):
+            raise CommitConflictError(
+                f"table has pending multi-table transaction(s) "
+                f"{sorted(pending)} — commit or abort them first "
+                "(committing past a pending txn would make its "
+                "visibility flip retroactive)"
+            )
         version = self.latest_version() + 1
         known_stats = known_stats or {}
         harvested = {
@@ -903,11 +1090,17 @@ class VersionedTable:
             # unchanged)
             "dv_add": dv_add or [],
             "dv_remove": dv_remove or [],
+            # multi-table transaction marker: staged under this txn,
+            # visible only once its coordinator records it committed
+            **({"txn": txn} if txn else {}),
             # reader-protocol declaration: features a reader must
             # implement to resolve this commit's snapshot correctly
             "features": sorted(
                 set(reader_features or [])
                 | ({"deletion-vectors"} if dv_add or dv_remove else set())
+                # an old reader would apply a staged commit's state
+                # before (or despite never) the txn committing
+                | ({"txn-markers"} if txn else set())
             ),
             # writer-protocol declaration: NEW requirements this commit
             # places on future writers (accumulated monotonically by
@@ -917,6 +1110,9 @@ class VersionedTable:
             "writer_features": sorted(
                 set(writer_features or [])
                 | ({"deletion-vectors"} if dv_add or dv_remove else set())
+                # an old writer lacks the pending-txn guard and could
+                # land a commit past an unresolved txn (retroactive flip)
+                | ({"txn-markers"} if txn else set())
             ),
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
@@ -926,7 +1122,14 @@ class VersionedTable:
             tmp, os.path.join(self._log_dir(), f"{version:08d}.json")
         )
         if version % CHECKPOINT_EVERY == 0:
-            self._write_checkpoint(version)
+            # DEFER the fold while any txn is unresolved (incl. one this
+            # commit just staged): a checkpoint folding a pending txn's
+            # neutered state would permanently exclude its adds if the
+            # txn later commits — the raw commit would sit below the
+            # checkpoint floor, which replay skips. The fold happens at
+            # the next multiple after resolution.
+            if not any(e.get("_txn_pending") for e in self._commits()):
+                self._write_checkpoint(version)
         return version
 
     def _publish_commit(self, tmp: str, final: str) -> None:
@@ -2501,15 +2704,27 @@ class VersionedTable:
 
     # -- operations --------------------------------------------------------
 
-    def append(self, df: DataFrame, metadata: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        metadata: dict | None = None,
+        txn: dict | None = None,
+    ) -> int:
         # fail BEFORE the data write (the _commit guard would catch it
         # anyway, but only after paying for an orphan dir)
         self._check_writer_features()
         self._validate(df)
         rel = self._write_data_dir(df, self.latest_version() + 1)
-        return self._commit("append", add=[rel], remove=[], metadata=metadata)
+        return self._commit(
+            "append", add=[rel], remove=[], metadata=metadata, txn=txn
+        )
 
-    def overwrite(self, df: DataFrame, metadata: dict | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        metadata: dict | None = None,
+        txn: dict | None = None,
+    ) -> int:
         self._check_writer_features()
         self._validate(df)
         old = [os.path.basename(p) for p in self._live_dirs()]
@@ -2521,6 +2736,7 @@ class VersionedTable:
             metadata=metadata,
             # every file the vectors referenced is retired with this commit
             dv_remove=self._live_dvs(),
+            txn=txn,
         )
 
     def delete_range(self, col: str, lo, hi) -> int:
@@ -3600,6 +3816,16 @@ class VersionedTable:
             | set(self.refs().values())
         )
         keep, dv_keep = self._live_sets_at(wanted)
+        # a PENDING multi-table txn's staged dirs are invisible to every
+        # replay but flip live at its commit — reaping them would turn
+        # the txn's eventual commit into dangling references (aborted
+        # txns' dirs stay unprotected: permanently dead, reclaimable)
+        for e in self._commits():
+            if e.get("_txn_pending"):
+                keep = set(keep) | set(e.get("_txn_staged_add", []))
+                dv_keep = set(dv_keep) | set(
+                    e.get("_txn_staged_dv_add", [])
+                )
         now = time.time()
         deleted = []
         for root, protected, prefix in (

@@ -740,7 +740,15 @@ class _TableStreamReaderCore:
             # last batch via partitions() before this, which seeds
             # _last with the true resume point
             self._last = self.start_floor
-        latest = (read_log(self.path) or [{"version": 0}])[-1]["version"]
+        commits = read_log(self.path)
+        latest = (commits or [{"version": 0}])[-1]["version"]
+        for c in commits:
+            if c.get("_txn_pending"):
+                # stall BEFORE the first unresolved multi-table txn:
+                # advancing past a staged commit that later becomes
+                # visible would silently skip its rows
+                latest = min(latest, c["version"] - 1)
+                break
         end = latest
         if self.max_versions is not None:
             end = min(latest, self._last + self.max_versions)
@@ -921,6 +929,13 @@ def _make_table_stream_source(
                 self._pos = (self.start_floor, 0)
             self._log_snapshot = read_log(self.path)
             latest = (self._log_snapshot or [{"version": 0}])[-1]["version"]
+            for c in self._log_snapshot:
+                if c.get("_txn_pending"):
+                    # stall BEFORE the first unresolved multi-table txn
+                    # (see _capped_latest): a staged commit that later
+                    # becomes visible must not be skipped
+                    latest = min(latest, c["version"] - 1)
+                    break
             v, u = self._pos
             vcap = latest
             if self.max_versions is not None:
@@ -1426,6 +1441,24 @@ def _apply_view_delta_exactly_once(
     CDC loop and the multi-table fan-out build on."""
     if (sid, batch_id) in applied_batch_keys(vt.history(), sid):
         return  # replayed batch — already committed
+    vt.overwrite(
+        _merged_view_state(vt, batch_df, group_by, count_col, sums),
+        metadata={"stream_id": sid, "batch_id": batch_id},
+    )
+
+
+def _merged_view_state(
+    vt,
+    batch_df: DataFrame,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str],
+) -> DataFrame:
+    """The signed-delta view-maintenance merge: fold one CDF micro-batch
+    into the table's current VISIBLE state and return the next full
+    view (groups whose count drops to zero vanish). Pure plan
+    construction — the caller decides how the result commits (plain
+    overwrite, or staged under a multi-table txn)."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -1460,10 +1493,7 @@ def _apply_view_delta_exactly_once(
                 for c in [count_col, *sums]
             ],
         )
-    vt.overwrite(
-        delta.filter(F.col(count_col) > 0),
-        metadata={"stream_id": sid, "batch_id": batch_id},
-    )
+    return delta.filter(F.col(count_col) > 0)
 
 
 def run_cdf_fanout_exactly_once(
@@ -1522,6 +1552,91 @@ def run_cdf_fanout_exactly_once(
                     batch_df.withColumn("_batch_id", F.lit(batch_id)),
                     metadata={"stream_id": sid, "batch_id": batch_id},
                 )
+
+    drain_table_stream(
+        spark,
+        "table_cdf",
+        src_table,
+        tableschema,
+        checkpoint_dir,
+        apply_batch,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
+def run_cdf_fanout_atomic(
+    spark: SparkSession,
+    src_table: str,
+    view_table: str,
+    audit_table: str,
+    checkpoint_dir: str,
+    coordinator_dir: str,
+    tableschema: str,
+    group_by: list[str],
+    count_col: str = "n",
+    sums: dict[str, str] | None = None,
+    max_versions_per_trigger: int | None = None,
+) -> None:
+    """CROSS-TABLE ATOMIC CDC fan-out — the last step past
+    ``run_cdf_fanout_exactly_once``: that loop guarantees each
+    destination applies exactly once, but a reader BETWEEN its two
+    commits can observe the view updated while the audit log still
+    lacks the batch. Here both destinations' commits are STAGED under
+    one ``MultiTableTxn`` and become visible together at the
+    coordinator's single atomic marker — or never (presumed abort):
+
+    - crash before/between the staged commits → nothing visible
+      anywhere, the dead txn is aborted at restart, the batch replays
+      under a fresh txn (a staged-only commit is a consumed-invisible
+      version slot, never state);
+    - crash AFTER the coordinator marker but before the checkpoint
+      advances → the replayed batch finds its (stream_id, batch_id)
+      pair in the now-visible metadata and skips BOTH tables — the
+      atomicity makes one check sufficient;
+    - a reader at ANY point observes either {old view, old audit} or
+      {new view, new audit}, never the half-state (fault-injection
+      pinned in tests/test_streaming_live.py).
+
+    The versioned tables' own machinery closes the remaining holes:
+    further commits to a table refuse while its txn is unresolved (no
+    retroactive visibility flip), auto-checkpoints defer past pending
+    txns, and the table stream sources stall their offsets BEFORE the
+    first pending version so a late flip can't be skipped."""
+    from daas_apps_spark.sources.table_format import (
+        MultiTableTxn,
+        VersionedTable,
+    )
+
+    register_table_cdf_stream_source(spark)
+    view_vt = VersionedTable(spark, view_table)
+    audit_vt = VersionedTable(spark, audit_table)
+    coord = MultiTableTxn(coordinator_dir)
+    # presumed abort: anything pending at (re)start is a dead txn from a
+    # crashed run — mark it aborted so the tables accept commits again
+    coord.abort_abandoned()
+    sums = sums or {}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = checkpoint_stream_id(checkpoint_dir)
+        if batch_df.isEmpty():
+            return
+        if (sid, batch_id) in applied_batch_keys(view_vt.history(), sid):
+            return  # atomic: view committed ⇔ audit committed
+        txn = coord.begin()
+        merged = _merged_view_state(
+            view_vt, batch_df, group_by, count_col, sums
+        )
+        view_vt.overwrite(
+            merged,
+            metadata={"stream_id": sid, "batch_id": batch_id},
+            txn=txn,
+        )
+        audit_vt.append(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)),
+            metadata={"stream_id": sid, "batch_id": batch_id},
+            txn=txn,
+        )
+        coord.commit(txn)  # THE atomic visibility point
 
     drain_table_stream(
         spark,

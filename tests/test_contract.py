@@ -66,6 +66,9 @@ def test_survey_cited_queries_exist_in_registry():
     helpers = {n for n in query_like if n in {
         "funnel_stage_times", "click_purchase_join", "click_purchase_left_join",
         "run_stream_upsert_counts",
+        # the retired exact GR4 form: an unregistered reference function
+        # the cap-equivalence tests compare gr4_capped against
+        "gr4_link_prediction_exact",
     }}
     missing = sorted(query_like - helpers - set(REGISTRY))
     assert not missing, f"SURVEY cites unregistered queries: {missing}"

@@ -159,3 +159,34 @@ def test_refusals_are_loud(spark, twins):
         run_sql(spark, "/*+ FAST */ DELETE FROM t WHERE k = 1", {"t": a})
     with pytest.raises(ValueError, match="unsupported DELETE"):
         run_sql(spark, "DELETE FROM t", {"t": a})  # no WHERE: refuse
+
+
+def test_select_count_star_answers_from_manifest(spark, twins, tmp_path):
+    """A bare SELECT COUNT(*) over a declared table takes the
+    manifest-only fast path: exact (DV-subtracted), time-travel-aware,
+    and ZERO data-file opens — pinned by chmod-ing the data dirs
+    unreadable."""
+    import os
+
+    a, _ = twins
+    run_sql(spark, "/*+ MOR */ DELETE FROM t WHERE k = 2", {"t": a})
+    data = os.path.join(a.path, "data")
+    dirs = [os.path.join(data, d) for d in os.listdir(data)]
+    for d in dirs:
+        os.chmod(d, 0)
+    try:
+        assert run_sql(spark, "SELECT COUNT(*) FROM t", {"t": a}).first()[0] == 2
+        got = run_sql(
+            spark, "SELECT count(*) AS n FROM t VERSION AS OF 1", {"t": a}
+        ).first()
+        assert got.n == 3
+    finally:
+        for d in dirs:
+            os.chmod(d, 0o755)
+    # a WHERE clause disqualifies the fast path but still answers
+    assert (
+        run_sql(
+            spark, "SELECT count(*) AS n FROM t WHERE k = 1", {"t": a}
+        ).first().n
+        == 1
+    )

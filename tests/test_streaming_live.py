@@ -2057,3 +2057,159 @@ def test_cdf_to_materialized_view_table_end_to_end(spark, tmp_path):
     assert vv.latest_version() == v_before
     # each refresh is a time-travelable view version
     assert vv.read(version=1).count() > 0
+
+
+def test_cdf_fanout_atomic_crash_between_stages_no_half_state(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection for the ATOMIC fan-out: the audit stage dies
+    AFTER the view's staged commit. Where the exactly-once loop leaves
+    the view already updated (the documented half-state), here a reader
+    sees NOTHING on either table — the view's staged commit is an
+    invisible consumed slot until the coordinator marker that never
+    came. Resume aborts the dead txn, replays under a fresh one, and
+    both tables flip visible TOGETHER with exactly-once content."""
+    from pyspark.errors import StreamingQueryException
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import run_cdf_fanout_atomic
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    audit = str(tmp_path / "audit")
+    ck = str(tmp_path / "ck")
+    coord_dir = str(tmp_path / "coord")
+    vt = VersionedTable(spark, src)
+    vt.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+            "k long, grp string, val double",
+        )
+    )  # v1
+    vt.delete("k = 2", mode="mor")  # v2
+    vt.update("k = 3", {"val": "val + 5"}, mode="mor")  # v3
+
+    orig_append = VersionedTable.append
+    state = {"failed": False}
+
+    def flaky_append(self, df, metadata=None, txn=None):
+        if self.path == audit and not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected crash between the two stages")
+        return orig_append(self, df, metadata=metadata, txn=txn)
+
+    monkeypatch.setattr(VersionedTable, "append", flaky_append)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_cdf_fanout_atomic(
+            spark, src, view, audit, ck, coord_dir,
+            "k long, grp string, val double",
+            group_by=["grp"], sums={"total": "val"},
+        )
+    # NO HALF-STATE: the view staged a commit (slot consumed) but a
+    # reader sees nothing on EITHER table — the exactly-once loop's
+    # observable half-state is impossible here
+    view_vt = VersionedTable(spark, view)
+    assert view_vt.latest_version() >= 1  # staged slot exists...
+    with pytest.raises(ValueError, match="no snapshot"):
+        view_vt.read()  # ...but is invisible
+    with pytest.raises(ValueError, match="no snapshot"):
+        VersionedTable(spark, audit).read()
+
+    monkeypatch.setattr(VersionedTable, "append", orig_append)
+    run_cdf_fanout_atomic(  # resume: dead txn aborted, batch replays
+        spark, src, view, audit, ck, coord_dir,
+        "k long, grp string, val double",
+        group_by=["grp"], sums={"total": "val"},
+    )
+    view_rows = sorted(
+        (r.grp, r.n, round(r.total, 4))
+        for r in VersionedTable(spark, view).read().collect()
+    )
+    assert view_rows == [("a", 1, 10.0), ("b", 1, 35.0)]
+    audit_rows = sorted(
+        (r.k, r._change_type)
+        for r in VersionedTable(spark, audit).read().collect()
+    )
+    assert audit_rows == [
+        (1, "insert"),
+        (2, "delete"),
+        (2, "insert"),
+        (3, "delete"),
+        (3, "insert"),
+        (3, "insert"),
+    ]
+    # caught-up rerun: no new versions anywhere
+    v_view = VersionedTable(spark, view).latest_version()
+    v_audit = VersionedTable(spark, audit).latest_version()
+    run_cdf_fanout_atomic(
+        spark, src, view, audit, ck, coord_dir,
+        "k long, grp string, val double",
+        group_by=["grp"], sums={"total": "val"},
+    )
+    assert VersionedTable(spark, view).latest_version() == v_view
+    assert VersionedTable(spark, audit).latest_version() == v_audit
+
+
+def test_cdf_fanout_atomic_crash_before_coordinator_marker(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection at the WORST point: both tables staged, crash
+    right before the coordinator's committed marker. Both staged
+    commits are invisible (a reader observes the pre-batch state on
+    both tables); resume presumes abort and re-applies exactly once."""
+    from pyspark.errors import StreamingQueryException
+
+    from daas_apps_spark.sources.table_format import (
+        MultiTableTxn,
+        VersionedTable,
+    )
+    from daas_apps_spark.streaming.live import run_cdf_fanout_atomic
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    audit = str(tmp_path / "audit")
+    ck = str(tmp_path / "ck")
+    coord_dir = str(tmp_path / "coord")
+    vt = VersionedTable(spark, src)
+    vt.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (3, "b", 30.0)], "k long, grp string, val double"
+        )
+    )
+
+    orig_commit = MultiTableTxn.commit
+    state = {"failed": False}
+
+    def flaky_commit(self, txn):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected crash before the marker")
+        return orig_commit(self, txn)
+
+    monkeypatch.setattr(MultiTableTxn, "commit", flaky_commit)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_cdf_fanout_atomic(
+            spark, src, view, audit, ck, coord_dir,
+            "k long, grp string, val double",
+            group_by=["grp"], sums={"total": "val"},
+        )
+    # both tables staged a commit; NEITHER is visible
+    assert VersionedTable(spark, view).latest_version() >= 1
+    assert VersionedTable(spark, audit).latest_version() >= 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        VersionedTable(spark, view).read()
+    with pytest.raises(ValueError, match="no snapshot"):
+        VersionedTable(spark, audit).read()
+
+    monkeypatch.setattr(MultiTableTxn, "commit", orig_commit)
+    run_cdf_fanout_atomic(
+        spark, src, view, audit, ck, coord_dir,
+        "k long, grp string, val double",
+        group_by=["grp"], sums={"total": "val"},
+    )
+    view_rows = sorted(
+        (r.grp, r.n, round(r.total, 4))
+        for r in VersionedTable(spark, view).read().collect()
+    )
+    assert view_rows == [("a", 1, 10.0), ("b", 1, 30.0)]
+    assert VersionedTable(spark, audit).read().count() == 2

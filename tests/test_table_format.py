@@ -3400,3 +3400,141 @@ def test_type_widening_resolves_through_column_mapping(spark, vt):
     vt.rename_column("key", "ident")  # rename AFTER the widen
     assert dict(vt.read().dtypes)["ident"] == "bigint"
     assert [r.ident for r in vt.read().collect()] == [7]
+
+
+def test_multi_table_txn_atomic_visibility(spark, tmp_path):
+    """Commits staged under a MultiTableTxn occupy version slots but
+    contribute NOTHING until the coordinator's single atomic marker —
+    then every participant flips visible at once. A reader between the
+    staged commits can never observe the half-state; plain commits
+    refuse while the txn is unresolved (no retroactive flip)."""
+    from daas_apps_spark.sources.table_format import (
+        CommitConflictError,
+        MultiTableTxn,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    a.append(_df(spark, [(1, "a")]))
+    b.append(_df(spark, [(10, "x")]))
+    coord = MultiTableTxn(str(tmp_path / "coord"))
+    txn = coord.begin()
+    assert coord.status(txn) == "pending"
+    a.append(_df(spark, [(2, "b")]), txn=txn)  # staged
+    # the half-state a non-atomic fan-out exposes is IMPOSSIBLE here:
+    # the staged commit consumed a version slot but shows no rows
+    assert a.latest_version() == 2
+    assert [r.k for r in a.read().collect()] == [1]
+    assert a.manifest_count() == 1
+    b.overwrite(_df(spark, [(10, "x"), (11, "y")]), txn=txn)  # staged
+    assert [r.k for r in b.read().collect()] == [10]
+    # plain commits refuse while the txn is unresolved
+    with pytest.raises(CommitConflictError, match="pending"):
+        a.append(_df(spark, [(9, "z")]))
+    coord.commit(txn)  # THE atomic visibility point
+    assert coord.status(txn) == "committed"
+    assert sorted(r.k for r in a.read().collect()) == [1, 2]
+    assert sorted(r.k for r in b.read().collect()) == [10, 11]
+    assert a.manifest_count() == 2
+    assert "txn-markers" in a.history()[-1]["features"]
+    assert "txn-markers" in a.writer_features()
+    a.append(_df(spark, [(3, "c")]))  # resolved: plain commits again
+    assert a.latest_version() == 3
+    # commit() is idempotent; abort after commit refuses
+    coord.commit(txn)
+    with pytest.raises(ValueError, match="already committed"):
+        coord.abort(txn)
+
+
+def test_multi_table_txn_presumed_abort(spark, tmp_path):
+    """A txn never marked committed is dead: abort (or the restart
+    sweep abort_abandoned) makes its staged commits permanently
+    invisible consumed slots; the table accepts plain commits again and
+    a late commit() of the dead txn refuses."""
+    from daas_apps_spark.sources.table_format import (
+        MultiTableTxn,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    a.append(_df(spark, [(1, "a")]))
+    coord = MultiTableTxn(str(tmp_path / "coord"))
+    txn = coord.begin()
+    a.append(_df(spark, [(2, "b")]), txn=txn)
+    assert coord.abort_abandoned() == [txn["id"]]  # the restart sweep
+    assert coord.status(txn) == "aborted"
+    assert [r.k for r in a.read().collect()] == [1]  # invisible forever
+    a.append(_df(spark, [(3, "c")]))  # slot 2 consumed, v3 lands plain
+    assert a.latest_version() == 3
+    assert sorted(r.k for r in a.read().collect()) == [1, 3]
+    with pytest.raises(ValueError, match="already aborted"):
+        coord.commit(txn)
+    # time travel around the dead slot stays consistent
+    assert [r.k for r in a.read(version=2).collect()] == [1]
+
+
+def test_txn_pending_stalls_feed_and_checkpoint(spark, tmp_path):
+    """The change feed refuses a range containing a pending staged
+    commit (planning past it would be retroactively wrong), and the
+    auto-checkpoint DEFERS while a txn is unresolved (a fold would
+    freeze the staged state below the replay floor) — then fires at the
+    next multiple with the flipped state included."""
+    from daas_apps_spark.sources.table_format import (
+        CHECKPOINT_EVERY,
+        MultiTableTxn,
+        VersionedTable,
+        change_plan_between,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    coord = MultiTableTxn(str(tmp_path / "coord"))
+    for i in range(CHECKPOINT_EVERY - 1):  # v1..v9
+        a.append(_df(spark, [(i, "x")]))
+    txn = coord.begin()
+    a.append(_df(spark, [(100, "staged")]), txn=txn)  # v10: would fold
+    log = os.path.join(a.path, "_log")
+    assert not [n for n in os.listdir(log) if n.endswith("checkpoint.json")]
+    with pytest.raises(ValueError, match="pending"):
+        change_plan_between(a.path, 9, 10)
+    coord.commit(txn)
+    units, _ = change_plan_between(a.path, 9, 10)  # resolved: plans fine
+    assert units and all(u["kind"] == "insert" for u in units)
+    for i in range(CHECKPOINT_EVERY):  # v11..v20: next multiple folds
+        a.append(_df(spark, [(200 + i, "y")]))
+    cks = [n for n in os.listdir(log) if n.endswith("checkpoint.json")]
+    assert cks  # deferral ended at the next multiple
+    assert a.read().count() == (CHECKPOINT_EVERY - 1) + 1 + CHECKPOINT_EVERY
+
+
+def test_vacuum_spares_pending_txn_staged_dirs(spark, tmp_path):
+    """VACUUM must not reap a pending txn's staged (invisible) data
+    dirs — they flip live at commit; an aborted txn's dirs ARE
+    reclaimable (permanently dead)."""
+    from daas_apps_spark.sources.table_format import (
+        MultiTableTxn,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    a.append(_df(spark, [(1, "a")]))
+    coord = MultiTableTxn(str(tmp_path / "coord"))
+    txn = coord.begin()
+    a.append(_df(spark, [(2, "staged")]), txn=txn)
+    staged_rel = [
+        e for e in a._commits() if e.get("_txn_pending")
+    ][0]["_txn_staged_add"][0]
+    # aggressive vacuum (no age window) keeps the staged dir
+    would = a.vacuum(keep_versions=0, min_age_seconds=0, dry_run=True)
+    assert staged_rel not in would
+    coord.commit(txn)
+    assert sorted(r.k for r in a.read().collect()) == [1, 2]
+    # an ABORTED txn's staged dir is reclaimable
+    dead = coord.begin()
+    a.append(_df(spark, [(3, "dead")]), txn=dead)
+    dead_rel = [
+        e for e in a._commits() if e.get("_txn_pending")
+    ][0]["_txn_staged_add"][0]
+    coord.abort(dead)
+    assert dead_rel in a.vacuum(keep_versions=0, min_age_seconds=0)
+    assert sorted(r.k for r in a.read().collect()) == [1, 2]
