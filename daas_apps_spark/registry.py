@@ -63,14 +63,88 @@ def _load_all() -> None:
     import daas_apps_spark.operators  # noqa: F401
 
 
+# Evidence-freshness window: the round driver samples the FIRST ~50
+# registered names each round, so registration order decides which
+# queries get re-verified against the DuckDB oracle. This list surfaces
+# (a) queries debuting this round — they must be sampled in their debut
+# round — then (b) the names whose last driver evidence is oldest
+# (currently rounds 1–2), so every query's oracle evidence is refreshed
+# on a bounded rotation instead of only at its debut. Names not listed
+# keep module registration order behind these. Recompute per round from
+# CORRECTNESS_r*.json (oldest last-seen first).
+WINDOW_PRIORITY: list[str] = [
+    # round-8 debuts
+    "a35_manifest_census",
+    "a36_type_widening",
+    "a37_sql_dml",
+    "a38_multi_table_txn",
+    # last evidence round 1
+    "a1_scan_counts",
+    "a4_provenance_scan",
+    "a8_sql_view_parity",
+    "b4_filter_predicates",
+    "c11_self_join_sequences",
+    "c1_join_orders_customer",
+    "c2_full_outer_join",
+    "c2_left_outer_join",
+    "c3_semi_join",
+    "c4_anti_join",
+    "c5_broadcast_join",
+    "c6_multikey_join",
+    "c7_range_join_bands",
+    "c8_cross_join",
+    "c9_interval_point_join",
+    "d10_histogram",
+    "d2_global_aggregate",
+    "d3_multi_distinct",
+    "d5_cube",
+    "d5_rollup",
+    "d7_stats_aggregates",
+    "d8_argmax_argmin",
+    "d9_filtered_aggregate",
+    "e1_dedup_keep_best",
+    "e2_ranking_functions",
+    "e3_lag_lead",
+    "e4_running_total",
+    "e5_sliding_frame",
+    "e6_first_last_value",
+    "e7_percentiles",
+    "f1_sorted_limit_nulls",
+    "f4_top_k",
+    "f5_top_k_per_group",
+    "g1_union_all",
+    "g2_union_distinct",
+    "g3_intersect",
+    "g3_intersect_all",
+    "g4_except_all",
+    "h_date_functions",
+    "h_hash_null_functions",
+    "h_json_functions",
+    "h_math_functions",
+    "h_string_functions",
+    "q1_pricing_summary",
+    # last evidence round 2 (the rest roll into round 9's window)
+    "b2_computed_projection",
+    "b6_conditional_expressions",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    front = {n: REGISTRY[n] for n in WINDOW_PRIORITY if n in REGISTRY}
+    rest = {n: s for n, s in REGISTRY.items() if n not in front}
+    return {**front, **rest}
+
+
 def get_queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def get_oracles() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: spec.oracle for name, spec in _ordered().items() if spec.oracle
+    }
 
 
 def bench_queries() -> dict[str, QuerySpec]:

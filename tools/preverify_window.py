@@ -46,13 +46,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    from daas_apps_spark.registry import REGISTRY, _load_all
+    from daas_apps_spark.registry import REGISTRY, get_queries
 
-    _load_all()
+    # get_queries() applies WINDOW_PRIORITY — the exact order the driver
+    # sees through __spark_entry__.queries(); raw REGISTRY order would
+    # preview the wrong window
+    names = list(get_queries())
     spark = get_spark()
     con = duck_connect(sf_dir)
     bad = 0
-    for name, spec in list(REGISTRY.items())[offset : offset + n]:
+    for name in names[offset : offset + n]:
+        spec = REGISTRY[name]
         if not spec.oracle:
             print(f"SKIP {name}: rows-only (no oracle)")
             continue
