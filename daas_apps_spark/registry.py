@@ -78,6 +78,7 @@ WINDOW_PRIORITY: list[str] = [
     "a36_type_widening",
     "a37_sql_dml",
     "a38_multi_table_txn",
+    "a39_snapshot_isolation",
     # last evidence round 1
     "a1_scan_counts",
     "a4_provenance_scan",

@@ -1527,6 +1527,93 @@ def a38_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a39_snapshot_isolation",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE NOT (o_totalprice < 50000)
+    GROUP BY 1
+    """,
+    tags=("A39", "A25"),
+)
+def a39_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation conflict detection (table_format.py::
+    _check_snapshot_conflict — Delta's conflict-resolution matrix).
+    The CAS commit alone only catches two writers racing for the SAME
+    version; here a concurrent append lands BETWEEN a COW DELETE's plan
+    and its commit, so the delete would mint the next version number
+    with a plan that never saw the new rows — the classic lost update
+    (the raced-in rows would silently survive the predicate). The
+    commit detects that its read snapshot went stale, raises a
+    retriable conflict, and ``retry_on_conflict`` replans: the final
+    state is exactly "append, then delete" — serialized — which the
+    oracle recomputes as one WHERE over all of ``orders``. The query
+    asserts the interleaving really happened (exactly one injected
+    race, exactly two delete attempts); a silently-lost update would
+    also break the hash, since half the orders would dodge the delete.
+
+    At 100 TB this is what makes multi-writer ingest safe: blind
+    appends rebase lock-free, compactions rebase past disjoint ingest,
+    and every read-write plan that a concurrent commit invalidated
+    replans instead of corrupting (tests/test_concurrency.py pins the
+    full matrix).
+    """
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        retry_on_conflict,
+    )
+
+    path = scratch_dir(f"a39_si_{os.getpid()}")
+    writer1 = VersionedTable(spark, path)
+    writer2 = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    writer1.append(o.filter(F.col("o_orderkey") % 2 == 0))  # v1
+    odd = o.filter(F.col("o_orderkey") % 2 == 1)
+    orig = writer1._write_data_dir
+    fired = {"n": 0}
+
+    def interleaved(df, vhint):
+        # one-shot: writer2's append lands AFTER writer1's delete read
+        # the log, BEFORE its commit — the race the CAS cannot see
+        if not fired["n"]:
+            fired["n"] = 1
+            writer2.append(odd)  # v2
+        return orig(df, vhint)
+
+    writer1._write_data_dir = interleaved
+    attempts = {"n": 0}
+
+    def op():
+        attempts["n"] += 1
+        return writer1.delete("o_totalprice < 50000")
+
+    retry_on_conflict(op)
+    if fired["n"] != 1 or attempts["n"] != 2:
+        raise AssertionError(
+            f"interleaving did not happen as designed: fired={fired['n']} "
+            f"attempts={attempts['n']} (expected 1 and 2)"
+        )
+    return (
+        writer1.read()
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "grp",
+            "n_rows",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

@@ -14,6 +14,21 @@ never a re-implementation:
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
 
+plus the DDL/maintenance verbs a lakehouse operator runs (each a thin
+call into the corresponding ``VersionedTable`` method — Delta's SQL
+surface for the same operations):
+
+    ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>)
+    ALTER TABLE t DROP CONSTRAINT name
+    ALTER TABLE t RENAME COLUMN old TO new
+    ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t ALTER COLUMN c TYPE <wider-type>
+    ALTER TABLE t CLUSTER BY (c1, c2[, ...]) | CLUSTER BY NONE
+    OPTIMIZE t [ZORDER BY (x, y[, ...])]
+    VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+    RESTORE TABLE t TO VERSION AS OF n
+    DESCRIBE HISTORY t
+
 ``tables`` maps the SQL-level table names to ``VersionedTable``s (or
 their paths). DML verbs return the committed version (parity with the
 Python API is commit-for-commit — tests/test_table_format.py pins it);
@@ -288,8 +303,130 @@ def run_sql(
 
             rewritten = pat.sub(_sub, rewritten)
         return spark.sql(rewritten)
+    if verb == "ALTER":
+        return _run_alter(spark, text, tables)
+    if verb == "OPTIMIZE":
+        m = re.match(
+            r"^\s*OPTIMIZE\s+(?P<t>[A-Za-z_]\w*)"
+            r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported OPTIMIZE shape; supported: "
+                "OPTIMIZE <table> [ZORDER BY (c1, c2[, ...])]"
+            )
+        vt = _resolve(spark, tables, m.group("t"))
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",")]
+            return vt.optimize(zorder_by=tuple(cols))
+        return vt.optimize()
+    if verb == "VACUUM":
+        m = re.match(
+            r"^\s*VACUUM\s+(?P<t>[A-Za-z_]\w*)"
+            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+            r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported VACUUM shape; supported: "
+                "VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]"
+            )
+        vt = _resolve(spark, tables, m.group("t"))
+        removed = vt.vacuum(
+            keep_versions=int(m.group("n") or 0),
+            dry_run=bool(m.group("dry")),
+        )
+        return spark.createDataFrame(
+            [(d,) for d in removed], "path string"
+        )
+    if verb == "RESTORE":
+        m = re.match(
+            r"^\s*RESTORE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+            r"|REF\s+'(?P<ref>[^']+)')\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported RESTORE shape; supported: RESTORE TABLE "
+                "<table> TO VERSION AS OF n | TO REF '<name>'"
+            )
+        vt = _resolve(spark, tables, m.group("t"))
+        if m.group("v") is not None:
+            return vt.restore(version=int(m.group("v")))
+        return vt.restore(ref=m.group("ref"))
+    if verb == "DESCRIBE":
+        m = re.match(
+            r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported DESCRIBE shape; supported: "
+                "DESCRIBE HISTORY <table>"
+            )
+        return _resolve(spark, tables, m.group("t")).snapshots()
     raise ValueError(
         f"unsupported statement {verb or text!r}; supported verbs: "
         "DELETE / UPDATE / MERGE / SELECT (incl. VERSION AS OF / "
-        "TIMESTAMP AS OF)"
+        "TIMESTAMP AS OF) / ALTER TABLE / OPTIMIZE / VACUUM / "
+        "RESTORE TABLE / DESCRIBE HISTORY"
     )
+
+
+def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
+    """ALTER TABLE dispatch — each arm is one VersionedTable call; the
+    CHECK expression passes through verbatim (Catalyst parses it at the
+    add, exactly like the Python API)."""
+    bad = ValueError(
+        "unsupported ALTER shape; supported: ALTER TABLE t "
+        "ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name | "
+        "RENAME COLUMN old TO new | DROP COLUMN c | "
+        "ALTER COLUMN c TYPE <wider-type> | "
+        "CLUSTER BY (c1, c2[, ...]) | CLUSTER BY NONE"
+    )
+    head = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+(?P<rest>.+?)\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if not head:
+        raise bad
+    vt = _resolve(spark, tables, head.group("t"))
+    rest = head.group("rest")
+    m = re.match(
+        r"^ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+        rest,
+        re.I | re.S,
+    )
+    if m:
+        return vt.add_constraint(m.group("name"), m.group("expr").strip())
+    m = re.match(r"^DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$", rest, re.I)
+    if m:
+        return vt.drop_constraint(m.group("name"))
+    m = re.match(
+        r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$", rest, re.I
+    )
+    if m:
+        return vt.rename_column(m.group("old"), m.group("new"))
+    m = re.match(r"^DROP\s+COLUMN\s+(?P<c>\w+)\s*$", rest, re.I)
+    if m:
+        return vt.drop_column(m.group("c"))
+    m = re.match(
+        r"^ALTER\s+COLUMN\s+(?P<c>\w+)\s+TYPE\s+(?P<ty>\w+)\s*$", rest, re.I
+    )
+    if m:
+        return vt.widen_column(m.group("c"), m.group("ty").lower())
+    m = re.match(r"^CLUSTER\s+BY\s+NONE\s*$", rest, re.I)
+    if m:
+        return vt.set_layout(None)
+    m = re.match(r"^CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*$", rest, re.I)
+    if m:
+        return vt.set_layout([c.strip() for c in m.group("cols").split(",")])
+    raise bad

@@ -192,15 +192,36 @@ def _rollup_stats(per_file: dict) -> dict:
     return out
 
 
+# Operations whose concurrent landing invalidates ANY in-flight write
+# plan regardless of what data it read: they change what a correct write
+# must have DONE — validated rows (add_constraint), clustered files
+# (set_layout), typed a column (widen_column), or resolved logical names
+# (rename_column / drop_column). Even a blind append planned before one
+# of these landed must replan (its rows were never checked against the
+# new constraint, its files never clustered by the new layout).
+_WRITE_INVALIDATING_OPS = frozenset(
+    {
+        "add_constraint",
+        "set_layout",
+        "widen_column",
+        "rename_column",
+        "drop_column",
+    }
+)
+
+
 def retry_on_conflict(fn, attempts: int = 5):
     """Run ``fn`` (a VersionedTable operation closure), rebasing and
     retrying on ``CommitConflictError`` up to ``attempts`` times — the
     optimistic-concurrency loop Delta/Iceberg writers run around their
     CAS commit. Rebase is free here because every operation re-reads the
-    log and recomputes its version AT COMMIT TIME; semantic conflicts
-    (two merges touching the same key) are the caller's to reconcile,
-    exactly as in Delta's conflict-resolution matrix. Returns fn()'s
-    result; re-raises the final conflict when attempts are exhausted."""
+    log and replans when re-run; ``_check_snapshot_conflict`` (the
+    Delta-style conflict matrix) turns any commit whose plan a
+    concurrent writer invalidated into exactly this retriable error, so
+    the loop IS the serialization point: each successful commit behaves
+    as if its whole operation ran atomically at its commit version.
+    Returns fn()'s result; re-raises the final conflict when attempts
+    are exhausted."""
     if attempts < 1:
         raise ValueError("retry_on_conflict: attempts must be >= 1")
     for i in range(attempts):
@@ -996,6 +1017,135 @@ class VersionedTable:
             v = max(v, cks[-1]["version"])
         return v
 
+    def _check_snapshot_conflict(
+        self,
+        read_version: int,
+        latest: int,
+        commits: list[dict],
+        *,
+        operation: str,
+        remove: list[str],
+        dv_add: list[str],
+        dv_remove: list[str],
+        data_change: bool,
+    ) -> None:
+        """Delta-style conflict-resolution matrix for optimistic
+        concurrency (snapshot isolation): decide whether a commit whose
+        plan read ``read_version`` may still land now that the table is
+        at ``latest``, or must replan.
+
+        - A commit declaring writer features this writer lacks, or one
+          of ``_WRITE_INVALIDATING_OPS`` (new constraint, new layout,
+          type widen, column rename/drop), conflicts with EVERYTHING —
+          the plan's validation/clustering/name resolution is stale.
+        - A **blind append** (new files only: no remove, no vectors)
+          rebases past any concurrent data commit — its files are new,
+          so no concurrent remove/add can overlap what it read (Delta:
+          AddFile-only transactions never conflict under
+          WriteSerializable).
+        - A **compaction** (data_change=False rewrite: OPTIMIZE,
+          Z-order, compact_vectors) rebases past commits that touch
+          none of the files it retires — concurrent ingest must never
+          abort compaction at 100 TB — but conflicts when a concurrent
+          commit removed one of those files (double-retire) or added a
+          deletion vector (the vector may reference a file this rewrite
+          replaces; carrying on would resurrect its deleted rows).
+        - Every other shape (COW delete/update/merge, MOR vectors,
+          overwrite, restore) READ the table to build its plan, so any
+          concurrent commit that changed data invalidates it.
+
+        Raises ``CommitConflictError`` (retriable — every operation
+        re-reads the log when re-run, so ``retry_on_conflict`` IS the
+        rebase loop)."""
+
+        def _conflict(why: str, culprit: dict) -> None:
+            raise CommitConflictError(
+                f"snapshot changed since this {operation} was planned "
+                f"(read v{read_version}, table now v{latest}): {why} "
+                f"(v{culprit['version']} {culprit.get('operation')}) — "
+                "re-run the operation against the current snapshot "
+                "(retry_on_conflict does this automatically)"
+            )
+
+        between = []
+        for e in commits:
+            if not (read_version < e["version"] <= latest):
+                continue
+            # an ABORTED txn's neutered slot contributes no state and
+            # never will — it cannot conflict with anything
+            if e.get("txn") and _txn_status(
+                e["txn"]["coordinator"], e["txn"]["id"]
+            ) == "aborted":
+                continue
+            between.append(e)
+        for e in between:
+            unknown = (
+                set(e.get("writer_features", [])) - SUPPORTED_WRITER_FEATURES
+            )
+            if unknown:
+                _conflict(
+                    f"a concurrent commit declared writer feature(s) "
+                    f"{sorted(unknown)} this writer does not implement",
+                    e,
+                )
+            if e.get("operation") in _WRITE_INVALIDATING_OPS:
+                _conflict(
+                    "a concurrent metadata change altered what a correct "
+                    "write must do (constraints/layout/types/names)",
+                    e,
+                )
+        if data_change and not remove and not dv_add and not dv_remove:
+            return  # blind append: new files only, nothing read to go stale
+        if not data_change and (remove or dv_remove or dv_add):
+            # compaction rewrite (OPTIMIZE / Z-order / compact_vectors)
+            ours = set(remove) | set(dv_remove)
+            for e in between:
+                hit = (
+                    set(e.get("remove", [])) | set(e.get("dv_remove", []))
+                ) & ours
+                if hit:
+                    _conflict(
+                        f"a concurrent commit retired file dir(s) "
+                        f"{sorted(hit)[:3]} this rewrite also retires",
+                        e,
+                    )
+                if e.get("dv_add"):
+                    _conflict(
+                        "a concurrent commit added deletion vectors that "
+                        "may reference files this rewrite replaces",
+                        e,
+                    )
+            return
+        if not data_change:
+            # pure metadata commit. add_constraint is the one whose plan
+            # validated DATA (every existing row against the new expr) —
+            # rows landing after that validation were never checked
+            if operation == "add_constraint":
+                for e in between:
+                    if e.get("data_change", True) and (
+                        e.get("add") or e.get("dv_add") or e.get("dv_remove")
+                    ):
+                        _conflict(
+                            "rows changed after this constraint validated "
+                            "the table — the new rows were never checked",
+                            e,
+                        )
+            return
+        for e in between:
+            if (
+                e.get("data_change", True)
+                or e.get("remove")
+                or e.get("dv_add")
+                or e.get("dv_remove")
+            ):
+                _conflict(
+                    "a concurrent commit changed table state this "
+                    "read-write plan depends on",
+                    e,
+                )
+        # only benign metadata landed (refs, dropped constraints,
+        # stats-allowlist changes): the plan stands
+
     def _commit(
         self,
         operation: str,
@@ -1009,6 +1159,7 @@ class VersionedTable:
         writer_features: list[str] | None = None,
         reader_features: list[str] | None = None,
         txn: dict | None = None,
+        read_version: int | None = None,
     ) -> int:
         """``known_stats`` maps an added rel to its precomputed
         (dir_stats, file_stats, file_sizes, file_rows) — carry dirs pass
@@ -1031,11 +1182,24 @@ class VersionedTable:
         the txn committed (``MultiTableTxn``). A pending foreign txn
         blocks further commits — a later commit landing before the txn
         resolves would make the flip-to-visible retroactive, changing
-        what an already-read version number means."""
+        what an already-read version number means.
+
+        ``read_version`` pins the SNAPSHOT the operation planned
+        against. When commits landed between that version and the one
+        this commit is about to mint, the CAS in ``_publish_commit``
+        alone cannot see them (the version numbers differ, so no
+        collision fires) — without the pin, a COW rewrite planned at v
+        would silently erase a concurrent writer's v+1 (lost update) or
+        resurrect its deleted rows. ``_check_snapshot_conflict`` applies
+        the Delta-style conflict matrix: blind appends rebase freely,
+        compactions rebase past non-overlapping data commits, every
+        other read-write plan raises a retriable ``CommitConflictError``
+        so ``retry_on_conflict`` replans against the new snapshot."""
         self._check_writer_features()
+        commits = self._commits()
         pending = {
             e["txn"]["id"]
-            for e in self._commits()
+            for e in commits
             if e.get("_txn_pending")
         }
         if pending - ({txn["id"]} if txn else set()):
@@ -1045,7 +1209,19 @@ class VersionedTable:
                 "(committing past a pending txn would make its "
                 "visibility flip retroactive)"
             )
-        version = self.latest_version() + 1
+        latest = self.latest_version()
+        if read_version is not None and latest > read_version:
+            self._check_snapshot_conflict(
+                read_version,
+                latest,
+                commits,
+                operation=operation,
+                remove=remove,
+                dv_add=dv_add or [],
+                dv_remove=dv_remove or [],
+                data_change=data_change,
+            )
+        version = latest + 1
         known_stats = known_stats or {}
         harvested = {
             rel: known_stats.get(rel) or self._harvest_stats(rel)
@@ -1611,6 +1787,7 @@ class VersionedTable:
                 ) from e
         if name in self.constraints():
             raise ValueError(f"constraint {name!r} already exists")
+        rv = self.latest_version()
         if self._live_dirs():
             self._validate(self.read(merge_schema=True), {name: expr})
         return self._commit(
@@ -1619,6 +1796,9 @@ class VersionedTable:
             remove=[],
             metadata={"constraint": {"op": "add", "name": name, "expr": expr}},
             data_change=False,
+            # rows landing between the validation scan and this commit
+            # were never checked — the conflict matrix replans on them
+            read_version=rv,
             # a writer unaware of constraints would append violating rows
             # and publish — the exact silent-wrongness class the writer
             # protocol exists for; declare the requirement with the state
@@ -2713,10 +2893,16 @@ class VersionedTable:
         # fail BEFORE the data write (the _commit guard would catch it
         # anyway, but only after paying for an orphan dir)
         self._check_writer_features()
+        rv = self.latest_version()
         self._validate(df)
-        rel = self._write_data_dir(df, self.latest_version() + 1)
+        rel = self._write_data_dir(df, rv + 1)
         return self._commit(
-            "append", add=[rel], remove=[], metadata=metadata, txn=txn
+            "append",
+            add=[rel],
+            remove=[],
+            metadata=metadata,
+            txn=txn,
+            read_version=rv,
         )
 
     def overwrite(
@@ -2726,9 +2912,10 @@ class VersionedTable:
         txn: dict | None = None,
     ) -> int:
         self._check_writer_features()
+        rv = self.latest_version()
         self._validate(df)
         old = [os.path.basename(p) for p in self._live_dirs()]
-        rel = self._write_data_dir(df, self.latest_version() + 1)
+        rel = self._write_data_dir(df, rv + 1)
         return self._commit(
             "overwrite",
             add=[rel],
@@ -2737,6 +2924,7 @@ class VersionedTable:
             # every file the vectors referenced is retired with this commit
             dv_remove=self._live_dvs(),
             txn=txn,
+            read_version=rv,
         )
 
     def delete_range(self, col: str, lo, hi) -> int:
@@ -2757,6 +2945,7 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         self._check_writer_features()
+        rv = self.latest_version()
         klo, khi = _stat_key(lo), _stat_key(hi)
         live, stats, file_stats, _sizes = self._replay(None)
         all_rows = self._replay_file_rows(None)
@@ -2764,7 +2953,7 @@ class VersionedTable:
         # manifest stats key on PHYSICAL names; the filter below runs on
         # the logical projection, so only the stat lookups translate
         pcol = logical_to_physical(mapping).get(col.lower(), col)
-        vhint = self.latest_version() + 1
+        vhint = rv + 1
         remove: list[str] = []
         add: list[str] = []
         known: dict = {}  # carry-dir stats passed through, no re-harvest
@@ -2848,7 +3037,7 @@ class VersionedTable:
             )
             add.append(self._write_data_dir(empty, vhint))
         return self._commit(
-            "delete", add=add, remove=remove, known_stats=known
+            "delete", add=add, remove=remove, known_stats=known, read_version=rv
         )
 
     def delete(self, condition: str, mode: str = "cow") -> int:
@@ -2877,13 +3066,14 @@ class VersionedTable:
         self._check_writer_features()
         if mode == "mor":
             return self._delete_mor(condition)
+        rv = self.latest_version()
         # a row is deleted only when the predicate is TRUE; NULL (unknown)
         # keeps the row — SQL DELETE semantics
         kept = self.read(merge_schema=True).filter(
             ~F.coalesce(F.expr(condition), F.lit(False))
         )
         old = [os.path.basename(p) for p in self._live_dirs()]
-        rel = self._write_data_dir(kept, self.latest_version() + 1)
+        rel = self._write_data_dir(kept, rv + 1)
         return self._commit(
             "delete",
             add=[rel],
@@ -2891,6 +3081,7 @@ class VersionedTable:
             # the rewrite applied every outstanding vector physically —
             # retire them with the files they referenced
             dv_remove=self._live_dvs(),
+            read_version=rv,
         )
 
     def _delete_mor(self, condition: str) -> int:
@@ -2904,10 +3095,11 @@ class VersionedTable:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
+        rv = self.latest_version()
         live = self._live_dirs()
         if not live:
             raise ValueError(f"no snapshot to delete from in {self.path}")
-        vhint = self.latest_version() + 1
+        vhint = rv + 1
         scan = self._to_logical(
             self._scan(live, merge_schema=True)
             .withColumn("__dv_file", F.col("_metadata.file_name"))
@@ -2951,6 +3143,7 @@ class VersionedTable:
             remove=[],
             dv_add=[rel],
             metadata={"mode": "merge-on-read", "rows_deleted": n},
+            read_version=rv,
         )
 
     def update(
@@ -2983,10 +3176,11 @@ class VersionedTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"update: unknown mode {mode!r} (cow|mor)")
         self._check_writer_features()
+        rv = self.latest_version()
         live = self._live_dirs()
         if not live:
             raise ValueError(f"no snapshot to update in {self.path}")
-        vhint = self.latest_version() + 1
+        vhint = rv + 1
         cond = F.coalesce(F.expr(condition), F.lit(False))
 
         def _assigned(df: DataFrame, always: bool) -> DataFrame:
@@ -3024,6 +3218,7 @@ class VersionedTable:
                 add=[rel],
                 remove=old,
                 dv_remove=self._live_dvs(),  # rewrite applied every vector
+                read_version=rv,
             )
         # merge-on-read: deletion vector for the old positions + a new dir
         # with the updated rows, in one atomic commit
@@ -3079,6 +3274,7 @@ class VersionedTable:
             remove=[],
             dv_add=[dv_rel],
             metadata={"mode": "merge-on-read", "rows_updated": n},
+            read_version=rv,
         )
 
     def merge(
@@ -3115,6 +3311,7 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         self._check_writer_features()
+        rv = self.latest_version()
         # carried/anti-joined rows were validated when first written;
         # only the incoming side needs the invariant check
         self._validate(updates)
@@ -3125,7 +3322,7 @@ class VersionedTable:
         phys_keys = [
             logical_to_physical(mapping).get(k.lower(), k) for k in keys
         ]
-        vhint = self.latest_version() + 1
+        vhint = rv + 1
         bounds = updates.agg(
             *[f(k) for k in keys for f in (F.min, F.max)]
         ).first()
@@ -3229,7 +3426,11 @@ class VersionedTable:
                     )
         rel = self._write_data_dir(merged, vhint)
         return self._commit(
-            "merge", add=carries + [rel], remove=remove, known_stats=known
+            "merge",
+            add=carries + [rel],
+            remove=remove,
+            known_stats=known,
+            read_version=rv,
         )
 
     def restore(self, version: int | None = None, ref: str | None = None) -> int:
@@ -3246,6 +3447,7 @@ class VersionedTable:
         commit's recorded entries (zero footer reads)."""
         if (version is None) == (ref is None):
             raise ValueError("restore: pass exactly one of version / ref")
+        rv = self.latest_version()
         if ref is not None:
             tags = self.refs()
             if ref not in tags:
@@ -3297,6 +3499,7 @@ class VersionedTable:
             known_stats=known,
             dv_add=[d for d in dvs_then if d not in set(dvs_now)],
             dv_remove=[d for d in dvs_now if d not in set(dvs_then)],
+            read_version=rv,
         )
 
     def compact_vectors(self) -> int:
@@ -3313,9 +3516,10 @@ class VersionedTable:
         vector dirs."""
         from pyspark.sql import functions as F
 
+        rv = self.latest_version()
         dvs = self._live_dvs()
         if len(dvs) < 2:
-            return self.latest_version()
+            return rv
         live, _, file_stats, _ = self._replay(None)
         live_files = {
             basename
@@ -3335,7 +3539,7 @@ class VersionedTable:
                 [(f,) for f in sorted(live_files)], "file string"
             )
             dv = dv.join(F.broadcast(live_df), "file", "left_semi")
-        rel = self._write_dv_dir(dv, self.latest_version() + 1)
+        rel = self._write_dv_dir(dv, rv + 1)
         return self._commit(
             "compact_vectors",
             add=[],
@@ -3343,6 +3547,7 @@ class VersionedTable:
             data_change=False,
             dv_add=[rel],
             dv_remove=dvs,
+            read_version=rv,
         )
 
     def optimize(
@@ -3386,6 +3591,7 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         self._check_writer_features()
+        rv = self.latest_version()
         if max_dir_bytes is not None and zorder_by is not None:
             raise ValueError(
                 "optimize: max_dir_bytes (incremental fold) and zorder_by "
@@ -3412,7 +3618,7 @@ class VersionedTable:
 
             small = [rel for rel in live if dir_bytes(rel) < max_dir_bytes]
             if len(small) < 2:
-                return self.latest_version()  # nothing worth folding
+                return rv  # nothing worth folding
             # DV-applied fold: a folded file's deletion vector must be
             # subtracted before its rows land in the compacted file (the
             # vectors of UNTOUCHED dirs stay live — this fold only purges
@@ -3424,8 +3630,14 @@ class VersionedTable:
                 ),
                 self._live_dvs(),
             ).coalesce(target_partitions)
-            rel = self._write_data_dir(folded, self.latest_version() + 1)
-            return self._commit("optimize", add=[rel], remove=small, data_change=False)
+            rel = self._write_data_dir(folded, rv + 1)
+            return self._commit(
+                "optimize",
+                add=[rel],
+                remove=small,
+                data_change=False,
+                read_version=rv,
+            )
 
         current = self.read(merge_schema=True)
         if zorder_by is None:
@@ -3537,15 +3749,17 @@ class VersionedTable:
                 remove=old,
                 data_change=False,
                 dv_remove=self._live_dvs(),
+                read_version=rv,
             )
         old = [os.path.basename(p) for p in self._live_dirs()]
-        rel = self._write_data_dir(current, self.latest_version() + 1)
+        rel = self._write_data_dir(current, rv + 1)
         return self._commit(
             "optimize",
             add=[rel],
             remove=old,
             data_change=False,
             dv_remove=self._live_dvs(),
+            read_version=rv,
         )
 
     def changes_between(

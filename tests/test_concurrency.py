@@ -1,0 +1,316 @@
+"""Snapshot-isolation conflict matrix (A39).
+
+The CAS in ``_publish_commit`` only catches two writers racing for the
+SAME version number. These tests pin the other half of optimistic
+concurrency: a commit whose version minting silently skipped PAST a
+concurrent writer's commit (plan at v, concurrent commit lands v+1, our
+commit mints v+2) must either rebase safely (blind appends, disjoint
+compactions) or raise a retriable ``CommitConflictError`` so
+``retry_on_conflict`` replans — never silently erase or resurrect the
+concurrent writer's rows (Delta's conflict-resolution matrix).
+
+Interleavings are injected deterministically: a second VersionedTable
+instance on the same path commits inside a method the victim's
+operation calls AFTER its plan read the log but BEFORE its _commit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from daas_apps_spark.sources.table_format import (
+    CommitConflictError,
+    VersionedTable,
+    retry_on_conflict,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int")
+
+
+def _race_once(victim, method: str, fire):
+    """Wrap ``victim.<method>`` so ``fire()`` runs once before the first
+    call — after the victim's plan read the log, before its commit."""
+    orig = getattr(victim, method)
+    state = {"fired": 0}
+
+    def wrapper(*args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = 1
+            fire()
+        return orig(*args, **kwargs)
+
+    setattr(victim, method, wrapper)
+    return state
+
+
+def test_cow_delete_conflicts_with_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 20)]))
+    state = _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.append(_df(spark, [(3, 5)])),
+    )
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.delete("v < 10")
+    assert state["fired"] == 1
+    # the failed delete committed NOTHING: both writers' rows intact,
+    # including the raced-in row the stale plan never saw
+    assert sorted(r.k for r in victim.read().collect()) == [1, 2, 3]
+
+
+def test_retry_on_conflict_replans_and_serializes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 3)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.append(_df(spark, [(3, 5), (4, 40)])),
+    )
+    attempts = {"n": 0}
+
+    def op():
+        attempts["n"] += 1
+        return victim.delete("v < 10")
+
+    retry_on_conflict(op)
+    # attempt 1 planned at v1 and conflicted; attempt 2 replanned at v2,
+    # so the predicate applied to the raced-in rows too — the
+    # serializable outcome (delete ran atomically after the append)
+    assert attempts["n"] == 2
+    assert sorted(r.k for r in victim.read().collect()) == [1, 4]
+
+
+def test_blind_append_rebases_past_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    state = _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.append(_df(spark, [(2, 20)])),
+    )
+    victim.append(_df(spark, [(3, 30)]))  # no conflict: new files only
+    assert state["fired"] == 1
+    assert sorted(r.k for r in victim.read().collect()) == [1, 2, 3]
+
+
+def test_blind_append_conflicts_with_concurrent_add_constraint(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.add_constraint("v_pos", "v > 0"),
+    )
+    # the victim's batch violates the constraint that landed mid-flight;
+    # its plan never validated against it, so the commit must NOT land
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.append(_df(spark, [(2, -1)]))
+    assert sorted(r.k for r in victim.read().collect()) == [1]
+    # the retried (replanned) append now validates — and fails loudly
+    # on the constraint itself, not on the conflict
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        retry_on_conflict(lambda: victim.append(_df(spark, [(2, -1)])))
+
+
+def test_add_constraint_conflicts_with_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    _race_once(
+        victim,
+        "_validate",
+        lambda: other.append(_df(spark, [(2, -5)])),
+    )
+    # rows landed after the validation scan — they were never checked
+    with pytest.raises(CommitConflictError, match="never checked"):
+        victim.add_constraint("v_pos", "v > 0")
+    assert victim.constraints() == {}
+
+
+def test_optimize_rebases_past_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    victim.append(_df(spark, [(2, 20)]))
+    state = _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.append(_df(spark, [(3, 30)])),
+    )
+    v = victim.optimize()  # concurrent ingest must never abort compaction
+    assert state["fired"] == 1
+    assert sorted(r.k for r in victim.read().collect()) == [1, 2, 3]
+    # the raced-in dir survived the rewrite: the compaction removed only
+    # the dirs it read, and the appended dir stayed live beside it
+    assert sorted(r.k for r in victim.read(version=v).collect()) == [1, 2, 3]
+
+
+def test_optimize_conflicts_with_concurrent_cow_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    victim.append(_df(spark, [(2, 20)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.delete("k = 1"),
+    )
+    # the delete retired the dirs this compaction also retires —
+    # carrying on would resurrect the deleted row from the rewrite
+    with pytest.raises(CommitConflictError, match="also retires"):
+        victim.optimize()
+    assert sorted(r.k for r in victim.read().collect()) == [2]
+
+
+def test_optimize_conflicts_with_concurrent_mor_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    victim.append(_df(spark, [(2, 20)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.delete("k = 1", mode="mor"),
+    )
+    # the concurrent vector references a file this rewrite replaces;
+    # landing the rewrite would resurrect the deleted row
+    with pytest.raises(CommitConflictError, match="deletion vectors"):
+        victim.optimize()
+    assert sorted(r.k for r in victim.read().collect()) == [2]
+    # replanned compaction applies the vector physically and lands
+    retry_on_conflict(victim.optimize)
+    assert sorted(r.k for r in victim.read().collect()) == [2]
+
+
+def test_mor_delete_conflicts_with_concurrent_optimize(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    victim.append(_df(spark, [(2, 3)]))
+    _race_once(
+        victim,
+        "_write_dv_dir",
+        lambda: other.optimize(),
+    )
+    # the vector's (file, pos) pairs reference pre-compaction basenames
+    # that just left the live set — landing it would silently no-op
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.delete("v < 10", mode="mor")
+    assert sorted(r.k for r in victim.read().collect()) == [1, 2]
+    retry_on_conflict(lambda: victim.delete("v < 10", mode="mor"))
+    assert sorted(r.k for r in victim.read().collect()) == [1]
+
+
+def test_merge_conflicts_with_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 20)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.append(_df(spark, [(2, 99)])),
+    )
+    # the raced-in row duplicates a merge key the stale plan already
+    # resolved — landing it would leave two rows for k=2
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.merge(_df(spark, [(2, 21)]), keys=["k"])
+    retry_on_conflict(lambda: victim.merge(_df(spark, [(2, 21)]), keys=["k"]))
+    rows = {r.k: r.v for r in victim.read().collect()}
+    assert rows == {1: 10, 2: 21}
+
+
+def test_benign_metadata_does_not_conflict(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 3)]))
+    state = _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.set_ref("before_delete"),
+    )
+    victim.delete("v < 10")  # a concurrent tag invalidates nothing
+    assert state["fired"] == 1
+    assert sorted(r.k for r in victim.read().collect()) == [1]
+    assert "before_delete" in other.refs()
+
+
+def test_write_invalidating_metadata_conflicts_with_everything(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 3)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.widen_column("v", "bigint"),
+    )
+    # a type change landed after the plan resolved the schema — the
+    # conflict matrix replans rather than reasoning about era mixes
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.delete("v < 10")
+    retry_on_conflict(lambda: victim.delete("v < 10"))
+    assert sorted(r.k for r in victim.read().collect()) == [1]
+
+
+def test_concurrent_rename_refuses_at_the_write_funnel(spark, tmp_path):
+    # a rename landing mid-flight is caught EARLIER than the conflict
+    # matrix: the write funnel refuses the stale physical name outright
+    # (a loud, if non-retriable, failure — never a silent split schema)
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 3)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.rename_column("v", "val"),
+    )
+    with pytest.raises(ValueError, match="old PHYSICAL name"):
+        victim.delete("v < 10")
+    assert sorted(r.k for r in victim.read().collect()) == [1, 2]
+
+
+def test_update_conflicts_with_concurrent_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 20)]))
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.delete("k = 2"),
+    )
+    # the stale rewrite still contains k=2 — landing it would resurrect
+    # the row the concurrent delete just removed
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.update("k = 1", {"v": "v + 1"})
+    assert sorted(r.k for r in victim.read().collect()) == [1]
+    retry_on_conflict(lambda: victim.update("k = 1", {"v": "v + 1"}))
+    rows = {r.k: r.v for r in victim.read().collect()}
+    assert rows == {1: 11}
