@@ -2591,6 +2591,7 @@ class VersionedTable:
                 os.link(f, os.path.join(dst_dir, os.path.basename(f)))
         resolved = version if version is not None else self.latest_version()
         src_mapping = self.column_mapping(version)
+        src_widening = self.type_widening(version)
         dest._commit(
             "clone",
             add=list(live),
@@ -2604,10 +2605,21 @@ class VersionedTable:
                 # clone would surface physical names and resurrect
                 # dropped columns
                 "column_mapping_set": src_mapping,
+                # the widening map too: a clone of a mixed-era table
+                # without it reads the linked files with the NARROW
+                # schema and crashes on the first wide file
+                "type_widening_set": src_widening,
+                # and the clustered layout: losing it would let the
+                # clone land unclustered files while still declaring
+                # the clustered-layout writer feature
+                "layout_set": self.layout(version),
             },
             known_stats=known,
             dv_add=dvs,
-            reader_features=(["column-mapping"] if src_mapping else []),
+            reader_features=(
+                (["column-mapping"] if src_mapping else [])
+                + (["type-widening"] if src_widening else [])
+            ),
             # carried state (constraints, vectors, mapping) carries its
             # writer-protocol requirements with it — a clone must not be
             # a loophole an old writer can append through

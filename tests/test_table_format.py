@@ -3538,3 +3538,36 @@ def test_vacuum_spares_pending_txn_staged_dirs(spark, tmp_path):
     coord.abort(dead)
     assert dead_rel in a.vacuum(keep_versions=0, min_age_seconds=0)
     assert sorted(r.k for r in a.read().collect()) == [1, 2]
+
+
+def test_clone_carries_type_widening(spark, tmp_path):
+    """A clone of a mixed-era widened table must carry the widening map:
+    without it the clone reads the linked files with the NARROW schema
+    and crashes on the first wide file (regression — round 8)."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([(1, 10.0)], "k int, x double"))
+    src.widen_column("k", "bigint")
+    src.append(
+        spark.createDataFrame([(4_000_000_000, 20.0)], "k long, x double")
+    )
+    dst = src.clone_to(str(tmp_path / "dst"))
+    assert dst.type_widening() == {"k": "bigint"}
+    assert sorted(r.k for r in dst.read().collect()) == [1, 4_000_000_000]
+    assert dict(dst.read().dtypes)["k"] == "bigint"
+    # a version-pinned clone taken BEFORE the widen stays narrow
+    early = src.clone_to(str(tmp_path / "early"), version=1)
+    assert early.type_widening() == {}
+    assert dict(early.read().dtypes)["k"] == "int"
+
+
+def test_clone_carries_clustered_layout(spark, tmp_path):
+    """A clone must inherit the active clustered layout — losing it
+    would land unclustered files while the table still declares the
+    clustered-layout writer feature (regression — round 8)."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([(1, 10.0)], "k int, x double"))
+    src.set_layout(["k"], target_files=2)
+    dst = src.clone_to(str(tmp_path / "dst"))
+    assert dst.layout() == src.layout()
+    dst.append(spark.createDataFrame([(2, 30.0)], "k int, x double"))
+    assert sorted(r.k for r in dst.read().collect()) == [1, 2]
