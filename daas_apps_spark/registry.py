@@ -79,6 +79,9 @@ WINDOW_PRIORITY: list[str] = [
     "a37_sql_dml",
     "a38_multi_table_txn",
     "a39_snapshot_isolation",
+    "a40_generated_columns",
+    "a41_identity_columns",
+    "a42_bloom_index",
     # last evidence round 1
     "a1_scan_counts",
     "a4_provenance_scan",
@@ -123,10 +126,9 @@ WINDOW_PRIORITY: list[str] = [
     "h_json_functions",
     "h_math_functions",
     "h_string_functions",
-    "q1_pricing_summary",
-    # last evidence round 2 (the rest roll into round 9's window)
-    "b2_computed_projection",
-    "b6_conditional_expressions",
+    # q1_pricing_summary (r1 evidence) is deliberately deferred: it is
+    # the flagship entry() query, smoke-run by the driver every round;
+    # the remaining r1/r2 names roll into round 9's window
 ]
 
 

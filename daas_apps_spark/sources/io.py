@@ -1614,6 +1614,201 @@ def a39_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a40_generated_columns",
+    oracle="""
+    SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("A40", "A25", "A34"),
+)
+def a40_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (table_format.py::set_generated_column — Delta's
+    GENERATED ALWAYS AS): ``o_month`` is declared as
+    ``substring(cast(o_orderdate as string), 1, 7)`` on the empty table;
+    the even orders then land WITHOUT the column (the write funnel
+    computes it) and the odd orders land WITH it precomputed (the write
+    validates null-safe equality and would refuse a mismatch — pinned by
+    test). The census groups by the stored column; the oracle recomputes
+    the expression from scratch, so any silently-skipped computation or
+    unvalidated drift breaks the hash.
+
+    At 100 TB this is the partition-column pattern: declare
+    ``day = date(ts)`` generated + ``set_layout(["day"])`` and every
+    file carries tight manifest stats on the derived axis — predicates
+    on the generated column prune files with zero expression rewriting
+    (tests/test_table_format.py::
+    test_generated_column_prunes_as_clustering_axis).
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a40_gen_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    vt.set_generated_column(
+        "o_month", "substring(cast(o_orderdate as string), 1, 7)"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    vt.append(o.filter(F.col("o_orderkey") % 2 == 0))  # computed
+    vt.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+    )  # provided — validated against the expression at the write
+    return (
+        vt.read()
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "o_month",
+            "n_rows",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "a41_identity_columns",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+           CAST(1 AS BIGINT) AS ids_at_or_above_start,
+           CAST(1 AS BIGINT) AS batches_monotone
+    FROM orders
+    """,
+    tags=("A41", "A25", "A39"),
+)
+def a41_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (table_format.py::set_identity_column — Delta's
+    GENERATED ALWAYS AS IDENTITY): ``rid`` is engine-assigned as a pure
+    per-row JVM expression over the batch watermark (no shuffle, no
+    driver loop, gaps allowed — Delta's documented contract), and each
+    commit records the high watermark harvested from the WRITTEN files'
+    footers, so the next batch allocates strictly past it. The orders
+    land in two appends; the oracle states the INVARIANTS the values
+    must satisfy as constants — every row got an id
+    (n_distinct_ids == n_rows proves uniqueness across batches), no id
+    is below START WITH, and batch 2's lowest id clears batch 1's
+    recorded high (monotone watermark). Engine-assigned values are
+    partition-dependent, so the invariants — not the raw ids — are the
+    deterministic surface.
+
+    Two writers allocating from one watermark would collide; identity
+    allocation therefore disqualifies the blind-append rebase in the
+    A39 conflict matrix (tests/test_concurrency.py::
+    test_identity_allocation_conflicts_between_concurrent_appends).
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a41_id_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    vt.set_identity_column("rid", start=1000, step=1)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    vt.append(o.filter(F.col("o_orderkey") % 2 == 0))  # batch 1
+    high1 = vt.identity_columns()["rid"]["high"]
+    vt.append(o.filter(F.col("o_orderkey") % 2 == 1))  # batch 2
+    batch2_min = (
+        vt.changes_between(2, 3).agg(F.min("rid")).first()[0]
+    )
+    return vt.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rid").alias("n_distinct_ids"),
+        F.min(F.col("rid") >= 1000)
+        .cast("long")
+        .alias("ids_at_or_above_start"),
+        F.lit(1 if batch2_min > high1 else 0)
+        .cast("long")
+        .alias("batches_monotone"),
+    )
+
+
+@register(
+    "a42_bloom_index",
+    oracle="""
+    WITH probe AS (
+        SELECT o_custkey FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) = 1
+        ORDER BY o_custkey LIMIT 1
+    )
+    SELECT CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders o, probe p
+    WHERE o.o_custkey = p.o_custkey
+    GROUP BY 1
+    """,
+    tags=("A42", "A25", "A18"),
+)
+def a42_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (table_format.py::set_bloom_columns —
+    Delta's bloom filter index as manifest-adjacent sidecars): orders
+    land in four hash-sliced batches, so every file's [min, max] range
+    on ``o_clerk`` spans nearly the whole clerk space — min/max stats
+    cannot prune a POINT probe. Each write built one small parquet
+    sidecar of per-file bitmaps (one extra column-pruned pass, the
+    writer-side price Delta also pays); the equality prune consults
+    them and drops every file whose bitmap proves the clerk absent.
+    The query asserts the scan actually shrank (fewer input files than
+    the full read) and hash-checks the probed customer's census against
+    DuckDB's full-scan recompute — a false positive only widens the
+    scan; a false negative would lose rows and break the hash.
+
+    At 100 TB this is the needle lookup: find one customer/document id
+    in an unsorted corpus by opening only the files that might hold it.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a42_bloom_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    vt.set_bloom_columns(["o_custkey"])
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    for i in range(4):
+        vt.append(
+            o.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+        )
+    # a SINGLE-order customer: its one row lives in exactly one slice,
+    # so the other slices' blooms must prove it absent (a multi-order
+    # customer could legitimately span every file)
+    probe = (
+        vt.read()
+        .groupBy("o_custkey")
+        .count()
+        .filter("count = 1")
+        .orderBy("o_custkey")
+        .first()
+        .o_custkey
+    )
+    pruned = vt.read(prune=("o_custkey", probe, probe))
+    if not len(pruned.inputFiles()) < len(vt.read().inputFiles()):
+        raise AssertionError(
+            "bloom index failed to shrink the point-probe scan"
+        )
+    return (
+        pruned.filter(F.col("o_custkey") == probe)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "o_custkey",
+            "n_rows",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

@@ -23,7 +23,13 @@ surface for the same operations):
     ALTER TABLE t RENAME COLUMN old TO new
     ALTER TABLE t DROP COLUMN c
     ALTER TABLE t ALTER COLUMN c TYPE <wider-type>
+    ALTER TABLE t ADD COLUMN c GENERATED ALWAYS AS (<expr>)
+    ALTER TABLE t ADD COLUMN c GENERATED ALWAYS AS IDENTITY
+        [(START WITH n INCREMENT BY m)]
+    ALTER TABLE t ALTER COLUMN c DROP EXPRESSION
     ALTER TABLE t CLUSTER BY (c1, c2[, ...]) | CLUSTER BY NONE
+    CREATE BLOOMFILTER INDEX ON t (c1[, c2]) [WITH FPP p]
+    DROP BLOOMFILTER INDEX ON t
     OPTIMIZE t [ZORDER BY (x, y[, ...])]
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
     RESTORE TABLE t TO VERSION AS OF n
@@ -305,6 +311,36 @@ def run_sql(
         return spark.sql(rewritten)
     if verb == "ALTER":
         return _run_alter(spark, text, tables)
+    if verb in ("CREATE", "DROP") and re.match(
+        r"^\s*(CREATE|DROP)\s+BLOOMFILTER\s+INDEX\b", text, re.I
+    ):
+        m = re.match(
+            r"^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?P<t>[A-Za-z_]\w*)"
+            r"\s*\((?P<cols>[^)]+)\)"
+            r"(?:\s+WITH\s+FPP\s+(?P<fpp>0?\.\d+))?\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if m:
+            return _resolve(spark, tables, m.group("t")).set_bloom_columns(
+                [c.strip() for c in m.group("cols").split(",")],
+                fpp=float(m.group("fpp") or 0.01),
+            )
+        m = re.match(
+            r"^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?P<t>[A-Za-z_]\w*)"
+            r"\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if m:
+            return _resolve(spark, tables, m.group("t")).set_bloom_columns(
+                None
+            )
+        raise ValueError(
+            "unsupported BLOOMFILTER INDEX shape; supported: CREATE "
+            "BLOOMFILTER INDEX ON <table> (c1[, c2]) [WITH FPP p] | "
+            "DROP BLOOMFILTER INDEX ON <table>"
+        )
     if verb == "OPTIMIZE":
         m = re.match(
             r"^\s*OPTIMIZE\s+(?P<t>[A-Za-z_]\w*)"
@@ -389,6 +425,10 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
         "ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name | "
         "RENAME COLUMN old TO new | DROP COLUMN c | "
         "ALTER COLUMN c TYPE <wider-type> | "
+        "ALTER COLUMN c DROP EXPRESSION | "
+        "ADD COLUMN c GENERATED ALWAYS AS (<expr>) | "
+        "ADD COLUMN c GENERATED ALWAYS AS IDENTITY "
+        "[(START WITH n INCREMENT BY m)] | "
         "CLUSTER BY (c1, c2[, ...]) | CLUSTER BY NONE"
     )
     head = re.match(
@@ -418,6 +458,32 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
     m = re.match(r"^DROP\s+COLUMN\s+(?P<c>\w+)\s*$", rest, re.I)
     if m:
         return vt.drop_column(m.group("c"))
+    m = re.match(
+        r"^ADD\s+COLUMN\s+(?P<c>\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+        r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
+        r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*$",
+        rest,
+        re.I,
+    )
+    if m:
+        return vt.set_identity_column(
+            m.group("c"),
+            start=int(m.group("start") or 1),
+            step=int(m.group("step") or 1),
+        )
+    m = re.match(
+        r"^ADD\s+COLUMN\s+(?P<c>\w+)\s+GENERATED\s+ALWAYS\s+AS\s+"
+        r"\((?P<expr>.+)\)\s*$",
+        rest,
+        re.I | re.S,
+    )
+    if m:
+        return vt.set_generated_column(m.group("c"), m.group("expr").strip())
+    m = re.match(
+        r"^ALTER\s+COLUMN\s+(?P<c>\w+)\s+DROP\s+EXPRESSION\s*$", rest, re.I
+    )
+    if m:
+        return vt.drop_generated_column(m.group("c"))
     m = re.match(
         r"^ALTER\s+COLUMN\s+(?P<c>\w+)\s+TYPE\s+(?P<ty>\w+)\s*$", rest, re.I
     )

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG = "_log"
 _DATA = "data"
 _DV = "_dv"  # deletion-vector dirs (merge-on-read position deletes)
+_BLOOM = "_bloom"  # per-file bloom-index sidecars (equality file skipping)
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 # Checkpoints whose live set reaches this many FILES externalize the
 # per-file stats/sizes maps to a parquet MANIFEST sidecar instead of
@@ -116,6 +117,8 @@ SUPPORTED_WRITER_FEATURES = {
     "clustered-layout",
     "type-widening",
     "txn-markers",
+    "generated-columns",
+    "identity-columns",
 }
 
 # Lossless type widenings ``widen_column`` accepts (Delta's type
@@ -203,6 +206,8 @@ _WRITE_INVALIDATING_OPS = frozenset(
     {
         "add_constraint",
         "set_layout",
+        "set_generated_column",
+        "set_identity_column",
         "widen_column",
         "rename_column",
         "drop_column",
@@ -1028,6 +1033,7 @@ class VersionedTable:
         dv_add: list[str],
         dv_remove: list[str],
         data_change: bool,
+        identity_alloc: dict | None = None,
     ) -> None:
         """Delta-style conflict-resolution matrix for optimistic
         concurrency (snapshot isolation): decide whether a commit whose
@@ -1095,7 +1101,23 @@ class VersionedTable:
                     e,
                 )
         if data_change and not remove and not dv_add and not dv_remove:
-            return  # blind append: new files only, nothing read to go stale
+            # blind append: new files only, nothing read to go stale —
+            # UNLESS it allocated identity values: two writers allocating
+            # from the same watermark issue overlapping ids
+            if identity_alloc:
+                for e in between:
+                    overlap = set(identity_alloc) & set(
+                        (e.get("metadata") or {}).get("identity_alloc")
+                        or {}
+                    )
+                    if overlap:
+                        _conflict(
+                            f"a concurrent commit allocated identity "
+                            f"value(s) for column(s) {sorted(overlap)} "
+                            "from the same watermark",
+                            e,
+                        )
+            return
         if not data_change and (remove or dv_remove or dv_add):
             # compaction rewrite (OPTIMIZE / Z-order / compact_vectors)
             ours = set(remove) | set(dv_remove)
@@ -1220,6 +1242,7 @@ class VersionedTable:
                 dv_add=dv_add or [],
                 dv_remove=dv_remove or [],
                 data_change=data_change,
+                identity_alloc=(metadata or {}).get("identity_alloc"),
             )
         version = latest + 1
         known_stats = known_stats or {}
@@ -1375,6 +1398,15 @@ class VersionedTable:
             # the widening map too: a replay that lost it would scan the
             # mixed-era files with a narrow (crashing) schema
             "type_widening": self.type_widening(version),
+            # generated-column rules: a replay that lost them would stop
+            # computing/validating the column on writes
+            "generated": self.generated_columns(version),
+            # identity declarations + high watermarks: a lost watermark
+            # would reissue already-committed ids after retention
+            "identity": self.identity_columns(version),
+            # the bloom-index spec (sidecars themselves live beside the
+            # data; only the declaration is log state)
+            "bloom_columns": self.bloom_columns(version),
             # live deletion-vector dirs are table state exactly like live
             # data dirs: a replay that lost them would resurrect deleted rows
             "dvs": self._live_dvs(version),
@@ -1865,6 +1897,487 @@ class VersionedTable:
             data_change=False,
         )
 
+    def generated_columns(self, version: int | None = None) -> dict:
+        """Active generated-column rules ``{column_lower: sql_expr}`` at
+        ``version`` (latest by default) — Delta's generated columns.
+        Rules live in commit METADATA like constraints (a clone
+        bootstraps the full map via ``generated_set``) and fold into
+        checkpoints, so log retention cannot lose them."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active: dict = dict(base.get("generated", {})) if base else {}
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "generated_set" in md:
+                active = dict(md["generated_set"] or {})
+            op = md.get("generated")
+            if op:
+                if op["op"] == "add":
+                    active[op["col"].lower()] = op["expr"]
+                else:
+                    active.pop(op["col"].lower(), None)
+        return active
+
+    def set_generated_column(self, col: str, expr: str) -> int:
+        """Declare ``col`` GENERATED ALWAYS AS (``expr``) — Delta's
+        generated columns. From this commit on, every write computes the
+        column when the incoming frame lacks it and VALIDATES it
+        (null-safe equality with the expression) when the frame provides
+        it, so the stored values are the expression by construction —
+        which is what makes filtering on the generated column prunable:
+        it is a physical column with per-file manifest stats, typically
+        declared as a clustering axis (``set_layout``) so `date(ts)`
+        style predicates skip files without any expression rewrite.
+
+        If the column already exists in the live schema, its current
+        values must already equal the expression (one validation scan —
+        the add is refused otherwise, like ``add_constraint``).
+        UPDATE refuses direct assignments to a generated column and
+        recomputes it after applying the SET clause. Commits declare
+        the ``generated-columns`` WRITER feature (an old writer would
+        land the column NULL or stale); a metadata-only,
+        data_change=False commit."""
+        import re as _re
+
+        try:
+            parser = self.spark._jsparkSession.sessionState().sqlParser()
+            parser.parseExpression(expr)
+        except Exception as e:  # noqa: BLE001 — classify, don't swallow
+            if "ParseException" in type(e).__name__ or "PARSE_SYNTAX" in str(
+                e
+            ):
+                raise ValueError(
+                    f"generation expression does not parse: {expr!r}"
+                ) from e
+        if col.lower() in self.generated_columns():
+            raise ValueError(
+                f"column {col!r} already has a generation expression — "
+                "drop_generated_column it first"
+            )
+        if _re.search(
+            rf"(?i)(?<![A-Za-z0-9_]){_re.escape(col)}(?![A-Za-z0-9_])", expr
+        ):
+            raise ValueError(
+                f"generation expression for {col!r} references the "
+                "column itself"
+            )
+        rv = self.latest_version()
+        live = self._live_dirs()
+        if live and col.lower() in self._logical_columns(
+            [os.path.basename(p) for p in live]
+        ):
+            from pyspark.sql import functions as F
+
+            bad = (
+                self.read(merge_schema=True)
+                .filter(~F.col(col).eqNullSafe(F.expr(expr)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"existing rows violate the generation expression "
+                    f"({col} <=> {expr}); fix the data (or declare a "
+                    "different expression) first"
+                )
+        return self._commit(
+            "set_generated_column",
+            add=[],
+            remove=[],
+            metadata={"generated": {"op": "add", "col": col, "expr": expr}},
+            data_change=False,
+            # rows landing between the validation scan and this commit
+            # were never checked against the expression
+            read_version=rv,
+            writer_features=["generated-columns"],
+        )
+
+    def drop_generated_column(self, col: str) -> int:
+        """Remove the generation rule — the column stays, as ordinary
+        data (Delta's semantics: dropping the expression, not the
+        bytes)."""
+        if col.lower() not in self.generated_columns():
+            raise ValueError(
+                f"column {col!r} has no generation expression; active: "
+                f"{sorted(self.generated_columns())}"
+            )
+        return self._commit(
+            "drop_generated_column",
+            add=[],
+            remove=[],
+            metadata={"generated": {"op": "drop", "col": col}},
+            data_change=False,
+        )
+
+    def bloom_columns(self, version: int | None = None) -> dict | None:
+        """The bloom-index spec active at ``version``:
+        ``{"cols": [...], "fpp": float}`` or None. Like the stats
+        allowlist, it applies to writes FROM the declaring commit on;
+        files written before it (and carry dirs, which hard-link without
+        a rewrite) simply have no bloom and degrade to "maybe" — so no
+        reader or writer protocol feature is needed: absence is always
+        conservative."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active = base.get("bloom_columns") if base else None
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "bloom_columns_set" in md:
+                active = md["bloom_columns_set"]
+        return active
+
+    def set_bloom_columns(
+        self, cols: list | None, fpp: float = 0.01
+    ) -> int:
+        """Declare a per-FILE bloom index on ``cols`` — Delta's bloom
+        filter index, as manifest-adjacent sidecars. Every dir written
+        from this commit on gets one small parquet under ``_bloom/``
+        holding a bitmap per (file, column), built by ONE extra
+        column-pruned pass over the just-written batch (an Arrow-batched
+        grouped-map job — the writer-side price Delta also pays).
+        Equality prunes (``read(prune=(col, v, v))``) then drop files
+        whose bloom proves the value absent — the needle-in-100-TB
+        lookup on a high-cardinality UNSORTED column that min/max stats
+        cannot prune (stats prune ranges; blooms prune points).
+        ``None`` stops building blooms for future writes."""
+        if cols is not None:
+            cols = [c.lower() for c in cols]
+            if not cols:
+                raise ValueError(
+                    "set_bloom_columns: pass a non-empty list, or None "
+                    "to stop building blooms"
+                )
+            if not (0 < fpp < 1):
+                raise ValueError(f"set_bloom_columns: fpp in (0,1), got {fpp}")
+        return self._commit(
+            "set_bloom_columns",
+            add=[],
+            remove=[],
+            metadata={
+                "bloom_columns_set": (
+                    {"cols": cols, "fpp": fpp} if cols is not None else None
+                )
+            },
+            data_change=False,
+        )
+
+    def _build_bloom_sidecar(self, rel: str, spec: dict) -> None:
+        """One Arrow-batched pass over the just-written dir ``rel``:
+        per (file, column) bloom bitmaps, written as a small parquet
+        sidecar under ``_bloom/<rel>``. Double hashing (Kirsch-
+        Mitzenmacher): bit positions are ``(h1 + i*h2) mod m`` from two
+        xxhash64 values computed JVM-side on the STORED column type —
+        the probe recomputes the same two hashes, so build and probe
+        can never diverge on type coercion."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        path = os.path.join(self.path, _DATA, rel)
+        scan = self._scan([path])
+        byname = {c.lower(): c for c in scan.columns}
+        # spec columns are declared LOGICAL; files store physical names
+        l2p = logical_to_physical(self.column_mapping())
+        cols = [
+            byname[p]
+            for p in (l2p.get(c, c) for c in spec["cols"])
+            if p in byname
+        ]
+        if not cols:
+            return
+        fpp = spec["fpp"]
+        sel = [F.col("_metadata.file_name").alias("__file")]
+        dtypes = {}
+        for c in cols:
+            dtypes[c] = dict(scan.dtypes)[c]
+            sel.append(F.xxhash64(F.col(c)).alias(f"__h1_{c}"))
+            sel.append(F.xxhash64(F.lit("bloom2"), F.col(c)).alias(f"__h2_{c}"))
+        hashed = scan.select(*sel)
+
+        def build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            out = []
+            # size for the file's ACTUAL row count; m rounded to bytes
+            m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+            m = ((m + 7) // 8) * 8
+            k = max(1, round(m / max(n, 1) * math.log(2)))
+            for c in cols:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                h1 = pdf[f"__h1_{c}"].to_numpy(dtype="int64") % m
+                h2 = pdf[f"__h2_{c}"].to_numpy(dtype="int64") % m
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+                out.append(
+                    (pdf["__file"].iloc[0], c, n, m, k, bits.tobytes(),
+                     dtypes[c])
+                )
+            return pd.DataFrame(
+                out, columns=["file", "col", "n", "m", "k", "bits", "dtype"]
+            )
+
+        result = hashed.groupBy("__file").applyInPandas(
+            build,
+            "file string, col string, n long, m long, k int, "
+            "bits binary, dtype string",
+        )
+        result.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, _BLOOM, rel)
+        )
+
+    def _bloom_maybe_contains(
+        self, rels: list[str], col: str, value
+    ) -> dict:
+        """``{file_basename: False}`` for every file whose bloom PROVES
+        ``value`` absent from physical column ``col`` (files without a
+        bloom are simply not in the map — "maybe"). Sidecars are tiny
+        (one bitmap per file); reading them is driver-side pyarrow, no
+        Spark job. The probe's two hashes run as one 1-row JVM job so
+        they coerce the value exactly like the build did."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        entries = []  # (file, n, m, k, bits, dtype)
+        for rel in rels:
+            side = os.path.join(self.path, _BLOOM, rel)
+            if not os.path.isdir(side):
+                continue
+            for f in sorted(_glob.glob(os.path.join(side, "*.parquet"))):
+                t = pq.read_table(f).to_pylist()
+                entries.extend(
+                    e for e in t if e["col"].lower() == col.lower()
+                )
+        if not entries:
+            return {}
+        hashes = {}
+        for dtype in {e["dtype"] for e in entries}:
+            row = (
+                self.spark.range(1)
+                .select(
+                    F.xxhash64(F.lit(value).cast(dtype)).alias("h1"),
+                    F.xxhash64(
+                        F.lit("bloom2"), F.lit(value).cast(dtype)
+                    ).alias("h2"),
+                )
+                .first()
+            )
+            hashes[dtype] = (row.h1, row.h2)
+        out = {}
+        for e in entries:
+            h1, h2 = hashes[e["dtype"]]
+            m, k = e["m"], e["k"]
+            bits = e["bits"]
+            a, b = h1 % m, h2 % m
+            hit = True
+            for i in range(k):
+                pos = (a + i * b) % m
+                if not (bits[pos // 8] >> (pos % 8)) & 1:
+                    hit = False
+                    break
+            if not hit:
+                out[e["file"]] = False
+        return out
+
+    def identity_columns(self, version: int | None = None) -> dict:
+        """Active identity columns at ``version``:
+        ``{column_lower: {"start": int, "step": int, "high": int|None}}``
+        — Delta's GENERATED ALWAYS AS IDENTITY. ``high`` is the highest
+        value any committed write has allocated (None before the first
+        allocation); the declaration and every allocation live in commit
+        METADATA and fold into checkpoints, so the watermark survives
+        log retention — reusing an id after retention would be silent
+        key duplication."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active: dict = (
+            {k: dict(v) for k, v in (base.get("identity") or {}).items()}
+            if base
+            else {}
+        )
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "identity_set" in md:
+                active = {
+                    k: dict(v) for k, v in (md["identity_set"] or {}).items()
+                }
+            op = md.get("identity")
+            if op:
+                active[op["col"].lower()] = {
+                    "start": op["start"],
+                    "step": op["step"],
+                    "high": None,
+                }
+            for col, high in (md.get("identity_alloc") or {}).items():
+                if col in active:
+                    cur = active[col]["high"]
+                    step = active[col]["step"]
+                    # max/min by step direction: watermarks are monotone
+                    if cur is None or (
+                        high > cur if step > 0 else high < cur
+                    ):
+                        active[col]["high"] = high
+        return active
+
+    def set_identity_column(
+        self, col: str, start: int = 1, step: int = 1
+    ) -> int:
+        """Declare ``col`` GENERATED ALWAYS AS IDENTITY (START WITH
+        ``start`` INCREMENT BY ``step``) — Delta's identity columns.
+        Every subsequent append/overwrite ASSIGNS the column (a frame
+        providing it is refused — ALWAYS semantics): values are unique
+        and follow the step direction, but are NOT gap-free (Delta's
+        documented contract) — each row gets
+        ``base + step * (monotonically_increasing_id() + 1)``, a pure
+        per-row JVM expression with no shuffle and no driver loop, and
+        the commit records the batch's high watermark harvested from
+        the WRITTEN files' footers (metadata-only), so the next write
+        allocates strictly past it regardless of executor scheduling.
+        Two writers allocating concurrently from the same watermark
+        would collide — the snapshot-isolation matrix makes the second
+        one replan (identity allocation disqualifies the blind-append
+        rebase). The column must be NEW (not in the live schema):
+        adopting existing values would inherit unknown duplicates."""
+        if step == 0:
+            raise ValueError("set_identity_column: step must be non-zero")
+        if col.lower() in self.identity_columns():
+            raise ValueError(f"column {col!r} is already an identity column")
+        if col.lower() in self.generated_columns():
+            raise ValueError(
+                f"column {col!r} has a generation expression — a column "
+                "cannot be both generated and identity"
+            )
+        live = self._live_dirs()
+        if live and col.lower() in self._logical_columns(
+            [os.path.basename(p) for p in live]
+        ):
+            raise ValueError(
+                f"column {col!r} already exists in the live schema — "
+                "identity columns must be NEW (existing values could "
+                "hide duplicates the watermark never issued)"
+            )
+        return self._commit(
+            "set_identity_column",
+            add=[],
+            remove=[],
+            metadata={
+                "identity": {"col": col, "start": start, "step": step}
+            },
+            data_change=False,
+            writer_features=["identity-columns"],
+        )
+
+    def _assign_identity(self, df: DataFrame, ids: dict) -> DataFrame:
+        """Assign every declared identity column (refusing frames that
+        provide one — GENERATED ALWAYS). Values are
+        ``base + step * (mono_id + 1)`` with base = high watermark (or
+        start - step before the first allocation): unique within the
+        batch by monotonically_increasing_id's construction, unique
+        across batches because the next base is this batch's recorded
+        high."""
+        from pyspark.sql import functions as F
+
+        have = {c.lower() for c in df.columns}
+        provided = sorted(c for c in ids if c in have)
+        if provided:
+            raise ValueError(
+                f"column(s) {provided} are GENERATED ALWAYS AS IDENTITY "
+                "— the engine assigns them; remove them from the frame"
+            )
+        cols = {}
+        for col, spec in ids.items():
+            base = (
+                spec["high"]
+                if spec["high"] is not None
+                else spec["start"] - spec["step"]
+            )
+            cols[col] = (
+                F.lit(base)
+                + F.lit(spec["step"])
+                * (F.monotonically_increasing_id() + F.lit(1))
+            ).cast("long")
+        return df.withColumns(cols)
+
+    def _harvest_identity_high(self, rel: str, ids: dict) -> dict:
+        """Per-column extreme actually WRITTEN to dir ``rel``, read from
+        parquet footers (metadata-only — the files were just written by
+        this operation). Footer stats, not a Spark job: the watermark
+        must reflect the bytes on disk, not a recomputation that a
+        nondeterministic re-evaluation could skew."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for f in sorted(
+            _glob.glob(os.path.join(self.path, _DATA, rel, "*.parquet"))
+        ):
+            pf = pq.ParquetFile(f)
+            schema_names = [c.name for c in pf.schema_arrow]
+            meta = pf.metadata
+            for col, spec in ids.items():
+                try:
+                    idx = [n.lower() for n in schema_names].index(col)
+                except ValueError:
+                    continue
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"identity watermark harvest: {f} has no "
+                            f"min/max statistics for {col!r} — refusing "
+                            "to commit an allocation with an unknown high"
+                        )
+                    ext = st.max if spec["step"] > 0 else st.min
+                    cur = out.get(col)
+                    if cur is None or (
+                        ext > cur if spec["step"] > 0 else ext < cur
+                    ):
+                        out[col] = ext
+        return out
+
+    def _fill_generated(self, df: DataFrame) -> DataFrame:
+        """Compute every generated column the frame lacks (write-side,
+        single funnel backstop) — frames that already carry the column
+        are validated instead (``_validate``)."""
+        rules = self.generated_columns()
+        if not rules:
+            return df
+        from pyspark.sql import functions as F
+
+        have = {c.lower() for c in df.columns}
+        missing = {
+            col: F.expr(expr)
+            for col, expr in rules.items()
+            if col not in have
+        }
+        return df.withColumns(missing) if missing else df
+
     def layout(self, version: int | None = None) -> dict | None:
         """The clustered-layout spec active at ``version`` (None = no
         declared layout). Iceberg's partition-spec evolution reduced to
@@ -2119,6 +2632,26 @@ class VersionedTable:
                 f"cannot {verb} column {name!r}: referenced by CHECK "
                 f"constraint(s) {sorted(hits)} — drop them first (their "
                 "expressions would silently stop resolving)"
+            )
+        # generated-column rules pin names the same two ways: the rule's
+        # own column, and any base column its expression reads
+        gen = self.generated_columns()
+        gen_hits = sorted(
+            col
+            for col, expr in gen.items()
+            if col == name.lower() or pat.search(expr)
+        )
+        if gen_hits:
+            raise ValueError(
+                f"cannot {verb} column {name!r}: bound to generated "
+                f"column rule(s) {gen_hits} — drop_generated_column "
+                "first (the rule would silently stop resolving)"
+            )
+        # identity columns are engine-assigned state keyed by name
+        if name.lower() in self.identity_columns():
+            raise ValueError(
+                f"cannot {verb} column {name!r}: it is an IDENTITY "
+                "column (its watermark is keyed by name)"
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -2406,7 +2939,17 @@ class VersionedTable:
         resolution."""
         from pyspark.sql import functions as F
 
-        active = self.constraints() if active is None else active
+        if active is None:
+            active = dict(self.constraints())
+            # generated columns the frame PROVIDES must equal their
+            # expression (frames lacking them are computed by
+            # _fill_generated instead) — same one-pass aggregate, named
+            # so the error says which rule, with null-safe equality
+            # (NULL <=> NULL holds; a NULL mismatch violates)
+            have = {c.lower() for c in df.columns}
+            for col, expr in self.generated_columns().items():
+                if col in have:
+                    active[f"generated:{col}"] = f"{col} <=> ({expr})"
         if not active:
             return
         live, _, _, _ = self._replay(None)
@@ -2568,6 +3111,16 @@ class VersionedTable:
             src_dir = os.path.join(self.path, _DATA, rel)
             dst_dir = os.path.join(dest_path, _DATA, rel)
             os.makedirs(dst_dir)
+            # bloom sidecars travel with the files they describe —
+            # without them the clone's equality prunes degrade to maybe
+            src_bloom = os.path.join(self.path, _BLOOM, rel)
+            if os.path.isdir(src_bloom):
+                dst_bloom = os.path.join(dest_path, _BLOOM, rel)
+                os.makedirs(dst_bloom)
+                for f in sorted(
+                    glob.glob(os.path.join(src_bloom, "*.parquet"))
+                ):
+                    os.link(f, os.path.join(dst_bloom, os.path.basename(f)))
             sizes: dict = {}
             for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
                 os.link(f, os.path.join(dst_dir, os.path.basename(f)))
@@ -2613,6 +3166,15 @@ class VersionedTable:
                 # clone land unclustered files while still declaring
                 # the clustered-layout writer feature
                 "layout_set": self.layout(version),
+                # and the generated-column rules, for the same reason
+                "generated_set": self.generated_columns(version),
+                # and the identity declarations WITH their watermarks —
+                # a clone reissuing the source's ids would collide on
+                # the first downstream join of the two tables
+                "identity_set": self.identity_columns(version),
+                # and the bloom-index declaration (sidecars are linked
+                # below beside the data files they describe)
+                "bloom_columns_set": self.bloom_columns(version),
             },
             known_stats=known,
             dv_add=dvs,
@@ -2628,7 +3190,12 @@ class VersionedTable:
         return dest
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
-        # the single data-write funnel. Declared clustered layout first
+        # the single data-write funnel. Generated columns are computed
+        # FIRST (backstop — operation entry points fill before their
+        # validation pass) so a declared clustered layout may cluster on
+        # a generated column
+        df = self._fill_generated(df)
+        # Declared clustered layout next
         # (logical names): range-repartition + sort so every new file
         # carries tight disjoint manifest stats on the clustering axes —
         # partition evolution applies to writes FROM the declaring
@@ -2724,6 +3291,12 @@ class VersionedTable:
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _DATA, rel)
         )
+        # bloom index last: one extra column-pruned pass over the files
+        # just written (the sidecar must describe the BYTES on disk, so
+        # it reads them back rather than re-evaluating the frame)
+        bloom = self.bloom_columns()
+        if bloom:
+            self._build_bloom_sidecar(rel, bloom)
         return rel
 
     def _table_columns(self, live: list[str]) -> set[str]:
@@ -2906,13 +3479,22 @@ class VersionedTable:
         # anyway, but only after paying for an orphan dir)
         self._check_writer_features()
         rv = self.latest_version()
+        ids = self.identity_columns()
+        if ids:
+            df = self._assign_identity(df, ids)
+        df = self._fill_generated(df)
         self._validate(df)
         rel = self._write_data_dir(df, rv + 1)
+        md = dict(metadata or {})
+        if ids:
+            alloc = self._harvest_identity_high(rel, ids)
+            if alloc:
+                md["identity_alloc"] = alloc
         return self._commit(
             "append",
             add=[rel],
             remove=[],
-            metadata=metadata,
+            metadata=md,
             txn=txn,
             read_version=rv,
         )
@@ -2925,14 +3507,25 @@ class VersionedTable:
     ) -> int:
         self._check_writer_features()
         rv = self.latest_version()
+        ids = self.identity_columns()
+        if ids:
+            # the watermark is MONOTONE across overwrites: replaced rows'
+            # ids are never reissued (Delta's identity contract)
+            df = self._assign_identity(df, ids)
+        df = self._fill_generated(df)
         self._validate(df)
         old = [os.path.basename(p) for p in self._live_dirs()]
         rel = self._write_data_dir(df, rv + 1)
+        md = dict(metadata or {})
+        if ids:
+            alloc = self._harvest_identity_high(rel, ids)
+            if alloc:
+                md["identity_alloc"] = alloc
         return self._commit(
             "overwrite",
             add=[rel],
             remove=old,
-            metadata=metadata,
+            metadata=md,
             # every file the vectors referenced is retired with this commit
             dv_remove=self._live_dvs(),
             txn=txn,
@@ -3193,6 +3786,22 @@ class VersionedTable:
         if not live:
             raise ValueError(f"no snapshot to update in {self.path}")
         vhint = rv + 1
+        generated = self.generated_columns()
+        banned = [c for c in assignments if c.lower() in generated]
+        if banned:
+            raise ValueError(
+                f"UPDATE cannot SET generated column(s) {banned} — they "
+                "are recomputed from their expressions after the SET "
+                "clause (drop_generated_column to make them ordinary)"
+            )
+        idbad = [
+            c for c in assignments if c.lower() in self.identity_columns()
+        ]
+        if idbad:
+            raise ValueError(
+                f"UPDATE cannot SET identity column(s) {idbad} — they "
+                "are GENERATED ALWAYS (engine-assigned)"
+            )
         cond = F.coalesce(F.expr(condition), F.lit(False))
 
         def _assigned(df: DataFrame, always: bool) -> DataFrame:
@@ -3219,9 +3828,19 @@ class VersionedTable:
                     out.append(F.col(c))
             return df.select(*out)
 
+        def _regen(df: DataFrame) -> DataFrame:
+            # a SET touching a base column invalidates the generated
+            # columns derived from it — recompute them all (deterministic
+            # expressions: untouched rows recompute to the same value)
+            if not generated:
+                return df
+            return df.withColumns(
+                {c: F.expr(e) for c, e in generated.items()}
+            )
+
         if mode == "cow":
             cur = self.read(merge_schema=True)
-            updated = _assigned(cur, always=False)
+            updated = _regen(_assigned(cur, always=False))
             self._validate(updated)
             old = [os.path.basename(p) for p in live]
             rel = self._write_data_dir(updated, vhint)
@@ -3257,7 +3876,7 @@ class VersionedTable:
             )
         hit = scan.filter(cond)
         data_cols = [c for c in scan.columns if c not in ("__dv_file", "__dv_pos")]
-        updated = _assigned(hit.select(*data_cols), always=True)
+        updated = _regen(_assigned(hit.select(*data_cols), always=True))
         self._validate(updated)  # reject BEFORE any dir is written
         dv_rel = self._write_dv_dir(
             hit.select(
@@ -3324,6 +3943,17 @@ class VersionedTable:
 
         self._check_writer_features()
         rv = self.latest_version()
+        ids = self.identity_columns()
+        lack = sorted(
+            c for c in ids if c not in {u.lower() for u in updates.columns}
+        )
+        if lack:
+            raise ValueError(
+                f"merge cannot mint identity column(s) {lack}: carry the "
+                "existing ids in the updates frame (they come from a "
+                "prior read); APPEND new rows instead of merging them"
+            )
+        updates = self._fill_generated(updates)
         # carried/anti-joined rows were validated when first written;
         # only the incoming side needs the invariant check
         self._validate(updates)
@@ -4072,6 +4702,13 @@ class VersionedTable:
                     continue
                 if not dry_run:
                     shutil.rmtree(full, ignore_errors=True)
+                    if prefix == "":
+                        # a data dir's bloom sidecar describes files
+                        # that no longer exist — reclaim it with them
+                        shutil.rmtree(
+                            os.path.join(self.path, _BLOOM, d),
+                            ignore_errors=True,
+                        )
                 deleted.append(prefix + d)
         return deleted
 
@@ -4198,6 +4835,16 @@ class VersionedTable:
                     or not (rng[1] < lo or rng[0] > hi)
                 )
 
+            # equality prune: the bloom sidecars can disqualify files
+            # whose [min, max] range spans the probe but whose bitmap
+            # proves the exact value absent — points, where range stats
+            # are blind on high-cardinality unsorted columns. Files
+            # without a bloom stay "maybe" (conservative).
+            bloom_no = (
+                self._bloom_maybe_contains(live, col, prune[1])
+                if (lo is not None and lo == hi and prune[1] is not None)
+                else {}
+            )
             kept = []
             for rel in live:
                 if not _keeps(stats.get(rel, {}).get(col)):
@@ -4211,6 +4858,7 @@ class VersionedTable:
                     os.path.join(full, f)
                     for f in sorted(fstats)
                     if _keeps(fstats[f].get(col))
+                    and bloom_no.get(f, True)
                 )
             if not kept:
                 # all files pruned: zero rows, but keep the same (possibly

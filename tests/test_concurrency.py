@@ -314,3 +314,24 @@ def test_update_conflicts_with_concurrent_delete(spark, tmp_path):
     retry_on_conflict(lambda: victim.update("k = 1", {"v": "v + 1"}))
     rows = {r.k: r.v for r in victim.read().collect()}
     assert rows == {1: 11}
+
+
+def test_identity_allocation_conflicts_between_concurrent_appends(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.set_identity_column("rid")
+    _race_once(
+        victim,
+        "_write_data_dir",
+        lambda: other.append(_df(spark, [(1, 10)])),
+    )
+    # both writers allocated ids from the same watermark — an ordinary
+    # blind append would rebase, but overlapping id ranges must replan
+    with pytest.raises(CommitConflictError, match="identity"):
+        victim.append(_df(spark, [(2, 20)]))
+    retry_on_conflict(lambda: victim.append(_df(spark, [(2, 20)])))
+    rids = [r.rid for r in victim.read().collect()]
+    assert len(rids) == 2 and len(set(rids)) == 2

@@ -295,3 +295,56 @@ def test_ddl_refusals_are_loud(spark, twins):
     ]:
         with pytest.raises(ValueError, match="supported"):
             run_sql(spark, sql, {"t": a})
+
+
+def test_generated_and_identity_columns_via_sql(spark, twins):
+    a, b = twins
+    va = run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN bucket GENERATED ALWAYS AS (k % 10)",
+        {"t": a},
+    )
+    vb = b.set_generated_column("bucket", "k % 10")
+    assert va == vb
+    assert a.generated_columns() == b.generated_columns()
+    va = run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN rid GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 1000 INCREMENT BY 2)",
+        {"t": a},
+    )
+    vb = b.set_identity_column("rid", start=1000, step=2)
+    assert va == vb
+    assert a.identity_columns() == b.identity_columns()
+    df = spark.createDataFrame([(9, "z", 1.0)], "k long, v string, x double")
+    a.append(df)
+    b.append(df)
+    ra = {r.k: (r.bucket, r.rid) for r in a.read(merge_schema=True).collect()}
+    assert ra[9][0] == 9 and ra[9][1] >= 1000 and ra[9][1] % 2 == 0
+    va = run_sql(
+        spark, "ALTER TABLE t ALTER COLUMN bucket DROP EXPRESSION", {"t": a}
+    )
+    vb = b.drop_generated_column("bucket")
+    assert va == vb and a.generated_columns() == {}
+    assert _ops(a) == _ops(b)
+
+
+def test_bloomfilter_index_via_sql(spark, twins):
+    a, b = twins
+    va = run_sql(
+        spark,
+        "CREATE BLOOMFILTER INDEX ON t (v) WITH FPP 0.05",
+        {"t": a},
+    )
+    vb = b.set_bloom_columns(["v"], fpp=0.05)
+    assert va == vb
+    assert a.bloom_columns() == b.bloom_columns() == {
+        "cols": ["v"],
+        "fpp": 0.05,
+    }
+    va = run_sql(spark, "DROP BLOOMFILTER INDEX ON t", {"t": a})
+    assert va == b.set_bloom_columns(None)
+    assert a.bloom_columns() is None
+    assert _ops(a) == _ops(b)
+    with pytest.raises(ValueError, match="BLOOMFILTER INDEX shape"):
+        run_sql(spark, "CREATE BLOOMFILTER INDEX ON t", {"t": a})

@@ -14,7 +14,10 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from daas_apps_spark.sources.table_format import VersionedTable
+from daas_apps_spark.sources.table_format import (
+    ConstraintViolationError,
+    VersionedTable,
+)
 
 
 @pytest.fixture()
@@ -3571,3 +3574,265 @@ def test_clone_carries_clustered_layout(spark, tmp_path):
     assert dst.layout() == src.layout()
     dst.append(spark.createDataFrame([(2, 30.0)], "k int, x double"))
     assert sorted(r.k for r in dst.read().collect()) == [1, 2]
+
+
+# -- generated columns (A40) ------------------------------------------------
+
+
+def test_generated_column_computed_validated_and_recomputed(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_generated_column("bucket", "k % 10")
+    t.append(spark.createDataFrame([(5,), (12,)], "k int"))  # computed
+    assert sorted((r.k, r.bucket) for r in t.read().collect()) == [
+        (5, 5),
+        (12, 2),
+    ]
+    # a frame PROVIDING the column is validated: wrong values refuse
+    with pytest.raises(ConstraintViolationError, match="generated:bucket"):
+        t.append(spark.createDataFrame([(7, 99)], "k int, bucket int"))
+    # correct provided values pass
+    t.append(spark.createDataFrame([(7, 7)], "k int, bucket int"))
+    # UPDATE refuses direct SET and recomputes after a base-column SET
+    with pytest.raises(ValueError, match="cannot SET generated"):
+        t.update("k = 5", {"bucket": "3"})
+    t.update("k = 12", {"k": "k + 1"})
+    assert (13, 3) in {(r.k, r.bucket) for r in t.read().collect()}
+    # merge computes the column for frames lacking it
+    t.merge(spark.createDataFrame([(7, ), (24,)], "k int"), keys=["k"])
+    assert (24, 4) in {(r.k, r.bucket) for r in t.read().collect()}
+    # dropping the rule makes the column ordinary
+    t.drop_generated_column("bucket")
+    t.append(spark.createDataFrame([(1, 99)], "k int, bucket int"))
+    assert (1, 99) in {(r.k, r.bucket) for r in t.read().collect()}
+
+
+def test_generated_column_declaration_rules(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(5, 99)], "k int, b int"))
+    # an existing column must already satisfy the expression
+    with pytest.raises(ValueError, match="violate the generation"):
+        t.set_generated_column("b", "k % 10")
+    with pytest.raises(ValueError, match="does not parse"):
+        t.set_generated_column("c", "k +")
+    with pytest.raises(ValueError, match="references the column itself"):
+        t.set_generated_column("c", "c + 1")
+    t.set_generated_column("c", "k * 2")
+    with pytest.raises(ValueError, match="already has a generation"):
+        t.set_generated_column("c", "k * 3")
+    # base and rule columns are pinned against rename/drop; the rule
+    # column must exist physically before rename/drop resolve it
+    t.append(spark.createDataFrame([(2, 198, 4)], "k int, b int, c int"))
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("k", "kk")
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("c", "d")
+    # the declaring commit requires the writer feature
+    assert "generated-columns" in t.writer_features()
+
+
+def test_generated_column_survives_checkpoint_and_clone(spark, tmp_path):
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_generated_column("bucket", "k % 10")
+    for i in range(CHECKPOINT_EVERY):
+        t.append(spark.createDataFrame([(i,)], "k int"))
+    assert any(
+        ck["version"] >= CHECKPOINT_EVERY for ck in t._checkpoints()
+    )
+    assert t.generated_columns() == {"bucket": "k % 10"}
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.generated_columns() == {"bucket": "k % 10"}
+    c.append(spark.createDataFrame([(33,)], "k int"))
+    assert (33, 3) in {(r.k, r.bucket) for r in c.read().collect()}
+
+
+def test_generated_column_prunes_as_clustering_axis(spark, tmp_path):
+    """The 100 TB shape: a generated day/bucket column declared as the
+    clustering axis gives file-level pruning on the derived predicate
+    without any expression rewrite."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_generated_column("bucket", "k % 4")
+    t.set_layout(["bucket"], target_files=4)
+    t.append(spark.createDataFrame([(i,) for i in range(400)], "k int"))
+    pruned = t.read(prune=("bucket", 2, 2))
+    assert sorted(r.k % 4 for r in pruned.collect()) == [2] * 100
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+
+
+# -- identity columns (A41) -------------------------------------------------
+
+
+def test_identity_assignment_unique_monotone_across_batches(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_identity_column("rid", start=100, step=1)
+    t.append(spark.createDataFrame([(i,) for i in range(50)], "k int"))
+    first = [r.rid for r in t.read().collect()]
+    assert len(set(first)) == 50 and min(first) >= 100
+    high1 = t.identity_columns()["rid"]["high"]
+    assert high1 == max(first)
+    t.append(spark.createDataFrame([(i,) for i in range(50)], "k int"))
+    second = [
+        r.rid for r in t.changes_between(2, 3).collect()
+    ]
+    assert len(set(second)) == 50 and min(second) > high1
+    allr = [r.rid for r in t.read().collect()]
+    assert len(set(allr)) == 100  # unique across batches
+
+
+def test_identity_declaration_and_refusals(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(ValueError, match="already exists in the live"):
+        t.set_identity_column("k")
+    with pytest.raises(ValueError, match="step must be non-zero"):
+        t.set_identity_column("rid", step=0)
+    t.set_identity_column("rid")
+    with pytest.raises(ValueError, match="already an identity"):
+        t.set_identity_column("rid")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        t.append(spark.createDataFrame([(2, 5)], "k int, rid long"))
+    with pytest.raises(ValueError, match="cannot SET identity"):
+        t.update("k = 1", {"rid": "1"})
+    with pytest.raises(ValueError, match="cannot mint identity"):
+        t.merge(spark.createDataFrame([(9,)], "k int"), keys=["k"])
+    t.append(spark.createDataFrame([(3,)], "k int"))  # materialize rid
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.drop_column("rid")
+    assert "identity-columns" in t.writer_features()
+
+
+def test_identity_watermark_survives_checkpoint_overwrite_and_clone(
+    spark, tmp_path
+):
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_identity_column("rid")
+    for i in range(CHECKPOINT_EVERY):
+        t.append(spark.createDataFrame([(i,)], "k int"))
+    high = t.identity_columns()["rid"]["high"]
+    assert high is not None
+    assert any(ck["version"] >= CHECKPOINT_EVERY for ck in t._checkpoints())
+    # overwrite replaces rows but the watermark never rewinds
+    t.overwrite(spark.createDataFrame([(99,)], "k int"))
+    assert t.identity_columns()["rid"]["high"] > high
+    new_rid = t.read().first().rid
+    assert new_rid > high
+    c = t.clone_to(str(tmp_path / "c"))
+    c.append(spark.createDataFrame([(7,)], "k int"))
+    clone_rids = {r.rid for r in c.read().collect()}
+    assert len(clone_rids) == 2  # carried watermark: no id reuse
+    assert max(clone_rids) > new_rid
+
+
+# -- bloom-filter file skipping (A42) ----------------------------------------
+
+
+def _bloom_table(spark, tmp_path, n_batches=4, rows=800):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_bloom_columns(["name"])
+    for i in range(n_batches):
+        df = spark.range(i * rows, (i + 1) * rows).select(
+            F.col("id").alias("k"),
+            F.concat(
+                F.lit("user_"),
+                F.format_string("%05d", (F.col("id") * 7919) % 100000),
+            ).alias("name"),
+        )
+        t.append(df.coalesce(1))
+    return t
+
+
+def test_bloom_prunes_points_where_stats_cannot(spark, tmp_path):
+    """The batches' name RANGES overlap almost fully (hashed order), so
+    min/max stats keep every file for a point probe — the bloom is what
+    cuts the scan."""
+    t = _bloom_table(spark, tmp_path)
+    allfiles = len(t.read().inputFiles())
+    probe = t.read().filter("k = 2500").first().name
+    pruned = t.read(prune=("name", probe, probe))
+    assert len(pruned.inputFiles()) < allfiles
+    assert [r.k for r in pruned.collect() if r.name == probe] == [2500]
+    # a value in NO file prunes everything (zero-file scans still give
+    # the right schema and zero rows)
+    none = t.read(prune=("name", "user_zzzzz", "user_zzzzz"))
+    assert none.count() == 0 and none.columns == pruned.columns
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path, n_batches=3, rows=400)
+    for r in t.read().collect()[::37]:
+        hit = (
+            t.read(prune=("name", r.name, r.name))
+            .filter(F.col("name") == r.name)
+            .count()
+        )
+        assert hit >= 1, (r.k, r.name)
+
+
+def test_bloom_degrades_conservatively_and_stops_on_none(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "aaa")], "k int, name string")
+    t.append(df1)  # BEFORE the declaration: no sidecar
+    t.set_bloom_columns(["name"])
+    t.append(spark.createDataFrame([(2, "bbb")], "k int, name string"))
+    t.set_bloom_columns(None)
+    t.append(spark.createDataFrame([(3, "ccc")], "k int, name string"))
+    import os
+
+    sidecars = (
+        sorted(os.listdir(os.path.join(t.path, "_bloom")))
+        if os.path.isdir(os.path.join(t.path, "_bloom"))
+        else []
+    )
+    assert len(sidecars) == 1  # only the in-window write built one
+    # pre/post-window files degrade to "maybe": never pruned by bloom
+    got = t.read(prune=("name", "aaa", "aaa")).collect()
+    assert [r.k for r in got if r.name == "aaa"] == [1]
+    assert t.read(prune=("name", "ccc", "ccc")).filter("k = 3").count() == 1
+    # range prunes ignore blooms entirely
+    assert t.read(prune=("name", "aaa", "ccc")).count() == 3
+
+
+def test_bloom_sidecar_travels_with_clone_and_vacuum(spark, tmp_path):
+    import os
+
+    t = _bloom_table(spark, tmp_path, n_batches=2, rows=300)
+    probe = t.read().filter("k = 100").first().name
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.bloom_columns() == {"cols": ["name"], "fpp": 0.01}
+    pruned = c.read(prune=("name", probe, probe))
+    assert len(pruned.inputFiles()) < len(c.read().inputFiles())
+    # vacuum reclaims the sidecar with its data dir
+    t.delete("k >= 0")  # rewrite: old dirs become unreferenced
+    removed = t.vacuum()
+    gone = [d for d in removed if "/" not in d]
+    assert gone
+    for d in gone:
+        assert not os.path.exists(os.path.join(t.path, "_bloom", d))
+
+
+def test_bloom_follows_column_rename(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_bloom_columns(["name"])
+    t.append(spark.createDataFrame([(1, "aaa")], "k int, name string"))
+    t.rename_column("name", "label")
+    t.append(spark.createDataFrame([(2, "bbb")], "k int, label string"))
+    # probe through the NEW logical name reaches both eras' blooms
+    assert t.read(prune=("label", "aaa", "aaa")).filter(
+        "k = 1"
+    ).count() == 1
+    assert t.read(prune=("label", "bbb", "bbb")).filter(
+        "k = 2"
+    ).count() == 1
+
+
+def test_bloom_declaration_refusals(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="non-empty"):
+        t.set_bloom_columns([])
+    with pytest.raises(ValueError, match="fpp"):
+        t.set_bloom_columns(["k"], fpp=1.5)
