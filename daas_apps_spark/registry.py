@@ -82,6 +82,7 @@ WINDOW_PRIORITY: list[str] = [
     "a40_generated_columns",
     "a41_identity_columns",
     "a42_bloom_index",
+    "a43_row_tracking",
     # last evidence round 1
     "a1_scan_counts",
     "a4_provenance_scan",

@@ -1735,8 +1735,8 @@ def a41_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH probe AS (
         SELECT o_custkey FROM orders
-        GROUP BY o_custkey HAVING COUNT(*) = 1
-        ORDER BY o_custkey LIMIT 1
+        GROUP BY o_custkey
+        ORDER BY COUNT(*), o_custkey LIMIT 1
     )
     SELECT CAST(o.o_custkey AS BIGINT) AS o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1777,15 +1777,14 @@ def a42_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt.append(
             o.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
         )
-    # a SINGLE-order customer: its one row lives in exactly one slice,
-    # so the other slices' blooms must prove it absent (a multi-order
-    # customer could legitimately span every file)
+    # the RAREST customer (fewest orders, tie-broken by key): its rows
+    # span the fewest slices, so at least one slice's bloom must prove
+    # it absent (a busy customer could legitimately span every file)
     probe = (
         vt.read()
         .groupBy("o_custkey")
         .count()
-        .filter("count = 1")
-        .orderBy("o_custkey")
+        .orderBy("count", "o_custkey")
         .first()
         .o_custkey
     )
@@ -1803,6 +1802,86 @@ def a42_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_custkey",
+            "n_rows",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "a43_row_tracking",
+    oracle="""
+    WITH band1 AS (
+        SELECT * FROM orders WHERE o_orderkey BETWEEN 100 AND 999
+    ), band2 AS (
+        SELECT * FROM orders WHERE o_orderkey BETWEEN 2000 AND 2999
+    ), ins AS (
+        SELECT * FROM orders WHERE o_orderkey <= 64
+    )
+    SELECT 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM band2
+    UNION ALL
+    SELECT 'insert',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM ins
+    UNION ALL
+    SELECT 'update_preimage',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM band1
+    UNION ALL
+    SELECT 'update_postimage',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,4))) AS DOUBLE)
+    FROM band1
+    """,
+    tags=("A43", "A25", "A41"),
+)
+def a43_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (table_format.py::enable_row_tracking — Delta's row
+    tracking): every row carries a hidden stable id assigned at first
+    write and PRESERVED across COW rewrites (the id is internally an
+    A41 identity column, so watermark, checkpoint fold, clone carry,
+    and the A39 concurrent-allocation conflict are shared machinery).
+    The change feed on a tracked table surfaces all FOUR Delta CDF
+    change types: an id present on both sides of the snapshot diff IS
+    an update, paired as update_preimage/update_postimage with no key
+    declaration needed. The scenario: orders land (v2), one key band is
+    COW-updated ×2 (v3 — the whole-table rewrite carries every
+    surviving id), a second band is deleted (v4), and a shifted copy of
+    the head keys is appended (v5); the feed over (v2, v5] must net to
+    exactly the four change-type groups DuckDB recomputes from first
+    principles. Any id lost in the rewrite would surface as a phantom
+    insert+delete pair and break the hash.
+    """
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a43_rt_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    vt.enable_row_tracking()  # v1
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    vt.append(o)  # v2
+    vt.update(
+        "o_orderkey between 100 and 999", {"o_totalprice": "o_totalprice * 2"}
+    )  # v3: COW rewrite
+    vt.delete("o_orderkey between 2000 and 2999")  # v4
+    vt.append(
+        o.filter(F.col("o_orderkey") <= 64).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        )
+    )  # v5: fresh rows
+    return (
+        vt.changes_between(2, 5)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "change_type",
             "n_rows",
             F.col("revenue").cast("double").alias("revenue"),
         )

@@ -27,6 +27,7 @@ surface for the same operations):
     ALTER TABLE t ADD COLUMN c GENERATED ALWAYS AS IDENTITY
         [(START WITH n INCREMENT BY m)]
     ALTER TABLE t ALTER COLUMN c DROP EXPRESSION
+    ALTER TABLE t ENABLE ROW TRACKING
     ALTER TABLE t CLUSTER BY (c1, c2[, ...]) | CLUSTER BY NONE
     CREATE BLOOMFILTER INDEX ON t (c1[, c2]) [WITH FPP p]
     DROP BLOOMFILTER INDEX ON t
@@ -47,6 +48,7 @@ grammar — a thin front-end that guesses would corrupt tables silently.
 
 from __future__ import annotations
 
+import json
 import re
 import uuid
 
@@ -398,16 +400,24 @@ def run_sql(
         return vt.restore(ref=m.group("ref"))
     if verb == "DESCRIBE":
         m = re.match(
-            r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+            r"^\s*DESCRIBE\s+(?P<kind>HISTORY|DETAIL)\s+"
+            r"(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
             text,
             re.I,
         )
         if not m:
             raise ValueError(
                 "unsupported DESCRIBE shape; supported: "
-                "DESCRIBE HISTORY <table>"
+                "DESCRIBE HISTORY <table> | DESCRIBE DETAIL <table>"
             )
-        return _resolve(spark, tables, m.group("t")).snapshots()
+        vt = _resolve(spark, tables, m.group("t"))
+        if m.group("kind").upper() == "HISTORY":
+            return vt.snapshots()
+        detail = vt.detail()
+        return spark.createDataFrame(
+            [(json.dumps(detail, sort_keys=True, default=str),)],
+            "detail string",
+        )
     raise ValueError(
         f"unsupported statement {verb or text!r}; supported verbs: "
         "DELETE / UPDATE / MERGE / SELECT (incl. VERSION AS OF / "
@@ -489,6 +499,9 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
     )
     if m:
         return vt.widen_column(m.group("c"), m.group("ty").lower())
+    m = re.match(r"^ENABLE\s+ROW\s+TRACKING\s*$", rest, re.I)
+    if m:
+        return vt.enable_row_tracking()
     m = re.match(r"^CLUSTER\s+BY\s+NONE\s*$", rest, re.I)
     if m:
         return vt.set_layout(None)

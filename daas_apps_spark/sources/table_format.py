@@ -57,6 +57,7 @@ _LOG = "_log"
 _DATA = "data"
 _DV = "_dv"  # deletion-vector dirs (merge-on-read position deletes)
 _BLOOM = "_bloom"  # per-file bloom-index sidecars (equality file skipping)
+_ROWID = "__row_id"  # hidden stable row id (row tracking, A43)
 CHECKPOINT_EVERY = 10  # write a log checkpoint every N commits
 # Checkpoints whose live set reaches this many FILES externalize the
 # per-file stats/sizes maps to a parquet MANIFEST sidecar instead of
@@ -119,6 +120,7 @@ SUPPORTED_WRITER_FEATURES = {
     "txn-markers",
     "generated-columns",
     "identity-columns",
+    "row-tracking",
 }
 
 # Lossless type widenings ``widen_column`` accepts (Delta's type
@@ -208,6 +210,7 @@ _WRITE_INVALIDATING_OPS = frozenset(
         "set_layout",
         "set_generated_column",
         "set_identity_column",
+        "enable_row_tracking",
         "widen_column",
         "rename_column",
         "drop_column",
@@ -1407,6 +1410,8 @@ class VersionedTable:
             # the bloom-index spec (sidecars themselves live beside the
             # data; only the declaration is log state)
             "bloom_columns": self.bloom_columns(version),
+            # the row-tracking flag (its watermark folds with identity)
+            "row_tracking": self.row_tracking(version),
             # live deletion-vector dirs are table state exactly like live
             # data dirs: a replay that lost them would resurrect deleted rows
             "dvs": self._live_dvs(version),
@@ -2292,6 +2297,80 @@ class VersionedTable:
             writer_features=["identity-columns"],
         )
 
+    def row_tracking(self, version: int | None = None) -> bool:
+        """Whether row tracking is enabled at ``version`` — Delta's row
+        tracking: every row carries a hidden stable id (``__row_id``)
+        assigned at first write and PRESERVED across COW rewrites, so
+        the change feed can pair an update's pre/post images and
+        incremental consumers can follow a row through rewrites."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        active = bool(base.get("row_tracking")) if base else False
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            md = entry.get("metadata") or {}
+            if "row_tracking_set" in md:
+                active = bool(md["row_tracking_set"])
+        return active
+
+    def enable_row_tracking(self) -> int:
+        """Enable row tracking (one metadata commit, empty table only —
+        backfilling ids onto existing files would either rewrite them or
+        mint unstable ids at each read). Internally ``__row_id`` is a
+        hidden IDENTITY column, so the watermark machinery — footer
+        harvest, checkpoint fold, clone carry, and the concurrent-
+        allocation conflict — is shared with A41. Ordinary ``read()``
+        hides the column; ``read(with_row_ids=True)`` (and the change
+        feed on tracked tables) surfaces it. Commits declare the
+        ``row-tracking`` writer feature: an old writer's appends would
+        land NULL ids, silently breaking the uniqueness contract."""
+        if self.row_tracking():
+            raise ValueError("row tracking is already enabled")
+        if self._live_dirs():
+            raise ValueError(
+                "row tracking must be enabled on an EMPTY table — "
+                "existing files have no ids to carry (create a new "
+                "tracked table and append this one's rows)"
+            )
+        return self._commit(
+            "enable_row_tracking",
+            add=[],
+            remove=[],
+            metadata={
+                "row_tracking_set": True,
+                "identity": {"col": _ROWID, "start": 1, "step": 1},
+            },
+            data_change=False,
+            writer_features=["identity-columns", "row-tracking"],
+        )
+
+    def _mint_row_ids(self, df: DataFrame) -> DataFrame:
+        """Fill NULL ``__row_id`` slots with fresh ids past the
+        watermark (merge inserts); non-NULL (inherited) ids pass
+        through. Same allocation expression as ``_assign_identity``."""
+        from pyspark.sql import functions as F
+
+        spec = self.identity_columns()[_ROWID]
+        base = (
+            spec["high"]
+            if spec["high"] is not None
+            else spec["start"] - spec["step"]
+        )
+        fresh = (
+            F.lit(base)
+            + F.lit(spec["step"])
+            * (F.monotonically_increasing_id() + F.lit(1))
+        ).cast("long")
+        return df.withColumn(
+            _ROWID, F.coalesce(F.col(_ROWID).cast("long"), fresh)
+        )
+
     def _assign_identity(self, df: DataFrame, ids: dict) -> DataFrame:
         """Assign every declared identity column (refusing frames that
         provide one — GENERATED ALWAYS). Values are
@@ -3175,6 +3254,9 @@ class VersionedTable:
                 # and the bloom-index declaration (sidecars are linked
                 # below beside the data files they describe)
                 "bloom_columns_set": self.bloom_columns(version),
+                # and the row-tracking flag (ids + watermark carry via
+                # the data links and identity_set)
+                "row_tracking_set": self.row_tracking(version),
             },
             known_stats=known,
             dv_add=dvs,
@@ -3673,8 +3755,9 @@ class VersionedTable:
             return self._delete_mor(condition)
         rv = self.latest_version()
         # a row is deleted only when the predicate is TRUE; NULL (unknown)
-        # keeps the row — SQL DELETE semantics
-        kept = self.read(merge_schema=True).filter(
+        # keeps the row — SQL DELETE semantics. with_row_ids: a COW
+        # rewrite must carry surviving rows' stable ids through
+        kept = self.read(merge_schema=True, with_row_ids=True).filter(
             ~F.coalesce(F.expr(condition), F.lit(False))
         )
         old = [os.path.basename(p) for p in self._live_dirs()]
@@ -3839,7 +3922,7 @@ class VersionedTable:
             )
 
         if mode == "cow":
-            cur = self.read(merge_schema=True)
+            cur = self.read(merge_schema=True, with_row_ids=True)
             updated = _regen(_assigned(cur, always=False))
             self._validate(updated)
             old = [os.path.basename(p) for p in live]
@@ -3945,7 +4028,10 @@ class VersionedTable:
         rv = self.latest_version()
         ids = self.identity_columns()
         lack = sorted(
-            c for c in ids if c not in {u.lower() for u in updates.columns}
+            c
+            for c in ids
+            if c != _ROWID  # row-tracking ids are inherited-or-minted below
+            and c not in {u.lower() for u in updates.columns}
         )
         if lack:
             raise ValueError(
@@ -4044,10 +4130,28 @@ class VersionedTable:
                 ),
                 mapping,
             )
+            if self.row_tracking():
+                # inherit-or-mint: a matched key keeps its (minimum)
+                # existing id — the row's identity survives the rewrite;
+                # an unmatched (insert) row gets a fresh id past the
+                # watermark. Matches can only live in the rewrite files
+                # (the stats bounding is what chose them), so the
+                # inherit join is delta-sized.
+                cur_ids = current.groupBy(*keys).agg(
+                    F.min(_ROWID).alias(_ROWID)
+                )
+                updates = self._mint_row_ids(
+                    updates.drop(_ROWID).join(cur_ids, keys, "left")
+                )
             merged = current.join(updates, keys, "left_anti").unionByName(
                 updates, allowMissingColumns=allow_schema_evolution
             )
         else:
+            if self.row_tracking():
+                # pure insert: every updates row is new — all minted
+                updates = self._mint_row_ids(
+                    updates.withColumn(_ROWID, F.lit(None).cast("long"))
+                )
             merged = updates
             if not allow_schema_evolution and live:
                 # the COW branch's unionByName validates the updates schema
@@ -4057,8 +4161,8 @@ class VersionedTable:
                 # parquet footer per live dir (each dir is one write, so
                 # intra-dir schemas are homogeneous) — metadata-only, no
                 # whole-table Spark inference job on the cheap append path
-                table_cols = self._logical_columns(live)
-                mine = {c.lower() for c in updates.columns}
+                table_cols = self._logical_columns(live) - {_ROWID}
+                mine = {c.lower() for c in updates.columns} - {_ROWID}
                 if table_cols and mine != table_cols:
                     raise ValueError(
                         "merge: updates schema does not match the table "
@@ -4067,11 +4171,17 @@ class VersionedTable:
                         "allow_schema_evolution=True to widen the table"
                     )
         rel = self._write_data_dir(merged, vhint)
+        md: dict = {}
+        if ids:
+            alloc = self._harvest_identity_high(rel, ids)
+            if alloc:
+                md["identity_alloc"] = alloc
         return self._commit(
             "merge",
             add=carries + [rel],
             remove=remove,
             known_stats=known,
+            metadata=md or None,
             read_version=rv,
         )
 
@@ -4281,7 +4391,7 @@ class VersionedTable:
                 read_version=rv,
             )
 
-        current = self.read(merge_schema=True)
+        current = self.read(merge_schema=True, with_row_ids=True)
         if zorder_by is None:
             current = current.coalesce(target_partitions)
         else:
@@ -4418,7 +4528,13 @@ class VersionedTable:
         touches only the new data regardless of table size. Rewriting
         commits (overwrite/merge/optimize) in the range fall back to a
         snapshot diff (two ``exceptAll``s) — correct everywhere, priced
-        by the smaller snapshot."""
+        by the smaller snapshot.
+
+        On a ROW-TRACKED table (A43) the feed also surfaces
+        ``__row_id`` and pairs an update's two rows as
+        ``update_preimage``/``update_postimage`` (Delta CDF's four
+        change types): a stable id present on both sides of the diff IS
+        an update, with no key declaration needed."""
         from pyspark.sql import functions as F
 
         v_to = self.latest_version() if v_to is None else v_to
@@ -4465,7 +4581,7 @@ class VersionedTable:
             # semi-join, cost ∝ |delta| like the insert side
             mor = self._mor_delta_feed(in_range, added, dv_rels, mapping)
             if mor is not None:
-                return mor
+                return self._pair_update_images(mor)
         # snapshot diff under schema evolution: read BOTH sides merged and
         # align them to the union schema (NULL for a side that predates a
         # column) — exceptAll requires identical schemas, and a narrower
@@ -4474,10 +4590,16 @@ class VersionedTable:
         # mapping_as_of=v_to on the BASE read: across a rename, both
         # snapshots must align on the same (newer) logical names or the
         # exceptAll pair would see disjoint schemas
-        cur = self.read(version=v_to, merge_schema=True)
+        tracked = self.row_tracking(v_to)
+        cur = self.read(
+            version=v_to, merge_schema=True, with_row_ids=tracked
+        )
         try:
             base = self.read(
-                version=v_from, merge_schema=True, mapping_as_of=v_to
+                version=v_from,
+                merge_schema=True,
+                mapping_as_of=v_to,
+                with_row_ids=tracked,
             )
         except ValueError:
             # v_from predates the first snapshot (e.g. 0): the base is the
@@ -4502,12 +4624,57 @@ class VersionedTable:
             )
 
         cur, base = _align(cur, cur_types), _align(base, base_types)
-        return (
+        return self._pair_update_images(
             cur.exceptAll(base)
             .withColumn("_change_type", F.lit("insert"))
             .unionByName(
                 base.exceptAll(cur).withColumn("_change_type", F.lit("delete"))
             )
+        )
+
+    def _pair_update_images(self, feed: DataFrame) -> DataFrame:
+        """Row-tracking CDF upgrade: an id on BOTH sides of the feed is
+        one row that changed — retag its delete as ``update_preimage``
+        and its insert as ``update_postimage`` (Delta CDF's four change
+        types). One delta-sized aggregation + one join; no-op (same
+        plan object) when the feed carries no ids. Net-range semantics
+        make this sound: a transient row (inserted then deleted inside
+        the range) never survives the diff, and the MOR fast path
+        declines ranges where a vector hits a same-range insert."""
+        if _ROWID not in feed.columns:
+            return feed
+        from pyspark.sql import functions as F
+
+        both = (
+            feed.groupBy(_ROWID)
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+                ).alias("__i"),
+                F.sum(
+                    F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+                ).alias("__d"),
+            )
+            .filter("__i > 0 AND __d > 0")
+            .select(_ROWID, F.lit(True).alias("__upd"))
+        )
+        # no forced broadcast: both sides are delta-sized (a nightly
+        # delta can be GBs); AQE picks broadcast when the id set is small
+        return (
+            feed.join(both, _ROWID, "left")
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.col("__upd") & (F.col("_change_type") == "insert"),
+                    F.lit("update_postimage"),
+                )
+                .when(
+                    F.col("__upd") & (F.col("_change_type") == "delete"),
+                    F.lit("update_preimage"),
+                )
+                .otherwise(F.col("_change_type")),
+            )
+            .drop("__upd")
         )
 
     def _mor_delta_feed(
@@ -4766,6 +4933,7 @@ class VersionedTable:
         as_of=None,
         ref: str | None = None,
         mapping_as_of: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read — latest by default; time travel with ``version``
         (VERSION AS OF), ``as_of`` (TIMESTAMP AS OF: epoch seconds,
@@ -4809,6 +4977,14 @@ class VersionedTable:
         dirs = [os.path.join(self.path, _DATA, d) for d in live]
         if not dirs:
             raise ValueError(f"no snapshot at version {version} in {self.path}")
+
+        def _out(df: DataFrame) -> DataFrame:
+            # the row-tracking id is ENGINE state, not user data: hidden
+            # from ordinary reads; internal rewrite paths (and change-feed
+            # pairing) ask for it explicitly so rewrites preserve it
+            if not with_row_ids and _ROWID in df.columns:
+                df = df.drop(_ROWID)
+            return df
 
         def reader_parquet(paths):
             # schema evolution: commits may add columns over time; the
@@ -4863,14 +5039,18 @@ class VersionedTable:
             if not kept:
                 # all files pruned: zero rows, but keep the same (possibly
                 # merged) schema the un-pruned read would surface
-                return self._to_logical(
-                    reader_parquet(dirs).limit(0), mapping
+                return _out(
+                    self._to_logical(reader_parquet(dirs).limit(0), mapping)
                 )
-            return self._to_logical(
-                self._apply_dv(reader_parquet(kept), dvs), mapping
+            return _out(
+                self._to_logical(
+                    self._apply_dv(reader_parquet(kept), dvs), mapping
+                )
             )
-        return self._to_logical(
-            self._apply_dv(reader_parquet(dirs), dvs), mapping
+        return _out(
+            self._to_logical(
+                self._apply_dv(reader_parquet(dirs), dvs), mapping
+            )
         )
 
     def history(self) -> list[dict]:

@@ -335,3 +335,67 @@ def test_identity_allocation_conflicts_between_concurrent_appends(
     retry_on_conflict(lambda: victim.append(_df(spark, [(2, 20)])))
     rids = [r.rid for r in victim.read().collect()]
     assert len(rids) == 2 and len(set(rids)) == 2
+
+
+def test_real_concurrent_appends_all_land_exactly_once(spark, tmp_path):
+    """True thread-level races (not injected interleavings): N writers
+    append concurrently through retry_on_conflict. Every batch must land
+    exactly once — the CAS serializes version minting, and rebased blind
+    appends must never drop or duplicate a concurrent batch."""
+    import threading
+
+    path = str(tmp_path / "t")
+    VersionedTable(spark, path).append(_df(spark, [(0, 0)]))
+    n = 8
+    errors = []
+
+    def worker(i):
+        try:
+            vt = VersionedTable(spark, path)
+            retry_on_conflict(
+                lambda: vt.append(_df(spark, [(i + 1, (i + 1) * 10)])),
+                attempts=30,
+            )
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    vt = VersionedTable(spark, path)
+    assert sorted(r.k for r in vt.read().collect()) == list(range(n + 1))
+    assert vt.latest_version() == n + 1  # one commit per batch, no holes
+
+
+def test_real_concurrent_identity_appends_stay_unique(spark, tmp_path):
+    """Thread-level identity allocation: every writer races the same
+    watermark; the conflict matrix forces losers to replan, so the final
+    id set must be duplicate-free."""
+    import threading
+
+    path = str(tmp_path / "t")
+    VersionedTable(spark, path).set_identity_column("rid")
+    errors = []
+
+    def worker(i):
+        try:
+            vt = VersionedTable(spark, path)
+            retry_on_conflict(
+                lambda: vt.append(_df(spark, [(i, i), (i + 100, i)])),
+                attempts=30,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    vt = VersionedTable(spark, path)
+    rids = [r.rid for r in vt.read().collect()]
+    assert len(rids) == 12 and len(set(rids)) == 12

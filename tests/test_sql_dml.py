@@ -255,6 +255,14 @@ def test_restore_and_describe_history(spark, twins):
     api = a.snapshots()
     assert hist.columns == api.columns
     assert hist.count() == api.count() == 3
+    import json as _json
+
+    detail = _json.loads(
+        run_sql(spark, "DESCRIBE DETAIL t", {"t": a}).first().detail
+    )
+    assert detail == _json.loads(
+        _json.dumps(a.detail(), sort_keys=True, default=str)
+    )
 
 
 def test_vacuum_sql_dry_run_then_real(spark, twins):
@@ -290,7 +298,7 @@ def test_ddl_refusals_are_loud(spark, twins):
         "OPTIMIZE t FULL",
         "VACUUM t RETAIN VERSIONS",
         "RESTORE TABLE t",
-        "DESCRIBE DETAIL t",
+        "DESCRIBE STATS t",
         "ALTER TABLE t CLUSTER BY ()",
     ]:
         with pytest.raises(ValueError, match="supported"):
@@ -348,3 +356,17 @@ def test_bloomfilter_index_via_sql(spark, twins):
     assert _ops(a) == _ops(b)
     with pytest.raises(ValueError, match="BLOOMFILTER INDEX shape"):
         run_sql(spark, "CREATE BLOOMFILTER INDEX ON t", {"t": a})
+
+
+def test_enable_row_tracking_via_sql(spark, tmp_path):
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    a = VersionedTable(spark, str(tmp_path / "rt"))
+    v = run_sql(spark, "ALTER TABLE t ENABLE ROW TRACKING", {"t": a})
+    assert v == 1 and a.row_tracking()
+    a.append(
+        spark.createDataFrame([(1, "x", 1.0)], "k long, v string, x double")
+    )
+    assert "__row_id" in a.read(with_row_ids=True).columns
+    with pytest.raises(ValueError, match="already enabled"):
+        run_sql(spark, "ALTER TABLE t ENABLE ROW TRACKING", {"t": a})

@@ -3836,3 +3836,119 @@ def test_bloom_declaration_refusals(spark, tmp_path):
         t.set_bloom_columns([])
     with pytest.raises(ValueError, match="fpp"):
         t.set_bloom_columns(["k"], fpp=1.5)
+
+
+# -- row tracking (A43) -------------------------------------------------------
+
+
+def _rids(vt):
+    return {
+        r["k"]: r["__row_id"]
+        for r in vt.read(with_row_ids=True).collect()
+    }
+
+
+def test_row_tracking_ids_hidden_unique_and_stable(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_row_tracking()
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, x double"
+        )
+    )
+    assert t.read().columns == ["k", "x"]  # hidden by default
+    ids0 = _rids(t)
+    assert len(set(ids0.values())) == 3
+    # COW update, MOR update, OPTIMIZE, Z-order: same ids throughout
+    t.update("k = 2", {"x": "x + 5"})
+    assert _rids(t) == ids0
+    t.update("k = 3", {"x": "x * 2"}, mode="mor")
+    assert _rids(t) == ids0
+    t.optimize()
+    assert _rids(t) == ids0
+    t.optimize(zorder_by=("k", "x"), target_partitions=2)
+    assert _rids(t) == ids0
+    # appends allocate past the watermark — never reuse
+    t.append(spark.createDataFrame([(9, 90.0)], "k int, x double"))
+    ids1 = _rids(t)
+    assert ids1[9] not in ids0.values()
+
+
+def test_row_tracking_merge_inherits_and_mints(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double"))
+    ids0 = _rids(t)
+    t.merge(
+        spark.createDataFrame([(2, 99.0), (4, 40.0)], "k int, x double"),
+        keys=["k"],
+    )
+    ids1 = _rids(t)
+    assert ids1[2] == ids0[2]  # matched row keeps its identity
+    assert ids1[1] == ids0[1]  # untouched row untouched
+    assert ids1[4] not in ids0.values()  # insert minted fresh
+    assert len(set(ids1.values())) == 3
+    # pure-insert merge (no key overlap) mints for every row
+    t.merge(spark.createDataFrame([(7, 70.0)], "k int, x double"), keys=["k"])
+    ids2 = _rids(t)
+    assert len(set(ids2.values())) == 4
+
+
+def test_row_tracking_feed_pairs_update_images(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double"))
+    t.update("k = 2", {"x": "x + 1"})  # v3 (COW)
+    feed = t.changes_between(2, 3).collect()
+    got = sorted((r["_change_type"], r["k"], r["x"]) for r in feed)
+    assert got == [
+        ("update_postimage", 2, 21.0),
+        ("update_preimage", 2, 20.0),
+    ]
+    # the pair shares one id — that IS the row's lineage
+    by_type = {r["_change_type"]: r["__row_id"] for r in feed}
+    assert by_type["update_preimage"] == by_type["update_postimage"]
+    # MOR update pairs identically (delta fast path)
+    t.update("k = 1", {"x": "x * 3"}, mode="mor")
+    feed2 = t.changes_between(3, 4).collect()
+    got2 = sorted((r["_change_type"], r["k"], r["x"]) for r in feed2)
+    assert got2 == [
+        ("update_postimage", 1, 30.0),
+        ("update_preimage", 1, 10.0),
+    ]
+    # plain inserts/deletes keep their two-type tags
+    t.append(spark.createDataFrame([(5, 50.0)], "k int, x double"))
+    assert [
+        r["_change_type"] for r in t.changes_between(4, 5).collect()
+    ] == ["insert"]
+    t.delete("k = 5")
+    assert [
+        r["_change_type"] for r in t.changes_between(5, 6).collect()
+    ] == ["delete"]
+
+
+def test_row_tracking_declaration_rules_and_carry(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 1.0)], "k int, x double"))
+    with pytest.raises(ValueError, match="EMPTY table"):
+        t.enable_row_tracking()
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.enable_row_tracking()
+    with pytest.raises(ValueError, match="already enabled"):
+        t2.enable_row_tracking()
+    assert {"row-tracking", "identity-columns"} <= t2.writer_features()
+    t2.append(spark.createDataFrame([(1, 1.0)], "k int, x double"))
+    # a frame smuggling the hidden column refuses (GENERATED ALWAYS)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t2.append(
+            spark.createDataFrame(
+                [(2, 2.0, 1)], "k int, x double, __row_id long"
+            )
+        )
+    c = t2.clone_to(str(tmp_path / "c"))
+    assert c.row_tracking()
+    before = _rids(t2)
+    c.append(spark.createDataFrame([(3, 3.0)], "k int, x double"))
+    after = _rids(c)
+    assert set(before.items()) <= set(after.items())  # ids carried
+    assert len(set(after.values())) == 2  # watermark carried: no reuse
