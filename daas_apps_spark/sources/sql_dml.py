@@ -10,6 +10,8 @@ never a re-implementation:
 
     DELETE FROM t WHERE <pred>
     UPDATE t SET c = <expr>, ... WHERE <pred>
+    INSERT INTO|OVERWRITE t SELECT ... | VALUES (...), (...)
+    CREATE TABLE t AS SELECT ...
     MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
@@ -288,31 +290,87 @@ def run_sql(
             )
             name = fast.group("alias") or "count(1)"  # Spark's default
             return spark.createDataFrame([(n,)], f"`{name}` long")
-        # rewrite every declared table reference (with optional
-        # VERSION/TIMESTAMP AS OF) to a fresh temp view over the
-        # corresponding snapshot read, then let Spark SQL run the text
-        rewritten = text
-        for name in tables:
-            pat = re.compile(
-                _TRAVEL_RE_TMPL.format(name=re.escape(name)), re.I
+        return spark.sql(_rewrite_tables(spark, text, tables))
+    if verb == "INSERT":
+        m = re.match(
+            r"^\s*INSERT\s+(?P<over>OVERWRITE|INTO)\s+"
+            r"(?P<t>[A-Za-z_]\w*)\s+(?P<src>.+?)\s*;?\s*$",
+            text,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported INSERT shape; supported: INSERT INTO|"
+                "OVERWRITE <table> SELECT ... | VALUES (...), (...)"
             )
+        vt = _resolve(spark, tables, m.group("t"))
+        src = m.group("src").strip()
+        if re.match(r"^\(", src):
+            src = src[1:-1].strip() if src.endswith(")") else src
+        if not re.match(r"^(SELECT|WITH|VALUES)\b", src, re.I):
+            raise ValueError(
+                "unsupported INSERT source; supported: a SELECT/WITH "
+                "query (declared tables and VERSION AS OF allowed) or "
+                "a VALUES list"
+            )
+        if re.match(r"^VALUES\b", src, re.I):
+            df = spark.sql(f"SELECT * FROM ({src})")
+        else:
+            df = spark.sql(_rewrite_tables(spark, src, tables))
+        # positional column mapping + store-assignment CAST onto the
+        # table schema (SQL INSERT semantics — a VALUES literal arrives
+        # as decimal/int and must land as the column's declared type,
+        # or a later mixed-schema read would misscale it); an empty
+        # table adopts the source's own names and types
+        try:
+            target = vt.read().schema.fields
+        except ValueError:
+            target = None
+        if target is not None:
+            if len(df.columns) != len(target):
+                raise ValueError(
+                    f"INSERT provides {len(df.columns)} column(s); table "
+                    f"has {len(target)} "
+                    f"({[f.name for f in target]})"
+                )
+            from pyspark.sql import functions as F
 
-            def _sub(m: re.Match, _name=name) -> str:
-                vt = _resolve(spark, tables, _name)
-                view = f"__dml_{_name}_{uuid.uuid4().hex[:8]}"
-                if m.group("version") is not None:
-                    df = vt.read(version=int(m.group("version")))
-                elif m.group("ts") is not None:
-                    df = vt.read(as_of=m.group("ts"))
-                else:
-                    df = vt.read()
-                df.createOrReplaceTempView(view)
-                return view
-
-            rewritten = pat.sub(_sub, rewritten)
-        return spark.sql(rewritten)
+            df = df.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(df.columns, target)
+                ]
+            )
+        if m.group("over").upper() == "OVERWRITE":
+            return vt.overwrite(df)
+        return vt.append(df)
     if verb == "ALTER":
         return _run_alter(spark, text, tables)
+    if verb == "CREATE" and re.match(
+        r"^\s*CREATE\s+TABLE\b", text, re.I
+    ):
+        m = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+AS\s+"
+            r"(?P<src>(SELECT|WITH)\b.+?)\s*;?\s*$",
+            text,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported CREATE TABLE shape; supported: CREATE TABLE "
+                "<declared-name> AS SELECT ... (the name must map to a "
+                "path in the tables dict)"
+            )
+        vt = _resolve(spark, tables, m.group("t"))
+        if vt.latest_version() > 0:
+            raise ValueError(
+                f"table {m.group('t')!r} already exists "
+                f"(v{vt.latest_version()}) — INSERT INTO it, or point the "
+                "name at an empty path"
+            )
+        df = spark.sql(_rewrite_tables(spark, m.group("src"), tables))
+        vt.append(df)
+        return vt
     if verb in ("CREATE", "DROP") and re.match(
         r"^\s*(CREATE|DROP)\s+BLOOMFILTER\s+INDEX\b", text, re.I
     ):
@@ -420,10 +478,35 @@ def run_sql(
         )
     raise ValueError(
         f"unsupported statement {verb or text!r}; supported verbs: "
-        "DELETE / UPDATE / MERGE / SELECT (incl. VERSION AS OF / "
-        "TIMESTAMP AS OF) / ALTER TABLE / OPTIMIZE / VACUUM / "
-        "RESTORE TABLE / DESCRIBE HISTORY"
+        "DELETE / UPDATE / MERGE / INSERT / SELECT (incl. VERSION AS "
+        "OF / TIMESTAMP AS OF) / CREATE TABLE AS / ALTER TABLE / "
+        "OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE HISTORY / "
+        "CREATE|DROP BLOOMFILTER INDEX"
     )
+
+
+def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
+    """Rewrite every declared table reference (with optional VERSION /
+    TIMESTAMP AS OF) to a fresh temp view over the corresponding
+    snapshot read; Spark SQL then runs the text verbatim."""
+    rewritten = text
+    for name in tables:
+        pat = re.compile(_TRAVEL_RE_TMPL.format(name=re.escape(name)), re.I)
+
+        def _sub(m: re.Match, _name=name) -> str:
+            vt = _resolve(spark, tables, _name)
+            view = f"__dml_{_name}_{uuid.uuid4().hex[:8]}"
+            if m.group("version") is not None:
+                df = vt.read(version=int(m.group("version")))
+            elif m.group("ts") is not None:
+                df = vt.read(as_of=m.group("ts"))
+            else:
+                df = vt.read()
+            df.createOrReplaceTempView(view)
+            return view
+
+        rewritten = pat.sub(_sub, rewritten)
+    return rewritten
 
 
 def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:

@@ -137,7 +137,7 @@ def test_select_with_version_as_of(spark, twins):
 def test_refusals_are_loud(spark, twins):
     a, _ = twins
     with pytest.raises(ValueError, match="supported verbs"):
-        run_sql(spark, "INSERT INTO t VALUES (9, 'z', 0.0)", {"t": a})
+        run_sql(spark, "TRUNCATE TABLE t", {"t": a})
     with pytest.raises(ValueError, match="key equality"):
         run_sql(
             spark,
@@ -370,3 +370,48 @@ def test_enable_row_tracking_via_sql(spark, tmp_path):
     assert "__row_id" in a.read(with_row_ids=True).columns
     with pytest.raises(ValueError, match="already enabled"):
         run_sql(spark, "ALTER TABLE t ENABLE ROW TRACKING", {"t": a})
+
+
+def test_insert_and_ctas_via_sql(spark, twins, tmp_path):
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    a, b = twins
+    # VALUES insert maps positionally onto the table schema
+    va = run_sql(
+        spark, "INSERT INTO t VALUES (9, 'z', 90.0), (10, 'y', 100.0)",
+        {"t": a},
+    )
+    vb = b.append(
+        spark.createDataFrame(
+            [(9, "z", 90.0), (10, "y", 100.0)], "k long, v string, x double"
+        )
+    )
+    assert va == vb
+    assert _rows(a) == _rows(b)
+    # SELECT insert reads declared tables (time travel allowed)
+    run_sql(
+        spark,
+        "INSERT INTO t SELECT k + 100, v, x FROM t VERSION AS OF 1",
+        {"t": a},
+    )
+    assert a.read().count() == 8 and {101, 102, 103} <= {
+        r.k for r in a.read().collect()
+    }
+    # INSERT OVERWRITE replaces the snapshot
+    run_sql(spark, "INSERT OVERWRITE t VALUES (1, 'only', 1.0)", {"t": a})
+    assert _rows(a) == [(1, "only", 1.0)]
+    # CTAS into a declared empty path
+    path = str(tmp_path / "ctas")
+    out = run_sql(
+        spark,
+        "CREATE TABLE dst AS SELECT k, x FROM t WHERE k = 1",
+        {"t": a, "dst": path},
+    )
+    assert isinstance(out, VersionedTable)
+    assert [(r.k, r.x) for r in out.read().collect()] == [(1, 1.0)]
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, "CREATE TABLE dst AS SELECT * FROM t",
+                {"t": a, "dst": path})
+    # wrong arity refuses loudly
+    with pytest.raises(ValueError, match="column"):
+        run_sql(spark, "INSERT INTO t VALUES (1, 'a')", {"t": a})
