@@ -2213,3 +2213,58 @@ def test_cdf_fanout_atomic_crash_before_coordinator_marker(
     )
     assert view_rows == [("a", 1, 10.0), ("b", 1, 30.0)]
     assert VersionedTable(spark, audit).read().count() == 2
+
+
+def test_table_stream_on_row_tracked_table_ids_opt_in(spark, tmp_path):
+    """Row tracking (A43) and the table stream sources compose: the
+    stream's DECLARED schema decides whether the hidden id ships —
+    omitted, rows arrive id-free exactly as on an untracked table;
+    declared, every row carries its stable id (so a downstream
+    consumer can key its own state by row lineage)."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import (
+        drain_table_stream,
+        register_table_change_stream_source,
+    )
+
+    register_table_change_stream_source(spark)
+
+    tbl = str(tmp_path / "t")
+    vt = VersionedTable(spark, tbl)
+    vt.enable_row_tracking()
+    for k in range(1, 4):
+        vt.append(
+            spark.createDataFrame([(k, f"v{k}")], "k long, v string")
+        )
+    plain: list[tuple] = []
+    drain_table_stream(
+        spark,
+        "table_changes",
+        tbl,
+        "k long, v string",
+        str(tmp_path / "ck1"),
+        lambda df, _b: plain.extend(
+            sorted((r["k"], r["v"]) for r in df.collect())
+        ),
+    )
+    assert plain == [(1, "v1"), (2, "v2"), (3, "v3")]
+    with_ids: list[tuple] = []
+    drain_table_stream(
+        spark,
+        "table_changes",
+        tbl,
+        "k long, v string, __row_id long",
+        str(tmp_path / "ck2"),
+        lambda df, _b: with_ids.extend(
+            (r["k"], r["__row_id"]) for r in df.collect()
+        ),
+    )
+    assert sorted(k for k, _ in with_ids) == [1, 2, 3]
+    ids = [i for _, i in with_ids]
+    assert None not in ids and len(set(ids)) == 3
+    # the streamed ids are exactly the table's stable ids
+    table_ids = {
+        r["k"]: r["__row_id"]
+        for r in vt.read(with_row_ids=True).collect()
+    }
+    assert dict(with_ids) == table_ids
