@@ -15,6 +15,7 @@ never a re-implementation:
     MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+    SELECT ... FROM TABLE_CHANGES(t, v_from[, v_to]) ...
 
 plus the DDL/maintenance verbs a lakehouse operator runs (each a thin
 call into the corresponding ``VersionedTable`` method — Delta's SQL
@@ -488,8 +489,30 @@ def run_sql(
 def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
     """Rewrite every declared table reference (with optional VERSION /
     TIMESTAMP AS OF) to a fresh temp view over the corresponding
-    snapshot read; Spark SQL then runs the text verbatim."""
+    snapshot read; Spark SQL then runs the text verbatim.
+
+    ``TABLE_CHANGES(t, v_from[, v_to])`` in FROM position (Delta's
+    table-valued change feed) rewrites to a view over
+    ``changes_between`` — on a row-tracked table the rows carry all
+    four change types and the stable id."""
     rewritten = text
+
+    def _changes(m: re.Match) -> str:
+        vt = _resolve(spark, tables, m.group("t"))
+        view = f"__dml_changes_{uuid.uuid4().hex[:8]}"
+        v_to = int(m.group("v2")) if m.group("v2") else None
+        vt.changes_between(int(m.group("v1")), v_to).createOrReplaceTempView(
+            view
+        )
+        return view
+
+    rewritten = re.sub(
+        r"\bTABLE_CHANGES\s*\(\s*(?P<t>[A-Za-z_]\w*)\s*,\s*(?P<v1>\d+)"
+        r"(?:\s*,\s*(?P<v2>\d+))?\s*\)",
+        _changes,
+        rewritten,
+        flags=re.I,
+    )
     for name in tables:
         pat = re.compile(_TRAVEL_RE_TMPL.format(name=re.escape(name)), re.I)
 

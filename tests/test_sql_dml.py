@@ -415,3 +415,23 @@ def test_insert_and_ctas_via_sql(spark, twins, tmp_path):
     # wrong arity refuses loudly
     with pytest.raises(ValueError, match="column"):
         run_sql(spark, "INSERT INTO t VALUES (1, 'a')", {"t": a})
+
+
+def test_table_changes_tvf_via_sql(spark, twins):
+    a, _ = twins
+    run_sql(spark, "DELETE FROM t WHERE k = 2", {"t": a})
+    got = run_sql(
+        spark,
+        "SELECT _change_type, count(*) AS n "
+        "FROM TABLE_CHANGES(t, 1, 2) GROUP BY 1 ORDER BY 1",
+        {"t": a},
+    ).collect()
+    assert [(r._change_type, r.n) for r in got] == [("delete", 1)]
+    # open-ended range reads to head; composes with ordinary references
+    joined = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM TABLE_CHANGES(t, 1) c "
+        "JOIN t VERSION AS OF 1 o ON c.k = o.k",
+        {"t": a},
+    ).first()
+    assert joined.n == 1
