@@ -306,9 +306,30 @@ def run_sql(
             )
         vt = _resolve(spark, tables, m.group("t"))
         src = m.group("src").strip()
-        if re.match(r"^\(", src):
-            src = src[1:-1].strip() if src.endswith(")") else src
-        if not re.match(r"^(SELECT|WITH|VALUES)\b", src, re.I):
+        if src.startswith("(") and src.endswith(")"):
+            # strip ONLY a single enclosing group: "(SELECT..) UNION
+            # (SELECT..)" starts and ends with parens but stripping its
+            # outer characters would mangle balanced SQL
+            depth = 0
+            quote: str | None = None
+            enclosing = True
+            for j, ch in enumerate(src):
+                if quote:
+                    if ch == quote:
+                        quote = None
+                    continue
+                if ch in ("'", '"'):
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and j < len(src) - 1:
+                        enclosing = False
+                        break
+            if enclosing:
+                src = src[1:-1].strip()
+        if not re.match(r"^(\(|SELECT\b|WITH\b|VALUES\b)", src, re.I):
             raise ValueError(
                 "unsupported INSERT source; supported: a SELECT/WITH "
                 "query (declared tables and VERSION AS OF allowed) or "
@@ -334,12 +355,16 @@ def run_sql(
                     f"has {len(target)} "
                     f"({[f.name for f in target]})"
                 )
+            # rename FIRST via toDF (pure positional, no name resolution
+            # — a literal-derived source column can be NAMED "70.0",
+            # which any column lookup would parse as a nested reference),
+            # THEN apply the store-assignment casts on clean names
             from pyspark.sql import functions as F
 
-            df = df.select(
+            df = df.toDF(*[f.name for f in target]).select(
                 *[
-                    F.col(c).cast(f.dataType).alias(f.name)
-                    for c, f in zip(df.columns, target)
+                    F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                    for f in target
                 ]
             )
         if m.group("over").upper() == "OVERWRITE":
@@ -488,48 +513,102 @@ def run_sql(
 
 def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
     """Rewrite every declared table reference (with optional VERSION /
-    TIMESTAMP AS OF) to a fresh temp view over the corresponding
-    snapshot read; Spark SQL then runs the text verbatim.
+    TIMESTAMP AS OF) and every ``TABLE_CHANGES(t, v_from[, v_to])``
+    call to temp views over the corresponding snapshot / change-feed
+    reads; Spark SQL then runs the text verbatim.
 
-    ``TABLE_CHANGES(t, v_from[, v_to])`` in FROM position (Delta's
-    table-valued change feed) rewrites to a view over
-    ``changes_between`` — on a row-tracked table the rows carry all
-    four change types and the stable id."""
-    rewritten = text
-
-    def _changes(m: re.Match) -> str:
-        vt = _resolve(spark, tables, m.group("t"))
-        view = f"__dml_changes_{uuid.uuid4().hex[:8]}"
-        v_to = int(m.group("v2")) if m.group("v2") else None
-        vt.changes_between(int(m.group("v1")), v_to).createOrReplaceTempView(
-            view
-        )
-        return view
-
-    rewritten = re.sub(
-        r"\bTABLE_CHANGES\s*\(\s*(?P<t>[A-Za-z_]\w*)\s*,\s*(?P<v1>\d+)"
-        r"(?:\s*,\s*(?P<v2>\d+))?\s*\)",
-        _changes,
-        rewritten,
-        flags=re.I,
+    This is a QUOTE-AWARE single-pass scan, not a blind regex sub: a
+    table name inside a string literal is data and must survive
+    untouched (a blind sub would silently change results), a name
+    qualified by an alias (``x.t``) is a column reference, and every
+    occurrence of the same (table, travel-spec) resolves to ONE view —
+    so ``SELECT t.x FROM t`` keeps a consistent qualifier and two
+    references read one snapshot, not two separately-timed ones."""
+    if not tables:
+        return text
+    byname = {k.lower() for k in tables}
+    token_re = re.compile(
+        r"TABLE_CHANGES\s*\(\s*(?P<ct>[A-Za-z_]\w*)\s*,\s*(?P<v1>\d+)"
+        r"(?:\s*,\s*(?P<v2>\d+))?\s*\)"
+        r"|(?P<t>[A-Za-z_]\w*)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')?",
+        re.I,
     )
-    for name in tables:
-        pat = re.compile(_TRAVEL_RE_TMPL.format(name=re.escape(name)), re.I)
+    views: dict = {}
 
-        def _sub(m: re.Match, _name=name) -> str:
-            vt = _resolve(spark, tables, _name)
-            view = f"__dml_{_name}_{uuid.uuid4().hex[:8]}"
-            if m.group("version") is not None:
-                df = vt.read(version=int(m.group("version")))
-            elif m.group("ts") is not None:
-                df = vt.read(as_of=m.group("ts"))
-            else:
-                df = vt.read()
-            df.createOrReplaceTempView(view)
-            return view
+    def _view(key, build) -> str:
+        if key not in views:
+            view = f"__dml_{key[0]}_{uuid.uuid4().hex[:8]}"
+            build().createOrReplaceTempView(view)
+            views[key] = view
+        return views[key]
 
-        rewritten = pat.sub(_sub, rewritten)
-    return rewritten
+    out: list[str] = []
+    i, n = 0, len(text)
+    quote: str | None = None
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        boundary = i == 0 or not (
+            text[i - 1].isalnum() or text[i - 1] in "_."
+        )
+        if boundary and (ch.isalpha() or ch == "_"):
+            m = token_re.match(text, i)
+            if m and m.group("ct") and m.group("ct").lower() in byname:
+                tname, v1, v2 = m.group("ct"), m.group("v1"), m.group("v2")
+                out.append(
+                    _view(
+                        ("changes_" + tname.lower(), v1, v2),
+                        lambda: _resolve(spark, tables, tname)
+                        .changes_between(int(v1), int(v2) if v2 else None),
+                    )
+                )
+                i = m.end()
+                continue
+            if m and m.group("t") and m.group("t").lower() in byname:
+                tname = m.group("t")
+                ver, ts = m.group("version"), m.group("ts")
+                end = m.end()
+                if ver is None and ts is None:
+                    end = m.end("t")
+                    if re.match(r"\s*\(", text[end : end + 8]):
+                        # identifier immediately applied like a function:
+                        # not a table reference — copy it untouched
+                        out.append(tname)
+                        i = end
+                        continue
+
+                def _read(_t=tname, _v=ver, _ts=ts):
+                    vt = _resolve(spark, tables, _t)
+                    if _v is not None:
+                        return vt.read(version=int(_v))
+                    if _ts is not None:
+                        return vt.read(as_of=_ts)
+                    return vt.read()
+
+                out.append(_view((tname.lower(), ver, ts), _read))
+                i = end
+                continue
+            # ordinary identifier: copy wholesale so its inner
+            # characters are never re-inspected as boundaries
+            ident = re.match(r"[A-Za-z_]\w*", text[i:]).group(0)
+            out.append(ident)
+            i += len(ident)
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:

@@ -253,15 +253,27 @@ def _check_features(entry: dict, where: str) -> None:
         )
 
 
+_TXN_STATUS_CACHE: dict = {}  # (coordinator, id) -> terminal status
+
+
 def _txn_status(coordinator: str, txn_id: str) -> str:
     """'committed' | 'aborted' | 'pending' for a multi-table transaction,
     read from the coordinator directory — the SINGLE atomic visibility
-    point the staged commits of every participating table share."""
+    point the staged commits of every participating table share.
+    Terminal states are process-cached: a committed/aborted marker never
+    changes, and without the cache every log read re-stats two files per
+    resolved txn commit for the rest of the log's life."""
+    key = (coordinator, txn_id)
+    hit = _TXN_STATUS_CACHE.get(key)
+    if hit is not None:
+        return hit
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.committed.json")):
+        _TXN_STATUS_CACHE[key] = "committed"
         return "committed"
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.aborted.json")):
+        _TXN_STATUS_CACHE[key] = "aborted"
         return "aborted"
-    return "pending"
+    return "pending"  # non-terminal: never cached
 
 
 def _resolve_txn_entries(entries: list[dict]) -> list[dict]:
@@ -1234,7 +1246,15 @@ class VersionedTable:
                 "(committing past a pending txn would make its "
                 "visibility flip retroactive)"
             )
-        latest = self.latest_version()
+        # latest derives from the SAME snapshot the conflict scan reads:
+        # a second log listing here could see a commit the scan's list
+        # lacks, and a plan would slip past both the matrix (entry not
+        # in `commits`) and the CAS (different version number). With one
+        # snapshot, any commit landing after it collides at os.link.
+        latest = commits[-1]["version"] if commits else 0
+        cks = self._checkpoints()
+        if cks:
+            latest = max(latest, cks[-1]["version"])
         if read_version is not None and latest > read_version:
             self._check_snapshot_conflict(
                 read_version,
@@ -1770,6 +1790,29 @@ class VersionedTable:
                 "safe)"
             )
 
+    def _fold_state(self, version: int | None, seed, apply_md):
+        """The shared checkpoint-then-commits metadata fold every
+        versioned-state accessor (constraints, layout, mapping, widening,
+        generated/identity/bloom/row-tracking, refs) runs: seed from the
+        newest checkpoint at-or-before ``version`` (``seed(base)``,
+        base=None when no checkpoint qualifies), then apply each later
+        in-range commit's metadata in order (``apply_md(state, md)``).
+        One definition means one place for any future replay-semantics
+        change (e.g. a new txn rule) instead of nine copies."""
+        base = None
+        for ck in self._checkpoints():
+            if version is None or ck["version"] <= version:
+                base = ck
+        state = seed(base)
+        floor = base["version"] if base else 0
+        for entry in self._commits():
+            if entry["version"] <= floor:
+                continue
+            if version is not None and entry["version"] > version:
+                break
+            state = apply_md(state, entry.get("metadata") or {})
+        return state
+
     def constraints(self, version: int | None = None) -> dict:
         """Active CHECK constraints ``{name: sql_expr}`` at ``version``
         (latest by default). Constraint ops live in commit METADATA
@@ -1777,18 +1820,7 @@ class VersionedTable:
         full set via ``constraints_set``) and are folded into checkpoints
         alongside the live-dir list, so replay stays O(N mod
         CHECKPOINT_EVERY) and log retention can't lose them."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active: dict = dict(base.get("constraints", {})) if base else {}
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
+        def apply(active: dict, md: dict) -> dict:
             if "constraints_set" in md:
                 active = dict(md["constraints_set"])
             op = md.get("constraint")
@@ -1797,7 +1829,13 @@ class VersionedTable:
                     active[op["name"]] = op["expr"]
                 else:
                     active.pop(op["name"], None)
-        return active
+            return active
+
+        return self._fold_state(
+            version,
+            lambda b: dict(b.get("constraints", {})) if b else {},
+            apply,
+        )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr``): existing
@@ -1858,21 +1896,15 @@ class VersionedTable:
         (None = every column gets per-file stats, the default). Like
         constraints, the setting lives in commit METADATA and is folded
         into checkpoints, so log retention cannot lose it."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active = base.get("stats_columns") if base else None
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
-            if "stats_columns_set" in md:
-                active = md["stats_columns_set"]
-        return active
+        return self._fold_state(
+            version,
+            lambda b: b.get("stats_columns") if b else None,
+            lambda active, md: (
+                md["stats_columns_set"]
+                if "stats_columns_set" in md
+                else active
+            ),
+        )
 
     def set_stats_columns(self, cols: list | None) -> int:
         """Bound manifest/checkpoint growth on a very wide or very large
@@ -1908,18 +1940,7 @@ class VersionedTable:
         Rules live in commit METADATA like constraints (a clone
         bootstraps the full map via ``generated_set``) and fold into
         checkpoints, so log retention cannot lose them."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active: dict = dict(base.get("generated", {})) if base else {}
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
+        def apply(active: dict, md: dict) -> dict:
             if "generated_set" in md:
                 active = dict(md["generated_set"] or {})
             op = md.get("generated")
@@ -1928,7 +1949,13 @@ class VersionedTable:
                     active[op["col"].lower()] = op["expr"]
                 else:
                     active.pop(op["col"].lower(), None)
-        return active
+            return active
+
+        return self._fold_state(
+            version,
+            lambda b: dict(b.get("generated", {})) if b else {},
+            apply,
+        )
 
     def set_generated_column(self, col: str, expr: str) -> int:
         """Declare ``col`` GENERATED ALWAYS AS (``expr``) — Delta's
@@ -2029,21 +2056,15 @@ class VersionedTable:
         a rewrite) simply have no bloom and degrade to "maybe" — so no
         reader or writer protocol feature is needed: absence is always
         conservative."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active = base.get("bloom_columns") if base else None
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
-            if "bloom_columns_set" in md:
-                active = md["bloom_columns_set"]
-        return active
+        return self._fold_state(
+            version,
+            lambda b: b.get("bloom_columns") if b else None,
+            lambda active, md: (
+                md["bloom_columns_set"]
+                if "bloom_columns_set" in md
+                else active
+            ),
+        )
 
     def set_bloom_columns(
         self, cols: list | None, fpp: float = 0.01
@@ -2211,22 +2232,7 @@ class VersionedTable:
         METADATA and fold into checkpoints, so the watermark survives
         log retention — reusing an id after retention would be silent
         key duplication."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active: dict = (
-            {k: dict(v) for k, v in (base.get("identity") or {}).items()}
-            if base
-            else {}
-        )
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
+        def apply(active: dict, md: dict) -> dict:
             if "identity_set" in md:
                 active = {
                     k: dict(v) for k, v in (md["identity_set"] or {}).items()
@@ -2247,7 +2253,17 @@ class VersionedTable:
                         high > cur if step > 0 else high < cur
                     ):
                         active[col]["high"] = high
-        return active
+            return active
+
+        return self._fold_state(
+            version,
+            lambda b: (
+                {k: dict(v) for k, v in (b.get("identity") or {}).items()}
+                if b
+                else {}
+            ),
+            apply,
+        )
 
     def set_identity_column(
         self, col: str, start: int = 1, step: int = 1
@@ -2303,21 +2319,15 @@ class VersionedTable:
         assigned at first write and PRESERVED across COW rewrites, so
         the change feed can pair an update's pre/post images and
         incremental consumers can follow a row through rewrites."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active = bool(base.get("row_tracking")) if base else False
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
-            if "row_tracking_set" in md:
-                active = bool(md["row_tracking_set"])
-        return active
+        return self._fold_state(
+            version,
+            lambda b: bool(b.get("row_tracking")) if b else False,
+            lambda active, md: (
+                bool(md["row_tracking_set"])
+                if "row_tracking_set" in md
+                else active
+            ),
+        )
 
     def enable_row_tracking(self) -> int:
         """Enable row tracking (one metadata commit, empty table only —
@@ -2463,21 +2473,13 @@ class VersionedTable:
         write-side clustering: ``{"cluster_by": [cols...],
         "target_files": N|None}``. Replayed like stats_columns
         (metadata commits + checkpoint fold)."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active = base.get("layout") if base else None
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
-            if "layout_set" in md:
-                active = md["layout_set"]
-        return active
+        return self._fold_state(
+            version,
+            lambda b: b.get("layout") if b else None,
+            lambda active, md: (
+                md["layout_set"] if "layout_set" in md else active
+            ),
+        )
 
     def set_layout(
         self,
@@ -2500,6 +2502,7 @@ class VersionedTable:
         layout. Declares the ``clustered-layout`` WRITER feature: an
         old writer would land unclustered files that silently degrade
         the layout contract readers budget scans by."""
+        rv = self.latest_version()
         if cluster_by is not None:
             cluster_by = list(cluster_by)
             if not cluster_by:
@@ -2529,6 +2532,10 @@ class VersionedTable:
             remove=[],
             metadata={"layout_set": spec},
             data_change=False,
+            # two concurrent layout declarations are last-writer-wins by
+            # value; the pin makes the loser replan instead (the matrix
+            # conflicts on any intervening write-invalidating op)
+            read_version=rv,
             writer_features=(["clustered-layout"] if spec else []),
         )
 
@@ -2543,21 +2550,15 @@ class VersionedTable:
         data_change=False metadata commit — at 100 TB a column rename
         must not rewrite the table. Replayed like constraints
         (metadata commits + checkpoint fold)."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        mapping = base.get("column_mapping") if base else None
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
-            if "column_mapping_set" in md:
-                mapping = md["column_mapping_set"]
-        return mapping
+        return self._fold_state(
+            version,
+            lambda b: b.get("column_mapping") if b else None,
+            lambda mapping, md: (
+                md["column_mapping_set"]
+                if "column_mapping_set" in md
+                else mapping
+            ),
+        )
 
     @staticmethod
     def _to_logical(df: DataFrame, mapping: dict | None) -> DataFrame:
@@ -2654,7 +2655,11 @@ class VersionedTable:
         }
 
     def _commit_mapping(
-        self, operation: str, mapping: dict, extra_metadata: dict | None = None
+        self,
+        operation: str,
+        mapping: dict,
+        extra_metadata: dict | None = None,
+        read_version: int | None = None,
     ) -> int:
         md: dict = {"column_mapping_set": mapping}
         if extra_metadata:
@@ -2665,6 +2670,11 @@ class VersionedTable:
             remove=[],
             metadata=md,
             data_change=False,
+            # the mapping is a whole-state rewrite bootstrapped from the
+            # caller's read — a concurrent rename/drop would be silently
+            # reverted without the pin (the matrix conflicts on any
+            # intervening write-invalidating op and replans)
+            read_version=read_version,
             # an old reader would surface physical names / resurrect
             # dropped columns; an old writer would write files under
             # logical names, splitting the physical schema
@@ -2749,6 +2759,7 @@ class VersionedTable:
         a struct is not supported — restructure with an expression
         instead), matching the engine's DDL surface."""
         self._check_writer_features()
+        rv = self.latest_version()
         m = self._bootstrap_mapping()
         field = self._mapping_field(m, old)
         if new.lower() != old.lower():
@@ -2784,7 +2795,9 @@ class VersionedTable:
                 for k in layout["cluster_by"]
             ]
             extra = {"layout_set": spec}
-        return self._commit_mapping("rename_column", m, extra)
+        return self._commit_mapping(
+            "rename_column", m, extra, read_version=rv
+        )
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only: the physical column
@@ -2794,6 +2807,7 @@ class VersionedTable:
         commit, not a table rewrite; the bytes come back at the next
         OPTIMIZE (whose rewrite materializes the logical schema)."""
         self._check_writer_features()
+        rv = self.latest_version()
         m = self._bootstrap_mapping()
         field = self._mapping_field(m, name)
         if len(m["fields"]) == 1:
@@ -2823,7 +2837,7 @@ class VersionedTable:
         self._refuse_constrained_column(name, "drop")
         m["fields"].remove(field)
         m["dropped"].append(field["physical"])
-        return self._commit_mapping("drop_column", m)
+        return self._commit_mapping("drop_column", m, read_version=rv)
 
     # -- type widening (metadata-only ALTER COLUMN TYPE) ---------------------
 
@@ -2838,21 +2852,15 @@ class VersionedTable:
         renames are orthogonal (the mapping stays valid across them).
         Replayed like constraints/layout (metadata commits + checkpoint
         fold). Empty dict = never widened."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        widening = dict(base.get("type_widening") or {}) if base else {}
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            md = entry.get("metadata") or {}
-            if "type_widening_set" in md:
-                widening = dict(md["type_widening_set"])
-        return widening
+        return self._fold_state(
+            version,
+            lambda b: dict(b.get("type_widening") or {}) if b else {},
+            lambda widening, md: (
+                dict(md["type_widening_set"])
+                if "type_widening_set" in md
+                else widening
+            ),
+        )
 
     def _physical_type(self, pcol: str) -> str:
         """Current FILE-LEVEL type of physical column ``pcol`` (Spark
@@ -2897,6 +2905,7 @@ class VersionedTable:
         parquet reader promotes natively. ``col`` is the LOGICAL name
         (resolved through any active column mapping)."""
         self._check_writer_features()
+        rv = self.latest_version()
         from pyspark.sql.types import _parse_datatype_string
 
         try:
@@ -2931,6 +2940,9 @@ class VersionedTable:
             remove=[],
             metadata={"type_widening_set": widening},
             data_change=False,
+            # the whole-map rewrite bootstrapped from a stale read would
+            # erase a concurrent widen — the pin makes it replan instead
+            read_version=rv,
             # an old reader's plain scan crashes (or mis-types) on the
             # mixed-era files; an old writer would land narrow files and
             # never upcast reads
@@ -3070,24 +3082,20 @@ class VersionedTable:
         further writes, so consumers pin a blessed snapshot by name
         instead of circulating raw version numbers. Stored and replayed
         exactly like constraints (metadata commits + checkpoint fold)."""
-        base = None
-        for ck in self._checkpoints():
-            if version is None or ck["version"] <= version:
-                base = ck
-        active: dict = dict(base.get("refs", {})) if base else {}
-        floor = base["version"] if base else 0
-        for entry in self._commits():
-            if entry["version"] <= floor:
-                continue
-            if version is not None and entry["version"] > version:
-                break
-            op = (entry.get("metadata") or {}).get("ref")
+        def apply(active: dict, md: dict) -> dict:
+            op = md.get("ref")
             if op:
                 if op["op"] == "set":
                     active[op["name"]] = op["version"]
                 else:
                     active.pop(op["name"], None)
-        return active
+            return active
+
+        return self._fold_state(
+            version,
+            lambda b: dict(b.get("refs", {})) if b else {},
+            apply,
+        )
 
     def set_ref(self, name: str, version: int | None = None) -> int:
         """Tag ``version`` (default: the current head) as ``name``,
@@ -4352,7 +4360,11 @@ class VersionedTable:
                 "separate passes"
             )
         if max_dir_bytes is not None:
-            live, _, _, file_sizes = self._replay(None)
+            # pin the WHOLE plan to the rv snapshot: a dir listed after
+            # a concurrent commit would be retired without its rows in
+            # the rewrite, and the compaction conflict rule (which
+            # rebases past non-overlapping ingest) could not see it
+            live, _, _, file_sizes = self._replay(rv)
 
             def dir_bytes(rel: str) -> int:
                 # manifest first (no filesystem listing — at 100 TB on an
@@ -4380,7 +4392,7 @@ class VersionedTable:
                     [os.path.join(self.path, _DATA, d) for d in small],
                     merge_schema=True,
                 ),
-                self._live_dvs(),
+                self._live_dvs(rv),
             ).coalesce(target_partitions)
             rel = self._write_data_dir(folded, rv + 1)
             return self._commit(
@@ -4391,7 +4403,11 @@ class VersionedTable:
                 read_version=rv,
             )
 
-        current = self.read(merge_schema=True, with_row_ids=True)
+        # the full rewrite reads, retires, and purges the rv snapshot
+        # EXACTLY — any commit landing after rv is the conflict matrix's
+        # problem (blind appends rebase and keep their dirs; overlapping
+        # retires replan), never silently folded into the remove list
+        current = self.read(version=rv, merge_schema=True, with_row_ids=True)
         if zorder_by is None:
             current = current.coalesce(target_partitions)
         else:
@@ -4492,25 +4508,25 @@ class VersionedTable:
                     )
                     idx += 1
             shutil.rmtree(tmp_out, ignore_errors=True)
-            old = [os.path.basename(p) for p in self._live_dirs()]
-            # ``current`` came from read() and is therefore DV-applied:
-            # a full rewrite PURGES outstanding deletion vectors
+            old = [os.path.basename(p) for p in self._live_dirs(rv)]
+            # ``current`` came from read(version=rv) and is therefore
+            # DV-applied: a full rewrite PURGES the rv snapshot's vectors
             return self._commit(
                 "optimize",
                 add=[rel],
                 remove=old,
                 data_change=False,
-                dv_remove=self._live_dvs(),
+                dv_remove=self._live_dvs(rv),
                 read_version=rv,
             )
-        old = [os.path.basename(p) for p in self._live_dirs()]
+        old = [os.path.basename(p) for p in self._live_dirs(rv)]
         rel = self._write_data_dir(current, rv + 1)
         return self._commit(
             "optimize",
             add=[rel],
             remove=old,
             data_change=False,
-            dv_remove=self._live_dvs(),
+            dv_remove=self._live_dvs(rv),
             read_version=rv,
         )
 

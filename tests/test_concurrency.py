@@ -399,3 +399,63 @@ def test_real_concurrent_identity_appends_stay_unique(spark, tmp_path):
     vt = VersionedTable(spark, path)
     rids = [r.rid for r in vt.read().collect()]
     assert len(rids) == 12 and len(set(rids)) == 12
+
+
+def test_concurrent_widens_conflict_instead_of_last_writer_wins(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    _race_once(
+        victim,
+        "column_mapping",
+        lambda: other.widen_column("v", "bigint"),
+    )
+    # the victim's whole-map rewrite was bootstrapped from a stale read
+    # — landing it would silently erase the concurrent widen
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.widen_column("k", "bigint")
+    assert victim.type_widening() == {"v": "bigint"}
+    retry_on_conflict(lambda: victim.widen_column("k", "bigint"))
+    assert victim.type_widening() == {"k": "bigint", "v": "bigint"}
+
+
+def test_concurrent_renames_conflict_instead_of_reverting(spark, tmp_path):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10)]))
+    _race_once(
+        victim,
+        "column_mapping",
+        lambda: other.rename_column("v", "val"),
+    )
+    with pytest.raises(CommitConflictError, match="snapshot changed"):
+        victim.rename_column("k", "key")
+    # the concurrent rename survived; the victim's never landed
+    assert sorted(victim.read().columns) == ["k", "val"]
+    retry_on_conflict(lambda: victim.rename_column("k", "key"))
+    assert sorted(victim.read().columns) == ["key", "val"]
+
+
+def test_zorder_optimize_rebases_without_erasing_concurrent_append(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    victim = VersionedTable(spark, path)
+    other = VersionedTable(spark, path)
+    victim.append(_df(spark, [(1, 10), (2, 20)]))
+    victim.append(_df(spark, [(3, 30)]))
+    # the append lands DURING the Z-order write job: the rewrite's
+    # remove list is pinned to the plan snapshot, so the raced-in dir
+    # must survive beside the clustered rewrite
+    state = _race_once(
+        victim,
+        "_to_physical",
+        lambda: other.append(_df(spark, [(9, 90)])),
+    )
+    victim.optimize(zorder_by=("k", "v"), target_partitions=2)
+    assert state["fired"] == 1
+    assert sorted(r.k for r in victim.read().collect()) == [1, 2, 3, 9]

@@ -435,3 +435,35 @@ def test_table_changes_tvf_via_sql(spark, twins):
         {"t": a},
     ).first()
     assert joined.n == 1
+
+
+def test_rewriter_is_quote_aware_and_alias_safe(spark, twins):
+    a, _ = twins
+    # a table name inside a string literal is DATA, not a reference
+    got = run_sql(
+        spark, "SELECT count(*) AS n FROM t WHERE v <> 't'", {"t": a}
+    ).first()
+    assert got.n == 3
+    # self-qualified references resolve through ONE shared view
+    got = run_sql(
+        spark, "SELECT t.k, upper(t.v) AS u FROM t WHERE t.k = 1", {"t": a}
+    ).first()
+    assert (got.k, got.u) == (1, "A")
+    # two references in one statement read one snapshot
+    got = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM t x JOIN t y ON x.k = y.k",
+        {"t": a},
+    ).first()
+    assert got.n == 3
+
+
+def test_insert_parenthesized_compound_source(spark, twins):
+    a, _ = twins
+    run_sql(
+        spark,
+        "INSERT INTO t (SELECT 7, 'u', 70.0) UNION (SELECT 8, 'w', 80.0)",
+        {"t": a},
+    )
+    ks = {r.k for r in a.read().collect()}
+    assert {7, 8} <= ks and len(ks) == 5
