@@ -4473,7 +4473,7 @@ class VersionedTable:
             width = max(
                 (1 << (len(cols) * zorder_bits)) // target_partitions, 1
             )
-            rel = f"v{self.latest_version() + 1}-{uuid.uuid4().hex[:8]}"
+            rel = f"v{rv + 1}-{uuid.uuid4().hex[:8]}"
             tmp_out = os.path.join(self.path, _DATA, f".tmp-{rel}")
             (
                 # _to_physical: this bypasses _write_data_dir, so the
