@@ -345,27 +345,76 @@ def run_sql(
         # or a later mixed-schema read would misscale it); an empty
         # table adopts the source's own names and types
         try:
-            target = vt.read().schema.fields
+            # merged schema: a just-declared generated column (or an
+            # evolved column) may exist in only SOME live files, and the
+            # positional target list must still include it
+            fields = vt.read(merge_schema=True).schema.fields
         except ValueError:
-            target = None
-        if target is not None:
-            if len(df.columns) != len(target):
+            fields = None
+        if fields is not None:
+            # identity columns are GENERATED ALWAYS — the engine assigns
+            # them, so they are never positional INSERT targets (the
+            # append funnel refuses frames that provide one). Generated
+            # columns may be OMITTED (the funnel computes them) or
+            # provided in full (the funnel validates them) — the arity
+            # decides which target list the source maps onto.
+            ids = set(vt.identity_columns())
+            gen = set(vt.generated_columns())
+            plain = [f for f in fields if f.name.lower() not in ids | gen]
+            withgen = [f for f in fields if f.name.lower() not in ids]
+            if len(df.columns) == len(plain):
+                target = plain
+            elif len(df.columns) == len(withgen):
+                target = withgen
+            else:
                 raise ValueError(
-                    f"INSERT provides {len(df.columns)} column(s); table "
-                    f"has {len(target)} "
-                    f"({[f.name for f in target]})"
+                    f"INSERT provides {len(df.columns)} column(s); the "
+                    f"positional target list is "
+                    f"{[f.name for f in plain]}"
+                    + (
+                        f" (optionally + generated {sorted(gen)})"
+                        if gen
+                        else ""
+                    )
+                    + (
+                        f"; identity column(s) {sorted(ids)} are engine-"
+                        "assigned and cannot be inserted"
+                        if ids
+                        else ""
+                    )
                 )
             # rename FIRST via toDF (pure positional, no name resolution
             # — a literal-derived source column can be NAMED "70.0",
             # which any column lookup would parse as a nested reference),
-            # THEN apply the store-assignment casts on clean names
+            # THEN apply store-assignment casts on clean names:
+            # try_cast + raise on non-NULL→NULL, so an un-castable or
+            # overflowing VALUES literal FAILS the statement instead of
+            # landing NULL/wrapped under Spark's default non-ANSI cast
+            # (ANSI store-assignment semantics, statement-scoped)
             from pyspark.sql import functions as F
 
+            def _store_assign(f):
+                src = F.col(f"`{f.name}`")
+                casted = src.try_cast(f.dataType)
+                return (
+                    F.when(
+                        src.isNotNull() & casted.isNull(),
+                        F.raise_error(
+                            F.format_string(
+                                f"INSERT: value %s cannot be stored in "
+                                f"column {f.name} "
+                                f"({f.dataType.simpleString()}) — "
+                                "store-assignment refuses lossy casts",
+                                src.cast("string"),
+                            )
+                        ).cast(f.dataType),
+                    )
+                    .otherwise(casted)
+                    .alias(f.name)
+                )
+
             df = df.toDF(*[f.name for f in target]).select(
-                *[
-                    F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
-                    for f in target
-                ]
+                *[_store_assign(f) for f in target]
             )
         if m.group("over").upper() == "OVERWRITE":
             return vt.overwrite(df)

@@ -253,7 +253,25 @@ def _check_features(entry: dict, where: str) -> None:
         )
 
 
-_TXN_STATUS_CACHE: dict = {}  # (coordinator, id) -> terminal status
+# (coordinator incarnation, coordinator path, txn id) -> terminal
+# status. Bounded FIFO (a long-lived driver resolving millions of txns
+# must not grow it without bound — an evicted entry just re-reads two
+# files), and keyed on the coordinator's INCARNATION marker (a uuid
+# minted when the coordinator directory is created), so a coordinator
+# deleted and recreated at the same path (a reset deployment, test
+# fixtures reusing tmp paths) can never alias a stale cached verdict —
+# (st_dev, st_ino) is not enough, the filesystem reuses freed inodes.
+_TXN_STATUS_CACHE: dict = {}
+_TXN_STATUS_CACHE_CAP = 65536
+_INCARNATION = "_incarnation"
+
+
+def _coordinator_identity(coordinator: str) -> str | None:
+    try:
+        with open(os.path.join(coordinator, _INCARNATION)) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None  # legacy / vanished coordinator: uncacheable
 
 
 def _txn_status(coordinator: str, txn_id: str) -> str:
@@ -261,18 +279,27 @@ def _txn_status(coordinator: str, txn_id: str) -> str:
     read from the coordinator directory — the SINGLE atomic visibility
     point the staged commits of every participating table share.
     Terminal states are process-cached: a committed/aborted marker never
-    changes, and without the cache every log read re-stats two files per
-    resolved txn commit for the rest of the log's life."""
-    key = (coordinator, txn_id)
-    hit = _TXN_STATUS_CACHE.get(key)
-    if hit is not None:
-        return hit
+    changes (within one coordinator incarnation), and without the cache
+    every log read re-stats two files per resolved txn commit for the
+    rest of the log's life."""
+    ident = _coordinator_identity(coordinator)
+    key = (ident, coordinator, txn_id)
+    if ident is not None:
+        hit = _TXN_STATUS_CACHE.get(key)
+        if hit is not None:
+            return hit
+
+    def _cache(status: str) -> str:
+        if ident is not None:
+            if len(_TXN_STATUS_CACHE) >= _TXN_STATUS_CACHE_CAP:
+                _TXN_STATUS_CACHE.pop(next(iter(_TXN_STATUS_CACHE)))
+            _TXN_STATUS_CACHE[key] = status
+        return status
+
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.committed.json")):
-        _TXN_STATUS_CACHE[key] = "committed"
-        return "committed"
+        return _cache("committed")
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.aborted.json")):
-        _TXN_STATUS_CACHE[key] = "aborted"
-        return "aborted"
+        return _cache("aborted")
     return "pending"  # non-terminal: never cached
 
 
@@ -458,6 +485,20 @@ class MultiTableTxn:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # incarnation marker: lets the terminal-status cache distinguish
+        # this coordinator from a deleted-and-recreated one at the same
+        # path (O_EXCL: first creator wins, concurrent constructors race
+        # safely to one marker)
+        marker = os.path.join(path, _INCARNATION)
+        if not os.path.isfile(marker):
+            tmp = os.path.join(path, f".tmp-inc-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(uuid.uuid4().hex)
+            try:
+                os.link(tmp, marker)
+            except FileExistsError:
+                pass
+            os.unlink(tmp)
 
     def _publish(self, name: str) -> None:
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
@@ -1088,6 +1129,30 @@ class VersionedTable:
                 "(retry_on_conflict does this automatically)"
             )
 
+        # log retention may have dropped commit files covered by a
+        # checkpoint: a writer whose read_version predates the retention
+        # floor would otherwise scan an INCOMPLETE window and commit past
+        # undetected conflicts. If any version in (read_version, latest]
+        # has no surviving commit file, refuse conservatively (retriable
+        # — the retry replans against the current snapshot, whose window
+        # is fully covered).
+        if latest > read_version:
+            covered = {e["version"] for e in commits}
+            gap = [
+                v
+                for v in range(read_version + 1, latest + 1)
+                if v not in covered
+            ]
+            if gap:
+                raise CommitConflictError(
+                    f"snapshot changed since this {operation} was planned "
+                    f"(read v{read_version}, table now v{latest}) and log "
+                    f"retention dropped the commit file(s) for version(s) "
+                    f"{gap[:5]}{'...' if len(gap) > 5 else ''} — the "
+                    "conflict window cannot be verified; re-run against "
+                    "the current snapshot (retry_on_conflict does this "
+                    "automatically)"
+                )
         between = []
         for e in commits:
             if not (read_version < e["version"] <= latest):
@@ -1999,6 +2064,43 @@ class VersionedTable:
             raise ValueError(
                 f"generation expression for {col!r} references the "
                 "column itself"
+            )
+        # generation expressions must be DETERMINISTIC (Delta's rule,
+        # for the same reason the reference restricts them): UPDATE
+        # recomputes every generated column during its COW rewrite, so a
+        # rand()/current_timestamp() expression would silently change
+        # UNTOUCHED rows on every rewrite, and _validate would spuriously
+        # reject frames that provide the column. Refuse at declaration.
+        nondet = (
+            # function-call forms (a bare identifier like a column named
+            # "now" is not a call and stays legal)
+            _re.search(
+                r"(?i)(?<![A-Za-z0-9_])("
+                r"rand|randn|random|uuid|shuffle|randstr|uniform|now|"
+                r"curdate|monotonically_increasing_id|spark_partition_id|"
+                r"input_file_name|input_file_block_start|"
+                r"input_file_block_length"
+                r")\s*\(",
+                expr,
+            )
+            # niladic SQL forms, legal without parens
+            or _re.search(
+                r"(?i)(?<![A-Za-z0-9_])"
+                r"(current_timestamp|current_date|localtimestamp)"
+                r"(?![A-Za-z0-9_])",
+                expr,
+            )
+            # unix_timestamp() with NO argument reads the current clock
+            or _re.search(
+                r"(?i)(?<![A-Za-z0-9_])unix_timestamp\s*\(\s*\)", expr
+            )
+        )
+        if nondet:
+            raise ValueError(
+                f"generation expression for {col!r} uses nondeterministic "
+                f"function {nondet.group(0)!r} — generated columns are "
+                "recomputed on every rewrite, so the expression must be "
+                "deterministic"
             )
         rv = self.latest_version()
         live = self._live_dirs()

@@ -459,3 +459,72 @@ def test_zorder_optimize_rebases_without_erasing_concurrent_append(
     victim.optimize(zorder_by=("k", "v"), target_partitions=2)
     assert state["fired"] == 1
     assert sorted(r.k for r in victim.read().collect()) == [1, 2, 3, 9]
+
+
+def test_conflict_window_past_retention_floor_refuses(spark, tmp_path):
+    """A writer whose read_version predates the log-retention floor
+    cannot verify the conflict window (retention dropped the commit
+    files a checkpoint covers) — the matrix must refuse conservatively
+    (retriable), never scan the incomplete window and commit past an
+    unseen conflict."""
+    import os
+
+    from daas_apps_spark.sources.table_format import CHECKPOINT_EVERY
+
+    vt = VersionedTable(spark, str(tmp_path / "floor"))
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_df(spark, [(i, i)]))
+    ck = vt.latest_version()
+    # retention: drop every commit file at-or-before the checkpoint
+    log = str(tmp_path / "floor" / "_log")
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json") and ".checkpoint." not in n:
+            if int(n.split(".")[0]) <= ck:
+                os.unlink(os.path.join(log, n))
+    # a stale plan (read_version below the floor) cannot be verified
+    with pytest.raises(CommitConflictError, match="retention"):
+        vt._commit("delete", add=[], remove=[], read_version=1)
+    # a fresh plan (read_version == latest) commits normally
+    vt.delete("k = 0")
+    assert vt.latest_version() == ck + 1
+
+
+def test_txn_status_cache_survives_coordinator_recreation(spark, tmp_path):
+    """A coordinator directory deleted and recreated at the same path
+    (a reset deployment / reused fixture path) must NOT serve the old
+    incarnation's cached terminal verdicts — the cache keys on
+    directory identity, not the path string."""
+    import shutil
+
+    from daas_apps_spark.sources.table_format import MultiTableTxn
+
+    coord = str(tmp_path / "coord")
+    c1 = MultiTableTxn(coord)
+    txn = c1.begin()
+    c1.commit(txn)
+    assert c1.status(txn) == "committed"  # cached terminal verdict
+    shutil.rmtree(coord)
+    c2 = MultiTableTxn(coord)  # same path, new incarnation
+    assert c2.status(txn["id"]) == "pending"  # no stale alias
+
+
+def test_txn_status_cache_is_bounded(spark, tmp_path):
+    """The terminal-status cache is a bounded FIFO: resolving far more
+    txns than the cap leaves the cache at the cap (evictions just
+    re-stat two files), never an unbounded driver-lifetime leak."""
+    import daas_apps_spark.sources.table_format as tf
+
+    coord = tf.MultiTableTxn(str(tmp_path / "bound"))
+    old_cap = tf._TXN_STATUS_CACHE_CAP
+    tf._TXN_STATUS_CACHE_CAP = 8
+    try:
+        tf._TXN_STATUS_CACHE.clear()
+        for _ in range(30):
+            t = coord.begin()
+            coord.commit(t)
+            assert coord.status(t) == "committed"
+        assert len(tf._TXN_STATUS_CACHE) <= 8
+        # evicted entries still resolve correctly from disk
+        assert coord.status(t) == "committed"
+    finally:
+        tf._TXN_STATUS_CACHE_CAP = old_cap

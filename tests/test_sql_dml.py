@@ -467,3 +467,66 @@ def test_insert_parenthesized_compound_source(spark, twins):
     )
     ks = {r.k for r in a.read().collect()}
     assert {7, 8} <= ks and len(ks) == 5
+
+
+def test_insert_store_assignment_refuses_lossy_values(spark, twins):
+    """SQL INSERT runs under store-assignment semantics: a VALUES
+    literal that cannot be stored in the column's declared type FAILS
+    the statement instead of landing NULL (Spark's default non-ANSI
+    cast would silently null it) — and a clean INSERT still lands."""
+    a, _ = twins
+    before = a.latest_version()
+    with pytest.raises(Exception, match="store-assignment"):
+        run_sql(spark, "INSERT INTO t VALUES (4, 'd', 'oops')", {"t": a})
+    assert a.latest_version() == before  # nothing committed
+    run_sql(spark, "INSERT INTO t VALUES (4, 'd', 40.0)", {"t": a})
+    assert (4, "d", 40.0) in _rows(a)
+
+
+def test_insert_store_assignment_refuses_overflow(spark, tmp_path):
+    """An out-of-range literal into a narrower integer column raises —
+    non-ANSI cast would WRAP it silently."""
+    vt = VersionedTable(spark, str(tmp_path / "ovf"))
+    vt.append(spark.createDataFrame([(1, 10)], "k long, n int"))
+    with pytest.raises(Exception, match="store-assignment"):
+        run_sql(
+            spark, "INSERT INTO t VALUES (2, 4000000000)", {"t": vt}
+        )
+    assert vt.manifest_count() == 1
+    run_sql(spark, "INSERT INTO t VALUES (2, 2000000000)", {"t": vt})
+    assert {r.n for r in vt.read().collect()} == {10, 2000000000}
+
+
+def test_insert_excludes_identity_and_generated_columns(spark, tmp_path):
+    """Positional INSERT maps onto the ASSIGNABLE columns: identity
+    columns are engine-assigned (never a target), generated columns may
+    be omitted (computed) or provided in full (validated)."""
+    vt = VersionedTable(spark, str(tmp_path / "idg"))
+    vt.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t = {"t": vt}
+    run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN rid GENERATED ALWAYS AS IDENTITY",
+        t,
+    )
+    # identity excluded: two VALUES columns map onto (k, v)
+    run_sql(spark, "INSERT INTO t VALUES (2, 'b')", t)
+    rows = {r.k: r for r in vt.read(merge_schema=True).collect()}
+    assert rows[2].v == "b" and rows[2].rid >= 1
+    run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN bucket GENERATED ALWAYS AS (k % 10)",
+        t,
+    )
+    # generated omitted: computed by the write funnel
+    run_sql(spark, "INSERT INTO t VALUES (13, 'c')", t)
+    # generated provided: validated (correct value passes)
+    run_sql(spark, "INSERT INTO t VALUES (24, 'd', 4)", t)
+    rows = {r.k: r for r in vt.read(merge_schema=True).collect()}
+    assert rows[13].bucket == 3 and rows[24].bucket == 4
+    # generated provided WRONG: the funnel's validation rejects it
+    with pytest.raises(Exception, match="(?i)generat|violate"):
+        run_sql(spark, "INSERT INTO t VALUES (35, 'e', 9)", t)
+    # arity that matches neither target list refuses with the list
+    with pytest.raises(ValueError, match="positional target list"):
+        run_sql(spark, "INSERT INTO t VALUES (1, 'x', 1, 99)", t)

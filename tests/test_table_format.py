@@ -3952,3 +3952,34 @@ def test_row_tracking_declaration_rules_and_carry(spark, tmp_path):
     after = _rids(c)
     assert set(before.items()) <= set(after.items())  # ids carried
     assert len(set(after.values())) == 2  # watermark carried: no reuse
+
+
+def test_generated_column_rejects_nondeterministic_expression(spark, tmp_path):
+    """Generation expressions must be deterministic (Delta's rule):
+    UPDATE recomputes every generated column during a COW rewrite, so a
+    rand()/current_timestamp() expression would silently change
+    untouched rows. Declaration refuses; deterministic forms (and
+    columns merely NAMED like the functions) still pass."""
+    import pytest as _pytest
+
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "nondet"))
+    vt.append(spark.createDataFrame([(1, 5)], "k long, now int"))
+    for expr in [
+        "k + rand()",
+        "uuid()",
+        "current_timestamp",
+        "CURRENT_DATE",
+        "unix_timestamp()",
+        "cast(now() as string)",
+        "monotonically_increasing_id()",
+    ]:
+        with _pytest.raises(ValueError, match="nondeterministic"):
+            vt.set_generated_column("g", expr)
+    assert vt.generated_columns() == {}
+    # a column literally named "now" is data, not a call — legal
+    vt.set_generated_column("g", "now * 2")
+    # unix_timestamp WITH an argument is deterministic — legal
+    vt.set_generated_column("h", "unix_timestamp(timestamp'2024-01-01')")
+    assert set(vt.generated_columns()) == {"g", "h"}
