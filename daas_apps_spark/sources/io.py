@@ -1888,6 +1888,108 @@ def a43_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a44_conditional_merge",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey k, o_orderstatus st, o_totalprice pr,
+               o_orderpriority up
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), s AS (
+        SELECT o_orderkey k, o_totalprice * 2 pr, o_orderpriority up
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), m AS (
+        SELECT t.k, t.st, t.pr tpr, s.pr spr, s.up sup
+        FROM t JOIN s ON t.k = s.k
+    ), m_res AS (
+        SELECT k, st,
+               CASE WHEN sup = '1-URGENT' THEN spr + tpr ELSE tpr END AS pr
+        FROM m WHERE sup = '1-URGENT' OR st <> 'F'
+    ), t_only AS (
+        SELECT k, st, pr FROM t WHERE k NOT IN (SELECT k FROM s)
+    ), bs_res AS (
+        SELECT k, st, CASE WHEN st = 'O' THEN 0 ELSE pr END AS pr
+        FROM t_only WHERE st = 'O' OR st <> 'F'
+    ), ins AS (
+        SELECT k, 'N' AS st, pr FROM s
+        WHERE k NOT IN (SELECT k FROM t) AND pr > 50000
+    ), final AS (
+        SELECT * FROM m_res
+        UNION ALL SELECT * FROM bs_res
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT st AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM final GROUP BY st
+    """,
+    tags=("A44", "A37", "A25", "A30"),
+)
+def a44_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE (table_format.py::merge_into + the sql_dml.py
+    grammar) — the full ANSI/Delta clause set in ONE statement and ONE
+    copy-on-write commit: WHEN MATCHED AND <cond> THEN UPDATE SET
+    <partial assignments>, a second WHEN MATCHED THEN DELETE (first-
+    match-in-order), WHEN NOT MATCHED AND <cond> THEN INSERT
+    (cols) VALUES (exprs), and both NOT MATCHED BY SOURCE forms. The
+    result is a single generated Catalyst plan: the bounded rewrite set
+    full-outer-joins the source and every output column is a first-match
+    CASE over the clause conditions — no per-clause passes, no Python in
+    the row path. The DuckDB oracle recomputes the same five-clause
+    semantics from first principles as compositional SQL; the grouped
+    census (count / exact-decimal revenue / key extremes per status)
+    breaks if any clause fires on the wrong rows, in the wrong order,
+    or double-applies.
+
+    Scale shape: BY SOURCE clauses force the full rewrite by necessity
+    (unmatched target rows live anywhere); without them the rewrite set
+    is file-stats-bounded exactly like merge() — a 1-row conditional
+    merge rewrites one file at 100 TB (tests/test_merge_into.py pins
+    both behaviors).
+    """
+    from daas_apps_spark.sources.sql_dml import run_sql
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    path = scratch_dir(f"a44_cmerge_{os.getpid()}")
+    vt = VersionedTable(spark, path)
+    o = table(spark, sf_dir, "orders")
+    vt.append(
+        o.filter(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+    )  # v1
+    o.createOrReplaceTempView("a44_orders_src")
+    t = {"t": vt}
+    run_sql(
+        spark,
+        "MERGE INTO t USING (SELECT o_orderkey, o_totalprice * 2 AS "
+        "o_totalprice, o_orderpriority FROM a44_orders_src "
+        "WHERE o_orderkey % 2 = 0) AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.o_orderpriority = '1-URGENT' THEN UPDATE SET "
+        "o_totalprice = s.o_totalprice + t.o_totalprice "
+        "WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE "
+        "WHEN NOT MATCHED AND s.o_totalprice > 50000 THEN INSERT "
+        "(o_orderkey, o_orderstatus, o_totalprice, o_orderpriority) "
+        "VALUES (s.o_orderkey, 'N', s.o_totalprice, s.o_orderpriority) "
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN "
+        "UPDATE SET o_totalprice = 0 "
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE",
+        t,
+    )  # v2: one commit, five clauses
+    return run_sql(
+        spark,
+        "SELECT o_orderstatus AS grp, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue, CAST(min(o_orderkey) AS bigint) AS min_key, "
+        "CAST(max(o_orderkey) AS bigint) AS max_key "
+        "FROM t GROUP BY o_orderstatus",
+        t,
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

@@ -13,7 +13,14 @@ never a re-implementation:
     INSERT INTO|OVERWRITE t SELECT ... | VALUES (...), (...)
     CREATE TABLE t AS SELECT ...
     MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e, ...|*> | DELETE
+        WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+            INSERT * | INSERT (cols) VALUES (exprs)
+        WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+            UPDATE SET <a = e, ...> | DELETE
+      (clauses fire first-match in order; the unconditional
+       UPDATE SET * / INSERT * pair routes to the upsert fast path,
+       everything else to VersionedTable.merge_into)
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
     SELECT ... FROM TABLE_CHANGES(t, v_from[, v_to]) ...
 
@@ -87,6 +94,26 @@ _UPSERT_WHENS_RE = re.compile(
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$",
     re.I | re.S,
 )
+_WHEN_MATCHED_RE = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+)|(?P<del>DELETE))\s*$",
+    re.I | re.S,
+)
+_WHEN_NMBS_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+)|(?P<del>DELETE))\s*$",
+    re.I | re.S,
+)
+_WHEN_NM_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+INSERT\s+(?P<body>.+?)\s*$",
+    re.I | re.S,
+)
+_INSERT_BODY_RE = re.compile(
+    r"^\(\s*(?P<cols>[^)]+?)\s*\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
+    re.I | re.S,
+)
 _TRAVEL_RE_TMPL = (
     r"\b{name}\b"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
@@ -123,6 +150,153 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     if cur:
         parts.append("".join(cur).strip())
     return [p for p in parts if p]
+
+
+def _split_whens(text: str) -> list[str]:
+    """Split a MERGE's WHEN-clause text into one string per clause at
+    top-level ``WHEN`` keywords — quote-, paren-, AND ``CASE WHEN``-aware
+    (a CASE expression inside a clause condition nests its own WHENs,
+    which must not start a new merge clause)."""
+    starts: list[int] = []
+    depth = 0
+    case_depth = 0
+    quote: str | None = None
+    i, n = 0, len(text)
+
+    def _word_at(j: int, w: str) -> bool:
+        if text[j : j + len(w)].upper() != w:
+            return False
+        if j > 0 and (text[j - 1].isalnum() or text[j - 1] == "_"):
+            return False
+        k = j + len(w)
+        return k >= n or not (text[k].isalnum() or text[k] == "_")
+
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and _word_at(i, "CASE"):
+            case_depth += 1
+            i += 4
+            continue
+        elif depth == 0 and case_depth and _word_at(i, "END"):
+            case_depth -= 1
+            i += 3
+            continue
+        elif depth == 0 and case_depth == 0 and _word_at(i, "WHEN"):
+            starts.append(i)
+            i += 4
+            continue
+        i += 1
+    if not starts or starts[0] != 0:
+        raise ValueError(f"MERGE WHEN clauses do not start with WHEN: "
+                         f"{text[:60]!r}")
+    bounds = starts + [n]
+    return [text[a:b].strip() for a, b in zip(bounds, bounds[1:])]
+
+
+def _parse_set_clause(sets_text: str):
+    """``SET`` body → ``"*"`` or {column: sql expr} (split at top level,
+    so ``SET a = f(x, y), b = 2`` parses correctly)."""
+    s = sets_text.strip()
+    if s == "*":
+        return "*"
+    out: dict[str, str] = {}
+    for part in _split_top_level(s):
+        am = re.match(r"\s*((?:\w+\.)?\w+)\s*=\s*(.+)$", part, re.S)
+        if not am:
+            raise ValueError(f"cannot parse MERGE SET assignment {part!r}")
+        out[am.group(1)] = am.group(2).strip()
+    return out
+
+
+def _parse_merge_whens(whens: str) -> tuple[list, list, list]:
+    """The full conditional MERGE grammar → merge_into clause lists:
+
+        WHEN MATCHED [AND cond] THEN UPDATE SET <assignments|*> | DELETE
+        WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT * |
+            INSERT (cols) VALUES (exprs)
+        WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+            UPDATE SET <assignments> | DELETE
+    """
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    nmbs: list[dict] = []
+    for clause in _split_whens(whens):
+        m = _WHEN_NMBS_RE.match(clause)
+        if m:
+            nmbs.append(
+                {
+                    "action": "delete" if m.group("del") else "update",
+                    "condition": m.group("cond"),
+                    **(
+                        {"set": _parse_set_clause(m.group("sets"))}
+                        if m.group("sets")
+                        else {}
+                    ),
+                }
+            )
+            continue
+        m = _WHEN_MATCHED_RE.match(clause)
+        if m:
+            matched.append(
+                {
+                    "action": "delete" if m.group("del") else "update",
+                    "condition": m.group("cond"),
+                    **(
+                        {"set": _parse_set_clause(m.group("sets"))}
+                        if m.group("sets")
+                        else {}
+                    ),
+                }
+            )
+            continue
+        m = _WHEN_NM_RE.match(clause)
+        if m:
+            body = m.group("body").strip()
+            if body == "*":
+                not_matched.append(
+                    {"condition": m.group("cond"), "values": "*"}
+                )
+                continue
+            bm = _INSERT_BODY_RE.match(body)
+            if not bm:
+                raise ValueError(
+                    f"unsupported MERGE INSERT body {body!r}; supported: "
+                    "INSERT * | INSERT (c1, c2, ...) VALUES (e1, e2, ...)"
+                )
+            not_matched.append(
+                {
+                    "condition": m.group("cond"),
+                    "columns": [
+                        c.strip() for c in bm.group("cols").split(",")
+                    ],
+                    "values": [
+                        v.strip()
+                        for v in _split_top_level(bm.group("vals"))
+                    ],
+                }
+            )
+            continue
+        raise ValueError(
+            f"unsupported MERGE WHEN clause {clause[:80]!r}; supported: "
+            "WHEN MATCHED [AND cond] THEN UPDATE SET <a|*> | DELETE; "
+            "WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT * | "
+            "INSERT (cols) VALUES (exprs); WHEN NOT MATCHED BY SOURCE "
+            "[AND cond] THEN UPDATE SET <a> | DELETE"
+        )
+    return matched, not_matched, nmbs
 
 
 def _resolve(spark: SparkSession, tables: dict, name: str) -> VersionedTable:
@@ -209,8 +383,10 @@ def run_sql(
         bad = ValueError(
             "unsupported MERGE shape; supported: MERGE INTO <table> "
             "[AS a] USING <source|(subquery)> [AS b] ON <k equalities> "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
+            "followed by WHEN MATCHED [AND c] THEN UPDATE SET <a|*> | "
+            "DELETE; WHEN NOT MATCHED [AND c] THEN INSERT * | "
+            "INSERT (cols) VALUES (exprs); WHEN NOT MATCHED BY SOURCE "
+            "[AND c] THEN UPDATE SET <a> | DELETE"
         )
         head = _MERGE_HEAD_RE.match(text)
         if not head:
@@ -249,27 +425,39 @@ def run_sql(
         tail = _MERGE_TAIL_RE.match(rest)
         if not tail:
             raise bad
-        whens = re.sub(r"\s+", " ", tail.group("whens").strip())
-        if not _UPSERT_WHENS_RE.match(whens):
-            raise ValueError(
-                f"unsupported MERGE WHEN clauses {whens!r}; only the "
-                "full upsert pair (UPDATE SET * / INSERT *) translates "
-                "to VersionedTable.merge"
-            )
+        whens_raw = tail.group("whens").strip()
         vt = _resolve(spark, tables, head.group("target"))
         if src.startswith("("):
             source_df = spark.sql(src[1:-1])
+            salias = tail.group("salias")
         else:
             try:
                 source_df = _resolve(spark, tables, src).read()
             except ValueError:
                 source_df = spark.table(src)  # temp view / catalog table
-        keys = _merge_keys(
-            tail.group("cond"),
-            head.group("talias") or head.group("target"),
-            tail.group("salias") or src,
+            salias = tail.group("salias") or src
+        talias = head.group("talias") or head.group("target")
+        keys = _merge_keys(tail.group("cond"), talias, salias or src)
+        if _UPSERT_WHENS_RE.match(re.sub(r"\s+", " ", whens_raw)):
+            # the full unconditional upsert pair: the anti-join/union
+            # fast path (no outer join, no clause CASEs)
+            return vt.merge(source_df, keys)
+        matched, not_matched, nmbs = _parse_merge_whens(whens_raw)
+        if salias is None:
+            raise ValueError(
+                "alias the USING (subquery) (e.g. USING (...) AS s) "
+                "when the MERGE has conditional clauses — clause "
+                "expressions need a name for the source side"
+            )
+        return vt.merge_into(
+            source_df,
+            keys,
+            matched=matched,
+            not_matched=not_matched,
+            not_matched_by_source=nmbs,
+            target_alias=talias,
+            source_alias=salias,
         )
-        return vt.merge(source_df, keys)
     if verb in ("SELECT", "WITH"):
         # manifest fast path: a bare COUNT(*) over one declared table
         # answers from the commit log + checkpoint sidecar with ZERO

@@ -4101,6 +4101,97 @@ class VersionedTable:
             read_version=rv,
         )
 
+    def _bound_cow_rewrite(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        phys_keys: list[str],
+        live: list[str],
+        stats: dict,
+        file_stats: dict,
+        all_rows: dict,
+        vhint: int,
+    ) -> tuple[list[str], list[str], dict, list[str]]:
+        """File-level COW bounding shared by ``merge`` and ``merge_into``:
+        from the updates frame's [min, max] per key column and the
+        commit-recorded per-file stats, decide which live files can
+        possibly hold a matching key. Returns ``(remove, carries, known,
+        rewrite_paths)``: dirs to retire, hard-linked carry dirs for the
+        provably-disjoint files of touched dirs (with their pass-through
+        stats in ``known``), and the intersecting file paths to actually
+        read and rewrite. Empty/all-NULL key bounds prove ZERO possible
+        matches (NULL never equality-matches) → nothing rewritten;
+        unorderable key types (decimal/bool/binary) force the
+        conservative full rewrite."""
+        from pyspark.sql import functions as F
+
+        bounds = updates.agg(
+            *[f(k) for k in keys for f in (F.min, F.max)]
+        ).first()
+        remove: list[str] = []
+        carries: list[str] = []
+        known: dict = {}  # carry-dir stats passed through, no re-harvest
+        rewrite_paths: list[str] = []  # intersecting FILES (or whole dirs)
+
+        def _intersects(st: dict) -> bool:
+            for i, _k in enumerate(phys_keys):
+                rng = st.get(_k)
+                lo = _stat_key(bounds[2 * i])
+                hi = _stat_key(bounds[2 * i + 1])
+                if rng is not None and (rng[1] < lo or rng[0] > hi):
+                    return False
+            return True
+
+        if any(
+            bounds[2 * i] is None or bounds[2 * i + 1] is None
+            for i in range(len(keys))
+        ):
+            # a RAW None min/max means the updates frame is empty or a key
+            # column is entirely NULL — and NULL never equality-matches,
+            # so ZERO files can hold a matched row: pure insert, not the
+            # conservative full rewrite
+            pass
+        elif any(
+            _stat_key(bounds[2 * i]) is None
+            or _stat_key(bounds[2 * i + 1]) is None
+            for i in range(len(keys))
+        ):
+            # non-None bound of an UNORDERABLE key type (decimal/bool/
+            # binary): stats can't prove any file disjoint, and treating
+            # it as a pure insert would silently DUPLICATE matched keys —
+            # conservative full rewrite, mirroring delete_range's handling
+            remove = list(live)
+            rewrite_paths = [
+                os.path.join(self.path, _DATA, d) for d in live
+            ]
+        else:
+            for rel in live:
+                fstats = file_stats.get(rel)
+                if not fstats:
+                    # pre-file-stats commit: dir-granularity fallback
+                    if _intersects(stats.get(rel, {})):
+                        remove.append(rel)
+                        rewrite_paths.append(
+                            os.path.join(self.path, _DATA, rel)
+                        )
+                    continue
+                hit = {f: _intersects(st) for f, st in fstats.items()}
+                if not any(hit.values()):
+                    continue  # dir untouched
+                remove.append(rel)
+                carry = sorted(f for f, h in hit.items() if not h)
+                if carry:
+                    cdir, known[cdir] = self._carry_dir(
+                        rel, carry, vhint, fstats, all_rows.get(rel)
+                    )
+                    carries.append(cdir)
+                rewrite_paths.extend(
+                    os.path.join(self.path, _DATA, rel, f)
+                    for f, h in hit.items()
+                    if h
+                )
+        return remove, carries, known, rewrite_paths
+
     def merge(
         self,
         updates: DataFrame,
@@ -4161,70 +4252,10 @@ class VersionedTable:
             logical_to_physical(mapping).get(k.lower(), k) for k in keys
         ]
         vhint = rv + 1
-        bounds = updates.agg(
-            *[f(k) for k in keys for f in (F.min, F.max)]
-        ).first()
-        remove: list[str] = []
-        carries: list[str] = []
-        known: dict = {}  # carry-dir stats passed through, no re-harvest
-        rewrite_paths: list[str] = []  # intersecting FILES (or whole dirs)
-
-        def _intersects(st: dict) -> bool:
-            for i, _k in enumerate(phys_keys):
-                rng = st.get(_k)
-                lo = _stat_key(bounds[2 * i])
-                hi = _stat_key(bounds[2 * i + 1])
-                if rng is not None and (rng[1] < lo or rng[0] > hi):
-                    return False
-            return True
-
-        if any(
-            bounds[2 * i] is None or bounds[2 * i + 1] is None
-            for i in range(len(keys))
-        ):
-            # a RAW None min/max means the updates frame is empty or a key
-            # column is entirely NULL — and NULL never equality-matches,
-            # so ZERO files can hold a matched row: pure insert, not the
-            # conservative full rewrite
-            pass
-        elif any(
-            _stat_key(bounds[2 * i]) is None or _stat_key(bounds[2 * i + 1]) is None
-            for i in range(len(keys))
-        ):
-            # non-None bound of an UNORDERABLE key type (decimal/bool/
-            # binary): stats can't prove any file disjoint, and treating
-            # it as a pure insert would silently DUPLICATE matched keys —
-            # conservative full rewrite, mirroring delete_range's handling
-            remove = list(live)
-            rewrite_paths = [
-                os.path.join(self.path, _DATA, d) for d in live
-            ]
-        else:
-            for rel in live:
-                fstats = file_stats.get(rel)
-                if not fstats:
-                    # pre-file-stats commit: dir-granularity fallback
-                    if _intersects(stats.get(rel, {})):
-                        remove.append(rel)
-                        rewrite_paths.append(
-                            os.path.join(self.path, _DATA, rel)
-                        )
-                    continue
-                hit = {f: _intersects(st) for f, st in fstats.items()}
-                if not any(hit.values()):
-                    continue  # dir untouched
-                remove.append(rel)
-                carry = sorted(f for f, h in hit.items() if not h)
-                if carry:
-                    cdir, known[cdir] = self._carry_dir(
-                        rel, carry, vhint, fstats, all_rows.get(rel)
-                    )
-                    carries.append(cdir)
-                rewrite_paths.extend(
-                    os.path.join(self.path, _DATA, rel, f)
-                    for f, h in hit.items()
-                    if h
-                )
+        remove, carries, known, rewrite_paths = self._bound_cow_rewrite(
+            updates, keys, phys_keys, live, stats, file_stats, all_rows,
+            vhint,
+        )
         if rewrite_paths:
             # always mergeSchema on the rewrite read: an EARLIER evolved
             # merge may have left heterogeneous files, and a plain read
@@ -4292,6 +4323,464 @@ class VersionedTable:
             remove=remove,
             known_stats=known,
             metadata=md or None,
+            read_version=rv,
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        matched: list[dict] | None = None,
+        not_matched: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
+        target_alias: str = "t",
+        source_alias: str = "s",
+    ) -> int:
+        """CONDITIONAL merge — the full ANSI/Delta MERGE clause set,
+        lowered to ONE copy-on-write commit (SQL surface: sql_dml.py):
+
+            matched:  [{"action": "update", "condition": cond|None,
+                        "set": {col: expr} | "*"},
+                       {"action": "delete", "condition": cond|None}, ...]
+            not_matched: [{"condition": cond|None,
+                           "columns": [c...]|None, "values": [e...]|"*"}]
+            not_matched_by_source: [{"action": "update"|"delete",
+                                     "condition": cond|None, "set": {...}}]
+
+        Per row-pair the FIRST clause (in list order) whose condition is
+        TRUE fires; conditions and expressions are SQL text resolved by
+        Catalyst against the declared aliases (``target_alias``/
+        ``source_alias``), never re-implemented. ``set``/``values`` of
+        ``"*"`` expand by name from the source.
+
+        Plan shape (Spark-first): the bounded rewrite set FULL OUTER
+        JOINs the source on the keys; one generated SELECT computes every
+        output column as a first-match CASE over the clause conditions
+        plus a keep flag, so the whole merge is a single Catalyst plan —
+        no per-clause passes. File-level COW bounding is shared with
+        ``merge`` (``_bound_cow_rewrite``): without NOT MATCHED BY SOURCE
+        clauses, only files whose key stats intersect the source's key
+        range are read or rewritten — at 100 TB a 1-row conditional merge
+        rewrites one file; BY SOURCE clauses touch unmatched target rows
+        anywhere, forcing the full rewrite. A matched/BY-SOURCE-free
+        merge degenerates to a pure-insert append (no join at all when
+        stats prove zero matches).
+
+        Cardinality (Delta's rule): a target row matched by MULTIPLE
+        source rows raises when any of its pairs fires an update/delete
+        clause (ambiguous result); all-passthrough multi-matches
+        deduplicate to one copy. Row-tracking ids survive updates and
+        mint for inserts; generated columns recompute after the clauses
+        (deterministic by declaration); identity tables refuse — a
+        conditional merge cannot tell inherited ids from minted ones."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        self._check_writer_features()
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        nmbs = list(not_matched_by_source or [])
+        if not (matched or not_matched or nmbs):
+            raise ValueError("merge_into: declare at least one WHEN clause")
+        if not keys:
+            raise ValueError("merge_into: at least one key column required")
+        ta, sa = target_alias, source_alias
+        for a in (ta, sa):
+            if not _re.fullmatch(r"[A-Za-z_]\w*", a):
+                raise ValueError(f"merge_into: alias {a!r} is not a plain "
+                                 "identifier")
+        if ta.lower() == sa.lower():
+            raise ValueError(
+                f"merge_into: target and source aliases collide ({ta!r})"
+            )
+        plain_ids = [c for c in self.identity_columns() if c != _ROWID]
+        if plain_ids:
+            raise ValueError(
+                f"merge_into cannot target a table with identity "
+                f"column(s) {plain_ids} — a conditional merge cannot "
+                "tell inherited ids from minted ones; use merge() with "
+                "carried ids, or append"
+            )
+        generated = self.generated_columns()
+        rv = self.latest_version()
+        try:
+            base = self.read(merge_schema=True, with_row_ids=True)
+        except ValueError:
+            raise ValueError(
+                "merge_into: the target table has no schema yet — INSERT "
+                "clauses have nothing to map onto; append or CTAS first"
+            ) from None
+        tcols = list(base.columns)
+        ttypes = {f.name: f.dataType for f in base.schema.fields}
+        tl = {c.lower(): c for c in tcols}
+        sl = {c.lower(): c for c in source.columns}
+        for k in keys:
+            if k.lower() not in tl:
+                raise ValueError(f"merge_into: key {k!r} not in the table "
+                                 f"({sorted(tcols)})")
+            if k.lower() not in sl:
+                raise ValueError(f"merge_into: key {k!r} not in the source "
+                                 f"({sorted(source.columns)})")
+
+        def _ty(c: str) -> str:
+            return ttypes[c].simpleString()
+
+        def _t(c: str) -> str:
+            return f"`{ta}`.`{c}`"
+
+        def _s(c: str) -> str:
+            return f"`{sa}`.`{c}`"
+
+        def _cast(expr: str, c: str) -> str:
+            return f"CAST(({expr}) AS {_ty(c)})"
+
+        def _null(c: str) -> str:
+            return f"CAST(NULL AS {_ty(c)})"
+
+        def _norm_set(raw, where: str, star_ok: bool) -> dict[str, str]:
+            """{exact target col: sql expr}; '*' expands by name from
+            the source (engine/generated columns excluded)."""
+            if raw == "*":
+                if not star_ok:
+                    raise ValueError(f"merge_into: SET * is not valid in "
+                                     f"{where}")
+                out = {}
+                for c in tcols:
+                    if c == _ROWID or c.lower() in generated:
+                        continue
+                    if c.lower() not in sl:
+                        raise ValueError(
+                            f"merge_into: {where} UPDATE SET * needs "
+                            f"source column {c!r}, which the source lacks"
+                        )
+                    out[c] = _s(sl[c.lower()])
+                return out
+            out = {}
+            for col, expr in dict(raw or {}).items():
+                name = col
+                m = _re.fullmatch(rf"(?i){_re.escape(ta)}\.(\w+)", name)
+                if m:
+                    name = m.group(1)
+                if name.lower() not in tl:
+                    raise ValueError(
+                        f"merge_into: {where} SET targets unknown column "
+                        f"{col!r}; table has {sorted(tcols)}"
+                    )
+                c = tl[name.lower()]
+                if c == _ROWID:
+                    raise ValueError("merge_into: cannot SET the row-"
+                                     "tracking id")
+                if c.lower() in generated:
+                    raise ValueError(
+                        f"merge_into: {where} cannot SET generated column "
+                        f"{c!r} — it is recomputed from its expression"
+                    )
+                out[c] = str(expr)
+            if not out:
+                raise ValueError(f"merge_into: {where} UPDATE needs a "
+                                 "non-empty SET")
+            return out
+
+        m_norm: list[dict] = []
+        for i, cl in enumerate(matched):
+            act = (cl.get("action") or "").lower()
+            if act not in ("update", "delete"):
+                raise ValueError(
+                    f"merge_into: matched[{i}] action must be update|"
+                    f"delete, got {cl.get('action')!r}"
+                )
+            m_norm.append({
+                "action": act,
+                "condition": cl.get("condition"),
+                "set": _norm_set(cl.get("set"), f"matched[{i}]", True)
+                if act == "update"
+                else {},
+            })
+        b_norm: list[dict] = []
+        for i, cl in enumerate(nmbs):
+            act = (cl.get("action") or "").lower()
+            if act not in ("update", "delete"):
+                raise ValueError(
+                    f"merge_into: not_matched_by_source[{i}] action must "
+                    f"be update|delete, got {cl.get('action')!r}"
+                )
+            b_norm.append({
+                "action": act,
+                "condition": cl.get("condition"),
+                "set": _norm_set(
+                    cl.get("set"), f"not_matched_by_source[{i}]", False
+                )
+                if act == "update"
+                else {},
+            })
+        i_norm: list[dict] = []
+        for i, cl in enumerate(not_matched):
+            vals = cl.get("values")
+            if vals == "*":
+                vmap = {}
+                for c in tcols:
+                    if c == _ROWID:
+                        continue
+                    if c.lower() in sl:
+                        vmap[c] = _s(sl[c.lower()])
+                    elif c.lower() in generated:
+                        continue  # recomputed after the clauses
+                    else:
+                        raise ValueError(
+                            f"merge_into: not_matched[{i}] INSERT * needs "
+                            f"source column {c!r}, which the source lacks"
+                        )
+            else:
+                cols = cl.get("columns") or []
+                vals = list(vals or [])
+                if len(cols) != len(vals) or not cols:
+                    raise ValueError(
+                        f"merge_into: not_matched[{i}] needs matching "
+                        "non-empty columns/values lists (or values='*')"
+                    )
+                vmap = {}
+                for col, expr in zip(cols, vals):
+                    if col.lower() not in tl:
+                        raise ValueError(
+                            f"merge_into: not_matched[{i}] INSERT targets "
+                            f"unknown column {col!r}; table has "
+                            f"{sorted(tcols)}"
+                        )
+                    c = tl[col.lower()]
+                    if c == _ROWID:
+                        raise ValueError("merge_into: cannot INSERT the "
+                                         "row-tracking id")
+                    vmap[c] = str(expr)
+            i_norm.append({"condition": cl.get("condition"), "values": vmap})
+
+        def _case(branches: list[str], default: str) -> str:
+            if not branches:
+                return default
+            return "CASE " + " ".join(branches) + f" ELSE {default} END"
+
+        def _branches(clauses, value_of) -> list[str]:
+            return [
+                f"WHEN ({cl.get('condition') or 'TRUE'}) "
+                f"THEN {value_of(cl)}"
+                for cl in clauses
+            ]
+
+        def _col_sql(c: str, with_target: bool) -> str:
+            ins = _case(
+                _branches(
+                    i_norm,
+                    lambda cl: _cast(cl["values"][c], c)
+                    if c in cl["values"]
+                    else _null(c),
+                ),
+                _null(c),
+            )
+            if not with_target:
+                return f"{ins} AS `{c}`"
+            mat = _case(
+                _branches(
+                    m_norm,
+                    lambda cl: _cast(cl["set"][c], c)
+                    if c in cl["set"]
+                    else _t(c),
+                ),
+                _t(c),
+            )
+            bys = _case(
+                _branches(
+                    b_norm,
+                    lambda cl: _cast(cl["set"][c], c)
+                    if c in cl["set"]
+                    else _t(c),
+                ),
+                _t(c),
+            )
+            return (
+                f"CASE WHEN {is_matched} THEN {mat} "
+                f"WHEN {t_present} THEN {bys} "
+                f"ELSE {ins} END AS `{c}`"
+            )
+
+        def _keep_sql(with_target: bool) -> str:
+            ins = _case(
+                _branches(i_norm, lambda cl: "TRUE"), "FALSE"
+            )
+            if not with_target:
+                return f"{ins} AS `{H_KEEP}`"
+            mat = _case(
+                _branches(
+                    m_norm,
+                    lambda cl: "FALSE" if cl["action"] == "delete"
+                    else "TRUE",
+                ),
+                "TRUE",
+            )
+            bys = _case(
+                _branches(
+                    b_norm,
+                    lambda cl: "FALSE" if cl["action"] == "delete"
+                    else "TRUE",
+                ),
+                "TRUE",
+            )
+            return (
+                f"CASE WHEN {is_matched} THEN {mat} "
+                f"WHEN {t_present} THEN {bys} "
+                f"ELSE {ins} END AS `{H_KEEP}`"
+            )
+
+        h = uuid.uuid4().hex[:8]
+        H_TP, H_SP = f"__tp_{h}", f"__sp_{h}"
+        H_RID, H_KEEP = f"__trid_{h}", f"__keep_{h}"
+        H_MAT, H_FIRED = f"__mat_{h}", f"__fired_{h}"
+        t_present = f"`{ta}`.`{H_TP}` IS NOT NULL"
+        is_matched = f"({t_present} AND `{sa}`.`{H_SP}` IS NOT NULL)"
+
+        def _finish(df: DataFrame) -> DataFrame:
+            if generated:
+                df = df.withColumns(
+                    {c: F.expr(e) for c, e in generated.items()}
+                )
+            if self.row_tracking():
+                df = self._mint_row_ids(df)
+            self._validate(df)
+            return df
+
+        live, stats, file_stats, _sizes = self._replay(None)
+        all_rows = self._replay_file_rows(None)
+        mapping = self.column_mapping()
+        phys_keys = [
+            logical_to_physical(mapping).get(k.lower(), k) for k in keys
+        ]
+        vhint = rv + 1
+        if nmbs:
+            # BY SOURCE clauses touch UNMATCHED target rows, which can
+            # live in any file — stats on the source's keys bound nothing
+            remove = list(live)
+            carries, known = [], {}
+            rewrite_paths = [
+                os.path.join(self.path, _DATA, d) for d in live
+            ]
+        else:
+            remove, carries, known, rewrite_paths = self._bound_cow_rewrite(
+                source, [sl[k.lower()] for k in keys], phys_keys, live,
+                stats, file_stats, all_rows, vhint,
+            )
+        sv = f"__mi_s_{h}"
+        if not rewrite_paths:
+            # stats prove ZERO possible matches (the bounding found no
+            # intersecting file, or the source's key bounds are empty/
+            # all-NULL): pure insert, no join — every source row is
+            # unmatched by construction
+            source.createOrReplaceTempView(sv)
+            sql = (
+                "SELECT "
+                + ", ".join(_col_sql(c, with_target=False) for c in tcols)
+                + f", {_keep_sql(with_target=False)} FROM {sv} AS `{sa}`"
+            )
+            out = (
+                self.spark.sql(sql)
+                .filter(F.col(H_KEEP))
+                .select(*[f"`{c}`" for c in tcols])
+            )
+            result = _finish(out)
+            rel = self._write_data_dir(result, vhint)
+            return self._commit(
+                "merge", add=[rel], remove=[], read_version=rv
+            )
+        cur = self._to_logical(
+            self._apply_dv(
+                self._scan(sorted(rewrite_paths), merge_schema=True),
+                self._live_dvs(),
+            ),
+            mapping,
+        )
+        for c in tcols:
+            if c not in cur.columns:
+                cur = cur.withColumn(c, F.lit(None).cast(ttypes[c]))
+        cur = (
+            cur.select(*[f"`{c}`" for c in tcols])
+            .withColumn(H_TP, F.lit(True))
+            .withColumn(H_RID, F.monotonically_increasing_id())
+        )
+        src = source.withColumn(H_SP, F.lit(True))
+        tv = f"__mi_t_{h}"
+        cur.createOrReplaceTempView(tv)
+        src.createOrReplaceTempView(sv)
+        on = " AND ".join(
+            f"`{ta}`.`{tl[k.lower()]}` = `{sa}`.`{sl[k.lower()]}`"
+            for k in keys
+        )
+        fired = _case(
+            _branches(m_norm, lambda cl: "TRUE"), "FALSE"
+        ) if m_norm else "FALSE"
+        sql = (
+            "SELECT "
+            + ", ".join(_col_sql(c, with_target=True) for c in tcols)
+            + f", {_keep_sql(with_target=True)}"
+            + f", {is_matched} AS `{H_MAT}`"
+            + f", CASE WHEN {is_matched} THEN {fired} ELSE FALSE END "
+            + f"AS `{H_FIRED}`"
+            + f", `{ta}`.`{H_RID}` AS `{H_RID}`"
+            + f" FROM {tv} AS `{ta}` FULL OUTER JOIN {sv} AS `{sa}` "
+            + f"ON {on}"
+        )
+        joined = self.spark.sql(sql)
+        # one window pass: multi-match cardinality + passthrough dedup.
+        # Source-only rows (NULL rid) get synthetic unique partition keys
+        # so they never collapse into one skewed partition.
+        wk = F.when(
+            F.col(H_RID).isNotNull(),
+            F.concat(F.lit("t"), F.col(H_RID).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("s"),
+                F.monotonically_increasing_id().cast("string"),
+            )
+        )
+        joined = joined.withColumn(f"{H_RID}_w", wk)
+        w = Window.partitionBy(f"{H_RID}_w")
+        joined = joined.withColumn(
+            f"{H_RID}_rn", F.row_number().over(w.orderBy(F.lit(1)))
+        )
+        cond = F.col(H_KEEP) & (F.col(f"{H_RID}_rn") == 1)
+        if m_norm:
+            joined = joined.withColumn(
+                f"{H_MAT}_n",
+                F.sum(F.when(F.col(H_MAT), 1).otherwise(0)).over(w),
+            ).withColumn(
+                f"{H_FIRED}_n",
+                F.sum(F.when(F.col(H_FIRED), 1).otherwise(0)).over(w),
+            )
+            err = (
+                F.col(H_RID).isNotNull()
+                & (F.col(f"{H_MAT}_n") > 1)
+                & (F.col(f"{H_FIRED}_n") >= 1)
+            )
+            cond = (
+                F.when(
+                    err,
+                    F.raise_error(
+                        F.lit(
+                            "merge_into: a target row matches multiple "
+                            "source rows and an update/delete clause "
+                            "fires — the result is ambiguous (Delta's "
+                            "multiple-source-rows rule); deduplicate "
+                            "the source on the merge keys"
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+                & cond
+            )
+        out = joined.filter(cond).select(*[f"`{c}`" for c in tcols])
+        result = _finish(out)
+        rel = self._write_data_dir(result, vhint)
+        return self._commit(
+            "merge",
+            add=carries + [rel],
+            remove=remove,
+            known_stats=known,
             read_version=rv,
         )
 
