@@ -1990,6 +1990,89 @@ def a44_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a45_sql_catalog",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), final AS (
+        SELECT o.o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                         AND o.o_orderstatus <> 'F'
+                    THEN o.o_totalprice + u.o_totalprice
+                    ELSE o.o_totalprice END AS pr,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                         AND o.o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END AS del
+        FROM orders o LEFT JOIN u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT 'head:' || o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM final WHERE del = 0 GROUP BY 1
+    UNION ALL
+    SELECT 'v2:' || o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders GROUP BY 1
+    """,
+    tags=("A45", "A37", "A44", "A25"),
+)
+def a45_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL catalog / named tables (sources/sql_catalog.py): the whole
+    lakehouse lifecycle as a PURE-SQL session — zero Python table
+    handles. A persistent name→path catalog (one atomic hard-link-
+    claimed JSON entry per table, managed data under the catalog root)
+    resolves every statement's names: CREATE TABLE (schema) commits an
+    empty dir carrying the declared schema so the empty table is
+    immediately a first-class target, INSERT INTO ... SELECT lands the
+    orders (v2), CREATE TABLE ... AS SELECT materializes the urgent
+    slice as a second managed table, a CONDITIONAL MERGE (A44 grammar)
+    adds each urgent order's price onto its non-finished target row and
+    deletes finished matches, DROP TABLE removes the staging table and
+    its managed data, and the returned census is two SELECTs through
+    the same session — head state and a VERSION AS OF 2 time travel.
+    The DuckDB oracle recomputes both from first principles.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a45_catalog_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a45_orders_src")
+    s.sql(
+        "CREATE TABLE ord (o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double)"
+    )  # v1: empty, declared schema
+    s.sql(
+        "INSERT INTO ord SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM a45_orders_src"
+    )  # v2
+    s.sql(
+        "CREATE TABLE urgent AS SELECT o_orderkey, o_totalprice "
+        "FROM a45_orders_src WHERE o_orderpriority = '1-URGENT'"
+    )
+    s.sql(
+        "MERGE INTO ord AS t USING urgent AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.o_orderstatus <> 'F' THEN UPDATE SET "
+        "o_totalprice = t.o_totalprice + s.o_totalprice "
+        "WHEN MATCHED THEN DELETE"
+    )  # v3: conditional merge through catalog names
+    s.sql("DROP TABLE urgent")
+    head = s.sql(
+        "SELECT 'head:' || o_orderstatus AS grp, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue FROM ord GROUP BY o_orderstatus"
+    )
+    v2 = s.sql(
+        "SELECT 'v2:' || o_orderstatus AS grp, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue FROM ord VERSION AS OF 2 GROUP BY o_orderstatus"
+    )
+    return head.unionByName(v2)
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

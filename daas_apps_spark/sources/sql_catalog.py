@@ -1,0 +1,167 @@
+"""Persistent name→path catalog for versioned tables (A45).
+
+Completes the SQL surface: with a catalog, an operator session is PURE
+SQL end-to-end — ``CREATE TABLE`` through ``MERGE`` to ``VACUUM`` —
+with zero Python table handles (the ``tables=`` dict ``run_sql`` needed
+before). The catalog is the reference's "the Properties file IS the
+plan" idea (MiscUtils.java:44-64) applied to table NAMES: a directory
+of one small JSON file per table, so the mapping survives the session
+and two sessions on the same directory see the same names.
+
+Durability/atomicity contract (same discipline as the commit log):
+- CREATE claims a name atomically via hard-link publish (O_EXCL
+  semantics): two concurrent CREATEs of the same name — one wins, the
+  loser gets the "already exists" error, never a torn entry.
+- One file per table: concurrent CREATE/DROP of DIFFERENT names never
+  contend.
+- Names are case-insensitive (stored lowercased), matching the SQL
+  resolution rule ``run_sql`` already applies to the tables dict.
+
+Managed vs external: a table created without LOCATION lives under the
+catalog's ``tables/`` root and DROP removes its data; a LOCATION table
+is external — DROP forgets the name, the data stays (Delta/Hive's
+managed-vs-external split).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from daas_apps_spark.sources.table_format import VersionedTable
+
+_NAME_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+class TableCatalog:
+    """Directory-backed table catalog: ``<dir>/<name>.json`` entries plus
+    a ``tables/`` root for managed data."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "tables"), exist_ok=True)
+
+    def _entry_path(self, name: str) -> str:
+        return os.path.join(self.path, f"{name.lower()}.json")
+
+    @staticmethod
+    def _check_name(name: str) -> str:
+        if not _NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"catalog table name {name!r} must be a plain identifier"
+            )
+        return name.lower()
+
+    def create(
+        self,
+        name: str,
+        location: str | None = None,
+        if_not_exists: bool = False,
+    ) -> str:
+        """Claim ``name`` atomically; returns the table path. Without
+        ``location`` the table is MANAGED (data under the catalog's
+        ``tables/`` root, DROP removes it)."""
+        key = self._check_name(name)
+        managed = location is None
+        path = (
+            os.path.join(self.path, "tables", key) if managed else location
+        )
+        entry = {
+            "name": key,
+            "path": os.path.abspath(path),
+            "managed": managed,
+            "ts": time.time(),
+        }
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, self._entry_path(key))
+        except FileExistsError:
+            if if_not_exists:
+                return self.resolve(name)
+            raise ValueError(
+                f"table {name!r} already exists in the catalog "
+                f"({self.resolve(name)}); DROP TABLE it first"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return entry["path"]
+
+    def resolve(self, name: str) -> str:
+        key = self._check_name(name)
+        try:
+            with open(self._entry_path(key)) as f:
+                return json.load(f)["path"]
+        except FileNotFoundError:
+            raise KeyError(
+                f"table {name!r} is not in the catalog; known: "
+                f"{sorted(self.names())}"
+            ) from None
+
+    def entry(self, name: str) -> dict:
+        with open(self._entry_path(self._check_name(name))) as f:
+            return json.load(f)
+
+    def names(self) -> list[str]:
+        return sorted(
+            n[:-5]
+            for n in os.listdir(self.path)
+            if n.endswith(".json") and not n.startswith(".tmp-")
+        )
+
+    def drop(self, name: str, if_exists: bool = False) -> bool:
+        """Forget ``name``; a MANAGED table's data directory is removed
+        too (external LOCATIONs stay — the catalog never owned them)."""
+        key = self._check_name(name)
+        try:
+            entry = self.entry(key)
+        except FileNotFoundError:
+            if if_exists:
+                return False
+            raise KeyError(
+                f"table {name!r} is not in the catalog; known: "
+                f"{sorted(self.names())}"
+            ) from None
+        os.unlink(self._entry_path(key))
+        if entry["managed"]:
+            shutil.rmtree(entry["path"], ignore_errors=True)
+        return True
+
+    def table(self, spark: SparkSession, name: str) -> VersionedTable:
+        return VersionedTable(spark, self.resolve(name))
+
+
+class SqlSession:
+    """A pure-SQL operator session: every statement resolves table names
+    through the catalog (plus optional ad-hoc ``tables`` overrides), so
+    the whole lakehouse lifecycle — CREATE TABLE, INSERT, MERGE,
+    time-travel SELECT, OPTIMIZE, VACUUM, DROP TABLE — runs as text with
+    zero Python table handles."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog | str,
+        tables: dict | None = None,
+    ):
+        self.spark = spark
+        self.catalog = (
+            catalog
+            if isinstance(catalog, TableCatalog)
+            else TableCatalog(catalog)
+        )
+        self.tables = dict(tables or {})
+
+    def sql(self, text: str) -> DataFrame | int | VersionedTable:
+        from daas_apps_spark.sources.sql_dml import run_sql
+
+        return run_sql(
+            self.spark, text, self.tables, catalog=self.catalog
+        )

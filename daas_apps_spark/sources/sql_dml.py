@@ -11,7 +11,11 @@ never a re-implementation:
     DELETE FROM t WHERE <pred>
     UPDATE t SET c = <expr>, ... WHERE <pred>
     INSERT INTO|OVERWRITE t SELECT ... | VALUES (...), (...)
-    CREATE TABLE t AS SELECT ...
+    CREATE TABLE [IF NOT EXISTS] t (col type, ...)
+        [USING versioned] [LOCATION '<path>']
+    CREATE TABLE [IF NOT EXISTS] t AS SELECT ...
+    DROP TABLE [IF EXISTS] t        -- catalog; managed data removed
+    SHOW TABLES                     -- catalog listing
     MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
         WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e, ...|*> | DELETE
         WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
@@ -339,12 +343,29 @@ def _merge_keys(cond: str, talias: str, salias: str) -> list[str]:
 
 
 def run_sql(
-    spark: SparkSession, text: str, tables: dict
+    spark: SparkSession,
+    text: str,
+    tables: dict | None = None,
+    catalog=None,
 ) -> DataFrame | int:
     """Execute one DML/query statement against versioned tables. See
     the module docstring for the supported grammar. Returns the
     committed version (DELETE/UPDATE/MERGE) or the result DataFrame
-    (SELECT)."""
+    (SELECT).
+
+    ``tables`` maps ad-hoc SQL names to VersionedTables/paths;
+    ``catalog`` (a ``sql_catalog.TableCatalog``) resolves every other
+    name persistently and enables the catalog verbs — CREATE TABLE
+    (schema or AS SELECT), DROP TABLE, SHOW TABLES. Ad-hoc names shadow
+    catalog names."""
+    tables = dict(tables or {})
+    if catalog is not None:
+        # catalog names resolve exactly like declared paths; ad-hoc
+        # names win on collision (session-scoped shadowing)
+        tables = {
+            **{n: catalog.resolve(n) for n in catalog.names()},
+            **tables,
+        }
     mode = "cow"
     mh = _HINT_RE.match(text)
     if mh:
@@ -612,28 +633,38 @@ def run_sql(
     if verb == "CREATE" and re.match(
         r"^\s*CREATE\s+TABLE\b", text, re.I
     ):
+        return _run_create(spark, text, tables, catalog)
+    if verb == "DROP" and re.match(r"^\s*DROP\s+TABLE\b", text, re.I):
         m = re.match(
-            r"^\s*CREATE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+AS\s+"
-            r"(?P<src>(SELECT|WITH)\b.+?)\s*;?\s*$",
+            r"^\s*DROP\s+TABLE\s+(?:(?P<ie>IF\s+EXISTS)\s+)?"
+            r"(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
             text,
-            re.I | re.S,
+            re.I,
         )
         if not m:
             raise ValueError(
-                "unsupported CREATE TABLE shape; supported: CREATE TABLE "
-                "<declared-name> AS SELECT ... (the name must map to a "
-                "path in the tables dict)"
+                "unsupported DROP TABLE shape; supported: "
+                "DROP TABLE [IF EXISTS] <name>"
             )
-        vt = _resolve(spark, tables, m.group("t"))
-        if vt.latest_version() > 0:
+        if catalog is None:
             raise ValueError(
-                f"table {m.group('t')!r} already exists "
-                f"(v{vt.latest_version()}) — INSERT INTO it, or point the "
-                "name at an empty path"
+                "DROP TABLE needs a catalog (pass catalog= / use "
+                "SqlSession) — ad-hoc tables dict entries are "
+                "session-scoped, there is nothing durable to drop"
             )
-        df = spark.sql(_rewrite_tables(spark, m.group("src"), tables))
-        vt.append(df)
-        return vt
+        return int(
+            catalog.drop(m.group("t"), if_exists=bool(m.group("ie")))
+        )
+    if verb == "SHOW" and re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", text, re.I):
+        if catalog is None:
+            raise ValueError("SHOW TABLES needs a catalog")
+        rows = [
+            (e["name"], e["path"], e["managed"])
+            for e in (catalog.entry(n) for n in catalog.names())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, path string, managed boolean"
+        )
     if verb in ("CREATE", "DROP") and re.match(
         r"^\s*(CREATE|DROP)\s+BLOOMFILTER\s+INDEX\b", text, re.I
     ):
@@ -742,9 +773,10 @@ def run_sql(
     raise ValueError(
         f"unsupported statement {verb or text!r}; supported verbs: "
         "DELETE / UPDATE / MERGE / INSERT / SELECT (incl. VERSION AS "
-        "OF / TIMESTAMP AS OF) / CREATE TABLE AS / ALTER TABLE / "
-        "OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE HISTORY / "
-        "CREATE|DROP BLOOMFILTER INDEX"
+        "OF / TIMESTAMP AS OF) / CREATE TABLE (schema | AS SELECT) / "
+        "DROP TABLE / SHOW TABLES / ALTER TABLE / OPTIMIZE / VACUUM / "
+        "RESTORE TABLE / DESCRIBE HISTORY / CREATE|DROP BLOOMFILTER "
+        "INDEX"
     )
 
 
@@ -846,6 +878,141 @@ def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
         out.append(ch)
         i += 1
     return "".join(out)
+
+
+def _run_create(spark: SparkSession, text: str, tables: dict, catalog):
+    """CREATE TABLE dispatch:
+
+        CREATE TABLE [IF NOT EXISTS] t (col type, ...)
+            [USING versioned] [LOCATION '<path>']   -- schema create
+        CREATE TABLE [IF NOT EXISTS] t AS SELECT ...  -- CTAS
+
+    A schema create commits ONE empty data directory carrying the
+    declared schema, so the empty table is immediately a first-class
+    target: positional INSERT maps onto it, MERGE reads it, DESCRIBE
+    works — no special empty-table state anywhere downstream. Catalog
+    registration is atomic (TableCatalog.create's hard-link claim);
+    without LOCATION the table is managed under the catalog root."""
+    bad = ValueError(
+        "unsupported CREATE TABLE shape; supported: CREATE TABLE "
+        "[IF NOT EXISTS] <name> (col type, ...) [USING versioned] "
+        "[LOCATION '<path>'] | CREATE TABLE [IF NOT EXISTS] <name> "
+        "AS SELECT ..."
+    )
+    head = re.match(
+        r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+        r"(?P<t>[A-Za-z_]\w*)\s*(?P<rest>.*?)\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if not head:
+        raise bad
+    name = head.group("t")
+    ine = bool(head.group("ine"))
+    rest = head.group("rest").strip()
+
+    def _known() -> bool:
+        return any(k.lower() == name.lower() for k in tables)
+
+    def _target(location: str | None):
+        """Resolve-or-register the table path: ad-hoc names win, then
+        the catalog registers (atomic claim)."""
+        if _known():
+            return _resolve(spark, tables, name)
+        if catalog is None:
+            raise ValueError(
+                f"CREATE TABLE {name}: the name is not in the tables "
+                "dict and no catalog was passed — pass catalog= (or use "
+                "SqlSession) so the name can be registered"
+            )
+        return VersionedTable(
+            spark, catalog.create(name, location, if_not_exists=ine)
+        )
+
+    m = re.match(r"^AS\s+(?P<src>(SELECT|WITH)\b.+)$", rest, re.I | re.S)
+    if m:
+        vt = _target(None)
+        if vt.latest_version() > 0:
+            if ine:
+                return vt
+            raise ValueError(
+                f"table {name!r} already exists "
+                f"(v{vt.latest_version()}) — INSERT INTO it, or DROP "
+                "TABLE it first"
+            )
+        df = spark.sql(_rewrite_tables(spark, m.group("src"), tables))
+        vt.append(df)
+        return vt
+    if rest.startswith("("):
+        # balanced scan: column types nest parens (decimal(18,4))
+        depth = 0
+        quote: str | None = None
+        end = -1
+        for i, ch in enumerate(rest):
+            if quote:
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise bad
+        cols_ddl = rest[1:end].strip()
+        tail = rest[end + 1 :].strip()
+        tm = re.match(
+            r"^(?:USING\s+(?P<fmt>\w+)\s*)?"
+            r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?$",
+            tail,
+            re.I,
+        )
+        if not tm:
+            raise bad
+        if tm.group("fmt") and tm.group("fmt").lower() != "versioned":
+            raise ValueError(
+                f"unsupported table format {tm.group('fmt')!r}; this "
+                "catalog creates USING versioned tables only"
+            )
+        try:
+            empty = spark.createDataFrame([], cols_ddl)
+        except Exception as e:  # noqa: BLE001 — classify, don't swallow
+            raise ValueError(
+                f"CREATE TABLE {name}: column definitions do not parse "
+                f"as a schema: {cols_ddl!r}"
+            ) from e
+        vt = _target(tm.group("loc"))
+        if vt.latest_version() > 0:
+            if tm.group("loc"):
+                # registering an EXISTING external table: the declared
+                # schema must name the same columns as the data on disk
+                # (a silent mismatch would misdirect every later INSERT)
+                have = sorted(
+                    f.name.lower()
+                    for f in vt.read(merge_schema=True).schema.fields
+                    if not f.name.startswith("__")
+                )
+                want = sorted(f.name.lower() for f in empty.schema.fields)
+                if have != want:
+                    raise ValueError(
+                        f"CREATE TABLE {name} LOCATION: declared columns "
+                        f"{want} do not match the existing table's "
+                        f"{have}"
+                    )
+                return vt
+            if ine:
+                return vt
+            raise ValueError(
+                f"table {name!r} already exists (v{vt.latest_version()})"
+            )
+        vt.append(empty)  # v1: the declared schema, zero rows
+        return vt
+    raise bad
 
 
 def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:

@@ -146,11 +146,14 @@ def test_refusals_are_loud(spark, twins):
             "WHEN NOT MATCHED THEN INSERT *",
             {"t": a},
         )
-    with pytest.raises(ValueError, match="WHEN clauses"):
+    # WHEN MATCHED THEN DELETE graduated from refusal to feature in the
+    # conditional-merge round (tests/test_merge_into.py); a clause shape
+    # OUTSIDE the grammar still refuses with the supported list
+    with pytest.raises(ValueError, match="WHEN clause"):
         run_sql(
             spark,
             "MERGE INTO t USING t AS s ON t.k = s.k "
-            "WHEN MATCHED THEN DELETE",
+            "WHEN MATCHED THEN TRUNCATE",
             {"t": a},
         )
     with pytest.raises(ValueError, match="unknown table"):
