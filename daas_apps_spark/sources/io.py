@@ -2073,6 +2073,72 @@ def a45_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(v2)
 
 
+@register(
+    "a46_copy_into",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=("A46", "A25", "A45"),
+)
+def a46_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO (table_format.py::copy_into + the SQL verb): idempotent
+    batch file ingestion, exactly-once by file identity (absolute path +
+    size + mtime_ns) recorded in commit metadata and folded into
+    checkpoints. The orders table is split into a 4-file landing
+    directory; COPY runs THREE times — the first ingests all four files
+    in one append commit, the second is a provable no-op (0 loaded, 4
+    skipped, no new commit), and after a VACUUM-style re-listing the
+    third still skips. The returned census must equal plain ``orders``
+    exactly: any re-ingested file doubles its slice and breaks the
+    hash; the in-function assertions additionally pin the loaded/
+    skipped counts and that the no-op minted NO version. Composes with
+    K68: COPY is the file-level ingestion screen, the CDC anti-join the
+    row-level one.
+
+    At 100 TB this is the nightly-landing-zone shape: re-running a
+    partially-observed load costs one directory listing plus the not-
+    yet-loaded files — never a re-scan of what already landed, and a
+    crash before the single commit records nothing (exactly-once with
+    no completion logic; tests/test_copy_into.py crashes it mid-flight).
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a46_copy_{os.getpid()}")
+    landing = os.path.join(base, "landing")
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(4).write.parquet(landing)
+    s = SqlSession(spark, os.path.join(base, "cat"))
+    s.sql(
+        "CREATE TABLE ord (o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double)"
+    )
+    r1 = s.sql(f"COPY INTO ord FROM '{landing}'").first()
+    v1 = s.sql("DESCRIBE HISTORY ord").count()
+    r2 = s.sql(f"COPY INTO ord FROM '{landing}'").first()
+    v2 = s.sql("DESCRIBE HISTORY ord").count()
+    r3 = s.sql(f"COPY INTO ord FROM '{landing}' FILEFORMAT = PARQUET").first()
+    if not (
+        r1.num_loaded_files == 4
+        and (r2.num_loaded_files, r2.num_skipped_files) == (0, 4)
+        and (r3.num_loaded_files, r3.num_skipped_files) == (0, 4)
+        and v1 == v2  # the no-op minted no version
+    ):
+        raise AssertionError(
+            f"COPY INTO idempotence violated: {r1} / {r2} / {r3}, "
+            f"history {v1} -> {v2}"
+        )
+    return s.sql(
+        "SELECT o_orderstatus AS grp, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue FROM ord GROUP BY o_orderstatus"
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

@@ -16,6 +16,8 @@ never a re-implementation:
     CREATE TABLE [IF NOT EXISTS] t AS SELECT ...
     DROP TABLE [IF EXISTS] t        -- catalog; managed data removed
     SHOW TABLES                     -- catalog listing
+    COPY INTO t FROM '<file|dir|glob>' [FILEFORMAT = <fmt>]
+        [FORMAT_OPTIONS ('k' = 'v', ...)] [FORCE = TRUE]
     MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
         WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e, ...|*> | DELETE
         WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
@@ -628,6 +630,51 @@ def run_sql(
         if m.group("over").upper() == "OVERWRITE":
             return vt.overwrite(df)
         return vt.append(df)
+    if verb == "COPY":
+        m = re.match(
+            r"^\s*COPY\s+INTO\s+(?P<t>[A-Za-z_]\w*)\s+FROM\s+"
+            r"'(?P<src>[^']+)'"
+            r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?"
+            r"(?:\s+FORMAT_OPTIONS\s*\((?P<opts>[^)]*)\))?"
+            r"(?:\s+FORCE\s*=\s*(?P<force>TRUE|FALSE))?\s*;?\s*$",
+            text,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported COPY shape; supported: COPY INTO <table> "
+                "FROM '<file|dir|glob>' [FILEFORMAT = PARQUET|CSV|JSON|"
+                "ORC] [FORMAT_OPTIONS ('k' = 'v', ...)] [FORCE = TRUE]"
+            )
+        opts: dict = {}
+        for pair in _split_top_level(m.group("opts") or ""):
+            pm = re.fullmatch(
+                r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", pair
+            )
+            if not pm:
+                raise ValueError(
+                    f"cannot parse FORMAT_OPTIONS pair {pair!r} "
+                    "(expected 'key' = 'value')"
+                )
+            opts[pm.group(1)] = pm.group(2)
+        vt = _resolve(spark, tables, m.group("t"))
+        res = vt.copy_into(
+            m.group("src"),
+            format=(m.group("fmt") or "parquet").lower(),
+            options=opts or None,
+            force=bool(m.group("force"))
+            and m.group("force").upper() == "TRUE",
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    res["num_loaded_files"],
+                    res["num_skipped_files"],
+                    res["version"],
+                )
+            ],
+            "num_loaded_files long, num_skipped_files long, version long",
+        )
     if verb == "ALTER":
         return _run_alter(spark, text, tables)
     if verb == "CREATE" and re.match(
@@ -774,9 +821,9 @@ def run_sql(
         f"unsupported statement {verb or text!r}; supported verbs: "
         "DELETE / UPDATE / MERGE / INSERT / SELECT (incl. VERSION AS "
         "OF / TIMESTAMP AS OF) / CREATE TABLE (schema | AS SELECT) / "
-        "DROP TABLE / SHOW TABLES / ALTER TABLE / OPTIMIZE / VACUUM / "
-        "RESTORE TABLE / DESCRIBE HISTORY / CREATE|DROP BLOOMFILTER "
-        "INDEX"
+        "DROP TABLE / SHOW TABLES / COPY INTO / ALTER TABLE / OPTIMIZE "
+        "/ VACUUM / RESTORE TABLE / DESCRIBE HISTORY / CREATE|DROP "
+        "BLOOMFILTER INDEX"
     )
 
 

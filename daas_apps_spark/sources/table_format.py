@@ -1090,6 +1090,7 @@ class VersionedTable:
         dv_remove: list[str],
         data_change: bool,
         identity_alloc: dict | None = None,
+        copy_add: dict | None = None,
     ) -> None:
         """Delta-style conflict-resolution matrix for optimistic
         concurrency (snapshot isolation): decide whether a commit whose
@@ -1195,6 +1196,20 @@ class VersionedTable:
                             f"a concurrent commit allocated identity "
                             f"value(s) for column(s) {sorted(overlap)} "
                             "from the same watermark",
+                            e,
+                        )
+            if copy_add:
+                # two COPY INTOs racing on overlapping source files:
+                # letting both land would ingest those files twice
+                for e in between:
+                    overlap = set(copy_add) & set(
+                        (e.get("metadata") or {}).get("copy_into_add")
+                        or {}
+                    )
+                    if overlap:
+                        _conflict(
+                            f"a concurrent COPY INTO already ingested "
+                            f"source file(s) {sorted(overlap)[:3]}",
                             e,
                         )
             return
@@ -1331,6 +1346,7 @@ class VersionedTable:
                 dv_remove=dv_remove or [],
                 data_change=data_change,
                 identity_alloc=(metadata or {}).get("identity_alloc"),
+                copy_add=(metadata or {}).get("copy_into_add"),
             )
         version = latest + 1
         known_stats = known_stats or {}
@@ -1497,6 +1513,9 @@ class VersionedTable:
             "bloom_columns": self.bloom_columns(version),
             # the row-tracking flag (its watermark folds with identity)
             "row_tracking": self.row_tracking(version),
+            # COPY INTO's loaded-file registry: retention must never
+            # forget a loaded file, or a re-run would duplicate its rows
+            "copy_into": self.copied_files(version),
             # live deletion-vector dirs are table state exactly like live
             # data dirs: a replay that lost them would resurrect deleted rows
             "dvs": self._live_dvs(version),
@@ -2148,6 +2167,152 @@ class VersionedTable:
             remove=[],
             metadata={"generated": {"op": "drop", "col": col}},
             data_change=False,
+        )
+
+    def copied_files(self, version: int | None = None) -> dict:
+        """Source-file identities COPY INTO already ingested:
+        ``{absolute path: [size_bytes, mtime_ns]}``. Lives in commit
+        METADATA (``copy_into_add`` per load; ``copy_into_set``
+        bootstrap on clone) and folds into checkpoints like constraints
+        do — log retention must never forget a loaded file, or a
+        re-run of the same COPY would silently duplicate its rows."""
+
+        def apply(active: dict, md: dict) -> dict:
+            if "copy_into_set" in md:
+                active = dict(md["copy_into_set"] or {})
+            if "copy_into_add" in md:
+                active = {**active, **md["copy_into_add"]}
+            return active
+
+        return self._fold_state(
+            version,
+            lambda b: dict(b.get("copy_into") or {}) if b else {},
+            apply,
+        )
+
+    def copy_into(
+        self,
+        source: str,
+        format: str = "parquet",
+        options: dict | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Idempotent batch file ingestion — Delta's COPY INTO. ``source``
+        is a file, directory, or glob; every matched file is ingested
+        EXACTLY ONCE, keyed on its identity (absolute path + size +
+        mtime_ns) recorded in commit metadata: re-running the same COPY
+        is a no-op (``num_skipped_files``), and a crash anywhere before
+        the single commit leaves nothing recorded, so the re-run simply
+        does the work again — no duplicate rows, no completion logic.
+
+        A matched file whose recorded identity CHANGED (same path, new
+        size/mtime) refuses loudly — silently re-ingesting would
+        duplicate the old rows, silently skipping would lose the new
+        ones; ``force=True`` re-ingests every matched file regardless
+        (Delta's FORCE copy option). Two concurrent COPYs of overlapping
+        files cannot both land: the blind-append conflict matrix treats
+        overlapping ``copy_into_add`` paths like concurrent identity
+        allocation, and the loser replans (its files then skip as
+        already loaded).
+
+        Non-parquet formats read under the table's own schema when one
+        exists (schema-on-read pinned to the target, minus engine-
+        assigned identity/generated columns); all ingested files land as
+        ONE append commit through the standard write funnel, so
+        constraints validate and identity/generated columns assign
+        exactly like any other write. Returns ``{"version",
+        "num_loaded_files", "num_skipped_files"}``."""
+        import glob as _glob
+
+        fmt = format.lower()
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise ValueError(
+                f"copy_into: unsupported FILEFORMAT {format!r} "
+                "(parquet|csv|json|orc)"
+            )
+        if any(ch in source for ch in "*?["):
+            cands = sorted(
+                p for p in _glob.glob(source) if os.path.isfile(p)
+            )
+        elif os.path.isdir(source):
+            cands = sorted(
+                os.path.join(source, n)
+                for n in os.listdir(source)
+                if not n.startswith((".", "_"))
+                and os.path.isfile(os.path.join(source, n))
+            )
+        elif os.path.isfile(source):
+            cands = [source]
+        else:
+            cands = []  # nothing there (yet/anymore): an idempotent no-op
+        for _attempt in range(5):
+            loaded = self.copied_files()
+            new: list[str] = []
+            ident: dict = {}
+            changed: list[str] = []
+            skipped = 0
+            for p in cands:
+                ap = os.path.abspath(p)
+                st = os.stat(p)
+                ide = [st.st_size, st.st_mtime_ns]
+                rec = loaded.get(ap)
+                if rec is not None and not force:
+                    if list(rec) != ide:
+                        changed.append(ap)
+                    else:
+                        skipped += 1
+                    continue
+                new.append(ap)
+                ident[ap] = ide
+            if changed:
+                raise ValueError(
+                    f"copy_into: source file(s) {changed[:3]} changed "
+                    "since they were loaded (size/mtime differ) — "
+                    "re-ingesting would duplicate their old rows; pass "
+                    "force=True to reload them deliberately"
+                )
+            if not new:
+                return {
+                    "version": self.latest_version(),
+                    "num_loaded_files": 0,
+                    "num_skipped_files": skipped,
+                }
+            reader = self.spark.read.format(fmt)
+            for k, v in (options or {}).items():
+                reader = reader.option(k, v)
+            if fmt != "parquet":
+                try:
+                    base = self.read(merge_schema=True)
+                except ValueError:
+                    pass  # no schema yet: reader options/inference decide
+                else:
+                    from pyspark.sql import types as T
+
+                    ids = set(self.identity_columns())
+                    gen = set(self.generated_columns())
+                    reader = reader.schema(
+                        T.StructType(
+                            [
+                                f
+                                for f in base.schema.fields
+                                if f.name.lower() not in ids | gen
+                            ]
+                        )
+                    )
+            df = reader.load(new)
+            try:
+                v = self.append(df, metadata={"copy_into_add": ident})
+            except CommitConflictError:
+                continue  # a concurrent COPY overlapped: replan — its
+                # files now read as loaded and skip
+            return {
+                "version": v,
+                "num_loaded_files": len(new),
+                "num_skipped_files": skipped,
+            }
+        raise CommitConflictError(
+            "copy_into: could not land after 5 replans (sustained "
+            "concurrent ingestion of overlapping files)"
         )
 
     def bloom_columns(self, version: int | None = None) -> dict | None:
@@ -3364,6 +3529,10 @@ class VersionedTable:
                 # and the bloom-index declaration (sidecars are linked
                 # below beside the data files they describe)
                 "bloom_columns_set": self.bloom_columns(version),
+                # COPY INTO's loaded-file registry travels with the
+                # clone: a COPY re-run against the fork must skip what
+                # the source already ingested
+                "copy_into_set": self.copied_files(version),
                 # and the row-tracking flag (ids + watermark carry via
                 # the data links and identity_set)
                 "row_tracking_set": self.row_tracking(version),
