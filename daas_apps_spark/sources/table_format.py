@@ -274,14 +274,28 @@ def _coordinator_identity(coordinator: str) -> str | None:
         return None  # legacy / vanished coordinator: uncacheable
 
 
+def _coordinator_checkpoint(coordinator: str) -> dict:
+    """The coordinator's GC checkpoint: terminal txn verdicts folded out
+    of per-txn marker files ({"committed": [...], "aborted": [...]}).
+    Missing file = nothing folded yet."""
+    try:
+        with open(os.path.join(coordinator, "_checkpoint.json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return {"committed": [], "aborted": []}
+
+
 def _txn_status(coordinator: str, txn_id: str) -> str:
     """'committed' | 'aborted' | 'pending' for a multi-table transaction,
     read from the coordinator directory — the SINGLE atomic visibility
-    point the staged commits of every participating table share.
-    Terminal states are process-cached: a committed/aborted marker never
-    changes (within one coordinator incarnation), and without the cache
-    every log read re-stats two files per resolved txn commit for the
-    rest of the log's life."""
+    point the staged commits of every participating table share. A
+    verdict lives either in a per-txn marker file or, after
+    ``MultiTableTxn.gc`` folded it, in the coordinator checkpoint —
+    both are checked, so a folded-committed txn's staged commits stay
+    visible through marker GC. Terminal states are process-cached: a
+    verdict never changes (within one coordinator incarnation), and
+    without the cache every log read re-stats two files per resolved
+    txn commit for the rest of the log's life."""
     ident = _coordinator_identity(coordinator)
     key = (ident, coordinator, txn_id)
     if ident is not None:
@@ -299,6 +313,11 @@ def _txn_status(coordinator: str, txn_id: str) -> str:
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.committed.json")):
         return _cache("committed")
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.aborted.json")):
+        return _cache("aborted")
+    ck = _coordinator_checkpoint(coordinator)
+    if txn_id in ck["committed"]:
+        return _cache("committed")
+    if txn_id in ck["aborted"]:
         return _cache("aborted")
     return "pending"  # non-terminal: never cached
 
@@ -542,7 +561,9 @@ class MultiTableTxn:
         """Mark every pending txn aborted — the coordinator-restart
         cleanup (anything pending at startup is abandoned by
         definition: there is one coordinator per log dir). Returns the
-        aborted ids."""
+        aborted ids. After ``gc``, only not-yet-folded txns still have
+        begin markers, so this listing stays bounded by the IN-FLIGHT
+        set, not the coordinator's lifetime txn count."""
         dead = []
         for name in sorted(os.listdir(self.path)):
             if not name.endswith(".begin.json"):
@@ -552,6 +573,62 @@ class MultiTableTxn:
                 self.abort(txn_id)
                 dead.append(txn_id)
         return dead
+
+    def gc(self) -> dict:
+        """Fold every RESOLVED txn's verdict into the coordinator
+        checkpoint and remove its marker files, bounding the directory
+        (and ``abort_abandoned``'s listing) by the in-flight txn count
+        instead of lifetime throughput.
+
+        Invariant (pinned by tests): a folded txn's status resolves
+        identically through the checkpoint — a folded-COMMITTED txn's
+        staged table commits stay visible forever, a folded-ABORTED
+        one's stay invisible. Crash-safe ordering: the checkpoint is
+        REPLACED first (atomic), markers unlinked after — a crash
+        between the two leaves both records agreeing, and the next gc
+        finishes the unlink. Pending txns are untouched. If a commit/
+        abort race ever left BOTH markers, committed wins here exactly
+        as it does in ``status``."""
+        ck = _coordinator_checkpoint(self.path)
+        committed = set(ck["committed"])
+        aborted = set(ck["aborted"])
+        folded: set[str] = set()
+        for name in sorted(os.listdir(self.path)):
+            if name.endswith(".committed.json"):
+                txn_id = name[: -len(".committed.json")]
+                committed.add(txn_id)
+                folded.add(txn_id)
+            elif name.endswith(".aborted.json"):
+                txn_id = name[: -len(".aborted.json")]
+                aborted.add(txn_id)
+                folded.add(txn_id)
+        aborted -= committed  # committed-wins, same rule as status()
+        tmp = os.path.join(self.path, f".tmp-ck-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "committed": sorted(committed),
+                    "aborted": sorted(aborted),
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(self.path, "_checkpoint.json"))
+        for txn_id in folded:
+            for suffix in (
+                ".begin.json",
+                ".committed.json",
+                ".aborted.json",
+            ):
+                try:
+                    os.unlink(os.path.join(self.path, f"{txn_id}{suffix}"))
+                except FileNotFoundError:
+                    pass
+        remaining = sum(
+            1
+            for n in os.listdir(self.path)
+            if n.endswith(".begin.json")
+        )
+        return {"folded": len(folded), "pending_markers": remaining}
 
 
 def logical_to_physical(mapping: dict | None) -> dict[str, str]:

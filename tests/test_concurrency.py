@@ -528,3 +528,76 @@ def test_txn_status_cache_is_bounded(spark, tmp_path):
         assert coord.status(t) == "committed"
     finally:
         tf._TXN_STATUS_CACHE_CAP = old_cap
+
+
+def test_txn_gc_bounds_markers_and_preserves_visibility(spark, tmp_path):
+    """MultiTableTxn.gc folds resolved verdicts into the coordinator
+    checkpoint: the directory stays bounded by in-flight txns, and a
+    folded-committed txn's staged commits remain visible (a folded-
+    aborted one's stay invisible) through log replay alone."""
+    import os
+
+    import daas_apps_spark.sources.table_format as tf
+
+    base = tmp_path / "gc"
+    coord = tf.MultiTableTxn(str(base / "coord"))
+    va = VersionedTable(spark, str(base / "a"))
+    vb = VersionedTable(spark, str(base / "b"))
+    df = _df(spark, [(1, 1), (2, 2)])
+    good = coord.begin()
+    va.append(df, txn=good)
+    vb.append(df, txn=good)
+    coord.commit(good)
+    dead = coord.begin()
+    va.append(df, txn=dead)
+    coord.abort(dead)
+    for _ in range(10):  # lifetime throughput the dir must NOT retain
+        t = coord.begin()
+        coord.commit(t)
+    inflight = coord.begin()  # still pending: must survive gc
+    res = coord.gc()
+    assert res["folded"] == 12 and res["pending_markers"] == 1
+    names = set(os.listdir(coord.path))
+    markers = [n for n in names if n.endswith(".json") and n != "_checkpoint.json"]
+    assert markers == [f"{inflight['id']}.begin.json"]
+    # visibility through a FRESH process-state path (cache cleared,
+    # pure-filesystem read_log): folded verdicts must still resolve
+    tf._TXN_STATUS_CACHE.clear()
+    assert coord.status(good) == "committed"
+    assert coord.status(dead) == "aborted"
+    assert coord.status(inflight) == "pending"
+    assert VersionedTable(spark, str(base / "a")).manifest_count() == 2
+    assert VersionedTable(spark, str(base / "b")).manifest_count() == 2
+    log = tf.read_log(str(base / "a"))
+    aborted_entry = [e for e in log if e.get("txn", {}).get("id") == dead["id"]]
+    assert aborted_entry and not aborted_entry[0]["add"]  # stays neutered
+    # abort_abandoned now lists only the in-flight marker
+    assert coord.abort_abandoned() == [inflight["id"]]
+    # a second gc folds the newly-aborted one too; idempotent after
+    coord.gc()
+    assert coord.gc()["folded"] == 0
+
+
+def test_txn_gc_crash_between_checkpoint_and_unlink(spark, tmp_path):
+    """Crash ordering: checkpoint replaced first, markers unlinked
+    after — if both exist they agree, and the next gc finishes."""
+    import json
+    import os
+
+    import daas_apps_spark.sources.table_format as tf
+
+    coord = tf.MultiTableTxn(str(tmp_path / "coord"))
+    t = coord.begin()
+    coord.commit(t)
+    coord.gc()
+    # simulate the torn state: marker re-created AFTER the fold (as a
+    # crash between checkpoint write and unlink would leave it)
+    coord._publish(f"{t['id']}.committed.json")
+    tf._TXN_STATUS_CACHE.clear()
+    assert coord.status(t) == "committed"  # both records agree
+    coord.gc()  # finishes the unlink
+    assert not os.path.exists(
+        os.path.join(coord.path, f"{t['id']}.committed.json")
+    )
+    ck = json.load(open(os.path.join(coord.path, "_checkpoint.json")))
+    assert t["id"] in ck["committed"]
