@@ -39,6 +39,7 @@ from daas_apps_spark.operators import (  # noqa: F401
     udfs,
     dedup,
     similarity,
+    ann_index,
     text,
     multimodal,
     streaming_batch,

@@ -4582,6 +4582,7 @@ class VersionedTable:
         not_matched_by_source: list[dict] | None = None,
         target_alias: str = "t",
         source_alias: str = "s",
+        commit_metadata: dict | None = None,
     ) -> int:
         """CONDITIONAL merge — the full ANSI/Delta MERGE clause set,
         lowered to ONE copy-on-write commit (SQL surface: sql_dml.py):
@@ -4933,7 +4934,11 @@ class VersionedTable:
             result = _finish(out)
             rel = self._write_data_dir(result, vhint)
             return self._commit(
-                "merge", add=[rel], remove=[], read_version=rv
+                "merge",
+                add=[rel],
+                remove=[],
+                metadata=commit_metadata,
+                read_version=rv,
             )
         cur = self._to_logical(
             self._apply_dv(
@@ -5027,6 +5032,7 @@ class VersionedTable:
             add=carries + [rel],
             remove=remove,
             known_stats=known,
+            metadata=commit_metadata,
             read_version=rv,
         )
 
