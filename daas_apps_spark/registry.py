@@ -73,63 +73,61 @@ def _load_all() -> None:
 # keep module registration order behind these. Recompute per round from
 # CORRECTNESS_r*.json (oldest last-seen first).
 WINDOW_PRIORITY: list[str] = [
-    # round-8 debuts
-    "a35_manifest_census",
-    "a36_type_widening",
-    "a37_sql_dml",
-    "a38_multi_table_txn",
-    "a39_snapshot_isolation",
-    "a40_generated_columns",
-    "a41_identity_columns",
-    "a42_bloom_index",
-    "a43_row_tracking",
-    # last evidence round 1
-    "a1_scan_counts",
-    "a4_provenance_scan",
-    "a8_sql_view_parity",
-    "b4_filter_predicates",
-    "c11_self_join_sequences",
-    "c1_join_orders_customer",
-    "c2_full_outer_join",
-    "c2_left_outer_join",
-    "c3_semi_join",
-    "c4_anti_join",
-    "c5_broadcast_join",
-    "c6_multikey_join",
-    "c7_range_join_bands",
-    "c8_cross_join",
-    "c9_interval_point_join",
-    "d10_histogram",
-    "d2_global_aggregate",
-    "d3_multi_distinct",
-    "d5_cube",
-    "d5_rollup",
-    "d7_stats_aggregates",
-    "d8_argmax_argmin",
-    "d9_filtered_aggregate",
-    "e1_dedup_keep_best",
-    "e2_ranking_functions",
-    "e3_lag_lead",
-    "e4_running_total",
-    "e5_sliding_frame",
-    "e6_first_last_value",
-    "e7_percentiles",
-    "f1_sorted_limit_nulls",
-    "f4_top_k",
-    "f5_top_k_per_group",
-    "g1_union_all",
-    "g2_union_distinct",
-    "g3_intersect",
-    "g3_intersect_all",
-    "g4_except_all",
-    "h_date_functions",
-    "h_hash_null_functions",
-    "h_json_functions",
+    # round-9 debuts (must be sampled in their debut round)
+    "a44_conditional_merge",
+    "a45_sql_catalog",
+    "a46_copy_into",
+    "k69_incremental_ann",
+    # last evidence round 1 (incl. the deliberately-deferred flagship)
+    "q1_pricing_summary",
     "h_math_functions",
     "h_string_functions",
-    # q1_pricing_summary (r1 evidence) is deliberately deferred: it is
-    # the flagship entry() query, smoke-run by the driver every round;
-    # the remaining r1/r2 names roll into round 9's window
+    # last evidence round 2
+    "b2_computed_projection",
+    "b6_conditional_expressions",
+    "c17_fuzzy_name_match",
+    "d6_ordered_collect",
+    "h_array_functions",
+    "h_array_nested_functions",
+    "h_map_functions",
+    "k17_incremental_dedup",
+    "k1_exact_dedup",
+    "k2_minhash_signatures",
+    "k2_simhash",
+    "k31_minhash_estimator_audit",
+    "k3_dedup_clusters",
+    "k3_lsh_near_dedup",
+    "k3_ngram_jaccard",
+    "k43_survivor_policies",
+    "k47_leakage_safe_split",
+    "k54_cross_source_dup_matrix",
+    "k66_neardup_transitivity",
+    # oldest round-3 evidence (B SQL front-end + the as-of trio +
+    # the first TPC-H compositions); the rest of r3 rolls into r10
+    "b9_correlated_exists",
+    "b10_lateral_topk",
+    "b11_scalar_subquery",
+    "b12_parameterized_sql",
+    "b13_recursive_cte",
+    "b14_sql_scripting",
+    "b15_null_handling",
+    "b16_group_by_all",
+    "b17_pipe_syntax",
+    "b18_select_except",
+    "b19_values_inline_table",
+    "c10_asof_join",
+    "c10_asof_forward",
+    "c10_asof_nearest",
+    "c12_shipping_priority",
+    "c13_large_orders",
+    "c14_nullsafe_join",
+    "c15_bucketed_layout",
+    "c15_regional_revenue",
+    "c18_nation_volume",
+    "c19_excess_stock",
+    "c20_market_share",
+    "c21_bucketed_layout",
+    "c21_waiting_supplier",
 ]
 
 
