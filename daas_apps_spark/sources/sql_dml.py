@@ -10,7 +10,9 @@ never a re-implementation:
 
     DELETE FROM t WHERE <pred>
     UPDATE t SET c = <expr>, ... WHERE <pred>
-    INSERT INTO|OVERWRITE t SELECT ... | VALUES (...), (...)
+    INSERT INTO|OVERWRITE t [(c1, c2, ...)]
+        SELECT ... | VALUES (...), (...)
+    TRUNCATE TABLE t
     CREATE TABLE [IF NOT EXISTS] t (col type, ...)
         [USING versioned] [LOCATION '<path>']
     CREATE TABLE [IF NOT EXISTS] t AS SELECT ...
@@ -38,6 +40,7 @@ surface for the same operations):
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t RENAME COLUMN old TO new
     ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t ADD COLUMN c <type>
     ALTER TABLE t ALTER COLUMN c TYPE <wider-type>
     ALTER TABLE t ADD COLUMN c GENERATED ALWAYS AS (<expr>)
     ALTER TABLE t ADD COLUMN c GENERATED ALWAYS AS IDENTITY
@@ -517,6 +520,43 @@ def run_sql(
             )
         vt = _resolve(spark, tables, m.group("t"))
         src = m.group("src").strip()
+        # optional COLUMN LIST: INSERT INTO t (c1, c2) <source>. The
+        # first balanced paren group is a column list iff its content is
+        # not itself a query and a source follows — "INSERT INTO t
+        # (SELECT ...)" stays a parenthesized source
+        collist: list[str] | None = None
+        if src.startswith("("):
+            depth = 0
+            quote2: str | None = None
+            gend = -1
+            for j, ch in enumerate(src):
+                if quote2:
+                    if ch == quote2:
+                        quote2 = None
+                    continue
+                if ch in ("'", '"'):
+                    quote2 = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        gend = j
+                        break
+            if gend >= 0:
+                grp = src[1:gend].strip()
+                rest_src = src[gend + 1 :].strip()
+                if rest_src and not re.match(
+                    r"^(SELECT|WITH|VALUES)\b", grp, re.I
+                ):
+                    collist = [c.strip() for c in grp.split(",")]
+                    if not all(
+                        re.fullmatch(r"[A-Za-z_]\w*", c) for c in collist
+                    ):
+                        raise ValueError(
+                            f"INSERT column list does not parse: ({grp})"
+                        )
+                    src = rest_src
         if src.startswith("(") and src.endswith(")"):
             # strip ONLY a single enclosing group: "(SELECT..) UNION
             # (SELECT..)" starts and ends with parens but stripping its
@@ -562,38 +602,84 @@ def run_sql(
             fields = vt.read(merge_schema=True).schema.fields
         except ValueError:
             fields = None
+        if fields is None and collist is not None:
+            raise ValueError(
+                "INSERT with a column list needs an existing table "
+                "schema to map onto (the table is empty with no "
+                "declared schema)"
+            )
         if fields is not None:
             # identity columns are GENERATED ALWAYS — the engine assigns
-            # them, so they are never positional INSERT targets (the
-            # append funnel refuses frames that provide one). Generated
-            # columns may be OMITTED (the funnel computes them) or
-            # provided in full (the funnel validates them) — the arity
-            # decides which target list the source maps onto.
+            # them, so they are never INSERT targets (the append funnel
+            # refuses frames that provide one). Generated columns may be
+            # OMITTED (the funnel computes them) or provided (the funnel
+            # validates them). With a COLUMN LIST the source maps onto
+            # the named columns and every unnamed plain column lands
+            # NULL; positionally, the arity decides the target list.
             ids = set(vt.identity_columns())
             gen = set(vt.generated_columns())
-            plain = [f for f in fields if f.name.lower() not in ids | gen]
-            withgen = [f for f in fields if f.name.lower() not in ids]
-            if len(df.columns) == len(plain):
-                target = plain
-            elif len(df.columns) == len(withgen):
-                target = withgen
+            if collist is not None:
+                byname = {f.name.lower(): f for f in fields}
+                seen: set[str] = set()
+                target = []
+                for c in collist:
+                    lc = c.lower()
+                    if lc in seen:
+                        raise ValueError(
+                            f"INSERT column list names {c!r} twice"
+                        )
+                    seen.add(lc)
+                    if lc in ids:
+                        raise ValueError(
+                            f"column {c!r} is GENERATED ALWAYS AS "
+                            "IDENTITY — the engine assigns it; remove "
+                            "it from the column list"
+                        )
+                    if lc in byname:
+                        target.append(byname[lc])
+                    elif lc in gen:
+                        # declared generated column not yet present in
+                        # any live file: no stored type to assign to —
+                        # pass the value through, the write funnel
+                        # validates it against the expression
+                        target.append(lc)
+                    else:
+                        raise ValueError(
+                            f"INSERT column list names unknown column "
+                            f"{c!r}; table has "
+                            f"{[f.name for f in fields]}"
+                        )
+                if len(df.columns) != len(target):
+                    raise ValueError(
+                        f"INSERT provides {len(df.columns)} column(s) "
+                        f"for a {len(target)}-column list ({collist})"
+                    )
             else:
-                raise ValueError(
-                    f"INSERT provides {len(df.columns)} column(s); the "
-                    f"positional target list is "
-                    f"{[f.name for f in plain]}"
-                    + (
-                        f" (optionally + generated {sorted(gen)})"
-                        if gen
-                        else ""
+                plain = [
+                    f for f in fields if f.name.lower() not in ids | gen
+                ]
+                withgen = [f for f in fields if f.name.lower() not in ids]
+                if len(df.columns) == len(plain):
+                    target = plain
+                elif len(df.columns) == len(withgen):
+                    target = withgen
+                else:
+                    raise ValueError(
+                        f"INSERT provides {len(df.columns)} column(s); "
+                        f"the positional target list is "
+                        f"{[f.name for f in plain]}"
+                        + (
+                            f" (optionally + generated {sorted(gen)})"
+                            if gen
+                            else ""
+                        )
+                        + (
+                            f"; identity column(s) {sorted(ids)} are "
+                            "engine-assigned and cannot be inserted"
+                            if ids
+                            else ""
+                        )
                     )
-                    + (
-                        f"; identity column(s) {sorted(ids)} are engine-"
-                        "assigned and cannot be inserted"
-                        if ids
-                        else ""
-                    )
-                )
             # rename FIRST via toDF (pure positional, no name resolution
             # — a literal-derived source column can be NAMED "70.0",
             # which any column lookup would parse as a nested reference),
@@ -624,12 +710,62 @@ def run_sql(
                     .alias(f.name)
                 )
 
-            df = df.toDF(*[f.name for f in target]).select(
-                *[_store_assign(f) for f in target]
+            tnames = [
+                f if isinstance(f, str) else f.name for f in target
+            ]
+            df = df.toDF(*tnames).select(
+                *[
+                    F.col(f"`{f}`").alias(f)
+                    if isinstance(f, str)
+                    else _store_assign(f)
+                    for f in target
+                ]
             )
+            if collist is not None:
+                # unnamed plain columns land NULL (identity is engine-
+                # assigned, omitted generated columns are computed by
+                # the write funnel); output in schema order, then any
+                # named-but-unmaterialized generated columns
+                named = {n.lower() for n in tnames}
+                for f in fields:
+                    lc = f.name.lower()
+                    if lc not in ids | gen | named:
+                        df = df.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                order = [
+                    f.name
+                    for f in fields
+                    if f.name.lower() not in ids
+                    and (f.name.lower() not in gen or f.name.lower() in named)
+                ] + [f for f in target if isinstance(f, str)]
+                df = df.select(*[f"`{c}`" for c in order])
+                # a named-but-unmaterialized generated column has no
+                # stored type yet: align the provided value to the type
+                # its generation EXPRESSION resolves to, or this file
+                # and the funnel-computed files of later inserts would
+                # carry unmergeable schemas (INT vs BIGINT)
+                rules = vt.generated_columns()
+                for g in [f for f in target if isinstance(f, str)]:
+                    gty = df.select(
+                        F.expr(rules[g]).alias("_t")
+                    ).schema[0].dataType
+                    df = df.withColumn(g, F.col(f"`{g}`").cast(gty))
         if m.group("over").upper() == "OVERWRITE":
             return vt.overwrite(df)
         return vt.append(df)
+    if verb == "TRUNCATE":
+        m = re.match(
+            r"^\s*TRUNCATE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported TRUNCATE shape; supported: "
+                "TRUNCATE TABLE <table>"
+            )
+        return _resolve(spark, tables, m.group("t")).truncate()
     if verb == "COPY":
         m = re.match(
             r"^\s*COPY\s+INTO\s+(?P<t>[A-Za-z_]\w*)\s+FROM\s+"
@@ -821,9 +957,9 @@ def run_sql(
         f"unsupported statement {verb or text!r}; supported verbs: "
         "DELETE / UPDATE / MERGE / INSERT / SELECT (incl. VERSION AS "
         "OF / TIMESTAMP AS OF) / CREATE TABLE (schema | AS SELECT) / "
-        "DROP TABLE / SHOW TABLES / COPY INTO / ALTER TABLE / OPTIMIZE "
-        "/ VACUUM / RESTORE TABLE / DESCRIBE HISTORY / CREATE|DROP "
-        "BLOOMFILTER INDEX"
+        "DROP TABLE / SHOW TABLES / COPY INTO / TRUNCATE TABLE / ALTER "
+        "TABLE / OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE HISTORY "
+        "/ CREATE|DROP BLOOMFILTER INDEX"
     )
 
 
@@ -1069,7 +1205,7 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
     bad = ValueError(
         "unsupported ALTER shape; supported: ALTER TABLE t "
         "ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name | "
-        "RENAME COLUMN old TO new | DROP COLUMN c | "
+        "RENAME COLUMN old TO new | DROP COLUMN c | ADD COLUMN c <type> | "
         "ALTER COLUMN c TYPE <wider-type> | "
         "ALTER COLUMN c DROP EXPRESSION | "
         "ADD COLUMN c GENERATED ALWAYS AS (<expr>) | "
@@ -1135,6 +1271,13 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
     )
     if m:
         return vt.widen_column(m.group("c"), m.group("ty").lower())
+    m = re.match(
+        r"^ADD\s+COLUMN\s+(?P<c>\w+)\s+(?P<ty>[A-Za-z_][\w(),\s]*?)\s*$",
+        rest,
+        re.I,
+    )
+    if m:
+        return vt.add_column(m.group("c"), m.group("ty"))
     m = re.match(r"^ENABLE\s+ROW\s+TRACKING\s*$", rest, re.I)
     if m:
         return vt.enable_row_tracking()

@@ -3970,6 +3970,86 @@ class VersionedTable:
             read_version=rv,
         )
 
+    def truncate(self) -> int:
+        """Delete EVERY row in one manifest commit — Delta's TRUNCATE
+        TABLE. No data file is read: all live dirs and deletion vectors
+        retire, and one fresh EMPTY dir carrying the current (merged)
+        schema lands in their place, so the truncated table remains a
+        first-class target (schema intact for positional INSERT / MERGE
+        / COUNT, history intact for time travel — the old snapshots
+        stay readable until VACUUM). Declared state (constraints,
+        generated/identity rules, refs, layout) survives: truncate is a
+        data operation, not a reset."""
+        self._check_writer_features()
+        rv = self.latest_version()
+        live = self._live_dirs()
+        if not live:
+            raise ValueError(f"no snapshot to truncate in {self.path}")
+        schema = self.read(merge_schema=True, with_row_ids=True).schema
+        empty = self.spark.createDataFrame([], schema)
+        rel = self._write_data_dir(empty, rv + 1)
+        return self._commit(
+            "truncate",
+            add=[rel],
+            remove=[os.path.basename(p) for p in live],
+            dv_remove=self._live_dvs(),
+            read_version=rv,
+        )
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ADD COLUMN — schema evolution without touching a data byte:
+        one EMPTY dir carrying the widened schema lands (existing files
+        are untouched and surface NULL for the new column under
+        ``merge_schema=True``, exactly like a schema-evolving merge).
+        The new column is ordinary data; declare generated/identity
+        columns through their own verbs. Refuses on a column-mapped
+        table — there, append a frame carrying the new column instead
+        (mergeSchema evolution registers it through the mapping)."""
+        from pyspark.sql import types as T
+
+        self._check_writer_features()
+        if not _re.fullmatch(r"[A-Za-z_]\w*", name) or name.startswith("__"):
+            raise ValueError(
+                f"add_column: {name!r} is not a legal plain column name"
+            )
+        if self.column_mapping() is not None:
+            raise ValueError(
+                "add_column on a column-mapped table is not supported — "
+                "append a frame carrying the new column (mergeSchema "
+                "evolution) so the mapping registers it"
+            )
+        rv = self.latest_version()
+        live = self._live_dirs()
+        if not live:
+            raise ValueError(
+                f"no snapshot in {self.path} — create the table with its "
+                "full schema instead"
+            )
+        try:
+            new_field = T.StructType.fromDDL(f"`{name}` {dtype}")
+        except Exception as e:  # noqa: BLE001 — classify, don't swallow
+            raise ValueError(
+                f"add_column: type {dtype!r} does not parse"
+            ) from e
+        schema = self.read(merge_schema=True, with_row_ids=True).schema
+        if name.lower() in {f.name.lower() for f in schema.fields}:
+            raise ValueError(
+                f"add_column: column {name!r} already exists "
+                f"({[f.name for f in schema.fields]})"
+            )
+        empty = self.spark.createDataFrame(
+            [], T.StructType(list(schema.fields) + list(new_field.fields))
+        )
+        rel = self._write_data_dir(empty, rv + 1)
+        return self._commit(
+            "add_column",
+            add=[rel],
+            remove=[],
+            # zero rows: the change feed must not surface this commit
+            data_change=False,
+            read_version=rv,
+        )
+
     def delete_range(self, col: str, lo, hi) -> int:
         """DELETE WHERE ``col`` BETWEEN lo AND hi at FILE granularity:
         the commit-recorded per-file [min, max, nulls] three-way

@@ -136,8 +136,10 @@ def test_select_with_version_as_of(spark, twins):
 
 def test_refusals_are_loud(spark, twins):
     a, _ = twins
+    # TRUNCATE TABLE graduated from refusal to feature in round 9; a
+    # verb outside the grammar still refuses with the supported list
     with pytest.raises(ValueError, match="supported verbs"):
-        run_sql(spark, "TRUNCATE TABLE t", {"t": a})
+        run_sql(spark, "REFRESH TABLE t", {"t": a})
     with pytest.raises(ValueError, match="key equality"):
         run_sql(
             spark,
@@ -296,8 +298,10 @@ def test_vacuum_sql_dry_run_then_real(spark, twins):
 
 def test_ddl_refusals_are_loud(spark, twins):
     a, _ = twins
+    # ALTER TABLE ADD COLUMN graduated from refusal to feature in
+    # round 9 (see test_add_column_and_truncate_via_sql)
     for sql in [
-        "ALTER TABLE t ADD COLUMN y int",
+        "ALTER TABLE t ADD COLUMN",
         "OPTIMIZE t FULL",
         "VACUUM t RETAIN VERSIONS",
         "RESTORE TABLE t",
@@ -533,3 +537,78 @@ def test_insert_excludes_identity_and_generated_columns(spark, tmp_path):
     # arity that matches neither target list refuses with the list
     with pytest.raises(ValueError, match="positional target list"):
         run_sql(spark, "INSERT INTO t VALUES (1, 'x', 1, 99)", t)
+
+
+def test_add_column_and_truncate_via_sql(spark, twins, tmp_path):
+    """Round-9 surface: plain ADD COLUMN (schema evolution, zero data
+    bytes) and TRUNCATE TABLE (delete-all in one manifest commit,
+    schema/history/declared state survive)."""
+    a, b = twins
+    va = run_sql(spark, "ALTER TABLE t ADD COLUMN note string", {"t": a})
+    vb = b.add_column("note", "string")
+    assert va == vb
+    # existing rows surface NULL; new writes can carry it
+    assert a.read(merge_schema=True).filter("note IS NULL").count() == 3
+    run_sql(spark, "INSERT INTO t VALUES (9, 'z', 90.0, 'hi')", {"t": a})
+    got = {r.k: r.note for r in a.read(merge_schema=True).collect()}
+    assert got[9] == "hi" and got[1] is None
+    # the evolution commit is invisible to the change feed (zero rows)
+    assert (
+        a.changes_between(va - 1, va).count() == 0
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMN note string", {"t": a})
+    # TRUNCATE: all rows gone, schema + constraints + history intact
+    a.add_constraint("k_pos", "k >= 0")
+    head = run_sql(spark, "TRUNCATE TABLE t", {"t": a})
+    assert a.manifest_count() == 0
+    assert a.constraints() == {"k_pos": "k >= 0"}
+    assert a.manifest_count(version=head - 2) > 0  # time travel survives
+    # the truncated table is still a first-class INSERT target
+    run_sql(spark, "INSERT INTO t VALUES (1, 'a', 1.0, 'n')", {"t": a})
+    assert a.manifest_count() == 1
+    with pytest.raises(ValueError, match="TRUNCATE"):
+        run_sql(spark, "TRUNCATE t", {"t": a})
+
+
+def test_insert_with_column_list(spark, tmp_path):
+    """INSERT INTO t (c1, c2): named mapping — unnamed plain columns
+    land NULL, identity/generated columns stay engine-owned, and the
+    '(SELECT ...)' parenthesized-source shape still parses as a
+    source."""
+    vt = VersionedTable(spark, str(tmp_path / "cl"))
+    vt.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "k long, v string, x double"
+        )
+    )
+    t = {"t": vt}
+    run_sql(spark, "INSERT INTO t (x, k) VALUES (20.0, 2)", t)
+    rows = {r.k: (r.v, r.x) for r in vt.read().collect()}
+    assert rows[2] == (None, 20.0)  # named cols mapped, v NULL-filled
+    run_sql(spark, "INSERT INTO t (k, v) SELECT 3, 'c'", t)
+    rows = {r.k: (r.v, r.x) for r in vt.read().collect()}
+    assert rows[3] == ("c", None)
+    # parenthesized source is NOT a column list
+    run_sql(spark, "INSERT INTO t (SELECT 4, 'd', 40.0)", t)
+    assert 4 in {r.k for r in vt.read().collect()}
+    # generated column may be named (validated) or omitted (computed)
+    vt.set_generated_column("bucket", "k % 10")
+    run_sql(spark, "INSERT INTO t (k, bucket) VALUES (15, 5)", t)
+    run_sql(spark, "INSERT INTO t (k) VALUES (26)", t)
+    got = {
+        r.k: r.bucket
+        for r in vt.read(merge_schema=True).collect()
+        if r.k in (15, 26)
+    }
+    assert got == {15: 5, 26: 6}
+    # identity column refuses by name; unknown/dup names refuse
+    vt.set_identity_column("rid")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        run_sql(spark, "INSERT INTO t (k, rid) VALUES (7, 1)", t)
+    with pytest.raises(ValueError, match="unknown column"):
+        run_sql(spark, "INSERT INTO t (nope) VALUES (1)", t)
+    with pytest.raises(ValueError, match="twice"):
+        run_sql(spark, "INSERT INTO t (k, k) VALUES (1, 2)", t)
+    with pytest.raises(ValueError, match="column list"):
+        run_sql(spark, "INSERT INTO t (k, v) VALUES (1)", t)
