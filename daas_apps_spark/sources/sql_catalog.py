@@ -165,3 +165,12 @@ class SqlSession:
         return run_sql(
             self.spark, text, self.tables, catalog=self.catalog
         )
+
+    def script(self, text: str) -> list:
+        """Run a multi-statement ``;``-separated script; returns the
+        per-statement results (see ``run_sql_script``)."""
+        from daas_apps_spark.sources.sql_dml import run_sql_script
+
+        return run_sql_script(
+            self.spark, text, self.tables, catalog=self.catalog
+        )

@@ -319,32 +319,80 @@ def _resolve(spark: SparkSession, tables: dict, name: str) -> VersionedTable:
     )
 
 
-def _merge_keys(cond: str, talias: str, salias: str) -> list[str]:
-    """Key columns from an equi-join ON clause: a conjunction of
-    ``t.k = s.k`` (either side order, aliases optional when the raw
-    column names match). Anything else refuses — vt.merge upserts BY
-    KEYS, and translating a theta-ON silently would change semantics."""
+def _merge_keys(
+    cond: str, talias: str, salias: str
+) -> tuple[list[str], str | None]:
+    """(key columns, residual condition) from a MERGE ON clause. Key
+    legs are ``t.k = s.k`` equalities (either side order, aliases
+    optional when the raw column names match) — at least one is
+    required: the keys drive the file-level COW bounding and the upsert
+    routing. Every other top-level AND leg becomes the RESIDUAL: it
+    joins the key-equal pairs (a key-matched pair failing it counts as
+    NOT matched on both sides, standard MERGE ON semantics), passed to
+    Catalyst verbatim."""
     keys: list[str] = []
-    for leg in re.split(r"(?i)\s+AND\s+", cond.strip()):
+    residual: list[str] = []
+    # split on top-level AND (quote/paren-aware; the word, not a char,
+    # so _split_top_level does not apply)
+    i = 0
+    legs: list[str] = []
+    depth = 0
+    quote: str | None = None
+    start = 0
+    text = cond.strip()
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and text[i : i + 3].upper() == "AND"
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 3 >= len(text)
+                or not (text[i + 3].isalnum() or text[i + 3] == "_")
+            )
+        ):
+            legs.append(text[start:i].strip())
+            i += 3
+            start = i
+            continue
+        i += 1
+    legs.append(text[start:].strip())
+    for leg in legs:
         m = re.fullmatch(
             r"\s*(?:(?P<la>\w+)\.)?(?P<lc>\w+)\s*=\s*"
             r"(?:(?P<ra>\w+)\.)?(?P<rc>\w+)\s*",
             leg,
         )
         if not m or m.group("lc").lower() != m.group("rc").lower():
-            raise ValueError(
-                f"MERGE ON clause leg {leg!r} is not a key equality "
-                "(t.k = s.k); only equi-key upserts translate to "
-                "VersionedTable.merge"
-            )
+            residual.append(f"({leg})")
+            continue
+        ok = True
         for a in (m.group("la"), m.group("ra")):
             if a and a.lower() not in (talias.lower(), salias.lower()):
                 raise ValueError(
                     f"MERGE ON references unknown alias {a!r} "
                     f"(declared: {talias!r}, {salias!r})"
                 )
-        keys.append(m.group("lc"))
-    return keys
+        if ok:
+            keys.append(m.group("lc"))
+    if not keys:
+        raise ValueError(
+            f"MERGE ON clause {cond!r} has no key equality leg "
+            "(t.k = s.k) — the keys drive file-level COW bounding; "
+            "add at least one"
+        )
+    return keys, (" AND ".join(residual) if residual else None)
 
 
 def run_sql(
@@ -454,7 +502,12 @@ def run_sql(
         whens_raw = tail.group("whens").strip()
         vt = _resolve(spark, tables, head.group("target"))
         if src.startswith("("):
-            source_df = spark.sql(src[1:-1])
+            # declared tables (incl. VERSION AS OF) resolve inside the
+            # USING subquery too — "backfill from my own v1" is MERGE
+            # USING (SELECT ... FROM t VERSION AS OF 1)
+            source_df = spark.sql(
+                _rewrite_tables(spark, src[1:-1], tables)
+            )
             salias = tail.group("salias")
         else:
             try:
@@ -463,12 +516,24 @@ def run_sql(
                 source_df = spark.table(src)  # temp view / catalog table
             salias = tail.group("salias") or src
         talias = head.group("talias") or head.group("target")
-        keys = _merge_keys(tail.group("cond"), talias, salias or src)
-        if _UPSERT_WHENS_RE.match(re.sub(r"\s+", " ", whens_raw)):
+        keys, residual = _merge_keys(
+            tail.group("cond"), talias, salias or src
+        )
+        plain_upsert = bool(
+            _UPSERT_WHENS_RE.match(re.sub(r"\s+", " ", whens_raw))
+        )
+        if plain_upsert and residual is None:
             # the full unconditional upsert pair: the anti-join/union
             # fast path (no outer join, no clause CASEs)
             return vt.merge(source_df, keys)
-        matched, not_matched, nmbs = _parse_merge_whens(whens_raw)
+        if plain_upsert:
+            # same pair under a residual ON: only merge_into implements
+            # partial-match semantics — expand to the clause form
+            matched: list = [{"action": "update", "set": "*"}]
+            not_matched: list = [{"values": "*"}]
+            nmbs: list = []
+        else:
+            matched, not_matched, nmbs = _parse_merge_whens(whens_raw)
         if salias is None:
             raise ValueError(
                 "alias the USING (subquery) (e.g. USING (...) AS s) "
@@ -483,6 +548,7 @@ def run_sql(
             not_matched_by_source=nmbs,
             target_alias=talias,
             source_alias=salias,
+            on_condition=residual,
         )
     if verb in ("SELECT", "WITH"):
         # manifest fast path: a bare COUNT(*) over one declared table
@@ -961,6 +1027,25 @@ def run_sql(
         "TABLE / OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE HISTORY "
         "/ CREATE|DROP BLOOMFILTER INDEX"
     )
+
+
+def run_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict | None = None,
+    catalog=None,
+) -> list:
+    """Execute a multi-statement script (statements separated by
+    top-level ``;`` — quote- and paren-aware, so literals and subqueries
+    survive). Statements run in order, each through ``run_sql``; returns
+    the per-statement results. No transactional envelope: each DML
+    statement commits on its own exactly as it would standalone (wrap
+    writes in a ``MultiTableTxn`` for atomicity across statements)."""
+    results = []
+    for stmt in _split_top_level(script, sep=";"):
+        if stmt.strip():
+            results.append(run_sql(spark, stmt, tables, catalog=catalog))
+    return results
 
 
 def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:

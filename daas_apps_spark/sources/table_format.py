@@ -4663,6 +4663,7 @@ class VersionedTable:
         target_alias: str = "t",
         source_alias: str = "s",
         commit_metadata: dict | None = None,
+        on_condition: str | None = None,
     ) -> int:
         """CONDITIONAL merge — the full ANSI/Delta MERGE clause set,
         lowered to ONE copy-on-write commit (SQL surface: sql_dml.py):
@@ -4679,7 +4680,10 @@ class VersionedTable:
         TRUE fires; conditions and expressions are SQL text resolved by
         Catalyst against the declared aliases (``target_alias``/
         ``source_alias``), never re-implemented. ``set``/``values`` of
-        ``"*"`` expand by name from the source.
+        ``"*"`` expand by name from the source. ``on_condition`` adds
+        residual ON legs beyond the key equalities (ANSI MERGE's theta
+        ON): a key-matched pair failing them is NOT matched on either
+        side.
 
         Plan shape (Spark-first): the bounded rewrite set FULL OUTER
         JOINs the source on the keys; one generated SELECT computes every
@@ -5043,6 +5047,14 @@ class VersionedTable:
             f"`{ta}`.`{tl[k.lower()]}` = `{sa}`.`{sl[k.lower()]}`"
             for k in keys
         )
+        if on_condition:
+            # residual ON legs beyond the key equalities: a key-matched
+            # pair failing them counts as NOT matched on BOTH sides
+            # (standard MERGE ON semantics) — which falls out of making
+            # the residual part of the join condition itself. Key-based
+            # file bounding stays correct: matches still require key
+            # equality, the residual only shrinks the match set.
+            on = f"{on} AND ({on_condition})"
         fired = _case(
             _branches(m_norm, lambda cl: "TRUE"), "FALSE"
         ) if m_norm else "FALSE"

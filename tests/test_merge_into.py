@@ -402,3 +402,80 @@ def test_sql_matches_compositional_oracle(spark, target):
         ],
     )
     assert _rows(target) == expected
+
+
+def test_residual_on_condition(spark, target):
+    """ANSI MERGE's theta ON: residual legs beyond the key equalities
+    join the key-matched pairs — a pair failing them is NOT matched on
+    either side (the target row passes through / hits BY SOURCE, the
+    source row inserts)."""
+    _src(spark).createOrReplaceTempView("mi_resid_src")
+    run_sql(
+        spark,
+        "MERGE INTO t USING mi_resid_src AS s "
+        "ON t.k = s.k AND s.x > 250 "
+        "WHEN MATCHED THEN UPDATE SET x = s.x, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v, x) VALUES (s.k, s.v, s.x)",
+        {"t": target},
+    )
+    rows = {r.k: (r.v, r.x) for r in target.read().collect()}
+    # k=4 matched (s.x=400>250): updated. k=2 key-matched but residual
+    # fails (200): source row INSERTS... but k=2 already exists — both
+    # copies survive, exactly like SQL MERGE with a theta ON that
+    # de-matches the pair. k=5,6 plain inserts.
+    assert rows[4] == ("D", 400.0) and rows[5] == ("E", 500.0)
+    dup = [r for r in target.read().collect() if r.k == 2]
+    assert len(dup) == 2  # old row + de-matched insert
+
+
+def test_residual_on_with_plain_upsert_pair(spark, target):
+    """UPDATE SET * / INSERT * under a residual ON routes through
+    merge_into (the anti-join fast path cannot express partial
+    matching)."""
+    _src(spark).createOrReplaceTempView("mi_resid2_src")
+    run_sql(
+        spark,
+        "MERGE INTO t USING mi_resid2_src AS s "
+        "ON t.k = s.k AND s.x >= 100 "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": target},
+    )
+    rows = [(r.k, r.v, r.x) for r in target.read().collect()]
+    assert (2, "B", 200.0) in rows and (4, "D", 400.0) in rows
+    assert (6, "F", 5.0) in rows  # de-matched by residual -> insert
+    assert len([r for r in rows if r[0] == 6]) == 1
+
+
+def test_merge_using_subquery_resolves_declared_tables(spark, target):
+    """The USING subquery runs through the table rewriter: declared
+    names (and VERSION AS OF) resolve — 'backfill from my own v1'."""
+    run_sql(spark, "DELETE FROM t WHERE k <= 2", {"t": target})
+    run_sql(
+        spark,
+        "MERGE INTO t USING "
+        "(SELECT k, v, x FROM t VERSION AS OF 1 WHERE k <= 2) AS s "
+        "ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": target},
+    )
+    assert [r.k for r in target.read().select("k").collect()] and {
+        r.k for r in target.read().collect()
+    } == {1, 2, 3, 4}
+
+
+def test_sql_script_runner(spark, tmp_path):
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    results = s.script(
+        """
+        CREATE TABLE t (k bigint, v string);
+        INSERT INTO t VALUES (1, 'a;b'), (2, 'c');
+        UPDATE t SET v = upper(v) WHERE k = 2;
+        SELECT count(*) AS n FROM t
+        """
+    )
+    assert results[-1].first().n == 2
+    got = {r.k: r.v for r in s.sql("SELECT * FROM t").collect()}
+    assert got == {1: "a;b", 2: "C"}  # literal ';' survived the split
