@@ -117,13 +117,30 @@ def maintain_ivf_index(
     if head <= v_from:
         return v_from
     feed = source.changes_between(v_from, head)
-    # Net effect per vec_id. The snapshot-diff feed path nets by
-    # construction, but the MOR fast path emits PAIRED rows (a vector
-    # inserted then DV-deleted inside the window shows both, exactly
-    # like one deleted then re-inserted) — so an id carrying BOTH change
-    # directions is AMBIGUOUS from the feed alone and resolves against
-    # the head snapshot, manifest-pruned to the ambiguous id range:
-    # cost ∝ |churned ∩ window|, not the corpus.
+    net = net_index_delta(
+        feed,
+        centroids,
+        head_ids=lambda lo, hi: source.read(
+            version=head, prune=("vec_id", lo, hi)
+        ).select("vec_id"),
+    )
+    apply_index_delta(
+        index, net, commit_metadata={_SRC_VERSION_KEY: head}
+    )
+    return head
+
+
+def net_index_delta(feed: DataFrame, centroids: DataFrame, head_ids):
+    """Net per-vec_id effect of one change-feed window, assigned to
+    centroids: rows ``(vec_id, cent_id, v, op)`` with op 'ins'/'del'.
+
+    The snapshot-diff feed path nets by construction, but the MOR fast
+    path emits PAIRED rows (a vector inserted then DV-deleted inside
+    the window shows both, exactly like one deleted then re-inserted) —
+    so an id carrying BOTH change directions is AMBIGUOUS from the feed
+    alone and resolves against ``head_ids(lo, hi)`` (a frame of vec_ids
+    present at head, manifest-pruned to the churned id range): cost ∝
+    |churned ∩ window|, not the corpus."""
     post = (
         feed.filter(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -144,18 +161,16 @@ def maintain_ivf_index(
     dels = gone.join(post.select("vec_id"), "vec_id", "left_anti")
     bounds = amb.agg(F.min("vec_id"), F.max("vec_id")).first()
     if bounds[0] is not None:
-        head_ids = source.read(
-            version=head, prune=("vec_id", bounds[0], bounds[1])
-        ).select("vec_id")
+        present = head_ids(bounds[0], bounds[1])
         ins = ins.unionByName(
             post.join(amb, "vec_id", "left_semi").join(
-                head_ids, "vec_id", "left_semi"
+                present, "vec_id", "left_semi"
             )
         )
         dels = dels.unionByName(
-            amb.join(head_ids, "vec_id", "left_anti")
+            amb.join(present, "vec_id", "left_anti")
         )
-    net = (
+    return (
         assign_to_centroids(ins, centroids)
         .withColumn("op", F.lit("ins"))
         .unionByName(
@@ -165,7 +180,21 @@ def maintain_ivf_index(
             allowMissingColumns=False,
         )
     )
-    index.merge_into(
+
+
+def apply_index_delta(
+    index: VersionedTable, net: DataFrame, commit_metadata: dict | None
+) -> int:
+    """Apply one net delta as ONE commit: assign-and-upsert arrivals,
+    delete removals — file-level COW bounded. An index with no snapshot
+    yet bootstraps from the delta's inserts (the live stream's first
+    micro-batch IS the initial build)."""
+    if not index._live_dirs():
+        return index.append(
+            net.filter("op = 'ins'").select("vec_id", "cent_id", "v"),
+            metadata=commit_metadata,
+        )
+    return index.merge_into(
         net,
         ["vec_id"],
         matched=[
@@ -183,9 +212,8 @@ def maintain_ivf_index(
                 "values": ["s.vec_id", "s.cent_id", "s.v"],
             }
         ],
-        commit_metadata={_SRC_VERSION_KEY: head},
+        commit_metadata=commit_metadata,
     )
-    return head
 
 
 def ivf_drift(

@@ -4998,20 +4998,19 @@ class VersionedTable:
                 source, [sl[k.lower()] for k in keys], phys_keys, live,
                 stats, file_stats, all_rows, vhint,
             )
-        sv = f"__mi_s_{h}"
         if not rewrite_paths:
             # stats prove ZERO possible matches (the bounding found no
             # intersecting file, or the source's key bounds are empty/
             # all-NULL): pure insert, no join — every source row is
-            # unmatched by construction
-            source.createOrReplaceTempView(sv)
-            sql = (
-                "SELECT "
-                + ", ".join(_col_sql(c, with_target=False) for c in tcols)
-                + f", {_keep_sql(with_target=False)} FROM {sv} AS `{sa}`"
-            )
+            # unmatched by construction. alias()+selectExpr, no temp
+            # views: the plan is session-agnostic, so a foreachBatch
+            # micro-batch frame (cloned session) works unchanged
             out = (
-                self.spark.sql(sql)
+                source.alias(sa)
+                .selectExpr(
+                    *[_col_sql(c, with_target=False) for c in tcols],
+                    _keep_sql(with_target=False),
+                )
                 .filter(F.col(H_KEEP))
                 .select(*[f"`{c}`" for c in tcols])
             )
@@ -5040,9 +5039,6 @@ class VersionedTable:
             .withColumn(H_RID, F.monotonically_increasing_id())
         )
         src = source.withColumn(H_SP, F.lit(True))
-        tv = f"__mi_t_{h}"
-        cur.createOrReplaceTempView(tv)
-        src.createOrReplaceTempView(sv)
         on = " AND ".join(
             f"`{ta}`.`{tl[k.lower()]}` = `{sa}`.`{sl[k.lower()]}`"
             for k in keys
@@ -5058,18 +5054,23 @@ class VersionedTable:
         fired = _case(
             _branches(m_norm, lambda cl: "TRUE"), "FALSE"
         ) if m_norm else "FALSE"
-        sql = (
-            "SELECT "
-            + ", ".join(_col_sql(c, with_target=True) for c in tcols)
-            + f", {_keep_sql(with_target=True)}"
-            + f", {is_matched} AS `{H_MAT}`"
-            + f", CASE WHEN {is_matched} THEN {fired} ELSE FALSE END "
-            + f"AS `{H_FIRED}`"
-            + f", `{ta}`.`{H_RID}` AS `{H_RID}`"
-            + f" FROM {tv} AS `{ta}` FULL OUTER JOIN {sv} AS `{sa}` "
-            + f"ON {on}"
+        # alias()+selectExpr instead of temp views + spark.sql: the
+        # clause expressions still resolve through the declared aliases
+        # verbatim, and the plan is SESSION-AGNOSTIC — a foreachBatch
+        # source frame (cloned session) merges without view-visibility
+        # games
+        joined = (
+            cur.alias(ta)
+            .join(src.alias(sa), F.expr(on), "full_outer")
+            .selectExpr(
+                *[_col_sql(c, with_target=True) for c in tcols],
+                _keep_sql(with_target=True),
+                f"{is_matched} AS `{H_MAT}`",
+                f"CASE WHEN {is_matched} THEN {fired} ELSE FALSE END "
+                f"AS `{H_FIRED}`",
+                f"`{ta}`.`{H_RID}` AS `{H_RID}`",
+            )
         )
-        joined = self.spark.sql(sql)
         # one window pass: multi-match cardinality + passthrough dedup.
         # Source-only rows (NULL rid) get synthetic unique partition keys
         # so they never collapse into one skewed partition.

@@ -1496,6 +1496,64 @@ def _merged_view_state(
     return delta.filter(F.col(count_col) > 0)
 
 
+def run_cdf_index_maintenance(
+    spark: SparkSession,
+    src_table: str,
+    index_table: str,
+    checkpoint_dir: str,
+    tableschema: str,
+    centroids: DataFrame,
+    max_versions_per_trigger: int | None = None,
+) -> int:
+    """K69's CDC index maintenance as a LIVE stream: source versioned
+    table → ``table_cdf`` stream (versions as offsets, MOR deletes/
+    updates as signed rows) → per-micro-batch net-delta assignment →
+    EXACTLY-ONCE conditional-merge commit into the index table. The
+    batch netting is the SAME ``net_index_delta`` the batch maintainer
+    runs (ambiguous churned ids resolve against the source's current
+    snapshot, manifest-pruned to the churned range — eventually
+    consistent: a later batch re-applies whatever a head-resolution
+    anticipated); idempotence is the (stream_id, batch_id) pair in the
+    merge commit's metadata, the same Delta-``txn`` contract as every
+    other streaming sink here. Each refresh costs the delta and is
+    itself a time-travelable index version — at 100 TB the index never
+    rebuilds AND never falls behind by more than a trigger."""
+    from daas_apps_spark.operators.ann_index import (
+        apply_index_delta,
+        net_index_delta,
+    )
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    register_table_cdf_stream_source(spark)
+    idx = VersionedTable(spark, index_table)
+    src = VersionedTable(spark, src_table)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = checkpoint_stream_id(checkpoint_dir)
+        if (sid, batch_id) in applied_batch_keys(idx.history(), sid):
+            return  # replayed batch — already merged
+        net = net_index_delta(
+            batch_df,
+            centroids,
+            head_ids=lambda lo, hi: src.read(
+                prune=("vec_id", lo, hi)
+            ).select("vec_id"),
+        )
+        apply_index_delta(
+            idx, net, commit_metadata={"stream_id": sid, "batch_id": batch_id}
+        )
+
+    return drain_table_stream(
+        spark,
+        "table_cdf",
+        src_table,
+        tableschema,
+        checkpoint_dir,
+        apply_batch,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
 def run_cdf_fanout_exactly_once(
     spark: SparkSession,
     src_table: str,

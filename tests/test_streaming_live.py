@@ -2268,3 +2268,76 @@ def test_table_stream_on_row_tracked_table_ids_opt_in(spark, tmp_path):
         for r in vt.read(with_row_ids=True).collect()
     }
     assert dict(with_ids) == table_ids
+
+
+def test_cdf_streaming_index_maintenance_equals_rebuild(spark, tmp_path):
+    """K69 live twin: the table_cdf stream maintains the IVF index per
+    micro-batch (exactly-once conditional merges keyed on (stream_id,
+    batch_id)); after append + MOR delete + MOR update the maintained
+    index is row-identical to a from-scratch rebuild on the source
+    head, and a second drain applies nothing."""
+    from pyspark.sql import functions as F
+
+    from daas_apps_spark.operators.ann_index import build_ivf_index
+    from daas_apps_spark.sources.table_format import VersionedTable
+    from daas_apps_spark.streaming.live import run_cdf_index_maintenance
+
+    def vec(i):
+        return [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]
+
+    cent = spark.createDataFrame(
+        [(c, vec(c)) for c in (0, 5, 9)],
+        "cent_id long, cv array<double>",
+    )
+    src_path = str(tmp_path / "vectors")
+    src = VersionedTable(spark, src_path)
+    src.append(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+    )  # v1
+    src.append(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(20, 28)],
+            "vec_id long, embedding array<double>",
+        )
+    )  # v2
+    src.delete("vec_id % 4 = 1", mode="mor")  # v3: signed deletes
+    src.update(
+        "vec_id = 6", {"embedding": "array(9.0D, 1.0D, 1.0D, 1.0D, "
+        "1.0D, 1.0D, 1.0D, 1.0D)"}, mode="mor",
+    )  # v4: delete-preimage + insert-postimage pair
+    idx_path = str(tmp_path / "index")
+    applied = run_cdf_index_maintenance(
+        spark,
+        src_path,
+        idx_path,
+        str(tmp_path / "ck"),
+        "vec_id long, embedding array<double>",
+        cent,
+        max_versions_per_trigger=1,  # one commit per refresh
+    )
+    assert applied >= 3  # v1/v2 inserts, v3 deletes, v4 update
+    idx = VersionedTable(spark, idx_path)
+    rebuilt = build_ivf_index(spark, src, str(tmp_path / "rb"), cent)
+    a = idx.read().select("vec_id", "cent_id")
+    b = rebuilt.read().select("vec_id", "cent_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the updated vector moved lists if its nearest centroid changed;
+    # either way its stored embedding is the postimage
+    got = idx.read().filter(F.col("vec_id") == 6).first()
+    assert got.v[0] == 9.0
+    # exactly-once: a second drain against the same checkpoint applies 0
+    again = run_cdf_index_maintenance(
+        spark,
+        src_path,
+        idx_path,
+        str(tmp_path / "ck"),
+        "vec_id long, embedding array<double>",
+        cent,
+    )
+    assert again == 0
+    assert a.exceptAll(
+        VersionedTable(spark, idx_path).read().select("vec_id", "cent_id")
+    ).count() == 0
