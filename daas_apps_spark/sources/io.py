@@ -2139,6 +2139,102 @@ def a46_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a47_sql_surface_r9",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey k, o_orderstatus st, o_totalprice pr FROM orders
+    ), base AS (
+        SELECT k, st,
+               CASE WHEN k % 2 = 0 AND pr > 100000
+                    THEN pr + pr ELSE pr END AS pr,
+               CAST(NULL AS VARCHAR) AS flag
+        FROM src
+    ), newrows AS (
+        SELECT k + 20000000 AS k, st, CAST(NULL AS DOUBLE) AS pr,
+               'new' AS flag
+        FROM src WHERE k % 100 = 0
+    ), demat AS (
+        SELECT k + 40000000 AS k, CAST(NULL AS VARCHAR) AS st, pr,
+               'demat' AS flag
+        FROM src WHERE k % 2 = 0 AND pr <= 100000
+    ), final AS (
+        SELECT * FROM base
+        UNION ALL SELECT * FROM newrows
+        UNION ALL SELECT * FROM demat
+    )
+    SELECT COALESCE(flag, 'base:' || st) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM final GROUP BY 1
+    """,
+    tags=("A37", "A44", "A45", "A30"),
+)
+def a47_sql_surface_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 SQL-surface additions composed in ONE scripted
+    session (sql_dml.py::run_sql_script via SqlSession.script): a
+    multi-statement script CREATEs the table, loads it, ADD COLUMNs a
+    flag (schema evolution, zero data bytes — old rows read NULL), runs
+    a NAMED-COLUMN INSERT (unnamed plain columns land NULL), and a
+    THETA-ON MERGE — ``ON t.k = s.k AND s.pr > 100000`` — whose
+    key-matched-but-residual-failed pairs de-match on BOTH sides: the
+    target row passes through and the source row INSERTs (shifted key,
+    'demat' flag), the standard ANSI MERGE ON semantics. TRUNCATE
+    TABLE's contract (all rows gone in one manifest commit, schema and
+    history intact, still a first-class INSERT target) is asserted
+    in-function on a scratch CTAS table. The DuckDB oracle recomputes
+    the final three-way census — base rows (doubled where the residual
+    held), NULL-priced named-insert rows, and the de-matched inserts —
+    from first principles.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a47_sql_r9_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a47_orders_src")
+    s.script(
+        """
+        CREATE TABLE ord (o_orderkey bigint, o_orderstatus string,
+                          o_totalprice double);
+        INSERT INTO ord SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM a47_orders_src;
+        ALTER TABLE ord ADD COLUMN flag string;
+        INSERT INTO ord (o_orderkey, o_orderstatus, flag)
+            SELECT o_orderkey + 20000000, o_orderstatus, 'new'
+            FROM a47_orders_src WHERE o_orderkey % 100 = 0;
+        MERGE INTO ord AS t USING (SELECT o_orderkey, o_totalprice
+                FROM a47_orders_src WHERE o_orderkey % 2 = 0) AS s
+            ON t.o_orderkey = s.o_orderkey AND s.o_totalprice > 100000
+            WHEN MATCHED THEN UPDATE SET
+                o_totalprice = t.o_totalprice + s.o_totalprice
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, flag)
+                VALUES (s.o_orderkey + 40000000, s.o_totalprice, 'demat')
+        """
+    )
+    # TRUNCATE contract on a scratch CTAS fork (in-function assertions;
+    # the oracle censuses ord, which truncate never touches)
+    s.sql("CREATE TABLE scratch AS SELECT * FROM ord")
+    s.sql("TRUNCATE TABLE scratch")
+    n = s.sql("SELECT count(*) AS n FROM scratch").first().n
+    s.sql(
+        "INSERT INTO scratch (o_orderkey) "
+        "SELECT o_orderkey FROM ord VERSION AS OF 2"
+    )
+    n2 = s.sql("SELECT count(*) AS n FROM scratch").first().n
+    if n != 0 or n2 == 0:
+        raise AssertionError(
+            f"TRUNCATE contract violated: post-truncate={n}, "
+            f"post-reinsert={n2}"
+        )
+    return s.sql(
+        "SELECT COALESCE(flag, 'base:' || o_orderstatus) AS grp, "
+        "count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue FROM ord GROUP BY COALESCE(flag, 'base:' || "
+        "o_orderstatus)"
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's

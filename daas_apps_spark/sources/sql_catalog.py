@@ -118,7 +118,15 @@ class TableCatalog:
 
     def drop(self, name: str, if_exists: bool = False) -> bool:
         """Forget ``name``; a MANAGED table's data directory is removed
-        too (external LOCATIONs stay — the catalog never owned them)."""
+        too (external LOCATIONs stay — the catalog never owned them).
+
+        Ordering matters for two races: the managed data dir is renamed
+        to a unique tombstone BEFORE the entry is unlinked, so a
+        concurrent CREATE that reclaims the name (and with it the
+        managed path) can never have its fresh files swept by this
+        drop's still-running delete; and a concurrent DROP of the same
+        name resolves as already-dropped instead of crashing on the
+        second unlink."""
         key = self._check_name(name)
         try:
             entry = self.entry(key)
@@ -129,9 +137,22 @@ class TableCatalog:
                 f"table {name!r} is not in the catalog; known: "
                 f"{sorted(self.names())}"
             ) from None
-        os.unlink(self._entry_path(key))
-        if entry["managed"]:
-            shutil.rmtree(entry["path"], ignore_errors=True)
+        tomb = None
+        if entry["managed"] and os.path.isdir(entry["path"]):
+            tomb = f"{entry['path']}.dropped-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(entry["path"], tomb)
+            except FileNotFoundError:
+                tomb = None  # a racing drop already moved it
+        try:
+            os.unlink(self._entry_path(key))
+        except FileNotFoundError:
+            if not if_exists and tomb is None:
+                raise KeyError(
+                    f"table {name!r} was dropped concurrently"
+                ) from None
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
         return True
 
     def table(self, spark: SparkSession, name: str) -> VersionedTable:

@@ -1127,12 +1127,17 @@ def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
                         continue
 
                 def _read(_t=tname, _v=ver, _ts=ts):
+                    # merge_schema always: SQL reads the TABLE schema
+                    # (the union), never one file's — an ADD COLUMN or
+                    # schema-evolving merge leaves mixed-width files,
+                    # and a plain read would adopt whichever file's
+                    # schema came first and hide the evolved column
                     vt = _resolve(spark, tables, _t)
                     if _v is not None:
-                        return vt.read(version=int(_v))
+                        return vt.read(version=int(_v), merge_schema=True)
                     if _ts is not None:
-                        return vt.read(as_of=_ts)
-                    return vt.read()
+                        return vt.read(as_of=_ts, merge_schema=True)
+                    return vt.read(merge_schema=True)
 
                 out.append(_view((tname.lower(), ver, ts), _read))
                 i = end

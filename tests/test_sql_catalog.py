@@ -152,3 +152,24 @@ def test_refusals(spark, tmp_path):
     s.sql("CREATE TABLE IF NOT EXISTS t (k bigint)")  # no-op
     with pytest.raises(ValueError, match="plain identifier"):
         TableCatalog(str(s.catalog.path)).create("../escape")
+
+
+def test_drop_is_race_safe_and_name_reuses_cleanly(spark, tmp_path):
+    """DROP renames the managed dir to a tombstone before releasing the
+    name (a reclaiming CREATE can never be swept by the in-flight
+    delete), tolerates a concurrent drop, and the freed name reuses the
+    managed path cleanly."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    s = SqlSession(spark, cat)
+    s.sql("CREATE TABLE t (k bigint)")
+    s.sql("INSERT INTO t VALUES (1)")
+    p = cat.resolve("t")
+    assert cat.drop("t") is True
+    assert not os.path.exists(p)
+    assert cat.drop("t", if_exists=True) is False
+    s.sql("CREATE TABLE t (k bigint)")
+    s.sql("INSERT INTO t VALUES (2)")
+    assert s.sql("SELECT max(k) AS m FROM t").first().m == 2
+    # no tombstone residue
+    parent = os.path.dirname(p)
+    assert not [n for n in os.listdir(parent) if ".dropped-" in n]
