@@ -77,6 +77,7 @@ WINDOW_PRIORITY: list[str] = [
     "a44_conditional_merge",
     "a45_sql_catalog",
     "a46_copy_into",
+    "a47_sql_surface_r9",
     "k69_incremental_ann",
     # last evidence round 1 (incl. the deliberately-deferred flagship)
     "q1_pricing_summary",
@@ -127,7 +128,8 @@ WINDOW_PRIORITY: list[str] = [
     "c19_excess_stock",
     "c20_market_share",
     "c21_bucketed_layout",
-    "c21_waiting_supplier",
+    # c21_waiting_supplier rolls to round 10 (a47's debut slot takes
+    # precedence — debuts must be sampled in their debut round)
 ]
 
 
