@@ -79,6 +79,7 @@ WINDOW_PRIORITY: list[str] = [
     "a46_copy_into",
     "a47_sql_surface_r9",
     "k69_incremental_ann",
+    "k70_lakehouse_corpus_ingest",
     # last evidence round 1 (incl. the deliberately-deferred flagship)
     "q1_pricing_summary",
     "h_math_functions",
@@ -127,9 +128,9 @@ WINDOW_PRIORITY: list[str] = [
     "c18_nation_volume",
     "c19_excess_stock",
     "c20_market_share",
-    "c21_bucketed_layout",
-    # c21_waiting_supplier rolls to round 10 (a47's debut slot takes
-    # precedence — debuts must be sampled in their debut round)
+    # c21_bucketed_layout / c21_waiting_supplier roll to round 10 (the
+    # a47/k70 debut slots take precedence — debuts must be sampled in
+    # their debut round)
 ]
 
 

@@ -2235,6 +2235,99 @@ def a47_sql_surface_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k70_lakehouse_corpus_ingest",
+    oracle="""
+    WITH b1 AS (
+        SELECT * FROM documents WHERE doc_id % 3 <> 0
+    ), b2 AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 10000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 7 = 1 AND doc_id % 3 <> 0
+    ), accepted AS (
+        SELECT * FROM b2
+        WHERE text NOT IN (SELECT text FROM b1)
+    ), final AS (
+        SELECT * FROM b1 UNION ALL SELECT * FROM accepted
+    )
+    SELECT lang AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY lang
+    """,
+    tags=("K70", "K17", "K68", "A44", "A45", "A46", "A40"),
+)
+def k70_lakehouse_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse and the LLM pipeline COMPOSED: a training-corpus
+    ingestion loop built entirely from this round's lakehouse verbs, as
+    one pure-SQL session. Batch 1 of documents lands via COPY INTO
+    (idempotence asserted in-function — the re-run loads 0 files and
+    mints no version); the corpus table carries a GENERATED content
+    digest (`sha2(text, 256)` — A40, computed by the write funnel for
+    every ingest path); batch 2 (fresh docs PLUS re-crawled duplicates
+    of batch-1 content under new doc_ids) lands in a staging table via
+    COPY INTO, and the K17 dedup screen is ONE conditional MERGE —
+    ``ON t.digest = s.digest WHEN NOT MATCHED THEN INSERT`` — the
+    anti-join ingest as a single A44 statement over the generated
+    digest. The DuckDB oracle recomputes the accepted set from first
+    principles (batch-2 rows whose text batch 1 never saw) and the
+    per-language census (doc count, distinct texts, total chars) must
+    hash-match; any duplicate that slipped through, or any true arrival
+    that the screen dropped, breaks it.
+
+    At 100 TB this is the nightly corpus loop: file-level exactly-once
+    (COPY identity registry), row-level dedup ∝ |batch| (digest-keyed
+    merge against the corpus, file-bounded), digests maintained by
+    declaration rather than by every ingest path remembering to compute
+    them, and every stage a time-travelable commit.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"k70_corpus_{os.getpid()}")
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 3 != 0).repartition(4).write.parquet(
+        os.path.join(base, "landing1")
+    )
+    d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        d.filter((F.col("doc_id") % 7 == 1) & (F.col("doc_id") % 3 != 0))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    ).repartition(3).write.parquet(os.path.join(base, "landing2"))
+    s = SqlSession(spark, os.path.join(base, "cat"))
+    s.script(
+        f"""
+        CREATE TABLE corpus (doc_id bigint, text string, lang string,
+                             source string, n_chars bigint);
+        ALTER TABLE corpus ADD COLUMN digest GENERATED ALWAYS AS
+            (sha2(text, 256));
+        CREATE TABLE staging (doc_id bigint, text string, lang string,
+                              source string, n_chars bigint);
+        COPY INTO corpus FROM '{base}/landing1';
+        COPY INTO staging FROM '{base}/landing2'
+        """
+    )
+    rerun = s.sql(f"COPY INTO corpus FROM '{base}/landing1'").first()
+    v_before = s.sql("DESCRIBE HISTORY corpus").count()
+    if rerun.num_loaded_files != 0 or rerun.num_skipped_files == 0:
+        raise AssertionError(f"COPY idempotence violated: {rerun}")
+    s.sql(
+        "MERGE INTO corpus AS t USING (SELECT *, sha2(text, 256) AS "
+        "digest FROM staging) AS s ON t.digest = s.digest "
+        "WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, source, "
+        "n_chars) VALUES (s.doc_id, s.text, s.lang, s.source, s.n_chars)"
+    )
+    if s.sql("DESCRIBE HISTORY corpus").count() != v_before + 1:
+        raise AssertionError("dedup-screen merge was not ONE commit")
+    return s.sql(
+        "SELECT lang AS grp, count(*) AS n_docs, "
+        "count(DISTINCT text) AS n_unique, "
+        "CAST(sum(n_chars) AS bigint) AS total_chars "
+        "FROM corpus GROUP BY lang"
+    )
+
+
 def _orders_base_table(spark: SparkSession, sf_dir: str):
     """Shared one-commit versioned table of ``orders`` for the lakehouse
     bench rows, built ONCE per fixture dir and reused: bench.py's
