@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table
-from daas_apps_spark.operators.similarity import as_double, dot
+from daas_apps_spark.operators.similarity import (
+    as_double,
+    dot,
+    nearest_centroid,
+)
 from daas_apps_spark.registry import register
 from daas_apps_spark.sources.table_format import VersionedTable
 
@@ -42,23 +46,12 @@ _SRC_VERSION_KEY = "ann_source_version"
 
 def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: ``(vec_id, cent_id, v)``. Broadcast
-    cross join + per-vector argmax (row_number over cosine desc,
-    cent_id asc for deterministic ties) — map-side work, no shuffle of
-    the corpus beyond the window's partition-local sort."""
-    cos = dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(dot(F.col("v"), F.col("v")))
-        * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__cos").desc(), F.col("cent_id").asc()
-    )
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("__cos", cos)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cent_id", "v")
-    )
+    cross join + per-vector map-side max_by argmax (cosine desc, cent_id
+    asc for deterministic ties): partial aggregation collapses the
+    n_centroids candidates per vector in the broadcast-join stage, so
+    the Exchange carries one row per vector — never the k-fold-expanded
+    corpus (see similarity.nearest_centroid for the plan pin)."""
+    return nearest_centroid(vectors, centroids, payload=("cent_id", "v"))
 
 
 def build_ivf_index(

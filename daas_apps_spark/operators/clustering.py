@@ -72,19 +72,26 @@ _DUCK_UPDATE = """
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd assign step: nearest centroid per vector (broadcast k×dims)."""
+    """One Lloyd assign step: nearest centroid per vector (broadcast
+    k×dims model state). The argmin is a map-side min_by aggregate keyed
+    on (d2, cid) — ≡ ORDER BY d2 ASC, cid ASC but the N×k scoring
+    fan-out collapses to one row per vector before the Exchange (see
+    similarity.nearest_centroid for the plan rationale)."""
     d2 = (
         dot(F.col("v"), F.col("v"))
         + dot(F.col("c"), F.col("c"))
         - 2 * dot(F.col("v"), F.col("c"))
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         vectors.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "label", "v", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("label", "v", "cid"),
+                F.struct(d2.alias("d2"), F.col("cid").alias("c")),
+            ).alias("__best")
+        )
+        .select("vec_id", "__best.label", "__best.v", "__best.cid")
     )
 
 

@@ -46,6 +46,46 @@ def as_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def nearest_centroid(
+    corpus: DataFrame, cent: DataFrame, payload: tuple[str, ...] = ("cent_id",)
+) -> DataFrame:
+    """Nearest-centroid assignment as a map-side aggregate:
+    ``(vec_id, *payload)`` with payload taken from the winning
+    (corpus × centroid) candidate. ``corpus`` must carry
+    (vec_id, v array<double>), ``cent`` (cent_id, cv array<double>).
+
+    Plan shape (pinned in tests/test_plans.py): the naive argmax —
+    ``row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC)`` over
+    ``crossJoin(broadcast(cent))`` — forces an Exchange of the
+    k-fold-expanded corpus (|corpus| × n_centroids rows) into the window
+    sort; at 100 TB with nlist in the thousands that is a thousands-fold
+    shuffle expansion. Here the argmax is
+    ``groupBy(vec_id).agg(max_by(payload, (cos, -cent_id)))``: partial
+    aggregation collapses each vector's n_centroids candidates in the
+    same stage as the broadcast join, so the Exchange carries ONE row
+    per vector. The (cos, -cent_id) max key replicates the window
+    form's (cos DESC, cent_id ASC) order exactly — ties break to the
+    lowest cent_id, so results stay bit-identical to the DuckDB
+    ROW_NUMBER oracles."""
+    cos_vc = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(
+                    cos_vc.alias("s"), (-F.col("cent_id")).alias("t")
+                ),
+            ).alias("__best")
+        )
+        .select("vec_id", "__best.*")
+    )
+
+
 _DUCK_COS = (
     "ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
@@ -307,17 +347,16 @@ def k4_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_vc = dot(F.col("v"), F.col("cv")) / (
         F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
+    asn = nearest_centroid(corpus, cent, payload=("cent_id", "v"))
     w_asn = Window.partitionBy("vec_id").orderBy(
         F.col("cos_vc").desc(), F.col("cent_id").asc()
     )
-    ranked = (
-        corpus.crossJoin(F.broadcast(cent))
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(cent))
         .withColumn("cos_vc", cos_vc)
         .withColumn("rn", F.row_number().over(w_asn))
-    )
-    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id", "v")
-    probes = (
-        ranked.filter((F.col("vec_id") < N_QUERY) & (F.col("rn") <= N_PROBE))
+        .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
     )
     scored = (
@@ -381,19 +420,23 @@ def pq_reconstructions(corpus: DataFrame) -> DataFrame:
     xsub = corpus.crossJoin(F.broadcast(sub)).select(
         "vec_id", "m", F.expr(f"slice(v, lo, {PQ_SUB})").alias("xm")
     )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("code_id").asc()
+    # per-(vector, subspace) argmin as a map-side min_by aggregate — the
+    # codeword fan-out (|corpus| × PQ_M × |codebook|) collapses to PQ_M
+    # rows per vector BEFORE the Exchange (same plan discipline as
+    # nearest_centroid; a row_number window here would shuffle the full
+    # fan-out). min key (d2, code_id) ≡ ORDER BY d2 ASC, code_id ASC.
+    d2 = dot(F.col("ev"), F.col("ev")) - F.lit(2) * dot(
+        F.col("xm"), F.col("ev")
     )
     enc = (
         xsub.join(F.broadcast(cb), "m")
-        .withColumn(
-            "d2",
-            dot(F.col("ev"), F.col("ev"))
-            - F.lit(2) * dot(F.col("xm"), F.col("ev")),
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.col("ev"),
+                F.struct(d2.alias("d2"), F.col("code_id").alias("c")),
+            ).alias("ev")
         )
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "ev")
     )
     # decode once per corpus vector: subspace codewords concatenated in
     # subspace order (array_sort on (m, ev) structs orders by m first)
@@ -514,19 +557,19 @@ def k4_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("v"), F.col("v")))
         * F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
+    asn = nearest_centroid(corpus, cent, payload=("cent_id",))
     w_asn = Window.partitionBy("vec_id").orderBy(
         F.col("cos_vc").desc(), F.col("cent_id").asc()
     )
-    ranked = (
-        corpus.crossJoin(F.broadcast(cent))
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(cent))
         .withColumn("cos_vc", cos_vc)
         .withColumn("rn", F.row_number().over(w_asn))
-    )
-    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERY) & (F.col("rn") <= N_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv")
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv")
+        )
     )
     scored = (
         probes.join(asn, "cent_id")
@@ -664,19 +707,19 @@ def k4_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("v"), F.col("v")))
         * F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
+    asn = nearest_centroid(corpus, cent, payload=("cent_id",))
     w_asn = Window.partitionBy("vec_id").orderBy(
         F.col("cos_vc").desc(), F.col("cent_id").asc()
     )
-    ranked = (
-        corpus.crossJoin(F.broadcast(cent))
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(cent))
         .withColumn("cos_vc", cos_vc)
         .withColumn("rn", F.row_number().over(w_asn))
-    )
-    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERY) & (F.col("rn") <= N_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv")
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv")
+        )
     )
     w_pq = Window.partitionBy("query_id").orderBy(
         F.col("cosine_pq").desc(), F.col("cand_id").asc()

@@ -639,3 +639,77 @@ def test_dq11_single_type_shuffle(spark):
     plan = plan_of(spark, "dq11_out_of_orderness")
     assert "Join" not in plan
     assert plan.count("hashpartitioning(event_type") >= 1
+
+
+def _embeddings_vectors(spark):
+    from daas_apps_spark.catalog import table
+    from daas_apps_spark.operators.similarity import as_double
+
+    import pyspark.sql.functions as F
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    corpus = e.select("vec_id", as_double("embedding").alias("v"))
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    )
+    return corpus, cent
+
+
+def test_centroid_assignment_is_mapside_aggregate_not_window(spark):
+    # The IVF/k-means nearest-centroid argmax must be a max_by aggregate
+    # whose PARTIAL stage collapses the |corpus| x n_centroids broadcast
+    # fan-out map-side — the Exchange carries ONE row per vector. A
+    # row_number() window here would shuffle the k-fold-expanded corpus
+    # (a thousands-fold expansion at realistic nlist), the round-9
+    # scale-killer this pin retires.
+    from daas_apps_spark.operators.partitioning import physical_plan
+    from daas_apps_spark.operators.similarity import nearest_centroid
+
+    corpus, cent = _embeddings_vectors(spark)
+    plan = physical_plan(nearest_centroid(corpus, cent, payload=("cent_id", "v")))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    # partial aggregate sits in the broadcast-join stage, before the
+    # single hash Exchange on vec_id
+    assert plan.count("+- Exchange") == 1
+    assert plan.index("partial_max_by") > plan.index("+- Exchange")  # formatted list: Exchange node printed above its child agg
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_index_assignment_same_plan_shape(spark):
+    from daas_apps_spark.operators.ann_index import assign_to_centroids
+    from daas_apps_spark.operators.partitioning import physical_plan
+
+    corpus, cent = _embeddings_vectors(spark)
+    plan = physical_plan(assign_to_centroids(corpus, cent))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_kmeans_assign_is_mapside_min_by(spark):
+    import pyspark.sql.functions as F
+
+    from daas_apps_spark.operators.clustering import _assign
+    from daas_apps_spark.operators.partitioning import physical_plan
+
+    corpus, cent = _embeddings_vectors(spark)
+    vectors = corpus.withColumn("label", F.lit("x"))
+    centroids = cent.select(F.col("cent_id").alias("cid"), F.col("cv").alias("c"))
+    plan = physical_plan(_assign(vectors, centroids))
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_pq_encode_is_mapside_min_by(spark):
+    from daas_apps_spark.operators.partitioning import physical_plan
+    from daas_apps_spark.operators.similarity import pq_reconstructions
+
+    corpus, _ = _embeddings_vectors(spark)
+    plan = physical_plan(pq_reconstructions(corpus))
+    # the codeword fan-out (|corpus| x PQ_M x |codebook|) must collapse
+    # in a partial min_by before any Exchange; no window anywhere
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
