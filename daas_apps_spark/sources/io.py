@@ -2236,6 +2236,89 @@ def a47_sql_surface_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a48_materialized_view",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey k, o_orderstatus st, o_totalprice pr FROM orders
+    ), plus AS (
+        SELECT k, st, pr FROM src
+        UNION ALL
+        SELECT k + 20000000, 'X', pr * 2 FROM src WHERE k % 50 = 0
+    ), afterdel AS (
+        SELECT * FROM plus WHERE st <> 'P'
+    ), final AS (
+        SELECT k, st, CASE WHEN k % 7 = 0 THEN pr + 10 ELSE pr END AS pr
+        FROM afterdel
+    )
+    SELECT st AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM final GROUP BY st
+    """,
+    tags=("A48", "A45", "A25", "A31", "A37"),
+)
+def a48_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL materialized views (sql_dml.py::_run_create_view/
+    _run_refresh_mv): the A25/A31 IVM machinery surfaced as the feature
+    users ask for. One pure-SQL session loads orders, declares
+    ``CREATE MATERIALIZED VIEW mv AS SELECT <status>, COUNT(*),
+    SUM(decimal) ... GROUP BY`` (materialized into a managed versioned
+    state table, covered source version in the commit metadata), then
+    mutates the base through every DML family — append INSERT, MOR
+    DELETE (the whole 'P' group vanishes), MOR UPDATE — and ONE
+    ``REFRESH MATERIALIZED VIEW`` advances the state from the change
+    feed: cost ∝ |delta| (maintain_additive_aggregate's signed-count
+    algebra), never a rescan; the vanished group leaves the state
+    table; the watermark makes a second REFRESH a no-op (asserted
+    in-function). The result is read through a plain ``CREATE VIEW``
+    (stored SQL text, inlined at reference) so both view kinds compose.
+    The DuckDB oracle recomputes the final census from first
+    principles — any group the IVM fold drifted from a full recompute
+    breaks the hash.
+
+    At 100 TB this is the standing-dashboard architecture: the base
+    table takes appends and merge-on-read DML, the |groups|-sized view
+    advances off the manifest per refresh, and neither side rescans
+    the corpus.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a48_mv_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a48_orders_src")
+    s.script(
+        """
+        CREATE TABLE ord (o_orderkey bigint, o_orderstatus string,
+                          o_totalprice double);
+        INSERT INTO ord SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM a48_orders_src;
+        CREATE MATERIALIZED VIEW mv AS
+            SELECT o_orderstatus, COUNT(*) AS n_rows,
+                   SUM(CAST(o_totalprice AS decimal(18,4))) AS revenue
+            FROM ord GROUP BY o_orderstatus;
+        INSERT INTO ord SELECT o_orderkey + 20000000, 'X',
+            o_totalprice * 2 FROM a48_orders_src WHERE o_orderkey % 50 = 0
+        """
+    )
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE o_orderstatus = 'P'")
+    s.sql(
+        "/*+ MOR */ UPDATE ord SET o_totalprice = o_totalprice + 10 "
+        "WHERE o_orderkey % 7 = 0"
+    )
+    v1 = s.sql("REFRESH MATERIALIZED VIEW mv")
+    v2 = s.sql("REFRESH MATERIALIZED VIEW mv")
+    if v2 != v1:
+        raise AssertionError(
+            f"watermark violated: a no-delta REFRESH committed "
+            f"(v{v1} -> v{v2})"
+        )
+    s.sql(
+        "CREATE VIEW mv_census AS SELECT o_orderstatus AS grp, n_rows, "
+        "CAST(revenue AS double) AS revenue FROM mv"
+    )
+    return s.sql("SELECT grp, n_rows, revenue FROM mv_census")
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

@@ -63,10 +63,13 @@ class TableCatalog:
         name: str,
         location: str | None = None,
         if_not_exists: bool = False,
+        extra: dict | None = None,
     ) -> str:
         """Claim ``name`` atomically; returns the table path. Without
         ``location`` the table is MANAGED (data under the catalog's
-        ``tables/`` root, DROP removes it)."""
+        ``tables/`` root, DROP removes it). ``extra`` fields (``kind``,
+        ``sql``, ``mv``) ride in the entry — one claim protocol for
+        tables, views, and materialized views alike."""
         key = self._check_name(name)
         managed = location is None
         path = (
@@ -77,6 +80,7 @@ class TableCatalog:
             "path": os.path.abspath(path),
             "managed": managed,
             "ts": time.time(),
+            **(extra or {}),
         }
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -87,12 +91,51 @@ class TableCatalog:
             if if_not_exists:
                 return self.resolve(name)
             raise ValueError(
-                f"table {name!r} already exists in the catalog "
-                f"({self.resolve(name)}); DROP TABLE it first"
+                f"{self.kind(name)} {name!r} already exists in the "
+                f"catalog ({self.resolve(name)}); DROP it first"
             ) from None
         finally:
             os.unlink(tmp)
         return entry["path"]
+
+    def create_view(
+        self, name: str, sql: str, if_not_exists: bool = False
+    ) -> None:
+        """Register a plain SQL view: stored text, inlined at every
+        resolution (no data, no path — DROP VIEW just forgets the
+        name). Same atomic hard-link claim as tables, so a view and a
+        table can never concurrently take one name."""
+        key = self._check_name(name)
+        entry = {
+            "name": key,
+            "path": None,
+            "managed": False,
+            "ts": time.time(),
+            "kind": "view",
+            "sql": sql,
+        }
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, self._entry_path(key))
+        except FileExistsError:
+            if if_not_exists:
+                return
+            raise ValueError(
+                f"{self.kind(name)} {name!r} already exists in the "
+                "catalog; DROP it first"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def kind(self, name: str) -> str:
+        """'table' | 'view' | 'materialized_view' (absent field =
+        table, so round-9 catalogs read unchanged)."""
+        try:
+            return self.entry(name).get("kind", "table")
+        except FileNotFoundError:
+            return "table"
 
     def resolve(self, name: str) -> str:
         key = self._check_name(name)
@@ -138,7 +181,7 @@ class TableCatalog:
                 f"{sorted(self.names())}"
             ) from None
         tomb = None
-        if entry["managed"] and os.path.isdir(entry["path"]):
+        if entry["managed"] and entry["path"] and os.path.isdir(entry["path"]):
             tomb = f"{entry['path']}.dropped-{uuid.uuid4().hex[:8]}"
             try:
                 os.rename(entry["path"], tomb)

@@ -18,6 +18,16 @@ never a re-implementation:
     CREATE TABLE [IF NOT EXISTS] t AS SELECT ...
     DROP TABLE [IF EXISTS] t        -- catalog; managed data removed
     SHOW TABLES                     -- catalog listing
+    CREATE VIEW [IF NOT EXISTS] v AS SELECT ...   -- stored SQL text,
+        -- planned at CREATE, re-inlined at every reference
+    CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv AS
+        SELECT <group cols>, COUNT(*) AS n[, SUM(expr) AS s ...]
+        FROM t [WHERE pred] GROUP BY <group cols>
+        -- materialized into a managed versioned state table
+    REFRESH MATERIALIZED VIEW mv    -- advance from t's change feed:
+        -- cost ∝ |delta| (maintain_additive_aggregate), never |t|
+    DROP [MATERIALIZED] VIEW [IF EXISTS] v
+    SHOW VIEWS
     COPY INTO t FROM '<file|dir|glob>' [FILEFORMAT = <fmt>]
         [FORMAT_OPTIONS ('k' = 'v', ...)] [FORCE = TRUE]
     MERGE INTO t [AS a] USING <src|(subquery)> [AS b] ON <equi-keys>
@@ -308,9 +318,45 @@ def _parse_merge_whens(whens: str) -> tuple[list, list, list]:
     return matched, not_matched, nmbs
 
 
+class ViewDef:
+    """A catalog VIEW: stored SQL text, inlined at every resolution.
+    Carried as a ``tables``-dict value so name lookup, shadowing, and
+    collision rules are identical for tables and views; anything that
+    needs a TABLE (DML targets, time travel, TABLE_CHANGES) refuses a
+    ViewDef loudly instead of guessing."""
+
+    def __init__(self, name: str, sql: str):
+        self.name = name
+        self.sql = sql
+
+
+def _lookup(tables: dict, name: str):
+    """The declared value for ``name`` (case-insensitive), or None."""
+    for k, v in tables.items():
+        if k.lower() == name.lower():
+            return v
+    return None
+
+
+def _expand_view(spark: SparkSession, tables: dict, vd: ViewDef) -> str:
+    """Inline a view: rewrite its stored SELECT against every OTHER
+    declared name (the view itself is removed first, so a reference
+    cycle fails with Spark's unresolved-relation error instead of
+    recursing forever) and return the rewritten text."""
+    rest = {k: v for k, v in tables.items() if k.lower() != vd.name.lower()}
+    return _rewrite_tables(spark, vd.sql, rest)
+
+
 def _resolve(spark: SparkSession, tables: dict, name: str) -> VersionedTable:
     for k, v in tables.items():
         if k.lower() == name.lower():
+            if isinstance(v, ViewDef):
+                raise ValueError(
+                    f"{name!r} is a VIEW (stored SQL, no storage) — it "
+                    "resolves in queries only, never as a DML/DDL "
+                    "target; DROP VIEW it and CREATE TABLE if you need "
+                    "a table"
+                )
             return v if isinstance(v, VersionedTable) else VersionedTable(
                 spark, v
             )
@@ -414,11 +460,24 @@ def run_sql(
     tables = dict(tables or {})
     if catalog is not None:
         # catalog names resolve exactly like declared paths; ad-hoc
-        # names win on collision (session-scoped shadowing)
-        tables = {
-            **{n: catalog.resolve(n) for n in catalog.names()},
-            **tables,
-        }
+        # names win on collision (session-scoped shadowing). Entries are
+        # snapshotted via entry() with a tolerant read: a concurrent
+        # DROP between names() and entry() just drops out of the
+        # snapshot — it must not fail a statement that never referenced
+        # the dropped name. VIEW entries resolve to their stored SQL
+        # (inlined at reference); materialized views to their state
+        # table's path.
+        snap: dict = {}
+        for n in catalog.names():
+            try:
+                e = catalog.entry(n)
+            except (FileNotFoundError, KeyError):
+                continue
+            if e.get("kind") == "view":
+                snap[n] = ViewDef(n, e["sql"])
+            else:
+                snap[n] = e["path"]
+        tables = {**snap, **tables}
     mode = "cow"
     mh = _HINT_RE.match(text)
     if mh:
@@ -510,9 +569,16 @@ def run_sql(
             )
             salias = tail.group("salias")
         else:
-            try:
-                source_df = _resolve(spark, tables, src).read()
-            except ValueError:
+            val = _lookup(tables, src)
+            if isinstance(val, ViewDef):
+                source_df = spark.sql(_expand_view(spark, tables, val))
+            elif val is not None:
+                # merged schema, like every SQL read (_rewrite_tables):
+                # a schema-evolved source column must reach the clauses
+                source_df = _resolve(spark, tables, src).read(
+                    merge_schema=True
+                )
+            else:
                 source_df = spark.table(src)  # temp view / catalog table
             salias = tail.group("salias") or src
         talias = head.group("talias") or head.group("target")
@@ -562,8 +628,8 @@ def run_sql(
             text,
             re.I,
         )
-        if fast and any(
-            k.lower() == fast.group("t").lower() for k in tables
+        if fast and not isinstance(
+            _lookup(tables, fast.group("t")), (ViewDef, type(None))
         ):
             vt = _resolve(spark, tables, fast.group("t"))
             n = vt.manifest_count(
@@ -883,6 +949,33 @@ def run_sql(
         r"^\s*CREATE\s+TABLE\b", text, re.I
     ):
         return _run_create(spark, text, tables, catalog)
+    if verb == "CREATE" and re.match(
+        r"^\s*CREATE\s+(MATERIALIZED\s+)?VIEW\b", text, re.I
+    ):
+        return _run_create_view(spark, text, tables, catalog)
+    if verb == "DROP" and re.match(
+        r"^\s*DROP\s+(MATERIALIZED\s+)?VIEW\b", text, re.I
+    ):
+        return _run_drop_view(spark, text, catalog)
+    if verb == "REFRESH":
+        return _run_refresh_mv(spark, text, tables, catalog)
+    if verb == "SHOW" and re.match(r"^\s*SHOW\s+VIEWS\s*;?\s*$", text, re.I):
+        if catalog is None:
+            raise ValueError("SHOW VIEWS needs a catalog")
+        vrows = []
+        for n in catalog.names():
+            try:
+                e = catalog.entry(n)
+            except (FileNotFoundError, KeyError):
+                continue
+            kind = e.get("kind", "table")
+            if kind == "view":
+                vrows.append((e["name"], "view", e["sql"]))
+            elif kind == "materialized_view":
+                vrows.append((e["name"], "materialized_view", e["mv"]["sql"]))
+        return spark.createDataFrame(
+            vrows, "name string, kind string, definition string"
+        )
     if verb == "DROP" and re.match(r"^\s*DROP\s+TABLE\b", text, re.I):
         m = re.match(
             r"^\s*DROP\s+TABLE\s+(?:(?P<ie>IF\s+EXISTS)\s+)?"
@@ -901,16 +994,26 @@ def run_sql(
                 "SqlSession) — ad-hoc tables dict entries are "
                 "session-scoped, there is nothing durable to drop"
             )
+        kind = catalog.kind(m.group("t"))
+        if kind != "table":
+            raise ValueError(
+                f"{m.group('t')!r} is a {kind.replace('_', ' ')} — "
+                f"use DROP {'MATERIALIZED VIEW' if kind == 'materialized_view' else 'VIEW'}"
+            )
         return int(
             catalog.drop(m.group("t"), if_exists=bool(m.group("ie")))
         )
     if verb == "SHOW" and re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", text, re.I):
         if catalog is None:
             raise ValueError("SHOW TABLES needs a catalog")
-        rows = [
-            (e["name"], e["path"], e["managed"])
-            for e in (catalog.entry(n) for n in catalog.names())
-        ]
+        rows = []
+        for n in catalog.names():
+            try:
+                e = catalog.entry(n)
+            except (FileNotFoundError, KeyError):
+                continue
+            if e.get("kind", "table") == "table":
+                rows.append((e["name"], e["path"], e["managed"]))
         return spark.createDataFrame(
             rows, "name string, path string, managed boolean"
         )
@@ -1023,7 +1126,9 @@ def run_sql(
         f"unsupported statement {verb or text!r}; supported verbs: "
         "DELETE / UPDATE / MERGE / INSERT / SELECT (incl. VERSION AS "
         "OF / TIMESTAMP AS OF) / CREATE TABLE (schema | AS SELECT) / "
-        "DROP TABLE / SHOW TABLES / COPY INTO / TRUNCATE TABLE / ALTER "
+        "DROP TABLE / SHOW TABLES / CREATE [MATERIALIZED] VIEW / "
+        "REFRESH MATERIALIZED VIEW / DROP [MATERIALIZED] VIEW / SHOW "
+        "VIEWS / COPY INTO / TRUNCATE TABLE / ALTER "
         "TABLE / OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE HISTORY "
         "/ CREATE|DROP BLOOMFILTER INDEX"
     )
@@ -1064,6 +1169,7 @@ def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
     if not tables:
         return text
     byname = {k.lower() for k in tables}
+    byval = {k.lower(): v for k, v in tables.items()}
     token_re = re.compile(
         r"TABLE_CHANGES\s*\(\s*(?P<ct>[A-Za-z_]\w*)\s*,\s*(?P<v1>\d+)"
         r"(?:\s*,\s*(?P<v2>\d+))?\s*\)"
@@ -1104,6 +1210,12 @@ def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
             m = token_re.match(text, i)
             if m and m.group("ct") and m.group("ct").lower() in byname:
                 tname, v1, v2 = m.group("ct"), m.group("v1"), m.group("v2")
+                if isinstance(byval[tname.lower()], ViewDef):
+                    raise ValueError(
+                        f"TABLE_CHANGES({tname}): {tname!r} is a VIEW — "
+                        "it has no commit log; query the underlying "
+                        "table's change feed"
+                    )
                 out.append(
                     _view(
                         ("changes_" + tname.lower(), v1, v2),
@@ -1125,6 +1237,25 @@ def _rewrite_tables(spark: SparkSession, text: str, tables: dict) -> str:
                         out.append(tname)
                         i = end
                         continue
+                vd = byval[tname.lower()]
+                if isinstance(vd, ViewDef):
+                    if ver is not None or ts is not None:
+                        raise ValueError(
+                            f"{tname!r} is a VIEW — views have no "
+                            "versions to travel to; time-travel the "
+                            "underlying table inside the view, or "
+                            "query the table directly"
+                        )
+                    out.append(
+                        _view(
+                            ("view_" + tname.lower(), None, None),
+                            lambda _vd=vd: spark.sql(
+                                _expand_view(spark, tables, _vd)
+                            ),
+                        )
+                    )
+                    i = end
+                    continue
 
                 def _read(_t=tname, _v=ver, _ts=ts):
                     # merge_schema always: SQL reads the TABLE schema
@@ -1378,3 +1509,268 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
     if m:
         return vt.set_layout([c.strip() for c in m.group("cols").split(",")])
     raise bad
+
+
+_MV_SRC_KEY = "mv_source_version"
+
+_MV_QUERY_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<keys>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+_MV_GRAMMAR = (
+    "materialized views support ONE additive-aggregate block — "
+    "SELECT <group cols>, COUNT(*) AS <name>[, SUM(<expr>) AS <name> "
+    "...] FROM <versioned table> [WHERE <pred>] GROUP BY <group cols> — "
+    "the shape the change-feed IVM algebra can maintain exactly "
+    "(count/sum are distributive under insert +1 / delete -1; min/max "
+    "are not — keep those as plain views)"
+)
+
+
+def _canonical_mv_state(df: DataFrame) -> DataFrame:
+    """Pin every decimal aggregate to decimal(38, scale): the signed
+    coalesce-and-add refresh arithmetic widens decimal precision a step
+    per refresh until Spark's 38 cap — storing at the fixpoint from the
+    start keeps the state table's schema identical across CREATE and
+    every REFRESH (no per-refresh schema evolution commits)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            df = df.withColumn(
+                f.name, F.col(f.name).cast(DecimalType(38, f.dataType.scale))
+            )
+    return df
+
+
+def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
+    """CREATE [MATERIALIZED] VIEW dispatch.
+
+    Plain view: the body is validated (planned) against the current
+    snapshot so a typo fails at CREATE, then the TEXT is stored — each
+    later reference re-inlines it, so a view always reflects its
+    tables' head state.
+
+    Materialized view: the body must be the additive-aggregate shape
+    (see _MV_GRAMMAR). CREATE materializes the aggregate over the
+    source's current snapshot into a MANAGED versioned state table and
+    records the covered source version in the commit metadata; REFRESH
+    MATERIALIZED VIEW then advances the state from the source's change
+    feed (maintain_additive_aggregate — cost ∝ |delta|, never source
+    size) and commits the new watermark. Every refresh is itself a
+    time-travelable version of the state table."""
+    m = re.match(
+        r"^\s*CREATE\s+(?P<mat>MATERIALIZED\s+)?VIEW\s+"
+        r"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<t>[A-Za-z_]\w*)\s+AS\s+"
+        r"(?P<src>(SELECT|WITH)\b.+?)\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported CREATE VIEW shape; supported: CREATE "
+            "[MATERIALIZED] VIEW [IF NOT EXISTS] <name> AS SELECT ..."
+        )
+    if catalog is None:
+        raise ValueError(
+            "CREATE VIEW needs a catalog (pass catalog= / use "
+            "SqlSession) — a view is a persistent name"
+        )
+    name, ine, body = m.group("t"), bool(m.group("ine")), m.group("src").strip()
+    if not m.group("mat"):
+        # plan the body NOW (typos/missing columns fail the CREATE, not
+        # the first reader); the text is what's stored
+        spark.sql(_rewrite_tables(spark, body, tables)).schema
+        catalog.create_view(name, body, if_not_exists=ine)
+        return 0
+    q = _MV_QUERY_RE.match(body)
+    if not q:
+        raise ValueError(_MV_GRAMMAR)
+    src_name = q.group("src")
+    if isinstance(_lookup(tables, src_name), ViewDef):
+        raise ValueError(
+            f"materialized view source {src_name!r} is a VIEW — IVM "
+            "maintenance needs a versioned table's change feed"
+        )
+    src_vt = _resolve(spark, tables, src_name)
+    group_cols: list[str] = []
+    count_col: str | None = None
+    sums: dict[str, str] = {}
+    order: list[str] = []
+    for it in _split_top_level(q.group("items")):
+        it = it.strip()
+        cm = re.fullmatch(r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", it, re.I)
+        if cm:
+            if count_col is not None:
+                raise ValueError("duplicate COUNT(*) select item")
+            count_col = cm.group(1)
+            order.append(count_col)
+            continue
+        sm = re.fullmatch(
+            r"SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)", it, re.I | re.S
+        )
+        if sm:
+            sums[sm.group("a")] = sm.group("e").strip()
+            order.append(sm.group("a"))
+            continue
+        if re.fullmatch(r"[A-Za-z_]\w*", it):
+            group_cols.append(it)
+            order.append(it)
+            continue
+        raise ValueError(f"unsupported select item {it!r}: {_MV_GRAMMAR}")
+    keys = [k.strip() for k in _split_top_level(q.group("keys"))]
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+        raise ValueError(f"GROUP BY must list plain columns: {_MV_GRAMMAR}")
+    if sorted(c.lower() for c in group_cols) != sorted(
+        k.lower() for k in keys
+    ):
+        raise ValueError(
+            "the plain select columns must be exactly the GROUP BY "
+            f"keys (select {group_cols} vs GROUP BY {keys})"
+        )
+    if count_col is None:
+        raise ValueError(
+            "a materialized view needs COUNT(*) AS <name> — the IVM "
+            "algebra tracks group liveness through the signed count"
+        )
+    from daas_apps_spark.sources.table_format import additive_aggregate_state
+
+    v0 = src_vt.latest_version()
+    init = additive_aggregate_state(
+        src_vt.read(version=v0, merge_schema=True),
+        group_cols,
+        count_col,
+        sums,
+        where=q.group("where"),
+    )
+    init = _canonical_mv_state(init.select(*order))
+    mvdef = {
+        "source": src_name.lower(),
+        "group_by": group_cols,
+        "count_col": count_col,
+        "sums": sums,
+        "where": q.group("where"),
+        "order": order,
+        "sql": body,
+    }
+    path = catalog.create(
+        name,
+        None,
+        if_not_exists=ine,
+        extra={"kind": "materialized_view", "mv": mvdef},
+    )
+    mv_vt = VersionedTable(spark, path)
+    if mv_vt.latest_version() == 0:
+        mv_vt.append(init, metadata={_MV_SRC_KEY: v0})
+    return mv_vt.latest_version()
+
+
+def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
+    """REFRESH MATERIALIZED VIEW <name>: advance the state table from
+    the source's change feed — (last covered version, head] only, the
+    maintain_additive_aggregate IVM algebra — and record the new
+    watermark in the refresh commit's metadata. A no-delta refresh is a
+    no-op (returns the current state version, commits nothing)."""
+    m = re.match(
+        r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+        text,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported REFRESH shape; supported: "
+            "REFRESH MATERIALIZED VIEW <name>"
+        )
+    if catalog is None:
+        raise ValueError("REFRESH MATERIALIZED VIEW needs a catalog")
+    name = m.group("t")
+    try:
+        e = catalog.entry(name)
+    except FileNotFoundError:
+        raise KeyError(
+            f"materialized view {name!r} is not in the catalog; known: "
+            f"{sorted(catalog.names())}"
+        ) from None
+    if e.get("kind") != "materialized_view":
+        raise ValueError(
+            f"{name!r} is a {e.get('kind', 'table').replace('_', ' ')}, "
+            "not a materialized view"
+        )
+    from daas_apps_spark.sources.table_format import (
+        maintain_additive_aggregate,
+    )
+
+    mv = e["mv"]
+    mv_vt = VersionedTable(spark, e["path"])
+    applied = [
+        c["metadata"][_MV_SRC_KEY]
+        for c in mv_vt.history()
+        if _MV_SRC_KEY in (c.get("metadata") or {})
+    ]
+    if not applied:
+        raise ValueError(
+            f"materialized view {name!r} has no recorded source "
+            "version — its state table was not created by CREATE "
+            "MATERIALIZED VIEW"
+        )
+    v_from = max(applied)
+    src_vt = _resolve(spark, tables, mv["source"])
+    head = src_vt.latest_version()
+    if head <= v_from:
+        return mv_vt.latest_version()
+    new = maintain_additive_aggregate(
+        src_vt,
+        v_from,
+        head,
+        mv["group_by"],
+        mv["count_col"],
+        mv["sums"],
+        state=mv_vt.read(),
+        where=mv.get("where"),
+    )
+    return mv_vt.overwrite(
+        _canonical_mv_state(new.select(*mv["order"])),
+        metadata={_MV_SRC_KEY: head},
+    )
+
+
+def _run_drop_view(spark: SparkSession, text: str, catalog):
+    m = re.match(
+        r"^\s*DROP\s+(?P<mat>MATERIALIZED\s+)?VIEW\s+"
+        r"(?:(?P<ie>IF\s+EXISTS)\s+)?(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+        text,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported DROP VIEW shape; supported: "
+            "DROP [MATERIALIZED] VIEW [IF EXISTS] <name>"
+        )
+    if catalog is None:
+        raise ValueError("DROP VIEW needs a catalog")
+    name = m.group("t")
+    want = "materialized_view" if m.group("mat") else "view"
+    try:
+        e = catalog.entry(name)
+    except FileNotFoundError:
+        if m.group("ie"):
+            return 0
+        raise KeyError(
+            f"{want.replace('_', ' ')} {name!r} is not in the catalog; "
+            f"known: {sorted(catalog.names())}"
+        ) from None
+    kind = e.get("kind", "table")
+    if kind != want:
+        verb = {
+            "table": "DROP TABLE",
+            "view": "DROP VIEW",
+            "materialized_view": "DROP MATERIALIZED VIEW",
+        }[kind]
+        raise ValueError(
+            f"{name!r} is a {kind.replace('_', ' ')} — use {verb}"
+        )
+    return int(catalog.drop(name, if_exists=bool(m.group("ie"))))

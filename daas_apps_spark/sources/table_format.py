@@ -1030,6 +1030,31 @@ def cdf_rows_between(
     return rows, v_to
 
 
+def additive_aggregate_state(
+    df: DataFrame,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str] | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """The full-recompute form of the additive aggregate
+    ``maintain_additive_aggregate`` advances incrementally — the SAME
+    count/sum expressions, so a state bootstrapped here and one folded
+    forward from the change feed are schema- and value-identical
+    (CREATE MATERIALIZED VIEW builds with this; REFRESH maintains)."""
+    from pyspark.sql import functions as F
+
+    if where is not None:
+        df = df.filter(where)
+    return df.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[
+            F.sum(F.expr(e)).alias(name)
+            for name, e in (sums or {}).items()
+        ],
+    )
+
+
 def maintain_additive_aggregate(
     vt: "VersionedTable",
     v_from: int,
@@ -1038,10 +1063,14 @@ def maintain_additive_aggregate(
     count_col: str,
     sums: dict[str, str] | None = None,
     state: DataFrame | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Incremental view maintenance: advance a grouped additive aggregate
     (counts + sums) from its state at ``v_from`` to ``v_to`` using ONLY
-    the change feed — cost ∝ |delta|, never table size.
+    the change feed — cost ∝ |delta|, never table size. ``where``
+    restricts the view to a row slice: selection commutes with the
+    signed aggregation, so the same predicate filters the base snapshot
+    and every feed row and the maintained state stays exact.
 
     The feed's rows are signed (insert +1, delete −1; an update is its
     delete+insert pair), so the per-group delta is ``sum(sign)`` for the
@@ -1062,6 +1091,8 @@ def maintain_additive_aggregate(
     sums = sums or {}
 
     def aggregate(df: DataFrame, sign: str | None) -> DataFrame:
+        if where is not None:
+            df = df.filter(where)
         factor = F.col(sign) if sign else F.lit(1)
         return df.groupBy(*group_by).agg(
             F.sum(factor).cast("long").alias(count_col),

@@ -136,9 +136,13 @@ def test_select_with_version_as_of(spark, twins):
 
 def test_refusals_are_loud(spark, twins):
     a, _ = twins
-    # TRUNCATE TABLE graduated from refusal to feature in round 9; a
-    # verb outside the grammar still refuses with the supported list
+    # TRUNCATE TABLE graduated from refusal to feature in round 9 and
+    # REFRESH (MATERIALIZED VIEW) in round 10; a verb outside the
+    # grammar still refuses with the supported list, and a supported
+    # verb with an unsupported shape refuses with ITS grammar
     with pytest.raises(ValueError, match="supported verbs"):
+        run_sql(spark, "GRANT SELECT ON t TO alice", {"t": a})
+    with pytest.raises(ValueError, match="REFRESH MATERIALIZED VIEW"):
         run_sql(spark, "REFRESH TABLE t", {"t": a})
     with pytest.raises(ValueError, match="key equality"):
         run_sql(
