@@ -2319,6 +2319,102 @@ def a48_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a49_sql_transaction",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey k, o_totalprice pr FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), lo AS (
+        SELECT o_orderkey k, o_totalprice pr FROM orders
+        WHERE o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0
+    ), debit AS (
+        SELECT k, pr FROM u UNION ALL SELECT k + 30000000, pr * 3 FROM lo
+    ), credit AS (
+        SELECT k, -pr AS pr FROM u
+        UNION ALL SELECT k + 30000000, -pr * 3 FROM lo
+    )
+    SELECT 'debit' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM debit
+    UNION ALL
+    SELECT 'credit', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE)
+    FROM credit
+    """,
+    tags=("A49", "A38", "A45", "A37"),
+)
+def a49_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level multi-table transactions (sql_dml.py BEGIN/COMMIT/
+    ROLLBACK → the A38 MultiTableTxn 2PC coordinator, one per catalog):
+    a double-entry ledger where each posting MUST hit debit and credit
+    together or not at all. Three transaction twins run as pure SQL:
+    (1) urgent orders posted to both sides and COMMITted — the single
+    coordinator-marker swap makes both tables' staged commits visible
+    at once; (2) a doubling posting ROLLBACKed — its staged commits are
+    invisible forever (presumed abort), their version slots consumed;
+    (3) a low-priority posting COMMITted across both sides from a
+    second session sharing the same coordinator. A fourth, ABANDONED
+    twin (a session that staged one side and died) is swept by
+    ``abort_abandoned()`` — the crash-recovery contract — before the
+    census. The DuckDB oracle recomputes both sides from the committed
+    postings only: one leaked rolled-back/abandoned row, or one
+    half-visible posting, breaks the hash.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+    from daas_apps_spark.sources.sql_dml import txn_coordinator
+
+    base = scratch_dir(f"a49_txn_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a49_orders_src")
+    s.script(
+        """
+        CREATE TABLE debit (k bigint, pr double);
+        CREATE TABLE credit (k bigint, pr double);
+        BEGIN;
+        INSERT INTO debit SELECT o_orderkey, o_totalprice
+            FROM a49_orders_src WHERE o_orderpriority = '1-URGENT';
+        INSERT INTO credit SELECT o_orderkey, -o_totalprice
+            FROM a49_orders_src WHERE o_orderpriority = '1-URGENT';
+        COMMIT;
+        BEGIN;
+        INSERT INTO debit SELECT k + 90000000, pr * 2 FROM debit;
+        INSERT INTO credit SELECT k + 90000000, pr * 2 FROM credit;
+        ROLLBACK
+        """
+    )
+    # a second session on the same catalog shares the coordinator
+    s2 = SqlSession(spark, base)
+    s2.script(
+        """
+        BEGIN;
+        INSERT INTO debit SELECT o_orderkey + 30000000, o_totalprice * 3
+            FROM a49_orders_src
+            WHERE o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0;
+        INSERT INTO credit SELECT o_orderkey + 30000000, -o_totalprice * 3
+            FROM a49_orders_src
+            WHERE o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0;
+        COMMIT
+        """
+    )
+    # the abandoned twin: stages one side, never resolves — swept
+    dead = SqlSession(spark, base)
+    dead.sql("BEGIN")
+    dead.sql("INSERT INTO debit VALUES (999999999, 1.0)")
+    swept = txn_coordinator(s.catalog).abort_abandoned()
+    if len(swept) != 1:
+        raise AssertionError(f"expected 1 abandoned txn, swept {swept}")
+    return s.sql(
+        "SELECT 'debit' AS side, count(*) AS n_rows, "
+        "CAST(sum(CAST(pr AS decimal(18,4))) AS double) AS total "
+        "FROM debit "
+        "UNION ALL "
+        "SELECT 'credit' AS side, count(*) AS n_rows, "
+        "CAST(sum(CAST(pr AS decimal(18,4))) AS double) AS total "
+        "FROM credit"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

@@ -222,19 +222,65 @@ class SqlSession:
             else TableCatalog(catalog)
         )
         self.tables = dict(tables or {})
+        self._txn: dict | None = None
 
     def sql(self, text: str) -> DataFrame | int | VersionedTable:
-        from daas_apps_spark.sources.sql_dml import run_sql
+        """Run one statement. ``BEGIN [TRANSACTION]`` / ``COMMIT`` /
+        ``ROLLBACK`` are SESSION state: statements between them stage
+        under one A38 MultiTableTxn (coordinator in the catalog
+        directory, shared by every session on it), and COMMIT is the
+        single swap that makes every staged write — across however many
+        tables the block touched — visible at once. Inside a block,
+        INSERT stages and SELECT reads the pre-transaction snapshot;
+        other verbs refuse. A session dropped mid-transaction leaves
+        the txn pending — invisible, and swept by the coordinator's
+        ``abort_abandoned()`` at restart (presumed abort)."""
+        from daas_apps_spark.sources.sql_dml import (
+            _BEGIN_RE,
+            _COMMIT_RE,
+            _ROLLBACK_RE,
+            run_sql,
+            txn_coordinator,
+        )
 
+        if _BEGIN_RE.match(text):
+            if self._txn is not None:
+                raise ValueError(
+                    "nested BEGIN — COMMIT or ROLLBACK the open "
+                    "transaction first"
+                )
+            self._txn = txn_coordinator(self.catalog).begin()
+            return self._txn["id"]
+        if _COMMIT_RE.match(text):
+            if self._txn is None:
+                raise ValueError("COMMIT without an open transaction")
+            txn_coordinator(self.catalog).commit(self._txn)
+            self._txn = None
+            return 1
+        if _ROLLBACK_RE.match(text):
+            if self._txn is None:
+                raise ValueError("ROLLBACK without an open transaction")
+            txn_coordinator(self.catalog).abort(self._txn)
+            self._txn = None
+            return 0
         return run_sql(
-            self.spark, text, self.tables, catalog=self.catalog
+            self.spark,
+            text,
+            self.tables,
+            catalog=self.catalog,
+            txn=self._txn,
         )
 
     def script(self, text: str) -> list:
-        """Run a multi-statement ``;``-separated script; returns the
-        per-statement results (see ``run_sql_script``)."""
-        from daas_apps_spark.sources.sql_dml import run_sql_script
+        """Run a multi-statement ``;``-separated script through this
+        session — statement splitting is quote- and paren-aware, and
+        BEGIN/COMMIT/ROLLBACK participate in the SESSION's transaction
+        state (a block may open in one script and close in a later
+        statement or script). Returns the per-statement results."""
+        from daas_apps_spark.sources.sql_dml import _split_top_level
 
-        return run_sql_script(
-            self.spark, text, self.tables, catalog=self.catalog
-        )
+        return [
+            self.sql(stmt)
+            for stmt in _split_top_level(text, sep=";")
+            if stmt.strip()
+        ]

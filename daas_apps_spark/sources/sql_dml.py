@@ -78,6 +78,7 @@ grammar — a thin front-end that guesses would corrupt tables silently.
 from __future__ import annotations
 
 import json
+import os
 import re
 import uuid
 
@@ -446,6 +447,7 @@ def run_sql(
     text: str,
     tables: dict | None = None,
     catalog=None,
+    txn: dict | None = None,
 ) -> DataFrame | int:
     """Execute one DML/query statement against versioned tables. See
     the module docstring for the supported grammar. Returns the
@@ -488,6 +490,14 @@ def run_sql(
         text = text[mh.end():]
     stripped = text.lstrip()
     verb = stripped.split(None, 1)[0].upper() if stripped.strip() else ""
+    if txn is not None and verb not in ("SELECT", "WITH", "INSERT"):
+        raise ValueError(
+            f"{verb or text!r} is not supported inside BEGIN…COMMIT — a "
+            "transaction block stages append/overwrite writes only "
+            "(INSERT INTO|OVERWRITE; SELECT reads the pre-transaction "
+            "snapshot, staged writes become visible atomically at "
+            "COMMIT); COMMIT or ROLLBACK first"
+        )
     if verb == "DELETE":
         m = _DELETE_RE.match(text)
         if not m:
@@ -884,8 +894,8 @@ def run_sql(
                     ).schema[0].dataType
                     df = df.withColumn(g, F.col(f"`{g}`").cast(gty))
         if m.group("over").upper() == "OVERWRITE":
-            return vt.overwrite(df)
-        return vt.append(df)
+            return vt.overwrite(df, txn=txn)
+        return vt.append(df, txn=txn)
     if verb == "TRUNCATE":
         m = re.match(
             r"^\s*TRUNCATE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
@@ -1134,6 +1144,26 @@ def run_sql(
     )
 
 
+_BEGIN_RE = re.compile(r"^\s*BEGIN(\s+TRANSACTION)?\s*;?\s*$", re.I)
+_COMMIT_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.I)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.I)
+
+
+def txn_coordinator(catalog):
+    """The catalog's 2PC coordinator (A38 MultiTableTxn) — one per
+    catalog, living in the catalog directory, so every session on the
+    same catalog shares one atomic-visibility point."""
+    from daas_apps_spark.sources.table_format import MultiTableTxn
+
+    if catalog is None:
+        raise ValueError(
+            "BEGIN/COMMIT/ROLLBACK need a catalog (pass catalog= / use "
+            "SqlSession) — the transaction coordinator lives in the "
+            "catalog directory"
+        )
+    return MultiTableTxn(os.path.join(catalog.path, "_txns"))
+
+
 def run_sql_script(
     spark: SparkSession,
     script: str,
@@ -1143,13 +1173,57 @@ def run_sql_script(
     """Execute a multi-statement script (statements separated by
     top-level ``;`` — quote- and paren-aware, so literals and subqueries
     survive). Statements run in order, each through ``run_sql``; returns
-    the per-statement results. No transactional envelope: each DML
-    statement commits on its own exactly as it would standalone (wrap
-    writes in a ``MultiTableTxn`` for atomicity across statements)."""
+    the per-statement results.
+
+    ``BEGIN [TRANSACTION]; …; COMMIT`` brackets lower to the A38
+    MultiTableTxn coordinator: every INSERT inside the block stages its
+    commit under one txn marker (occupying a version slot, contributing
+    no visible state), and COMMIT is the single atomic swap after which
+    every staged write across every touched table resolves visible at
+    once — ``ROLLBACK`` leaves them invisible forever (presumed abort).
+    Statements outside a block commit on their own exactly as
+    standalone. A script that ends inside an open block ABORTS it and
+    raises — half-applied scripts must never linger pending."""
     results = []
+    txn = None
+    coord = None
     for stmt in _split_top_level(script, sep=";"):
-        if stmt.strip():
-            results.append(run_sql(spark, stmt, tables, catalog=catalog))
+        if not stmt.strip():
+            continue
+        if _BEGIN_RE.match(stmt):
+            if txn is not None:
+                raise ValueError(
+                    "nested BEGIN — COMMIT or ROLLBACK the open "
+                    "transaction first"
+                )
+            coord = txn_coordinator(catalog)
+            txn = coord.begin()
+            results.append(txn["id"])
+            continue
+        if _COMMIT_RE.match(stmt):
+            if txn is None:
+                raise ValueError("COMMIT without an open transaction")
+            coord.commit(txn)
+            txn = None
+            results.append(1)
+            continue
+        if _ROLLBACK_RE.match(stmt):
+            if txn is None:
+                raise ValueError("ROLLBACK without an open transaction")
+            coord.abort(txn)
+            txn = None
+            results.append(0)
+            continue
+        results.append(
+            run_sql(spark, stmt, tables, catalog=catalog, txn=txn)
+        )
+    if txn is not None:
+        coord.abort(txn)
+        raise ValueError(
+            "script ended inside an open transaction — it was ABORTED "
+            "(presumed abort: staged writes stay invisible); add "
+            "COMMIT or ROLLBACK"
+        )
     return results
 
 

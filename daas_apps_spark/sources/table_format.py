@@ -310,13 +310,19 @@ def _txn_status(coordinator: str, txn_id: str) -> str:
             _TXN_STATUS_CACHE[key] = status
         return status
 
+    # committed-wins resolution order: BOTH committed records (live
+    # marker, then gc-folded checkpoint) are consulted before ANY
+    # aborted record — otherwise, after gc folds a COMMITTED verdict
+    # (unlinking its marker), a stale .aborted.json published by a
+    # crashed/racing abort() would resolve the txn 'aborted', cache the
+    # wrong terminal verdict forever, and hide the staged commits
     if os.path.isfile(os.path.join(coordinator, f"{txn_id}.committed.json")):
         return _cache("committed")
-    if os.path.isfile(os.path.join(coordinator, f"{txn_id}.aborted.json")):
-        return _cache("aborted")
     ck = _coordinator_checkpoint(coordinator)
     if txn_id in ck["committed"]:
         return _cache("committed")
+    if os.path.isfile(os.path.join(coordinator, f"{txn_id}.aborted.json")):
+        return _cache("aborted")
     if txn_id in ck["aborted"]:
         return _cache("aborted")
     return "pending"  # non-terminal: never cached
@@ -588,41 +594,90 @@ class MultiTableTxn:
         between the two leaves both records agreeing, and the next gc
         finishes the unlink. Pending txns are untouched. If a commit/
         abort race ever left BOTH markers, committed wins here exactly
-        as it does in ``status``."""
-        ck = _coordinator_checkpoint(self.path)
-        committed = set(ck["committed"])
-        aborted = set(ck["aborted"])
-        folded: set[str] = set()
-        for name in sorted(os.listdir(self.path)):
-            if name.endswith(".committed.json"):
-                txn_id = name[: -len(".committed.json")]
-                committed.add(txn_id)
-                folded.add(txn_id)
-            elif name.endswith(".aborted.json"):
-                txn_id = name[: -len(".aborted.json")]
-                aborted.add(txn_id)
-                folded.add(txn_id)
-        aborted -= committed  # committed-wins, same rule as status()
-        tmp = os.path.join(self.path, f".tmp-ck-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "committed": sorted(committed),
-                    "aborted": sorted(aborted),
-                },
-                f,
-            )
-        os.replace(tmp, os.path.join(self.path, "_checkpoint.json"))
-        for txn_id in folded:
-            for suffix in (
-                ".begin.json",
-                ".committed.json",
-                ".aborted.json",
-            ):
+        as it does in ``status``.
+
+        Concurrency: the fold is a read-modify-write of
+        ``_checkpoint.json``, so gc serializes through an O_EXCL lock
+        file — a second concurrent gc SKIPS (folding is idempotent; the
+        next call finishes any remainder) instead of interleaving with
+        the first and replacing away verdicts whose markers the first
+        already unlinked. A lock left by a crashed gc is broken after
+        its mtime goes stale; as defense in depth the current
+        checkpoint is re-merged immediately before the replace, so even
+        a broken-lock double-entry can only ADD verdicts, never drop
+        one."""
+        lock = os.path.join(self.path, ".gc.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                stale = _time.time() - os.stat(lock).st_mtime > 120
+            except FileNotFoundError:
+                stale = False
+            if stale:
                 try:
-                    os.unlink(os.path.join(self.path, f"{txn_id}{suffix}"))
+                    os.unlink(lock)
                 except FileNotFoundError:
                     pass
+                return self.gc()
+            remaining = sum(
+                1
+                for n in os.listdir(self.path)
+                if n.endswith(".begin.json")
+            )
+            return {
+                "folded": 0,
+                "pending_markers": remaining,
+                "skipped": "concurrent gc holds the lock",
+            }
+        try:
+            ck = _coordinator_checkpoint(self.path)
+            committed = set(ck["committed"])
+            aborted = set(ck["aborted"])
+            folded: set[str] = set()
+            for name in sorted(os.listdir(self.path)):
+                if name.endswith(".committed.json"):
+                    txn_id = name[: -len(".committed.json")]
+                    committed.add(txn_id)
+                    folded.add(txn_id)
+                elif name.endswith(".aborted.json"):
+                    txn_id = name[: -len(".aborted.json")]
+                    aborted.add(txn_id)
+                    folded.add(txn_id)
+            # re-merge the checkpoint as written NOW: union with any
+            # verdicts a racing writer folded since our read above
+            ck2 = _coordinator_checkpoint(self.path)
+            committed |= set(ck2["committed"])
+            aborted |= set(ck2["aborted"])
+            aborted -= committed  # committed-wins, same rule as status()
+            tmp = os.path.join(self.path, f".tmp-ck-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "committed": sorted(committed),
+                        "aborted": sorted(aborted),
+                    },
+                    f,
+                )
+            os.replace(tmp, os.path.join(self.path, "_checkpoint.json"))
+            for txn_id in folded:
+                for suffix in (
+                    ".begin.json",
+                    ".committed.json",
+                    ".aborted.json",
+                ):
+                    try:
+                        os.unlink(
+                            os.path.join(self.path, f"{txn_id}{suffix}")
+                        )
+                    except FileNotFoundError:
+                        pass
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
         remaining = sum(
             1
             for n in os.listdir(self.path)
@@ -2339,8 +2394,14 @@ class VersionedTable:
                 "(parquet|csv|json|orc)"
             )
         if any(ch in source for ch in "*?["):
+            # same marker-file filter as the directory branch: a glob
+            # like '<dir>/*' must not ingest _SUCCESS/.crc sidecars (or
+            # behave differently from COPY INTO t FROM '<dir>')
             cands = sorted(
-                p for p in _glob.glob(source) if os.path.isfile(p)
+                p
+                for p in _glob.glob(source)
+                if os.path.isfile(p)
+                and not os.path.basename(p).startswith((".", "_"))
             )
         elif os.path.isdir(source):
             cands = sorted(

@@ -601,3 +601,62 @@ def test_txn_gc_crash_between_checkpoint_and_unlink(spark, tmp_path):
     )
     ck = json.load(open(os.path.join(coord.path, "_checkpoint.json")))
     assert t["id"] in ck["committed"]
+
+
+def test_committed_wins_over_stale_aborted_marker_after_gc(spark, tmp_path):
+    """The round-10 committed-wins ordering fix: after gc folds a
+    COMMITTED verdict (its marker unlinked, verdict in the checkpoint),
+    a stale .aborted.json published by a crashed/racing abort() must
+    NOT flip the txn — both committed records are consulted before any
+    aborted record, and the staged commits stay visible."""
+    import json
+    import os
+
+    import daas_apps_spark.sources.table_format as tf
+
+    base = tmp_path / "cw"
+    coord = tf.MultiTableTxn(str(base / "coord"))
+    vt = VersionedTable(spark, str(base / "t"))
+    txn = coord.begin()
+    vt.append(_df(spark, [(1, 1)]), txn=txn)
+    coord.commit(txn)
+    coord.gc()  # committed marker folded away
+    # a zombie abort() writes its marker directly (the public abort()
+    # would refuse — this is the crashed-writer race the fix covers)
+    with open(
+        os.path.join(coord.path, f"{txn['id']}.aborted.json"), "w"
+    ) as f:
+        json.dump({"ts": 0}, f)
+    tf._TXN_STATUS_CACHE.clear()
+    assert coord.status(txn) == "committed"
+    assert vt.read().count() == 1  # staged commit still visible
+    # and the next gc folds the stale marker away under committed-wins
+    coord.gc()
+    tf._TXN_STATUS_CACHE.clear()
+    assert coord.status(txn) == "committed"
+
+
+def test_gc_serializes_via_lock(tmp_path):
+    """A concurrent gc (simulated by a held lock file) SKIPS instead of
+    interleaving read-modify-write on the checkpoint; a stale crashed
+    lock is broken."""
+    import os
+    import time
+
+    import daas_apps_spark.sources.table_format as tf
+
+    coord = tf.MultiTableTxn(str(tmp_path / "coord"))
+    t = coord.begin()
+    coord.commit(t)
+    lock = os.path.join(coord.path, ".gc.lock")
+    with open(lock, "w") as f:
+        f.write("held")
+    out = coord.gc()
+    assert out["folded"] == 0 and "skipped" in out
+    assert coord.status(t) == "committed"  # nothing was dropped
+    # stale lock (crashed gc): broken and the fold proceeds
+    os.utime(lock, (time.time() - 600, time.time() - 600))
+    out = coord.gc()
+    assert out["folded"] == 1
+    assert not os.path.exists(lock)
+    assert coord.status(t) == "committed"

@@ -207,3 +207,31 @@ def test_identity_recorded_in_commit_metadata(spark, tmp_path, landing):
     assert sorted(md["copy_into_add"]) == [
         os.path.abspath(p) for p in _files(landing)
     ]
+
+
+def test_glob_skips_marker_files_like_directory_source(spark, tmp_path):
+    """'<dir>/*' and '<dir>' must ingest the same files: Spark marker
+    sidecars (_SUCCESS, .crc, _started…) are skipped by BOTH branches
+    (the round-10 glob-parity fix — before it, a glob matched _SUCCESS
+    and failed the load or ingested junk)."""
+    import os
+
+    land = tmp_path / "landing"
+    os.makedirs(land)
+    spark.range(5).toDF("k").coalesce(1).write.parquet(str(land / "part"))
+    # flatten: move the real parquet up, plant marker junk beside it
+    real = [
+        n for n in os.listdir(land / "part") if n.endswith(".parquet")
+    ][0]
+    os.rename(land / "part" / real, land / "rows.parquet")
+    for junk in ("_SUCCESS", ".hidden.crc", "_started_123"):
+        with open(land / junk, "w") as f:
+            f.write("x")
+    vt_glob = VersionedTable(spark, str(tmp_path / "tg"))
+    out = vt_glob.copy_into(str(land / "*"))
+    assert out["num_loaded_files"] == 1
+    assert vt_glob.read().count() == 5
+    vt_dir = VersionedTable(spark, str(tmp_path / "td"))
+    out2 = vt_dir.copy_into(str(land))
+    assert out2["num_loaded_files"] == 1
+    assert vt_dir.read().count() == 5
