@@ -136,6 +136,46 @@ def main() -> None:
 
     import gc
 
+    def _calibration() -> dict:
+        """Machine-speed anchors, recorded per run and NEVER part of the
+        headline total: a fixed pure-CPU spin (Python single-core), a
+        fixed JVM aggregate (spark.range sum — JIT'd multicore compute
+        with no IO), and a fixed single-file parquet scan (pyarrow,
+        page-cache-warm IO/decode bandwidth). Cross-round bench deltas
+        conflate code and machine — round 9's apparent +15% regression
+        was proven (by a judge A/B on identical hardware state) to be
+        machine variance — so every BENCH_rNN.json now carries its own
+        calibration row and tools/gen_readme_bench.py prints the
+        round-over-round delta NORMALIZED by these anchors, letting the
+        artifact itself separate code change from machine change."""
+        import pyarrow.parquet as pq
+
+        def med3(fn) -> float:
+            fn()  # warm (page cache / JIT) — anchors measure steady state
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            return round(_median(runs), 4)
+
+        anchor = "/root/testdata/sf0.01/lineitem.parquet"
+        if not os.path.exists(anchor):
+            anchor = os.path.join(run_dir, "lineitem.parquet")
+        return {
+            "cpu_spin": med3(
+                lambda: sum((i * i) % 7 for i in range(5_000_000))
+            ),
+            "jvm_range_agg": med3(
+                lambda: spark.range(0, 50_000_000, 1, 8)
+                .selectExpr("sum(id * id) AS s")
+                .collect()
+            ),
+            "io_scan": med3(lambda: pq.read_table(anchor)),
+        }
+
+    calibration = _calibration()
+
     def _timed_round(spec) -> list[float]:
         """One median-of-RUNS sample set for a query (warmup + RUNS timed)."""
         # GC fence: scratch-table builds (the lakehouse rows) and py4j
@@ -241,6 +281,9 @@ def main() -> None:
                 "stat": "median",
                 "max_spread": round(max(spread.values()), 2) if spread else None,
                 "layout": layout,
+                # machine-speed anchors (see _calibration): normalize
+                # cross-round comparisons, never in the headline total
+                "calibration": calibration,
             },
             # compact separators: the consumer captures a bounded stdout
             # tail, so every byte of margin on this line counts

@@ -2415,6 +2415,71 @@ def a49_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a50_create_table_clauses",
+    oracle="""
+    SELECT o_orderkey % 8 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(1 AS BIGINT) AS ids_ok
+    FROM orders GROUP BY 1
+    """,
+    tags=("A50", "A28", "A34", "A40", "A41", "A45"),
+)
+def a50_create_table_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE clause parity (sql_dml.py::_run_create): a
+    migrating user's ONE-SHOT DDL — identity column, generated column,
+    CHECK constraint, and CLUSTER BY declared inside CREATE TABLE —
+    lowers to the existing post-create ALTER calls in one
+    script-visible sequence (commit-for-commit parity with the
+    incremental path is pinned in tests/test_sql_dml.py). The orders
+    then land through the write funnel, which assigns the identity
+    (start 500 step 2 — every id even and ≥ 500), computes the
+    generated bucket (o_orderkey % 8, the declared clustering axis, so
+    the very first write range-partitions on it), and validates the
+    constraint (a negative-price insert is REFUSED in-function). The
+    census groups by the generated bucket; identity values are
+    partition-dependent, so their invariants — uniqueness, floor,
+    parity — fold into a constant flag, the a41 discipline.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a50_ddl_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a50_orders_src")
+    s.sql(
+        """CREATE TABLE fact (
+            o_orderkey bigint, o_orderstatus string, o_totalprice double,
+            rid BIGINT GENERATED ALWAYS AS IDENTITY
+                (START WITH 500 INCREMENT BY 2),
+            bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 8),
+            CONSTRAINT nonneg CHECK (o_totalprice >= 0)
+        ) CLUSTER BY (bucket)"""
+    )
+    s.sql(
+        "INSERT INTO fact SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM a50_orders_src"
+    )
+    from daas_apps_spark.sources.table_format import (
+        ConstraintViolationError,
+    )
+
+    try:
+        s.sql("INSERT INTO fact VALUES (999999999, 'X', -1.0)")
+        raise AssertionError("CHECK constraint from CREATE did not hold")
+    except ConstraintViolationError:
+        pass
+    return s.sql(
+        "SELECT bucket, count(*) AS n_rows, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) "
+        "AS revenue, "
+        "CAST(count(DISTINCT rid) = count(*) "
+        "AND min(rid) >= 500 AND max(rid % 2) = 0 AS bigint) AS ids_ok "
+        "FROM fact GROUP BY bucket"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

@@ -13,9 +13,15 @@ never a re-implementation:
     INSERT INTO|OVERWRITE t [(c1, c2, ...)]
         SELECT ... | VALUES (...), (...)
     TRUNCATE TABLE t
-    CREATE TABLE [IF NOT EXISTS] t (col type, ...)
-        [USING versioned] [LOCATION '<path>']
-    CREATE TABLE [IF NOT EXISTS] t AS SELECT ...
+    CREATE TABLE [IF NOT EXISTS] t (col type, ...,
+        [col GENERATED ALWAYS AS (expr),]
+        [col BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n
+            INCREMENT BY m)],]
+        [CONSTRAINT name CHECK (expr),] ...)
+        [USING versioned] [LOCATION '<path>'] [CLUSTER BY (c1, ...)]
+        -- clause declarations lower to the post-create ALTER sequence,
+        -- commit-for-commit
+    CREATE TABLE [IF NOT EXISTS] t [CLUSTER BY (c1, ...)] AS SELECT ...
     DROP TABLE [IF EXISTS] t        -- catalog; managed data removed
     SHOW TABLES                     -- catalog listing
     CREATE VIEW [IF NOT EXISTS] v AS SELECT ...   -- stored SQL text,
@@ -1373,8 +1379,11 @@ def _run_create(spark: SparkSession, text: str, tables: dict, catalog):
     without LOCATION the table is managed under the catalog root."""
     bad = ValueError(
         "unsupported CREATE TABLE shape; supported: CREATE TABLE "
-        "[IF NOT EXISTS] <name> (col type, ...) [USING versioned] "
-        "[LOCATION '<path>'] | CREATE TABLE [IF NOT EXISTS] <name> "
+        "[IF NOT EXISTS] <name> (col type | col GENERATED ALWAYS AS "
+        "(expr) | col BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH "
+        "n INCREMENT BY m)] | CONSTRAINT name CHECK (expr), ...) "
+        "[USING versioned] [LOCATION '<path>'] [CLUSTER BY (c1, ...)] "
+        "| CREATE TABLE [IF NOT EXISTS] <name> [CLUSTER BY (c1, ...)] "
         "AS SELECT ..."
     )
     head = re.match(
@@ -1407,7 +1416,12 @@ def _run_create(spark: SparkSession, text: str, tables: dict, catalog):
             spark, catalog.create(name, location, if_not_exists=ine)
         )
 
-    m = re.match(r"^AS\s+(?P<src>(SELECT|WITH)\b.+)$", rest, re.I | re.S)
+    m = re.match(
+        r"^(?:CLUSTER\s+BY\s*\((?P<cl>[^)]+)\)\s+)?"
+        r"AS\s+(?P<src>(SELECT|WITH)\b.+)$",
+        rest,
+        re.I | re.S,
+    )
     if m:
         vt = _target(None)
         if vt.latest_version() > 0:
@@ -1418,6 +1432,10 @@ def _run_create(spark: SparkSession, text: str, tables: dict, catalog):
                 f"(v{vt.latest_version()}) — INSERT INTO it, or DROP "
                 "TABLE it first"
             )
+        if m.group("cl"):
+            # layout declared BEFORE the data lands, so the CTAS write
+            # itself range-partitions on the clustering axes
+            vt.set_layout([c.strip() for c in m.group("cl").split(",")])
         df = spark.sql(_rewrite_tables(spark, m.group("src"), tables))
         vt.append(df)
         return vt
@@ -1444,29 +1462,134 @@ def _run_create(spark: SparkSession, text: str, tables: dict, catalog):
             raise bad
         cols_ddl = rest[1:end].strip()
         tail = rest[end + 1 :].strip()
-        tm = re.match(
-            r"^(?:USING\s+(?P<fmt>\w+)\s*)?"
-            r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?$",
-            tail,
-            re.I,
-        )
-        if not tm:
+        # tail clauses in any order: USING <fmt>, LOCATION '<path>',
+        # CLUSTER BY (c1, c2[, ...])
+        fmt = loc = None
+        cluster: list[str] | None = None
+        tt = tail
+        while tt:
+            mu = re.match(r"^USING\s+(\w+)\s*", tt, re.I)
+            if mu and fmt is None:
+                fmt = mu.group(1)
+                tt = tt[mu.end():]
+                continue
+            ml = re.match(r"^LOCATION\s+'([^']+)'\s*", tt, re.I)
+            if ml and loc is None:
+                loc = ml.group(1)
+                tt = tt[ml.end():]
+                continue
+            mc = re.match(r"^CLUSTER\s+BY\s*\(([^)]+)\)\s*", tt, re.I)
+            if mc and cluster is None:
+                cluster = [c.strip() for c in mc.group(1).split(",")]
+                tt = tt[mc.end():]
+                continue
             raise bad
-        if tm.group("fmt") and tm.group("fmt").lower() != "versioned":
+        if fmt and fmt.lower() != "versioned":
             raise ValueError(
-                f"unsupported table format {tm.group('fmt')!r}; this "
+                f"unsupported table format {fmt!r}; this "
                 "catalog creates USING versioned tables only"
             )
+        # column-list items: plain `c type`, table CONSTRAINTs, and
+        # generated/identity column clauses — one-shot DDL parity with
+        # the post-create ALTER sequence (lowered to exactly those
+        # calls, commit-for-commit; pinned in tests/test_sql_dml.py)
+        plain_cols: list[str] = []
+        constraints: list[tuple[str, str]] = []
+        generated: list[tuple[str, str, str | None]] = []
+        identities: list[tuple[str, int, int]] = []
+        for item in _split_top_level(cols_ddl):
+            it = item.strip()
+            mcon = re.match(
+                r"^CONSTRAINT\s+(\w+)\s+CHECK\s*\((?P<e>.+)\)\s*$",
+                it,
+                re.I | re.S,
+            )
+            if mcon:
+                constraints.append((mcon.group(1), mcon.group("e").strip()))
+                continue
+            mid = re.match(
+                r"^(?P<c>\w+)(?:\s+(?P<ty>[A-Za-z_][\w(),\s]*?))?\s+"
+                r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
+                r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*$",
+                it,
+                re.I,
+            )
+            if mid:
+                if mid.group("ty") and mid.group("ty").strip().lower() not in (
+                    "bigint",
+                    "long",
+                ):
+                    raise ValueError(
+                        f"identity column {mid.group('c')!r} must be "
+                        f"BIGINT (the engine assigns 64-bit values), "
+                        f"got {mid.group('ty').strip()!r}"
+                    )
+                identities.append(
+                    (
+                        mid.group("c"),
+                        int(mid.group("start") or 1),
+                        int(mid.group("step") or 1),
+                    )
+                )
+                continue
+            mgen = re.match(
+                r"^(?P<c>\w+)(?:\s+(?P<ty>[A-Za-z_][\w(),\s]*?))?\s+"
+                r"GENERATED\s+ALWAYS\s+AS\s*\((?P<e>.+)\)\s*$",
+                it,
+                re.I | re.S,
+            )
+            if mgen:
+                generated.append(
+                    (
+                        mgen.group("c"),
+                        mgen.group("e").strip(),
+                        (mgen.group("ty") or "").strip() or None,
+                    )
+                )
+                continue
+            plain_cols.append(it)
+        if not plain_cols:
+            raise ValueError(
+                f"CREATE TABLE {name}: at least one plain column is "
+                "required (identity/generated columns are engine-"
+                "computed and cannot be the whole schema)"
+            )
         try:
-            empty = spark.createDataFrame([], cols_ddl)
+            empty = spark.createDataFrame([], ", ".join(plain_cols))
         except Exception as e:  # noqa: BLE001 — classify, don't swallow
             raise ValueError(
                 f"CREATE TABLE {name}: column definitions do not parse "
                 f"as a schema: {cols_ddl!r}"
             ) from e
-        vt = _target(tm.group("loc"))
+        # a declared generated-column type must match what its
+        # expression resolves to over the plain columns — a silent
+        # mismatch would surprise every later read
+        for c, e, ty in generated:
+            if ty is None:
+                continue
+            got = empty.selectExpr(
+                f"CAST(NULL AS {ty}) AS _d", f"{e} AS _g"
+            ).schema
+            if got["_g"].dataType != got["_d"].dataType:
+                raise ValueError(
+                    f"generated column {c!r}: declared type {ty!r} but "
+                    f"the expression resolves to "
+                    f"{got['_g'].dataType.simpleString()!r} — drop the "
+                    "type or fix the expression"
+                )
+        vt = _target(loc)
         if vt.latest_version() > 0:
-            if tm.group("loc"):
+            if constraints or generated or identities or cluster:
+                if ine:
+                    return vt
+                raise ValueError(
+                    f"table {name!r} already exists — CREATE TABLE "
+                    "clause declarations (CONSTRAINT/GENERATED/"
+                    "IDENTITY/CLUSTER BY) cannot be re-applied to an "
+                    "existing table; use ALTER TABLE"
+                )
+            if loc:
                 # registering an EXISTING external table: the declared
                 # schema must name the same columns as the data on disk
                 # (a silent mismatch would misdirect every later INSERT)
@@ -1489,6 +1612,19 @@ def _run_create(spark: SparkSession, text: str, tables: dict, catalog):
                 f"table {name!r} already exists (v{vt.latest_version()})"
             )
         vt.append(empty)  # v1: the declared schema, zero rows
+        # clause lowering, one commit each in declaration-class order —
+        # generated columns, identity columns, constraints, clustering —
+        # EXACTLY the post-create ALTER sequence (commit-for-commit
+        # parity pinned in tests), so one-shot migration DDL and the
+        # incremental path produce indistinguishable tables
+        for c, e, _ty in generated:
+            vt.set_generated_column(c, e)
+        for c, st, sp in identities:
+            vt.set_identity_column(c, start=st, step=sp)
+        for cname, e in constraints:
+            vt.add_constraint(cname, e)
+        if cluster:
+            vt.set_layout(cluster)
         return vt
     raise bad
 

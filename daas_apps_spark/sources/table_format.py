@@ -2950,7 +2950,15 @@ class VersionedTable:
                 raise ValueError("set_layout: target_files must be >= 1")
             live, _, _, _ = self._replay(None)
             if live:
-                have = self._logical_columns(live)
+                # declared-but-unmaterialized generated/identity columns
+                # are legal clustering axes: the write funnel computes
+                # them on every data write, so the very first clustered
+                # file already carries the column
+                have = (
+                    set(self._logical_columns(live))
+                    | set(self.generated_columns())
+                    | set(self.identity_columns())
+                )
                 missing = [c for c in cluster_by if c.lower() not in have]
                 if missing:
                     raise ValueError(

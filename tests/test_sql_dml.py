@@ -616,3 +616,117 @@ def test_insert_with_column_list(spark, tmp_path):
         run_sql(spark, "INSERT INTO t (k, k) VALUES (1, 2)", t)
     with pytest.raises(ValueError, match="column list"):
         run_sql(spark, "INSERT INTO t (k, v) VALUES (1)", t)
+
+
+def test_create_table_clauses_commit_parity(spark, tmp_path):
+    """One-shot CREATE TABLE with GENERATED / IDENTITY / CONSTRAINT /
+    CLUSTER BY clauses produces EXACTLY the commit sequence of the
+    incremental CREATE + ALTER path — (operation, metadata) pairs equal
+    commit-for-commit — so migration DDL and organic evolution yield
+    indistinguishable tables."""
+    import json
+    import os
+
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.sql(
+        """CREATE TABLE oneshot (
+            ts timestamp, amount decimal(10,2),
+            day date GENERATED ALWAYS AS (to_date(ts)),
+            rid BIGINT GENERATED ALWAYS AS IDENTITY
+                (START WITH 100 INCREMENT BY 10),
+            CONSTRAINT pos CHECK (amount > 0)
+        ) CLUSTER BY (day)"""
+    )
+    s.script(
+        """
+        CREATE TABLE stepwise (ts timestamp, amount decimal(10,2));
+        ALTER TABLE stepwise ADD COLUMN day GENERATED ALWAYS AS
+            (to_date(ts));
+        ALTER TABLE stepwise ADD COLUMN rid GENERATED ALWAYS AS IDENTITY
+            (START WITH 100 INCREMENT BY 10);
+        ALTER TABLE stepwise ADD CONSTRAINT pos CHECK (amount > 0);
+        ALTER TABLE stepwise CLUSTER BY (day)
+        """
+    )
+
+    def commits(name):
+        p = s.catalog.resolve(name)
+        out = []
+        for n in sorted(os.listdir(os.path.join(p, "_log"))):
+            if n.endswith(".json") and not n.startswith("."):
+                with open(os.path.join(p, "_log", n)) as f:
+                    c = json.load(f)
+                out.append(
+                    (
+                        c.get("operation"),
+                        json.dumps(c.get("metadata"), sort_keys=True),
+                    )
+                )
+        return out
+
+    assert commits("oneshot") == commits("stepwise")
+    # both tables behave identically under a write: identity assigned,
+    # generated computed, constraint enforced, layout applied
+    for t in ("oneshot", "stepwise"):
+        s.sql(
+            f"INSERT INTO {t} VALUES "
+            "(TIMESTAMP '2026-01-03 10:00:00', 5.00), "
+            "(TIMESTAMP '2026-02-01 00:00:00', 7.50)"
+        )
+        rows = s.sql(
+            f"SELECT rid, CAST(day AS string) AS day FROM {t} "
+            "ORDER BY rid"
+        ).collect()
+        assert [r.day for r in rows] == ["2026-01-03", "2026-02-01"]
+        assert all(r.rid >= 100 and r.rid % 10 == 0 for r in rows)
+
+
+def test_create_table_clause_refusals(spark, tmp_path):
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="must be BIGINT"):
+        s.sql("CREATE TABLE b1 (id INT GENERATED ALWAYS AS IDENTITY, x int)")
+    with pytest.raises(ValueError, match="declared type"):
+        s.sql(
+            "CREATE TABLE b2 (ts timestamp, "
+            "d int GENERATED ALWAYS AS (to_date(ts)))"
+        )
+    with pytest.raises(ValueError, match="at least one plain column"):
+        s.sql("CREATE TABLE b3 (id BIGINT GENERATED ALWAYS AS IDENTITY)")
+    # clause DDL over an existing table must go through ALTER
+    s.sql("CREATE TABLE t1 (k bigint)")
+    with pytest.raises(ValueError, match="ALTER TABLE"):
+        s.sql(
+            "CREATE TABLE t1 (k bigint, CONSTRAINT c CHECK (k > 0))"
+        )
+
+
+def test_ctas_cluster_by_lands_clustered(spark, tmp_path):
+    """CREATE TABLE ... CLUSTER BY (c) AS SELECT: the layout commit
+    precedes the data commit, so the CTAS write itself lands
+    range-partitioned on the axis (disjoint per-file min/max)."""
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    spark.range(0, 10000).selectExpr(
+        "id AS k", "id % 97 AS v"
+    ).createOrReplaceTempView("ctas_src")
+    s.sql("CREATE TABLE clus CLUSTER BY (k) AS SELECT k, v FROM ctas_src")
+    vt = VersionedTable(spark, s.catalog.resolve("clus"))
+    assert vt.layout()["cluster_by"] == ["k"]
+    # the CTAS data commit follows the layout commit and carries
+    # per-file k stats with DISJOINT ranges (range-partitioned write)
+    data = vt.history()[-1]
+    assert data["operation"] == "append"
+    spans = sorted(
+        (fs["k"][0], fs["k"][1])
+        for files in data["file_stats"].values()
+        for fs in files.values()
+    )
+    assert len(spans) > 1
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
