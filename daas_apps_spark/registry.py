@@ -73,64 +73,66 @@ def _load_all() -> None:
 # keep module registration order behind these. Recompute per round from
 # CORRECTNESS_r*.json (oldest last-seen first).
 WINDOW_PRIORITY: list[str] = [
-    # round-9 debuts (must be sampled in their debut round)
-    "a44_conditional_merge",
-    "a45_sql_catalog",
-    "a46_copy_into",
-    "a47_sql_surface_r9",
-    "k69_incremental_ann",
-    "k70_lakehouse_corpus_ingest",
-    # last evidence round 1 (incl. the deliberately-deferred flagship)
-    "q1_pricing_summary",
-    "h_math_functions",
-    "h_string_functions",
-    # last evidence round 2
-    "b2_computed_projection",
-    "b6_conditional_expressions",
-    "c17_fuzzy_name_match",
-    "d6_ordered_collect",
-    "h_array_functions",
-    "h_array_nested_functions",
-    "h_map_functions",
-    "k17_incremental_dedup",
-    "k1_exact_dedup",
-    "k2_minhash_signatures",
-    "k2_simhash",
-    "k31_minhash_estimator_audit",
-    "k3_dedup_clusters",
-    "k3_lsh_near_dedup",
-    "k3_ngram_jaccard",
-    "k43_survivor_policies",
-    "k47_leakage_safe_split",
-    "k54_cross_source_dup_matrix",
-    "k66_neardup_transitivity",
-    # oldest round-3 evidence (B SQL front-end + the as-of trio +
-    # the first TPC-H compositions); the rest of r3 rolls into r10
-    "b9_correlated_exists",
-    "b10_lateral_topk",
-    "b11_scalar_subquery",
-    "b12_parameterized_sql",
-    "b13_recursive_cte",
-    "b14_sql_scripting",
-    "b15_null_handling",
-    "b16_group_by_all",
-    "b17_pipe_syntax",
-    "b18_select_except",
-    "b19_values_inline_table",
-    "c10_asof_join",
-    "c10_asof_forward",
-    "c10_asof_nearest",
-    "c12_shipping_priority",
-    "c13_large_orders",
-    "c14_nullsafe_join",
-    "c15_bucketed_layout",
-    "c15_regional_revenue",
-    "c18_nation_volume",
-    "c19_excess_stock",
-    "c20_market_share",
-    # c21_bucketed_layout / c21_waiting_supplier roll to round 10 (the
-    # a47/k70 debut slots take precedence — debuts must be sampled in
-    # their debut round)
+    # round-10 debuts (must be sampled in their debut round)
+    "a48_materialized_view",
+    "a49_sql_transaction",
+    "a50_create_table_clauses",
+    # plan-changed this round (the map-side max_by centroid-assignment
+    # rewrite, VERDICT r9 prescription 1): re-verify under the driver
+    # gate even where r4/r5 evidence exists — changed code outranks
+    # stale-but-unchanged code in the rotation
+    "k4_ann_ivf_topk",
+    "k4_ann_ivf_pq_topk",
+    "k4_ann_ivf_pq_rerank",
+    "k13_kmeans_embed",
+    "k16_semantic_dedup",
+    "k25_quantized_recall",
+    "k49_truncation_recall",
+    # last evidence round 3: the full remaining r3 cohort — incl.
+    # c21_waiting_supplier / c21_bucketed_layout, rolled from round 9
+    # (commit 4027184) when the a47/k70 debut slots took precedence
+    "c21_bucketed_layout",
+    "c21_waiting_supplier",
+    "c22_small_quantity_revenue",
+    "c23_sales_opportunity",
+    "c24_customer_distribution",
+    "c25_order_priority_check",
+    "c26_disjunctive_brackets",
+    "c27_top_supplier",
+    "c28_supplier_part_census",
+    "c29_min_cost_supplier",
+    "i11_stream_left_join",
+    "i14_dynamic_session_window",
+    "i1_tumbling_window",
+    "i2_sliding_window",
+    "i3_session_window",
+    "i4_watermark_lateness",
+    "i5_streaming_dedup",
+    "i6_stateful_running",
+    "i7_stream_static_join",
+    "i8_stream_stream_join",
+    "j1_scalar_pandas_udf",
+    "j2_grouped_map_normalize",
+    "j3_grouped_agg_median",
+    "j4_mapinpandas_enrich",
+    "j5_cogrouped_reconcile",
+    "j6_udtf_bigrams",
+    "j7_sql_registered_udf",
+    # oldest round-4 evidence (data-quality battery first; the rest of
+    # r4 — graph kernels, remaining J/K names — rolls into round 11)
+    "dq2_key_uniqueness",
+    "dq3_distribution_drift",
+    "dq4_constraint_audit",
+    "dq5_functional_dependency",
+    "dq6_volume_anomaly",
+    "dq7_benford_audit",
+    "dq8_offset_completeness",
+    "dq9_embedding_audit",
+    "dq10_embedding_drift",
+    "dq11_out_of_orderness",
+    "dq12_full_row_duplicates",
+    "k4_cosine_topk",
+    "k4_embedding_neardup",
 ]
 
 

@@ -496,13 +496,21 @@ def run_sql(
         text = text[mh.end():]
     stripped = text.lstrip()
     verb = stripped.split(None, 1)[0].upper() if stripped.strip() else ""
-    if txn is not None and verb not in ("SELECT", "WITH", "INSERT"):
+    if txn is not None and verb not in (
+        "SELECT",
+        "WITH",
+        "INSERT",
+        "DELETE",
+        "UPDATE",
+        "TRUNCATE",
+    ):
         raise ValueError(
             f"{verb or text!r} is not supported inside BEGIN…COMMIT — a "
-            "transaction block stages append/overwrite writes only "
-            "(INSERT INTO|OVERWRITE; SELECT reads the pre-transaction "
-            "snapshot, staged writes become visible atomically at "
-            "COMMIT); COMMIT or ROLLBACK first"
+            "transaction block stages DML writes only (INSERT INTO|"
+            "OVERWRITE, DELETE, UPDATE, TRUNCATE TABLE — one write "
+            "statement per table per transaction; SELECT reads the "
+            "pre-transaction snapshot, staged writes become visible "
+            "atomically at COMMIT); COMMIT or ROLLBACK first"
         )
     if verb == "DELETE":
         m = _DELETE_RE.match(text)
@@ -512,7 +520,7 @@ def run_sql(
                 "DELETE FROM <table> WHERE <predicate>"
             )
         vt = _resolve(spark, tables, m.group("target"))
-        return vt.delete(m.group("pred"), mode=mode)
+        return vt.delete(m.group("pred"), mode=mode, txn=txn)
     if verb == "UPDATE":
         m = _UPDATE_RE.match(text)
         if not m:
@@ -527,7 +535,7 @@ def run_sql(
             if not am:
                 raise ValueError(f"cannot parse SET assignment {part!r}")
             assignments[am.group(1)] = am.group(2).strip()
-        return vt.update(m.group("pred"), assignments, mode=mode)
+        return vt.update(m.group("pred"), assignments, mode=mode, txn=txn)
     if verb == "MERGE":
         bad = ValueError(
             "unsupported MERGE shape; supported: MERGE INTO <table> "
@@ -913,7 +921,7 @@ def run_sql(
                 "unsupported TRUNCATE shape; supported: "
                 "TRUNCATE TABLE <table>"
             )
-        return _resolve(spark, tables, m.group("t")).truncate()
+        return _resolve(spark, tables, m.group("t")).truncate(txn=txn)
     if verb == "COPY":
         m = re.match(
             r"^\s*COPY\s+INTO\s+(?P<t>[A-Za-z_]\w*)\s+FROM\s+"
@@ -1182,8 +1190,9 @@ def run_sql_script(
     the per-statement results.
 
     ``BEGIN [TRANSACTION]; …; COMMIT`` brackets lower to the A38
-    MultiTableTxn coordinator: every INSERT inside the block stages its
-    commit under one txn marker (occupying a version slot, contributing
+    MultiTableTxn coordinator: every DML write inside the block (INSERT
+    INTO|OVERWRITE, DELETE, UPDATE, TRUNCATE — one write statement per
+    table per transaction) stages its commit under one txn marker (occupying a version slot, contributing
     no visible state), and COMMIT is the single atomic swap after which
     every staged write across every touched table resolves visible at
     once — ``ROLLBACK`` leaves them invisible forever (presumed abort).

@@ -370,6 +370,12 @@ def _resolve_txn_entries(entries: list[dict]) -> list[dict]:
             # (an aborted txn's dirs stay unprotected — reclaimable)
             ne["_txn_staged_add"] = list(e.get("add", []))
             ne["_txn_staged_dv_add"] = list(e.get("dv_add", []))
+            # whether the staged commit REWRITES state — a second
+            # same-txn write on this table must then refuse (see
+            # _commit's same-txn rewrite guard)
+            ne["_txn_staged_rewrite"] = bool(
+                e.get("remove") or e.get("dv_add") or e.get("dv_remove")
+            )
         out.append(ne)
     return out
 
@@ -1489,6 +1495,33 @@ class VersionedTable:
                 "(committing past a pending txn would make its "
                 "visibility flip retroactive)"
             )
+        if txn is not None:
+            # same-txn rewrite guard: every statement in a txn plans
+            # against the PRE-transaction snapshot (its own staged
+            # commits are neutered), so two rewriting plans on one
+            # table would stage overlapping removes — double-retiring
+            # dirs and resurrecting rewritten rows at the visibility
+            # flip. Blind appends are order-independent and may repeat;
+            # any combination involving a rewrite refuses.
+            mine = [
+                e
+                for e in commits
+                if e.get("_txn_pending") and e["txn"]["id"] == txn["id"]
+            ]
+            rewriting = bool(remove or dv_add or dv_remove)
+            if mine and (
+                rewriting
+                or any(e.get("_txn_staged_rewrite") for e in mine)
+            ):
+                raise CommitConflictError(
+                    "this transaction already staged a write on this "
+                    "table and one of the two is a REWRITE (DELETE/"
+                    "UPDATE/TRUNCATE/OVERWRITE) — each statement plans "
+                    "against the pre-transaction snapshot, so the "
+                    "staged removes would conflict at the visibility "
+                    "flip; repeated blind INSERTs are fine, otherwise "
+                    "COMMIT and start a new transaction"
+                )
         # latest derives from the SAME snapshot the conflict scan reads:
         # a second log listing here could see a commit the scan's list
         # lacks, and a plan would slip past both the matrix (entry not
@@ -4070,7 +4103,7 @@ class VersionedTable:
             read_version=rv,
         )
 
-    def truncate(self) -> int:
+    def truncate(self, txn: dict | None = None) -> int:
         """Delete EVERY row in one manifest commit — Delta's TRUNCATE
         TABLE. No data file is read: all live dirs and deletion vectors
         retire, and one fresh EMPTY dir carrying the current (merged)
@@ -4093,6 +4126,7 @@ class VersionedTable:
             add=[rel],
             remove=[os.path.basename(p) for p in live],
             dv_remove=self._live_dvs(),
+            txn=txn,
             read_version=rv,
         )
 
@@ -4263,7 +4297,9 @@ class VersionedTable:
             "delete", add=add, remove=remove, known_stats=known, read_version=rv
         )
 
-    def delete(self, condition: str, mode: str = "cow") -> int:
+    def delete(
+        self, condition: str, mode: str = "cow", txn: dict | None = None
+    ) -> int:
         """DELETE WHERE ``condition`` (any SQL predicate).
 
         ``mode="cow"`` (default): whole-table copy-on-write — the
@@ -4288,7 +4324,7 @@ class VersionedTable:
             raise ValueError(f"delete: unknown mode {mode!r} (cow|mor)")
         self._check_writer_features()
         if mode == "mor":
-            return self._delete_mor(condition)
+            return self._delete_mor(condition, txn=txn)
         rv = self.latest_version()
         # a row is deleted only when the predicate is TRUE; NULL (unknown)
         # keeps the row — SQL DELETE semantics. with_row_ids: a COW
@@ -4305,10 +4341,11 @@ class VersionedTable:
             # the rewrite applied every outstanding vector physically —
             # retire them with the files they referenced
             dv_remove=self._live_dvs(),
+            txn=txn,
             read_version=rv,
         )
 
-    def _delete_mor(self, condition: str) -> int:
+    def _delete_mor(self, condition: str, txn: dict | None = None) -> int:
         """Merge-on-read DELETE: record matching (file, position) pairs as
         a deletion vector, touching no data file. Positions come from the
         scan's own ``_metadata`` struct; already-deleted rows are excluded
@@ -4367,11 +4404,16 @@ class VersionedTable:
             remove=[],
             dv_add=[rel],
             metadata={"mode": "merge-on-read", "rows_deleted": n},
+            txn=txn,
             read_version=rv,
         )
 
     def update(
-        self, condition: str, assignments: dict[str, str], mode: str = "cow"
+        self,
+        condition: str,
+        assignments: dict[str, str],
+        mode: str = "cow",
+        txn: dict | None = None,
     ) -> int:
         """UPDATE ... SET — the third DML verb, completing
         append/merge/delete. ``assignments`` maps column name → SQL
@@ -4468,6 +4510,7 @@ class VersionedTable:
                 add=[rel],
                 remove=old,
                 dv_remove=self._live_dvs(),  # rewrite applied every vector
+                txn=txn,
                 read_version=rv,
             )
         # merge-on-read: deletion vector for the old positions + a new dir
@@ -4524,6 +4567,7 @@ class VersionedTable:
             remove=[],
             dv_add=[dv_rel],
             metadata={"mode": "merge-on-read", "rows_updated": n},
+            txn=txn,
             read_version=rv,
         )
 

@@ -79,12 +79,12 @@ def test_refusals(sess):
     sess.sql("INSERT INTO debit VALUES (1, 1.0)")
     sess.sql("BEGIN")
     for stmt in (
-        "DELETE FROM debit WHERE k = 1",
-        "UPDATE debit SET amt = 0 WHERE k = 1",
         "MERGE INTO debit AS t USING (SELECT 1 AS k, 2.0 AS amt) AS s "
         "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *",
         "CREATE TABLE t2 (k bigint)",
         "OPTIMIZE debit",
+        "VACUUM debit",
+        "COPY INTO debit FROM '/nonexistent'",
     ):
         with pytest.raises(ValueError, match="BEGIN"):
             sess.sql(stmt)
@@ -147,3 +147,79 @@ def test_gc_folds_sql_txverdicts(sess):
     out = coord.gc()
     assert out["folded"] == 2
     assert _counts(sess) == (1, 0)
+
+
+def test_delete_update_truncate_stage_in_txn(sess):
+    """Round-10 extension: DELETE / UPDATE (COW and MOR) and TRUNCATE
+    stage under the txn exactly like INSERT — invisible until COMMIT,
+    gone forever on ROLLBACK."""
+    sess.script(
+        "INSERT INTO debit VALUES (1, 10.0), (2, 20.0), (3, 30.0);"
+        "INSERT INTO credit VALUES (1, -10.0), (2, -20.0)"
+    )
+    # rollback twin: a staged MOR delete + COW update vanish
+    sess.script(
+        "BEGIN;"
+        "/*+ MOR */ DELETE FROM debit WHERE k = 1;"
+        "UPDATE credit SET amt = 0 WHERE k = 2;"
+        "ROLLBACK"
+    )
+    assert _counts(sess) == (3, 2)
+    assert sess.sql(
+        "SELECT amt FROM credit WHERE k = 2"
+    ).first().amt == -20.0
+    # commit twin: delete one table, update the other, atomically
+    sess.script(
+        "BEGIN;"
+        "/*+ MOR */ DELETE FROM debit WHERE k = 1;"
+        "UPDATE credit SET amt = amt * 2 WHERE k = 2;"
+        "COMMIT"
+    )
+    assert _counts(sess) == (2, 2)
+    assert sess.sql(
+        "SELECT amt FROM credit WHERE k = 2"
+    ).first().amt == -40.0
+    # truncate one side + reload it in one atomic swap
+    sess.script(
+        "BEGIN;"
+        "TRUNCATE TABLE credit;"
+        "INSERT INTO debit VALUES (9, 9.0);"
+        "COMMIT"
+    )
+    assert _counts(sess) == (3, 0)
+
+
+def test_same_txn_rewrite_guard(sess):
+    """Repeated blind INSERTs on one table inside a txn are
+    order-independent and allowed; any combination involving a REWRITE
+    (DELETE/UPDATE/TRUNCATE/OVERWRITE) refuses — each statement plans
+    against the pre-transaction snapshot, so two rewriting plans would
+    stage overlapping removes and corrupt the visibility flip."""
+    from daas_apps_spark.sources.table_format import CommitConflictError
+
+    sess.sql("INSERT INTO debit VALUES (1, 1.0)")
+    sess.sql("BEGIN")
+    sess.sql("INSERT INTO debit VALUES (2, 2.0)")
+    sess.sql("INSERT INTO debit VALUES (3, 3.0)")  # append+append: fine
+    with pytest.raises(CommitConflictError, match="REWRITE"):
+        sess.sql("DELETE FROM debit WHERE k = 1")  # rewrite after write
+    sess.sql("COMMIT")
+    assert _counts(sess)[0] == 3
+    sess.sql("BEGIN")
+    sess.sql("UPDATE debit SET amt = 0 WHERE k = 1")  # rewrite first
+    with pytest.raises(CommitConflictError, match="REWRITE"):
+        sess.sql("INSERT INTO debit VALUES (4, 4.0)")  # write after rewrite
+    sess.sql("ROLLBACK")
+    assert sess.sql(
+        "SELECT amt FROM debit WHERE k = 1"
+    ).first().amt == 1.0
+
+
+def test_merge_still_refused_in_txn(sess):
+    sess.sql("BEGIN")
+    with pytest.raises(ValueError, match="BEGIN"):
+        sess.sql(
+            "MERGE INTO debit AS t USING (SELECT 1 AS k, 1.0 AS amt) AS s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
+        )
+    sess.sql("ROLLBACK")
