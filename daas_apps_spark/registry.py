@@ -77,6 +77,7 @@ WINDOW_PRIORITY: list[str] = [
     "a48_materialized_view",
     "a49_sql_transaction",
     "a50_create_table_clauses",
+    "k71_corpus_stats_mv",
     # plan-changed this round (the map-side max_by centroid-assignment
     # rewrite, VERDICT r9 prescription 1): re-verify under the driver
     # gate even where r4/r5 evidence exists — changed code outranks
@@ -132,7 +133,6 @@ WINDOW_PRIORITY: list[str] = [
     "dq11_out_of_orderness",
     "dq12_full_row_duplicates",
     "k4_cosine_topk",
-    "k4_embedding_neardup",
 ]
 
 
