@@ -231,10 +231,10 @@ class SqlSession:
         directory, shared by every session on it), and COMMIT is the
         single swap that makes every staged write — across however many
         tables the block touched — visible at once. Inside a block,
-        INSERT/DELETE/UPDATE/TRUNCATE stage (one write statement per
-        table per transaction — the coordinator's pending guard
-        enforces it) and SELECT reads the pre-transaction snapshot;
-        other verbs refuse. A session dropped mid-transaction leaves
+        INSERT/DELETE/UPDATE/MERGE/TRUNCATE stage (one write statement
+        per table per transaction, except repeated blind INSERTs — the
+        same-txn rewrite guard enforces it) and SELECT reads the
+        pre-transaction snapshot; other verbs refuse. A session dropped mid-transaction leaves
         the txn pending — invisible, and swept by the coordinator's
         ``abort_abandoned()`` at restart (presumed abort)."""
         from daas_apps_spark.sources.sql_dml import (

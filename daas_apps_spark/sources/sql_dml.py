@@ -502,15 +502,17 @@ def run_sql(
         "INSERT",
         "DELETE",
         "UPDATE",
+        "MERGE",
         "TRUNCATE",
     ):
         raise ValueError(
             f"{verb or text!r} is not supported inside BEGIN…COMMIT — a "
             "transaction block stages DML writes only (INSERT INTO|"
-            "OVERWRITE, DELETE, UPDATE, TRUNCATE TABLE — one write "
-            "statement per table per transaction; SELECT reads the "
-            "pre-transaction snapshot, staged writes become visible "
-            "atomically at COMMIT); COMMIT or ROLLBACK first"
+            "OVERWRITE, DELETE, UPDATE, MERGE, TRUNCATE TABLE — one "
+            "write statement per table per transaction except repeated "
+            "blind INSERTs; SELECT reads the pre-transaction snapshot, "
+            "staged writes become visible atomically at COMMIT); "
+            "COMMIT or ROLLBACK first"
         )
     if verb == "DELETE":
         m = _DELETE_RE.match(text)
@@ -615,7 +617,7 @@ def run_sql(
         if plain_upsert and residual is None:
             # the full unconditional upsert pair: the anti-join/union
             # fast path (no outer join, no clause CASEs)
-            return vt.merge(source_df, keys)
+            return vt.merge(source_df, keys, txn=txn)
         if plain_upsert:
             # same pair under a residual ON: only merge_into implements
             # partial-match semantics — expand to the clause form
@@ -639,6 +641,7 @@ def run_sql(
             target_alias=talias,
             source_alias=salias,
             on_condition=residual,
+            txn=txn,
         )
     if verb in ("SELECT", "WITH"):
         # manifest fast path: a bare COUNT(*) over one declared table
@@ -969,6 +972,12 @@ def run_sql(
         )
     if verb == "ALTER":
         return _run_alter(spark, text, tables)
+    if verb == "EXPLAIN":
+        return _run_explain(spark, text, tables)
+    if verb == "SHOW" and re.match(
+        r"^\s*SHOW\s+CREATE\s+TABLE\b", text, re.I
+    ):
+        return _run_show_create(spark, text, tables, catalog)
     if verb == "CREATE" and re.match(
         r"^\s*CREATE\s+TABLE\b", text, re.I
     ):
@@ -1154,7 +1163,8 @@ def run_sql(
         "REFRESH MATERIALIZED VIEW / DROP [MATERIALIZED] VIEW / SHOW "
         "VIEWS / COPY INTO / TRUNCATE TABLE / ALTER "
         "TABLE / OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE HISTORY "
-        "/ CREATE|DROP BLOOMFILTER INDEX"
+        "/ CREATE|DROP BLOOMFILTER INDEX / EXPLAIN <query> / SHOW "
+        "CREATE TABLE / BEGIN|COMMIT|ROLLBACK (script/session)"
     )
 
 
@@ -1191,8 +1201,9 @@ def run_sql_script(
 
     ``BEGIN [TRANSACTION]; …; COMMIT`` brackets lower to the A38
     MultiTableTxn coordinator: every DML write inside the block (INSERT
-    INTO|OVERWRITE, DELETE, UPDATE, TRUNCATE — one write statement per
-    table per transaction) stages its commit under one txn marker (occupying a version slot, contributing
+    INTO|OVERWRITE, DELETE, UPDATE, MERGE, TRUNCATE — one write
+    statement per table per transaction, except repeated blind
+    INSERTs) stages its commit under one txn marker (occupying a version slot, contributing
     no visible state), and COMMIT is the single atomic swap after which
     every staged write across every touched table resolves visible at
     once — ``ROLLBACK`` leaves them invisible forever (presumed abort).
@@ -1993,3 +2004,101 @@ def _run_drop_view(spark: SparkSession, text: str, catalog):
             f"{name!r} is a {kind.replace('_', ' ')} — use {verb}"
         )
     return int(catalog.drop(name, if_exists=bool(m.group("ie"))))
+
+
+def _run_explain(spark: SparkSession, text: str, tables: dict) -> DataFrame:
+    """EXPLAIN [SIMPLE|EXTENDED|FORMATTED|COST|CODEGEN] <query>: the
+    query plans through the same table rewriting as SELECT (declared
+    tables, VERSION AS OF, views, TABLE_CHANGES) and the chosen
+    explain-mode string comes back as a one-row DataFrame — Spark's own
+    EXPLAIN surface over the versioned-table front-end."""
+    m = re.match(
+        r"^\s*EXPLAIN\s+"
+        r"(?:(?P<mode>SIMPLE|EXTENDED|FORMATTED|COST|CODEGEN)\s+)?"
+        r"(?P<q>(SELECT|WITH)\b.+?)\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported EXPLAIN shape; supported: EXPLAIN [SIMPLE|"
+            "EXTENDED|FORMATTED|COST|CODEGEN] SELECT ..."
+        )
+    from daas_apps_spark.operators.partitioning import physical_plan
+
+    df = spark.sql(_rewrite_tables(spark, m.group("q"), tables))
+    plan = physical_plan(df, (m.group("mode") or "simple").lower())
+    return spark.createDataFrame([(plan,)], "plan string")
+
+
+def _run_show_create(
+    spark: SparkSession, text: str, tables: dict, catalog
+) -> DataFrame:
+    """SHOW CREATE TABLE <t>: reconstruct the one-shot DDL — plain
+    columns from the merged table schema, generated/identity columns
+    from their declared rules, CHECK constraints, CLUSTER BY from the
+    active layout, LOCATION for external catalog entries — as a
+    statement _run_create would lower back to the very same commit
+    sequence (round-trip pinned in tests). The migration story's other
+    half: a50 takes one-shot DDL in; this emits it back out."""
+    m = re.match(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+        text,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported SHOW CREATE shape; supported: "
+            "SHOW CREATE TABLE <name>"
+        )
+    name = m.group("t")
+    vt = _resolve(spark, tables, name)
+    gen = vt.generated_columns()
+    ids = vt.identity_columns()
+    cons = vt.constraints()
+    layout = vt.layout()
+    items: list[str] = []
+    seen: set[str] = set()
+    try:
+        fields = vt.read(merge_schema=True).schema.fields
+    except ValueError:
+        fields = []
+    for f in fields:
+        lc = f.name.lower()
+        if lc.startswith("__"):
+            continue  # engine-internal (row tracking)
+        seen.add(lc)
+        if lc in ids:
+            d = ids[lc]
+            items.append(
+                f"{f.name} BIGINT GENERATED ALWAYS AS IDENTITY "
+                f"(START WITH {d['start']} INCREMENT BY {d['step']})"
+            )
+        elif lc in gen:
+            items.append(f"{f.name} GENERATED ALWAYS AS ({gen[lc]})")
+        else:
+            items.append(f"{f.name} {f.dataType.simpleString()}")
+    # declared-but-unmaterialized rules (no live file carries them yet)
+    for c, e in gen.items():
+        if c not in seen:
+            items.append(f"{c} GENERATED ALWAYS AS ({e})")
+    for c, d in ids.items():
+        if c not in seen:
+            items.append(
+                f"{c} BIGINT GENERATED ALWAYS AS IDENTITY "
+                f"(START WITH {d['start']} INCREMENT BY {d['step']})"
+            )
+    for cname, expr in sorted(cons.items()):
+        items.append(f"CONSTRAINT {cname} CHECK ({expr})")
+    stmt = f"CREATE TABLE {name} (\n  " + ",\n  ".join(items) + "\n)"
+    stmt += "\nUSING versioned"
+    if catalog is not None:
+        try:
+            e = catalog.entry(name)
+            if not e.get("managed", True):
+                stmt += f"\nLOCATION '{e['path']}'"
+        except FileNotFoundError:
+            pass  # ad-hoc table: no catalog entry, no LOCATION clause
+    if layout and layout.get("cluster_by"):
+        stmt += f"\nCLUSTER BY ({', '.join(layout['cluster_by'])})"
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")

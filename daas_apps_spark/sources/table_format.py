@@ -374,7 +374,10 @@ def _resolve_txn_entries(entries: list[dict]) -> list[dict]:
             # same-txn write on this table must then refuse (see
             # _commit's same-txn rewrite guard)
             ne["_txn_staged_rewrite"] = bool(
-                e.get("remove") or e.get("dv_add") or e.get("dv_remove")
+                e.get("remove")
+                or e.get("dv_add")
+                or e.get("dv_remove")
+                or t.get("exclusive")
             )
         out.append(ne)
     return out
@@ -1508,7 +1511,9 @@ class VersionedTable:
                 for e in commits
                 if e.get("_txn_pending") and e["txn"]["id"] == txn["id"]
             ]
-            rewriting = bool(remove or dv_add or dv_remove)
+            rewriting = bool(
+                remove or dv_add or dv_remove or txn.get("exclusive")
+            )
             if mine and (
                 rewriting
                 or any(e.get("_txn_staged_rewrite") for e in mine)
@@ -4667,6 +4672,7 @@ class VersionedTable:
         updates: DataFrame,
         keys: list[str],
         allow_schema_evolution: bool = False,
+        txn: dict | None = None,
     ) -> int:
         """Upsert (copy-on-write): rows matching on ``keys`` are replaced,
         the rest inserted.
@@ -4793,6 +4799,10 @@ class VersionedTable:
             remove=remove,
             known_stats=known,
             metadata=md or None,
+            # "exclusive": even a pure-insert merge decided its plan
+            # from the pre-txn snapshot — it must not share a table
+            # with any other same-txn write (see the same-txn guard)
+            txn=({**txn, "exclusive": True} if txn else None),
             read_version=rv,
         )
 
@@ -4808,6 +4818,7 @@ class VersionedTable:
         source_alias: str = "s",
         commit_metadata: dict | None = None,
         on_condition: str | None = None,
+        txn: dict | None = None,
     ) -> int:
         """CONDITIONAL merge — the full ANSI/Delta MERGE clause set,
         lowered to ONE copy-on-write commit (SQL surface: sql_dml.py):
@@ -5165,6 +5176,7 @@ class VersionedTable:
                 add=[rel],
                 remove=[],
                 metadata=commit_metadata,
+                txn=({**txn, "exclusive": True} if txn else None),
                 read_version=rv,
             )
         cur = self._to_logical(
@@ -5270,6 +5282,7 @@ class VersionedTable:
             remove=remove,
             known_stats=known,
             metadata=commit_metadata,
+            txn=({**txn, "exclusive": True} if txn else None),
             read_version=rv,
         )
 

@@ -730,3 +730,65 @@ def test_ctas_cluster_by_lands_clustered(spark, tmp_path):
     assert len(spans) > 1
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE emits DDL that _run_create lowers back to the
+    IDENTICAL commit sequence — the a50 migration story closed in both
+    directions."""
+    import json
+    import os
+
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    ddl = (
+        """CREATE TABLE src (
+            ts timestamp, amount decimal(10,2),
+            day date GENERATED ALWAYS AS (to_date(ts)),
+            rid BIGINT GENERATED ALWAYS AS IDENTITY
+                (START WITH 7 INCREMENT BY 3),
+            CONSTRAINT pos CHECK (amount > 0)
+        ) CLUSTER BY (day)"""
+    )
+    s.sql(ddl)
+    stmt = s.sql("SHOW CREATE TABLE src").first().createtab_stmt
+    assert "GENERATED ALWAYS AS (to_date(ts))" in stmt
+    assert "START WITH 7 INCREMENT BY 3" in stmt
+    assert "CONSTRAINT pos CHECK (amount > 0)" in stmt
+    assert "CLUSTER BY (day)" in stmt
+    # round trip: run the emitted DDL under a new name
+    s.sql(stmt.replace("CREATE TABLE src", "CREATE TABLE clone", 1))
+
+    def commits(name):
+        p = s.catalog.resolve(name)
+        out = []
+        for n in sorted(os.listdir(os.path.join(p, "_log"))):
+            if n.endswith(".json") and not n.startswith("."):
+                with open(os.path.join(p, "_log", n)) as f:
+                    c = json.load(f)
+                out.append(
+                    (
+                        c.get("operation"),
+                        json.dumps(c.get("metadata"), sort_keys=True),
+                    )
+                )
+        return out
+
+    assert commits("src") == commits("clone")
+
+
+def test_explain_verb(spark, twins):
+    a, _ = twins
+    out = run_sql(
+        spark, "EXPLAIN SELECT k, sum(x) AS s FROM t GROUP BY k", {"t": a}
+    ).first()
+    assert "Physical Plan" in out.plan
+    out = run_sql(
+        spark,
+        "EXPLAIN FORMATTED SELECT count(*) AS n FROM t WHERE k > 1",
+        {"t": a},
+    ).first()
+    assert "HashAggregate" in out.plan or "Aggregate" in out.plan
+    with pytest.raises(ValueError, match="unsupported EXPLAIN"):
+        run_sql(spark, "EXPLAIN DELETE FROM t WHERE k = 1", {"t": a})

@@ -79,8 +79,6 @@ def test_refusals(sess):
     sess.sql("INSERT INTO debit VALUES (1, 1.0)")
     sess.sql("BEGIN")
     for stmt in (
-        "MERGE INTO debit AS t USING (SELECT 1 AS k, 2.0 AS amt) AS s "
-        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *",
         "CREATE TABLE t2 (k bigint)",
         "OPTIMIZE debit",
         "VACUUM debit",
@@ -215,11 +213,42 @@ def test_same_txn_rewrite_guard(sess):
     ).first().amt == 1.0
 
 
-def test_merge_still_refused_in_txn(sess):
+def test_merge_stages_in_txn(sess):
+    """MERGE (both the upsert fast path and the conditional grammar)
+    stages under the txn; it is txn-EXCLUSIVE on its table — even its
+    pure-insert path planned against the pre-txn snapshot, so it
+    cannot share the table with another same-txn write."""
+    from daas_apps_spark.sources.table_format import CommitConflictError
+
+    sess.sql("INSERT INTO debit VALUES (1, 1.0), (2, 2.0)")
+    sess.script(
+        "BEGIN;"
+        "MERGE INTO debit AS t USING (SELECT 1 AS k, 10.0 AS amt "
+        "UNION ALL SELECT 3, 30.0) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT *;"
+        "INSERT INTO credit VALUES (1, -10.0);"
+        "ROLLBACK"
+    )
+    assert _counts(sess) == (2, 0)
+    assert sess.sql("SELECT amt FROM debit WHERE k = 1").first().amt == 1.0
+    sess.script(
+        "BEGIN;"
+        "MERGE INTO debit AS t USING (SELECT 1 AS k, 10.0 AS amt "
+        "UNION ALL SELECT 3, 30.0) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT *;"
+        "INSERT INTO credit VALUES (1, -10.0);"
+        "COMMIT"
+    )
+    assert _counts(sess) == (3, 1)
+    assert sess.sql("SELECT amt FROM debit WHERE k = 1").first().amt == 10.0
+    # exclusivity: merge + any other write on the SAME table refuses
     sess.sql("BEGIN")
-    with pytest.raises(ValueError, match="BEGIN"):
-        sess.sql(
-            "MERGE INTO debit AS t USING (SELECT 1 AS k, 1.0 AS amt) AS s "
-            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
-        )
+    sess.sql(
+        "MERGE INTO debit AS t USING (SELECT 9 AS k, 9.0 AS amt) AS s "
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"
+    )
+    with pytest.raises(CommitConflictError, match="REWRITE"):
+        sess.sql("INSERT INTO debit VALUES (8, 8.0)")
     sess.sql("ROLLBACK")
