@@ -481,8 +481,32 @@ def run_sql(
                 e = catalog.entry(n)
             except (FileNotFoundError, KeyError):
                 continue
-            if e.get("kind") == "view":
+            kind = e.get("kind", "table")
+            if kind == "view":
                 snap[n] = ViewDef(n, e["sql"])
+            elif kind == "materialized_view" and (e.get("mv") or {}).get(
+                "derived"
+            ):
+                # an MV with AVG items reads through a projection that
+                # derives each average from its hidden maintained sum
+                # over the maintained count; the state table itself is
+                # reachable as __mvstate_<name> (DESCRIBE/time travel)
+                mv = e["mv"]
+                state = f"__mvstate_{n}"
+                snap[state] = e["path"]
+                inv = {h: a for a, h in mv["derived"].items()}
+                items = [
+                    (
+                        f"CAST({c} AS double) / "
+                        f"CAST({mv['count_col']} AS double) AS {inv[c]}"
+                        if c in inv
+                        else c
+                    )
+                    for c in mv["order"]
+                ]
+                snap[n] = ViewDef(
+                    n, f"SELECT {', '.join(items)} FROM {state}"
+                )
             else:
                 snap[n] = e["path"]
         tables = {**snap, **tables}
@@ -1752,11 +1776,13 @@ _MV_QUERY_RE = re.compile(
 
 _MV_GRAMMAR = (
     "materialized views support ONE additive-aggregate block — "
-    "SELECT <group cols>, COUNT(*) AS <name>[, SUM(<expr>) AS <name> "
-    "...] FROM <versioned table> [WHERE <pred>] GROUP BY <group cols> — "
-    "the shape the change-feed IVM algebra can maintain exactly "
-    "(count/sum are distributive under insert +1 / delete -1; min/max "
-    "are not — keep those as plain views)"
+    "SELECT <group cols>, COUNT(*) AS <name>[, SUM(<expr>) AS <name>, "
+    "AVG(<expr>) AS <name> ...] FROM <versioned table> [WHERE <pred>] "
+    "GROUP BY <group cols> — the shape the change-feed IVM algebra can "
+    "maintain exactly (count/sum are distributive under insert +1 / "
+    "delete -1; AVG derives as a maintained hidden sum over the "
+    "maintained count; min/max are not maintainable under deletes — "
+    "keep those as plain views)"
 )
 
 
@@ -1830,6 +1856,7 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     group_cols: list[str] = []
     count_col: str | None = None
     sums: dict[str, str] = {}
+    derived: dict[str, str] = {}  # avg alias -> hidden maintained sum
     order: list[str] = []
     for it in _split_top_level(q.group("items")):
         it = it.strip()
@@ -1846,6 +1873,18 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         if sm:
             sums[sm.group("a")] = sm.group("e").strip()
             order.append(sm.group("a"))
+            continue
+        am = re.fullmatch(
+            r"AVG\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)", it, re.I | re.S
+        )
+        if am:
+            # AVG is NOT directly maintainable, but sum/count is: store
+            # a hidden maintained sum and derive the average at read
+            # time through the MV's read projection
+            hidden = f"__sum_{am.group('a')}"
+            sums[hidden] = am.group("e").strip()
+            derived[am.group("a")] = hidden
+            order.append(am.group("a"))
             continue
         if re.fullmatch(r"[A-Za-z_]\w*", it):
             group_cols.append(it)
@@ -1870,6 +1909,7 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     from daas_apps_spark.sources.table_format import additive_aggregate_state
 
     v0 = src_vt.latest_version()
+    state_order = [derived.get(o, o) for o in order]
     init = additive_aggregate_state(
         src_vt.read(version=v0, merge_schema=True),
         group_cols,
@@ -1877,14 +1917,15 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         sums,
         where=q.group("where"),
     )
-    init = _canonical_mv_state(init.select(*order))
+    init = _canonical_mv_state(init.select(*state_order))
     mvdef = {
         "source": src_name.lower(),
         "group_by": group_cols,
         "count_col": count_col,
         "sums": sums,
+        "derived": derived,
         "where": q.group("where"),
-        "order": order,
+        "order": state_order,
         "sql": body,
     }
     path = catalog.create(

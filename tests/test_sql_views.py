@@ -220,3 +220,40 @@ def test_mv_grammar_refusals(sess):
             "CREATE MATERIALIZED VIEW m AS SELECT k, COUNT(*) AS n "
             "FROM v GROUP BY k"
         )
+
+
+def test_mv_avg_derives_from_hidden_sum(sess):
+    """AVG items are not directly IVM-maintainable; the MV stores a
+    hidden maintained sum and derives the average at read time from
+    sum/count — exact under appends AND deletes, and the state table
+    stays reachable (time travel, DESCRIBE) as __mvstate_<name>."""
+    sess.sql(
+        "CREATE MATERIALIZED VIEW mva AS SELECT k, COUNT(*) AS n, "
+        "AVG(amt) AS mean, SUM(amt) AS total FROM t GROUP BY k"
+    )
+    sess.sql("INSERT INTO t VALUES ('a', 8.00), ('z', 4.00)")
+    sess.sql("/*+ MOR */ DELETE FROM t WHERE k = 'b'")
+    sess.sql("REFRESH MATERIALIZED VIEW mva")
+    got = sorted(
+        (r.k, r.n, float(r.mean), r.total)
+        for r in sess.sql("SELECT k, n, mean, total FROM mva").collect()
+    )
+    want = sorted(
+        (r.k, r.n, float(r.mean), r.total)
+        for r in sess.sql(
+            "SELECT k, COUNT(*) AS n, "
+            "CAST(SUM(amt) AS double) / count(*) AS mean, "
+            "CAST(SUM(amt) AS decimal(38,2)) AS total "
+            "FROM t GROUP BY k"
+        ).collect()
+    )
+    assert got == want
+    # hidden sum is invisible through the MV name
+    assert [
+        c for c in sess.sql("SELECT * FROM mva").columns
+    ] == ["k", "n", "mean", "total"]
+    # the state table is a first-class versioned table under the
+    # internal name: time travel + history work
+    assert sess.sql("DESCRIBE HISTORY __mvstate_mva").count() == 2
+    v1 = sess.sql("SELECT * FROM __mvstate_mva VERSION AS OF 1")
+    assert "__sum_mean" in v1.columns
