@@ -1945,16 +1945,21 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
     the source's change feed — (last covered version, head] only, the
     maintain_additive_aggregate IVM algebra — and record the new
     watermark in the refresh commit's metadata. A no-delta refresh is a
-    no-op (returns the current state version, commits nothing)."""
+    no-op (returns the current state version, commits nothing).
+    ``REFRESH … FULL`` recomputes the aggregate from the source's HEAD
+    snapshot instead — the escape hatch when log retention has dropped
+    the change-feed window past the MV's watermark (the incremental
+    path then raises its missing-commits error)."""
     m = re.match(
-        r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+        r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<t>[A-Za-z_]\w*)"
+        r"(?:\s+(?P<full>FULL))?\s*;?\s*$",
         text,
         re.I,
     )
     if not m:
         raise ValueError(
             "unsupported REFRESH shape; supported: "
-            "REFRESH MATERIALIZED VIEW <name>"
+            "REFRESH MATERIALIZED VIEW <name> [FULL]"
         )
     if catalog is None:
         raise ValueError("REFRESH MATERIALIZED VIEW needs a catalog")
@@ -1991,6 +1996,22 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
     v_from = max(applied)
     src_vt = _resolve(spark, tables, mv["source"])
     head = src_vt.latest_version()
+    if m.group("full"):
+        from daas_apps_spark.sources.table_format import (
+            additive_aggregate_state,
+        )
+
+        full = additive_aggregate_state(
+            src_vt.read(version=head, merge_schema=True),
+            mv["group_by"],
+            mv["count_col"],
+            mv["sums"],
+            where=mv.get("where"),
+        )
+        return mv_vt.overwrite(
+            _canonical_mv_state(full.select(*mv["order"])),
+            metadata={_MV_SRC_KEY: head},
+        )
     if head <= v_from:
         return mv_vt.latest_version()
     new = maintain_additive_aggregate(

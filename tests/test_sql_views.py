@@ -257,3 +257,22 @@ def test_mv_avg_derives_from_hidden_sum(sess):
     assert sess.sql("DESCRIBE HISTORY __mvstate_mva").count() == 2
     v1 = sess.sql("SELECT * FROM __mvstate_mva VERSION AS OF 1")
     assert "__sum_mean" in v1.columns
+
+
+def test_mv_refresh_full_recomputes(sess):
+    """REFRESH … FULL recomputes from the head snapshot — the escape
+    hatch when log retention dropped the feed window — and re-anchors
+    the watermark so later incremental refreshes resume cleanly."""
+    sess.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS n, "
+        "SUM(amt) AS total FROM t GROUP BY k"
+    )
+    sess.sql("INSERT INTO t VALUES ('q', 9.00)")
+    sess.sql("REFRESH MATERIALIZED VIEW mv FULL")
+    _mv_vs_recompute(sess)
+    # watermark re-anchored: incremental refresh is a clean no-op now
+    v = sess.sql("REFRESH MATERIALIZED VIEW mv")
+    assert v == sess.sql("REFRESH MATERIALIZED VIEW mv")
+    sess.sql("INSERT INTO t VALUES ('r', 1.00)")
+    sess.sql("REFRESH MATERIALIZED VIEW mv")
+    _mv_vs_recompute(sess)
