@@ -2480,6 +2480,93 @@ def a50_create_table_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a51_join_mv",
+    oracle="""
+    WITH fact0 AS (
+        SELECT o_custkey k, o_totalprice pr FROM orders
+    ), fact1 AS (
+        SELECT k, pr FROM fact0
+        UNION ALL SELECT k, pr * 2 FROM fact0 WHERE k % 5 = 0
+    ), fact AS (
+        SELECT * FROM fact1 WHERE NOT (pr > 400000)
+    ), dim AS (
+        SELECT c_custkey k,
+               CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT seg AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM fact JOIN dim ON fact.k = dim.k
+    GROUP BY seg
+    """,
+    tags=("A51", "A48", "A25", "A31", "C5"),
+)
+def a51_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized views over a JOIN (sql_dml.py join-MV arm +
+    table_format.py::maintain_join_additive_aggregate): the classic
+    fact ⋈ dim dashboard — revenue by market segment — maintained by
+    the signed delta-join algebra Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB, with
+    the old/new snapshots taken by TIME TRAVEL on each source's own
+    commit log (the versioned table hands the maintenance rule its
+    consistent frames for free). The session loads orders as the fact
+    and customer as the dim — deliberately WITHOUT every 7th customer,
+    so their fact rows are dark to the inner join — then: appends a
+    doubled fact slice, MOR-deletes the high-price tail, INSERTs the
+    late-arriving dim rows (their old fact rows must light up via
+    A_new⋈ΔB), and MOR-updates a dim stripe to a new segment (rows
+    must MIGRATE between groups: the update's delete+insert feed pair
+    subtracts from the old group and adds to the new). ONE REFRESH
+    folds all four; the DuckDB oracle recomputes the final census from
+    first principles. AVG derives from the hidden maintained sum.
+
+    At 100 TB this is the maintenance rule every star-schema dashboard
+    needs: each refresh costs |Δfact|⋈dim + fact⋈|Δdim| (delta-joins,
+    manifest-prunable on the key), never a recompute of fact⋈dim.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a51_jmv_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a51_orders_src")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "a51_customer_src"
+    )
+    s.script(
+        """
+        CREATE TABLE fact (custkey bigint, price double);
+        CREATE TABLE dim (custkey bigint, seg string);
+        INSERT INTO fact SELECT o_custkey, o_totalprice
+            FROM a51_orders_src;
+        INSERT INTO dim SELECT c_custkey, c_mktsegment
+            FROM a51_customer_src WHERE c_custkey % 7 <> 3;
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT seg, COUNT(*) AS n_orders,
+                   SUM(CAST(price AS decimal(18,4))) AS revenue,
+                   AVG(CAST(price AS decimal(18,4))) AS avg_price
+            FROM fact JOIN dim ON fact.custkey = dim.custkey
+            GROUP BY seg;
+        INSERT INTO fact SELECT o_custkey, o_totalprice * 2
+            FROM a51_orders_src WHERE o_custkey % 5 = 0
+        """
+    )
+    s.sql("/*+ MOR */ DELETE FROM fact WHERE price > 400000")
+    s.sql(
+        "INSERT INTO dim SELECT c_custkey, c_mktsegment "
+        "FROM a51_customer_src WHERE c_custkey % 7 = 3"
+    )
+    s.sql("/*+ MOR */ UPDATE dim SET seg = 'MOVED' WHERE custkey % 10 = 0")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    return s.sql(
+        "SELECT seg AS grp, n_orders, CAST(revenue AS double) AS revenue, "
+        "ROUND(avg_price, 6) AS avg_price FROM rev"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

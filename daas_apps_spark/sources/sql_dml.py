@@ -1766,23 +1766,50 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
 
 
 _MV_SRC_KEY = "mv_source_version"
+_MV_SRC2_KEY = "mv_source2_version"
 
 _MV_QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[A-Za-z_]\w*)"
+    r"(?:\s+JOIN\s+(?P<src2>[A-Za-z_]\w*)\s+ON\s+(?P<on>.+?))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"\s+GROUP\s+BY\s+(?P<keys>.+?)\s*;?\s*$",
     re.I | re.S,
 )
 
+
+def _parse_mv_join_keys(on_text: str, a: str, b: str) -> list[str]:
+    """USING-style equi-join legs for a join MV: every top-level AND leg
+    must be ``<a>.<k> = <b>.<k>`` (either side order) with the SAME
+    column name — the delta-join maintenance reads both snapshots with
+    plain ``join(keys)`` and signed multiplicities, so the key must be
+    one shared name."""
+    keys: list[str] = []
+    for leg in re.split(r"\s+AND\s+", on_text.strip(), flags=re.I):
+        m = re.fullmatch(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", leg)
+        if (
+            not m
+            or {m.group(1).lower(), m.group(3).lower()}
+            != {a.lower(), b.lower()}
+            or m.group(2).lower() != m.group(4).lower()
+        ):
+            raise ValueError(
+                f"join-MV ON leg {leg!r} must be {a}.<k> = {b}.<k> with "
+                "the same column name on both sides (USING semantics)"
+            )
+        keys.append(m.group(2))
+    return keys
+
 _MV_GRAMMAR = (
     "materialized views support ONE additive-aggregate block — "
     "SELECT <group cols>, COUNT(*) AS <name>[, SUM(<expr>) AS <name>, "
-    "AVG(<expr>) AS <name> ...] FROM <versioned table> [WHERE <pred>] "
+    "AVG(<expr>) AS <name> ...] FROM <versioned table> "
+    "[JOIN <versioned table> ON a.k = b.k [AND ...]] [WHERE <pred>] "
     "GROUP BY <group cols> — the shape the change-feed IVM algebra can "
     "maintain exactly (count/sum are distributive under insert +1 / "
     "delete -1; AVG derives as a maintained hidden sum over the "
-    "maintained count; min/max are not maintainable under deletes — "
-    "keep those as plain views)"
+    "maintained count; a two-table equi-join maintains via the signed "
+    "delta-join rule dA*B_old + A_new*dB; min/max are not maintainable "
+    "under deletes — keep those as plain views)"
 )
 
 
@@ -1853,6 +1880,19 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
             "maintenance needs a versioned table's change feed"
         )
     src_vt = _resolve(spark, tables, src_name)
+    src2_name = q.group("src2")
+    src2_vt = None
+    join_keys: list[str] | None = None
+    if src2_name:
+        if isinstance(_lookup(tables, src2_name), ViewDef):
+            raise ValueError(
+                f"materialized view source {src2_name!r} is a VIEW — "
+                "IVM maintenance needs a versioned table's change feed"
+            )
+        src2_vt = _resolve(spark, tables, src2_name)
+        join_keys = _parse_mv_join_keys(
+            q.group("on"), src_name, src2_name
+        )
     group_cols: list[str] = []
     count_col: str | None = None
     sums: dict[str, str] = {}
@@ -1910,8 +1950,15 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
 
     v0 = src_vt.latest_version()
     state_order = [derived.get(o, o) for o in order]
+    base = src_vt.read(version=v0, merge_schema=True)
+    v02 = None
+    if src2_vt is not None:
+        v02 = src2_vt.latest_version()
+        base = base.join(
+            src2_vt.read(version=v02, merge_schema=True), join_keys
+        )
     init = additive_aggregate_state(
-        src_vt.read(version=v0, merge_schema=True),
+        base,
         group_cols,
         count_col,
         sums,
@@ -1920,6 +1967,8 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     init = _canonical_mv_state(init.select(*state_order))
     mvdef = {
         "source": src_name.lower(),
+        "source2": src2_name.lower() if src2_name else None,
+        "join_keys": join_keys,
         "group_by": group_cols,
         "count_col": count_col,
         "sums": sums,
@@ -1936,7 +1985,13 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     )
     mv_vt = VersionedTable(spark, path)
     if mv_vt.latest_version() == 0:
-        mv_vt.append(init, metadata={_MV_SRC_KEY: v0})
+        mv_vt.append(
+            init,
+            metadata={
+                _MV_SRC_KEY: v0,
+                **({_MV_SRC2_KEY: v02} if v02 is not None else {}),
+            },
+        )
     return mv_vt.latest_version()
 
 
@@ -1996,13 +2051,30 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
     v_from = max(applied)
     src_vt = _resolve(spark, tables, mv["source"])
     head = src_vt.latest_version()
+    src2_vt = None
+    b_from = b_head = None
+    if mv.get("source2"):
+        src2_vt = _resolve(spark, tables, mv["source2"])
+        b_head = src2_vt.latest_version()
+        applied2 = [
+            c["metadata"][_MV_SRC2_KEY]
+            for c in mv_vt.history()
+            if _MV_SRC2_KEY in (c.get("metadata") or {})
+        ]
+        b_from = max(applied2)
     if m.group("full"):
         from daas_apps_spark.sources.table_format import (
             additive_aggregate_state,
         )
 
+        base = src_vt.read(version=head, merge_schema=True)
+        if src2_vt is not None:
+            base = base.join(
+                src2_vt.read(version=b_head, merge_schema=True),
+                mv["join_keys"],
+            )
         full = additive_aggregate_state(
-            src_vt.read(version=head, merge_schema=True),
+            base,
             mv["group_by"],
             mv["count_col"],
             mv["sums"],
@@ -2010,7 +2082,35 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
         )
         return mv_vt.overwrite(
             _canonical_mv_state(full.select(*mv["order"])),
-            metadata={_MV_SRC_KEY: head},
+            metadata={
+                _MV_SRC_KEY: head,
+                **({_MV_SRC2_KEY: b_head} if src2_vt is not None else {}),
+            },
+        )
+    if src2_vt is not None:
+        if head <= v_from and b_head <= b_from:
+            return mv_vt.latest_version()
+        from daas_apps_spark.sources.table_format import (
+            maintain_join_additive_aggregate,
+        )
+
+        new = maintain_join_additive_aggregate(
+            src_vt,
+            src2_vt,
+            mv["join_keys"],
+            v_from,
+            b_from,
+            head,
+            b_head,
+            mv["group_by"],
+            mv["count_col"],
+            mv["sums"],
+            state=mv_vt.read(),
+            where=mv.get("where"),
+        )
+        return mv_vt.overwrite(
+            _canonical_mv_state(new.select(*mv["order"])),
+            metadata={_MV_SRC_KEY: head, _MV_SRC2_KEY: b_head},
         )
     if head <= v_from:
         return mv_vt.latest_version()

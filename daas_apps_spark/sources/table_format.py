@@ -1175,6 +1175,24 @@ def maintain_additive_aggregate(
         ),
     )
     delta = aggregate(feed, "__sign")
+    return merge_aggregate_state(state, delta, group_by, count_col, sums)
+
+
+def merge_aggregate_state(
+    state: DataFrame,
+    delta: DataFrame,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str] | None = None,
+) -> DataFrame:
+    """Fold a signed per-group delta into a prior aggregate state: full
+    outer merge on the group keys, counts/sums added, groups whose
+    count telescopes to zero dropped — the merge half of
+    ``maintain_additive_aggregate``, shared by the single-table and
+    join (``maintain_join_additive_aggregate``) IVM paths."""
+    from pyspark.sql import functions as F
+
+    sums = sums or {}
     s = state.select(
         *[F.col(k).alias(f"__s_{k}") for k in group_by],
         *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sums]],
@@ -1197,6 +1215,104 @@ def maintain_additive_aggregate(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def maintain_join_additive_aggregate(
+    vt_a: "VersionedTable",
+    vt_b: "VersionedTable",
+    join_keys: list[str],
+    a_from: int,
+    b_from: int,
+    a_to: int,
+    b_to: int,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str] | None = None,
+    state: DataFrame | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """Incremental view maintenance over a two-table EQUI-JOIN: advance
+    a grouped additive aggregate of ``A ⋈ B`` from its state at
+    ``(a_from, b_from)`` to ``(a_to, b_to)`` using the classic signed
+    delta-join algebra —
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+
+    (the cross term ΔA ⋈ ΔB is already inside A_new ⋈ ΔB since
+    A_new = A_old + ΔA; bag semantics hold because every feed row is
+    signed insert +1 / delete −1 and multiplicities multiply through
+    the join). The OLD snapshot of B and the NEW snapshot of A come
+    from time travel — the versioned table gives the maintenance
+    algebra its consistent frames for free. Cost ∝
+    |ΔA| ⋈ B + A ⋈ |ΔB| (delta-join, manifest-prunable on the join
+    keys), never a recompute of A ⋈ B. ``join_keys`` are same-named
+    columns of both tables (USING semantics); all other column names
+    must be disjoint. ``where`` filters the JOINED row before
+    aggregation, exactly like the single-table path."""
+    from pyspark.sql import functions as F
+
+    sums = sums or {}
+
+    def aggregate(df: DataFrame, sign) -> DataFrame:
+        if where is not None:
+            df = df.filter(where)
+        return df.groupBy(*group_by).agg(
+            F.sum(sign).cast("long").alias(count_col),
+            *[
+                F.sum(sign * F.expr(e)).alias(name)
+                for name, e in sums.items()
+            ],
+        )
+
+    if state is None:
+        state = aggregate(
+            vt_a.read(version=a_from, merge_schema=True).join(
+                vt_b.read(version=b_from, merge_schema=True), join_keys
+            ),
+            F.lit(1),
+        )
+
+    def signed_feed(vt, v_from, v_to) -> DataFrame | None:
+        if v_to <= v_from:
+            return None
+        return vt.changes_between(v_from, v_to).withColumn(
+            "__sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ).drop("_change_type")
+
+    parts: list[DataFrame] = []
+    da = signed_feed(vt_a, a_from, a_to)
+    db = signed_feed(vt_b, b_from, b_to)
+    if da is not None:
+        parts.append(
+            aggregate(
+                da.join(
+                    vt_b.read(version=b_from, merge_schema=True), join_keys
+                ),
+                F.col("__sign"),
+            )
+        )
+    if db is not None:
+        parts.append(
+            aggregate(
+                vt_a.read(version=a_to, merge_schema=True).join(
+                    db, join_keys
+                ),
+                F.col("__sign"),
+            )
+        )
+    if not parts:
+        return state
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    delta = delta.groupBy(*group_by).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(c).alias(c) for c in sums],
+    )
+    return merge_aggregate_state(state, delta, group_by, count_col, sums)
 
 
 class VersionedTable:

@@ -276,3 +276,91 @@ def test_mv_refresh_full_recomputes(sess):
     sess.sql("INSERT INTO t VALUES ('r', 1.00)")
     sess.sql("REFRESH MATERIALIZED VIEW mv")
     _mv_vs_recompute(sess)
+
+
+def test_join_mv_delta_join_maintenance(spark, tmp_path):
+    """A51: an MV over a two-table equi-join maintains via the signed
+    delta-join rule Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB (old/new snapshots
+    from time travel). Exercised with fact appends, a fact MOR delete,
+    a DIM update that MIGRATES rows between groups, a late-arriving
+    dim row joining an earlier fact row, AVG derivation, FULL refresh,
+    and the two-sided watermark no-op."""
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.script(
+        """
+        CREATE TABLE sales (cust bigint, amt double);
+        CREATE TABLE cust (cust bigint, region string);
+        INSERT INTO sales VALUES (1, 10.0), (1, 5.0), (2, 20.0), (3, 7.0);
+        INSERT INTO cust VALUES (1, 'EU'), (2, 'US'), (3, 'EU');
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT region, COUNT(*) AS n, SUM(amt) AS total,
+                   AVG(amt) AS mean
+            FROM sales JOIN cust ON sales.cust = cust.cust
+            GROUP BY region
+        """
+    )
+
+    def check():
+        got = sorted(
+            tuple(r)
+            for r in s.sql("SELECT region, n, total, mean FROM rev").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in s.sql(
+                "SELECT region, COUNT(*) AS n, SUM(amt) AS total, "
+                "CAST(SUM(amt) AS double)/COUNT(*) AS mean "
+                "FROM sales JOIN cust ON sales.cust = cust.cust "
+                "GROUP BY region"
+            ).collect()
+        )
+        assert got == want, f"MV {got} != recompute {want}"
+
+    check()
+    # (4, 100.0) lands with NO dim row: invisible to the inner join
+    # until cust 4 arrives — the late-dim case ΔB must back-join A_new
+    s.sql("INSERT INTO sales VALUES (2, 1.0), (4, 100.0)")
+    s.sql("/*+ MOR */ DELETE FROM sales WHERE amt = 20.0")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    s.sql("INSERT INTO cust VALUES (4, 'APAC')")  # dim-only change
+    s.sql("/*+ MOR */ UPDATE cust SET region = 'US' WHERE cust = 3")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    v1 = s.sql("REFRESH MATERIALIZED VIEW rev")
+    assert v1 == s.sql("REFRESH MATERIALIZED VIEW rev")  # two-sided no-op
+    s.sql("INSERT INTO sales VALUES (4, 2.0)")  # fact-only change
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    s.sql("REFRESH MATERIALIZED VIEW rev FULL")
+    check()
+    s.sql("INSERT INTO cust VALUES (9, 'SA')")  # key with no fact rows
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+
+
+def test_join_mv_grammar_refusals(spark, tmp_path):
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.script(
+        "CREATE TABLE a (k bigint, x double);"
+        "CREATE TABLE b (k bigint, r string);"
+        "INSERT INTO a VALUES (1, 1.0); INSERT INTO b VALUES (1, 'z')"
+    )
+    # ON legs must be USING-style same-named equalities
+    with pytest.raises(ValueError, match="USING semantics"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
+            "FROM a JOIN b ON a.k = b.r GROUP BY r"
+        )
+    with pytest.raises(ValueError, match="USING semantics"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
+            "FROM a JOIN b ON a.k < b.k GROUP BY r"
+        )
+    # a view cannot be a join-MV source either
+    s.sql("CREATE VIEW bv AS SELECT k, r FROM b")
+    with pytest.raises(ValueError, match="change feed"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
+            "FROM a JOIN bv ON a.k = bv.k GROUP BY r"
+        )
