@@ -484,26 +484,37 @@ def run_sql(
             kind = e.get("kind", "table")
             if kind == "view":
                 snap[n] = ViewDef(n, e["sql"])
-            elif kind == "materialized_view" and (e.get("mv") or {}).get(
-                "derived"
-            ):
-                # an MV with AVG items reads through a projection that
-                # derives each average from its hidden maintained sum
-                # over the maintained count; the state table itself is
-                # reachable as __mvstate_<name> (DESCRIBE/time travel)
+            elif kind == "materialized_view":
+                # EVERY MV reads through a view over its state table —
+                # DML against the MV name then refuses uniformly (a
+                # direct write would silently corrupt the maintained
+                # state), AVG items derive from their hidden maintained
+                # (sum, non-null count) pair, and the state table stays
+                # reachable as __mvstate_<name> (DESCRIBE, time travel,
+                # OPTIMIZE)
                 mv = e["mv"]
                 state = f"__mvstate_{n}"
                 snap[state] = e["path"]
-                inv = {h: a for a, h in mv["derived"].items()}
-                items = [
-                    (
-                        f"CAST({c} AS double) / "
-                        f"CAST({mv['count_col']} AS double) AS {inv[c]}"
-                        if c in inv
-                        else c
-                    )
-                    for c in mv["order"]
-                ]
+                derived = mv.get("derived") or {}
+                by_sum = {
+                    pair[0]: (alias, pair[1])
+                    for alias, pair in derived.items()
+                }
+                cnt_cols = {pair[1] for pair in derived.values()}
+                items = []
+                for c in mv["order"]:
+                    if c in by_sum:
+                        alias, cnt = by_sum[c]
+                        # SQL AVG semantics: NULL contributions leave
+                        # the denominator; an all-NULL group reads NULL
+                        items.append(
+                            f"CAST({c} AS double) / "
+                            f"NULLIF(CAST({cnt} AS double), 0) AS {alias}"
+                        )
+                    elif c in cnt_cols:
+                        continue  # hidden denominator, never surfaced
+                    else:
+                        items.append(c)
                 snap[n] = ViewDef(
                     n, f"SELECT {', '.join(items)} FROM {state}"
                 )
@@ -1264,9 +1275,17 @@ def run_sql_script(
             txn = None
             results.append(0)
             continue
-        results.append(
-            run_sql(spark, stmt, tables, catalog=catalog, txn=txn)
-        )
+        try:
+            results.append(
+                run_sql(spark, stmt, tables, catalog=catalog, txn=txn)
+            )
+        except BaseException:
+            if txn is not None:
+                # a failing statement inside an open block must not
+                # leave the txn pending — pending wedges every staged
+                # table against all future writes until a manual sweep
+                coord.abort(txn)
+            raise
     if txn is not None:
         coord.abort(txn)
         raise ValueError(
@@ -1809,7 +1828,7 @@ _MV_GRAMMAR = (
     "delete -1; AVG derives as a maintained hidden sum over the "
     "maintained count; a two-table equi-join maintains via the signed "
     "delta-join rule dA*B_old + A_new*dB; min/max are not maintainable "
-    "under deletes — keep those as plain views)"
+    "under deletes — keep those as plain views). Declared semantics: a maintained SUM folds NULL contributions as 0, so a group whose inputs are ALL NULL reads 0 where SQL SUM reads NULL — COALESCE in the expression if the distinction matters; AVG is exact (hidden non-null denominator)"
 )
 
 
@@ -1919,12 +1938,16 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         )
         if am:
             # AVG is NOT directly maintainable, but sum/count is: store
-            # a hidden maintained sum and derive the average at read
-            # time through the MV's read projection
-            hidden = f"__sum_{am.group('a')}"
-            sums[hidden] = am.group("e").strip()
-            derived[am.group("a")] = hidden
-            order.append(am.group("a"))
+            # a hidden maintained sum AND a hidden maintained non-null
+            # count (SQL AVG excludes NULL contributions from the
+            # denominator — COUNT(*) would misprice groups with NULLs)
+            # and derive the average in the MV's read projection
+            alias, expr = am.group("a"), am.group("e").strip()
+            hsum, hcnt = f"__sum_{alias}", f"__cnt_{alias}"
+            sums[hsum] = expr
+            sums[hcnt] = f"CAST(({expr}) IS NOT NULL AS INT)"
+            derived[alias] = [hsum, hcnt]
+            order.append(alias)
             continue
         if re.fullmatch(r"[A-Za-z_]\w*", it):
             group_cols.append(it)
@@ -1949,7 +1972,9 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     from daas_apps_spark.sources.table_format import additive_aggregate_state
 
     v0 = src_vt.latest_version()
-    state_order = [derived.get(o, o) for o in order]
+    state_order: list[str] = []
+    for o in order:
+        state_order.extend(derived[o] if o in derived else [o])
     base = src_vt.read(version=v0, merge_schema=True)
     v02 = None
     if src2_vt is not None:
@@ -2037,9 +2062,10 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
 
     mv = e["mv"]
     mv_vt = VersionedTable(spark, e["path"])
+    history = mv_vt.history()  # ONE log replay harvests both watermarks
     applied = [
         c["metadata"][_MV_SRC_KEY]
-        for c in mv_vt.history()
+        for c in history
         if _MV_SRC_KEY in (c.get("metadata") or {})
     ]
     if not applied:
@@ -2058,9 +2084,15 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
         b_head = src2_vt.latest_version()
         applied2 = [
             c["metadata"][_MV_SRC2_KEY]
-            for c in mv_vt.history()
+            for c in history
             if _MV_SRC2_KEY in (c.get("metadata") or {})
         ]
+        if not applied2:
+            raise ValueError(
+                f"join materialized view {name!r} has no recorded "
+                "second-source watermark — REFRESH ... FULL re-anchors "
+                "both"
+            )
         b_from = max(applied2)
     if m.group("full"):
         from daas_apps_spark.sources.table_format import (

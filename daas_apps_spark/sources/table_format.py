@@ -4172,6 +4172,13 @@ class VersionedTable:
         self._check_writer_features()
         rv = self.latest_version()
         ids = self.identity_columns()
+        if ids and txn is not None:
+            # identity allocation reads the committed watermark; a
+            # staged sibling's identity_alloc metadata is NEUTERED
+            # until the txn flips, so a second same-txn append would
+            # silently reallocate the same ids — mark the commit
+            # txn-exclusive so the same-txn guard refuses the sibling
+            txn = {**txn, "exclusive": True}
         if ids:
             df = self._assign_identity(df, ids)
         df = self._fill_generated(df)
@@ -4200,6 +4207,9 @@ class VersionedTable:
         self._check_writer_features()
         rv = self.latest_version()
         ids = self.identity_columns()
+        if ids and txn is not None:
+            # same identity-vs-staged-watermark hazard as append
+            txn = {**txn, "exclusive": True}
         if ids:
             # the watermark is MONOTONE across overwrites: replaced rows'
             # ids are never reissued (Delta's identity contract)

@@ -364,3 +364,52 @@ def test_join_mv_grammar_refusals(spark, tmp_path):
             "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
             "FROM a JOIN bv ON a.k = bv.k GROUP BY r"
         )
+
+
+def test_mv_avg_null_semantics(spark, tmp_path):
+    """SQL AVG excludes NULLs from the denominator; the MV's hidden
+    (sum, non-null count) pair must reproduce that — including the
+    all-NULL group reading NULL — and stay exact as NULLs arrive and
+    leave through the feed."""
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.script(
+        "CREATE TABLE t (k string, x double);"
+        "INSERT INTO t VALUES ('a', NULL), ('a', 2.0), ('b', NULL)"
+    )
+    s.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS n, "
+        "AVG(x) AS m FROM t GROUP BY k"
+    )
+    rows = {r.k: (r.n, r.m) for r in s.sql("SELECT * FROM mv").collect()}
+    assert rows == {"a": (2, 2.0), "b": (1, None)}
+    s.sql("INSERT INTO t VALUES ('b', 6.0), ('a', NULL)")
+    s.sql("/*+ MOR */ DELETE FROM t WHERE x = 2.0")
+    s.sql("REFRESH MATERIALIZED VIEW mv")
+    rows = {r.k: (r.n, r.m) for r in s.sql("SELECT * FROM mv").collect()}
+    assert rows == {"a": (2, None), "b": (2, 6.0)}
+
+
+def test_mv_name_refuses_dml_even_without_avg(spark, tmp_path):
+    """Every MV resolves through a view over its state table, so DML
+    against the MV name refuses instead of silently corrupting the
+    maintained state (the round-10 review fix)."""
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.script(
+        "CREATE TABLE t (k string, x bigint);"
+        "INSERT INTO t VALUES ('a', 1)"
+    )
+    s.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS n, "
+        "SUM(x) AS sx FROM t GROUP BY k"
+    )
+    for stmt in (
+        "INSERT INTO mv VALUES ('z', 9, 9)",
+        "DELETE FROM mv WHERE k = 'a'",
+        "UPDATE mv SET n = 0 WHERE k = 'a'",
+        "TRUNCATE TABLE mv",
+    ):
+        with pytest.raises(ValueError, match="is a VIEW"):
+            s.sql(stmt)
+    # the state table is still a first-class versioned table under the
+    # internal name (maintenance/inspection surface)
+    assert s.sql("DESCRIBE HISTORY __mvstate_mv").count() == 1
