@@ -43,6 +43,13 @@ def _worst_case_final_line() -> str:
         "stat": "median",
         "max_spread": 99.99,
         "layout": "compacted",
+        # round-10 machine-speed anchors ride on every line — they must
+        # fit inside the same budget
+        "calibration": {
+            "cpu_spin": 999.9999,
+            "jvm_range_agg": 999.9999,
+            "io_scan": 999.9999,
+        },
     }
     return json.dumps(payload)
 

@@ -1114,3 +1114,80 @@ def test_table_format_matches_model_over_any_op_sequence(
         assert snapshot(vt, version=v) == snap, f"time travel to v{v}"
     if tagged is not None:
         assert snapshot(vt, ref="pin") == tagged
+
+
+# ---------------------------------------------------------------------------
+# MV IVM soundness (A48): for ANY mutation sequence — appends with
+# duplicate/NULL-bearing rows, MOR deletes, MOR updates — the
+# change-feed-maintained state equals a full recompute at head. The
+# signed-count algebra has no data-dependent branches, so adversarial
+# little inputs (empty deltas, vanished groups, all-NULL sums, groups
+# reappearing) are exactly where a sign error would surface.
+# ---------------------------------------------------------------------------
+mv_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("insert"),
+            st.lists(
+                st.tuples(keys, st.one_of(st.none(), vals)),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        st.tuples(st.just("delete"), keys),
+        st.tuples(st.just("update"), keys, vals),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed_rows=st.lists(st.tuples(keys, st.one_of(st.none(), vals)), min_size=0, max_size=6), ops=mv_ops)
+def test_mv_ivm_equals_recompute_for_any_mutation_sequence(
+    spark, tmp_path_factory, seed_rows, ops
+):
+    import uuid
+
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        additive_aggregate_state,
+        maintain_additive_aggregate,
+    )
+
+    base = tmp_path_factory.mktemp("mvprop") / uuid.uuid4().hex
+    vt = VersionedTable(spark, str(base))
+    schema = "k int, x int"
+    vt.append(spark.createDataFrame(seed_rows or [(0, None)], schema))
+    v0 = vt.latest_version()
+    state = additive_aggregate_state(
+        vt.read(version=v0), ["k"], "n", {"sx": "coalesce(x, 0)"}
+    )
+    rows = [tuple(r) for r in state.collect()]
+    state = spark.createDataFrame(rows, "k int, n long, sx bigint")
+    for op in ops:
+        if op[0] == "insert":
+            vt.append(spark.createDataFrame(list(op[1]), schema))
+        elif op[0] == "delete":
+            vt.delete(f"k = {op[1]}", mode="mor")
+        else:
+            vt.update(f"k = {op[1]}", {"x": str(op[2])}, mode="mor")
+    head = vt.latest_version()
+    if head > v0:
+        state = maintain_additive_aggregate(
+            vt, v0, head, ["k"], "n", {"sx": "coalesce(x, 0)"}, state=state
+        )
+    got = sorted(
+        (r.k, r.n, int(r.sx)) for r in state.collect()
+    )
+    want = sorted(
+        (r.k, r.n, int(r.sx))
+        for r in additive_aggregate_state(
+            vt.read(), ["k"], "n", {"sx": "coalesce(x, 0)"}
+        ).collect()
+    )
+    assert got == want
