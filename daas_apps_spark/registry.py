@@ -78,6 +78,7 @@ WINDOW_PRIORITY: list[str] = [
     "a49_sql_transaction",
     "a50_create_table_clauses",
     "a51_join_mv",
+    "a52_star_mv",
     "k71_corpus_stats_mv",
     # plan-changed this round (the map-side max_by centroid-assignment
     # rewrite, VERDICT r9 prescription 1): re-verify under the driver
@@ -132,7 +133,6 @@ WINDOW_PRIORITY: list[str] = [
     "dq9_embedding_audit",
     "dq10_embedding_drift",
     "dq11_out_of_orderness",
-    "dq12_full_row_duplicates",
 ]
 
 

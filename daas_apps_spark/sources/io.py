@@ -2567,6 +2567,92 @@ def a51_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a52_star_mv",
+    oracle="""
+    WITH line0 AS (
+        SELECT l_orderkey k, l_extendedprice * (1 - l_discount) AS pr
+        FROM lineitem
+    ), line1 AS (
+        SELECT k, pr FROM line0
+        UNION ALL SELECT k, pr FROM line0 WHERE k % 7 = 0
+    ), line AS (
+        SELECT * FROM line1 WHERE NOT (pr > 80000)
+    ), ord AS (
+        SELECT o_orderkey k, o_custkey ck FROM orders
+        WHERE NOT (o_orderkey % 11 = 0)
+    ), cus AS (
+        SELECT c_custkey ck,
+               CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT seg AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM line JOIN ord ON line.k = ord.k JOIN cus ON ord.ck = cus.ck
+    GROUP BY seg
+    """,
+    tags=("A52", "A51", "A48", "A25", "A31", "C6"),
+)
+def a52_star_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way chain-join materialized views (sql_dml.py FROM-chain
+    grammar + table_format.py::maintain_join_additive_aggregate's
+    telescoping rule): the three-table STAR dashboard — line items ⋈
+    orders ⋈ customers, revenue by segment — maintained incrementally
+    under mutations at EVERY chain position: a doubled fact slice
+    appends, a fact MOR delete prunes the high-price tail, a
+    MIDDLE-table MOR delete cuts every 11th order (its delta term
+    joins NEW neighbors to the left and OLD to the right — the case a
+    two-sided rule cannot express), and a dim MOR update migrates a
+    customer stripe between segments. ONE REFRESH folds all four feeds
+    via Δ(T0⋈T1⋈T2) = ΔT0⋈T1_old⋈T2_old ∪ T0_new⋈ΔT1⋈T2_old ∪
+    T0_new⋈T1_new⋈ΔT2, with every snapshot time-traveled from its
+    table's own commit log and per-source watermarks riding as one
+    dict in the refresh commit. The DuckDB oracle recomputes the final
+    census from first principles.
+
+    At 100 TB this is the star-schema answer: each refresh costs three
+    delta-joins against the neighbors (manifest-prunable, tiny deltas
+    AQE-broadcast), never a recompute of the three-way join.
+    """
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a52_star_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("a52_line_src")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a52_ord_src")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("a52_cus_src")
+    s.script(
+        """
+        CREATE TABLE line (okey bigint, pr double);
+        CREATE TABLE ord (okey bigint, ckey bigint);
+        CREATE TABLE cus (ckey bigint, seg string);
+        INSERT INTO line SELECT l_orderkey,
+            l_extendedprice * (1 - l_discount) FROM a52_line_src;
+        INSERT INTO ord SELECT o_orderkey, o_custkey FROM a52_ord_src;
+        INSERT INTO cus SELECT c_custkey, c_mktsegment FROM a52_cus_src;
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT seg, COUNT(*) AS n_items,
+                   SUM(CAST(pr AS decimal(18,4))) AS revenue
+            FROM line JOIN ord ON line.okey = ord.okey
+                      JOIN cus ON ord.ckey = cus.ckey
+            GROUP BY seg;
+        INSERT INTO line SELECT l_orderkey,
+            l_extendedprice * (1 - l_discount) FROM a52_line_src
+            WHERE l_orderkey % 7 = 0
+        """
+    )
+    s.sql("/*+ MOR */ DELETE FROM line WHERE pr > 80000")
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE okey % 11 = 0")
+    s.sql("/*+ MOR */ UPDATE cus SET seg = 'MOVED' WHERE ckey % 10 = 0")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    return s.sql(
+        "SELECT seg AS grp, n_items, CAST(revenue AS double) AS revenue "
+        "FROM rev"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

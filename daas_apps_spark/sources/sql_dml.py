@@ -1784,16 +1784,44 @@ def _run_alter(spark: SparkSession, text: str, tables: dict) -> int:
     raise bad
 
 
-_MV_SRC_KEY = "mv_source_version"
-_MV_SRC2_KEY = "mv_source2_version"
+_MV_VERS_KEY = "mv_source_versions"  # {source name: covered version}
 
 _MV_QUERY_RE = re.compile(
-    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[A-Za-z_]\w*)"
-    r"(?:\s+JOIN\s+(?P<src2>[A-Za-z_]\w*)\s+ON\s+(?P<on>.+?))?"
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<from>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"\s+GROUP\s+BY\s+(?P<keys>.+?)\s*;?\s*$",
     re.I | re.S,
 )
+
+
+def _parse_mv_from(from_text: str) -> tuple[list[str], list[str]]:
+    """(table names, per-adjacent-pair ON texts) for an MV FROM clause:
+    ``t0 [JOIN t1 ON … [JOIN t2 ON … …]]`` — an equi-join CHAIN, each
+    ON clause keying the two ADJACENT tables (the shape the telescoping
+    delta-join maintenance walks)."""
+    parts = re.split(r"\s+JOIN\s+", from_text.strip(), flags=re.I)
+    if not re.fullmatch(r"[A-Za-z_]\w*", parts[0].strip()):
+        raise ValueError(
+            f"materialized view FROM must start with a plain table "
+            f"name, got {parts[0].strip()!r}: {_MV_GRAMMAR}"
+        )
+    names = [parts[0].strip()]
+    ons: list[str] = []
+    for p in parts[1:]:
+        m = re.match(r"^([A-Za-z_]\w*)\s+ON\s+(.+)$", p.strip(), re.I | re.S)
+        if not m:
+            raise ValueError(
+                f"cannot parse MV JOIN clause {p.strip()!r}: {_MV_GRAMMAR}"
+            )
+        names.append(m.group(1))
+        ons.append(m.group(2).strip())
+    if len(set(n.lower() for n in names)) != len(names):
+        raise ValueError(
+            "materialized view joins each table at most once "
+            f"(got {names}); self-joins are not maintainable by the "
+            "chain rule"
+        )
+    return names, ons
 
 
 def _parse_mv_join_keys(on_text: str, a: str, b: str) -> list[str]:
@@ -1892,26 +1920,19 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     q = _MV_QUERY_RE.match(body)
     if not q:
         raise ValueError(_MV_GRAMMAR)
-    src_name = q.group("src")
-    if isinstance(_lookup(tables, src_name), ViewDef):
-        raise ValueError(
-            f"materialized view source {src_name!r} is a VIEW — IVM "
-            "maintenance needs a versioned table's change feed"
-        )
-    src_vt = _resolve(spark, tables, src_name)
-    src2_name = q.group("src2")
-    src2_vt = None
-    join_keys: list[str] | None = None
-    if src2_name:
-        if isinstance(_lookup(tables, src2_name), ViewDef):
+    src_names, on_texts = _parse_mv_from(q.group("from"))
+    src_vts: list[VersionedTable] = []
+    for nm in src_names:
+        if isinstance(_lookup(tables, nm), ViewDef):
             raise ValueError(
-                f"materialized view source {src2_name!r} is a VIEW — "
-                "IVM maintenance needs a versioned table's change feed"
+                f"materialized view source {nm!r} is a VIEW — IVM "
+                "maintenance needs a versioned table's change feed"
             )
-        src2_vt = _resolve(spark, tables, src2_name)
-        join_keys = _parse_mv_join_keys(
-            q.group("on"), src_name, src2_name
-        )
+        src_vts.append(_resolve(spark, tables, nm))
+    chain_keys = [
+        _parse_mv_join_keys(on, src_names[i], src_names[i + 1])
+        for i, on in enumerate(on_texts)
+    ]
     group_cols: list[str] = []
     count_col: str | None = None
     sums: dict[str, str] = {}
@@ -1971,19 +1992,14 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         )
     from daas_apps_spark.sources.table_format import additive_aggregate_state
 
-    v0 = src_vt.latest_version()
+    from daas_apps_spark.sources.table_format import chain_join
+
     state_order: list[str] = []
     for o in order:
         state_order.extend(derived[o] if o in derived else [o])
-    base = src_vt.read(version=v0, merge_schema=True)
-    v02 = None
-    if src2_vt is not None:
-        v02 = src2_vt.latest_version()
-        base = base.join(
-            src2_vt.read(version=v02, merge_schema=True), join_keys
-        )
+    versions = [vt.latest_version() for vt in src_vts]
     init = additive_aggregate_state(
-        base,
+        chain_join(src_vts, chain_keys, versions),
         group_cols,
         count_col,
         sums,
@@ -1991,9 +2007,8 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     )
     init = _canonical_mv_state(init.select(*state_order))
     mvdef = {
-        "source": src_name.lower(),
-        "source2": src2_name.lower() if src2_name else None,
-        "join_keys": join_keys,
+        "sources": [nm.lower() for nm in src_names],
+        "chain_keys": chain_keys,
         "group_by": group_cols,
         "count_col": count_col,
         "sums": sums,
@@ -2013,8 +2028,9 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         mv_vt.append(
             init,
             metadata={
-                _MV_SRC_KEY: v0,
-                **({_MV_SRC2_KEY: v02} if v02 is not None else {}),
+                _MV_VERS_KEY: dict(
+                    zip(mvdef["sources"], versions)
+                )
             },
         )
     return mv_vt.latest_version()
@@ -2057,56 +2073,35 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
             "not a materialized view"
         )
     from daas_apps_spark.sources.table_format import (
-        maintain_additive_aggregate,
+        additive_aggregate_state,
+        chain_join,
+        maintain_join_additive_aggregate,
     )
 
     mv = e["mv"]
     mv_vt = VersionedTable(spark, e["path"])
-    history = mv_vt.history()  # ONE log replay harvests both watermarks
+    # one log replay harvests every source's watermark (the covered
+    # versions ride as ONE dict in each build/refresh commit)
     applied = [
-        c["metadata"][_MV_SRC_KEY]
-        for c in history
-        if _MV_SRC_KEY in (c.get("metadata") or {})
+        c["metadata"][_MV_VERS_KEY]
+        for c in mv_vt.history()
+        if _MV_VERS_KEY in (c.get("metadata") or {})
     ]
     if not applied:
         raise ValueError(
             f"materialized view {name!r} has no recorded source "
-            "version — its state table was not created by CREATE "
+            "versions — its state table was not created by CREATE "
             "MATERIALIZED VIEW"
         )
-    v_from = max(applied)
-    src_vt = _resolve(spark, tables, mv["source"])
-    head = src_vt.latest_version()
-    src2_vt = None
-    b_from = b_head = None
-    if mv.get("source2"):
-        src2_vt = _resolve(spark, tables, mv["source2"])
-        b_head = src2_vt.latest_version()
-        applied2 = [
-            c["metadata"][_MV_SRC2_KEY]
-            for c in history
-            if _MV_SRC2_KEY in (c.get("metadata") or {})
-        ]
-        if not applied2:
-            raise ValueError(
-                f"join materialized view {name!r} has no recorded "
-                "second-source watermark — REFRESH ... FULL re-anchors "
-                "both"
-            )
-        b_from = max(applied2)
+    src_vts = [_resolve(spark, tables, nm) for nm in mv["sources"]]
+    froms = [
+        max(d.get(nm, 0) for d in applied) for nm in mv["sources"]
+    ]
+    tos = [vt.latest_version() for vt in src_vts]
+    watermarks = {"mv_source_versions": dict(zip(mv["sources"], tos))}
     if m.group("full"):
-        from daas_apps_spark.sources.table_format import (
-            additive_aggregate_state,
-        )
-
-        base = src_vt.read(version=head, merge_schema=True)
-        if src2_vt is not None:
-            base = base.join(
-                src2_vt.read(version=b_head, merge_schema=True),
-                mv["join_keys"],
-            )
         full = additive_aggregate_state(
-            base,
+            chain_join(src_vts, mv["chain_keys"], tos),
             mv["group_by"],
             mv["count_col"],
             mv["sums"],
@@ -2114,42 +2109,15 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
         )
         return mv_vt.overwrite(
             _canonical_mv_state(full.select(*mv["order"])),
-            metadata={
-                _MV_SRC_KEY: head,
-                **({_MV_SRC2_KEY: b_head} if src2_vt is not None else {}),
-            },
+            metadata=watermarks,
         )
-    if src2_vt is not None:
-        if head <= v_from and b_head <= b_from:
-            return mv_vt.latest_version()
-        from daas_apps_spark.sources.table_format import (
-            maintain_join_additive_aggregate,
-        )
-
-        new = maintain_join_additive_aggregate(
-            src_vt,
-            src2_vt,
-            mv["join_keys"],
-            v_from,
-            b_from,
-            head,
-            b_head,
-            mv["group_by"],
-            mv["count_col"],
-            mv["sums"],
-            state=mv_vt.read(),
-            where=mv.get("where"),
-        )
-        return mv_vt.overwrite(
-            _canonical_mv_state(new.select(*mv["order"])),
-            metadata={_MV_SRC_KEY: head, _MV_SRC2_KEY: b_head},
-        )
-    if head <= v_from:
+    if all(t <= f for t, f in zip(tos, froms)):
         return mv_vt.latest_version()
-    new = maintain_additive_aggregate(
-        src_vt,
-        v_from,
-        head,
+    new = maintain_join_additive_aggregate(
+        src_vts,
+        mv["chain_keys"],
+        froms,
+        tos,
         mv["group_by"],
         mv["count_col"],
         mv["sums"],
@@ -2158,7 +2126,7 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
     )
     return mv_vt.overwrite(
         _canonical_mv_state(new.select(*mv["order"])),
-        metadata={_MV_SRC_KEY: head},
+        metadata=watermarks,
     )
 
 

@@ -1217,41 +1217,62 @@ def merge_aggregate_state(
     return merged.filter(F.col(count_col) > 0)
 
 
+def chain_join(
+    sources: list["VersionedTable"],
+    chain_keys: list[list[str]],
+    versions: list[int],
+) -> DataFrame:
+    """``T0 ⋈(k0) T1 ⋈(k1) T2 …`` with each table read at its given
+    version — the consistent frame the join-IVM algebra aggregates."""
+    df = sources[0].read(version=versions[0], merge_schema=True)
+    for j in range(1, len(sources)):
+        df = df.join(
+            sources[j].read(version=versions[j], merge_schema=True),
+            chain_keys[j - 1],
+        )
+    return df
+
+
 def maintain_join_additive_aggregate(
-    vt_a: "VersionedTable",
-    vt_b: "VersionedTable",
-    join_keys: list[str],
-    a_from: int,
-    b_from: int,
-    a_to: int,
-    b_to: int,
+    sources: list["VersionedTable"],
+    chain_keys: list[list[str]],
+    froms: list[int],
+    tos: list[int],
     group_by: list[str],
     count_col: str,
     sums: dict[str, str] | None = None,
     state: DataFrame | None = None,
     where: str | None = None,
 ) -> DataFrame:
-    """Incremental view maintenance over a two-table EQUI-JOIN: advance
-    a grouped additive aggregate of ``A ⋈ B`` from its state at
-    ``(a_from, b_from)`` to ``(a_to, b_to)`` using the classic signed
-    delta-join algebra —
+    """Incremental view maintenance over an N-table EQUI-JOIN CHAIN
+    ``T0 ⋈(k0) T1 ⋈(k1) T2 …`` (``chain_keys[j]`` joins ``sources[j]``
+    and ``sources[j+1]``, USING-style same-named columns): advance a
+    grouped additive aggregate from its state at ``froms`` to ``tos``
+    with the telescoping signed delta-join rule —
 
-        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+        Δ(T0⋈…⋈Tn) = Σ_i  T0_new ⋈ … ⋈ T(i-1)_new ⋈ ΔTi
+                            ⋈ T(i+1)_old ⋈ … ⋈ Tn_old
 
-    (the cross term ΔA ⋈ ΔB is already inside A_new ⋈ ΔB since
-    A_new = A_old + ΔA; bag semantics hold because every feed row is
-    signed insert +1 / delete −1 and multiplicities multiply through
-    the join). The OLD snapshot of B and the NEW snapshot of A come
-    from time travel — the versioned table gives the maintenance
-    algebra its consistent frames for free. Cost ∝
-    |ΔA| ⋈ B + A ⋈ |ΔB| (delta-join, manifest-prunable on the join
-    keys), never a recompute of A ⋈ B. ``join_keys`` are same-named
-    columns of both tables (USING semantics); all other column names
-    must be disjoint. ``where`` filters the JOINED row before
-    aggregation, exactly like the single-table path."""
+    (each term's left neighbors read at their NEW version, right
+    neighbors at their OLD version, so the sum telescopes exactly to
+    new-minus-old; all cross terms are absorbed because every feed row
+    is signed insert +1 / delete −1 and multiplicities multiply
+    through the joins — classic DBToaster/delta-join maintenance). The
+    old/new snapshots come from time travel on each source's own
+    commit log: the versioned table hands the algebra its consistent
+    frames for free. Per refresh, term i costs the delta-join of
+    |ΔTi| against its neighbors — manifest-prunable on the keys, tiny
+    deltas AQE-broadcast — never a recompute of the full join.
+    ``where`` filters the JOINED row before aggregation."""
     from pyspark.sql import functions as F
 
     sums = sums or {}
+    n = len(sources)
+    if not (len(chain_keys) == n - 1 == len(froms) - 1 == len(tos) - 1):
+        raise ValueError(
+            "maintain_join_additive_aggregate: need N sources, N-1 "
+            "chain_keys, N froms, N tos"
+        )
 
     def aggregate(df: DataFrame, sign) -> DataFrame:
         if where is not None:
@@ -1265,12 +1286,7 @@ def maintain_join_additive_aggregate(
         )
 
     if state is None:
-        state = aggregate(
-            vt_a.read(version=a_from, merge_schema=True).join(
-                vt_b.read(version=b_from, merge_schema=True), join_keys
-            ),
-            F.lit(1),
-        )
+        state = aggregate(chain_join(sources, chain_keys, froms), F.lit(1))
 
     def signed_feed(vt, v_from, v_to) -> DataFrame | None:
         if v_to <= v_from:
@@ -1283,35 +1299,31 @@ def maintain_join_additive_aggregate(
         ).drop("_change_type")
 
     parts: list[DataFrame] = []
-    da = signed_feed(vt_a, a_from, a_to)
-    db = signed_feed(vt_b, b_from, b_to)
-    if da is not None:
-        parts.append(
-            aggregate(
-                da.join(
-                    vt_b.read(version=b_from, merge_schema=True), join_keys
-                ),
-                F.col("__sign"),
+    for i in range(n):
+        di = signed_feed(sources[i], froms[i], tos[i])
+        if di is None:
+            continue
+        df = di
+        for j in range(i - 1, -1, -1):  # left neighbors at NEW versions
+            df = sources[j].read(version=tos[j], merge_schema=True).join(
+                df, chain_keys[j]
             )
-        )
-    if db is not None:
-        parts.append(
-            aggregate(
-                vt_a.read(version=a_to, merge_schema=True).join(
-                    db, join_keys
-                ),
-                F.col("__sign"),
+        for j in range(i + 1, n):  # right neighbors at OLD versions
+            df = df.join(
+                sources[j].read(version=froms[j], merge_schema=True),
+                chain_keys[j - 1],
             )
-        )
+        parts.append(aggregate(df, F.col("__sign")))
     if not parts:
         return state
     delta = parts[0]
     for p in parts[1:]:
         delta = delta.unionByName(p)
-    delta = delta.groupBy(*group_by).agg(
-        F.sum(count_col).cast("long").alias(count_col),
-        *[F.sum(c).alias(c) for c in sums],
-    )
+    if len(parts) > 1:
+        delta = delta.groupBy(*group_by).agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            *[F.sum(c).alias(c) for c in sums],
+        )
     return merge_aggregate_state(state, delta, group_by, count_col, sums)
 
 

@@ -413,3 +413,65 @@ def test_mv_name_refuses_dml_even_without_avg(spark, tmp_path):
     # the state table is still a first-class versioned table under the
     # internal name (maintenance/inspection surface)
     assert s.sql("DESCRIBE HISTORY __mvstate_mv").count() == 1
+
+
+def test_three_way_chain_mv(spark, tmp_path):
+    """The delta-join rule telescopes across an N-table chain: a
+    fact ⋈ bridge ⋈ dim MV stays exact under mutations on ALL THREE
+    positions — including a MIDDLE-table delete (its term joins new
+    neighbors left, old neighbors right) — and the per-source
+    watermark dict makes any-subset changes a correct partial fold."""
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.script(
+        """
+        CREATE TABLE line (okey bigint, price double);
+        CREATE TABLE ord (okey bigint, ckey bigint);
+        CREATE TABLE cus (ckey bigint, seg string);
+        INSERT INTO line VALUES (1, 10.0), (1, 5.0), (2, 20.0), (3, 8.0);
+        INSERT INTO ord VALUES (1, 100), (2, 100), (3, 200);
+        INSERT INTO cus VALUES (100, 'A'), (200, 'B');
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT seg, COUNT(*) AS n, SUM(price) AS total
+            FROM line JOIN ord ON line.okey = ord.okey
+                      JOIN cus ON ord.ckey = cus.ckey
+            GROUP BY seg
+        """
+    )
+
+    def check():
+        got = sorted(
+            tuple(r) for r in s.sql("SELECT seg, n, total FROM rev").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in s.sql(
+                "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
+                "FROM line JOIN ord ON line.okey = ord.okey "
+                "JOIN cus ON ord.ckey = cus.ckey GROUP BY seg"
+            ).collect()
+        )
+        assert got == want, f"MV {got} != recompute {want}"
+
+    check()
+    s.sql("INSERT INTO line VALUES (3, 1.0), (4, 50.0)")  # 4: no ord yet
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE okey = 2")  # middle-table cut
+    s.sql("INSERT INTO ord VALUES (4, 200)")  # late bridge row
+    s.sql("/*+ MOR */ UPDATE cus SET seg = 'C' WHERE ckey = 100")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    # one-source-only change folds through the watermark dict
+    s.sql("INSERT INTO cus VALUES (300, 'D')")  # key with no bridge rows
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    s.sql("/*+ MOR */ DELETE FROM line WHERE price = 5.0")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    s.sql("REFRESH MATERIALIZED VIEW rev FULL")
+    check()
+    # chain ON legs must key ADJACENT tables
+    with pytest.raises(ValueError, match="USING semantics"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT seg, COUNT(*) AS n "
+            "FROM line JOIN ord ON line.okey = ord.okey "
+            "JOIN cus ON line.okey = cus.ckey GROUP BY seg"
+        )
