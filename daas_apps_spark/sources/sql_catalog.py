@@ -278,11 +278,28 @@ class SqlSession:
         session — statement splitting is quote- and paren-aware, and
         BEGIN/COMMIT/ROLLBACK participate in the SESSION's transaction
         state (a block may open in one script and close in a later
-        statement or script). Returns the per-statement results."""
-        from daas_apps_spark.sources.sql_dml import _split_top_level
+        statement or script). Returns the per-statement results.
 
-        return [
-            self.sql(stmt)
-            for stmt in _split_top_level(text, sep=";")
-            if stmt.strip()
-        ]
+        A statement that raises mid-script aborts any transaction the
+        SCRIPT ITSELF opened before re-raising — a staged-but-pending
+        txn would otherwise block every future commit on its tables
+        until abort_abandoned(). A txn opened BEFORE this script (the
+        interactive cross-script case the session exists for) is left
+        open: the caller owns it and must ROLLBACK after the failure."""
+        from daas_apps_spark.sources.sql_dml import (
+            _split_top_level,
+            txn_coordinator,
+        )
+
+        entry_txn = self._txn
+        out = []
+        try:
+            for stmt in _split_top_level(text, sep=";"):
+                if stmt.strip():
+                    out.append(self.sql(stmt))
+        except BaseException:
+            if self._txn is not None and self._txn is not entry_txn:
+                txn_coordinator(self.catalog).abort(self._txn)
+                self._txn = None
+            raise
+        return out

@@ -2017,6 +2017,21 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         "order": state_order,
         "sql": body,
     }
+    if ine:
+        # IF NOT EXISTS must still refuse a name held by a DIFFERENT
+        # kind: create(if_not_exists=True) returns resolve(name), and
+        # a plain view's path is None (VersionedTable would fail
+        # obscurely) while a plain table's path would be silently
+        # misread as MV state with no MV definition recorded
+        try:
+            held = catalog.entry(name).get("kind", "table")
+        except FileNotFoundError:
+            held = None
+        if held is not None and held != "materialized_view":
+            verb = {"table": "DROP TABLE", "view": "DROP VIEW"}[held]
+            raise ValueError(
+                f"{name!r} is a {held.replace('_', ' ')} — use {verb}"
+            )
     path = catalog.create(
         name,
         None,

@@ -1168,14 +1168,28 @@ def maintain_additive_aggregate(
 
     if state is None:
         state = aggregate(vt.read(version=v_from), None)
-    feed = vt.changes_between(v_from, v_to).withColumn(
-        "__sign",
-        F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        ),
-    )
+    feed = _sign_change_feed(vt.changes_between(v_from, v_to))
     delta = aggregate(feed, "__sign")
     return merge_aggregate_state(state, delta, group_by, count_col, sums)
+
+
+def _sign_change_feed(feed: DataFrame) -> DataFrame:
+    """Sign a change feed for IVM: rows that ADD state (+1) are
+    'insert' AND 'update_postimage' — a row-tracked source (A43)
+    surfaces Delta CDF's four change types, and treating a postimage
+    as anything but +1 silently drifts every maintained count by -2
+    per updated row. The preimage/'delete' side is -1. Drops the
+    tag (and the hidden row id, present only on tracked feeds) so
+    the signed rows union/join cleanly with untracked snapshots."""
+    from pyspark.sql import functions as F
+
+    return feed.withColumn(
+        "__sign",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    ).drop("_change_type", _ROWID)
 
 
 def merge_aggregate_state(
@@ -1291,12 +1305,7 @@ def maintain_join_additive_aggregate(
     def signed_feed(vt, v_from, v_to) -> DataFrame | None:
         if v_to <= v_from:
             return None
-        return vt.changes_between(v_from, v_to).withColumn(
-            "__sign",
-            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        ).drop("_change_type")
+        return _sign_change_feed(vt.changes_between(v_from, v_to))
 
     parts: list[DataFrame] = []
     for i in range(n):
@@ -2944,7 +2953,10 @@ class VersionedTable:
         land NULL ids, silently breaking the uniqueness contract."""
         if self.row_tracking():
             raise ValueError("row tracking is already enabled")
-        if self._live_dirs():
+        # zero-ROW, not zero-commit: SQL CREATE TABLE pins its schema
+        # with an empty data dir, and refusing that shape would make
+        # CREATE TABLE + ENABLE ROW TRACKING impossible to sequence
+        if self._live_dirs() and not self.read().isEmpty():
             raise ValueError(
                 "row tracking must be enabled on an EMPTY table — "
                 "existing files have no ids to carry (create a new "

@@ -252,3 +252,28 @@ def test_merge_stages_in_txn(sess):
     with pytest.raises(CommitConflictError, match="REWRITE"):
         sess.sql("INSERT INTO debit VALUES (8, 8.0)")
     sess.sql("ROLLBACK")
+
+
+def test_script_error_aborts_script_opened_txn(sess):
+    """A statement raising mid-script must abort the txn the SCRIPT
+    opened (a pending txn blocks every future commit on its staged
+    tables); a txn opened BEFORE the script belongs to the caller and
+    survives the failure for an explicit ROLLBACK."""
+    with pytest.raises(Exception):
+        sess.script(
+            "BEGIN; INSERT INTO debit VALUES (1, 1.0);"
+            "SELECT nope FROM debit; COMMIT"
+        )
+    assert sess._txn is None  # aborted, not left pending
+    # the tables are NOT wedged: a fresh block commits immediately
+    sess.script(
+        "BEGIN; INSERT INTO debit VALUES (2, 2.0); COMMIT"
+    )
+    assert _counts(sess) == (1, 0)
+    # pre-existing txn: the script failure leaves it open for the caller
+    sess.sql("BEGIN")
+    with pytest.raises(Exception):
+        sess.script("INSERT INTO credit VALUES (3, 3.0); SELECT nope FROM credit")
+    assert sess._txn is not None
+    sess.sql("ROLLBACK")
+    assert _counts(sess) == (1, 0)

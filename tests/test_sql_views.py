@@ -475,3 +475,78 @@ def test_three_way_chain_mv(spark, tmp_path):
             "FROM line JOIN ord ON line.okey = ord.okey "
             "JOIN cus ON line.okey = cus.ckey GROUP BY seg"
         )
+
+
+def test_mv_row_tracked_source_update(spark, tmp_path):
+    """A row-tracked source's change feed carries Delta CDF's FOUR
+    change types — update_postimage must sign +1 in the IVM fold
+    (signing it -1 drifts counts by -2 per updated row and corrupts
+    sums; table_format.py::_sign_change_feed)."""
+    sess = SqlSession(spark, str(tmp_path / "cat"))
+    sess.sql("CREATE TABLE t (k string, amt decimal(12,2))")
+    sess.sql("ALTER TABLE t ENABLE ROW TRACKING")
+    sess.sql(
+        "INSERT INTO t VALUES ('a', 1.50), ('a', 2.25), ('b', 10.00), "
+        "('b', 0.75), ('c', 5.00)"
+    )
+    sess.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS n, "
+        "SUM(amt) AS total FROM t GROUP BY k"
+    )
+    sess.sql("/*+ MOR */ UPDATE t SET amt = amt + 1.00 WHERE k = 'a'")
+    # prove the feed really surfaces the four-type form for the
+    # update-only window (v3 = the INSERT; v4 = the MOR update)
+    feed = sess.sql("SELECT * FROM TABLE_CHANGES(t, 3)")
+    tags = {r._change_type for r in feed.collect()}
+    assert "update_postimage" in tags and "update_preimage" in tags
+    sess.sql("REFRESH MATERIALIZED VIEW mv")
+    _mv_vs_recompute(sess)
+    # same algebra through the JOIN maintenance path (signed_feed)
+    sess.sql("CREATE TABLE dim (k string, grp string)")
+    sess.sql("INSERT INTO dim VALUES ('a','x'), ('b','x'), ('c','y')")
+    sess.sql(
+        "CREATE MATERIALIZED VIEW jmv AS SELECT grp, COUNT(*) AS n, "
+        "SUM(amt) AS total FROM t JOIN dim ON t.k = dim.k GROUP BY grp"
+    )
+    sess.sql("/*+ MOR */ UPDATE t SET amt = amt + 0.50 WHERE k = 'b'")
+    sess.sql("REFRESH MATERIALIZED VIEW jmv")
+    got = sorted(
+        tuple(r) for r in sess.sql("SELECT grp, n, total FROM jmv").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sess.sql(
+            "SELECT grp, COUNT(*) AS n, "
+            "CAST(SUM(amt) AS decimal(38,2)) AS total "
+            "FROM t JOIN dim ON t.k = dim.k GROUP BY grp"
+        ).collect()
+    )
+    assert got == want, f"join MV {got} != recompute {want}"
+
+
+def test_create_mv_if_not_exists_kind_guard(sess):
+    """IF NOT EXISTS must still refuse a name held by a DIFFERENT
+    kind — a plain view's path is None and a plain table would be
+    silently misread as MV state."""
+    sess.sql("CREATE VIEW held_v AS SELECT k FROM t")
+    with pytest.raises(ValueError, match="use DROP VIEW"):
+        sess.sql(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS held_v AS "
+            "SELECT k, COUNT(*) AS n FROM t GROUP BY k"
+        )
+    sess.sql("CREATE TABLE held_t (k string)")
+    with pytest.raises(ValueError, match="use DROP TABLE"):
+        sess.sql(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS held_t AS "
+            "SELECT k, COUNT(*) AS n FROM t GROUP BY k"
+        )
+    # same-kind IF NOT EXISTS stays the documented no-op
+    sess.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS n "
+        "FROM t GROUP BY k"
+    )
+    v = sess.sql(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS mv AS "
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k"
+    )
+    assert v == 1
