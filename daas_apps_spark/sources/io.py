@@ -2653,6 +2653,95 @@ def a52_star_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a53_aliased_join_mv",
+    oracle="""
+    WITH ord0 AS (
+        SELECT o_custkey ck, o_totalprice pr FROM orders
+    ), ord1 AS (
+        SELECT ck, pr FROM ord0
+        UNION ALL SELECT ck, pr * 2 FROM ord0 WHERE ck % 5 = 0
+    ), ordf AS (
+        SELECT * FROM ord1 WHERE NOT (pr > 400000)
+    ), cus AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0
+                    THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE NOT (c_custkey % 13 = 0)
+    )
+    SELECT n_name AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM nation JOIN cus ON cus.c_nationkey = nation.n_nationkey
+                JOIN ordf ON ordf.ck = cus.c_custkey
+    GROUP BY n_name
+    """,
+    tags=("A53", "A51", "A52", "A48", "A25", "A31", "C6"),
+)
+def a53_aliased_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join MVs over DIFFERENTLY-NAMED key columns — the real star
+    schema, no pre-renaming (sql_dml.py::_parse_mv_join_keys oriented
+    pairs + table_format.py::_join_adjacent): nation ⋈ customer ⋈
+    orders keyed ``c_nationkey = n_nationkey`` and ``o_custkey =
+    c_custkey`` exactly as TPC-H spells them, revenue by nation,
+    maintained by the telescoping signed delta-join rule. The sweep
+    mutates every chain position: a doubled fact slice appends, a fact
+    MOR delete prunes the high-price tail, the late-arriving customer
+    stripe lights up its dark orders, a MIDDLE-table MOR delete cuts
+    every 13th customer, and a customer MOR update REWRITES THE JOIN
+    KEY ITSELF (c_nationkey), migrating whole customers between nation
+    groups — the aliased-key case where the delete+insert feed pair
+    must subtract under the old key value and add under the new. ONE
+    REFRESH folds all five; the DuckDB oracle recomputes from first
+    principles.
+
+    At 100 TB nothing changes vs a51/a52 — each refresh is still
+    |delta|-priced delta-joins — but the schema no longer has to bend:
+    the ON clause accepts each table's own key spelling."""
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a53_ajmv_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("a53_nat_src")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("a53_cus_src")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a53_ord_src")
+    s.script(
+        """
+        CREATE TABLE nat (n_nationkey bigint, n_name string);
+        CREATE TABLE cus (c_custkey bigint, c_nationkey bigint);
+        CREATE TABLE ord (o_custkey bigint, o_totalprice double);
+        INSERT INTO nat SELECT n_nationkey, n_name FROM a53_nat_src;
+        INSERT INTO cus SELECT c_custkey, c_nationkey
+            FROM a53_cus_src WHERE c_custkey % 7 <> 3;
+        INSERT INTO ord SELECT o_custkey, o_totalprice FROM a53_ord_src;
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT n_name, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS decimal(18,4))) AS revenue
+            FROM nat JOIN cus ON cus.c_nationkey = nat.n_nationkey
+                     JOIN ord ON ord.o_custkey = cus.c_custkey
+            GROUP BY n_name;
+        INSERT INTO ord SELECT o_custkey, o_totalprice * 2
+            FROM a53_ord_src WHERE o_custkey % 5 = 0
+        """
+    )
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE o_totalprice > 400000")
+    s.sql(
+        "INSERT INTO cus SELECT c_custkey, c_nationkey "
+        "FROM a53_cus_src WHERE c_custkey % 7 = 3"
+    )
+    s.sql("/*+ MOR */ DELETE FROM cus WHERE c_custkey % 13 = 0")
+    s.sql(
+        "/*+ MOR */ UPDATE cus SET c_nationkey = (c_nationkey + 1) % 25 "
+        "WHERE c_custkey % 10 = 0"
+    )
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    return s.sql(
+        "SELECT n_name AS grp, n_orders, "
+        "CAST(revenue AS double) AS revenue FROM rev"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

@@ -1824,38 +1824,42 @@ def _parse_mv_from(from_text: str) -> tuple[list[str], list[str]]:
     return names, ons
 
 
-def _parse_mv_join_keys(on_text: str, a: str, b: str) -> list[str]:
-    """USING-style equi-join legs for a join MV: every top-level AND leg
-    must be ``<a>.<k> = <b>.<k>`` (either side order) with the SAME
-    column name — the delta-join maintenance reads both snapshots with
-    plain ``join(keys)`` and signed multiplicities, so the key must be
-    one shared name."""
-    keys: list[str] = []
+def _parse_mv_join_keys(on_text: str, a: str, b: str) -> list[list[str]]:
+    """Equi-join legs for a join MV: every top-level AND leg must be
+    ``<a>.<k1> = <b>.<k2>`` (either side order, column names may
+    differ — the real-star-schema shape, ``orders.o_custkey =
+    customer.c_custkey``). Returns ORIENTED ``[a_col, b_col]`` pairs:
+    the delta-join maintenance joins adjacent snapshots on the pairs,
+    so a leg written ``b.k2 = a.k1`` normalizes to the chain order."""
+    keys: list[list[str]] = []
     for leg in re.split(r"\s+AND\s+", on_text.strip(), flags=re.I):
         m = re.fullmatch(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", leg)
-        if (
-            not m
-            or {m.group(1).lower(), m.group(3).lower()}
-            != {a.lower(), b.lower()}
-            or m.group(2).lower() != m.group(4).lower()
-        ):
+        if not m or {m.group(1).lower(), m.group(3).lower()} != {
+            a.lower(),
+            b.lower(),
+        }:
             raise ValueError(
-                f"join-MV ON leg {leg!r} must be {a}.<k> = {b}.<k> with "
-                "the same column name on both sides (USING semantics)"
+                f"join-MV ON leg {leg!r} must be an equality between "
+                f"the ADJACENT tables {a} and {b} "
+                f"({a}.<k1> = {b}.<k2>)"
             )
-        keys.append(m.group(2))
+        if m.group(1).lower() == a.lower():
+            keys.append([m.group(2), m.group(4)])
+        else:
+            keys.append([m.group(4), m.group(2)])
     return keys
 
 _MV_GRAMMAR = (
     "materialized views support ONE additive-aggregate block — "
     "SELECT <group cols>, COUNT(*) AS <name>[, SUM(<expr>) AS <name>, "
     "AVG(<expr>) AS <name> ...] FROM <versioned table> "
-    "[JOIN <versioned table> ON a.k = b.k [AND ...]] [WHERE <pred>] "
+    "[JOIN <versioned table> ON a.k1 = b.k2 [AND ...]] [WHERE <pred>] "
     "GROUP BY <group cols> — the shape the change-feed IVM algebra can "
     "maintain exactly (count/sum are distributive under insert +1 / "
     "delete -1; AVG derives as a maintained hidden sum over the "
     "maintained count; a two-table equi-join maintains via the signed "
-    "delta-join rule dA*B_old + A_new*dB; min/max are not maintainable "
+    "delta-join rule dA*B_old + A_new*dB, and the ON keys may name "
+    "DIFFERENT columns on each side; min/max are not maintainable "
     "under deletes — keep those as plain views). Declared semantics: a maintained SUM folds NULL contributions as 0, so a group whose inputs are ALL NULL reads 0 where SQL SUM reads NULL — COALESCE in the expression if the distinction matters; AVG is exact (hidden non-null denominator)"
 )
 

@@ -1231,16 +1231,51 @@ def merge_aggregate_state(
     return merged.filter(F.col(count_col) > 0)
 
 
+def _normalize_chain_keys(chain_keys: list[list]) -> list[list[list[str]]]:
+    """Each chain leg is a list of KEY PAIRS ``[left_col, right_col]``
+    (the join may key differently-named columns, the real-star-schema
+    shape — ``orders.o_custkey = customer.c_custkey``). A bare string
+    ``k`` (the pre-aliased-keys catalog format) means ``[k, k]``, so
+    MV definitions recorded by older catalogs keep maintaining."""
+    return [
+        [[k, k] if isinstance(k, str) else list(k) for k in keys]
+        for keys in chain_keys
+    ]
+
+
+def _join_adjacent(
+    left: DataFrame, right: DataFrame, keys: list[list[str]]
+) -> DataFrame:
+    """Equi-join two adjacent chain frames on key pairs. Same-named
+    pairs join USING-style (one surviving key column); an aliased pair
+    joins on the expression and BOTH columns survive — each side's key
+    stays addressable by its own name downstream (group columns,
+    later chain legs)."""
+    if all(l == r for l, r in keys):
+        return left.join(right, [l for l, _ in keys])
+    cond = None
+    for l, r in keys:
+        leg = left[l] == right[r]
+        cond = leg if cond is None else (cond & leg)
+    out = left.join(right, cond)
+    for l, r in keys:
+        if l == r:
+            out = out.drop(right[r])
+    return out
+
+
 def chain_join(
     sources: list["VersionedTable"],
-    chain_keys: list[list[str]],
+    chain_keys: list[list],
     versions: list[int],
 ) -> DataFrame:
     """``T0 ⋈(k0) T1 ⋈(k1) T2 …`` with each table read at its given
     version — the consistent frame the join-IVM algebra aggregates."""
+    chain_keys = _normalize_chain_keys(chain_keys)
     df = sources[0].read(version=versions[0], merge_schema=True)
     for j in range(1, len(sources)):
-        df = df.join(
+        df = _join_adjacent(
+            df,
             sources[j].read(version=versions[j], merge_schema=True),
             chain_keys[j - 1],
         )
@@ -1260,7 +1295,9 @@ def maintain_join_additive_aggregate(
 ) -> DataFrame:
     """Incremental view maintenance over an N-table EQUI-JOIN CHAIN
     ``T0 ⋈(k0) T1 ⋈(k1) T2 …`` (``chain_keys[j]`` joins ``sources[j]``
-    and ``sources[j+1]``, USING-style same-named columns): advance a
+    and ``sources[j+1]``; each key is a ``[left_col, right_col]`` pair,
+    so differently-named star-schema keys join without renaming — a
+    bare string means the same name on both sides): advance a
     grouped additive aggregate from its state at ``froms`` to ``tos``
     with the telescoping signed delta-join rule —
 
@@ -1287,6 +1324,7 @@ def maintain_join_additive_aggregate(
             "maintain_join_additive_aggregate: need N sources, N-1 "
             "chain_keys, N froms, N tos"
         )
+    chain_keys = _normalize_chain_keys(chain_keys)
 
     def aggregate(df: DataFrame, sign) -> DataFrame:
         if where is not None:
@@ -1314,11 +1352,14 @@ def maintain_join_additive_aggregate(
             continue
         df = di
         for j in range(i - 1, -1, -1):  # left neighbors at NEW versions
-            df = sources[j].read(version=tos[j], merge_schema=True).join(
-                df, chain_keys[j]
+            df = _join_adjacent(
+                sources[j].read(version=tos[j], merge_schema=True),
+                df,
+                chain_keys[j],
             )
         for j in range(i + 1, n):  # right neighbors at OLD versions
-            df = df.join(
+            df = _join_adjacent(
+                df,
                 sources[j].read(version=froms[j], merge_schema=True),
                 chain_keys[j - 1],
             )

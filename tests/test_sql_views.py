@@ -346,16 +346,16 @@ def test_join_mv_grammar_refusals(spark, tmp_path):
         "CREATE TABLE b (k bigint, r string);"
         "INSERT INTO a VALUES (1, 1.0); INSERT INTO b VALUES (1, 'z')"
     )
-    # ON legs must be USING-style same-named equalities
-    with pytest.raises(ValueError, match="USING semantics"):
-        s.sql(
-            "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
-            "FROM a JOIN b ON a.k = b.r GROUP BY r"
-        )
-    with pytest.raises(ValueError, match="USING semantics"):
+    # ON legs must be equalities between the two adjacent tables
+    with pytest.raises(ValueError, match="ADJACENT tables"):
         s.sql(
             "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
             "FROM a JOIN b ON a.k < b.k GROUP BY r"
+        )
+    with pytest.raises(ValueError, match="ADJACENT tables"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW m AS SELECT r, COUNT(*) AS n "
+            "FROM a JOIN b ON a.k = c.k GROUP BY r"
         )
     # a view cannot be a join-MV source either
     s.sql("CREATE VIEW bv AS SELECT k, r FROM b")
@@ -469,7 +469,7 @@ def test_three_way_chain_mv(spark, tmp_path):
     s.sql("REFRESH MATERIALIZED VIEW rev FULL")
     check()
     # chain ON legs must key ADJACENT tables
-    with pytest.raises(ValueError, match="USING semantics"):
+    with pytest.raises(ValueError, match="ADJACENT tables"):
         s.sql(
             "CREATE MATERIALIZED VIEW bad AS SELECT seg, COUNT(*) AS n "
             "FROM line JOIN ord ON line.okey = ord.okey "
@@ -550,3 +550,85 @@ def test_create_mv_if_not_exists_kind_guard(sess):
         "SELECT k, COUNT(*) AS n FROM t GROUP BY k"
     )
     assert v == 1
+
+
+def test_join_mv_aliased_keys(spark, tmp_path):
+    """The round-11 headline: join-MV ON legs may key DIFFERENTLY-named
+    columns (orders.o_custkey = customer.c_custkey) — the first wall
+    every real star schema hits. Two-table and three-table chains,
+    full DML sweep on every chain position, reversed leg order, and
+    FULL refresh all maintain without pre-renaming keys."""
+    s = SqlSession(spark, str(tmp_path / "cat"))
+    s.script(
+        """
+        CREATE TABLE line (l_okey bigint, pr double);
+        CREATE TABLE ord (o_okey bigint, o_ckey bigint);
+        CREATE TABLE cus (c_ckey bigint, seg string);
+        INSERT INTO line VALUES (1, 10.0), (1, 5.0), (2, 20.0), (3, 7.0);
+        INSERT INTO ord VALUES (1, 100), (2, 100), (3, 200);
+        INSERT INTO cus VALUES (100, 'A'), (200, 'B');
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT seg, COUNT(*) AS n, SUM(pr) AS total
+            FROM line JOIN ord ON line.l_okey = ord.o_okey
+                      JOIN cus ON cus.c_ckey = ord.o_ckey
+            GROUP BY seg
+        """
+    )
+
+    def check():
+        got = sorted(
+            tuple(r)
+            for r in s.sql("SELECT seg, n, total FROM rev").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in s.sql(
+                "SELECT seg, COUNT(*) AS n, SUM(pr) AS total "
+                "FROM line JOIN ord ON line.l_okey = ord.o_okey "
+                "JOIN cus ON cus.c_ckey = ord.o_ckey GROUP BY seg"
+            ).collect()
+        )
+        assert got == want, f"MV {got} != recompute {want}"
+
+    check()
+    s.sql("INSERT INTO line VALUES (3, 1.0), (4, 50.0)")  # 4: dark row
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE o_okey = 2")  # middle cut
+    s.sql("INSERT INTO ord VALUES (4, 200)")  # late bridge lights up 4
+    s.sql("/*+ MOR */ UPDATE cus SET seg = 'C' WHERE c_ckey = 100")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    s.sql("/*+ MOR */ DELETE FROM line WHERE pr = 5.0")
+    s.sql("REFRESH MATERIALIZED VIEW rev")
+    check()
+    s.sql("REFRESH MATERIALIZED VIEW rev FULL")
+    check()
+
+
+def test_join_mv_legacy_string_chain_keys(spark, tmp_path):
+    """Catalog entries recorded before aliased keys store each chain
+    leg as bare column-name strings; _normalize_chain_keys must keep
+    them maintaining (string k ≡ pair [k, k])."""
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        additive_aggregate_state,
+        chain_join,
+        maintain_join_additive_aggregate,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    a.append(spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, x double"))
+    b.append(spark.createDataFrame([(1, "u"), (2, "v")], "k long, g string"))
+    state = additive_aggregate_state(
+        chain_join([a, b], [["k"]], [1, 1]), ["g"], "n", {"sx": "x"}
+    )
+    a.append(spark.createDataFrame([(1, 5.0)], "k long, x double"))
+    new = maintain_join_additive_aggregate(
+        [a, b], [["k"]], [1, 1], [2, 1], ["g"], "n", {"sx": "x"}, state=state
+    )
+    want = additive_aggregate_state(
+        chain_join([a, b], [["k"]], [2, 1]), ["g"], "n", {"sx": "x"}
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, want.collect())
+    )
