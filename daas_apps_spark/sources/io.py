@@ -2742,6 +2742,79 @@ def a53_aliased_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a54_minmax_mv",
+    oracle="""
+    WITH o0 AS (
+        SELECT o_orderkey k, o_orderpriority pri, o_totalprice pr
+        FROM orders
+    ), o1 AS (
+        SELECT k, pri, pr FROM o0
+        UNION ALL SELECT k, pri, pr * 0.5 FROM o0 WHERE k % 5 = 0
+    ), o2 AS (
+        SELECT k, pri,
+               CASE WHEN k % 11 = 0 THEN pr * 0.9 ELSE pr END AS pr
+        FROM o1
+    ), ofin AS (
+        SELECT * FROM o2 WHERE NOT (pr > 300000)
+    )
+    SELECT pri AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           MIN(pr) AS lo,
+           MAX(pr) AS hi
+    FROM ofin
+    GROUP BY pri
+    """,
+    tags=("A54", "A48", "A25", "A31", "D1"),
+)
+def a54_minmax_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX in materialized views via the AFFECTED-GROUP RECOMPUTE
+    rule (table_format.py::_maintain_extrema): extrema are not
+    distributive under deletes, so the classic IVM refusal leaves any
+    dashboard with a MAX(ts)/MIN(price) column unmaterializable. The
+    engine maintains them anyway: inserts FOLD (least/greatest against
+    the stored value — extrema are insert-monotone), and a delete only
+    costs when it could have CARRIED a group's extremum, in which case
+    JUST that group recomputes from the base behind a semi-join on its
+    keys. The sweep forces both paths at once: a half-price doubled
+    slice appends (new lo carriers fold in), a price rewrite moves a
+    stripe, and a MOR delete prunes everything above 300k — removing
+    the hi carrier of EVERY group, so the stored MAX must DROP, the
+    thing folding can never do. ONE REFRESH lands both; the DuckDB
+    oracle recomputes the final census from first principles.
+
+    At 100 TB: refresh stays |delta| + |affected groups| — the
+    recompute term semi-joins the base on affected group keys (here
+    5 priorities), never rescans groups whose carriers survived."""
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a54_mmv_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a54_ord_src")
+    s.script(
+        """
+        CREATE TABLE ord (okey bigint, pri string, price double);
+        INSERT INTO ord SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM a54_ord_src;
+        CREATE MATERIALIZED VIEW stats AS
+            SELECT pri, COUNT(*) AS n_orders,
+                   SUM(CAST(price AS decimal(18,4))) AS revenue,
+                   MIN(price) AS lo, MAX(price) AS hi
+            FROM ord GROUP BY pri;
+        INSERT INTO ord SELECT o_orderkey, o_orderpriority,
+            o_totalprice * 0.5 FROM a54_ord_src WHERE o_orderkey % 5 = 0
+        """
+    )
+    s.sql("/*+ MOR */ UPDATE ord SET price = price * 0.9 WHERE okey % 11 = 0")
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE price > 300000")
+    s.sql("REFRESH MATERIALIZED VIEW stats")
+    return s.sql(
+        "SELECT pri AS grp, n_orders, CAST(revenue AS double) AS revenue, "
+        "lo, hi FROM stats"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

@@ -1852,15 +1852,19 @@ def _parse_mv_join_keys(on_text: str, a: str, b: str) -> list[list[str]]:
 _MV_GRAMMAR = (
     "materialized views support ONE additive-aggregate block — "
     "SELECT <group cols>, COUNT(*) AS <name>[, SUM(<expr>) AS <name>, "
-    "AVG(<expr>) AS <name> ...] FROM <versioned table> "
+    "AVG(<expr>) AS <name>, MIN(<expr>) AS <name>, MAX(<expr>) AS "
+    "<name> ...] FROM <versioned table> "
     "[JOIN <versioned table> ON a.k1 = b.k2 [AND ...]] [WHERE <pred>] "
     "GROUP BY <group cols> — the shape the change-feed IVM algebra can "
     "maintain exactly (count/sum are distributive under insert +1 / "
     "delete -1; AVG derives as a maintained hidden sum over the "
     "maintained count; a two-table equi-join maintains via the signed "
     "delta-join rule dA*B_old + A_new*dB, and the ON keys may name "
-    "DIFFERENT columns on each side; min/max are not maintainable "
-    "under deletes — keep those as plain views). Declared semantics: a maintained SUM folds NULL contributions as 0, so a group whose inputs are ALL NULL reads 0 where SQL SUM reads NULL — COALESCE in the expression if the distinction matters; AVG is exact (hidden non-null denominator)"
+    "DIFFERENT columns on each side; MIN/MAX maintain by the "
+    "affected-group recompute rule — inserts fold for free, and a "
+    "delete that could carry a group's extremum recomputes JUST that "
+    "group from the base behind a semi-join on its keys, so refresh "
+    "cost stays |delta| + |affected groups|, never base size). Declared semantics: a maintained SUM folds NULL contributions as 0, so a group whose inputs are ALL NULL reads 0 where SQL SUM reads NULL — COALESCE in the expression if the distinction matters; AVG is exact (hidden non-null denominator)"
 )
 
 
@@ -1940,6 +1944,8 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
     group_cols: list[str] = []
     count_col: str | None = None
     sums: dict[str, str] = {}
+    mins: dict[str, str] = {}
+    maxs: dict[str, str] = {}
     derived: dict[str, str] = {}  # avg alias -> hidden maintained sum
     order: list[str] = []
     for it in _split_top_level(q.group("items")):
@@ -1973,6 +1979,19 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
             sums[hcnt] = f"CAST(({expr}) IS NOT NULL AS INT)"
             derived[alias] = [hsum, hcnt]
             order.append(alias)
+            continue
+        mm = re.fullmatch(
+            r"(?P<f>MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)",
+            it,
+            re.I | re.S,
+        )
+        if mm:
+            # maintained by the affected-group recompute rule: inserts
+            # fold; a delete that could carry the extremum recomputes
+            # just that group from the base (see _MV_GRAMMAR cost note)
+            target = mins if mm.group("f").upper() == "MIN" else maxs
+            target[mm.group("a")] = mm.group("e").strip()
+            order.append(mm.group("a"))
             continue
         if re.fullmatch(r"[A-Za-z_]\w*", it):
             group_cols.append(it)
@@ -2008,6 +2027,8 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         count_col,
         sums,
         where=q.group("where"),
+        mins=mins,
+        maxs=maxs,
     )
     init = _canonical_mv_state(init.select(*state_order))
     mvdef = {
@@ -2016,6 +2037,8 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         "group_by": group_cols,
         "count_col": count_col,
         "sums": sums,
+        "mins": mins,
+        "maxs": maxs,
         "derived": derived,
         "where": q.group("where"),
         "order": state_order,
@@ -2125,6 +2148,8 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
             mv["count_col"],
             mv["sums"],
             where=mv.get("where"),
+            mins=mv.get("mins"),
+            maxs=mv.get("maxs"),
         )
         return mv_vt.overwrite(
             _canonical_mv_state(full.select(*mv["order"])),
@@ -2142,6 +2167,8 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
         mv["sums"],
         state=mv_vt.read(),
         where=mv.get("where"),
+        mins=mv.get("mins"),
+        maxs=mv.get("maxs"),
     )
     return mv_vt.overwrite(
         _canonical_mv_state(new.select(*mv["order"])),

@@ -1100,12 +1100,15 @@ def additive_aggregate_state(
     count_col: str,
     sums: dict[str, str] | None = None,
     where: str | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> DataFrame:
     """The full-recompute form of the additive aggregate
     ``maintain_additive_aggregate`` advances incrementally — the SAME
-    count/sum expressions, so a state bootstrapped here and one folded
-    forward from the change feed are schema- and value-identical
-    (CREATE MATERIALIZED VIEW builds with this; REFRESH maintains)."""
+    count/sum (and min/max) expressions, so a state bootstrapped here
+    and one folded forward from the change feed are schema- and
+    value-identical (CREATE MATERIALIZED VIEW builds with this;
+    REFRESH maintains)."""
     from pyspark.sql import functions as F
 
     if where is not None:
@@ -1115,6 +1118,14 @@ def additive_aggregate_state(
         *[
             F.sum(F.expr(e)).alias(name)
             for name, e in (sums or {}).items()
+        ],
+        *[
+            F.min(F.expr(e)).alias(name)
+            for name, e in (mins or {}).items()
+        ],
+        *[
+            F.max(F.expr(e)).alias(name)
+            for name, e in (maxs or {}).items()
         ],
     )
 
@@ -1292,6 +1303,8 @@ def maintain_join_additive_aggregate(
     sums: dict[str, str] | None = None,
     state: DataFrame | None = None,
     where: str | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Incremental view maintenance over an N-table EQUI-JOIN CHAIN
     ``T0 ⋈(k0) T1 ⋈(k1) T2 …`` (``chain_keys[j]`` joins ``sources[j]``
@@ -1314,10 +1327,22 @@ def maintain_join_additive_aggregate(
     frames for free. Per refresh, term i costs the delta-join of
     |ΔTi| against its neighbors — manifest-prunable on the keys, tiny
     deltas AQE-broadcast — never a recompute of the full join.
-    ``where`` filters the JOINED row before aggregation."""
+    ``where`` filters the JOINED row before aggregation.
+
+    ``mins``/``maxs`` maintain MIN/MAX columns by the affected-group
+    recompute rule: inserts FOLD (``least``/``greatest`` against the
+    prior extremum — extrema are insert-monotone), and a delete only
+    forces work when it could have CARRIED the group's extremum
+    (deleted min ≤ stored min, resp. ≥ for max) — those groups, and
+    only those, recompute from the base relation at ``tos`` behind a
+    semi-join on the group keys. Cost: fold is delta-priced like the
+    additive path; the recompute term is |affected groups|-pruned,
+    zero when deletes never touch a carrier."""
     from pyspark.sql import functions as F
 
     sums = sums or {}
+    mins = mins or {}
+    maxs = maxs or {}
     n = len(sources)
     if not (len(chain_keys) == n - 1 == len(froms) - 1 == len(tos) - 1):
         raise ValueError(
@@ -1329,16 +1354,39 @@ def maintain_join_additive_aggregate(
     def aggregate(df: DataFrame, sign) -> DataFrame:
         if where is not None:
             df = df.filter(where)
-        return df.groupBy(*group_by).agg(
-            F.sum(sign).cast("long").alias(count_col),
-            *[
-                F.sum(sign * F.expr(e)).alias(name)
-                for name, e in sums.items()
-            ],
-        )
+        aggs = [F.sum(sign).cast("long").alias(count_col)]
+        aggs += [
+            F.sum(sign * F.expr(e)).alias(name) for name, e in sums.items()
+        ]
+        # extrema deltas ride the same per-term shuffle: the inserted
+        # rows' extremum folds, the deleted rows' extremum decides
+        # whether the group must recompute
+        for name, e in mins.items():
+            aggs.append(
+                F.min(F.when(sign > 0, F.expr(e))).alias(f"__ins_{name}")
+            )
+            aggs.append(
+                F.min(F.when(sign < 0, F.expr(e))).alias(f"__del_{name}")
+            )
+        for name, e in maxs.items():
+            aggs.append(
+                F.max(F.when(sign > 0, F.expr(e))).alias(f"__ins_{name}")
+            )
+            aggs.append(
+                F.max(F.when(sign < 0, F.expr(e))).alias(f"__del_{name}")
+            )
+        return df.groupBy(*group_by).agg(*aggs)
 
     if state is None:
-        state = aggregate(chain_join(sources, chain_keys, froms), F.lit(1))
+        state = additive_aggregate_state(
+            chain_join(sources, chain_keys, froms),
+            group_by,
+            count_col,
+            sums,
+            where=where,
+            mins=mins,
+            maxs=maxs,
+        )
 
     def signed_feed(vt, v_from, v_to) -> DataFrame | None:
         if v_to <= v_from:
@@ -1373,8 +1421,117 @@ def maintain_join_additive_aggregate(
         delta = delta.groupBy(*group_by).agg(
             F.sum(count_col).cast("long").alias(count_col),
             *[F.sum(c).alias(c) for c in sums],
+            *[F.min(f"__ins_{c}").alias(f"__ins_{c}") for c in mins],
+            *[F.min(f"__del_{c}").alias(f"__del_{c}") for c in mins],
+            *[F.max(f"__ins_{c}").alias(f"__ins_{c}") for c in maxs],
+            *[F.max(f"__del_{c}").alias(f"__del_{c}") for c in maxs],
         )
-    return merge_aggregate_state(state, delta, group_by, count_col, sums)
+    merged = merge_aggregate_state(state, delta, group_by, count_col, sums)
+    if not (mins or maxs):
+        return merged
+
+    def base_at_tos() -> DataFrame:
+        df = chain_join(sources, chain_keys, tos)
+        return df.filter(where) if where is not None else df
+
+    return _maintain_extrema(
+        merged, state, delta, group_by, mins, maxs, base_at_tos
+    )
+
+
+def _maintain_extrema(
+    merged: DataFrame,
+    state: DataFrame,
+    delta: DataFrame,
+    group_by: list[str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+    base_at_tos,
+) -> DataFrame:
+    """Resolve maintained MIN/MAX columns onto the post-merge state.
+
+    Per group and extremum: no delete touched the stored carrier →
+    FOLD (``least(old, inserted_min)`` / ``greatest(old,
+    inserted_max)``, both null-skipping, so a delta-less group keeps
+    its value and a brand-new group takes the inserted one). A delete
+    that ties-or-beats the stored extremum — or any delete against a
+    group with no stored state (join-algebra hybrid frames can emit
+    one) — marks the group AFFECTED: its extrema recompute from the
+    base relation at the target versions behind a semi-join on the
+    affected keys, so the scan is pruned to those groups and every
+    other group never touches the base. Groups whose count telescoped
+    to zero are already gone from ``merged`` and are never recomputed.
+    Conservative and exact: a tie triggers a recompute that returns
+    the same value; a missed carrier is impossible because every
+    removed joined row surfaces as a signed −1 row in some term."""
+    from pyspark.sql import functions as F
+
+    ext = [("min", c) for c in mins] + [("max", c) for c in maxs]
+    s = state.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in group_by],
+        *[F.col(c).alias(f"__old_{c}") for _, c in ext],
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in group_by],
+        *[F.col(f"__ins_{c}") for _, c in ext],
+        *[F.col(f"__del_{c}") for _, c in ext],
+    )
+    j = merged.join(
+        s,
+        [merged[k].eqNullSafe(s[f"__sk_{k}"]) for k in group_by],
+        "left",
+    ).join(
+        d,
+        [merged[k].eqNullSafe(d[f"__dk_{k}"]) for k in group_by],
+        "left",
+    )
+    affected = F.lit(False)
+    for kind, c in ext:
+        old, de = F.col(f"__old_{c}"), F.col(f"__del_{c}")
+        hit = de.isNotNull() & (
+            old.isNull() | ((de <= old) if kind == "min" else (de >= old))
+        )
+        affected = affected | hit
+    j = j.withColumn("__affected", affected)
+    keys_aff = j.filter(F.col("__affected")).select(
+        *[F.col(k).alias(f"__ak_{k}") for k in group_by]
+    )
+    base = base_at_tos()
+    rec = (
+        base.join(
+            keys_aff,
+            [base[k].eqNullSafe(keys_aff[f"__ak_{k}"]) for k in group_by],
+            "left_semi",
+        )
+        .groupBy(*group_by)
+        .agg(
+            *[F.min(F.expr(e)).alias(f"__rec_{c}") for c, e in mins.items()],
+            *[F.max(F.expr(e)).alias(f"__rec_{c}") for c, e in maxs.items()],
+        )
+    )
+    r = rec.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in group_by],
+        *[F.col(f"__rec_{c}") for _, c in ext],
+    )
+    j = j.join(
+        r,
+        [j[k].eqNullSafe(r[f"__rk_{k}"]) for k in group_by],
+        "left",
+    )
+    keep = [c for c in merged.columns]
+    out_cols = [F.col(c) for c in keep]
+    for kind, c in ext:
+        fold = (
+            F.least(F.col(f"__old_{c}"), F.col(f"__ins_{c}"))
+            if kind == "min"
+            else F.greatest(F.col(f"__old_{c}"), F.col(f"__ins_{c}"))
+        )
+        out_cols.append(
+            F.when(F.col("__affected"), F.col(f"__rec_{c}"))
+            .otherwise(fold)
+            .alias(c)
+        )
+    return j.select(*out_cols)
 
 
 class VersionedTable:
