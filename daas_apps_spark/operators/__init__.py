@@ -40,6 +40,7 @@ from daas_apps_spark.operators import (  # noqa: F401
     dedup,
     similarity,
     ann_index,
+    band_index,
     text,
     multimodal,
     streaming_batch,
