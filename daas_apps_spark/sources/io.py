@@ -2815,6 +2815,128 @@ def a54_minmax_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a55_continuous_mv_refresh",
+    oracle="""
+    WITH o0 AS (
+        SELECT o_orderkey k, o_orderpriority pri, o_totalprice pr
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), o1 AS (
+        SELECT k, pri, pr FROM o0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 10 = 5
+    ), o2 AS (
+        SELECT * FROM o1 WHERE NOT (pr > 250000)
+    ), ofin AS (
+        SELECT k, pri,
+               CASE WHEN k % 3 = 0 THEN pr + 10.0 ELSE pr END AS pr
+        FROM o2
+    )
+    SELECT pri AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM ofin GROUP BY pri
+    """,
+    tags=("A55", "A48", "A25", "A31", "I10"),
+)
+def a55_continuous_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``REFRESH MATERIALIZED VIEW … CONTINUOUS`` end-to-end
+    (sql_catalog.py::_start_continuous_refresh → streaming/live.py::
+    start_continuous_mv_refresh): the MV stops being a thing you
+    refresh and becomes a STANDING stream — base-table commits flow
+    through the table_cdf source (versions as offsets, MOR deletes
+    replayed as signed rows planned off the manifest), each micro-batch
+    folds the signed-delta IVM algebra into the state table
+    EXACTLY-ONCE ((stream_id, batch_id) skip on replay), and every
+    streaming commit stamps the SAME mv_source_versions watermark the
+    batch REFRESH writes — so the two maintainers hand over cleanly in
+    either direction. The query drives three live windows (append, MOR
+    delete, MOR update) under the running stream, polls the maintained
+    state to the recompute fixpoint after each, STOPs the stream, and
+    proves the handover by running a manual REFRESH over the final
+    no-delta window (a no-op — the watermark is already at head). The
+    DuckDB oracle recomputes the final census from first principles.
+
+    At 100 TB this is the freshness dial with no new cost model: the
+    stream reads each window's change units off the manifest exactly
+    like batch REFRESH, state stays |groups|-sized, and the checkpoint
+    resumes a stopped stream where it left off."""
+    import time as _time
+
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a55_cmv_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a55_ord_src")
+    s.script(
+        """
+        CREATE TABLE ord (k bigint, pri string, price double);
+        INSERT INTO ord SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM a55_ord_src WHERE o_orderkey % 10 = 0;
+        CREATE MATERIALIZED VIEW stats AS
+            SELECT pri, COUNT(*) AS n_orders,
+                   SUM(CAST(price AS decimal(18,4))) AS revenue,
+                   AVG(CAST(price AS decimal(18,4))) AS avg_price
+            FROM ord GROUP BY pri
+        """
+    )
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in s.sql(
+                "SELECT pri, COUNT(*) AS n, "
+                "CAST(SUM(CAST(price AS decimal(18,4))) AS double) AS t "
+                "FROM ord GROUP BY pri"
+            ).collect()
+        )
+
+    def state():
+        return sorted(
+            tuple(r)
+            for r in s.sql(
+                "SELECT pri, n_orders, CAST(revenue AS double) FROM stats"
+            ).collect()
+        )
+
+    def wait_caught_up():
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if state() == recompute():
+                return
+            _time.sleep(0.4)
+        raise AssertionError("continuous MV state never caught up")
+
+    q = s.sql("REFRESH MATERIALIZED VIEW stats CONTINUOUS")
+    try:
+        for stmt in (
+            "INSERT INTO ord SELECT o_orderkey, o_orderpriority, "
+            "o_totalprice FROM a55_ord_src WHERE o_orderkey % 10 = 5",
+            "/*+ MOR */ DELETE FROM ord WHERE price > 250000",
+            "/*+ MOR */ UPDATE ord SET price = price + 10.0 "
+            "WHERE k % 3 = 0",
+        ):
+            s.sql(stmt)
+            wait_caught_up()
+    finally:
+        if q.isActive:
+            s.sql("STOP REFRESH stats")
+        else:
+            s._streams.pop("stats", None)
+    # handover: the stream's per-batch watermarks mean this manual
+    # refresh sees a no-delta window and commits NOTHING
+    v = s.sql("REFRESH MATERIALIZED VIEW stats")
+    if v != s.sql("REFRESH MATERIALIZED VIEW stats"):
+        raise AssertionError("post-stream manual refresh was not a no-op")
+    return s.sql(
+        "SELECT pri AS grp, n_orders, CAST(revenue AS double) AS revenue, "
+        "ROUND(avg_price, 6) AS avg_price FROM stats"
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

@@ -38,6 +38,20 @@ from daas_apps_spark.sources.table_format import VersionedTable
 
 _NAME_RE = re.compile(r"[A-Za-z_]\w*")
 
+_MV_CONTINUOUS_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<t>[A-Za-z_]\w*)\s+"
+    r"CONTINUOUS\s*;?\s*$",
+    re.I,
+)
+_MV_STOP_REFRESH_RE = re.compile(
+    r"^\s*STOP\s+REFRESH\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$", re.I
+)
+_MV_MANUAL_REFRESH_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<t>[A-Za-z_]\w*)"
+    r"(?:\s+FULL)?\s*;?\s*$",
+    re.I,
+)
+
 
 class TableCatalog:
     """Directory-backed table catalog: ``<dir>/<name>.json`` entries plus
@@ -223,6 +237,11 @@ class SqlSession:
         )
         self.tables = dict(tables or {})
         self._txn: dict | None = None
+        # name -> running StreamingQuery for REFRESH ... CONTINUOUS;
+        # session-owned: STOP REFRESH stops it, a discarded session
+        # leaves it running until the SparkSession ends (the checkpoint
+        # makes the next CONTINUOUS resume exactly where it left off)
+        self._streams: dict = {}
 
     def sql(self, text: str) -> DataFrame | int | VersionedTable:
         """Run one statement. ``BEGIN [TRANSACTION]`` / ``COMMIT`` /
@@ -265,6 +284,22 @@ class SqlSession:
             txn_coordinator(self.catalog).abort(self._txn)
             self._txn = None
             return 0
+        m = _MV_CONTINUOUS_RE.match(text)
+        if m:
+            return self._start_continuous_refresh(m.group("t"))
+        m = _MV_STOP_REFRESH_RE.match(text)
+        if m:
+            return self._stop_continuous_refresh(m.group("t"))
+        m = _MV_MANUAL_REFRESH_RE.match(text)
+        if m:
+            q = self._streams.get(m.group("t").lower())
+            if q is not None and q.isActive:
+                raise ValueError(
+                    f"materialized view {m.group('t')!r} has a CONTINUOUS "
+                    "refresh running in this session — STOP REFRESH it "
+                    "before refreshing manually (two concurrent "
+                    "maintainers would race on the state table)"
+                )
         return run_sql(
             self.spark,
             text,
@@ -303,3 +338,110 @@ class SqlSession:
                 self._txn = None
             raise
         return out
+
+    def _start_continuous_refresh(self, name: str):
+        """``REFRESH MATERIALIZED VIEW <name> CONTINUOUS``: start the
+        always-on CDF→IVM loop (streaming/live.py::
+        start_continuous_mv_refresh) against the MV's source and state
+        tables, floor it at the current watermark + 1 (everything below
+        is already materialized), and return the session-owned
+        StreamingQuery handle. Every micro-batch commit stamps the same
+        ``mv_source_versions`` watermark the batch REFRESH writes, so
+        after STOP REFRESH the manual path resumes exactly where the
+        stream stopped. Single-table additive MVs only: join MVs need
+        the two-sided delta rule and MIN/MAX the affected-group
+        recompute — both batch REFRESH steps, refused here loudly."""
+        from daas_apps_spark.sources.sql_dml import (
+            _MV_VERS_KEY,
+            _canonical_mv_state,
+        )
+        from daas_apps_spark.streaming.live import (
+            start_continuous_mv_refresh,
+        )
+
+        try:
+            e = self.catalog.entry(name)
+        except FileNotFoundError:
+            raise KeyError(
+                f"materialized view {name!r} is not in the catalog; "
+                f"known: {sorted(self.catalog.names())}"
+            ) from None
+        if e.get("kind") != "materialized_view":
+            raise ValueError(
+                f"{name!r} is a {e.get('kind', 'table').replace('_', ' ')},"
+                " not a materialized view"
+            )
+        mv = e["mv"]
+        if len(mv["sources"]) > 1:
+            raise ValueError(
+                "CONTINUOUS refresh maintains single-table MVs — a join "
+                "MV's delta rule needs consistent frames of BOTH sides "
+                "per step; REFRESH it manually"
+            )
+        if mv.get("mins") or mv.get("maxs"):
+            raise ValueError(
+                "CONTINUOUS refresh maintains additive aggregates only "
+                "(COUNT/SUM/AVG) — MIN/MAX need the affected-group "
+                "recompute, a batch REFRESH step"
+            )
+        key = name.lower()
+        q = self._streams.get(key)
+        if q is not None and q.isActive:
+            raise ValueError(
+                f"continuous refresh already running for {name!r} in "
+                "this session — STOP REFRESH it first"
+            )
+        mv_vt = VersionedTable(self.spark, e["path"])
+        src_name = mv["sources"][0]
+        applied = [
+            c["metadata"][_MV_VERS_KEY]
+            for c in mv_vt.history()
+            if _MV_VERS_KEY in (c.get("metadata") or {})
+        ]
+        if not applied:
+            raise ValueError(
+                f"materialized view {name!r} has no recorded source "
+                "versions — its state table was not created by CREATE "
+                "MATERIALIZED VIEW"
+            )
+        watermark = max(d.get(src_name, 0) for d in applied)
+        src_path = self.catalog.resolve(src_name)
+        src_vt = VersionedTable(self.spark, src_path)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in src_vt.read().schema.fields
+        )
+        q = start_continuous_mv_refresh(
+            self.spark,
+            src_path,
+            e["path"],
+            os.path.join(e["path"], "_continuous_checkpoint"),
+            schema,
+            mv["group_by"],
+            mv["count_col"],
+            mv["sums"],
+            where=mv.get("where"),
+            starting_version=watermark + 1,
+            watermark_metadata=lambda v: {_MV_VERS_KEY: {src_name: v}},
+            finalize=lambda df: _canonical_mv_state(
+                df.select(*mv["order"])
+            ),
+        )
+        self._streams[key] = q
+        return q
+
+    def _stop_continuous_refresh(self, name: str) -> int:
+        """``STOP REFRESH <name>``: stop this session's continuous
+        refresh stream for the MV (the checkpoint persists, so a later
+        CONTINUOUS resumes where it stopped, and the per-batch
+        watermarks let a manual REFRESH take over immediately)."""
+        q = self._streams.pop(name.lower(), None)
+        if q is None:
+            raise ValueError(
+                f"no continuous refresh running for {name!r} in this "
+                "session"
+            )
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(30)
+        return 0

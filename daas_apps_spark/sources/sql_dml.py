@@ -2090,14 +2090,20 @@ def _run_refresh_mv(spark: SparkSession, text: str, tables: dict, catalog):
     path then raises its missing-commits error)."""
     m = re.match(
         r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<t>[A-Za-z_]\w*)"
-        r"(?:\s+(?P<full>FULL))?\s*;?\s*$",
+        r"(?:\s+(?P<full>FULL)|\s+(?P<cont>CONTINUOUS))?\s*;?\s*$",
         text,
         re.I,
     )
     if not m:
         raise ValueError(
             "unsupported REFRESH shape; supported: "
-            "REFRESH MATERIALIZED VIEW <name> [FULL]"
+            "REFRESH MATERIALIZED VIEW <name> [FULL | CONTINUOUS]"
+        )
+    if m.group("cont"):
+        raise ValueError(
+            "REFRESH MATERIALIZED VIEW ... CONTINUOUS needs a SqlSession"
+            " — the session owns the stream handle (and STOP REFRESH "
+            "stops it)"
         )
     if catalog is None:
         raise ValueError("REFRESH MATERIALIZED VIEW needs a catalog")

@@ -1432,18 +1432,125 @@ def _apply_view_delta_exactly_once(
     group_by: list[str],
     count_col: str,
     sums: dict[str, str],
+    extra_metadata: dict | None = None,
+    finalize=None,
 ) -> None:
     """One micro-batch of signed-delta view maintenance committed
     EXACTLY-ONCE into a versioned table: skip if the (stream_id,
     batch_id) pair is already in the log, else merge the batch's signed
     aggregate into the current view state and overwrite with the pair
     recorded — the per-destination idempotence unit both the single-view
-    CDC loop and the multi-table fan-out build on."""
+    CDC loop and the multi-table fan-out build on. ``extra_metadata``
+    rides in the same commit (the SQL continuous-refresh surface stamps
+    the covered source version there so manual REFRESH interoperates);
+    ``finalize`` maps the merged state before it commits (the SQL
+    surface pins column order + decimal types to the batch REFRESH's
+    canonical state schema, so the two maintainers never ping-pong the
+    state table through schema-evolution commits)."""
     if (sid, batch_id) in applied_batch_keys(vt.history(), sid):
         return  # replayed batch — already committed
-    vt.overwrite(
-        _merged_view_state(vt, batch_df, group_by, count_col, sums),
-        metadata={"stream_id": sid, "batch_id": batch_id},
+    md = {"stream_id": sid, "batch_id": batch_id}
+    md.update(extra_metadata or {})
+    state = _merged_view_state(vt, batch_df, group_by, count_col, sums)
+    if finalize is not None:
+        state = finalize(state)
+    vt.overwrite(state, metadata=md)
+
+
+def committed_offset_version(checkpoint_dir: str, batch_id: int):
+    """The source VERSION a micro-batch's end offset covers, parsed
+    from the checkpoint's offset log (``offsets/<batch_id>`` is written
+    before the batch runs; its last line is the python source's offset
+    JSON). Returns None when the offset is unit-granular (a
+    file/byte-capped batch stopped mid-commit — no clean version
+    boundary to stamp). The continuous MV surface runs uncapped or
+    version-capped only, so its offsets are always clean."""
+    import json
+
+    p = os.path.join(checkpoint_dir, "offsets", str(batch_id))
+    with open(p) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    off = json.loads(lines[-1])
+    if off.get("unit"):
+        return None
+    return off.get("version")
+
+
+def start_continuous_mv_refresh(
+    spark: SparkSession,
+    src_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    tableschema: str,
+    group_by: list[str],
+    count_col: str,
+    sums: dict[str, str] | None = None,
+    where: str | None = None,
+    starting_version: int | None = None,
+    watermark_metadata=None,
+    finalize=None,
+    trigger_seconds: float = 0.5,
+    max_versions_per_trigger: int | None = None,
+):
+    """The ALWAYS-ON form of ``run_cdf_to_materialized_view``: a live
+    ``table_cdf`` → signed-delta IVM → exactly-once versioned-table
+    loop on a processingTime trigger, returning the running
+    StreamingQuery handle (the SQL surface's ``REFRESH MATERIALIZED
+    VIEW … CONTINUOUS`` owns it; ``STOP REFRESH`` stops it; the
+    checkpoint makes a restart resume exactly where it left off).
+
+    Interop with manual REFRESH is by WATERMARK, not by luck: every
+    batch's end offset is a whole source version (this surface never
+    sets file/byte caps), ``committed_offset_version`` reads it from
+    the offset log, and ``watermark_metadata(version)`` stamps the
+    same ``mv_source_versions`` dict the batch refresh writes — so
+    after STOP, a manual ``REFRESH`` folds exactly (covered, head] and
+    neither path ever double-applies a delta. ``starting_version``
+    floors a FRESH stream at the view's current watermark + 1 (the
+    CREATE already materialized everything below it); on a checkpoint
+    resume the engine's replayed offsets win and the floor is inert.
+
+    Cost contract is the drain loop's: each micro-batch reads only its
+    window's change units off the manifest, the maintained state is
+    |groups|-sized, and a crash between the view commit and the
+    checkpoint advance replays into the (stream_id, batch_id) skip."""
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    register_table_cdf_stream_source(spark)
+    vt = VersionedTable(spark, view_path)
+    sums = sums or {}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sid = checkpoint_stream_id(checkpoint_dir)
+        if where is not None:
+            batch_df = batch_df.filter(where)
+        extra = None
+        if watermark_metadata is not None:
+            v = committed_offset_version(checkpoint_dir, batch_id)
+            if v is not None:
+                extra = watermark_metadata(v)
+        _apply_view_delta_exactly_once(
+            vt, batch_df, sid, batch_id, group_by, count_col, sums,
+            extra_metadata=extra, finalize=finalize,
+        )
+
+    reader = (
+        spark.readStream.format("table_cdf")
+        .option("path", src_path)
+        .option("tableschema", tableschema)
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "maxVersionsPerTrigger", str(max_versions_per_trigger)
+        )
+    return (
+        reader.load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
     )
 
 
