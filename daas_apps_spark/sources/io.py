@@ -2936,6 +2936,147 @@ def a55_continuous_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mv_refresh_base(spark: SparkSession, sf_dir: str):
+    """Shared prebuilt MV state for the a48_mv_refresh_sweep bench row:
+    the aggregate over the full orders base is materialized ONCE per
+    fixture dir (paid in bench.py's untimed warm pass, exactly like
+    ``_orders_base_table``), so the timed runs price what the row is
+    ABOUT — the |delta| DML + REFRESH — not the unavoidable one-time
+    CREATE-side full aggregate. Unique-tmp + atomic-rename build, same
+    concurrent-session safety argument as the base-table helper."""
+    import hashlib
+    import uuid as _uuid
+
+    from daas_apps_spark.sources.sql_dml import _canonical_mv_state
+    from daas_apps_spark.sources.table_format import (
+        VersionedTable,
+        additive_aggregate_state,
+        read_log,
+    )
+
+    base = _orders_base_table(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(SCRATCH_ROOT, f"a48_mv_state_{key}")
+
+    def ready(p: str) -> bool:
+        try:
+            log = read_log(p)
+        except Exception:  # noqa: BLE001 — torn/partial dir: rebuild
+            return False
+        return bool(log) and log[-1]["version"] >= 1
+
+    if ready(path):
+        return base, VersionedTable(spark, path)
+    state = _canonical_mv_state(
+        additive_aggregate_state(
+            base.read(),
+            ["o_orderpriority"],
+            "n_orders",
+            {"revenue": "CAST(o_totalprice AS decimal(18,4))"},
+        ).select("o_orderpriority", "n_orders", "revenue")
+    )
+    tmp = f"{path}.build-{_uuid.uuid4().hex[:8]}"
+    vt_tmp = VersionedTable(spark, tmp)
+    vt_tmp.append(state)
+    if ready(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return base, VersionedTable(spark, path)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return base, VersionedTable(spark, path)
+
+
+_A48_SWEEP_MVDEF = {
+    "sources": ["ord"],
+    "chain_keys": [],
+    "group_by": ["o_orderpriority"],
+    "count_col": "n_orders",
+    "sums": {"revenue": "CAST(o_totalprice AS decimal(18,4))"},
+    "mins": {},
+    "maxs": {},
+    "derived": {},
+    "where": None,
+    "order": ["o_orderpriority", "n_orders", "revenue"],
+    "sql": "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+    "SUM(CAST(o_totalprice AS decimal(18,4))) AS revenue "
+    "FROM ord GROUP BY o_orderpriority",
+}
+
+
+@register(
+    "a48_mv_refresh_sweep",
+    oracle="""
+    WITH kept AS (
+        SELECT o_orderpriority pri, o_totalprice pr FROM orders
+        WHERE o_orderkey >= 3000
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+    )
+    SELECT pri AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM kept GROUP BY pri
+    """,
+    tags=("A48", "A25", "A31"),
+    bench=True,
+)
+def a48_mv_refresh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV REFRESH path as a TIMED row — the ∝|delta| claim priced,
+    not just hash-checked: fork the shared orders base and its prebuilt
+    MV state (both shallow clones, metadata-cost), run a FIXED-SIZE DML
+    window — INSERT the o_orderkey < 6000 slice, MOR-DELETE everything
+    under 3000; both ~constant row counts at EVERY sf because the key
+    range is absolute — then ONE incremental REFRESH folds the window
+    into the maintained state, and the final census reads the state
+    table. The DuckDB twin recomputes the same census from the raw
+    corpus — what a system without IVM pays per refresh.
+
+    The SCALING_CURVE row is the proof the prescription asked for:
+    because the delta is absolute-sized, a refresh priced ∝|delta|
+    stays ~FLAT across the sf0.001→0.1 decades while the base grows
+    100× — any table-size term in the refresh would surface as
+    per-decade growth. (The one-time CREATE-side full aggregate is
+    prebuilt per fixture like _orders_base_table and excluded, exactly
+    as one-time ingest is excluded from per-query latency.)
+
+    At 100 TB this is the dashboard freshness cost: each refresh reads
+    the window's change units off the manifest (append fast path + DV
+    delta), folds a |delta|-sized signed aggregate, and overwrites a
+    |groups|-sized state."""
+    from daas_apps_spark.sources.sql_catalog import SqlSession, TableCatalog
+    from daas_apps_spark.sources.sql_dml import _MV_VERS_KEY
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    base, prebuilt_state = _mv_refresh_base(spark, sf_dir)
+    root = scratch_dir(f"a48_rs_{os.getpid()}")
+    fork = base.clone_to(os.path.join(root, "ord"), version=1)
+    state = prebuilt_state.clone_to(os.path.join(root, "stats"))
+    # a clone's first commit is its OWN log entry — the watermark does
+    # not carry; re-stamp it with a zero-row append (metadata-only cost)
+    state.append(
+        state.read().limit(0), metadata={_MV_VERS_KEY: {"ord": 1}}
+    )
+    cat = TableCatalog(os.path.join(root, "cat"))
+    cat.create("ord", location=fork.path)
+    cat.create(
+        "stats",
+        location=state.path,
+        extra={"kind": "materialized_view", "mv": _A48_SWEEP_MVDEF},
+    )
+    s = SqlSession(spark, cat)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a48rs_src")
+    s.sql(
+        "INSERT INTO ord SELECT * FROM a48rs_src WHERE o_orderkey < 6000"
+    )
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE o_orderkey < 3000")
+    s.sql("REFRESH MATERIALIZED VIEW stats")
+    return s.sql(
+        "SELECT o_orderpriority AS grp, n_orders, "
+        "CAST(revenue AS double) AS revenue FROM stats"
+    )
+
+
 @register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
