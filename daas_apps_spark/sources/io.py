@@ -3078,6 +3078,121 @@ def a48_mv_refresh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a56_mv_query_rewrite",
+    oracle="""
+    WITH o0 AS (
+        SELECT o_orderkey k, o_orderpriority pri, o_totalprice pr
+        FROM orders
+    ), o1 AS (
+        SELECT k, pri, pr FROM o0
+        UNION ALL SELECT k, pri, pr * 2 FROM o0 WHERE k % 7 = 0
+    ), ofin AS (
+        SELECT * FROM o1 WHERE NOT (pr > 350000)
+    )
+    SELECT pri AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM ofin GROUP BY pri
+    """,
+    tags=("A56", "A48", "A25", "B1"),
+)
+def a56_mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-to-MV QUERY REWRITE (sql_dml.py::_try_mv_rewrite):
+    the user never names the MV — they write the aggregate over the
+    BASE table, and when a registered materialized view has the same
+    sources / join keys / WHERE / GROUP BY, every select item maps
+    onto a maintained column, and the watermark is CURRENT at the
+    source's head, the SELECT is served from the |groups|-sized
+    maintained state instead of scanning the base. EXPLAIN surfaces
+    the decision as a ``== Materialized View Rewrite ==`` header.
+    The query pins all three legs in-function: (1) fresh MV → EXPLAIN
+    shows the rewrite and rewritten ≡ the WITH-wrapped direct twin
+    row-for-row; (2) after DML with NO refresh the gate must CLOSE
+    (EXPLAIN clean — a stale MV can never serve stale rows) and the
+    direct path sees the new data; (3) REFRESH re-opens it. The
+    returned census comes through the rewrite; DuckDB recomputes it
+    from first principles.
+
+    At 100 TB this is the point of maintaining MVs at all: the
+    dashboard query that would scan the fact table answers from
+    |groups| rows, and freshness is a watermark comparison against
+    the commit log — zero data reads to decide."""
+    from daas_apps_spark.sources.sql_catalog import SqlSession
+
+    base = scratch_dir(f"a56_qrw_{os.getpid()}")
+    s = SqlSession(spark, base)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("a56_ord_src")
+    s.script(
+        """
+        CREATE TABLE ord (k bigint, pri string, price double);
+        INSERT INTO ord SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM a56_ord_src;
+        CREATE MATERIALIZED VIEW stats AS
+            SELECT pri, COUNT(*) AS n,
+                   SUM(CAST(price AS decimal(18,4))) AS total,
+                   AVG(CAST(price AS decimal(18,4))) AS mean
+            FROM ord GROUP BY pri
+        """
+    )
+    user_q = (
+        "SELECT pri, COUNT(*) AS n_orders, "
+        "SUM(CAST(price AS decimal(18,4))) AS revenue, "
+        "AVG(CAST(price AS decimal(18,4))) AS avg_price "
+        "FROM ord GROUP BY pri"
+    )
+    twin_q = (
+        "WITH b AS (SELECT * FROM ord) "
+        "SELECT pri, COUNT(*) AS n_orders, "
+        "SUM(CAST(price AS decimal(18,4))) AS revenue, "
+        "AVG(CAST(price AS decimal(18,4))) AS avg_price "
+        "FROM b GROUP BY pri"
+    )
+
+    def plan() -> str:
+        return s.sql("EXPLAIN " + user_q).first().plan
+
+    def rows(q):
+        # dtype-normalized: the MV derives AVG as double (hidden
+        # sum/count pair) where direct SQL yields decimal — same value,
+        # different representation; compare on rounded floats
+        return sorted(
+            tuple(
+                round(float(v), 6) if isinstance(v, (int, float)) or
+                hasattr(v, "as_tuple") else v
+                for v in r
+            )
+            for r in s.sql(q).collect()
+        )
+
+    if "Materialized View Rewrite" not in plan():
+        raise AssertionError("fresh MV did not capture the aggregate")
+    if rows(user_q) != rows(twin_q):
+        raise AssertionError("rewritten result != direct recompute")
+    # stale gate: DML with no refresh must CLOSE the rewrite
+    s.sql(
+        "INSERT INTO ord SELECT o_orderkey, o_orderpriority, "
+        "o_totalprice * 2 FROM a56_ord_src WHERE o_orderkey % 7 = 0"
+    )
+    s.sql("/*+ MOR */ DELETE FROM ord WHERE price > 350000")
+    if "Materialized View Rewrite" in plan():
+        raise AssertionError("stale MV served a rewrite")
+    if rows(user_q) != rows(twin_q):
+        raise AssertionError("stale-path direct result diverged")
+    s.sql("REFRESH MATERIALIZED VIEW stats")
+    if "Materialized View Rewrite" not in plan():
+        raise AssertionError("refreshed MV did not re-open the rewrite")
+    out = s.sql(user_q)  # served from maintained state
+    return out.select(
+        F.col("pri").alias("grp"),
+        F.col("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(F.col("avg_price"), 6).alias("avg_price"),
+    )
+
+
+@register(
     "k70_lakehouse_corpus_ingest",
     oracle="""
     WITH b1 AS (

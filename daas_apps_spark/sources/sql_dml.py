@@ -699,6 +699,9 @@ def run_sql(
             )
             name = fast.group("alias") or "count(1)"  # Spark's default
             return spark.createDataFrame([(n,)], f"`{name}` long")
+        rw = _try_mv_rewrite(spark, text, tables, catalog)
+        if rw is not None:
+            return spark.sql(_rewrite_tables(spark, rw[0], tables))
         return spark.sql(_rewrite_tables(spark, text, tables))
     if verb == "INSERT":
         m = re.match(
@@ -1008,7 +1011,7 @@ def run_sql(
     if verb == "ALTER":
         return _run_alter(spark, text, tables)
     if verb == "EXPLAIN":
-        return _run_explain(spark, text, tables)
+        return _run_explain(spark, text, tables, catalog)
     if verb == "SHOW" and re.match(
         r"^\s*SHOW\s+CREATE\s+TABLE\b", text, re.I
     ):
@@ -1868,6 +1871,232 @@ _MV_GRAMMAR = (
 )
 
 
+def _parse_mv_items(items_text: str) -> dict:
+    """Parse an additive-aggregate SELECT list into the maintained-MV
+    shape: plain group columns, COUNT(*), SUM/AVG/MIN/MAX items (AVG
+    stores a hidden maintained (sum, non-null count) pair and derives
+    at read time). Shared by CREATE MATERIALIZED VIEW and the
+    aggregate-to-MV query rewrite, so "the shape an MV can maintain"
+    and "the shape a query must have to be served from one" can never
+    drift apart. Raises ValueError on any other item."""
+    group_cols: list[str] = []
+    count_col: str | None = None
+    sums: dict[str, str] = {}
+    mins: dict[str, str] = {}
+    maxs: dict[str, str] = {}
+    derived: dict[str, list] = {}  # avg alias -> [hidden sum, hidden cnt]
+    order: list[str] = []
+    for it in _split_top_level(items_text):
+        it = it.strip()
+        cm = re.fullmatch(r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", it, re.I)
+        if cm:
+            if count_col is not None:
+                raise ValueError("duplicate COUNT(*) select item")
+            count_col = cm.group(1)
+            order.append(count_col)
+            continue
+        sm = re.fullmatch(
+            r"SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)", it, re.I | re.S
+        )
+        if sm:
+            sums[sm.group("a")] = sm.group("e").strip()
+            order.append(sm.group("a"))
+            continue
+        am = re.fullmatch(
+            r"AVG\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)", it, re.I | re.S
+        )
+        if am:
+            # AVG is NOT directly maintainable, but sum/count is: store
+            # a hidden maintained sum AND a hidden maintained non-null
+            # count (SQL AVG excludes NULL contributions from the
+            # denominator — COUNT(*) would misprice groups with NULLs)
+            # and derive the average in the MV's read projection
+            alias, expr = am.group("a"), am.group("e").strip()
+            hsum, hcnt = f"__sum_{alias}", f"__cnt_{alias}"
+            sums[hsum] = expr
+            sums[hcnt] = f"CAST(({expr}) IS NOT NULL AS INT)"
+            derived[alias] = [hsum, hcnt]
+            order.append(alias)
+            continue
+        mm = re.fullmatch(
+            r"(?P<f>MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)",
+            it,
+            re.I | re.S,
+        )
+        if mm:
+            # maintained by the affected-group recompute rule: inserts
+            # fold; a delete that could carry the extremum recomputes
+            # just that group from the base (see _MV_GRAMMAR cost note)
+            target = mins if mm.group("f").upper() == "MIN" else maxs
+            target[mm.group("a")] = mm.group("e").strip()
+            order.append(mm.group("a"))
+            continue
+        if re.fullmatch(r"[A-Za-z_]\w*", it):
+            group_cols.append(it)
+            order.append(it)
+            continue
+        raise ValueError(f"unsupported select item {it!r}: {_MV_GRAMMAR}")
+    return {
+        "group_cols": group_cols,
+        "count_col": count_col,
+        "sums": sums,
+        "mins": mins,
+        "maxs": maxs,
+        "derived": derived,
+        "order": order,
+    }
+
+
+def _canon_sql(s: str | None) -> str | None:
+    """Whitespace-collapsed comparison form for MV-rewrite matching;
+    case-folded only when the fragment carries no string literal (a
+    literal's case is data, a keyword's is not)."""
+    if s is None:
+        return None
+    out = re.sub(r"\s+", " ", s.strip())
+    if "'" not in out and '"' not in out:
+        out = out.lower()
+    return out
+
+
+def _try_mv_rewrite(
+    spark: SparkSession, text: str, tables: dict, catalog
+) -> tuple[str, str] | None:
+    """Aggregate-to-MV query rewrite: when a SELECT is exactly the
+    additive-aggregate shape (_parse_mv_items over _MV_QUERY_RE), a
+    registered materialized view has the SAME sources / join keys /
+    WHERE / GROUP BY, every select item maps onto a maintained column,
+    and the MV's watermark is CURRENT at every source's head, the query
+    is rewritten to read the |groups|-sized maintained state instead of
+    scanning the base — ``(rewritten SELECT text, mv name)``, or None
+    when no MV qualifies (the query then runs directly, so a STALE MV
+    can never serve stale rows). EXPLAIN surfaces the decision as a
+    ``== Materialized View Rewrite ==`` header.
+
+    Semantics note: the rewrite serves the MV's DECLARED semantics
+    (_MV_GRAMMAR) — a maintained SUM folds NULL contributions as 0, so
+    an all-NULL group reads 0 where direct SQL reads NULL; result types
+    are the state's canonical decimal(38) forms. Any shape deviation
+    opts a query out — a WITH wrapper is the canonical explicit form.
+    First qualifying MV by name wins — deterministic, and overlapping
+    MV definitions are rare enough that a cost model would be
+    speculation."""
+    if catalog is None:
+        return None
+    q = _MV_QUERY_RE.match(text.strip().rstrip(";"))
+    if not q:
+        return None
+    try:
+        src_names, on_texts = _parse_mv_from(q.group("from"))
+        chain_keys = [
+            _parse_mv_join_keys(on, src_names[i], src_names[i + 1])
+            for i, on in enumerate(on_texts)
+        ]
+        u = _parse_mv_items(q.group("items"))
+    except ValueError:
+        return None
+    want_sources = [n.lower() for n in src_names]
+    want_keys = [
+        [[a.lower(), b.lower()] for a, b in leg] for leg in chain_keys
+    ]
+    want_where = _canon_sql(q.group("where"))
+    ukeys = [k.strip().lower() for k in _split_top_level(q.group("keys"))]
+    for name in sorted(catalog.names()):
+        try:
+            e = catalog.entry(name)
+        except (FileNotFoundError, KeyError):
+            continue
+        if e.get("kind") != "materialized_view":
+            continue
+        mv = e["mv"]
+        if mv["sources"] != want_sources:
+            continue
+        have_keys = [
+            [
+                [a.lower(), b.lower()]
+                for a, b in ([k, k] if isinstance(k, str) else k
+                             for k in leg)
+            ]
+            for leg in mv["chain_keys"]
+        ]
+        if have_keys != want_keys:
+            continue
+        if _canon_sql(mv.get("where")) != want_where:
+            continue
+        if sorted(c.lower() for c in mv["group_by"]) != sorted(ukeys):
+            continue
+        proj = _map_items_to_mv(u, mv)
+        if proj is None:
+            continue
+        # freshness gate: every source's head must equal the covered
+        # watermark — a stale MV never serves
+        mv_vt = VersionedTable(spark, e["path"])
+        applied = [
+            c["metadata"][_MV_VERS_KEY]
+            for c in mv_vt.history()
+            if _MV_VERS_KEY in (c.get("metadata") or {})
+        ]
+        if not applied:
+            continue
+        current = True
+        for nm in mv["sources"]:
+            try:
+                src = _resolve(spark, tables, nm)
+            except ValueError:
+                current = False
+                break
+            covered = max(d.get(nm, 0) for d in applied)
+            if src.latest_version() != covered:
+                current = False
+                break
+        if not current:
+            continue
+        return f"SELECT {', '.join(proj)} FROM {name}", name
+    return None
+
+
+def _map_items_to_mv(u: dict, mv: dict) -> list[str] | None:
+    """Map each parsed user select item onto a maintained MV column
+    (aliased back to the user's name), or None if any item has no
+    maintained counterpart. Hidden AVG carriers are matched through
+    the MV's derived AVG alias, never surfaced raw."""
+    derived = mv.get("derived") or {}
+    hidden = {c for pair in derived.values() for c in pair}
+    group_by = {c.lower(): c for c in mv["group_by"]}
+
+    def find(d: dict, expr: str) -> str | None:
+        want = _canon_sql(expr)
+        for alias, e in d.items():
+            if alias not in hidden and _canon_sql(e) == want:
+                return alias
+        return None
+
+    proj: list[str] = []
+    for o in u["order"]:
+        if o == u["count_col"]:
+            src = mv["count_col"]
+        elif o in u["derived"]:
+            src = None
+            for alias, pair in derived.items():
+                if _canon_sql(mv["sums"][pair[0]]) == _canon_sql(
+                    u["sums"][u["derived"][o][0]]
+                ):
+                    src = alias
+                    break
+        elif o in u["sums"]:
+            src = find(mv["sums"], u["sums"][o])
+        elif o in u["mins"]:
+            src = find(mv.get("mins") or {}, u["mins"][o])
+        elif o in u["maxs"]:
+            src = find(mv.get("maxs") or {}, u["maxs"][o])
+        else:  # plain group column
+            src = group_by.get(o.lower())
+        if src is None:
+            return None
+        proj.append(src if src == o else f"{src} AS {o}")
+    return proj
+
+
 def _canonical_mv_state(df: DataFrame) -> DataFrame:
     """Pin every decimal aggregate to decimal(38, scale): the signed
     coalesce-and-add refresh arithmetic widens decimal precision a step
@@ -1941,63 +2170,14 @@ def _run_create_view(spark: SparkSession, text: str, tables: dict, catalog):
         _parse_mv_join_keys(on, src_names[i], src_names[i + 1])
         for i, on in enumerate(on_texts)
     ]
-    group_cols: list[str] = []
-    count_col: str | None = None
-    sums: dict[str, str] = {}
-    mins: dict[str, str] = {}
-    maxs: dict[str, str] = {}
-    derived: dict[str, str] = {}  # avg alias -> hidden maintained sum
-    order: list[str] = []
-    for it in _split_top_level(q.group("items")):
-        it = it.strip()
-        cm = re.fullmatch(r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", it, re.I)
-        if cm:
-            if count_col is not None:
-                raise ValueError("duplicate COUNT(*) select item")
-            count_col = cm.group(1)
-            order.append(count_col)
-            continue
-        sm = re.fullmatch(
-            r"SUM\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)", it, re.I | re.S
-        )
-        if sm:
-            sums[sm.group("a")] = sm.group("e").strip()
-            order.append(sm.group("a"))
-            continue
-        am = re.fullmatch(
-            r"AVG\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)", it, re.I | re.S
-        )
-        if am:
-            # AVG is NOT directly maintainable, but sum/count is: store
-            # a hidden maintained sum AND a hidden maintained non-null
-            # count (SQL AVG excludes NULL contributions from the
-            # denominator — COUNT(*) would misprice groups with NULLs)
-            # and derive the average in the MV's read projection
-            alias, expr = am.group("a"), am.group("e").strip()
-            hsum, hcnt = f"__sum_{alias}", f"__cnt_{alias}"
-            sums[hsum] = expr
-            sums[hcnt] = f"CAST(({expr}) IS NOT NULL AS INT)"
-            derived[alias] = [hsum, hcnt]
-            order.append(alias)
-            continue
-        mm = re.fullmatch(
-            r"(?P<f>MIN|MAX)\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)",
-            it,
-            re.I | re.S,
-        )
-        if mm:
-            # maintained by the affected-group recompute rule: inserts
-            # fold; a delete that could carry the extremum recomputes
-            # just that group from the base (see _MV_GRAMMAR cost note)
-            target = mins if mm.group("f").upper() == "MIN" else maxs
-            target[mm.group("a")] = mm.group("e").strip()
-            order.append(mm.group("a"))
-            continue
-        if re.fullmatch(r"[A-Za-z_]\w*", it):
-            group_cols.append(it)
-            order.append(it)
-            continue
-        raise ValueError(f"unsupported select item {it!r}: {_MV_GRAMMAR}")
+    parsed = _parse_mv_items(q.group("items"))
+    group_cols = parsed["group_cols"]
+    count_col = parsed["count_col"]
+    sums = parsed["sums"]
+    mins = parsed["mins"]
+    maxs = parsed["maxs"]
+    derived = parsed["derived"]
+    order = parsed["order"]
     keys = [k.strip() for k in _split_top_level(q.group("keys"))]
     if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
         raise ValueError(f"GROUP BY must list plain columns: {_MV_GRAMMAR}")
@@ -2220,7 +2400,9 @@ def _run_drop_view(spark: SparkSession, text: str, catalog):
     return int(catalog.drop(name, if_exists=bool(m.group("ie"))))
 
 
-def _run_explain(spark: SparkSession, text: str, tables: dict) -> DataFrame:
+def _run_explain(
+    spark: SparkSession, text: str, tables: dict, catalog=None
+) -> DataFrame:
     """EXPLAIN [SIMPLE|EXTENDED|FORMATTED|COST|CODEGEN] <query>: the
     query plans through the same table rewriting as SELECT (declared
     tables, VERSION AS OF, views, TABLE_CHANGES) and the chosen
@@ -2240,8 +2422,21 @@ def _run_explain(spark: SparkSession, text: str, tables: dict) -> DataFrame:
         )
     from daas_apps_spark.operators.partitioning import physical_plan
 
-    df = spark.sql(_rewrite_tables(spark, m.group("q"), tables))
-    plan = physical_plan(df, (m.group("mode") or "simple").lower())
+    header = ""
+    body = m.group("q")
+    rw = _try_mv_rewrite(spark, body, tables, catalog)
+    if rw is not None:
+        body, mv_name = rw
+        header = (
+            "== Materialized View Rewrite ==\n"
+            f"SELECT served from materialized view {mv_name} "
+            "(shape match, watermark current at source head); "
+            f"rewritten: {body}\n\n"
+        )
+    df = spark.sql(_rewrite_tables(spark, body, tables))
+    plan = header + physical_plan(
+        df, (m.group("mode") or "simple").lower()
+    )
     return spark.createDataFrame([(plan,)], "plan string")
 
 

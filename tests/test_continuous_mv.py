@@ -24,7 +24,10 @@ def _recompute(s):
     return sorted(
         tuple(r)
         for r in s.sql(
-            "SELECT k, COUNT(*) AS n, SUM(amt) AS total FROM t GROUP BY k"
+            # WITH wrapper: shape-break so the aggregate-to-MV rewrite
+            # cannot serve this recompute from the MV under test
+            "WITH b AS (SELECT * FROM t) "
+            "SELECT k, COUNT(*) AS n, SUM(amt) AS total FROM b GROUP BY k"
         ).collect()
     )
 

@@ -445,8 +445,9 @@ def test_three_way_chain_mv(spark, tmp_path):
         want = sorted(
             tuple(r)
             for r in s.sql(
+                "WITH l AS (SELECT * FROM line) "
                 "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
-                "FROM line JOIN ord ON line.okey = ord.okey "
+                "FROM l JOIN ord ON l.okey = ord.okey "
                 "JOIN cus ON ord.ckey = cus.ckey GROUP BY seg"
             ).collect()
         )
@@ -583,8 +584,11 @@ def test_join_mv_aliased_keys(spark, tmp_path):
         want = sorted(
             tuple(r)
             for r in s.sql(
+                # WITH wrapper: shape-break so the aggregate-to-MV
+                # rewrite cannot serve this recompute from the MV
+                "WITH l AS (SELECT * FROM line) "
                 "SELECT seg, COUNT(*) AS n, SUM(pr) AS total "
-                "FROM line JOIN ord ON line.l_okey = ord.o_okey "
+                "FROM l JOIN ord ON l.l_okey = ord.o_okey "
                 "JOIN cus ON cus.c_ckey = ord.o_ckey GROUP BY seg"
             ).collect()
         )
@@ -660,8 +664,9 @@ def test_mv_min_max_affected_group_recompute(spark, tmp_path):
         want = sorted(
             tuple(r)
             for r in s.sql(
+                "WITH b AS (SELECT * FROM t) "
                 "SELECT k, COUNT(*) AS n, SUM(amt) AS total, "
-                "MIN(amt) AS lo, MAX(ts) AS hi FROM t GROUP BY k"
+                "MIN(amt) AS lo, MAX(ts) AS hi FROM b GROUP BY k"
             ).collect()
         )
         assert got == want, f"MV {got} != recompute {want}"
@@ -717,8 +722,9 @@ def test_join_mv_min_max(spark, tmp_path):
         want = sorted(
             tuple(r)
             for r in s.sql(
+                "WITH b AS (SELECT * FROM f) "
                 "SELECT seg, COUNT(*) AS n, MAX(amt) AS hi, "
-                "MIN(amt) AS lo FROM f JOIN d ON f.ck = d.dk "
+                "MIN(amt) AS lo FROM b JOIN d ON b.ck = d.dk "
                 "GROUP BY seg"
             ).collect()
         )
