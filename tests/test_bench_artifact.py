@@ -51,7 +51,10 @@ def _worst_case_final_line() -> str:
             "io_scan": 999.9999,
         },
     }
-    return json.dumps(payload)
+    # bench.py prints the final line with compact separators (every byte of
+    # margin counts against the consumer's tail window) — the worst-case
+    # reconstruction must measure the same encoding it ships
+    return json.dumps(payload, separators=(",", ":"))
 
 
 def test_final_line_fits_consumer_window():
