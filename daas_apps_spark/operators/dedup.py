@@ -173,6 +173,48 @@ def _band_key_spark(b: int):
     return F.concat_ws("|", *parts).alias("band_key")
 
 
+def band_candidate_pairs(sigs: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """Distinct LSH candidate pairs ``(doc_a, doc_b)``, doc_a < doc_b,
+    from a signature frame — shared by the K3 family and K31.
+
+    Per-band doc sets via ONE groupBy, then MAP-SIDE pair generation
+    from the sorted array — the _backbone_edges shape. This replaces
+    the band-key SELF-JOIN (two shuffles of the band relation + the
+    join) and, with ``band_cap``, the separate band-frequency
+    aggregate + semi-join (the row count rides the same groupBy).
+    The pair set is identical: docs sharing a band key, doc_a < doc_b
+    pinned by sort_array; a band's pairs were colocated on one task
+    under the hash join too, so skew is no worse, and the capped form
+    bounds every group at cap² pairs before the explode.
+    """
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias(
+            "band_key"
+        ),
+    )
+    per_band = bands.groupBy("band_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs"),
+        F.count(F.lit(1)).alias("band_n"),
+    )
+    if band_cap is not None:
+        # row count (not distinct docs) — the oracle's HAVING COUNT(*)
+        per_band = per_band.filter(F.col("band_n") <= band_cap)
+    return (
+        per_band.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> transform("
+                    "slice(docs, i + 2, size(docs)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 _DUCK_BANDS = ", ".join(
     "("
     + " || '|' || ".join(
@@ -222,14 +264,17 @@ def k3_lsh_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison never materializes — the property that makes this the scale
     path at 100 TB.
 
-    ``localCheckpoint`` materializes the two multiply-consumed
-    intermediates: Spark has no cross-branch common-subexpression reuse, so
+    ``localCheckpoint`` materializes the multiply-consumed shingle
+    relation: Spark has no cross-branch common-subexpression reuse, so
     without it the tokenize→shingle stage (the CPU-heaviest step — HOFs run
-    interpreted per element) executes FOUR times (both self-join sides +
+    interpreted per element) executes THREE times (the signature build +
     both candidate-verify joins). Checkpointed, it runs once per query
     execution — repaid every run, no cross-run caching. At 100 TB use a
     checkpoint dir (survives executor loss); the stored shingle relation is
     ~2× corpus size, the standard space-for-CPU trade of every LSH build.
+    Candidate pairs come from per-band doc sets (one groupBy) with
+    map-side pair generation, not a band-key self-join — the band
+    relation is shuffled once and consumed once.
 
     Hot bands (boilerplate that hashes thousands of docs into one band)
     are the skew risk: ``band_cap`` is the declared escape valve — drop
@@ -318,30 +363,7 @@ def _k3_impl(
     sigs = sh.select("doc_id", base_hash_spark()).select(
         "doc_id", *minhash_sig_cols()
     )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias(
-            "band_key"
-        ),
-    ).localCheckpoint()
-    if band_cap is not None:
-        cool_bands = (
-            bands.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("band_n"))
-            .filter(F.col("band_n") <= band_cap)
-            .select("band_key")
-        )
-        bands = bands.join(cool_bands, "band_key", "left_semi")
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = band_candidate_pairs(sigs, band_cap=band_cap)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
@@ -922,22 +944,7 @@ def k31_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *minhash_sig_cols())
         .localCheckpoint()
     )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias(
-            "band_key"
-        ),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = band_candidate_pairs(sigs)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(N_PERM)],

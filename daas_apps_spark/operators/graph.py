@@ -209,6 +209,16 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
+        # co is consumed TWICE (the stats aggregate AND the threshold
+        # filter) and Spark has no cross-branch subexpression reuse, so
+        # without materialization the whole lineitem→pairs→co pipeline
+        # executes twice per backbone evaluation — and once more for
+        # every downstream consumer of the returned edges. One
+        # localCheckpoint bounds it at one pass per query execution
+        # (repaid every run, no cross-run caching); the stored relation
+        # is |co-occurring pairs| rows of three ints, the same
+        # space-for-CPU trade k3 documents for its shingle relation.
+        .localCheckpoint()
     )
     stats = co.agg(
         F.sum("shared").cast("double").alias("s"),
@@ -323,12 +333,22 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join fan-out by out-degree, the same trick MapReduce triangle
     counters (Suri & Vassilvitskii 2011) use to tame skew at web scale.
     """
-    edges = _backbone_edges(table(spark, sf_dir, "lineitem"))
+    # Materialize every multiply-consumed intermediate (edges ×3: deg,
+    # oriented, the backbone filter; deg ×3: du, dv, final join;
+    # oriented ×3: both wedge sides + the closing edge set). Without
+    # these the AQE-final plan re-derived the full lineitem→backbone
+    # subtree 69 times (641-node plan, measured 2.94s at sf0.1); with
+    # them lineitem is scanned once and the plan is ~30 nodes. All
+    # three relations are graph-sized (|E| or |V| rows of ints), so the
+    # checkpoint cost is a few small jobs — the same discipline
+    # gr4/gr5 already apply to their backbone.
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
     )
     # Degree orientation (compact-forward): re-orient every edge from its
     # lower-(degree, id) endpoint to the higher one, so out-degrees are
@@ -351,6 +371,7 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d_dst"
             ),
         )
+        .localCheckpoint()
     )
     o1 = oriented.select(
         "src", F.col("dst").alias("b"), F.col("d_dst").alias("db")
@@ -519,12 +540,18 @@ def _gr4_impl(
     spark: SparkSession, sf_dir: str, mid_degree_cap: int | None
 ) -> DataFrame:
     edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
+    # adj (×2: deg + wedge sides), deg (×3: cap filter + both endpoint
+    # attaches) and the capped wedge adjacency (×2: both self-join
+    # sides) are each multiply consumed — materialize them so the
+    # backbone-derived subtrees execute once per run instead of once
+    # per consumer (the gr2 discipline; all are |E|- or |V|-row int
+    # relations).
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
+    ).localCheckpoint()
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
-    )
+    ).localCheckpoint()
     wedge_adj = adj
     if mid_degree_cap is not None:
         low_deg_mids = deg.filter(F.col("degree") <= mid_degree_cap).select(
@@ -533,7 +560,7 @@ def _gr4_impl(
         # cap applies to the MIDPOINT side only: adjacency rows whose
         # wedge-center endpoint is a super-hub are dropped before the
         # quadratic self-join; endpoint degrees (dg_u/dg_v) stay exact
-        wedge_adj = adj.join(low_deg_mids, "b", "left_semi")
+        wedge_adj = adj.join(low_deg_mids, "b", "left_semi").localCheckpoint()
     x = wedge_adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
     y = wedge_adj.select(F.col("b").alias("mid"), F.col("a").alias("v"))
     cand = (

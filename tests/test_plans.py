@@ -454,14 +454,18 @@ def test_k46_pair_explode_is_over_vocabulary(spark):
 
 
 def test_gr2_triangle_edges_exchange_reused(spark):
-    # The edge relation feeds deg/e1/e2/e3; the executed plan must reuse
-    # the edge-building exchanges instead of recomputing the projection
-    # join per alias — and triangle formation stays keyed (no cartesian).
+    # The edge relation feeds deg/e1/e2/e3; since round 11 every
+    # multiply-consumed backbone intermediate (edges/deg/oriented) is
+    # localCheckpoint-materialized, so the executed plan must contain NO
+    # parquet scan at all (the backbone is built once upstream; the r10
+    # plan re-derived it 69 times) — its inputs are the checkpointed RDDs
+    # — and triangle formation stays keyed (no cartesian).
     df = REGISTRY["gr2_triangle_count"].fn(spark, SF_SMOKE)
     df.collect()
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("ReusedExchange") >= 4
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "Scan ExistingRDD" in plan
 
 
 def test_dq6_audit_is_one_fact_pass(spark):
