@@ -3053,10 +3053,9 @@ def a48_mv_refresh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fork = base.clone_to(os.path.join(root, "ord"), version=1)
     state = prebuilt_state.clone_to(os.path.join(root, "stats"))
     # a clone's first commit is its OWN log entry — the watermark does
-    # not carry; re-stamp it with a zero-row append (metadata-only cost)
-    state.append(
-        state.read().limit(0), metadata={_MV_VERS_KEY: {"ord": 1}}
-    )
+    # not carry; re-stamp it with a metadata-only commit (a zero-row
+    # append would pay a full Spark write job for an empty dir)
+    state.commit_metadata({_MV_VERS_KEY: {"ord": 1}})
     cat = TableCatalog(os.path.join(root, "cat"))
     cat.create("ord", location=fork.path)
     cat.create(

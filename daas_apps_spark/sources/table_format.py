@@ -2335,9 +2335,7 @@ class VersionedTable:
             return df
         from pyspark.sql import functions as F
 
-        dv = self.spark.read.parquet(
-            *[os.path.join(self.path, _DV, d) for d in dvs]
-        )
+        dv = self._read_dvs(dvs)
         orig = df.columns
         return (
             df.withColumn("__dv_file", F.col("_metadata.file_name"))
@@ -2363,6 +2361,17 @@ class VersionedTable:
             os.path.join(self.path, _DV, rel)
         )
         return rel
+
+    def _read_dvs(self, rel_dirs: list[str]) -> DataFrame:
+        """Scan deletion-vector dirs with their fixed ``(file, pos)``
+        schema pinned explicitly — every vector is written by
+        ``_write_dv_dir`` with exactly this shape, and an explicit
+        schema skips the footer-inference job a bare ``read.parquet``
+        runs at DataFrame-build time (once per DML/read on a vector-
+        carrying table)."""
+        return self.spark.read.schema("file string, pos bigint").parquet(
+            *[os.path.join(self.path, _DV, d) for d in rel_dirs]
+        )
 
     def _live_stats(self, version: int | None = None) -> dict:
         """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
@@ -3826,14 +3835,48 @@ class VersionedTable:
         subsumes mergeSchema.) Deletion-vector parquets are NOT data
         files and scan directly."""
         widening = self.type_widening(version)
-        if not widening:
-            reader = self.spark.read
-            if merge_schema:
-                reader = reader.option("mergeSchema", "true")
-            return reader.parquet(*paths)
-        return self.spark.read.schema(
-            self._widened_schema(paths, widening)
-        ).parquet(*paths)
+        if widening:
+            return self.spark.read.schema(
+                self._widened_schema(paths, widening)
+            ).parquet(*paths)
+        # No widening: still pass an EXPLICIT schema from footer metadata —
+        # schema inference (and mergeSchema doubly so) runs a Spark job at
+        # DataFrame-build time, ~5x the latency of a driver-side footer
+        # read locally, and a footer job over every file at 100 TB. Each
+        # data dir holds one commit's homogeneous files, so one footer per
+        # dir is exact: merge_schema unions first-seen fields across dirs
+        # (same result as parquet mergeSchema on this format — evolution
+        # only ever ADDS columns; conflicting types require a declared
+        # widening, handled above); a plain read adopts the first
+        # footer-bearing path's schema, the deterministic version of
+        # Spark's sample-one-file inference. Any footer-harvest surprise
+        # falls back to the inference reader.
+        try:
+            sch = self._widened_schema(
+                paths if merge_schema else self._first_footer_path(paths),
+                {},
+            )
+            if sch.fields:
+                return self.spark.read.schema(sch).parquet(*paths)
+        except Exception:  # noqa: BLE001 — fall back to inference
+            pass
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    @staticmethod
+    def _first_footer_path(paths: list[str]) -> list[str]:
+        """First path that actually holds a parquet file (a zero-row
+        write can land an empty dir) — the single-schema scan source."""
+        import glob as _glob
+
+        for p in paths:
+            if p.endswith(".parquet") or _glob.glob(
+                os.path.join(p, "*.parquet")
+            ):
+                return [p]
+        return []
 
     def _validate(self, df: DataFrame, active: dict | None = None) -> None:
         """Reject ``df`` if any row fails any active constraint. ONE
@@ -4420,6 +4463,26 @@ class VersionedTable:
             read_version=rv,
         )
 
+    def commit_metadata(
+        self, metadata: dict, operation: str = "stamp"
+    ) -> int:
+        """Metadata-only commit: records ``metadata`` in a new log entry
+        without touching a single data file (``add=[]``, ``data_change``
+        False — the change feed and version-offset stream skip it, no
+        row changed). The cheap way to stamp bookkeeping a process reads
+        back off the log — e.g. re-anchoring a cloned materialized
+        view's source watermark — where a zero-row ``append`` would pay
+        a full Spark write job for an empty dir."""
+        self._check_writer_features()
+        return self._commit(
+            operation,
+            add=[],
+            remove=[],
+            metadata=metadata,
+            data_change=False,
+            read_version=self.latest_version(),
+        )
+
     def overwrite(
         self,
         df: DataFrame,
@@ -4722,9 +4785,7 @@ class VersionedTable:
         )
         prior = self._live_dvs()
         if prior:
-            dv = self.spark.read.parquet(
-                *[os.path.join(self.path, _DV, d) for d in prior]
-            )
+            dv = self._read_dvs(prior)
             scan = scan.join(
                 F.broadcast(
                     dv.select(
@@ -4876,9 +4937,7 @@ class VersionedTable:
         )
         prior = self._live_dvs()
         if prior:
-            dv = self.spark.read.parquet(
-                *[os.path.join(self.path, _DV, d) for d in prior]
-            )
+            dv = self._read_dvs(prior)
             scan = scan.join(
                 F.broadcast(
                     dv.select(
@@ -4889,7 +4948,13 @@ class VersionedTable:
                 ["__dv_file", "__dv_pos"],
                 "left_anti",
             )
-        hit = scan.filter(cond)
+        # hit feeds TWO outputs (the deletion vector's positions and the
+        # updated-rows dir); without materialization each write re-runs
+        # the full table scan + DV anti-join + predicate. One
+        # localCheckpoint bounds the commit at ONE pass over the table —
+        # the materialized set is |matched| rows, the same magnitude as
+        # the data this commit writes anyway.
+        hit = scan.filter(cond).localCheckpoint()
         data_cols = [c for c in scan.columns if c not in ("__dv_file", "__dv_pos")]
         updated = _regen(_assigned(hit.select(*data_cols), always=True))
         self._validate(updated)  # reject BEFORE any dir is written
@@ -5727,9 +5792,7 @@ class VersionedTable:
             for rel in live
             for basename in (file_stats.get(rel) or {})
         }
-        dv = self.spark.read.parquet(
-            *[os.path.join(self.path, _DV, d) for d in dvs]
-        )
+        dv = self._read_dvs(dvs)
         # drop entries for dead basenames (their file left the live set
         # via COW/optimize); pre-manifest dirs have no recorded basenames,
         # so only prune when the manifest is authoritative. Semi-join (not
@@ -6158,9 +6221,7 @@ class VersionedTable:
         basenames the log cannot place."""
         from pyspark.sql import functions as F
 
-        dv = self.spark.read.parquet(
-            *[os.path.join(self.path, _DV, d) for d in dv_rels]
-        )
+        dv = self._read_dvs(dv_rels)
         # manifest arithmetic: basename -> owning data dir, from every
         # commit's recorded per-file stats (tiny driver-side maps, the
         # same scale as the live-dir bookkeeping)

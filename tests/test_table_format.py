@@ -4052,3 +4052,24 @@ def test_manifest_scale_many_tiny_files(spark, tmp_path):
     assert prune_s < 10.0, f"prune planning took {prune_s:.2f}s"
     # executing the pruned scan opens only the intersecting files
     assert pruned.filter("k BETWEEN 100 AND 110").count() == 11
+
+
+def test_commit_metadata_is_metadata_only(spark, tmp_path):
+    # r11 optimization surface: a metadata-only commit bumps the version
+    # and records its payload WITHOUT touching data files — no new data
+    # dir, snapshot unchanged, and the change feed (data_change=False)
+    # surfaces no rows for it.
+    from daas_apps_spark.sources.table_format import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.append(spark.range(5).selectExpr("id AS k", "id * 2 AS v"))
+    v1 = vt.latest_version()
+    dirs_before = sorted(os.listdir(tmp_path / "t" / "data"))
+    v2 = vt.commit_metadata({"watermark": {"src": 7}})
+    assert v2 == v1 + 1
+    assert sorted(os.listdir(tmp_path / "t" / "data")) == dirs_before
+    assert vt.read().count() == 5
+    entry = [c for c in vt.history() if c["version"] == v2][0]
+    assert entry["metadata"] == {"watermark": {"src": 7}}
+    assert entry.get("data_change", True) is False
+    assert vt.changes_between(v1, v2).count() == 0
