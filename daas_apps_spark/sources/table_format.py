@@ -1210,34 +1210,28 @@ def merge_aggregate_state(
     count_col: str,
     sums: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Fold a signed per-group delta into a prior aggregate state: full
-    outer merge on the group keys, counts/sums added, groups whose
+    """Fold a signed per-group delta into a prior aggregate state:
+    union the two per-group aggregates and re-aggregate, groups whose
     count telescopes to zero dropped — the merge half of
     ``maintain_additive_aggregate``, shared by the single-table and
-    join (``maintain_join_additive_aggregate``) IVM paths."""
+    join (``maintain_join_additive_aggregate``) IVM paths.
+
+    Union + re-aggregate rather than a full-outer join on the group
+    keys: the result is identical (groupBy makes a NULL key one group,
+    exactly the eqNullSafe semantics; the trailing coalesce reproduces
+    the old ``coalesce(x,0)+coalesce(y,0)`` NULL-sum handling) but the
+    plan is ONE hash-aggregate Exchange over ≤|state|+|delta| pre-
+    aggregated rows instead of two Exchanges + sorts + a full-outer
+    SortMergeJoin (full outer cannot broadcast-hash, so the join paid
+    the SMJ machinery even for tiny frames)."""
     from pyspark.sql import functions as F
 
     sums = sums or {}
-    s = state.select(
-        *[F.col(k).alias(f"__s_{k}") for k in group_by],
-        *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sums]],
-    )
-    # eqNullSafe: a NULL group key is a real group in both aggregates —
-    # a non-null-safe join would split it into duplicate output rows
-    cond = [delta[k].eqNullSafe(s[f"__s_{k}"]) for k in group_by]
-    merged = delta.join(s, cond, "full_outer").select(
-        *[F.coalesce(delta[k], s[f"__s_{k}"]).alias(k) for k in group_by],
-        (
-            F.coalesce(delta[count_col], F.lit(0))
-            + F.coalesce(s[f"__s_{count_col}"], F.lit(0))
-        ).alias(count_col),
-        *[
-            (
-                F.coalesce(delta[c], F.lit(0))
-                + F.coalesce(s[f"__s_{c}"], F.lit(0))
-            ).alias(c)
-            for c in sums
-        ],
+    cols = [*group_by, count_col, *sums]
+    both = state.select(*cols).unionByName(delta.select(*cols))
+    merged = both.groupBy(*group_by).agg(
+        F.coalesce(F.sum(count_col), F.lit(0)).cast("long").alias(count_col),
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in sums],
     )
     return merged.filter(F.col(count_col) > 0)
 
