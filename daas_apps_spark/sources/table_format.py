@@ -1884,6 +1884,7 @@ class VersionedTable:
             rel: known_stats.get(rel) or self._harvest_stats(rel)
             for rel in add
         }
+        dv_files = self._harvest_dv_files(dv_add) if dv_add else None
         entry = {
             "version": version,
             "operation": operation,
@@ -1923,6 +1924,12 @@ class VersionedTable:
             # unchanged)
             "dv_add": dv_add or [],
             "dv_remove": dv_remove or [],
+            # per-vector-dir distinct data-file basenames (rel →
+            # [basename]) — lets the change feed place a range's deletes
+            # by pure manifest arithmetic instead of a distinct-collect
+            # job over the vectors; absent (old commits, or a vector too
+            # big to harvest driver-side) falls back to that job
+            **({"dv_files": dv_files} if dv_files is not None else {}),
             # multi-table transaction marker: staged under this txn,
             # visible only once its coordinator records it committed
             **({"txn": txn} if txn else {}),
@@ -2366,6 +2373,43 @@ class VersionedTable:
         return self.spark.read.schema("file string, pos bigint").parquet(
             *[os.path.join(self.path, _DV, d) for d in rel_dirs]
         )
+
+    def _harvest_dv_files(
+        self, rel_dirs: list[str], budget_bytes: int = 64 * 1024 * 1024
+    ) -> dict[str, list[str]] | None:
+        """Distinct data-file basenames each vector dir references
+        (rel → sorted [basename]), read driver-side off the vector
+        parquet's dictionary-encoded ``file`` column at COMMIT time —
+        the change feed then places a range's deletes by manifest
+        arithmetic alone, with no distinct-collect Spark job per feed
+        build. Returns None (key omitted; readers fall back to the
+        distributed distinct) past ``budget_bytes`` of vector bytes —
+        a nightly GDPR sweep's vectors can be arbitrarily large, and
+        an unbounded driver read would be the scale bug this manifest
+        exists to avoid."""
+        import glob as _glob
+
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            out: dict[str, list[str]] = {}
+            for rel in rel_dirs:
+                names: set[str] = set()
+                for f in sorted(
+                    _glob.glob(
+                        os.path.join(self.path, _DV, rel, "*.parquet")
+                    )
+                ):
+                    total += os.path.getsize(f)
+                    if total > budget_bytes:
+                        return None
+                    col = pq.read_table(f, columns=["file"]).column("file")
+                    names.update(col.unique().to_pylist())
+                out[rel] = sorted(names)
+            return out
+        except Exception:  # noqa: BLE001 — harvest is advisory
+            return None
 
     def _live_stats(self, version: int | None = None) -> dict:
         """{relative dir: {col: [min, max]}} for the snapshot's live dirs."""
@@ -6153,8 +6197,8 @@ class VersionedTable:
         types). One delta-sized aggregation + one join; no-op (same
         plan object) when the feed carries no ids. Net-range semantics
         make this sound: a transient row (inserted then deleted inside
-        the range) never survives the diff, and the MOR fast path
-        declines ranges where a vector hits a same-range insert."""
+        the range) never survives the diff, and the MOR fast path nets
+        same-range insert+delete pairs out before this pairing runs."""
         if _ROWID not in feed.columns:
             return feed
         from pyspark.sql import functions as F
@@ -6208,11 +6252,17 @@ class VersionedTable:
         maintenance affordable after a night of GDPR deletes: the feed
         prices the deletes, not the corpus.
 
+        A vector referencing a file ADDED in the same range is a row
+        inserted AND deleted inside the range: the snapshot diff nets
+        the pair to nothing, so the fast path reproduces that exactly —
+        the delete side reads only pre-range files, and the insert side
+        anti-joins those same-range positions away. Both sides stay
+        ∝ |delta|.
+
         Returns None — caller falls back to the snapshot diff — when the
-        path cannot be proven exactly net-equivalent to the diff:
-        vectors referencing files ADDED in the same range (insert+delete
-        would need cancelling), or files from pre-manifest commits whose
-        basenames the log cannot place."""
+        path cannot be proven exactly net-equivalent to the diff: files
+        from pre-manifest commits whose basenames the log cannot place,
+        or basenames the log places in two dirs."""
         from pyspark.sql import functions as F
 
         dv = self._read_dvs(dv_rels)
@@ -6227,14 +6277,36 @@ class VersionedTable:
                     if basename in owner and owner[basename] != rel:
                         collide.add(basename)
                     owner[basename] = rel
-        in_range_files = {
+        changing_files = {
             basename
             for c in in_range
+            if c.get("data_change", True)
             for fstats in (c.get("file_stats") or {}).values()
             for basename in fstats
         }
-        # the vector side is manifest-sized: one distinct-basename pull
-        touched = [r.file for r in dv.select("file").distinct().collect()]
+        rewrite_files = {
+            basename
+            for c in in_range
+            if not c.get("data_change", True)
+            for fstats in (c.get("file_stats") or {}).values()
+            for basename in fstats
+        }
+        # the vector side is manifest-sized: commits record each
+        # vector's referenced basenames (dv_files), so placing the
+        # deletes is pure manifest arithmetic; a commit predating the
+        # key (or whose vector was too big to harvest) falls back to
+        # one distinct-basename pull
+        recorded: dict[str, list[str]] = {}
+        for c in in_range:
+            recorded.update(c.get("dv_files") or {})
+        if all(rel in recorded for rel in dv_rels):
+            touched = sorted(
+                {f for rel in dv_rels for f in recorded[rel]}
+            )
+        else:
+            touched = [
+                r.file for r in dv.select("file").distinct().collect()
+            ]
         if any(f not in owner for f in touched):
             return None  # pre-manifest file: cannot place it
         if any(f in collide for f in touched):
@@ -6244,39 +6316,71 @@ class VersionedTable:
             # the preimage from a silently-guessed file — fall back to
             # the snapshot diff, which never resolves by basename
             return None
-        if any(f in in_range_files for f in touched):
-            # a row inserted AND vector-deleted inside the range: the
-            # snapshot diff nets the pair out; emitting both would break
-            # exact diff equivalence — fall back
+        if any(f in rewrite_files for f in touched):
+            # file written by an in-range OPTIMIZE: its rows may mix
+            # pre-range rows (the diff emits their delete) with
+            # same-range inserts (the diff nets them out), and the
+            # manifest cannot tell them apart — fall back
             return None
-        paths = sorted(
-            os.path.join(self.path, _DATA, owner[f], f) for f in touched
+        # split the vector targets: pre-range files feed the delete
+        # side; same-range files mark transient rows (inserted AND
+        # deleted inside the range) that the diff nets out, so they are
+        # anti-joined off the insert side instead of emitted
+        new_touched = {f for f in touched if f in changing_files}
+        old_touched = [f for f in touched if f not in new_touched]
+        dv_pairs = dv.select(
+            F.col("file").alias("__dv_file"),
+            F.col("pos").cast("long").alias("__dv_pos"),
         )
-        deletes = self._to_logical(
-            self._scan(paths, merge_schema=True)
-            .withColumn("__dv_file", F.col("_metadata.file_name"))
-            .withColumn(
-                "__dv_pos", F.col("_metadata.row_index").cast("long")
+        deletes = None
+        if old_touched:
+            paths = sorted(
+                os.path.join(self.path, _DATA, owner[f], f)
+                for f in old_touched
             )
-            .join(
-                F.broadcast(
-                    dv.select(
-                        F.col("file").alias("__dv_file"),
-                        F.col("pos").cast("long").alias("__dv_pos"),
-                    )
-                ),
-                ["__dv_file", "__dv_pos"],
-                "left_semi",
-            )
-            .drop("__dv_file", "__dv_pos"),
-            mapping,
-        ).withColumn("_change_type", F.lit("delete"))
+            deletes = self._to_logical(
+                self._scan(paths, merge_schema=True)
+                .withColumn("__dv_file", F.col("_metadata.file_name"))
+                .withColumn(
+                    "__dv_pos", F.col("_metadata.row_index").cast("long")
+                )
+                .join(
+                    F.broadcast(dv_pairs),
+                    ["__dv_file", "__dv_pos"],
+                    "left_semi",
+                )
+                .drop("__dv_file", "__dv_pos"),
+                mapping,
+            ).withColumn("_change_type", F.lit("delete"))
         if not added:
-            return deletes
-        inserts = self._to_logical(
-            self._scan(added, merge_schema=True),
-            mapping,
-        ).withColumn("_change_type", F.lit("insert"))
+            return deletes if deletes is not None else self._empty_feed(
+                in_range[-1]["version"]
+            )
+        inserts = self._scan(added, merge_schema=True)
+        if new_touched:
+            inserts = (
+                inserts.withColumn(
+                    "__dv_file", F.col("_metadata.file_name")
+                )
+                .withColumn(
+                    "__dv_pos", F.col("_metadata.row_index").cast("long")
+                )
+                .join(
+                    F.broadcast(
+                        dv_pairs.filter(
+                            F.col("__dv_file").isin(list(new_touched))
+                        )
+                    ),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+                .drop("__dv_file", "__dv_pos")
+            )
+        inserts = self._to_logical(inserts, mapping).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if deletes is None:
+            return inserts
         # union by name with NULL fill: deleted rows come from files that
         # may predate an evolved column the inserts carry (and vice versa)
         return inserts.unionByName(deletes, allowMissingColumns=True)

@@ -2756,10 +2756,13 @@ def test_change_feed_mor_delete_only_range(spark, vt):
     assert "replicaterows" not in _optimized_plan(feed)
 
 
-def test_change_feed_falls_back_when_insert_and_delete_net_out(spark, vt):
+def test_change_feed_nets_same_range_insert_and_delete(spark, vt):
     """A row appended AND vector-deleted inside the range must net to
-    nothing (diff semantics) — the fast path proves it can't guarantee
-    that and falls back to the snapshot diff."""
+    nothing (diff semantics) — the MOR fast path now nets the pair out
+    itself (delete side reads only pre-range files, insert side
+    anti-joins the same-range vector positions) instead of falling back
+    to the snapshot diff, so the plan stays |delta|-sized: no
+    ``exceptAll`` (replicaterows) over the table."""
     vt.append(_df(spark, [(1, "a")]))
     v1 = vt.latest_version()
     vt.append(_df(spark, [(2, "b"), (3, "c")]))  # in-range insert
@@ -2767,6 +2770,35 @@ def test_change_feed_falls_back_when_insert_and_delete_net_out(spark, vt):
     feed = vt.changes_between(v1)
     rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
     assert rows == [(3, "c", "insert")]  # the (2,b) pair netted out
+    assert "replicaterows" not in _optimized_plan(feed)
+
+
+def test_change_feed_nets_mixed_old_and_new_deletes(spark, vt):
+    """One MOR delete spanning a pre-range file and a same-range file:
+    the pre-range row surfaces as a delete, the same-range pair nets
+    out, still with no snapshot diff."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.latest_version()
+    vt.append(_df(spark, [(3, "c"), (4, "d")]))  # in-range insert
+    vt.delete("k IN (1, 3)", mode="mor")  # old row + in-range row
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [(1, "a", "delete"), (4, "d", "insert")]
+    assert "replicaterows" not in _optimized_plan(feed)
+
+
+def test_change_feed_falls_back_when_vector_hits_optimized_file(spark, vt):
+    """A vector on a file written by an in-range OPTIMIZE may target a
+    pre-range row the diff must surface — the manifest cannot prove
+    which, so the fast path declines and the snapshot diff answers."""
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.latest_version()
+    vt.append(_df(spark, [(3, "c")]))
+    vt.optimize()  # rewrites both dirs into one (data_change: false)
+    vt.delete("k = 1", mode="mor")  # vector lands on the rewritten file
+    feed = vt.changes_between(v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [(1, "a", "delete"), (3, "c", "insert")]
     assert "replicaterows" in _optimized_plan(feed)
 
 
