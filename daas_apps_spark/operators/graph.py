@@ -333,15 +333,15 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join fan-out by out-degree, the same trick MapReduce triangle
     counters (Suri & Vassilvitskii 2011) use to tame skew at web scale.
     """
-    # Materialize every multiply-consumed intermediate (edges ×3: deg,
-    # oriented, the backbone filter; deg ×3: du, dv, final join;
-    # oriented ×3: both wedge sides + the closing edge set). Without
-    # these the AQE-final plan re-derived the full lineitem→backbone
-    # subtree 69 times (641-node plan, measured 2.94s at sf0.1); with
-    # them lineitem is scanned once and the plan is ~30 nodes. All
-    # three relations are graph-sized (|E| or |V| rows of ints), so the
-    # checkpoint cost is a few small jobs — the same discipline
-    # gr4/gr5 already apply to their backbone.
+    # Materialize the two intermediates whose recompute would repeat
+    # REAL work: edges (cuts off the whole lineitem→backbone subtree,
+    # which the AQE-final plan otherwise re-derives 69 times — 641-node
+    # plan, measured 2.94s at sf0.1) and deg (one groupBy consumed by
+    # du, dv and the final join). `oriented` is NOT checkpointed: its
+    # three consumers re-derive only two broadcast joins over the two
+    # checkpointed RDDs, which Exchange reuse dedupes inside the one
+    # final job — the eager materialization job cost MORE than the
+    # recompute (A/B at sf0.1: 3.35s with the ckpt, 2.80s without).
     edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -371,7 +371,6 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d_dst"
             ),
         )
-        .localCheckpoint()
     )
     o1 = oriented.select(
         "src", F.col("dst").alias("b"), F.col("d_dst").alias("db")
@@ -540,19 +539,19 @@ def _gr4_impl(
     spark: SparkSession, sf_dir: str, mid_degree_cap: int | None
 ) -> DataFrame:
     edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
-    # adj (×2: deg + wedge sides), deg (×3: cap filter + both endpoint
-    # attaches) and the capped wedge adjacency (×2: both self-join
-    # sides) are each multiply consumed — materialize them so the
-    # backbone-derived subtrees execute once per run instead of once
-    # per consumer (the gr2 discipline; all are |E|- or |V|-row int
-    # relations).
+    # Checkpoint edges (cuts the lineitem→backbone subtree off every
+    # consumer) and the wedge adjacency (both sides of the quadratic
+    # self-join — the one reuse whose recompute is real work). adj and
+    # deg recompute from the edges RDD with Exchange reuse inside the
+    # final job; eagerly materializing them as well cost more than it
+    # saved (A/B at sf0.1: 3.46s with adj+deg+wadj ckpts, 2.88s with
+    # wadj only).
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint()
+    )
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
-    ).localCheckpoint()
-    wedge_adj = adj
+    )
     if mid_degree_cap is not None:
         low_deg_mids = deg.filter(F.col("degree") <= mid_degree_cap).select(
             F.col("node").alias("b")
@@ -561,6 +560,8 @@ def _gr4_impl(
         # wedge-center endpoint is a super-hub are dropped before the
         # quadratic self-join; endpoint degrees (dg_u/dg_v) stay exact
         wedge_adj = adj.join(low_deg_mids, "b", "left_semi").localCheckpoint()
+    else:
+        wedge_adj = adj.localCheckpoint()
     x = wedge_adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
     y = wedge_adj.select(F.col("b").alias("mid"), F.col("a").alias("v"))
     cand = (

@@ -454,12 +454,14 @@ def test_k46_pair_explode_is_over_vocabulary(spark):
 
 
 def test_gr2_triangle_edges_exchange_reused(spark):
-    # The edge relation feeds deg/e1/e2/e3; since round 11 every
-    # multiply-consumed backbone intermediate (edges/deg/oriented) is
+    # The edge relation feeds deg/e1/e2/e3; since round 11 the two
+    # intermediates whose recompute repeats real work (edges, deg) are
     # localCheckpoint-materialized, so the executed plan must contain NO
     # parquet scan at all (the backbone is built once upstream; the r10
     # plan re-derived it 69 times) — its inputs are the checkpointed RDDs
-    # — and triangle formation stays keyed (no cartesian).
+    # — and triangle formation stays keyed (no cartesian). `oriented`
+    # deliberately recomputes from those RDDs (Exchange reuse dedupes it
+    # inside the one final job; an eager ckpt measured slower).
     df = REGISTRY["gr2_triangle_count"].fn(spark, SF_SMOKE)
     df.collect()
     plan = physical_plan(df)
