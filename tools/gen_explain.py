@@ -27,22 +27,23 @@ NOTES = {
     "i3_session_window": "native session-window operator: shuffle on user_id, in-partition sort, session merge.",
     "k1_exact_dedup": "sha256 shuffle + window rank — no self-join.",
     "k2_minhash_signatures": "one md5 per shingle, 12 affine array_min transforms, zero shuffles.",
-    "k3_lsh_near_dedup": "band explode, band-key self-join, distinct candidate pairs, Jaccard verify joins — never a cartesian.",
+    "k3_lsh_near_dedup": "band explode, then ONE band-key aggregate with map-side pair generation from the sorted doc set (the self-join of earlier rounds is gone — one exchange fewer), Jaccard verify joins — never a cartesian.",
     "k4_cosine_topk": "query side broadcast; per-query top-k via window rank.",
     "k6_quality_heuristics": "pure projection: single codegen stage, no exchange at all.",
     "c15_regional_revenue": "six-table star chain: every dimension broadcast, only the orders⋈lineitem FK spine shuffles; the two-key local-supplier constraint rides the same join.",
     "c21_waiting_supplier": "EXISTS/NOT EXISTS pair decorrelated to left-semi + left-anti against the same fact; all three lineitem passes hash on l_orderkey.",
-    "gr2_triangle_count": "significance-backbone edges from one co-occurrence aggregate; degree-oriented wedge join; explode-to-corners count.",
+    "gr2_triangle_count": "significance-backbone edges from one co-occurrence aggregate, localCheckpointed with the degree table (the plan reads Scan ExistingRDD — zero parquet re-scans vs 69 before round 11); degree-oriented wedge join; explode-to-corners count.",
     "i3_session_window": "native session-window operator: shuffle on user_id, in-partition sort, session merge.",
     "k51_cdc_chunking": "per-row HOF rolling-hash boundary scan, explode to chunks, census aggregate — no Python, no join.",
     "c21_bucketed_layout": "same Q21 semantics on the bucketed layout: the probe join and both decorrelated self-probes read the bucketed scans with ZERO Exchange on the orderkey (SelectedBucketsCount in the scan); only the final aggregate shuffles.",
     "gr4_capped": "the scale-path form: wedge midpoints above GR4_MID_DEGREE_CAP are semi-join-filtered BEFORE the quadratic self-join, bounding candidates at cap*|V|; endpoint degrees stay exact.",
-    "k3_lsh_capped": "band-frequency cap: a pre-aggregate drops hot band keys before the self-join, bounding every band at cap^2 candidate pairs; verify joins unchanged.",
+    "k3_lsh_capped": "band-frequency cap rides the SAME band aggregate that generates pairs (count <= cap on the collected doc set — no separate frequency pass or semi-join), bounding every band at cap^2 candidate pairs; verify joins unchanged.",
     "k7_ppm_decode": "two Arrow mapInPandas passes: synthesize P6 payloads, then parse header + frombuffer raster to per-channel means — payloads never leave the executor.",
     "c6_bucketed_layout": "the (l_partkey, l_suppkey) pre-aggregation runs ONCE on the bucketed scan (no fact shuffle; localCheckpoint replaces the ReuseExchange the layout removed) and both self-probe sides read the materialized result.",
     "c15_bucketed_layout": "Q5 restructured for the layout: lineitem⋈orders bucket-local, supplier broadcast onto the fact, pre-aggregate by (custkey, nationkey) so the only surviving exchange carries aggregate rows.",
     "a25_mor_sweep": "the plan shown is only the FINAL census + CDF count union; the timed work before it (clone links, DV delete, MOR update, vector compaction) is commit-log arithmetic plus |delta|-sized writes — see SCALING_CURVE's ~flat growth for the evidence.",
     "a27_clone_restore_cycle": "two snapshot censuses; the clone/restore themselves are O(files) metadata ops that never appear as data-plan nodes — the point of the row.",
+    "a48_mv_refresh_sweep": "the plan shown is the final MV-state read; the timed work is CREATE MV + bulk DML + REFRESH, where the refresh prices the |delta| change feed (manifest arithmetic since round 11's dv_files keys, no snapshot diff) merged by union + re-aggregation.",
 }
 
 
