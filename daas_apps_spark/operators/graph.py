@@ -25,7 +25,7 @@ the iteration count fixed up front the way its pipeline stages are.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daas_apps_spark.catalog import table
@@ -197,6 +197,27 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
         .groupBy("pk")
         .agg(F.sort_array(F.collect_set("sk")).alias("sks"))
     )
+    # co is consumed TWICE (the stats aggregate AND the threshold
+    # filter) and Spark has no cross-branch subexpression reuse, so
+    # without materialization the whole lineitem→pairs→co pipeline
+    # executes twice per backbone evaluation — and once more for
+    # every downstream consumer of the returned edges. One
+    # localCheckpoint bounds it at one pass per query execution
+    # (repaid every run, no cross-run caching); the stored relation
+    # is |co-occurring pairs| rows of three ints, the same
+    # space-for-CPU trade k3 documents for its shingle relation.
+    # The σ-threshold STATS ride that same materialization job as an
+    # ``observe`` side output (guide §2.4 — remove the pass outright):
+    # the exact integer sums are collected as metrics of the checkpoint
+    # action itself, so the separate stats-aggregate job AND its
+    # BroadcastExchange disappear from every backbone build. Exactness:
+    # a batch observe folds each task's partial exactly once (the
+    # scheduler ignores duplicate successful attempts), so the sums
+    # equal the old aggregate's. The observed LONGS are re-injected as
+    # literals and every cast/divide/sqrt still evaluates in the JVM —
+    # the threshold expression tree is unchanged, hence bit-identical
+    # edge selection (oracle hash-checked for gr2/gr3/gr4/gr5).
+    obs = Observation()
     co = (
         grp.select(
             F.explode(
@@ -209,34 +230,25 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
-        # co is consumed TWICE (the stats aggregate AND the threshold
-        # filter) and Spark has no cross-branch subexpression reuse, so
-        # without materialization the whole lineitem→pairs→co pipeline
-        # executes twice per backbone evaluation — and once more for
-        # every downstream consumer of the returned edges. One
-        # localCheckpoint bounds it at one pass per query execution
-        # (repaid every run, no cross-run caching); the stored relation
-        # is |co-occurring pairs| rows of three ints, the same
-        # space-for-CPU trade k3 documents for its shingle relation.
+        .observe(
+            obs,
+            F.sum("shared").alias("s"),
+            F.sum(F.col("shared") * F.col("shared")).alias("ssq"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .localCheckpoint()
     )
-    stats = co.agg(
-        F.sum("shared").cast("double").alias("s"),
-        F.sum(F.col("shared") * F.col("shared")).cast("double").alias("ssq"),
-        F.count(F.lit(1)).cast("double").alias("n"),
+    m = obs.get
+    s = F.lit(m["s"]).cast("double")
+    ssq = F.lit(m["ssq"]).cast("double")
+    n = F.lit(m["n"]).cast("double")
+    thr = s / n + 2.0 * F.sqrt(
+        F.greatest((ssq - s * s / n) / n, F.lit(0.0))
     )
-    thr = F.col("s") / F.col("n") + 2.0 * F.sqrt(
-        F.greatest(
-            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
-            / F.col("n"),
-            F.lit(0.0),
-        )
-    )
-    return (
-        co.crossJoin(F.broadcast(stats))
-        .filter(F.col("shared").cast("double") > thr)
-        .select("u", "v")
-    )
+    # The returned frame is a NARROW filter over the checkpointed co —
+    # consumers no longer need their own edges checkpoint to avoid
+    # re-deriving the lineitem subtree.
+    return co.filter(F.col("shared").cast("double") > thr).select("u", "v")
 
 
 # The CTE chain producing the identical backbone edge set in DuckDB —
@@ -333,16 +345,18 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join fan-out by out-degree, the same trick MapReduce triangle
     counters (Suri & Vassilvitskii 2011) use to tame skew at web scale.
     """
-    # Materialize the two intermediates whose recompute would repeat
-    # REAL work: edges (cuts off the whole lineitem→backbone subtree,
-    # which the AQE-final plan otherwise re-derives 69 times — 641-node
-    # plan, measured 2.94s at sf0.1) and deg (one groupBy consumed by
-    # du, dv and the final join). `oriented` is NOT checkpointed: its
-    # three consumers re-derive only two broadcast joins over the two
+    # Materialization discipline (§2.4, re-A/B'd each round): the co
+    # relation is checkpointed INSIDE _backbone_edges (it cuts the whole
+    # lineitem→backbone subtree off every consumer — the AQE-final plan
+    # once re-derived it 69 times, 641 nodes, 2.94s at sf0.1), and since
+    # the σ-threshold became an observed literal, `edges` is a NARROW
+    # filter over that RDD — its own eager checkpoint job cost more than
+    # the recompute it saved, so it is gone. `deg` keeps its checkpoint
+    # (one groupBy consumed by du, dv and the final join). `oriented` is
+    # NOT checkpointed: its consumers re-derive only joins over
     # checkpointed RDDs, which Exchange reuse dedupes inside the one
-    # final job — the eager materialization job cost MORE than the
-    # recompute (A/B at sf0.1: 3.35s with the ckpt, 2.80s without).
-    edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
+    # final job (A/B at sf0.1: 3.35s with the ckpt, 2.80s without).
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem"))
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -372,6 +386,16 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Wedge enumeration stays the o1⋈o2 SELF-JOIN on src: the two sides
+    # are sameResult projections of `oriented`, so ReuseExchange runs
+    # ONE exchange and the join stays inside whole-stage codegen. The
+    # map-side collect_list alternative (the gr4/k3 shape) was A/B'd
+    # this round and measured ~5% SLOWER here (2.27 vs 2.16 at sf0.1):
+    # gr2 keeps wedges keyed by their midpoint for the (b, c) closing
+    # join anyway, so the aggregate saves no downstream exchange and
+    # its ObjectHashAggregate breaks the codegen span the join keeps.
+    # (gr4 is the opposite case: its pair aggregate IS the next keyed
+    # step, so the agg form wins there — see _gr4_impl.)
     o1 = oriented.select(
         "src", F.col("dst").alias("b"), F.col("d_dst").alias("db")
     )
@@ -538,14 +562,15 @@ def gr4_link_prediction_exact(
 def _gr4_impl(
     spark: SparkSession, sf_dir: str, mid_degree_cap: int | None
 ) -> DataFrame:
-    edges = _backbone_edges(table(spark, sf_dir, "lineitem")).localCheckpoint()
-    # Checkpoint edges (cuts the lineitem→backbone subtree off every
-    # consumer) and the wedge adjacency (both sides of the quadratic
-    # self-join — the one reuse whose recompute is real work). adj and
-    # deg recompute from the edges RDD with Exchange reuse inside the
-    # final job; eagerly materializing them as well cost more than it
-    # saved (A/B at sf0.1: 3.46s with adj+deg+wadj ckpts, 2.88s with
-    # wadj only).
+    # Materialization discipline (§2.4, re-A/B'd): only co (inside
+    # _backbone_edges) is checkpointed — edges became a narrow filter
+    # over that RDD when the σ-threshold turned into an observed
+    # literal, and the wedge self-join below became a map-side pair
+    # aggregate with a SINGLE consumer, so the old edges/wedge_adj
+    # eager-checkpoint jobs cost more than the recompute they saved.
+    # adj/deg recompute from the co RDD with Exchange reuse inside the
+    # one final job.
+    edges = _backbone_edges(table(spark, sf_dir, "lineitem"))
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -557,17 +582,36 @@ def _gr4_impl(
             F.col("node").alias("b")
         )
         # cap applies to the MIDPOINT side only: adjacency rows whose
-        # wedge-center endpoint is a super-hub are dropped before the
-        # quadratic self-join; endpoint degrees (dg_u/dg_v) stay exact
-        wedge_adj = adj.join(low_deg_mids, "b", "left_semi").localCheckpoint()
+        # wedge-center endpoint is a super-hub are dropped before wedge
+        # generation; endpoint degrees (dg_u/dg_v) stay exact. Dropping
+        # hubs BEFORE the neighbor-set aggregate also bounds every
+        # collected array at mid_degree_cap elements.
+        wedge_adj = adj.join(low_deg_mids, "b", "left_semi")
     else:
-        wedge_adj = adj.localCheckpoint()
-    x = wedge_adj.select(F.col("a").alias("u"), F.col("b").alias("mid"))
-    y = wedge_adj.select(F.col("b").alias("mid"), F.col("a").alias("v"))
+        wedge_adj = adj
+    # Candidate pairs via MAP-SIDE pair generation from each midpoint's
+    # sorted neighbor set (the _backbone_edges / k3 band shape, §2.3):
+    # one groupBy(b) replaces the x⋈y self-join — two shuffles of the
+    # adjacency plus a join become one aggregate plus an in-task
+    # explode. Pair multiset identical: the neighbors of a midpoint are
+    # distinct, sort_array pins u < v, and `common` still counts one row
+    # per (pair, midpoint). Skew posture unchanged — a midpoint's pairs
+    # were already colocated on one task by the join's hash partitioning,
+    # and the capped form bounds every array (hence every task's explode)
+    # at cap neighbors / C(cap, 2) pairs.
     cand = (
-        x.join(y, "mid")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        wedge_adj.groupBy("b")
+        .agg(F.sort_array(F.collect_set("a")).alias("ns"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> transform("
+                    "slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     nonedge = cand.join(edges, ["u", "v"], "left_anti")

@@ -4996,13 +4996,28 @@ class VersionedTable:
         data_cols = [c for c in scan.columns if c not in ("__dv_file", "__dv_pos")]
         updated = _regen(_assigned(hit.select(*data_cols), always=True))
         self._validate(updated)  # reject BEFORE any dir is written
-        dv_rel = self._write_dv_dir(
-            hit.select(
-                F.col("__dv_file").alias("file"),
-                F.col("__dv_pos").alias("pos"),
-            ),
-            vhint,
-        )
+        # The vector write and the updated-rows write are INDEPENDENT
+        # jobs over the same checkpointed |matched| set — overlap them
+        # from two driver threads (guide §2.6: actions are sequential
+        # only because driver code calls them sequentially). Both land
+        # in uuid-named staging dirs invisible until _commit, so
+        # atomicity is unchanged; on the nothing-matched path the
+        # (small, |matched|=0) data dir is discarded alongside the
+        # vector instead of never being written.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            dv_fut = pool.submit(
+                self._write_dv_dir,
+                hit.select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                ),
+                vhint,
+            )
+            data_fut = pool.submit(self._write_data_dir, updated, vhint)
+            dv_rel = dv_fut.result()
+            rel = data_fut.result()
         n = sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(
@@ -5015,8 +5030,10 @@ class VersionedTable:
             shutil.rmtree(
                 os.path.join(self.path, _DV, dv_rel), ignore_errors=True
             )
+            shutil.rmtree(
+                os.path.join(self.path, _DATA, rel), ignore_errors=True
+            )
             return self.latest_version()  # nothing matched: no commit
-        rel = self._write_data_dir(updated, vhint)
         return self._commit(
             "update",
             add=[rel],
@@ -5835,12 +5852,24 @@ class VersionedTable:
         # via COW/optimize); pre-manifest dirs have no recorded basenames,
         # so only prune when the manifest is authoritative. Semi-join (not
         # an isin literal list): the live-file set is manifest-sized but
-        # unbounded at 100 TB
+        # unbounded at 100 TB. When every vector dir's referenced
+        # basenames are recorded in the commit log (dv_files) and all of
+        # them are still live, the prune is provably a no-op — skip the
+        # semi-join and its BroadcastExchange job entirely (guide §2.4):
+        # the common busy-MOR case (deletes/updates, no intervening
+        # rewrite) folds with pure manifest arithmetic plus one write.
         if live_files and all(rel in file_stats for rel in live):
-            live_df = self.spark.createDataFrame(
-                [(f,) for f in sorted(live_files)], "file string"
+            recorded: dict[str, list[str]] = {}
+            for c in self._commits():
+                recorded.update(c.get("dv_files") or {})
+            prune_noop = all(rel in recorded for rel in dvs) and all(
+                f in live_files for rel in dvs for f in recorded[rel]
             )
-            dv = dv.join(F.broadcast(live_df), "file", "left_semi")
+            if not prune_noop:
+                live_df = self.spark.createDataFrame(
+                    [(f,) for f in sorted(live_files)], "file string"
+                )
+                dv = dv.join(F.broadcast(live_df), "file", "left_semi")
         rel = self._write_dv_dir(dv, rv + 1)
         return self._commit(
             "compact_vectors",

@@ -454,14 +454,16 @@ def test_k46_pair_explode_is_over_vocabulary(spark):
 
 
 def test_gr2_triangle_edges_exchange_reused(spark):
-    # The edge relation feeds deg/e1/e2/e3; since round 11 the two
-    # intermediates whose recompute repeats real work (edges, deg) are
-    # localCheckpoint-materialized, so the executed plan must contain NO
-    # parquet scan at all (the backbone is built once upstream; the r10
-    # plan re-derived it 69 times) — its inputs are the checkpointed RDDs
-    # — and triangle formation stays keyed (no cartesian). `oriented`
-    # deliberately recomputes from those RDDs (Exchange reuse dedupes it
-    # inside the one final job; an eager ckpt measured slower).
+    # The edge relation feeds deg/oriented/e3; since round 11 the two
+    # intermediates whose recompute repeats real work (the co-occurrence
+    # relation inside _backbone_edges, deg) are localCheckpoint-
+    # materialized, so the executed plan must contain NO parquet scan at
+    # all (the backbone is built once upstream; the r10 plan re-derived
+    # it 69 times) — its inputs are the checkpointed RDDs — and triangle
+    # formation stays keyed (no cartesian). `edges` is a narrow filter
+    # over the co RDD (its σ-threshold is an observed literal) and
+    # `oriented` deliberately recomputes (Exchange reuse dedupes it
+    # inside the one final job; eager ckpts of either measured slower).
     df = REGISTRY["gr2_triangle_count"].fn(spark, SF_SMOKE)
     df.collect()
     plan = physical_plan(df)
@@ -523,6 +525,26 @@ def test_gr4_topk_no_global_sort(spark):
     plan = plan_of(spark, "gr4_capped")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_gr4_wedges_are_mapside_pairs_not_selfjoin(spark):
+    # Candidate wedges come from ONE groupBy(midpoint) aggregate with
+    # in-task pair explosion (the k3/_backbone_edges shape) — the plan
+    # must show the pair Generate ABOVE an ObjectHashAggregate/collect
+    # boundary, never an x⋈y self-join of the adjacency (the r11
+    # rewrite; the join form shuffled the adjacency twice). The
+    # remaining joins are the cap semi-join, the edges anti-join and
+    # the two degree attaches — all keyed, none wedge-quadratic.
+    # Pinned on the INITIAL plan: at smoke scale the capped candidate
+    # set is empty and AQE folds the executed plan to EmptyRelation,
+    # which would vacuously hide the shape under test.
+    df = REGISTRY["gr4_capped"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "collect_set" in plan and "Generate" in plan and "explode" in plan
+    assert "CartesianProduct" not in plan
+    # the backbone is built once: the executed plan reads the
+    # checkpointed co relation, no parquet re-scan of lineitem
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
 
 
 def test_gr3_bfs_rounds_never_cartesian(spark):

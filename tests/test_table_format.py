@@ -2699,6 +2699,21 @@ def test_mor_update_noop_commits_nothing(spark, vt):
     assert len(vt.history()) == 1
 
 
+def test_mor_update_noop_leaves_no_staged_dirs(spark, vt):
+    # the vector and updated-rows writes run CONCURRENTLY (two driver
+    # threads over the one checkpointed matched set), so the no-match
+    # path must discard BOTH staged dirs — data/ and _dv/ stay exactly
+    # as they were, not just uncommitted
+    vt.append(_df(spark, [(1, "a")]))
+    data_before = _data_dirs(vt)
+    dv_root = os.path.join(vt.path, "_dv")
+    dv_before = sorted(os.listdir(dv_root)) if os.path.isdir(dv_root) else []
+    assert vt.update("k = 99", {"v": "'x'"}, mode="mor") == 1
+    assert _data_dirs(vt) == data_before
+    dv_after = sorted(os.listdir(dv_root)) if os.path.isdir(dv_root) else []
+    assert dv_after == dv_before
+
+
 def test_change_feed_surfaces_mor_update_as_delete_insert(spark, vt):
     vt.append(_df(spark, [(1, "a"), (2, "b")]))
     v1 = vt.latest_version()
