@@ -539,10 +539,10 @@ def gr4_link_prediction_exact(
     small joins against the |V|-row degree table. The candidate space
     grows Σ deg(mid)² — the engine's worst scaling line — so
     ``mid_degree_cap`` is the declared escape valve: drop wedge
-    MIDPOINTS above the cap before the self-join (a hub that co-supplies
-    with thousands of suppliers predicts little — every pair through it
-    shares that hub, the classic stop-word analogy), bounding the join
-    at cap·|V| wedges. None (this exact default) has no candidate
+    MIDPOINTS above the cap before wedge generation (a hub that
+    co-supplies with thousands of suppliers predicts little — every
+    pair through it shares that hub, the classic stop-word analogy),
+    bounding the candidate space at cap·|V| wedges. None (this exact default) has no candidate
     bound; ``test_gr4_mid_degree_cap_*`` pins that a cap at/above the
     max degree is a no-op and that capping only ever shrinks
     candidates.
@@ -713,19 +713,21 @@ def gr4_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact form's candidate space grows Σ deg(mid)² (the engine's
     worst scaling line); capping wedge MIDPOINTS at degree ≤
-    GR4_MID_DEGREE_CAP before the self-join bounds it at cap·|V|
-    wedges, turning the quadratic hub blow-up into a linear term. A hub
+    GR4_MID_DEGREE_CAP before wedge generation bounds it at cap·|V|
+    wedges — and bounds every collected neighbor array at cap elements
+    — turning the quadratic hub blow-up into a linear term. A hub
     that co-supplies with thousands of suppliers predicts little — every
     pair through it shares that hub (the stop-word analogy) — so the cap
     changes rankings only where the signal was weakest. Endpoint degrees
     (dg_u/dg_v) stay EXACT: only candidate generation is capped, the
     Jaccard denominators are not.
 
-    The DuckDB oracle mirrors the cap with the same degree filter on the
-    wedge-adjacency CTE (midpoint = the ``b`` column on BOTH self-join
-    sides, exactly the Spark plan's shape), so the capped result is
-    hash-matchable — "the form you run at scale is the form the oracle
-    checks"."""
+    The DuckDB oracle mirrors the cap with the same degree filter on
+    the wedge-adjacency CTE (midpoint = the ``b`` column on both sides
+    of its x⋈y wedge join — the same pair multiset the Spark plan now
+    explodes map-side from each midpoint's sorted neighbor set), so the
+    capped result is hash-matchable — "the form you run at scale is the
+    form the oracle checks"."""
     return _gr4_impl(spark, sf_dir, mid_degree_cap=GR4_MID_DEGREE_CAP)
 
 
