@@ -217,6 +217,20 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
     # literals and every cast/divide/sqrt still evaluates in the JVM —
     # the threshold expression tree is unchanged, hence bit-identical
     # edge selection (oracle hash-checked for gr2/gr3/gr4/gr5).
+    # Pair rows are PACKED into one BIGINT (u << 32 | v) for the explode
+    # and the (u, v) aggregate (guide §2.3 — narrower shuffle rows): the
+    # raw pair multiset is ~Σ C(deg, 2) rows and its partial aggregation
+    # barely reduces (most pairs are distinct per task), so the exchange
+    # carries nearly every generated pair — one 8-byte long instead of a
+    # 16-byte two-field row halves those bytes, the HOF emits a primitive
+    # array instead of allocating a struct per pair, and the aggregate
+    # hashes one long key. Exact iff node ids fit in 31 bits (u < 2^31
+    # keeps the packed value positive, v < 2^32 keeps it collision-free):
+    # suppkeys are dense non-negative ints — ~1e9 at the 100 TB scale
+    # point, 2 orders of magnitude under the bound (a deployment on wider
+    # ids densifies them first, the standard graph-engine contract).
+    # Unpacking below is exact integer arithmetic, so the edge set is
+    # bit-identical to the struct form (oracle-checked gr1–gr5).
     obs = Observation()
     co = (
         grp.select(
@@ -224,11 +238,11 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
                 F.expr(
                     "flatten(transform(sks, (x, i) -> transform("
                     "slice(sks, i + 2, size(sks)), "
-                    "y -> struct(x AS u, y AS v))))"
+                    "y -> shiftleft(x, 32) + y)))"
                 )
-            ).alias("e")
+            ).alias("uv")
         )
-        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .groupBy("uv")
         .agg(F.count(F.lit(1)).alias("shared"))
         .observe(
             obs,
@@ -236,7 +250,10 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
             F.sum(F.col("shared") * F.col("shared")).alias("ssq"),
             F.count(F.lit(1)).alias("n"),
         )
-        .localCheckpoint()
+        # eager=True is the default, but obs.get BELOW blocks forever if
+        # no action runs the observed plan — pin the trigger explicitly
+        # so a default change fails loudly instead of hanging (ADVICE r11)
+        .localCheckpoint(eager=True)
     )
     m = obs.get
     s = F.lit(m["s"]).cast("double")
@@ -248,7 +265,10 @@ def _backbone_edges(li: DataFrame) -> DataFrame:
     # The returned frame is a NARROW filter over the checkpointed co —
     # consumers no longer need their own edges checkpoint to avoid
     # re-deriving the lineitem subtree.
-    return co.filter(F.col("shared").cast("double") > thr).select("u", "v")
+    return co.filter(F.col("shared").cast("double") > thr).select(
+        F.shiftright("uv", 32).alias("u"),
+        F.expr("uv & 4294967295").alias("v"),
+    )
 
 
 # The CTE chain producing the identical backbone edge set in DuckDB —
@@ -599,6 +619,8 @@ def _gr4_impl(
     # were already colocated on one task by the join's hash partitioning,
     # and the capped form bounds every array (hence every task's explode)
     # at cap neighbors / C(cap, 2) pairs.
+    # Pairs packed into one BIGINT through the explode + aggregate, same
+    # trade (and same 31-bit id contract) as _backbone_edges.
     cand = (
         wedge_adj.groupBy("b")
         .agg(F.sort_array(F.collect_set("a")).alias("ns"))
@@ -607,12 +629,17 @@ def _gr4_impl(
                 F.expr(
                     "flatten(transform(ns, (x, i) -> transform("
                     "slice(ns, i + 2, size(ns)), "
-                    "y -> struct(x AS u, y AS v))))"
+                    "y -> shiftleft(x, 32) + y)))"
                 )
-            ).alias("e")
+            ).alias("uv")
         )
-        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .groupBy("uv")
         .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            F.shiftright("uv", 32).alias("u"),
+            F.expr("uv & 4294967295").alias("v"),
+            "common",
+        )
     )
     nonedge = cand.join(edges, ["u", "v"], "left_anti")
     scored = (

@@ -2358,9 +2358,17 @@ class VersionedTable:
         """Write a (file string, pos long) deletion-vector frame as one
         small parquet dir under ``_dv/``; returns the rel name."""
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.path, _DV, rel)
-        )
+        dest = os.path.join(self.path, _DV, rel)
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(dest)
+        except BaseException:
+            # a failed write job may leave a partial staging dir; it is
+            # invisible to every reader (uncommitted), but sweep it so a
+            # failure doesn't leak disk (ADVICE r11)
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
         return rel
 
     def _read_dvs(self, rel_dirs: list[str]) -> DataFrame:
@@ -4283,9 +4291,16 @@ class VersionedTable:
             if casts:
                 df = df.withColumns(casts)
         rel = f"v{version_hint}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.path, _DATA, rel)
-        )
+        dest = os.path.join(self.path, _DATA, rel)
+        try:
+            df.write.mode("overwrite").parquet(dest)
+        except BaseException:
+            # sweep the partial staging dir on a failed write job (it is
+            # uncommitted, hence invisible — this is disk hygiene only)
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
         # bloom index last: one extra column-pruned pass over the files
         # just written (the sidecar must describe the BYTES on disk, so
         # it reads them back rather than re-evaluating the frame)
@@ -5016,8 +5031,32 @@ class VersionedTable:
                 vhint,
             )
             data_fut = pool.submit(self._write_data_dir, updated, vhint)
-            dv_rel = dv_fut.result()
-            rel = data_fut.result()
+            # If either write raises, the sibling future still completes
+            # (each writer sweeps its OWN partial dir on failure); sweep
+            # the sibling's completed staged dir too before re-raising so
+            # a half-failed UPDATE leaks nothing (ADVICE r11).
+            dv_rel = rel = None
+            errs: list[BaseException] = []
+            for fut in (dv_fut, data_fut):
+                try:
+                    if fut is dv_fut:
+                        dv_rel = fut.result()
+                    else:
+                        rel = fut.result()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+        if errs:
+            import shutil
+
+            if dv_rel is not None:
+                shutil.rmtree(
+                    os.path.join(self.path, _DV, dv_rel), ignore_errors=True
+                )
+            if rel is not None:
+                shutil.rmtree(
+                    os.path.join(self.path, _DATA, rel), ignore_errors=True
+                )
+            raise errs[0]
         n = sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(
@@ -5859,9 +5898,26 @@ class VersionedTable:
         # the common busy-MOR case (deletes/updates, no intervening
         # rewrite) folds with pure manifest arithmetic plus one write.
         if live_files and all(rel in file_stats for rel in live):
+            # Harvest dv_files NEWEST-FIRST and stop as soon as every
+            # live vector dir is resolved: a rel's mapping is recorded
+            # by the one commit that added it, so on a long-lived busy
+            # table the proof reads the few newest log entries instead
+            # of replaying the whole history (ADVICE r11 — the
+            # O(history) replay could cost more than the join it skips).
             recorded: dict[str, list[str]] = {}
-            for c in self._commits():
-                recorded.update(c.get("dv_files") or {})
+            pending = set(dvs)
+            for name in reversed(_log_names(self._log_dir(), _COMMIT_NAME)):
+                if not pending:
+                    break
+                try:
+                    with open(os.path.join(self._log_dir(), name)) as f:
+                        entry = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue  # torn write — as invisible as in _commits
+                for rel_name, files in (entry.get("dv_files") or {}).items():
+                    if rel_name in pending:
+                        recorded[rel_name] = files
+                        pending.discard(rel_name)
             prune_noop = all(rel in recorded for rel in dvs) and all(
                 f in live_files for rel in dvs for f in recorded[rel]
             )
