@@ -3391,7 +3391,22 @@ def _orders_base_table(spark: SparkSession, sf_dir: str):
         return VersionedTable(spark, path)
     tmp = f"{path}.build-{_uuid.uuid4().hex[:8]}"
     vt_tmp = VersionedTable(spark, tmp)
-    vt_tmp.append(table(spark, sf_dir, "orders"))  # v1
+    # Right-size the ingest (guide §6 — small files hurt twice): the raw
+    # scan arrives in one partition per split, and writing a file per
+    # partition leaves ~32 tiny files that every timed scan of this base
+    # (census, CDF, matched-set, clone reads) then pays one task launch
+    # and one file open EACH for. Coalesce to one output file per scan
+    # split — bytes / maxPartitionBytes — so the file layout matches how
+    # scans will re-split it (locally ~7 files; at cluster defaults this
+    # is the guide's 128 MB-per-file target).
+    src_bytes = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        split = int(raw.rstrip("bB"))  # Spark reports e.g. "134217728b"
+    except (TypeError, ValueError, AttributeError):
+        split = 128 * 1024 * 1024
+    n_files = max(1, -(-src_bytes // split))
+    vt_tmp.append(table(spark, sf_dir, "orders").coalesce(n_files))  # v1
     if ready(path):  # a concurrent builder finished first — use theirs
         shutil.rmtree(tmp, ignore_errors=True)
         return VersionedTable(spark, path)
@@ -3466,6 +3481,27 @@ def a25_mor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"o_totalprice": "o_totalprice * 2"},
         mode="mor",
     )  # v3: DV + one dir of updated rows
+    # The vector compaction (one small write job, data_change=False) and
+    # the CDF plan build (driver-side manifest arithmetic + py4j, no job)
+    # are independent: changes_between(1, 3) is pinned to the explicit
+    # version range, so the v4 compaction commit can land while the feed
+    # plan is being built (guide §2.6 — overlap work the driver would
+    # otherwise serialize; py4j waits release the GIL, so the compaction
+    # job really does run under the plan build). The final census below
+    # is built AFTER the join, i.e. over the post-compaction snapshot,
+    # exactly as in the sequential order.
+    from threading import Thread
+
+    compact_err: list[BaseException] = []
+
+    def _compact() -> None:  # v4 (data_change=False)
+        try:
+            vt.compact_vectors()
+        except BaseException as e:  # noqa: BLE001 — re-raised after join
+            compact_err.append(e)
+
+    compact_t = Thread(target=_compact)
+    compact_t.start()
     cdf = (
         vt.changes_between(1, 3)
         .groupBy("_change_type")
@@ -3476,7 +3512,9 @@ def a25_mor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("revenue"),
         )
     )
-    vt.compact_vectors()  # v4: fold vectors physically (data_change=False)
+    compact_t.join()
+    if compact_err:
+        raise compact_err[0]
     final = vt.read().groupBy(
         F.col("o_orderstatus").alias("grp")
     ).agg(
