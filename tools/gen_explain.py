@@ -32,11 +32,11 @@ NOTES = {
     "k6_quality_heuristics": "pure projection: single codegen stage, no exchange at all.",
     "c15_regional_revenue": "six-table star chain: every dimension broadcast, only the orders⋈lineitem FK spine shuffles; the two-key local-supplier constraint rides the same join.",
     "c21_waiting_supplier": "EXISTS/NOT EXISTS pair decorrelated to left-semi + left-anti against the same fact; all three lineitem passes hash on l_orderkey.",
-    "gr2_triangle_count": "significance-backbone co-occurrence aggregate localCheckpointed with its σ-threshold observed as job metrics (no separate stats pass; the plan reads Scan ExistingRDD — zero parquet re-scans vs 69 before round 11); degree-oriented wedges generated map-side from each source's sorted out-neighborhood; explode-to-corners count.",
+    "gr2_triangle_count": "significance-backbone co-occurrence aggregate localCheckpointed with its σ-threshold observed as job metrics (no separate stats pass; the plan reads Scan ExistingRDD — zero parquet re-scans vs 69 before round 11); pair keys packed into one BIGINT (u<<32|v) through the explode/aggregate and unpacked after the threshold filter (narrower shuffle rows, r12); degree-oriented wedge enumeration; explode-to-corners count.",
     "i3_session_window": "native session-window operator: shuffle on user_id, in-partition sort, session merge.",
     "k51_cdc_chunking": "per-row HOF rolling-hash boundary scan, explode to chunks, census aggregate — no Python, no join.",
     "c21_bucketed_layout": "same Q21 semantics on the bucketed layout: the probe join and both decorrelated self-probes read the bucketed scans with ZERO Exchange on the orderkey (SelectedBucketsCount in the scan); only the final aggregate shuffles.",
-    "gr4_capped": "the scale-path form: wedge midpoints above GR4_MID_DEGREE_CAP are semi-join-filtered BEFORE wedge generation, bounding every midpoint's neighbor set at cap; candidate pairs explode map-side from one groupBy(midpoint) aggregate (the adjacency self-join of earlier rounds is gone); endpoint degrees stay exact.",
+    "gr4_capped": "the scale-path form: wedge midpoints above GR4_MID_DEGREE_CAP are semi-join-filtered BEFORE wedge generation, bounding every midpoint's neighbor set at cap; candidate pairs explode map-side from one groupBy(midpoint) aggregate as PACKED BIGINT keys (u<<32|v, unpacked after the count — r12); endpoint degrees stay exact.",
     "k3_lsh_capped": "band-frequency cap rides the SAME band aggregate that generates pairs (count <= cap on the collected doc set — no separate frequency pass or semi-join), bounding every band at cap^2 candidate pairs; verify joins unchanged.",
     "k7_ppm_decode": "two Arrow mapInPandas passes: synthesize P6 payloads, then parse header + frombuffer raster to per-channel means — payloads never leave the executor.",
     "c6_bucketed_layout": "the (l_partkey, l_suppkey) pre-aggregation runs ONCE on the bucketed scan (no fact shuffle; localCheckpoint replaces the ReuseExchange the layout removed) and both self-probe sides read the materialized result.",
